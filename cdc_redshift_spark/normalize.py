@@ -1,0 +1,155 @@
+"""Envelope → canonical ChangeSet normalizers.
+
+The reference re-derives (db, table, key, ts, op, payload) three times,
+once per script (glue_docdb_redshift_cdc.py:133-147,
+glue_pg_redshift_cdc.py:128-145, glue_dms_redshift_cdc.py:138-142).
+Here each source gets one declarative normalizer producing the single
+canonical schema:
+
+    (db, table, key, ts_ms, offset, op, payload)
+
+- ``op`` is normalized to the vocabulary insert/update/delete/load
+  (Mongo strings, Debezium c/u/d/r, DMS words — SURVEY §2.4 F5).
+- ``offset`` is the deterministic tiebreaker for ts_ms ties, a gap the
+  reference leaves nondeterministic (SURVEY §2.7 W1).  From Kafka it is
+  the partition offset; callers can provide any monotone column.
+
+All transforms are pure Column expressions — they stay inside
+whole-stage codegen, no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.envelopes import (
+    DMS_CDC_SCHEMA,
+    DMS_TS_FORMAT,
+    MONGO_CDC_SCHEMA,
+    PG_CDC_SCHEMA,
+)
+
+# Op-code normalization maps (SURVEY §2.4 F5).
+_MONGO_OPS = {"insert": "insert", "update": "update", "replace": "update", "delete": "delete"}
+_PG_OPS = {"c": "insert", "u": "update", "d": "delete", "r": "load"}
+_DMS_OPS = {"load": "load", "insert": "insert", "update": "update", "delete": "delete"}
+
+
+def _map_op(col: Column, mapping: dict[str, str]) -> Column:
+    expr = None
+    for src, dst in mapping.items():
+        cond = col == src
+        expr = F.when(cond, dst) if expr is None else expr.when(cond, dst)
+    return expr.otherwise(col)
+
+
+def _offset_col(df: DataFrame, offset_col: str | None) -> Column:
+    """Kafka frames carry `offset`; bounded test frames pass their own.
+
+    Falls back to a per-task monotone id — stable within a run, which is
+    enough for intra-batch tiebreaks when the source provides none.
+    """
+    if offset_col and offset_col in df.columns:
+        return F.col(offset_col).cast("long")
+    if "offset" in df.columns:
+        return F.col("offset").cast("long")
+    return F.monotonically_increasing_id()
+
+
+def parse_envelope(raw: DataFrame, schema, value_col: str = "value") -> DataFrame:
+    """Kafka value bytes → flattened envelope struct.
+
+    Mirrors the cast→from_json→flatten prologue shared by all three
+    reference jobs (glue_pg_redshift_cdc.py:231-233), keeping Kafka
+    metadata columns (offset, partition, timestamp) when present.
+    """
+    keep = [c for c in ("offset", "partition", "timestamp") if c in raw.columns]
+    parsed = raw.filter(F.col(value_col).isNotNull()).select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("j"), *keep
+    )
+    return parsed.select("j.*", *keep)
+
+
+def normalize_mongo(env: DataFrame, offset_col: str | None = None) -> DataFrame:
+    """Debezium-Mongo envelope → ChangeSet.
+
+    Key = ``$._id`` of documentKey, payload = fullDocument (opaque JSON,
+    SUPER-bound), routing = ns.db/ns.coll, ordering = ts_ms
+    (reference glue_docdb_redshift_cdc.py:133-140).
+    """
+    return env.select(
+        F.col("ns.db").alias("db"),
+        F.col("ns.coll").alias("table"),
+        F.get_json_object("documentKey", "$._id").alias("key"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        _offset_col(env, offset_col).alias("offset"),
+        _map_op(F.col("operationType"), _MONGO_OPS).alias("op"),
+        F.col("fullDocument").alias("payload"),
+    )
+
+
+def normalize_pg(env: DataFrame, key_path: str = "$.id", offset_col: str | None = None) -> DataFrame:
+    """Debezium-Postgres envelope → ChangeSet.
+
+    Key from `after` else `before` (delete has no after image), payload
+    = after-else-before, routing = source.db/source.table, ordering =
+    source.ts_ms (reference glue_pg_redshift_cdc.py:128-138).
+    """
+    after_ok = F.col("after").isNotNull()
+    return env.select(
+        F.col("source.db").alias("db"),
+        F.col("source.table").alias("table"),
+        F.when(after_ok, F.get_json_object("after", key_path))
+        .otherwise(F.get_json_object("before", key_path))
+        .alias("key"),
+        F.col("source.ts_ms").cast("long").alias("ts_ms"),
+        _offset_col(env, offset_col).alias("offset"),
+        _map_op(F.col("op"), _PG_OPS).alias("op"),
+        F.when(after_ok, F.col("after")).otherwise(F.col("before")).alias("payload"),
+    )
+
+
+def normalize_dms(
+    env: DataFrame, record_id_key: str = "id", offset_col: str | None = None
+) -> DataFrame:
+    """AWS DMS envelope → ChangeSet.
+
+    Keeps only data records (record-type == 'data', reference
+    glue_dms_redshift_cdc.py:88), key = configurable ``record_id_key``
+    JSON path in the payload (:36), routing = metadata schema/table
+    (:139-141), ordering = metadata.timestamp parsed with microsecond
+    format (:138).
+    """
+    return (
+        env.filter(F.col("metadata.`record-type`") == "data")
+        .select(
+            F.col("metadata.`schema-name`").alias("db"),
+            F.col("metadata.`table-name`").alias("table"),
+            F.get_json_object("data", f"$.{record_id_key}").alias("key"),
+            (
+                F.unix_micros(F.to_timestamp(F.col("metadata.timestamp"), DMS_TS_FORMAT))
+                / F.lit(1000)
+            )
+            .cast("long")
+            .alias("ts_ms"),
+            _offset_col(env, offset_col).alias("offset"),
+            _map_op(F.col("metadata.operation"), _DMS_OPS).alias("op"),
+            F.col("data").alias("payload"),
+        )
+    )
+
+
+def mongo_changeset(raw: DataFrame, **kw) -> DataFrame:
+    """Kafka raw frame → Mongo ChangeSet (parse + normalize)."""
+    return normalize_mongo(parse_envelope(raw, MONGO_CDC_SCHEMA), **kw)
+
+
+def pg_changeset(raw: DataFrame, **kw) -> DataFrame:
+    """Kafka raw frame → Postgres ChangeSet (parse + normalize)."""
+    return normalize_pg(parse_envelope(raw, PG_CDC_SCHEMA), **kw)
+
+
+def dms_changeset(raw: DataFrame, **kw) -> DataFrame:
+    """Kafka raw frame → DMS ChangeSet (parse + normalize)."""
+    return normalize_dms(parse_envelope(raw, DMS_CDC_SCHEMA), **kw)

@@ -1,0 +1,19 @@
+"""Query library: every entry in ``__spark_entry__.queries()`` lives here.
+
+Each module exposes ``QUERIES: dict[str, callable(spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[str, str]`` (DuckDB SQL equivalents; omitted keys get
+the driver's weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+
+def all_queries():
+    from cdc_redshift_spark.queries import analytics, cdc, dedup_q, similarity, text_q
+
+    q: dict = {}
+    o: dict = {}
+    for mod in (cdc, analytics, text_q, dedup_q, similarity):
+        q.update(mod.QUERIES)
+        o.update(mod.ORACLES)
+    return q, o

@@ -1,0 +1,238 @@
+"""CDC correctness queries: deterministic change-log replay with SQL oracles.
+
+Each query synthesizes a CDC change log from the static TPC-H-ish
+tables (deterministic function of the rows — no randomness), pushes it
+through the real envelope-parse → normalize → LWW-dedup → merge
+pipeline, and returns the final materialized state.  The DuckDB oracle
+computes the same final state directly with SQL, so the driver's
+hash-compare checks the full pipeline semantics:
+
+- envelope JSON parse (P1-P3), key extraction (P4), op normalization (F5)
+- last-writer-wins dedup with tiebreak (W1)
+- merge upsert + delete (J1-J3) incl. delete-after-update ordering
+
+Change-log construction rules (orders → pg_cdc events):
+- every order        → insert  at ts,            offset = 10k
+- o_orderkey % 3 = 0 → update  at ts + 1 day,    offset = 10k+1  (status → 'U')
+- o_orderkey % 7 = 0 → delete  at ts + 2 days,   offset = 10k+2
+So keys divisible by 21 see update-then-delete; the delete wins (later ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.dedup import latest_per_key
+from cdc_redshift_spark.normalize import pg_changeset
+from cdc_redshift_spark.plans.merge import apply_changeset
+from cdc_redshift_spark.sources.tables import load_table
+
+_DAY_MS = 86_400_000
+
+
+def synth_pg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders.parquet → raw Kafka-shaped frame of Debezium-PG envelopes.
+
+    Returns (value string, offset long) rows — exactly what a Kafka scan
+    yields after the CAST(value AS STRING) prologue.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def payload(status_col):
+        return F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                status_col.alias("status"),
+                F.col("o_totalprice").alias("total"),
+            )
+        )
+
+    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC so the
+    # cast is a pure reinterpretation
+    ts0 = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+
+    def envelope(before, after, op, ts_ms, off):
+        src = F.struct(
+            F.lit("2.4").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("pgserver").alias("name"),
+            ts_ms.cast("long").alias("ts_ms"),
+            F.lit("false").alias("snapshot"),
+            F.lit("tpch").alias("db"),
+            F.lit(None).cast("string").alias("sequence"),
+            F.lit("public").alias("schema"),
+            F.lit("orders_cdc").alias("table"),
+            F.lit(None).cast("long").alias("txId"),
+            F.lit(None).cast("long").alias("lsn"),
+            F.lit(None).cast("long").alias("xmin"),
+        )
+        env = F.struct(
+            before.alias("before"),
+            after.alias("after"),
+            src.alias("source"),
+            F.lit(op).alias("op"),
+            ts_ms.cast("long").alias("ts_ms"),
+            F.lit(None).cast("string").alias("transaction"),
+        )
+        return orders.select(
+            F.to_json(env).alias("value"), off.cast("long").alias("offset")
+        )
+
+    null_s = F.lit(None).cast("string")
+    k = F.col("o_orderkey")
+    inserts = envelope(null_s, payload(F.col("o_orderstatus")), "c", ts0, k * 10)
+    updates = orders.filter(k % 3 == 0).select(
+        F.to_json(
+            F.struct(
+                payload(F.col("o_orderstatus")).alias("before"),
+                payload(F.lit("U")).alias("after"),
+                F.struct(
+                    F.lit("2.4").alias("version"),
+                    F.lit("postgresql").alias("connector"),
+                    F.lit("pgserver").alias("name"),
+                    (ts0 + _DAY_MS).cast("long").alias("ts_ms"),
+                    F.lit("false").alias("snapshot"),
+                    F.lit("tpch").alias("db"),
+                    null_s.alias("sequence"),
+                    F.lit("public").alias("schema"),
+                    F.lit("orders_cdc").alias("table"),
+                    F.lit(None).cast("long").alias("txId"),
+                    F.lit(None).cast("long").alias("lsn"),
+                    F.lit(None).cast("long").alias("xmin"),
+                ).alias("source"),
+                F.lit("u").alias("op"),
+                (ts0 + _DAY_MS).cast("long").alias("ts_ms"),
+                null_s.alias("transaction"),
+            )
+        ).alias("value"),
+        (k * 10 + 1).cast("long").alias("offset"),
+    )
+    deletes_src = orders.filter(k % 7 == 0)
+    deletes = deletes_src.select(
+        F.to_json(
+            F.struct(
+                F.to_json(
+                    F.struct(
+                        k.alias("id"),
+                        F.col("o_orderstatus").alias("status"),
+                        F.col("o_totalprice").alias("total"),
+                    )
+                ).alias("before"),
+                null_s.alias("after"),
+                F.struct(
+                    F.lit("2.4").alias("version"),
+                    F.lit("postgresql").alias("connector"),
+                    F.lit("pgserver").alias("name"),
+                    (ts0 + 2 * _DAY_MS).cast("long").alias("ts_ms"),
+                    F.lit("false").alias("snapshot"),
+                    F.lit("tpch").alias("db"),
+                    null_s.alias("sequence"),
+                    F.lit("public").alias("schema"),
+                    F.lit("orders_cdc").alias("table"),
+                    F.lit(None).cast("long").alias("txId"),
+                    F.lit(None).cast("long").alias("lsn"),
+                    F.lit(None).cast("long").alias("xmin"),
+                ).alias("source"),
+                F.lit("d").alias("op"),
+                (ts0 + 2 * _DAY_MS).cast("long").alias("ts_ms"),
+                null_s.alias("transaction"),
+            )
+        ).alias("value"),
+        (k * 10 + 2).cast("long").alias("offset"),
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def q_cdc_pg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full pg-Debezium replay → final table state."""
+    raw = synth_pg_changelog(spark, sf_dir)
+    changes = pg_changeset(raw, offset_col="offset")
+    deduped = latest_per_key(changes, keys=("db", "table", "key"))
+    state = apply_changeset(None, deduped, keys=("db", "table", "key"))
+    return state.select(
+        F.col("key").cast("bigint").alias("okey"),
+        F.get_json_object("payload", "$.status").alias("status"),
+        F.get_json_object("payload", "$.total").cast("double").alias("total"),
+        F.col("op"),
+    )
+
+
+ORACLE_CDC_PG_REPLAY = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+       o_totalprice AS total,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'update' ELSE 'insert' END AS op
+FROM orders
+WHERE o_orderkey % 7 <> 0
+"""
+
+
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 in isolation: last event per user in the events table.
+
+    Same window the reference runs per batch
+    (glue_pg_redshift_cdc.py:134-136), keys=(user), order=(ts desc,
+    event_id desc as offset tiebreak).
+    """
+    events = load_table(spark, sf_dir, "events")
+    # order on raw epoch-nanos (ts_ns) so tie semantics match DuckDB's
+    # nanosecond-precision ORDER BY ts exactly
+    deduped = latest_per_key(
+        events, keys=("user_id",), ts_col="ts_ns", tiebreak_col="event_id"
+    )
+    return deduped.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+ORACLE_CDC_LWW_DEDUP = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + routing check: events per (table, normalized op)."""
+    raw = synth_pg_changelog(spark, sf_dir)
+    changes = pg_changeset(raw, offset_col="offset")
+    return (
+        changes.groupBy("db", "table", "op")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("key").alias("n_keys"))
+        .orderBy("db", "table", "op")
+    )
+
+
+ORACLE_CDC_OP_COUNTS = """
+WITH ev AS (
+  SELECT o_orderkey AS key, 'insert' AS op FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'update' FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete' FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT 'tpch' AS db, 'orders_cdc' AS "table", op,
+       count(*) AS n, count(DISTINCT key) AS n_keys
+FROM ev GROUP BY op ORDER BY db, "table", op
+"""
+
+
+QUERIES = {
+    "cdc_pg_replay": q_cdc_pg_replay,
+    "cdc_lww_dedup": q_cdc_lww_dedup,
+    "cdc_op_counts": q_cdc_op_counts,
+}
+
+ORACLES = {
+    "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
+    "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,
+    "cdc_op_counts": ORACLE_CDC_OP_COUNTS,
+}

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference pins ``spark.sql.shuffle.partitions=1`` and
+``spark.default.parallelism=1`` (reference readme.md:40-41) because its
+micro-batches are small and it wants co-partitioned dedup in one task.
+That choice dies at 100 TB.  We instead enable AQE so Spark picks the
+partition count at runtime (coalescing small batches down to few tasks
+— same effect as the reference's 1 — while scaling up for big ones),
+and leave shuffle.partitions at a per-deployment value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cdc_redshift_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Local mode is a single JVM; on a real cluster the same config
+    applies per-executor.  AQE handles runtime partition coalescing and
+    skew-join splitting, which replaces the reference's hardcoded
+    1-partition shuffle (reference readme.md:40-41).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet uses TIMESTAMP(NANOS); read as long
+        # and rebuild micros in sources.tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
