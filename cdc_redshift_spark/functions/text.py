@@ -1,0 +1,151 @@
+"""Text-analysis column builders: tokenization, quality, lang-ID, fingerprints.
+
+All pure Column expressions over built-in pyspark.sql.functions — they
+run JVM-side inside whole-stage codegen (no Python UDFs in the hot
+path), so they scale to 100 TB document corpora at full Tungsten
+throughput.  Each builder mirrors an exactly-equivalent DuckDB SQL
+expression used by the query oracles.
+
+The reference has no text operators (its payloads are opaque SUPER
+JSON — SURVEY §0); these are the training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# "BPE-ish" token pattern: letter runs, digit runs, single symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny stopword profiles for the heuristic language ID.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "zu"],
+    "fr": ["le", "la", "et", "les", "est", "une"],
+    "es": ["el", "la", "y", "los", "es", "una"],
+}
+
+EN_STOPWORDS = STOPWORDS["en"]
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-like regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(col, r"[^A-Za-z0-9\s]", "")
+    return (F.length(col) - F.length(stripped)) / F.length(col)
+
+
+def digit_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[0-9]", "")
+    return (F.length(col) - F.length(stripped)) / F.length(col)
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    sw = stopwords or EN_STOPWORDS
+    arr = F.array(*[F.lit(s) for s in sw])
+    toks = words(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return hits / F.size(toks)
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """Count of stopword-matching tokens for one language profile."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    toks = words(F.lower(col))
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1]:
+    stopword presence + low punctuation + adequate length."""
+    length_term = F.least(token_count(col) / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        0.4 * stopword_ratio(col) + 0.3 * (1 - punct_ratio(col)) + 0.3 * length_term,
+        6,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    deterministic preference order en > de > fr > es, 'und'
+    (undetermined) when no profile matches."""
+    s = {lg: stopword_hits(col, sw) for lg, sw in STOPWORDS.items()}
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapse
+    whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-gram (shingle) array of the normalized text —
+    substring over a generated index sequence, all JVM-side."""
+    norm = normalize_text(col)
+    # sequence(1, greatest(len - n + 1, 1)) then substring per position
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(norm, i, n))
+
+
+# ---- DuckDB mirror fragments (kept adjacent so queries and oracles
+# ---- evolve together; see queries/text_q.py)
+
+DUCK_TOKENS = r"string_split_regex(trim({c}), '\s+')"
+DUCK_TOKEN_COUNT = r"len(string_split_regex(trim({c}), '\s+'))"
+DUCK_BPE_COUNT = (
+    r"len(regexp_extract_all({c}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+)
+DUCK_PUNCT_RATIO = (
+    r"(length({c}) - length(regexp_replace({c}, '[^A-Za-z0-9\s]', '', 'g')))"
+    r" / length({c})"
+)
+DUCK_DIGIT_RATIO = (
+    r"(length({c}) - length(regexp_replace({c}, '[0-9]', '', 'g'))) / length({c})"
+)
+
+
+def duck_stop_hits(c: str, stopwords: list[str]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stopwords)
+    return (
+        f"len(list_filter(string_split_regex(lower({c}), '\\s+'),"
+        f" x -> list_contains([{lst}], x)))"
+    )
+
+
+def duck_stop_ratio(c: str, stopwords: list[str] | None = None) -> str:
+    sw = stopwords or EN_STOPWORDS
+    return (
+        f"({duck_stop_hits(c, sw)}::DOUBLE"
+        f" / len(string_split_regex(lower({c}), '\\s+')))"
+    )

@@ -1,3 +1,429 @@
-"""Placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Relational analytics queries over the star schema with SQL oracles.
+
+These widen the engine's operator surface beyond the reference's CDC
+core (the reference delegates all relational work to Redshift —
+SURVEY §2.5/§2.6): aggregations, multi-way joins (broadcast +
+shuffle), windows, top-k, rollup, pivot, set ops, semi/anti joins.
+
+Determinism rules for oracle parity:
+- every float aggregate is rounded identically on both sides;
+- every top-k has a total-order tiebreak;
+- timestamps compared as dates or epoch values (UTC both sides).
+
+Scale notes: dims (region/nation/supplier/part/customer) are
+broadcast-joined (`F.broadcast`); fact-fact joins shuffle on the join
+key and rely on AQE for skew; aggregates use partial map-side combine
+by construction (groupBy on built-in aggregate functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates.
+
+    Single shuffle on (returnflag, linestatus); partial aggregation
+    map-side. Filter + column pruning push into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                      AS sum_qty,
+       round(sum(l_extendedprice), 2)                                 AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                      AS avg_qty,
+       round(avg(l_extendedprice), 6)                                 AS avg_price,
+       round(avg(l_discount), 6)                                      AS avg_disc,
+       count(*)                                                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join (1 broadcast + 1 shuffle) → agg → top-10.
+
+    customer is a dim → broadcast; orders⋈lineitem shuffles on
+    orderkey. Top-k uses TakeOrderedAndProject (no global sort).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join; all dims broadcast, facts shuffle once."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (k=3) by window rank — the reference's W1 pattern
+    generalized from k=1 (glue_pg_redshift_cdc.py:134-136)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+ORACLE_TOP_CUST = """
+SELECT n_name, rk, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rk <= 3
+"""
+
+
+def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: running revenue per customer over time —
+    rowsBetween(unboundedPreceding, current)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-level aggregate (returnflag → linestatus → total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status; oracle uses conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti (the reference's delete-matching join J1,
+    glue_docdb_redshift_cdc.py:183, as a native Spark join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big").alias("segment")
+    )
+    without = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_big").alias("segment")
+    )
+    return with_big.unionByName(without)
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, 'has_big' AS segment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+UNION ALL
+SELECT c_custkey, 'no_big' FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect/except: customers active in 1994 vs 1995."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate"))
+    c95 = orders.filter(y == 1995).select("o_custkey").distinct()
+    c96 = orders.filter(y == 1996).select("o_custkey").distinct()
+    both = c95.intersect(c96).select("o_custkey", F.lit("both").alias("activity"))
+    only95 = c95.exceptAll(c96).select("o_custkey", F.lit("only_1995").alias("activity"))
+    return both.unionByName(only95)
+
+
+ORACLE_SET_OPS = """
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'both' AS activity FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+UNION ALL
+SELECT o_custkey, 'only_1995' FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream aggregation: per event_type counts, distinct users,
+    value stats over the events table (epoch-nanos handled in loader)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FUNNEL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS total_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum (30-minute gap rule).
+
+    Pure window composition — no state store needed for the batch
+    variant; the streaming variant lives in streaming/ with
+    session_window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap_ns = 30 * 60 * 1_000_000_000  # 30 min in nanos
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts_ns").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.col("ts_ns") - F.col("prev_ts")) > gap_ns),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000::BIGINT THEN 1 ELSE 0 END AS new_sess
+  FROM t
+), g AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "running_order_totals": q_running_order_totals,
+    "rollup_sales": q_rollup_sales,
+    "order_priority_pivot": q_order_priority_pivot,
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
+    "events_funnel": q_events_funnel,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier_volume": ORACLE_Q5,
+    "top_customers_per_nation": ORACLE_TOP_CUST,
+    "running_order_totals": ORACLE_RUNNING,
+    "rollup_sales": ORACLE_ROLLUP,
+    "order_priority_pivot": ORACLE_PIVOT,
+    "semi_anti_join": ORACLE_SEMI_ANTI,
+    "set_ops": ORACLE_SET_OPS,
+    "events_funnel": ORACLE_FUNNEL,
+    "events_sessionize": ORACLE_SESSIONIZE,
+}

@@ -1,3 +1,139 @@
-"""Placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Text-analysis queries over the documents table, with DuckDB oracles.
+
+Every expression is a built-in-function Column (functions/text.py) —
+no Python UDFs — so these run at codegen speed and scale linearly with
+executors over a 100 TB corpus (documents are embarrassingly parallel;
+only the by-source aggregation shuffles, on a low-cardinality key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.functions import text as TX
+from cdc_redshift_spark.sources.tables import load_table
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + character-class ratios + quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       {TX.DUCK_TOKEN_COUNT.format(c='text')} AS n_tokens,
+       {TX.DUCK_BPE_COUNT.format(c='text')} AS n_bpe_tokens,
+       round({TX.DUCK_PUNCT_RATIO.format(c='text')}, 6) AS punct_ratio,
+       round({TX.DUCK_DIGIT_RATIO.format(c='text')}, 6) AS digit_ratio,
+       round({TX.duck_stop_ratio('text')}, 6) AS stop_ratio,
+       round(0.4 * {TX.duck_stop_ratio('text')}
+             + 0.3 * (1 - ({TX.DUCK_PUNCT_RATIO.format(c='text')}))
+             + 0.3 * least({TX.DUCK_TOKEN_COUNT.format(c='text')} / 50.0, 1.0), 6)
+         AS quality
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _duck_lang_case() -> str:
+    s = {lg: TX.duck_stop_hits("text", sw) for lg, sw in TX.STOPWORDS.items()}
+    return f"""
+CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']}
+          AND {s['en']} >= {s['es']} AND {s['en']} > 0 THEN 'en'
+     WHEN {s['de']} >= {s['fr']} AND {s['de']} >= {s['es']} AND {s['de']} > 0 THEN 'de'
+     WHEN {s['fr']} >= {s['es']} AND {s['fr']} > 0 THEN 'fr'
+     WHEN {s['es']} > 0 THEN 'es'
+     ELSE 'und' END"""
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang AS labeled_lang, {_duck_lang_case()} AS pred_lang
+FROM documents
+"""
+
+
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation view: quality distribution per source feed."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select("source", TX.quality_score(t).alias("q"), TX.token_count(t).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(F.min("q"), 6).alias("min_quality"),
+            F.sum("nt").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_BY_SOURCE = f"""
+WITH q AS (
+  SELECT source,
+         round(0.4 * {TX.duck_stop_ratio('text')}
+               + 0.3 * (1 - ({TX.DUCK_PUNCT_RATIO.format(c='text')}))
+               + 0.3 * least({TX.DUCK_TOKEN_COUNT.format(c='text')} / 50.0, 1.0), 6) AS q,
+         {TX.DUCK_TOKEN_COUNT.format(c='text')} AS nt
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(q), 6) AS avg_quality,
+       round(min(q), 6) AS min_quality,
+       sum(nt) AS total_tokens
+FROM q GROUP BY source ORDER BY source
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text, with each
+    fingerprint's canonical (min) doc_id — the exact-dedup primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_docs, min(doc_id) AS canonical_doc
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_quality_by_source": q_text_quality_by_source,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_quality_by_source": ORACLE_QUALITY_BY_SOURCE,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,193 @@
+"""Core ChangeSet semantics: normalize, dedup, merge (FIXTURES.md §6 scenarios)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.dedup import latest_per_key, latest_per_key_agg
+from cdc_redshift_spark.normalize import (
+    dms_changeset,
+    mongo_changeset,
+    pg_changeset,
+)
+from cdc_redshift_spark.plans.merge import apply_changeset, split_upserts_deletes
+
+KEYS = ("db", "table", "key")
+
+
+def pg_event(op, key, ts_ms, payload=None, offset=0, db="d1", table="t1"):
+    after = json.dumps({"id": key, **(payload or {})}) if op != "d" else None
+    before = json.dumps({"id": key}) if op in ("d", "u") else None
+    return (
+        json.dumps(
+            {
+                "before": before,
+                "after": after,
+                "source": {"db": db, "table": table, "ts_ms": ts_ms},
+                "op": op,
+                "ts_ms": ts_ms,
+            }
+        ),
+        offset,
+    )
+
+
+def mk_raw(spark, events):
+    return spark.createDataFrame(events, "value string, offset long")
+
+
+def apply_pg(spark, events, target=None):
+    ch = latest_per_key(pg_changeset(mk_raw(spark, events), offset_col="offset"))
+    return apply_changeset(target, ch, keys=KEYS)
+
+
+def test_insert_update_update_lww(spark):
+    st = apply_pg(
+        spark,
+        [
+            pg_event("c", 1, 100, {"v": "a"}, 0),
+            pg_event("u", 1, 200, {"v": "b"}, 1),
+            pg_event("u", 1, 300, {"v": "c"}, 2),
+        ],
+    )
+    rows = st.collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0].payload)["v"] == "c"
+    assert rows[0].op == "update"
+
+
+def test_delete_after_update_removes(spark):
+    st = apply_pg(
+        spark,
+        [pg_event("c", 1, 100, {}, 0), pg_event("u", 1, 200, {}, 1), pg_event("d", 1, 300, None, 2)],
+    )
+    assert st.count() == 0
+
+
+def test_update_after_delete_resurrects(spark):
+    st = apply_pg(
+        spark,
+        [pg_event("d", 1, 100, None, 0), pg_event("u", 1, 200, {"v": "z"}, 1)],
+    )
+    rows = st.collect()
+    assert len(rows) == 1 and json.loads(rows[0].payload)["v"] == "z"
+
+
+def test_ts_tie_broken_by_offset(spark):
+    st = apply_pg(
+        spark,
+        [pg_event("u", 1, 100, {"v": "first"}, 5), pg_event("u", 1, 100, {"v": "second"}, 6)],
+    )
+    assert json.loads(st.collect()[0].payload)["v"] == "second"
+
+
+def test_cross_batch_delete(spark):
+    b1 = apply_pg(spark, [pg_event("c", 1, 100, {}, 0), pg_event("c", 2, 100, {}, 1)])
+    b2 = apply_pg(spark, [pg_event("d", 1, 200, None, 2)], target=b1)
+    rows = b2.collect()
+    assert len(rows) == 1 and rows[0].key == "2"
+
+
+def test_late_event_does_not_regress(spark):
+    """FIXTURES §6.4: older ts arriving in a later batch must lose.
+
+    This is the last-timestamp-wins fix over the reference's
+    last-batch-wins merge (SURVEY §2.11)."""
+    b1 = apply_pg(spark, [pg_event("u", 1, 500, {"v": "new"}, 1)])
+    b2 = apply_pg(spark, [pg_event("u", 1, 100, {"v": "stale"}, 2)], target=b1)
+    assert json.loads(b2.collect()[0].payload)["v"] == "new"
+
+
+def test_multi_table_routing(spark):
+    st = apply_pg(
+        spark,
+        [
+            pg_event("c", 1, 100, {}, 0, db="d1", table="a"),
+            pg_event("c", 1, 100, {}, 1, db="d1", table="b"),
+            pg_event("c", 1, 100, {}, 2, db="d2", table="a"),
+        ],
+    )
+    assert {(r.db, r.table) for r in st.collect()} == {("d1", "a"), ("d1", "b"), ("d2", "a")}
+
+
+def test_window_and_agg_dedup_agree(spark):
+    events = [pg_event("u", k % 3, 100 + k, {"v": str(k)}, k) for k in range(20)]
+    ch = pg_changeset(mk_raw(spark, events), offset_col="offset")
+    a = {(r.key, r.payload) for r in latest_per_key(ch).collect()}
+    b = {(r.key, r.payload) for r in latest_per_key_agg(ch).collect()}
+    assert a == b
+
+
+def test_split_upserts_deletes(spark):
+    ch = latest_per_key(
+        pg_changeset(
+            mk_raw(spark, [pg_event("c", 1, 100, {}, 0), pg_event("d", 2, 100, None, 1)]),
+            offset_col="offset",
+        )
+    )
+    ups, dels = split_upserts_deletes(ch)
+    assert ups.count() == 1 and dels.count() == 1
+    assert dels.collect()[0].key == "2"
+
+
+def test_mongo_normalize(spark):
+    ev = {
+        "_id": "e1",
+        "operationType": "replace",
+        "fullDocument": json.dumps({"_id": "k1", "x": 1}),
+        "ns": {"db": "m1", "coll": "c1"},
+        "documentKey": json.dumps({"_id": "k1"}),
+        "ts_ms": 42,
+    }
+    raw = mk_raw(spark, [(json.dumps(ev), 7)])
+    rows = mongo_changeset(raw, offset_col="offset").collect()
+    r = rows[0]
+    assert (r.db, r.table, r.key, r.ts_ms, r.offset, r.op) == ("m1", "c1", "k1", 42, 7, "update")
+    assert json.loads(r.payload)["x"] == 1
+
+
+def test_dms_normalize_filters_control_records(spark):
+    def dms(op, rid, ts, rectype="data"):
+        return (
+            json.dumps(
+                {
+                    "data": json.dumps({"id": rid, "v": 1}),
+                    "metadata": {
+                        "timestamp": ts,
+                        "record-type": rectype,
+                        "operation": op,
+                        "schema-name": "s1",
+                        "table-name": "t1",
+                    },
+                }
+            ),
+            rid,
+        )
+
+    raw = mk_raw(
+        spark,
+        [
+            dms("load", 1, "2024-01-01T00:00:00.000000Z"),
+            dms("update", 2, "2024-01-01T00:00:01.500000Z"),
+            dms("create-table", 3, "2024-01-01T00:00:02.000000Z", rectype="control"),
+        ],
+    )
+    rows = dms_changeset(raw, offset_col="offset").orderBy("key").collect()
+    assert len(rows) == 2  # control record dropped
+    assert rows[0].op == "load" and rows[0].ts_ms == 1704067200000
+    assert rows[1].op == "update" and rows[1].ts_ms == 1704067201500
+
+
+def test_empty_batch(spark):
+    raw = spark.createDataFrame([], "value string, offset long")
+    ch = pg_changeset(raw, offset_col="offset")
+    assert ch.isEmpty()
+    st = apply_changeset(None, latest_per_key(ch), keys=KEYS)
+    assert st.isEmpty()
+
+
+def test_merge_requires_op(spark):
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError):
+        apply_changeset(None, df, keys=("key",))

@@ -1,0 +1,97 @@
+"""ParquetSink versioned-merge behavior + Redshift SQL codegen parity."""
+
+import json
+
+from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+from cdc_redshift_spark.sinks.redshift import (
+    RedshiftConfig,
+    delete_insert_postactions,
+    delete_using_postactions,
+    merge_postactions,
+    stage_name,
+    table_exists_sql,
+    write_options,
+)
+
+
+def chdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, ts_ms long, offset long, op string, payload string"
+    )
+
+
+def test_parquet_sink_merge_roundtrip(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path))
+    assert not sink.table_exists("d", "t")
+    sink.apply_changeset(
+        "d", "t", chdf(spark, [("1", 100, 0, "insert", "{}"), ("2", 100, 1, "insert", "{}")])
+    )
+    assert sink.table_exists("d", "t")
+    assert sink.read_table(spark, "d", "t").count() == 2
+
+    # second batch: update key 1, delete key 2
+    sink.apply_changeset(
+        "d", "t", chdf(spark, [("1", 200, 2, "update", json.dumps({"v": 9})), ("2", 200, 3, "delete", None)])
+    )
+    rows = {r.key: r for r in sink.read_table(spark, "d", "t").collect()}
+    assert set(rows) == {"1"}
+    assert json.loads(rows["1"].payload)["v"] == 9
+    assert sink.list_tables() == [("d", "t")]
+
+
+def test_parquet_sink_late_event_ignored(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 500, 0, "insert", '{"v":1}')]))
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 100, 1, "update", '{"v":0}')]))
+    rows = sink.read_table(spark, "d", "t").collect()
+    assert json.loads(rows[0].payload)["v"] == 1  # stale update lost
+
+
+def test_stage_name():
+    assert stage_name("public.db1_t1") == "public.stage_db1_t1"
+    assert stage_name("t") == "stage_t"
+
+
+def test_delete_insert_postactions_shape():
+    sql = delete_insert_postactions("public.d_t", "public.stage_d_t", "doc_id")
+    # same statement sequence as glue_docdb_redshift_cdc.py:180-189
+    assert "create table if not exists public.d_t sortkey (ts_date)" in sql
+    assert "delete from public.d_t using public.stage_d_t" in sql
+    assert "public.d_t.doc_id = public.stage_d_t.doc_id" in sql
+    assert "where op_type != 'delete'" in sql
+    assert "drop table if exists public.stage_d_t" in sql
+    assert sql.index("begin") < sql.index("delete from") < sql.index("insert into") < sql.index("end")
+
+
+def test_merge_postactions_shape():
+    sql = merge_postactions("s.t", "s.stage_t", "id")
+    assert "create table if not exists s.t (like s.stage_t)" in sql
+    assert "merge into s.t using s.stage_t on s.t.id = s.stage_t.id remove duplicates" in sql
+    assert "truncate table s.stage_t" in sql
+
+
+def test_delete_using_postactions_shape():
+    sql = delete_using_postactions("s.t", "s.stage_t", "id")
+    assert sql.startswith("begin;")
+    assert "delete from s.t using s.stage_t where s.t.id = s.stage_t.id" in sql
+
+
+def test_write_options_keys():
+    cfg = RedshiftConfig(
+        url="jdbc:redshift://h:5439/db",
+        user="u",
+        password="p",
+        tempdir="s3://b/tmp",
+        aws_iam_role="arn:aws:iam::1:role/r",
+    )
+    opts = write_options(cfg, "public.stage_t", "begin; end;")
+    # option set per glue_pg_redshift_cdc.py:192-203
+    assert set(opts) >= {"url", "dbtable", "user", "password", "tempdir", "tempformat", "aws_iam_role", "postactions"}
+    assert opts["tempformat"] == "CSV"
+    assert opts["dbtable"] == "public.stage_t"
+
+
+def test_table_exists_sql():
+    assert table_exists_sql("public") == (
+        "select distinct tablename from pg_tables where schemaname = 'public'"
+    )
