@@ -1,3 +1,171 @@
-"""Placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Deduplication queries over documents/embeddings, with DuckDB oracles.
+
+The MinHash oracle mirrors the *exact* signature computation (portable
+md5-derived shingle hashes + the same fixed LCG coefficients) and
+models LSH candidate generation as band-slice equality — bit-for-bit
+the same pair set Spark's bucket join produces (modulo murmur3 band-
+hash collisions, which the exact-Jaccard verification step makes
+irrelevant in practice).
+
+SimHash uses Spark's xxhash64 (not portable to DuckDB) → rows-only
+check; its correctness is pinned by tests/test_dedup_ops.py against a
+brute-force hamming computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.dedup import (
+    MINHASH_P,
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_coeffs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cdc_redshift_spark.sources.tables import load_table
+
+# ---- DuckDB fragments mirroring operators/dedup.py -----------------------
+
+DUCK_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+
+
+def duck_shingles(c: str, n: int = 3) -> str:
+    norm = DUCK_NORM.format(c=c)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length({norm}) - {n - 1}, 1) + 1),"
+        f" i -> substr({norm}, i, {n})))"
+    )
+
+
+def duck_shingle_hashes(c: str, n: int = 3) -> str:
+    return (
+        f"list_transform({duck_shingles(c, n)},"
+        f" s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)"
+    )
+
+
+def duck_minhash_sig(hcol: str, k: int = 32) -> str:
+    """k list_min expressions over the same (a,b) LCG coefficients."""
+    mins = [
+        f"list_min(list_transform({hcol}, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(k)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+# ---- queries -------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+ORACLE_DEDUP_EXACT = rf"""
+WITH fp AS (
+  SELECT doc_id AS id, md5({DUCK_NORM.format(c='text')}) AS fp
+  FROM documents
+), g AS (
+  SELECT fp, min(id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fp
+)
+SELECT id, fp.fp, canonical_id, group_size,
+       CASE WHEN id <> canonical_id THEN 1 ELSE 0 END AS is_duplicate
+FROM fp JOIN g USING (fp)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.h, b.h))::DOUBLE
+             / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE len(list_intersect(a.h, b.h))::DOUBLE
+      / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.6
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.6)
+
+
+def _oracle_minhash(k: int = 32, bands: int = 8, threshold: float = 0.6) -> str:
+    r = k // bands
+    band_eq = " OR ".join(
+        f"list_slice(a.sig, {i * r + 1}, {(i + 1) * r})"
+        f" = list_slice(b.sig, {i * r + 1}, {(i + 1) * r})"
+        for i in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
+), sig AS (
+  SELECT id, h, {duck_minhash_sig('h', k)} AS sig FROM sh
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.h, b.h))::DOUBLE
+             / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE ({band_eq})
+  AND len(list_intersect(a.h, b.h))::DOUBLE
+      / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= {threshold}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (xxhash64 is Spark-specific); pinned by unit
+    tests against brute-force hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8, blocks=4)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.35)
+
+
+ORACLE_EMB_COSINE = """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> x::DOUBLE) AS e,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                     i -> a.e[i] * b.e[i])) / (a.n * b.n), 6) AS cosine
+FROM v a JOIN v b ON a.id < b.id
+WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                              i -> a.e[i] * b.e[i])) / (a.n * b.n) >= 0.35
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _oracle_minhash(),
+    # dedup_simhash: rows-only (engine-specific hash)
+    "dedup_embedding_cosine": ORACLE_EMB_COSINE,
+}

@@ -1,0 +1,100 @@
+"""Property tests for approximate dedup/similarity operators.
+
+The exact operators are oracle-checked by the driver; these pin the
+approximate ones (simhash blocking, LSH/IVF recall) against
+brute-force baselines on sf0.001.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64_from,
+    simhash_pairs,
+    token_hashes,
+)
+from cdc_redshift_spark.operators.similarity import (
+    knn_all_pairs,
+    rh_lsh_topk,
+)
+from cdc_redshift_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").limit(200).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").limit(200).cache()
+
+
+def test_simhash_blocking_is_complete(spark, docs):
+    """Pigeonhole blocking must find ALL pairs with hamming <= 3
+    (4 blocks ⇒ any pair with ≤3 differing bits shares a block)."""
+    found = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=3, blocks=4).collect()
+    }
+    sigs = docs.select(
+        F.col("doc_id").alias("id"), token_hashes(F.col("text")).alias("th")
+    ).select("id", simhash64_from(F.col("th")).alias("sig"))
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    assert found == brute
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark, docs):
+    """Every LSH-found pair must genuinely meet the jaccard threshold
+    (verification step), i.e. minhash output ⊆ exact all-pairs output."""
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.6).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    # and LSH should find a decent share of the true pairs
+    assert len(lsh) >= 0.2 * len(exact)
+
+
+def test_lsh_topk_recall(spark, emb):
+    """LSH ANN recall@3 vs exact kNN ≥ 30% with coarse buckets
+    (word of caution, not quality target — random vectors are the
+    worst case for LSH; real embeddings cluster)."""
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in knn_all_pairs(emb, k=3).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in rh_lsh_topk(emb, k=3, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall={recall}"
+
+
+def test_knn_is_symmetric_topk(spark, emb):
+    """Each vector gets exactly k neighbors, none equal to itself."""
+    out = knn_all_pairs(emb, k=3).collect()
+    by_vec = {}
+    for r in out:
+        assert r.vec_id != r.neighbor_id
+        by_vec.setdefault(r.vec_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in by_vec.values())
