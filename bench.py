@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline figure is the end-to-end suite wall time; `extra` carries
+the CDC apply rate measured against the reference's designed envelope
+(200k offsets / 30s trigger ≈ 6,667 rec/s sustained — BASELINE.md).
+Each query is forced with a noop-format write so Catalyst can't prune
+the work away (a count() would drop unused columns from the scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def force(df) -> int:
+    """Fully materialize every column of df; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from cdc_redshift_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    headline = [
+        "cdc_pg_replay",
+        "cdc_lww_dedup",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "events_sessionize",
+        "text_stats",
+        "text_fingerprint",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "sim_topk_query",
+        "sim_lsh_topk",
+    ]
+
+    # warmup: touch each table + JIT the common codepaths
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        force(qs[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # CDC apply-rate: one full micro-batch (synth changelog ≈ reference's
+    # 200k-offset trigger at sf0.1) through parse→normalize→dedup→merge
+    from cdc_redshift_spark.dedup import latest_per_key
+    from cdc_redshift_spark.normalize import pg_changeset
+    from cdc_redshift_spark.plans.merge import apply_changeset
+    from cdc_redshift_spark.queries.cdc import synth_pg_changelog
+
+    raw = synth_pg_changelog(spark, SF_DIR).persist()
+    n_events = raw.count()
+    t0 = time.perf_counter()
+    ch = latest_per_key(pg_changeset(raw, offset_col="offset"), keys=("db", "table", "key"))
+    force(apply_changeset(None, ch, keys=("db", "table", "key")))
+    cdc_secs = time.perf_counter() - t0
+    raw.unpersist()
+    rec_per_s = n_events / cdc_secs if cdc_secs > 0 else 0.0
+
+    total = round(sum(times.values()) + cdc_secs, 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {**times, "cdc_apply_batch": round(cdc_secs, 3)},
+                "sf": float(sf),
+                "extra": {
+                    "cdc_events": n_events,
+                    "cdc_rec_per_s": round(rec_per_s, 1),
+                    "baseline_rec_per_s": 6667,
+                    "cdc_vs_baseline_x": round(rec_per_s / 6667, 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
