@@ -42,6 +42,7 @@ def apply_changeset(
     ts_col: str = "ts_ms",
     tiebreak_col: str = "offset",
     op_col: str = "op",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Return the new table state after applying ``changes``.
 
@@ -53,6 +54,15 @@ def apply_changeset(
     a winning ``delete`` removes the key.  This is exactly Redshift's
     ``MERGE`` with a ``WHEN MATCHED AND s.ts >= t.ts`` guard — the
     guard the reference lacks (SURVEY §7.3).
+
+    ``keep_tombstones=True`` retains winning delete rows (op='delete')
+    in the output instead of dropping them.  Sinks that store state
+    across batches need this: without the tombstone, an older event for
+    a deleted key arriving in a LATER batch finds no competitor and
+    resurrects the key (micro-batch order is not event order — file
+    sources and Kafka partitions both reorder).  Readers filter
+    tombstones out; a compactor may expire them once the source's
+    max-lateness horizon passes.
     """
     cols = changes.columns
     if op_col not in cols:
@@ -77,6 +87,8 @@ def apply_changeset(
         .agg(F.max_by(row, ordered).alias("__row"))
         .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
     )
+    if keep_tombstones:
+        return winners
     return winners.where(F.col(op_col) != DELETE_OP)
 
 

@@ -63,11 +63,23 @@ class ParquetSink(Sink):
     def table_exists(self, db: str, table: str) -> bool:
         return self._latest_version(db, table) is not None
 
-    def read_table(self, spark: SparkSession, db: str, table: str) -> DataFrame | None:
+    def read_table(
+        self,
+        spark: SparkSession,
+        db: str,
+        table: str,
+        include_tombstones: bool = False,
+    ) -> DataFrame | None:
+        """Current state.  Delete tombstones (op='delete') are stored so
+        late events for deleted keys can't resurrect them across
+        micro-batches; readers see them filtered unless asked."""
         v = self._latest_version(db, table)
         if v is None:
             return None
-        return spark.read.parquet(os.path.join(self._dir(db, table), f"v{v}"))
+        df = spark.read.parquet(os.path.join(self._dir(db, table), f"v{v}"))
+        if not include_tombstones and "op" in df.columns:
+            df = df.where(F.col("op") != "delete")
+        return df
 
     def list_tables(self) -> list[tuple[str, str]]:
         out = []
@@ -85,15 +97,31 @@ class ParquetSink(Sink):
     # -- merge -------------------------------------------------------------
     def apply_changeset(self, db: str, table: str, changes: DataFrame) -> None:
         """Merge one table's deduped ChangeSet slice into the snapshot."""
-        target = self.read_table(self.spark, db, table)
+        target = self.read_table(self.spark, db, table, include_tombstones=True)
         new_state = merge_apply(
             target,
             changes,
             keys=self.keys,
             ts_col=self.ts_col,
             tiebreak_col=self.tiebreak_col,
+            keep_tombstones=True,
         )
         self._commit(db, table, new_state)
+
+    def expire_tombstones(self, db: str, table: str, before_ts_ms: int) -> None:
+        """Compact away tombstones older than the lateness horizon.
+
+        At scale tombstones accumulate one row per deleted key; once no
+        event older than ``before_ts_ms`` can still arrive, they are
+        dead weight and a periodic compaction drops them.
+        """
+        cur = self.read_table(self.spark, db, table, include_tombstones=True)
+        if cur is None:
+            return
+        keep = cur.where(
+            (F.col("op") != "delete") | (F.col(self.ts_col) >= F.lit(before_ts_ms))
+        )
+        self._commit(db, table, keep)
 
     def overwrite(self, db: str, table: str, state: DataFrame) -> None:
         """Direct snapshot write (initial loads / oracle comparisons)."""

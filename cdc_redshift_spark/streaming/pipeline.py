@@ -1,0 +1,161 @@
+"""Micro-batch CDC pipeline: foreachBatch + trigger + checkpoint (T1-T3).
+
+The reference's per-batch procedure (glue_pg_redshift_cdc.py:117-210)
+does: empty guard → normalize → LWW dedup → enumerate tables on the
+driver → ThreadPoolExecutor fan-out of per-table filter+write.  Same
+shape here, with the scale fixes SURVEY §4/§7.3 calls out:
+
+- ``persist()`` the batch once — the reference recomputes the whole
+  Kafka lineage for the count, the table enumeration, and every
+  per-table write (N+2 passes).
+- table enumeration via ``distinct()`` not window-rank-1 (W2 → A2).
+- deterministic LWW tiebreak (ts_ms, offset).
+- idempotent merge with a ts guard in the sink (exactly-once =
+  at-least-once delivery + idempotent apply; SURVEY §2.11).
+- ``isEmpty()`` guard, not ``df.rdd.count()`` (F7).
+
+The per-table ThreadPool survives (max_workers parity, 10 for docdb/pg
+and 3 for dms — glue_pg_redshift_cdc.py:207, glue_dms_redshift_cdc.py:197)
+because sinks commit per table; each thread submits independent Spark
+jobs, and the shared persisted batch keeps them from re-reading the
+source.  At 1000-executor scale the N-filters pattern is still sound
+*because* the batch is memory-resident and table count is small; for
+very wide table fan-outs use ``route_by_table`` (one partitionBy write).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_redshift_spark.dedup import latest_per_key
+from cdc_redshift_spark.sinks.base import Sink
+
+log = logging.getLogger(__name__)
+
+#: ChangeSet routing/key columns (cdc_redshift_spark.normalize).
+ROUTING_COLS = ("db", "table")
+
+
+@dataclass
+class PipelineStats:
+    """Per-run counters, exposed for tests and ops visibility."""
+
+    batches: int = 0
+    empty_batches: int = 0
+    events: int = 0
+    tables: int = 0
+
+
+class CdcPipeline:
+    """Envelope stream → normalized ChangeSet → per-table sink merge.
+
+    ``changeset_fn`` is one of ``normalize.{pg,mongo,dms}_changeset``
+    (raw frame → canonical ChangeSet); ``sink`` owns table state.
+    """
+
+    def __init__(
+        self,
+        changeset_fn: Callable[[DataFrame], DataFrame],
+        sink: Sink,
+        keys: tuple[str, ...] = ("db", "table", "key"),
+        max_workers: int = 10,
+        apply_delete: bool = True,
+        on_batch: Callable[[int, DataFrame], None] | None = None,
+    ):
+        self.changeset_fn = changeset_fn
+        self.sink = sink
+        self.keys = keys
+        self.max_workers = max_workers
+        self.apply_delete = apply_delete
+        self.on_batch = on_batch
+        self.stats = PipelineStats()
+
+    # -- per-batch body (the foreachBatch target) ---------------------------
+    def process_batch(self, raw: DataFrame, batch_id: int) -> None:
+        self.stats.batches += 1
+        if raw.isEmpty():  # F7, without the rdd.count() job
+            self.stats.empty_batches += 1
+            return
+
+        changes = latest_per_key(self.changeset_fn(raw), keys=self.keys).persist()
+        try:
+            if not self.apply_delete:
+                changes_f = changes.where(F.col("op") != "delete")
+            else:
+                changes_f = changes
+            # A2: plain distinct beats the reference's window-rank-1 trick.
+            tables = [
+                (r["db"], r["table"])
+                for r in changes_f.select(*ROUTING_COLS).distinct().collect()
+            ]
+            self.stats.tables += len(tables)
+            self.stats.events += changes_f.count()
+
+            def apply_one(db: str, table: str) -> None:
+                slice_df = changes_f.where(
+                    (F.col("db") == db) & (F.col("table") == table)
+                )
+                self.sink.apply_changeset(db, table, slice_df)
+
+            if len(tables) <= 1 or self.max_workers <= 1:
+                for db, table in tables:
+                    apply_one(db, table)
+            else:
+                with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
+                    # surface worker exceptions in the driver (the
+                    # reference's executor.submit without .result() would
+                    # swallow them)
+                    list(ex.map(lambda t: apply_one(*t), tables))
+            if self.on_batch is not None:
+                self.on_batch(batch_id, changes_f)
+            log.info("batch %d: %d tables applied", batch_id, len(tables))
+        finally:
+            changes.unpersist()
+
+    # -- stream driver (T1-T3) ----------------------------------------------
+    def start(
+        self,
+        raw_stream: DataFrame,
+        checkpoint: str,
+        trigger: str | None = "30 seconds",
+        available_now: bool = False,
+        query_name: str = "cdc-pipeline",
+    ) -> StreamingQuery:
+        """writeStream.foreachBatch with trigger + checkpoint.
+
+        Defaults mirror the reference (windowSize='30 seconds',
+        checkpointLocation — readme.md:32-35).  ``available_now=True``
+        drains all pending input then stops (test/backfill mode).
+        """
+        writer = (
+            raw_stream.writeStream.foreachBatch(self.process_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger is not None:
+            writer = writer.trigger(processingTime=trigger)
+        return writer.start()
+
+
+def route_by_table(changes: DataFrame, root: str) -> None:
+    """Alternative fan-out: ONE partitioned write instead of N filters.
+
+    ``partitionBy(db, table)`` lands every table's slice in one pass —
+    the right shape when the stream carries hundreds of tables and
+    per-table filter jobs would swamp the driver (SURVEY §7.3).  A
+    downstream compactor merges each partition into its target.
+    """
+    (
+        changes.write.mode("append")
+        .partitionBy(*ROUTING_COLS)
+        .parquet(root)
+    )

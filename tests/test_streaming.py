@@ -1,0 +1,211 @@
+"""Streaming shell (M2): foreachBatch micro-batches, checkpoint restart,
+idempotent replay, cross-batch late arrivals (SURVEY §5.5, §2.11)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from cdc_redshift_spark.config import JobConfig, load_config
+from cdc_redshift_spark.normalize import pg_changeset
+from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+from cdc_redshift_spark.sources.streams import KafkaSourceConfig, file_stream
+from cdc_redshift_spark.streaming.pipeline import CdcPipeline
+
+KEYS = ("db", "table", "key")
+
+
+def pg_line(op, key, ts_ms, payload=None, offset=0, db="d1", table="t1"):
+    after = json.dumps({"id": key, **(payload or {})}) if op != "d" else None
+    before = json.dumps({"id": key}) if op in ("d", "u") else None
+    return json.dumps(
+        {
+            "value": json.dumps(
+                {
+                    "before": before,
+                    "after": after,
+                    "source": {"db": db, "table": table, "ts_ms": ts_ms},
+                    "op": op,
+                    "ts_ms": ts_ms,
+                }
+            ),
+            "offset": offset,
+            "partition": 0,
+            "timestamp": "2026-01-01T00:00:00.000Z",
+        }
+    )
+
+
+def write_batch_file(d: str, name: str, lines: list[str]) -> None:
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(d, name))
+
+
+def mk_pipeline(spark, tmp_path, **kw) -> tuple[CdcPipeline, ParquetSink, str, str]:
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    sink = ParquetSink(spark, str(tmp_path / "sink"), keys=KEYS)
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"), sink, keys=KEYS, **kw
+    )
+    return pipe, sink, indir, ckpt
+
+
+def drain(pipe, spark, indir, ckpt):
+    q = pipe.start(file_stream(spark, indir), checkpoint=ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def state(sink, spark, db="d1", table="t1"):
+    df = sink.read_table(spark, db, table)
+    if df is None:
+        return {}
+    return {
+        r["key"]: json.loads(r["payload"]) for r in df.collect()
+    }
+
+
+def test_two_microbatches_upsert_delete(spark, tmp_path):
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path)
+    write_batch_file(
+        indir,
+        "b0.json",
+        [
+            pg_line("c", 1, 100, {"v": "a"}, 0),
+            pg_line("c", 2, 100, {"v": "b"}, 1),
+        ],
+    )
+    write_batch_file(
+        indir,
+        "b1.json",
+        [
+            pg_line("u", 1, 200, {"v": "a2"}, 2),
+            pg_line("d", 2, 200, None, 3),
+            pg_line("c", 3, 200, {"v": "c"}, 4),
+        ],
+    )
+    drain(pipe, spark, indir, ckpt)
+    st = state(sink, spark)
+    assert set(st) == {"1", "3"}
+    assert st["1"]["v"] == "a2"
+    assert pipe.stats.batches >= 2  # maxFilesPerTrigger=1 → one file per batch
+
+
+def test_checkpoint_restart_no_reprocess_and_continues(spark, tmp_path):
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path)
+    write_batch_file(indir, "b0.json", [pg_line("c", 1, 100, {"v": "a"}, 0)])
+    drain(pipe, spark, indir, ckpt)
+    assert state(sink, spark) == {"1": {"id": 1, "v": "a"}}
+
+    # restart: only the NEW file is processed (offsets from checkpoint)
+    pipe2, sink2, _, _ = mk_pipeline(spark, tmp_path)
+    pipe2.sink = sink  # same sink state
+    write_batch_file(indir, "b1.json", [pg_line("u", 1, 200, {"v": "b"}, 1)])
+    drain(pipe2, spark, indir, ckpt)
+    assert state(sink, spark)["1"]["v"] == "b"
+    assert pipe2.stats.events == 1  # b0 not re-read
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """At-least-once delivery + idempotent merge = exactly-once (T3)."""
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path)
+    write_batch_file(
+        indir,
+        "b0.json",
+        [pg_line("c", 1, 100, {"v": "a"}, 0), pg_line("d", 2, 100, None, 1)],
+    )
+    drain(pipe, spark, indir, ckpt)
+    first = state(sink, spark)
+
+    # simulate post-crash replay of the same batch: fresh checkpoint, same file
+    ckpt2 = str(tmp_path / "ckpt2")
+    drain(pipe, spark, indir, ckpt2)
+    assert state(sink, spark) == first
+
+
+def test_late_event_in_later_batch_loses(spark, tmp_path):
+    """The reference is last-batch-wins; we are last-timestamp-wins
+    (ts guard in the merge — SURVEY §2.11)."""
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path)
+    write_batch_file(indir, "b0.json", [pg_line("u", 1, 500, {"v": "new"}, 10)])
+    drain(pipe, spark, indir, ckpt)
+    write_batch_file(indir, "b1.json", [pg_line("u", 1, 100, {"v": "stale"}, 11)])
+    drain(pipe, spark, indir, ckpt)
+    assert state(sink, spark)["1"]["v"] == "new"
+
+
+def test_multi_table_routing(spark, tmp_path):
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path, max_workers=4)
+    lines = [
+        pg_line("c", 1, 100, {"v": "a"}, 0, db="d1", table="t1"),
+        pg_line("c", 1, 100, {"v": "b"}, 1, db="d1", table="t2"),
+        pg_line("c", 1, 100, {"v": "c"}, 2, db="d2", table="t1"),
+    ]
+    write_batch_file(indir, "b0.json", lines)
+    drain(pipe, spark, indir, ckpt)
+    assert sink.list_tables() == [("d1", "t1"), ("d1", "t2"), ("d2", "t1")]
+    assert state(sink, spark, "d2", "t1")["1"]["v"] == "c"
+
+
+def test_apply_delete_false_keeps_rows(spark, tmp_path):
+    """apply_delete=false parity (glue_dms_redshift_cdc.py:38,184)."""
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path, apply_delete=False)
+    write_batch_file(
+        indir,
+        "b0.json",
+        [pg_line("c", 1, 100, {"v": "a"}, 0)],
+    )
+    write_batch_file(indir, "b1.json", [pg_line("d", 1, 200, None, 1)])
+    drain(pipe, spark, indir, ckpt)
+    assert set(state(sink, spark)) == {"1"}
+
+
+def test_empty_batch_guard(spark, tmp_path):
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path)
+    # a file of null values → all rows filtered before normalize
+    write_batch_file(
+        indir,
+        "b0.json",
+        [json.dumps({"value": None, "offset": 0, "partition": 0, "timestamp": None})],
+    )
+    drain(pipe, spark, indir, ckpt)
+    assert sink.list_tables() == []
+
+
+def test_job_config_parity(tmp_path):
+    doc = {
+        "msk_conf": {
+            "kafka_bootstrap_servers": "b-1:9092",
+            "topic": "cdc.topic",
+            "startingOffsets": "earliest",
+            "maxOffsetsPerTrigger": 200000,
+            "kafkaConsumer.pollTimeoutMs": 240000,
+            "kafka.consumer.commit.groupid": "g1",
+        },
+        "spark_batch_conf": {
+            "windowSize": "30 seconds",
+            "checkpointLocation": "/tmp/ckpt",
+        },
+        "spark_conf": {"executor.memory": "12g", "executor.cores": 4},
+    }
+    p = tmp_path / "conf.json"
+    p.write_text(json.dumps(doc))
+    cfg = load_config(str(p))
+    assert isinstance(cfg, JobConfig)
+    ks = cfg.kafka_source()
+    assert isinstance(ks, KafkaSourceConfig)
+    opts = ks.options()
+    assert opts["kafka.bootstrap.servers"] == "b-1:9092"
+    assert opts["subscribe"] == "cdc.topic"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "200000"
+    assert opts["kafkaConsumer.pollTimeoutMs"] == "240000"
+    assert opts["kafka.consumer.commit.groupid"] == "g1"
+    assert cfg.window_size == "30 seconds"
+    sc = cfg.spark_builder_conf()
+    assert sc["spark.executor.memory"] == "12g"
+    assert sc["spark.sql.adaptive.enabled"] == "true"
