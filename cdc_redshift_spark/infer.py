@@ -1,0 +1,152 @@
+"""Dynamic payload schema inference (M3) — the DMS relational path.
+
+The reference infers the JSON payload schema per (batch, table) with
+``spark.read.json(to_save_df.rdd.map(lambda r: r.data)).schema`` and
+re-parses with ``from_json`` (glue_dms_redshift_cdc.py:161-164) — an
+extra full Spark job over every payload, every batch, every table.
+
+Fixes here (SURVEY §7 M3):
+
+- **sample-bounded inference**: infer from ``limit(sample)`` rows, not
+  the whole slice — inference cost stops scaling with batch size;
+- **per-table schema cache**: the second batch for a table pays zero
+  inference jobs unless parsing detects drift;
+- **explicit evolution policy**: new fields widen the cached schema
+  (additive merge); type conflicts resolve to string (the JSON carrier
+  type) rather than failing mid-stream — the documented behavior the
+  reference leaves undefined (SURVEY §1.3).
+
+Timestamp coercion parity: the reference rewrites ``gmt_created`` /
+``gmt_modified`` string columns to timestamps with a configurable
+format (glue_dms_redshift_cdc.py:165-166, default format :37).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Reference default cdc_timestamp_format (glue_dms_redshift_cdc.py:37).
+DEFAULT_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def infer_payload_schema(
+    df: DataFrame, payload_col: str = "payload", sample: int | None = 10_000
+) -> T.StructType:
+    """Infer the JSON payload schema from (a sample of) one table slice.
+
+    Equivalent to the reference's ``spark.read.json(rdd)`` inference but
+    bounded: at 100 TB the payload slice can be billions of rows, and a
+    10k-row sample pins the schema just as well for regular CDC streams
+    (every row of one table shares a generator).  Missing-in-sample
+    fields are handled by :func:`merge_schemas` drift widening later.
+    """
+    src = df.select(F.col(payload_col).cast("string").alias("j")).where(
+        F.col("j").isNotNull()
+    )
+    if sample is not None:
+        src = src.limit(sample)
+    spark = df.sparkSession
+    # spark.read.json on an RDD[str] is the one sanctioned inference
+    # entry point (PySpark exposes no Dataset[String] reader); the
+    # lambda touches only the sampled rows.
+    return spark.read.json(src.rdd.map(lambda r: r.j)).schema
+
+
+def merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Additive evolution: union of fields, recursing into structs.
+
+    - field in one side only → kept (nullable);
+    - same name, same type → kept;
+    - both structs → recursive merge;
+    - type conflict → StringType (JSON's carrier type; lossless for
+      re-parse, queryable with get_json_object).
+    """
+    by_name = {f.name: f for f in old.fields}
+    out = list(old.fields)
+    for f in new.fields:
+        if f.name not in by_name:
+            out.append(T.StructField(f.name, f.dataType, nullable=True))
+            continue
+        cur = by_name[f.name]
+        if cur.dataType == f.dataType:
+            continue
+        i = next(i for i, x in enumerate(out) if x.name == f.name)
+        if isinstance(cur.dataType, T.StructType) and isinstance(
+            f.dataType, T.StructType
+        ):
+            merged = merge_schemas(cur.dataType, f.dataType)
+            out[i] = T.StructField(f.name, merged, nullable=True)
+        elif _widens(cur.dataType, f.dataType):
+            out[i] = T.StructField(f.name, f.dataType, nullable=True)
+        elif _widens(f.dataType, cur.dataType):
+            pass  # already the wider type
+        else:
+            out[i] = T.StructField(f.name, T.StringType(), nullable=True)
+    return T.StructType(out)
+
+
+_NUMERIC_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "double": 4}
+
+
+def _widens(frm: T.DataType, to: T.DataType) -> bool:
+    """True if ``to`` safely contains every ``frm`` value (long→double…)."""
+    a, b = frm.simpleString(), to.simpleString()
+    return a in _NUMERIC_WIDTH and b in _NUMERIC_WIDTH and _NUMERIC_WIDTH[a] < _NUMERIC_WIDTH[b]
+
+
+class SchemaCache:
+    """Per-(db, table) payload schema registry with drift handling.
+
+    ``get`` returns the cached schema or infers one; ``evolve`` merges
+    a newly observed schema in (e.g. when a batch shows corrupt-record
+    markers or new fields).  Driver-side, tiny: one StructType per
+    logical table.
+    """
+
+    def __init__(self, sample: int | None = 10_000):
+        self.sample = sample
+        self._schemas: dict[tuple[str, str], T.StructType] = {}
+        self.inferences = 0  # test/ops counter
+
+    def get(self, db: str, table: str, slice_df: DataFrame, payload_col: str = "payload") -> T.StructType:
+        key = (db, table)
+        if key not in self._schemas:
+            self.inferences += 1
+            self._schemas[key] = infer_payload_schema(
+                slice_df, payload_col, sample=self.sample
+            )
+        return self._schemas[key]
+
+    def evolve(self, db: str, table: str, observed: T.StructType) -> T.StructType:
+        key = (db, table)
+        cur = self._schemas.get(key)
+        self._schemas[key] = observed if cur is None else merge_schemas(cur, observed)
+        return self._schemas[key]
+
+
+def explode_payload(
+    changes: DataFrame,
+    schema: T.StructType,
+    payload_col: str = "payload",
+    keep: Sequence[str] = ("key", "ts_ms", "offset", "op"),
+    ts_cols: Sequence[str] = ("gmt_created", "gmt_modified"),
+    ts_format: str = DEFAULT_TS_FORMAT,
+) -> DataFrame:
+    """JSON payload → typed relational columns (DMS mode).
+
+    Mirrors glue_dms_redshift_cdc.py:163-166: ``from_json`` with the
+    inferred schema, flatten, then coerce the conventional audit
+    timestamp columns from strings with ``cdc_timestamp_format``.
+    """
+    kept = [c for c in keep if c in changes.columns]
+    out = changes.select(
+        F.from_json(F.col(payload_col).cast("string"), schema).alias("d"), *kept
+    ).select("d.*", *kept)
+    for c in ts_cols:
+        if c in out.columns and dict(out.dtypes)[c] == "string":
+            out = out.withColumn(c, F.to_timestamp(F.col(c), ts_format))
+    return out

@@ -225,14 +225,118 @@ FROM ev GROUP BY op ORDER BY db, "table", op
 """
 
 
+_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def synth_dms_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer.parquet → raw Kafka-shaped frame of AWS DMS envelopes.
+
+    Change rules (customer → dms events):
+    - every customer        → insert at base + key s,        offset 10k
+    - c_custkey % 5 == 0    → update at base + key s + 1 d,  offset 10k+1 (segment → 'UPDATED')
+    - c_custkey % 11 == 0   → delete at base + key s + 2 d,  offset 10k+2
+    Payload carries gmt_created in the reference's default
+    cdc_timestamp_format so the relational path exercises coercion
+    (glue_dms_redshift_cdc.py:165-166).
+    """
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    ts0 = F.lit(_BASE_MS) + k * 1000
+
+    def payload(segment_col):
+        return F.to_json(
+            F.struct(
+                k.alias("id"),
+                F.col("c_name").alias("name"),
+                segment_col.alias("segment"),
+                F.col("c_acctbal").alias("balance"),
+                F.lit("2024-01-01T00:00:00Z").alias("gmt_created"),
+            )
+        )
+
+    def envelope(src: DataFrame, data, op: str, ts_ms, off):
+        meta = F.struct(
+            F.date_format(
+                F.timestamp_millis(ts_ms.cast("long")),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+            ).alias("timestamp"),
+            F.lit("data").alias("record-type"),
+            F.lit(op).alias("operation"),
+            F.lit("schema-table").alias("partition-key-type"),
+            F.lit("tpch").alias("schema-name"),
+            F.lit("customer_cdc").alias("table-name"),
+        )
+        env = F.struct(
+            data.alias("data"), F.lit(None).cast("string").alias("control"), meta.alias("metadata")
+        )
+        return src.select(F.to_json(env).alias("value"), off.cast("long").alias("offset"))
+
+    inserts = envelope(customer, payload(F.col("c_mktsegment")), "insert", ts0, k * 10)
+    updates = envelope(
+        customer.filter(k % 5 == 0),
+        payload(F.lit("UPDATED")),
+        "update",
+        ts0 + _DAY_MS,
+        k * 10 + 1,
+    )
+    deletes = envelope(
+        customer.filter(k % 11 == 0),
+        payload(F.col("c_mktsegment")),
+        "delete",
+        ts0 + 2 * _DAY_MS,
+        k * 10 + 2,
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def q_cdc_dms_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS relational replay: envelope → ChangeSet → LWW dedup →
+    inferred-schema payload explosion → typed merged state (M3).
+
+    The full glue_dms_redshift_cdc.py pipeline shape (:130-195) run
+    natively: schema inferred once via SchemaCache, gmt_created coerced
+    to timestamp, merge on the relational key.
+    """
+    from cdc_redshift_spark.infer import SchemaCache, explode_payload
+    from cdc_redshift_spark.normalize import dms_changeset
+
+    raw = synth_dms_changelog(spark, sf_dir)
+    changes = latest_per_key(
+        dms_changeset(raw, offset_col="offset"), keys=("db", "table", "key")
+    )
+    schema = SchemaCache().get("tpch", "customer_cdc", changes)
+    rel = explode_payload(changes, schema)
+    state = apply_changeset(None, rel, keys=("key",))
+    return state.select(
+        F.col("id").alias("id"),
+        F.col("name").alias("name"),
+        F.col("segment").alias("segment"),
+        F.col("balance").alias("balance"),
+        F.col("gmt_created").alias("gmt_created"),
+    )
+
+
+ORACLE_CDC_DMS_RELATIONAL = """
+SELECT c_custkey AS id,
+       c_name AS name,
+       CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS segment,
+       c_acctbal AS balance,
+       TIMESTAMP '2024-01-01 00:00:00' AS gmt_created
+FROM customer
+WHERE c_custkey % 11 <> 0
+"""
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
+    "cdc_dms_relational": q_cdc_dms_relational,
 }
 
 ORACLES = {
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,
     "cdc_op_counts": ORACLE_CDC_OP_COUNTS,
+    "cdc_dms_relational": ORACLE_CDC_DMS_RELATIONAL,
 }

@@ -1,0 +1,110 @@
+"""Dynamic schema inference (M3): sample-bounded inference, cache,
+evolution policy, timestamp coercion parity (SURVEY §1.3, §7 M3)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import types as T
+
+from cdc_redshift_spark.infer import (
+    SchemaCache,
+    explode_payload,
+    infer_payload_schema,
+    merge_schemas,
+)
+
+
+def payload_df(spark, docs):
+    return spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "payload string"
+    )
+
+
+def test_infer_basic_types(spark):
+    df = payload_df(
+        spark,
+        [
+            {"id": 1, "name": "a", "balance": 1.5, "flag": True},
+            {"id": 2, "name": "b", "balance": 2.0, "flag": False},
+        ],
+    )
+    sch = infer_payload_schema(df)
+    got = {f.name: f.dataType.simpleString() for f in sch.fields}
+    assert got == {
+        "id": "bigint",
+        "name": "string",
+        "balance": "double",
+        "flag": "boolean",
+    }
+
+
+def test_infer_sample_bound(spark):
+    df = payload_df(spark, [{"id": i} for i in range(100)])
+    sch = infer_payload_schema(df, sample=5)
+    assert [f.name for f in sch.fields] == ["id"]
+
+
+def test_merge_schemas_additive_and_conflict():
+    a = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("s", T.StructType([T.StructField("x", T.LongType())])),
+        ]
+    )
+    b = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),  # conflict → string
+            T.StructField("w", T.DoubleType()),  # new → added
+            T.StructField(
+                "s", T.StructType([T.StructField("y", T.StringType())])
+            ),  # nested new field
+        ]
+    )
+    m = merge_schemas(a, b)
+    got = {f.name: f.dataType.simpleString() for f in m.fields}
+    assert got["v"] == "string"
+    assert got["w"] == "double"
+    assert got["s"] == "struct<x:bigint,y:string>"
+
+
+def test_merge_schemas_numeric_widening():
+    a = T.StructType([T.StructField("n", T.LongType())])
+    b = T.StructType([T.StructField("n", T.DoubleType())])
+    assert merge_schemas(a, b)["n"].dataType == T.DoubleType()
+    assert merge_schemas(b, a)["n"].dataType == T.DoubleType()
+
+
+def test_schema_cache_one_inference_per_table(spark):
+    cache = SchemaCache()
+    df = payload_df(spark, [{"id": 1}])
+    s1 = cache.get("db", "t", df)
+    s2 = cache.get("db", "t", payload_df(spark, [{"id": 9, "extra": "x"}]))
+    assert s1 == s2  # cache hit — no re-inference
+    assert cache.inferences == 1
+    evolved = cache.evolve("db", "t", infer_payload_schema(payload_df(spark, [{"id": 1, "extra": "x"}])))
+    assert "extra" in [f.name for f in evolved.fields]
+    assert cache.inferences == 1
+
+
+def test_explode_payload_types_and_ts_coercion(spark):
+    docs = [
+        {"id": 1, "name": "a", "gmt_created": "2024-01-01T10:00:00Z"},
+        {"id": 2, "name": "b", "gmt_created": "2024-01-02T00:30:00Z"},
+    ]
+    df = payload_df(spark, docs)
+    changes = df.selectExpr(
+        "payload",
+        "cast(1 as long) as ts_ms",
+        "cast(0 as long) as offset",
+        "'insert' as op",
+        "'k' as key",
+    )
+    out = explode_payload(changes, infer_payload_schema(df))
+    assert dict(out.dtypes)["gmt_created"] == "timestamp"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["gmt_created"] == datetime.datetime(2024, 1, 1, 10, 0)
+    assert rows[1]["op"] == "insert"
