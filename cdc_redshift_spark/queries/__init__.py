@@ -9,11 +9,18 @@ from __future__ import annotations
 
 
 def all_queries():
-    from cdc_redshift_spark.queries import analytics, cdc, dedup_q, similarity, text_q
+    from cdc_redshift_spark.queries import (
+        analytics,
+        cdc,
+        dedup_q,
+        multimodal_q,
+        similarity,
+        text_q,
+    )
 
     q: dict = {}
     o: dict = {}
-    for mod in (cdc, analytics, text_q, dedup_q, similarity):
+    for mod in (cdc, analytics, text_q, dedup_q, similarity, multimodal_q):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o
