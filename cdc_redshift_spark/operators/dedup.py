@@ -89,6 +89,65 @@ def minhash_signature(text_col: Column, k: int = 32, n: int = 3) -> Column:
     return minhash_signature_from(shingle_hashes(text_col, n), k)
 
 
+def exploded_shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, h) rows of (non-distinct) shingle hashes — the fast path.
+
+    Evaluation-order matters enormously here: the array-lambda form
+    (``transform(sequence(...), i -> substring(normalize(text), i, n))``)
+    re-evaluates the whole regexp normalization PER ELEMENT — Spark
+    does not hoist loop-invariant subexpressions out of higher-order
+    functions, so a 500-shingle doc pays 500 regexp passes.  Projecting
+    the normalized text below the explode pins it to once per doc
+    (expressions can't collapse across a Generate), and the md5 runs
+    once per (doc, position) row.
+    """
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("__nt"),
+    )
+    pos = normed.select(
+        "id",
+        "__nt",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__nt") - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    # distinct GRAMS (not distinct hashes): a 28-bit collision between
+    # two different grams must contribute two list entries, exactly as
+    # the array_distinct-before-hash form (and the DuckDB oracle) does
+    grams = pos.select(
+        "id", F.col("__nt").substr(F.col("__i"), F.lit(n)).alias("g")
+    ).dropDuplicates(["id", "g"])
+    return grams.select(
+        "id",
+        F.conv(F.substring(F.md5("g"), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>, sh sorted distinct array<long>) via
+    explode + one hash aggregation.
+
+    The k permutation minima are k O(|set|) array passes over longs
+    (no md5, no regex) in the post-agg projection, reading the
+    aggregated attribute — attributes, unlike aliased expressions,
+    cannot be inlined back into the lambdas by projection collapse.
+    """
+    ex = exploded_shingle_hashes(df, id_col, text_col, n)
+    grouped = ex.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("sh"))
+    return grouped.select(
+        "id", minhash_signature_from(F.col("sh"), k).alias("sig"), "sh"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -97,27 +156,22 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     jaccard_threshold: float = 0.5,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     shingle→minhash→band→bucket-join→verify.  Returns (id_a, id_b,
     jaccard) with id_a < id_b and jaccard >= threshold, jaccard
     computed exactly on the shingle sets of candidate pairs only.
+
+    ``broadcast_verify`` broadcasts the (id → shingle set) side of the
+    verification join: candidate pairs commonly outnumber docs by
+    1000×, so shipping the doc-sized array table to executors beats
+    shuffling pair-count × array-size bytes.  Disable when the corpus
+    itself no longer fits a broadcast (then AQE picks the join).
     """
     rows_per_band = k // bands
-    # two-step projection: materialize shingle hashes once, then build
-    # the k-permutation signature from the column reference
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), n).alias("sh0"),
-    )
-    sigd = hashed.select(
-        "id",
-        minhash_signature_from(F.col("sh0"), k).alias("sig"),
-        F.array_sort("sh0").alias("sh"),
-    )
-
-    sigd = sigd.persist()
+    sigd = minhash_signatures(df, id_col, text_col, k, n).persist()
 
     # band join carries ONLY (band, bucket, id): the shingle arrays are
     # re-attached after pair dedup, so a degenerate bucket costs
@@ -148,6 +202,8 @@ def minhash_lsh_pairs(
 
     sh_a = sigd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sigd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    if broadcast_verify:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -177,9 +233,11 @@ def ngram_jaccard_pairs(
     appearing in more than that many docs (skew guard — a ubiquitous
     shingle otherwise creates a quadratic bucket).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n))).alias("s"),
+    # distinct hash values per doc (array_distinct-on-hashes parity)
+    sh = (
+        exploded_shingle_hashes(df, id_col, text_col, n)
+        .dropDuplicates(["id", "h"])
+        .withColumnRenamed("h", "s")
     )
     if max_doc_freq is not None:
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
