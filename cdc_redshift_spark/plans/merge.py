@@ -64,8 +64,7 @@ def apply_changeset(
     tombstones out; a compactor may expire them once the source's
     max-lateness horizon passes.
     """
-    cols = changes.columns
-    if op_col not in cols:
+    if op_col not in changes.columns:
         raise ValueError(f"changes must carry an '{op_col}' column")
 
     if target is not None:
@@ -73,11 +72,24 @@ def apply_changeset(
         t = target
         if op_col not in t.columns:
             t = t.withColumn(op_col, F.lit("load"))
-        missing = [c for c in cols if c not in t.columns]
-        for c in missing:
-            t = t.withColumn(c, F.lit(None).cast(dict(changes.dtypes)[c]))
-        pool = t.select(*cols).unionByName(changes.select(*cols))
+        # Symmetric schema union: a column present on either side
+        # survives as a typed null on the other.  Asymmetry here is a
+        # data-loss bug — in the DMS path, payload schemas come from
+        # sample-bounded inference, and a batch whose sample missed a
+        # field must not drop that column from the whole table.
+        c_types = dict(changes.dtypes)
+        t_types = dict(t.dtypes)
+        c = changes
+        for name in t.columns:
+            if name not in c_types:
+                c = c.withColumn(name, F.lit(None).cast(t_types[name]))
+        for name in changes.columns:
+            if name not in t_types:
+                t = t.withColumn(name, F.lit(None).cast(c_types[name]))
+        cols = c.columns  # changes' order, then target-only extras
+        pool = t.select(*cols).unionByName(c.select(*cols))
     else:
+        cols = changes.columns
         pool = changes
 
     ordered = F.struct(F.col(ts_col), F.col(tiebreak_col))

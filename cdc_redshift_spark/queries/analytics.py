@@ -367,7 +367,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0),
         )
-        .withColumn("session_id", F.sum("new_sess").over(w))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     )
     return (
         sess.groupBy("user_id", "session_id")
@@ -390,8 +395,8 @@ WITH t AS (
   FROM t
 ), g AS (
   SELECT user_id, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM s
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -101,7 +101,7 @@ WITH q AS (
 SELECT source, count(*) AS n_docs,
        round(avg(q), 6) AS avg_quality,
        round(min(q), 6) AS min_quality,
-       sum(nt) AS total_tokens
+       CAST(sum(nt) AS BIGINT) AS total_tokens
 FROM q GROUP BY source ORDER BY source
 """
 

@@ -191,3 +191,28 @@ def test_merge_requires_op(spark):
     df = spark.createDataFrame([("a",)], "key string")
     with pytest.raises(ValueError):
         apply_changeset(None, df, keys=("key",))
+
+
+def test_schema_union_symmetric(spark):
+    """A column present in stored state but absent from a later batch's
+    changeset must survive (as its stored value for untouched keys, and
+    as null for rows the new batch overwrites) — not be dropped
+    table-wide (DMS sample-bounded inference can miss a field in any
+    one batch)."""
+    t0 = spark.createDataFrame(
+        [("d", "t", "1", 100, 0, "insert", "x", "extra1")],
+        "db string, table string, key string, ts_ms long, offset long, "
+        "op string, v string, only_in_target string",
+    )
+    ch = spark.createDataFrame(
+        [("d", "t", "2", 200, 1, "insert", "y", 7)],
+        "db string, table string, key string, ts_ms long, offset long, "
+        "op string, v string, only_in_changes int",
+    )
+    st = apply_changeset(t0, ch, keys=KEYS)
+    assert set(st.columns) >= {"only_in_target", "only_in_changes", "v"}
+    rows = {r.key: r for r in st.collect()}
+    assert rows["1"].only_in_target == "extra1"
+    assert rows["1"].only_in_changes is None
+    assert rows["2"].only_in_changes == 7
+    assert rows["2"].only_in_target is None
