@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.dedup import latest_per_key
-from cdc_redshift_spark.normalize import pg_changeset
+from cdc_redshift_spark.normalize import mongo_changeset, pg_changeset
 from cdc_redshift_spark.plans.merge import apply_changeset
 from cdc_redshift_spark.sources.tables import load_table
 
@@ -327,11 +327,118 @@ WHERE c_custkey % 11 <> 0
 """
 
 
+def synth_mongo_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part.parquet → raw Kafka-shaped frame of Debezium-Mongo envelopes.
+
+    Change rules (part → mongo events), covering the full DocumentDB op
+    vocabulary the reference handles (glue_docdb_redshift_cdc.py:133-147):
+    - every part          → insert  at base + key s,       offset 10k
+    - p_partkey % 3 == 0  → update  at base + key s + 1 d, offset 10k+1
+                            (name → 'UPDATED'; fullDocument carries the
+                            post-image, i.e. changeStream updateLookup)
+    - p_partkey % 4 == 0  → replace at base + key s + 2 d, offset 10k+2
+                            (brand → 'Brand#R'; replace maps to update)
+    - p_partkey % 9 == 0  → delete  at base + key s + 3 d, offset 10k+3
+                            (no fullDocument — tombstone)
+    Keys divisible by 12 see update-then-replace (replace wins: later
+    ts); divisible by 9 see delete-wins regardless of earlier images.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.col("p_partkey")
+    ts0 = F.lit(_BASE_MS) + k * 1000
+    null_s = F.lit(None).cast("string")
+
+    def doc(name_col, brand_col):
+        return F.to_json(
+            F.struct(
+                k.cast("string").alias("_id"),
+                name_col.alias("name"),
+                brand_col.alias("brand"),
+                F.col("p_retailprice").alias("price"),
+            )
+        )
+
+    def envelope(src: DataFrame, op: str, full_doc, ts_ms, off):
+        env = F.struct(
+            F.concat(F.lit("resume-"), k.cast("string")).alias("_id"),
+            F.lit(op).alias("operationType"),
+            full_doc.alias("fullDocument"),
+            F.struct(
+                ts_ms.cast("long").alias("ts_ms"),
+                F.lit("false").alias("snapshot"),
+            ).alias("source"),
+            ts_ms.cast("long").alias("ts_ms"),
+            F.struct(
+                F.lit("tpch").alias("db"), F.lit("part_cdc").alias("coll")
+            ).alias("ns"),
+            F.to_json(F.struct(k.cast("string").alias("_id"))).alias("documentKey"),
+        )
+        return src.select(
+            F.to_json(env).alias("value"), off.cast("long").alias("offset")
+        )
+
+    inserts = envelope(
+        part, "insert", doc(F.col("p_name"), F.col("p_brand")), ts0, k * 10
+    )
+    updates = envelope(
+        part.filter(k % 3 == 0),
+        "update",
+        doc(F.lit("UPDATED"), F.col("p_brand")),
+        ts0 + _DAY_MS,
+        k * 10 + 1,
+    )
+    replaces = envelope(
+        part.filter(k % 4 == 0),
+        "replace",
+        doc(F.col("p_name"), F.lit("Brand#R")),
+        ts0 + 2 * _DAY_MS,
+        k * 10 + 2,
+    )
+    deletes = envelope(
+        part.filter(k % 9 == 0), "delete", null_s, ts0 + 3 * _DAY_MS, k * 10 + 3
+    )
+    return (
+        inserts.unionByName(updates).unionByName(replaces).unionByName(deletes)
+    )
+
+
+def q_cdc_mongo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentDB replay: Debezium-Mongo envelope → ChangeSet → LWW
+    dedup → merged final state (the glue_docdb_redshift_cdc.py pipeline
+    run natively: documentKey $._id key extraction :133, replace→update
+    op mapping, delete sentinel :184, ts_ms desc ordering :137)."""
+    raw = synth_mongo_changelog(spark, sf_dir)
+    changes = mongo_changeset(raw, offset_col="offset")
+    deduped = latest_per_key(changes, keys=("db", "table", "key"))
+    state = apply_changeset(None, deduped, keys=("db", "table", "key"))
+    return state.select(
+        F.col("key").cast("bigint").alias("pkey"),
+        F.get_json_object("payload", "$.name").alias("name"),
+        F.get_json_object("payload", "$.brand").alias("brand"),
+        F.get_json_object("payload", "$.price").cast("double").alias("price"),
+        F.col("op"),
+    )
+
+
+ORACLE_CDC_MONGO_REPLAY = """
+SELECT p_partkey AS pkey,
+       CASE WHEN p_partkey % 4 = 0 OR p_partkey % 3 <> 0 THEN p_name
+            ELSE 'UPDATED' END AS name,
+       CASE WHEN p_partkey % 4 = 0 THEN 'Brand#R' ELSE p_brand END AS brand,
+       p_retailprice AS price,
+       CASE WHEN p_partkey % 4 = 0 OR p_partkey % 3 = 0 THEN 'update'
+            ELSE 'insert' END AS op
+FROM part
+WHERE p_partkey % 9 <> 0
+"""
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_dms_relational": q_cdc_dms_relational,
+    "cdc_mongo_replay": q_cdc_mongo_replay,
 }
 
 ORACLES = {
@@ -339,4 +446,5 @@ ORACLES = {
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,
     "cdc_op_counts": ORACLE_CDC_OP_COUNTS,
     "cdc_dms_relational": ORACLE_CDC_DMS_RELATIONAL,
+    "cdc_mongo_replay": ORACLE_CDC_MONGO_REPLAY,
 }

@@ -209,3 +209,71 @@ def test_job_config_parity(tmp_path):
     sc = cfg.spark_builder_conf()
     assert sc["spark.executor.memory"] == "12g"
     assert sc["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_job_config_reference_document(tmp_path):
+    """The literal config document from the reference readme.md:13-44
+    (including its 'fasle' speculation typo) must load verbatim."""
+    doc = {
+        "redshift_conf": {
+            "url": "jdbc:redshift://xxx:5439/db",
+            "cluster": "cluster-xxx.region.redshift.amazonaws.com",
+            "port": 5439,
+            "database": "db",
+            "schema": "schema",
+            "user": "user",
+            "password": "pwd",
+            "tmpdir": "s3://bucket/redshift-tmp/",
+            "aws_iam_role": "arn:aws:iam::123456789012:role/redshift-copy",
+        },
+        "msk_conf": {
+            "brokers": "b-1:9092,b-2:9092",
+            "topic": "cdc.topic",
+            "maxOffsetsPerTrigger": 200000,
+            "groupId": "cdc-group",
+            "startingOffsets": "earliest",
+            "pollTimeoutMs": 240000,
+        },
+        "spark_batch_conf": {
+            "windowSize": "30 seconds",
+            "checkpointLocation": "s3://bucket/ckpt",
+        },
+        "spark_conf": {
+            "dynamicAllocationEnabled": "false",
+            "executorMemory": "12g",
+            "executorCores": 4,
+            "shufflePartitions": 1,
+            "defaultParallelism": 1,
+            "speculation": "fasle",
+        },
+    }
+    p = tmp_path / "glue-job.json"
+    p.write_text(json.dumps(doc))
+    cfg = load_config(str(p))
+
+    ks = cfg.kafka_source()
+    opts = ks.options()
+    assert opts["kafka.bootstrap.servers"] == "b-1:9092,b-2:9092"
+    assert opts["subscribe"] == "cdc.topic"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "200000"
+    assert opts["kafkaConsumer.pollTimeoutMs"] == "240000"
+    assert opts["kafka.consumer.commit.groupid"] == "cdc-group"
+
+    sc = cfg.spark_builder_conf()
+    assert sc["spark.dynamicAllocation.enabled"] == "false"
+    assert sc["spark.executor.memory"] == "12g"
+    assert sc["spark.executor.cores"] == "4"
+    assert sc["spark.sql.shuffle.partitions"] == "1"
+    assert sc["spark.default.parallelism"] == "1"
+    assert sc["spark.speculation"] == "false"
+
+    rs = cfg.redshift_config()
+    assert rs.url == "jdbc:redshift://xxx:5439/db"
+    assert rs.tempdir == "s3://bucket/redshift-tmp/"
+    assert rs.schema == "schema"
+    assert rs.aws_iam_role.startswith("arn:aws:iam::")
+    # DMS top-level defaults (glue_dms_redshift_cdc.py:36-38)
+    assert cfg.record_id_key == "id"
+    assert cfg.apply_delete is True
+    assert cfg.cdc_timestamp_format == "yyyy-MM-dd'T'HH:mm:ss'Z'"
