@@ -126,6 +126,39 @@ def exploded_shingle_hashes(
     )
 
 
+def shingle_set_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh array<long>) distinct shingle-hash sets — fully narrow.
+
+    No explode, no shuffle: normalization is pinned to once per doc by
+    projecting it below the array expression (a separate Project whose
+    expensive regexp output is referenced more than once is not
+    collapsed into the consumer, so it is never re-evaluated per
+    element), dedup happens in the array domain (``array_distinct``),
+    and the md5 runs once per distinct gram inside one array lambda.
+    Callers needing parallelism should repartition the input first —
+    a single parquet file otherwise pins the whole pipeline to one
+    task.
+    """
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("__nt"),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("__nt") - (n - 1), F.lit(1))),
+            lambda i: F.col("__nt").substr(i, F.lit(n)),
+        )
+    )
+    return normed.select(
+        "id",
+        F.transform(
+            grams, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+        ).alias("sh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -133,17 +166,16 @@ def minhash_signatures(
     k: int = 32,
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>, sh sorted distinct array<long>) via
-    explode + one hash aggregation.
+    """(id, sig array<long>, sh sorted distinct array<long>).
 
-    The k permutation minima are k O(|set|) array passes over longs
-    (no md5, no regex) in the post-agg projection, reading the
-    aggregated attribute — attributes, unlike aliased expressions,
-    cannot be inlined back into the lambdas by projection collapse.
+    Both stages are narrow (no shuffle); the k permutation minima are
+    k O(|set|) array passes over longs (no md5, no regex) reading the
+    materialized ``sh`` attribute.
     """
-    ex = exploded_shingle_hashes(df, id_col, text_col, n)
-    grouped = ex.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("sh"))
-    return grouped.select(
+    sh = shingle_set_frame(df, id_col, text_col, n).select(
+        "id", F.array_sort("sh").alias("sh")
+    )
+    return sh.select(
         "id", minhash_signature_from(F.col("sh"), k).alias("sig"), "sh"
     )
 
@@ -156,57 +188,182 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     jaccard_threshold: float = 0.5,
-    broadcast_verify: bool = True,
+    bitmap_dict_max: int = 4096,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     shingle→minhash→band→bucket-join→verify.  Returns (id_a, id_b,
-    jaccard) with id_a < id_b and jaccard >= threshold, jaccard
-    computed exactly on the shingle sets of candidate pairs only.
+    jaccard) with id_a < id_b and jaccard >= threshold, jaccard exact
+    on the candidate pairs' shingle sets.
 
-    ``broadcast_verify`` broadcasts the (id → shingle set) side of the
-    verification join: candidate pairs commonly outnumber docs by
-    1000×, so shipping the doc-sized array table to executors beats
-    shuffling pair-count × array-size bytes.  Disable when the corpus
-    itself no longer fits a broadcast (then AQE picks the join).
+    Verify strategy (the per-pair cost is what dominates at scale —
+    candidate pairs commonly outnumber docs 100-1000×):
+
+    - **bitmap** (default when the corpus' distinct-shingle vocabulary
+      fits ``bitmap_dict_max``): a first pass collects the global
+      shingle dictionary (char-n-gram vocabularies are bounded — ~50k
+      for 3-grams over [a-z0-9 ]); each doc's set becomes a fixed
+      ``ceil(|dict|/64)``-word bitmap, and exact intersection is
+      ``bit_count(a AND b)`` over flat long columns — pure whole-stage
+      codegen, no per-pair hash sets, no array payloads on the pair
+      stream.  ~100× cheaper per pair than ``array_intersect``.
+    - **array** fallback (unbounded vocabularies, e.g. word n-grams):
+      re-attach shingle arrays to surviving pairs and verify with
+      ``array_intersect``; join strategy left to AQE (a broadcast
+      would ship the whole corpus' sets — the old default, removed).
+
+    The candidate join carries ONLY (band, bucket, id); no arrays ride
+    the pair stream.  The operator is EAGER: it materializes the pair
+    list via ``localCheckpoint`` and releases its cached intermediates
+    before returning, so repeated calls don't leak executor memory
+    into later queries.
     """
+    spark = df.sparkSession
     rows_per_band = k // bands
-    sigd = minhash_signatures(df, id_col, text_col, k, n).persist()
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    # band join carries ONLY (band, bucket, id): the shingle arrays are
-    # re-attached after pair dedup, so a degenerate bucket costs
-    # O(pairs) small rows, not O(pairs × shingle array).  On corpora
-    # where every doc shares vocabulary (worst case), candidates can
-    # approach N²; raise rows_per_band (k/bands) to sharpen bands
-    # before reaching for this operator at scale.
-    band_entries = sigd.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    # (id, sh) narrow, persisted: every downstream consumer (dict
+    # probe, signatures, bitmap build) reads the materialized arrays.
+    # CRITICAL: explode must only ever run over this cached attribute —
+    # a Generate whose child is the interpreted shingle expression
+    # re-evaluates the whole normalize+md5 pipeline per OUTPUT row
+    # (measured 10× slower).
+    shd = shingle_set_frame(
+        df.repartition(num_partitions), id_col, text_col, n
+    ).persist()
+
+    # Vocabulary probe: one tiny job.  Char-n-gram vocabularies are
+    # bounded (≤ ~50k for 3-grams of normalized text), so the bitmap
+    # plan is the common case; word-n-gram callers fall back.
+    dict_rows = (
+        shd.select(F.explode("sh").alias("h"))
+        .distinct()
+        .limit(bitmap_dict_max + 1)
+        .collect()
+    )
+    bitmap = len(dict_rows) <= bitmap_dict_max
+
+    coeffs = minhash_coeffs(k)
+
+    def perm(a: int, b: int) -> Column:
+        return F.array_min(F.transform(F.col("sh"), lambda h: (h * a + b) % MINHASH_P))
+
+    # Flat signature columns (no array slicing downstream).
+    sig_flat = shd.select(
+        "id", *[perm(a, b).alias(f"s{i}") for i, (a, b) in enumerate(coeffs)]
     )
 
-    a = band_entries.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
-    b = band_entries.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_b"))
-    cands = (
+    # LSH banding; the candidate join carries ONLY (band, bucket, id) —
+    # no arrays on the pair stream.
+    band_keys = [
+        F.hash(*[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
+        for b in range(bands)
+    ]
+    band_entries = sig_flat.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+    )
+    a = band_entries.select("band", "bucket", F.col("id").alias("id_a"))
+    b = band_entries.select("band", "bucket", F.col("id").alias("id_b"))
+    raw_pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh_a = sigd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sigd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    if broadcast_verify:
-        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
+    if bitmap:
+        # Dictionary-encoded bitmap sets: each doc's shingle set is
+        # ceil(|dict|/64) longs, and exact intersection is
+        # bit_count(a AND b) over flat columns — whole-stage codegen,
+        # ~100× cheaper per pair than array_intersect.  Because verify
+        # is that cheap, band-duplicate pairs flow straight through it
+        # and pairs are deduped AFTER the threshold filter, saving a
+        # full shuffle of the (much larger) raw candidate stream.
+        dict_vals = sorted(r.h for r in dict_rows)
+        n_words = max(1, (len(dict_vals) + 63) // 64)
+
+        def _bit(i: int) -> int:
+            v = 1 << (i % 64)
+            return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+
+        dic = F.broadcast(
+            spark.createDataFrame(
+                [(h, i // 64, _bit(i)) for i, h in enumerate(dict_vals)],
+                "h long, word int, bit long",
+            )
+        )
+        bm = (
+            shd.select("id", F.explode("sh").alias("h"))
+            .join(dic, "h")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("sz"),
+                *[
+                    F.bit_or(
+                        F.when(F.col("word") == w, F.col("bit")).otherwise(
+                            F.lit(0).cast("long")
+                        )
+                    ).alias(f"w{w}")
+                    for w in range(n_words)
+                ],
+            )
+            .persist()
+        )
+        ba = bm.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            *[F.col(f"w{w}").alias(f"aw{w}") for w in range(n_words)],
+        )
+        bb = bm.select(
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            *[F.col(f"w{w}").alias(f"bw{w}") for w in range(n_words)],
+        )
+        inter = sum(
+            F.bit_count(F.col(f"aw{w}").bitwiseAND(F.col(f"bw{w}")))
+            for w in range(n_words)
+        )
+        out = (
+            raw_pairs.join(ba, "id_a")
+            .join(bb, "id_b")
+            .withColumn("__i", inter)
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("__i").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("__i")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # Materialize eagerly so the cached intermediates can be
+        # released NOW instead of leaking into later queries (the
+        # result is small — the pair list — while shd/bm hold the
+        # corpus' arrays).  localCheckpoint also truncates the lineage,
+        # so downstream re-use never re-runs the band join.
+        out = out.localCheckpoint(eager=True)
+        bm.unpersist()
+        shd.unpersist()
+        return out
+
+    # Fallback: unbounded vocabulary — dedup candidates BEFORE the
+    # (expensive) array verify, and repartition explicitly: AQE would
+    # coalesce the byte-small pair stream to a few partitions and
+    # serialize a verify that is CPU-bound per row, not byte-bound.
+    # Join strategy left to AQE (no broadcast hint: that would ship
+    # the whole corpus' sets).
+    cands = raw_pairs.dropDuplicates(["id_a", "id_b"]).repartition(
+        num_partitions, "id_a", "id_b"
+    )
+    sh_a = shd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
@@ -216,6 +373,9 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
+    out = out.localCheckpoint(eager=True)
+    shd.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
