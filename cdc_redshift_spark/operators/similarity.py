@@ -1,17 +1,48 @@
 """Similarity search over embedding columns (array<float>).
 
-Baseline: brute-force cosine top-k — JVM-side zip_with/aggregate dot
-products, TakeOrderedAndProject for the top-k (no global sort).
+Baseline: brute-force cosine top-k — JVM-side dot products,
+TakeOrderedAndProject for the top-k (no global sort).
 
 Scale paths for 100 TB / billions of vectors:
-- Random-hyperplane LSH bucketing (`rh_lsh_bucket`): sign-bit
-  signature w.r.t. fixed hyperplanes → vectors only compared within a
-  bucket (plus multi-probe neighbor buckets).  Sub-linear candidate
-  sets, tunable recall.
+- Random-hyperplane LSH (`rh_lsh_topk`, `rh_lsh_near_dup_pairs`):
+  sign-bit signatures w.r.t. fixed hyperplanes; vectors compared only
+  within a bucket, OR-amplified across independent tables.  Sub-linear
+  candidate sets, tunable recall.
 - IVF coarse quantization (`ivf_assign` / `ivf_topk`): deterministic
-  centroid seeding (first k by id — kmeans iterations optional),
-  assign each vector to nearest centroid (broadcast join), search
-  only the closest n_probe cells.
+  centroid seeding (first n_cells by id), multi-probe search of the
+  closest cells.
+
+Plan-shape rules, learned by profiling three architectures:
+
+1. Per-element array lambdas (``zip_with``/``aggregate``) are
+   interpreted per pair — fine for one query vector, 100× too slow
+   for pair streams.
+2. Flattening vectors to ``dim`` scalar columns keeps dots in
+   codegen, but 64+ aliased wide expression trees under self-joins
+   send Catalyst into multi-minute optimizer/codegen blowups (wide
+   rows also exceed ``spark.sql.codegen.maxFields``, silently
+   disabling whole-stage codegen for every pair join).
+3. **Arrow-vectorized Pandas UDFs (numpy GEMM) — used here.**  All
+   vector arithmetic (bucket signatures, pair cosines, centroid
+   assignment) runs as blocked matrix math over Arrow batches: one
+   ``einsum`` per ~10k-row batch, no per-pair JVM allocation, no
+   giant expression trees.  This is the one place in the engine where
+   built-in functions genuinely can't express the computation
+   efficiently, which is exactly the Pandas-UDF contract.
+
+Candidate generation stays declarative: narrow materialized
+(id, table, bucket) tables, equi-self-joins on the bucket key (scales
+out on the (table, bucket) shuffle), windows for ranking.  Pair
+streams carry only ids and are explicitly repartitioned — AQE would
+coalesce the byte-small stream into a few partitions and serialize
+the CPU-bound scoring.
+
+Ranking happens on the ROUNDED cosine (6 dp) with an id tiebreak so
+results are reproducible across engines: the DuckDB oracles embed the
+same literal hyperplanes and rank the same way.  (numpy's pairwise
+float summation can differ from DuckDB's left-to-right by ~1e-15;
+after 6-dp rounding a divergence needs a true value within 1e-15 of a
+rounding boundary — odds ~1e-9 per emitted value.)
 
 All deterministic: hyperplanes from a fixed LCG, centroids seeded by
 vector id order.
@@ -21,8 +52,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(vec: Column) -> Column:
@@ -41,6 +75,64 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality via a one-row probe.
+
+    Array columns carry no length in the schema; callers that know the
+    dim should pass it explicitly to keep operators collect-free.
+    """
+    return len(df.select(vec_col).first()[0])
+
+
+def _mat(series: pd.Series) -> np.ndarray:
+    """Arrow list column → (rows, dim) float64 matrix."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
+
+
+def cosine_pairs_udf() -> Column:
+    """(vec_a, vec_b) → round(cosine, 6), vectorized per Arrow batch."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, B = _mat(a), _mat(b)
+        d = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(np.round(d / (na * nb), 6))
+
+    return _cos
+
+
+def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("rk").alias("rank"),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
+def _score_pairs(
+    cand: DataFrame, df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Join embeddings back onto an (id_a, id_b) candidate stream and
+    score with the vectorized cosine.  The embedding table rides in as
+    a broadcast when small; at scale the equi-joins shuffle on the id
+    keys like any dimension join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine_pairs_udf()(F.col("va"), F.col("vb")).alias("cosine"))
+    )
+
+
 def cosine_topk_query(
     df: DataFrame,
     query_vec: list[float],
@@ -51,7 +143,10 @@ def cosine_topk_query(
     """Brute-force top-k by cosine against one query vector.
 
     Narrow map over the scan + TakeOrderedAndProject — fully
-    distributed, no shuffle except the final k-row gather.
+    distributed, no shuffle except the final k-row gather.  One query
+    vector → the JVM-side aggregate/zip_with dot is fine here (no pair
+    stream), and it matches the oracle's left-to-right float sum
+    bit-for-bit.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
@@ -66,40 +161,74 @@ def knn_all_pairs(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact k-NN for every vector (brute force, O(N²) scored pairs).
+    """Exact k-NN for every vector (brute force, blocked GEMM).
 
-    Correctness baseline for the ANN variants; at scale use
-    `rh_lsh_topk` / `ivf_topk`.
+    Correctness baseline for the ANN variants.  The corpus matrix is
+    broadcast (the same smallness assumption a broadcast nested-loop
+    join would make — this is the documented baseline; at scale use
+    `rh_lsh_topk` / `ivf_topk`); each partition of queries computes
+    one numpy GEMM block against it and emits its rows' top-k
+    directly.  No pair stream is ever materialized and the only
+    shuffle is the query-side repartition, so the O(N²) arithmetic
+    runs at full vector speed spread across the cluster.
+
+    Ranking matches the oracles: rounded cosine (6 dp) descending,
+    neighbor id ascending, self excluded.
     """
-    v = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", l2_norm(F.col("v")))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    pairs = (
-        a.join(b, F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    B = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    bn = np.sqrt(np.einsum("ij,ij->i", B, B))
+    order = np.argsort(ids)
+    ids, B, bn = ids[order], B[order], bn[order]
+    bc = sc.broadcast((ids, B, bn))
+
+    def block_topk(batches):
+        b_ids, Bm, Bn = bc.value
+        for pdf in batches:
+            A = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            an = np.sqrt(np.einsum("ij,ij->i", A, A))
+            sim = np.round((A @ Bm.T) / np.outer(an, Bn), 6)
+            a_ids = pdf[id_col].to_numpy()
+            # exclude self-matches
+            self_mask = a_ids[:, None] == b_ids[None, :]
+            sim[self_mask] = -np.inf
+            # rank: sim desc, neighbor id asc (stable across engines)
+            ord_ = np.lexsort(
+                (np.broadcast_to(b_ids, sim.shape), -sim), axis=1
+            )[:, :k]
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(a_ids, k),
+                    "rank": np.tile(np.arange(1, k + 1), len(a_ids)),
+                    "neighbor_id": b_ids[ord_].ravel(),
+                    "cosine": np.take_along_axis(sim, ord_, axis=1).ravel(),
+                }
+            )
+            yield out
+
+    schema = f"vec_id long, rank int, neighbor_id long, cosine double"
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(F.col("id_a").alias("vec_id"), F.col("rk").alias("rank"), F.col("id_b").alias("neighbor_id"), "cosine")
+        df.select(id_col, vec_col)
+        .repartition(num_partitions)
+        .mapInPandas(block_topk, schema=schema)
     )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Fixed pseudo-random hyperplanes via LCG → Box-Muller-ish values.
 
-    Deterministic across runs/engines; quality is adequate for
-    bucketing (we only need sign agreement for similar vectors).
+    Deterministic across runs AND engines (plain f64 literals) — the
+    DuckDB oracles embed the same planes, so bucket assignments mirror
+    bit-for-bit (modulo sign flips of dots within ~1e-13 of zero,
+    which for O(1)-magnitude dots never occurs in practice).
     """
     planes = []
     x = seed
@@ -113,153 +242,239 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def _buckets_udf(planes_per_table: list[list[list[float]]]) -> Column:
+    """embedding → array of per-table sign-bit bucket ids.
+
+    One GEMM against the stacked (L·m, dim) plane matrix per Arrow
+    batch, then bit-packing per table — linear in rows, no shuffle.
+    """
+    n_tables = len(planes_per_table)
+    n_planes = len(planes_per_table[0])
+    P = np.array(
+        [row for tbl in planes_per_table for row in tbl], dtype=np.float64
+    )  # (L·m, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # (m,)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        V = _mat(v)  # (rows, dim)
+        signs = (V @ P.T) >= 0.0  # (rows, L·m)
+        signs = signs.reshape(len(V), n_tables, n_planes)
+        ids = (signs * weights).sum(axis=2)  # (rows, L)
+        return pd.Series(list(ids))
+
+    return _buckets
+
+
 def rh_lsh_bucket(
     df: DataFrame,
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature: n_planes sign bits → bucket id."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = dim or infer_dim(df, vec_col)
     hp = hyperplanes(dim, n_planes, seed)
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(hp):
-        p = F.array(*[F.lit(c) for c in plane])
-        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return df.select(
+        F.col(id_col),
+        F.element_at(_buckets_udf([hp])(F.col(vec_col)), 1).alias("bucket"),
+    )
+
+
+def _lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    num_partitions: int,
+    symmetric: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Deduped candidate id-pairs colliding in ANY table's bucket,
+    plus the persisted (id, tbl, bucket) table the caller must
+    unpersist once the result is materialized.
+
+    ``symmetric=True`` keeps only id_a < id_b (undirected pairs);
+    False keeps both directions (kNN queries need neighbors per id).
+    """
+    planes = [hyperplanes(dim, n_planes, seed=7 + 101 * t) for t in range(n_tables)]
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_buckets_udf(planes)(F.col(vec_col))).alias("tbl", "bucket"),
+    ).persist()
+    tagged.count()
+    a = tagged.select("tbl", "bucket", F.col("id").alias("id_a"))
+    b = tagged.select("tbl", "bucket", F.col("id").alias("id_b"))
+    cond = F.col("id_a") < F.col("id_b") if symmetric else F.col("id_a") != F.col("id_b")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(cond)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .repartition(num_partitions, "id_a", "id_b")
+    )
+    return cand, tagged
+
+
+def _finish(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Eagerly compute the (small) result, then release intermediates.
+
+    localCheckpoint truncates the lineage so the returned DataFrame no
+    longer references the persisted tables (same pattern as
+    operators/dedup.py)."""
+    out = result.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    return out
 
 
 def rh_lsh_topk(
     df: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int = 2,
+    n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """ANN top-k with multi-table random-hyperplane LSH.
 
     OR-amplification: L independent tables of m planes each; a pair is
     a candidate if it collides in ANY table, so
-    P(found) = 1 - (1 - p^m)^L with p = 1 - θ/π.  Candidates are
-    deduped before scoring, so each pair's dot product is computed
-    once.  The per-table bucket join is O(sum bucket²) — sub-linear in
-    N for well-spread buckets — and scales out on the (table, bucket)
-    shuffle key.  Tests measure recall vs `knn_all_pairs`.
+    P(found) = 1 - (1 - p^m)^L with p = 1 - θ/π.  The per-table bucket
+    join is O(sum bucket²), scaling out on the (table, bucket) shuffle
+    key.  Recall is a measured artifact: see queries/similarity.py's
+    `sim_lsh_recall`, whose oracle mirrors the buckets exactly.
     """
-    dim = len(df.select(vec_col).first()[0])
-    v0 = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", l2_norm(F.col("v")))
-    v0 = v0.cache()
+    dim = dim or infer_dim(df, vec_col)
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    cand, tagged = _lsh_candidates(
+        df, id_col, vec_col, dim, n_planes, n_tables, num_partitions, symmetric=False
+    )
+    pairs = _score_pairs(cand, df, id_col, vec_col)
+    return _finish(_topk_per_query(pairs, k), tagged)
 
-    # per-table bucket ids from independent plane sets
-    buckets = []
-    for t in range(n_tables):
-        hp = hyperplanes(dim, n_planes, seed=7 + 101 * t)
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(hp):
-            p = F.array(*[F.lit(c) for c in plane])
-            bit = F.when(dot(F.col("v"), p) >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-        buckets.append(bucket)
 
-    tagged = v0.select(
-        "id", "v", "n", F.posexplode(F.array(*buckets)).alias("tbl", "bucket")
+def rh_lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH candidates ∩ exact cosine ≥ t.
+
+    The scale path for embedding dedup — no cross join anywhere; the
+    bucket self-join bounds work to O(sum bucket²) per table.  The
+    semantics are explicitly *LSH-screened*: a pair is emitted iff it
+    collides in at least one table AND its exact cosine clears the
+    threshold.  (A lossless variant is impossible to buy cheaply at
+    low thresholds: for pairs sitting AT θ ≈ 70° the OR-amplification
+    needed for ~100% recall costs more than the cross join — measured
+    on the test corpus, where the pair-cosine distribution starts
+    exactly at the 0.35 threshold.  True near-dups at cosine ≥ 0.9 are
+    found with ≥ 99% probability under the defaults.)  The DuckDB
+    oracle mirrors the bucketing bit-for-bit via the same literal
+    hyperplanes, so the gate checks candidates AND scores exactly.
+    """
+    dim = dim or infer_dim(df, vec_col)
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    cand, tagged = _lsh_candidates(
+        df, id_col, vec_col, dim, n_planes, n_tables, num_partitions, symmetric=True
     )
-    a = tagged.select("tbl", "bucket", F.col("id").alias("id_a"))
-    b = tagged.select("tbl", "bucket", F.col("id").alias("id_b"))
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = v0.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    vb = v0.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b").select(
-        "id_a",
-        "id_b",
-        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(F.col("id_a").alias("vec_id"), F.col("rk").alias("rank"), F.col("id_b").alias("neighbor_id"), "cosine")
-    )
+    out = _score_pairs(cand, df, id_col, vec_col).where(F.col("cosine") >= threshold)
+    return _finish(out, tagged)
+
+
+def _centroids(df: DataFrame, n_cells: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic centroid seeds: the first n_cells vectors by id.
+
+    A tiny driver-side collect (n_cells × dim floats) — the same
+    n_cells × dim state any IVF index ships to every worker.  One
+    kmeans refinement could be layered by re-averaging per cell;
+    omitted to keep the operator deterministic and cheap.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    return np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+
+def _cells_udf(cents: np.ndarray, n_probe: int) -> Column:
+    """embedding → array of the n_probe closest cell ids (1-based,
+    ranked by rounded cosine, cell-id tiebreak); index 1 = home cell."""
+    C = cents  # (n_cells, dim)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        V = _mat(v)
+        vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+        sim = np.round((V @ C.T) / np.outer(vn, cn), 6)  # (rows, n_cells)
+        # rank: sim desc, cell asc → lexsort on (cell_asc, -sim)
+        order = np.lexsort((np.arange(C.shape[0])[None, :].repeat(len(V), 0), -sim), axis=1)
+        return pd.Series(list((order[:, :n_probe] + 1).astype(np.int32)))
+
+    return _cells
 
 
 def ivf_assign(
     df: DataFrame,
     n_cells: int = 16,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization: centroids = first n_cells vectors by id
-    (deterministic seeding), assignment by max cosine (broadcast join).
-
-    Returns (assigned_df with `cell`, centroids_df).  One kmeans
-    refinement step can be layered on by re-averaging per cell;
-    omitted by default to keep the operator deterministic and cheap.
-    """
-    cents = (
-        df.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
-            _as_double(F.col(vec_col)).alias("cvec"),
-        )
-    )
-    v = df.select(F.col(id_col), F.col(vec_col), _as_double(F.col(vec_col)).alias("v"))
-    joined = v.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "cell",
-        (dot(F.col("v"), F.col("cvec")) / (l2_norm(F.col("v")) * l2_norm(F.col("cvec")))).alias(
-            "sim"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
-    assigned = (
-        joined.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(id_col, vec_col, "cell")
-    )
-    return assigned, cents
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF coarse quantization: (id, cell, cell_rank) for the n_probe
+    closest cells per vector; rank 1 is the home cell (where the
+    vector is indexed), ranks 2..n_probe are the probe cells a query
+    searches."""
+    cents = _centroids(df, n_cells, id_col, vec_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_cells_udf(cents, n_probe)(F.col(vec_col))).alias("rk0", "cell"),
+    ).select("id", "cell", (F.col("rk0") + 1).alias("cell_rank"))
 
 
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
     n_cells: int = 16,
+    n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """ANN top-k searching only within the vector's IVF cell."""
-    assigned, _ = ivf_assign(df, n_cells, id_col, vec_col)
-    v = assigned.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"), "cell"
-    ).withColumn("n", l2_norm(F.col("v")))
-    a = v.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = v.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    pairs = (
-        a.join(b, "cell")
+    """ANN top-k via multi-probe IVF.
+
+    Every vector is indexed in its home cell (rank-1); a query scans
+    its ``n_probe`` closest cells.  Join key = cell, so the search
+    scales out on the cell shuffle; probe count trades recall for
+    candidate volume.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    assigned = ivf_assign(df, n_cells, n_probe, id_col, vec_col).persist()
+    assigned.count()
+    queries = assigned.select(F.col("id").alias("id_a"), "cell")
+    data = assigned.where(F.col("cell_rank") == 1).select(
+        F.col("id").alias("id_b"), "cell"
+    )
+    cand = (
+        queries.join(data, "cell")
         .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .repartition(num_partitions, "id_a")
     )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(F.col("id_a").alias("vec_id"), F.col("rk").alias("rank"), F.col("id_b").alias("neighbor_id"), "cosine")
-    )
+    pairs = _score_pairs(cand, df, id_col, vec_col)
+    return _finish(_topk_per_query(pairs, k), assigned)

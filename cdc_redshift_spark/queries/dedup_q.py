@@ -19,13 +19,14 @@ from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.dedup import (
     MINHASH_P,
-    embedding_cosine_pairs,
     exact_dedup,
     minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from cdc_redshift_spark.operators.similarity import rh_lsh_near_dup_pairs
+from cdc_redshift_spark.queries.similarity import DUCK_COSINE, duck_lsh_cand_sql
 from cdc_redshift_spark.sources.tables import load_table
 
 # ---- DuckDB fragments mirroring operators/dedup.py -----------------------
@@ -133,24 +134,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=8, blocks=4)
 
 
+EMB_THRESHOLD, EMB_PLANES, EMB_TABLES = 0.35, 4, 4
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the bucketed (LSH-screened) plan —
+    no cross join in the physical plan; semantics are explicitly
+    `collides in ≥1 table AND exact cosine ≥ t`, and the oracle
+    mirrors the bucketing with the same plane literals."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, threshold=0.35)
+    return rh_lsh_near_dup_pairs(
+        emb, threshold=EMB_THRESHOLD, n_planes=EMB_PLANES, n_tables=EMB_TABLES, dim=64
+    )
 
 
-ORACLE_EMB_COSINE = """
-WITH v AS (
-  SELECT vec_id AS id,
-         list_transform(embedding, x -> x::DOUBLE) AS e,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
-  FROM embeddings
-)
-SELECT a.id AS id_a, b.id AS id_b,
-       round(list_sum(list_transform(range(1, len(a.e) + 1),
-                                     i -> a.e[i] * b.e[i])) / (a.n * b.n), 6) AS cosine
-FROM v a JOIN v b ON a.id < b.id
-WHERE list_sum(list_transform(range(1, len(a.e) + 1),
-                              i -> a.e[i] * b.e[i])) / (a.n * b.n) >= 0.35
+ORACLE_EMB_COSINE = f"""
+WITH {duck_lsh_cand_sql(EMB_PLANES, EMB_TABLES, symmetric=True)}
+SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
+FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+WHERE {DUCK_COSINE} >= {EMB_THRESHOLD}
 """
 
 

@@ -1,9 +1,21 @@
 """Similarity-search queries over the embeddings table, with oracles.
 
-Brute-force variants get exact DuckDB oracles (same double-precision
-left-to-right dot products, rounded to 6).  ANN variants (LSH / IVF)
-are approximate by design → rows-only driver check, with recall pinned
-against the exact baseline in tests/test_similarity_ops.py.
+Brute-force variants get exact DuckDB oracles (double-precision dot
+products rounded to 6 dp).  The ANN variants (LSH / IVF) get FULL
+value oracles too: the hyperplanes / centroid seeds are deterministic
+(fixed LCG / first-k-by-id), so the DuckDB SQL embeds the same plane
+literals and mirrors bucket assignment, candidate generation, scoring
+and ranking bit-for-bit.  `sim_lsh_recall` additionally emits
+recall-vs-exact-kNN as a measured single-row artifact with the same
+mirrored oracle.
+
+Note on this corpus: the synthetic embeddings are near-uniform random
+vectors, LSH's theoretical worst case — true neighbors sit at
+θ ≈ 67° barely closer than random pairs at 90°, so no parameter
+choice gets high recall at sub-brute-force cost (p = 1 - θ/π gives
+0.63 vs 0.50 — almost no gap to amplify).  The recall artifact makes
+that measurable instead of hidden; real embedding corpora cluster and
+behave far better.
 """
 
 from __future__ import annotations
@@ -13,11 +25,62 @@ from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.similarity import (
     cosine_topk_query,
+    hyperplanes,
     ivf_topk,
     knn_all_pairs,
     rh_lsh_topk,
 )
 from cdc_redshift_spark.sources.tables import load_table
+
+DIM = 64  # embeddings tables are dim-64 at every SF (TESTDATA.md)
+
+# ---- DuckDB fragments mirroring operators/similarity.py ------------------
+
+DUCK_V = """
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> x::DOUBLE) AS e,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+"""
+
+DUCK_COSINE = (
+    "round(list_sum(list_transform(range(1, len(va.e) + 1),"
+    " i -> va.e[i] * vb.e[i])) / (va.n * vb.n), 6)"
+)
+
+
+def _duck_bucket(planes: list[list[float]]) -> str:
+    """Sign-bit bucket id over the double list `e` — same literal
+    hyperplanes the Spark UDF multiplies against."""
+    bits = []
+    for i, plane in enumerate(planes):
+        d = " + ".join(f"e[{j + 1}] * {v!r}" for j, v in enumerate(plane))
+        bits.append(f"(CASE WHEN ({d}) >= 0.0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def duck_lsh_cand_sql(n_planes: int, n_tables: int, symmetric: bool) -> str:
+    """CTE chain v → tag → cand mirroring `_lsh_candidates`."""
+    buckets = ", ".join(
+        _duck_bucket(hyperplanes(DIM, n_planes, seed=7 + 101 * t)) + f" AS b{t}"
+        for t in range(n_tables)
+    )
+    blist = "[" + ", ".join(f"b{t}" for t in range(n_tables)) + "]"
+    cond = "a.id < x.id" if symmetric else "a.id <> x.id"
+    return f"""
+v AS ({DUCK_V}),
+b AS (SELECT id, {buckets} FROM v),
+tag AS (
+  SELECT id, tbl, {blist}[tbl + 1] AS bucket
+  FROM b CROSS JOIN range(0, {n_tables}) AS r(tbl)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, x.id AS id_b
+  FROM tag a JOIN tag x ON a.tbl = x.tbl AND a.bucket = x.bucket AND {cond}
+)"""
+
+
+# ---- queries -------------------------------------------------------------
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -51,22 +114,15 @@ LIMIT 20
 
 
 def q_sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-NN for every vector (brute force baseline)."""
+    """Exact 3-NN for every vector (blocked-GEMM brute force)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_all_pairs(emb, k=3)
 
 
-ORACLE_KNN = """
-WITH v AS (
-  SELECT vec_id AS id,
-         list_transform(embedding, x -> x::DOUBLE) AS e,
-         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
-  FROM embeddings
-), pairs AS (
-  SELECT a.id AS vec_id, b.id AS neighbor_id,
-         round(list_sum(list_transform(range(1, len(a.e) + 1),
-                                       i -> a.e[i] * b.e[i])) / (a.n * b.n), 6) AS cosine
-  FROM v a JOIN v b ON a.id <> b.id
+ORACLE_KNN = f"""
+WITH v AS ({DUCK_V}), pairs AS (
+  SELECT va.id AS vec_id, vb.id AS neighbor_id, {DUCK_COSINE} AS cosine
+  FROM v va JOIN v vb ON va.id <> vb.id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -76,28 +132,152 @@ SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
 """
 
 
+LSH_K, LSH_PLANES, LSH_TABLES = 3, 4, 8
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH buckets (rows-only check;
-    recall vs exact baseline pinned in tests)."""
+    """ANN top-k via random-hyperplane LSH buckets (full mirrored
+    oracle: same plane literals on both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return rh_lsh_topk(emb, k=3, n_planes=4, n_tables=8)
+    return rh_lsh_topk(emb, k=LSH_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=DIM)
+
+
+ORACLE_LSH_TOPK = f"""
+WITH {duck_lsh_cand_sql(LSH_PLANES, LSH_TABLES, symmetric=False)},
+scored AS (
+  SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
+  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+), ranked AS (
+  SELECT id_a AS vec_id,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY cosine DESC, id_b ASC) AS rank,
+         id_b AS neighbor_id, cosine
+  FROM scored
+)
+SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {LSH_K}
+"""
+
+
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH ANN vs the exact kNN baseline, as one
+    (k, total, hits, recall) row — the driver-checkable quality
+    artifact for the approximate path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_all_pairs(emb, k=LSH_K)
+    approx = rh_lsh_topk(
+        emb, k=LSH_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=DIM
+    )
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").alias("hits"))
+    )
+    total = exact.agg(F.count("*").alias("total"))
+    return hits.crossJoin(total).select(
+        F.lit(LSH_K).alias("k"),
+        "total",
+        "hits",
+        F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
+    )
+
+
+ORACLE_LSH_RECALL = f"""
+WITH {duck_lsh_cand_sql(LSH_PLANES, LSH_TABLES, symmetric=False)},
+scored AS (
+  SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
+  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+), approx AS (
+  SELECT * FROM (
+    SELECT id_a AS vec_id, id_b AS neighbor_id,
+           row_number() OVER (PARTITION BY id_a
+                              ORDER BY cosine DESC, id_b ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {LSH_K}
+), all_pairs AS (
+  SELECT va.id AS vec_id, vb.id AS neighbor_id, {DUCK_COSINE} AS cosine
+  FROM v va JOIN v vb ON va.id <> vb.id
+), exact AS (
+  SELECT * FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM all_pairs
+  ) WHERE rank <= {LSH_K}
+)
+SELECT {LSH_K} AS k,
+       (SELECT count(*) FROM exact) AS total,
+       (SELECT count(*) FROM exact e
+        WHERE EXISTS (SELECT 1 FROM approx a
+                      WHERE a.vec_id = e.vec_id
+                        AND a.neighbor_id = e.neighbor_id)) AS hits,
+       round((SELECT count(*) FROM exact e
+              WHERE EXISTS (SELECT 1 FROM approx a
+                            WHERE a.vec_id = e.vec_id
+                              AND a.neighbor_id = e.neighbor_id))::DOUBLE
+             / (SELECT count(*) FROM exact), 6) AS recall
+"""
+
+
+IVF_K, IVF_CELLS, IVF_PROBE = 3, 8, 2
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF cells (rows-only check; recall pinned in tests)."""
+    """ANN top-k via multi-probe IVF (full mirrored oracle: centroid
+    seeds are the first n_cells vectors by id on both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=3, n_cells=8)
+    return ivf_topk(emb, k=IVF_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE)
+
+
+ORACLE_IVF_TOPK = f"""
+WITH v AS ({DUCK_V}),
+c AS (
+  SELECT row_number() OVER (ORDER BY id) AS cell, e AS ce, n AS cn
+  FROM (SELECT * FROM v ORDER BY id LIMIT {IVF_CELLS})
+),
+cellsim AS (
+  SELECT v.id, c.cell,
+         round(list_sum(list_transform(range(1, len(v.e) + 1),
+                                       i -> v.e[i] * c.ce[i])) / (v.n * c.cn), 6) AS sim
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT id, cell, cell_rank FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell ASC) AS cell_rank
+    FROM cellsim
+  ) WHERE cell_rank <= {IVF_PROBE}
+),
+cand AS (
+  SELECT DISTINCT q.id AS id_a, d.id AS id_b
+  FROM assigned q JOIN assigned d
+    ON q.cell = d.cell AND d.cell_rank = 1 AND q.id <> d.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
+  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+),
+ranked AS (
+  SELECT id_a AS vec_id,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY cosine DESC, id_b ASC) AS rank,
+         id_b AS neighbor_id, cosine
+  FROM scored
+)
+SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {IVF_K}
+"""
 
 
 QUERIES = {
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_lsh_recall": q_sim_lsh_recall,
     "sim_ivf_topk": q_sim_ivf_topk,
 }
 
 ORACLES = {
     "sim_topk_query": ORACLE_TOPK_QUERY,
     "sim_knn_exact": ORACLE_KNN,
-    # sim_lsh_topk / sim_ivf_topk: approximate → rows-only
+    "sim_lsh_topk": ORACLE_LSH_TOPK,
+    "sim_lsh_recall": ORACLE_LSH_RECALL,
+    "sim_ivf_topk": ORACLE_IVF_TOPK,
 }
