@@ -24,6 +24,11 @@ the oracle doesn't need to mirror it.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,6 +185,242 @@ def minhash_signatures(
     )
 
 
+# ---- Arrow-batched MinHash pipeline --------------------------------------
+#
+# The pure-Column formulation above is kept for ad-hoc use and as the
+# parity pin for the fast path below (tests/test_dedup_ops.py), but the
+# k interpreted higher-order array passes cost ~0.6 µs per element —
+# 28 s for 5k docs × 300 shingles × 32 perms at sf0.1.  The same math
+# as one numpy pass per Arrow batch is ~100× cheaper, which is exactly
+# the Pandas-UDF contract (see operators/similarity.py's module
+# docstring).  All integer math is exact and engine-portable: 28-bit
+# md5-derived hashes keep h·a < 2^59, so int64 never overflows and
+# (h*a+b) % P is bit-identical in numpy, Spark and DuckDB.
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _py_normalize(s: str) -> str:
+    """Python mirror of functions.text.normalize_text (ASCII-safe:
+    Java's \\s and Python's \\s agree on ASCII whitespace, and the
+    corpora are ASCII; parity is pinned by a pytest)."""
+    return _WS_RE.sub(" ", s.lower()).strip()
+
+
+def _minhash_frames_fn(k: int, n: int):
+    """mapInPandas: (id, text) batches → (id, sh, sig).
+
+    sh  = sorted shingle-hash list over DISTINCT grams (hash-level
+          duplicates from 28-bit collisions between different grams are
+          preserved, exactly like transform(array_distinct(grams), md5)
+          and the DuckDB oracle's list_transform(list_distinct(...))).
+    sig = k minhash minima over sh via the fixed LCG coefficients.
+    """
+    coeffs = minhash_coeffs(k)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    def f(batches):
+        cache: dict[str, int] = {}  # gram → 28-bit hash (vocab is tiny)
+        for pdf in batches:
+            ids, shs, sigs = [], [], []
+            for i, t in zip(pdf["id"], pdf["text"]):
+                if t is None:
+                    continue  # null text: no shingles, no candidates
+                nt = _py_normalize(t)
+                grams = {nt[p : p + n] for p in range(max(len(nt) - (n - 1), 1))}
+                hl = []
+                for g in grams:
+                    h = cache.get(g)
+                    if h is None:
+                        h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                        cache[g] = h
+                    hl.append(h)
+                H = np.sort(np.array(hl, dtype=np.int64))
+                sig = ((H[:, None] * A[None, :] + B[None, :]) % MINHASH_P).min(axis=0)
+                ids.append(i)
+                shs.append(H)
+                sigs.append(sig)
+            yield pd.DataFrame({"id": ids, "sh": shs, "sig": sigs})
+
+    return f
+
+
+def minhash_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh sorted array<long>, sig array<long>) — one narrow
+    Arrow-batched pass, no shuffle.  Numerically identical to
+    :func:`minhash_signatures` (pinned by pytest)."""
+    idt = df.schema[id_col].dataType.simpleString()
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        _minhash_frames_fn(k, n), schema=f"id {idt}, sh array<long>, sig array<long>"
+    )
+
+
+def _band_rows_fn(
+    bands: int, rows_per_band: int, dict_map: dict[int, int], n_words: int
+):
+    """mapInPandas: (id, sh, sig) → one row per (doc, band) carrying the
+    band's signature SLICE VALUES as the bucket key (k0..k{r-1}) plus
+    the doc's dictionary-encoded shingle bitmap (w0..w{nw-1}) and its
+    shingle-list length sz.  Joining on the slice values themselves
+    (not their murmur3 hash) makes candidate generation collision-free
+    and mirrors the DuckDB oracle's band-slice equality exactly."""
+
+    dict_vals = np.array(sorted(dict_map), dtype=np.int64)
+    k = bands * rows_per_band
+
+    def f(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            SIG = np.stack(pdf["sig"].to_numpy())  # (m, k)
+            # dictionary-encode all shingle hashes in one vectorized
+            # pass: searchsorted over the sorted dict + bitwise_or.at
+            sz = np.array([len(sh) for sh in pdf["sh"]], dtype=np.int64)
+            all_h = np.concatenate(list(pdf["sh"])).astype(np.int64)
+            idx = np.searchsorted(dict_vals, all_h)
+            row_idx = np.repeat(np.arange(m), sz)
+            W = np.zeros((m, n_words), dtype=np.uint64)
+            np.bitwise_or.at(
+                W,
+                (row_idx, idx >> 6),
+                np.uint64(1) << (idx & 63).astype(np.uint64),
+            )
+            Wi = W.view(np.int64)
+            frames = []
+            for b in range(bands):
+                cols = {"band": np.full(m, b, dtype=np.int32)}
+                for j in range(rows_per_band):
+                    cols[f"k{j}"] = SIG[:, b * rows_per_band + j]
+                cols["id"] = pdf["id"].to_numpy()
+                cols["sz"] = sz
+                for w in range(n_words):
+                    cols[f"w{w}"] = Wi[:, w]
+                # full signature rides along so the verify stage can
+                # suppress pairs already found by an EARLIER band —
+                # emission becomes globally unique and the downstream
+                # pair-dedup shuffle disappears entirely
+                for j in range(k):
+                    cols[f"s{j}"] = SIG[:, j]
+                frames.append(pd.DataFrame(cols))
+            yield pd.concat(frames, ignore_index=True)
+
+    return f
+
+
+def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
+    """mapInPandas over partitions PRE-PARTITIONED on the bucket key
+    (band, k0..k{r-1}): exact pairwise intersections via blocked
+    bool-GEMM per bucket.
+
+    Buckets are segmented inside each partition with one lexsort +
+    boundary scan — NOT applyInPandas, whose per-group pandas/Arrow
+    machinery costs milliseconds per group and melts down on the tens
+    of thousands of tiny buckets LSH banding produces (measured 2×
+    slower than the join it replaced).  Per-segment cost here is one
+    numpy slice + GEMM (~µs for small buckets).
+
+    Emits (id_a < id_b by value, inter, uni) for pairs whose raw
+    Jaccard clears threshold - 1e-6; the exact rounded-Jaccard filter
+    runs JVM-side so rounding matches the oracle bit-for-bit.
+
+    Globally-unique emission: a pair colliding in several bands is
+    emitted ONLY by the first such band — each row carries the full
+    signature, so band b drops any pair whose slices also match in a
+    band < b.  No cross-band pair-dedup shuffle exists downstream.
+
+    Memory: O(partition) for the concat + O(tile × bucket) for the
+    GEMM — bounded by shuffle-partition sizing like any grouped agg.
+    """
+    margin = threshold - 1e-6
+    tile = 4096
+    r = n_keys
+    k = bands * r
+    key_cols = ["band"] + [f"k{j}" for j in range(n_keys)]
+
+    def verify_bucket(band, ids, sz, Bf, SIG, outs):
+        m = len(ids)
+        for lo in range(0, m, tile):
+            hi = min(lo + tile, m)
+            inter = (Bf[lo:hi] @ Bf.T).astype(np.int64)  # exact: counts < 2^24
+            uni = sz[lo:hi, None] + sz[None, :] - inter
+            pos_i, pos_j = np.nonzero(
+                (inter >= margin * uni)
+                & (np.arange(m)[None, :] > np.arange(lo, hi)[:, None])
+            )
+            if len(pos_i) == 0:
+                continue
+            pos_i = pos_i + lo
+            if band > 0:
+                # first-band suppression: skip pairs whose signature
+                # slices also collide in an earlier band
+                Sa, Sb = SIG[pos_i, : band * r], SIG[pos_j, : band * r]
+                earlier = (
+                    (Sa == Sb).reshape(len(pos_i), band, r).all(axis=2).any(axis=1)
+                )
+                if earlier.any():
+                    keep = ~earlier
+                    pos_i, pos_j = pos_i[keep], pos_j[keep]
+                    if len(pos_i) == 0:
+                        continue
+            ia, ib = ids[pos_i], ids[pos_j]
+            swap = ia > ib
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.where(swap, ib, ia),
+                        "id_b": np.where(swap, ia, ib),
+                        "inter": inter[pos_i - lo, pos_j],
+                        "uni": uni[pos_i - lo, pos_j],
+                    }
+                )
+            )
+
+    def f(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        m = len(pdf)
+        keys = np.stack(
+            [pdf[c].to_numpy().astype(np.int64) for c in key_cols], axis=1
+        )
+        order = np.lexsort(keys.T[::-1])
+        keys = keys[order]
+        ids = pdf["id"].to_numpy()[order]
+        sz = pdf["sz"].to_numpy()[order]
+        SIG = np.stack(
+            [pdf[f"s{j}"].to_numpy()[order] for j in range(k)], axis=1
+        )
+        W = np.stack(
+            [pdf[f"w{w}"].to_numpy().view(np.uint64)[order] for w in range(n_words)],
+            axis=1,
+        )
+        bits = np.unpackbits(np.ascontiguousarray(W).view(np.uint8), axis=1)
+        Bf = bits.astype(np.float32)
+        change = np.any(keys[1:] != keys[:-1], axis=1)
+        bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [m]])
+        outs: list[pd.DataFrame] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                verify_bucket(
+                    int(keys[s, 0]), ids[s:e], sz[s:e], Bf[s:e], SIG[s:e], outs
+                )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return f
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -190,190 +431,144 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     bitmap_dict_max: int = 4096,
     num_partitions: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
-    shingle→minhash→band→bucket-join→verify.  Returns (id_a, id_b,
-    jaccard) with id_a < id_b and jaccard >= threshold, jaccard exact
-    on the candidate pairs' shingle sets.
+    shingle→minhash→band→bucket→verify.  Returns (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard >= threshold, jaccard exact on the
+    candidate pairs' shingle sets.
 
-    Verify strategy (the per-pair cost is what dominates at scale —
-    candidate pairs commonly outnumber docs 100-1000×):
+    Plan shape (one narrow Arrow pass, one shuffle, in-bucket GEMM):
 
-    - **bitmap** (default when the corpus' distinct-shingle vocabulary
-      fits ``bitmap_dict_max``): a first pass collects the global
-      shingle dictionary (char-n-gram vocabularies are bounded — ~50k
-      for 3-grams over [a-z0-9 ]); each doc's set becomes a fixed
-      ``ceil(|dict|/64)``-word bitmap, and exact intersection is
-      ``bit_count(a AND b)`` over flat long columns — pure whole-stage
-      codegen, no per-pair hash sets, no array payloads on the pair
-      stream.  ~100× cheaper per pair than ``array_intersect``.
-    - **array** fallback (unbounded vocabularies, e.g. word n-grams):
-      re-attach shingle arrays to surviving pairs and verify with
-      ``array_intersect``; join strategy left to AQE (a broadcast
-      would ship the whole corpus' sets — the old default, removed).
+    1. :func:`minhash_frames` computes (id, sh, sig) scan-side.
+    2. A bounded vocabulary probe collects the global shingle
+       dictionary (char-n-gram vocabularies are small — ≤ ~50k for
+       3-grams of normalized text).
+    3. **bitmap path** (vocabulary fits ``bitmap_dict_max``): each doc
+       becomes a ``ceil(|dict|/64)``-word bitmap riding one row per
+       (doc, band) into a single shuffle keyed on the band's SIGNATURE
+       SLICE VALUES (collision-free — mirrors the oracle's band-slice
+       equality exactly, no murmur3 in the candidate path).  Each
+       bucket is verified in place by one blocked bool-GEMM over its
+       bitmap matrix; only pairs near/above threshold leave the
+       bucket, so the post-verify shuffle carries survivors, not the
+       O(Σ bucket²) candidate stream.  The exact rounded-Jaccard
+       filter runs JVM-side (F.round, HALF_UP) for oracle parity.
+    4. **array fallback** (unbounded vocabularies, e.g. word n-grams):
+       band-key self-join on the slice-value struct, then
+       ``array_intersect`` verify; join strategy left to AQE.
 
-    The candidate join carries ONLY (band, bucket, id); no arrays ride
-    the pair stream.  The operator is EAGER: it materializes the pair
-    list via ``localCheckpoint`` and releases its cached intermediates
-    before returning, so repeated calls don't leak executor memory
-    into later queries.
+    With ``eager`` (default) the pair list is materialized via
+    ``localCheckpoint`` and cached intermediates are released before
+    returning, so repeated calls don't leak executor memory into later
+    queries.  ``eager=False`` keeps the result fully lazy/recomputable
+    (executor loss after an eager checkpoint makes downstream actions
+    unrecoverable — the lineage is truncated), at the cost of
+    re-running the shingle pass if the result is consumed twice.
     """
     spark = df.sparkSession
     rows_per_band = k // bands
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
+    idt = df.schema[id_col].dataType.simpleString()
 
-    # (id, sh) narrow, persisted: every downstream consumer (dict
-    # probe, signatures, bitmap build) reads the materialized arrays.
-    # CRITICAL: explode must only ever run over this cached attribute —
-    # a Generate whose child is the interpreted shingle expression
-    # re-evaluates the whole normalize+md5 pipeline per OUTPUT row
-    # (measured 10× slower).
-    shd = shingle_set_frame(
-        df.repartition(num_partitions), id_col, text_col, n
+    shd = minhash_frames(
+        df.repartition(num_partitions), id_col, text_col, k, n
     ).persist()
 
-    # Vocabulary probe: one tiny job.  Char-n-gram vocabularies are
-    # bounded (≤ ~50k for 3-grams of normalized text), so the bitmap
-    # plan is the common case; word-n-gram callers fall back.
+    # Vocabulary probe: per-partition uniques in pandas (a few hundred
+    # values per partition), then a tiny distinct — cheaper than
+    # exploding every (doc, shingle) row.
+    def _uniq(batches):
+        seen: set[int] = set()
+        for pdf in batches:
+            for sh in pdf["sh"]:
+                seen.update(int(x) for x in sh)
+                if len(seen) > bitmap_dict_max:
+                    break
+        yield pd.DataFrame({"h": sorted(seen)})
+
     dict_rows = (
-        shd.select(F.explode("sh").alias("h"))
+        shd.mapInPandas(_uniq, schema="h long")
         .distinct()
         .limit(bitmap_dict_max + 1)
         .collect()
     )
     bitmap = len(dict_rows) <= bitmap_dict_max
 
-    coeffs = minhash_coeffs(k)
-
-    def perm(a: int, b: int) -> Column:
-        return F.array_min(F.transform(F.col("sh"), lambda h: (h * a + b) % MINHASH_P))
-
-    # Flat signature columns (no array slicing downstream).
-    sig_flat = shd.select(
-        "id", *[perm(a, b).alias(f"s{i}") for i, (a, b) in enumerate(coeffs)]
-    )
-
-    # LSH banding; the candidate join carries ONLY (band, bucket, id) —
-    # no arrays on the pair stream.
-    band_keys = [
-        F.hash(*[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)])
-        for b in range(bands)
-    ]
-    band_entries = sig_flat.select(
-        "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
-    )
-    a = band_entries.select("band", "bucket", F.col("id").alias("id_a"))
-    b = band_entries.select("band", "bucket", F.col("id").alias("id_b"))
-    raw_pairs = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-
     if bitmap:
-        # Dictionary-encoded bitmap sets: each doc's shingle set is
-        # ceil(|dict|/64) longs, and exact intersection is
-        # bit_count(a AND b) over flat columns — whole-stage codegen,
-        # ~100× cheaper per pair than array_intersect.  Because verify
-        # is that cheap, band-duplicate pairs flow straight through it
-        # and pairs are deduped AFTER the threshold filter, saving a
-        # full shuffle of the (much larger) raw candidate stream.
         dict_vals = sorted(r.h for r in dict_rows)
+        dict_map = {h: i for i, h in enumerate(dict_vals)}
         n_words = max(1, (len(dict_vals) + 63) // 64)
-
-        def _bit(i: int) -> int:
-            v = 1 << (i % 64)
-            return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
-
-        dic = F.broadcast(
-            spark.createDataFrame(
-                [(h, i // 64, _bit(i)) for i, h in enumerate(dict_vals)],
-                "h long, word int, bit long",
-            )
+        kcols = [f"k{j}" for j in range(rows_per_band)]
+        row_schema = ", ".join(
+            ["band int"]
+            + [f"{c} long" for c in kcols]
+            + [f"id {idt}", "sz long"]
+            + [f"w{w} long" for w in range(n_words)]
+            + [f"s{j} long" for j in range(k)]
         )
-        bm = (
-            shd.select("id", F.explode("sh").alias("h"))
-            .join(dic, "h")
-            .groupBy("id")
-            .agg(
-                F.count(F.lit(1)).alias("sz"),
-                *[
-                    F.bit_or(
-                        F.when(F.col("word") == w, F.col("bit")).otherwise(
-                            F.lit(0).cast("long")
-                        )
-                    ).alias(f"w{w}")
-                    for w in range(n_words)
-                ],
-            )
-            .persist()
+        rows = shd.mapInPandas(
+            _band_rows_fn(bands, rows_per_band, dict_map, n_words), schema=row_schema
         )
-        ba = bm.select(
-            F.col("id").alias("id_a"),
-            F.col("sz").alias("sz_a"),
-            *[F.col(f"w{w}").alias(f"aw{w}") for w in range(n_words)],
+        pairs = rows.repartition(num_partitions, "band", *kcols).mapInPandas(
+            _bitmap_verify_fn(n_words, rows_per_band, jaccard_threshold, bands),
+            schema=f"id_a {idt}, id_b {idt}, inter long, uni long",
         )
-        bb = bm.select(
-            F.col("id").alias("id_b"),
-            F.col("sz").alias("sz_b"),
-            *[F.col(f"w{w}").alias(f"bw{w}") for w in range(n_words)],
+        # first-band suppression makes emission unique — no pair-dedup
+        out = pairs.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias("jaccard"),
+        ).where(F.col("jaccard") >= jaccard_threshold)
+    else:
+        # Unbounded vocabulary: self-join on the band's slice-value
+        # struct (still collision-free), dedup candidates BEFORE the
+        # expensive array verify, and repartition explicitly — AQE
+        # would coalesce the byte-small pair stream to a few partitions
+        # and serialize a verify that is CPU-bound per row.  No
+        # broadcast hint: that would ship the whole corpus' sets.
+        band_structs = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.col("sig")[b * rows_per_band + j].alias(f"k{j}")
+                        for j in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
         )
-        inter = sum(
-            F.bit_count(F.col(f"aw{w}").bitwiseAND(F.col(f"bw{w}")))
-            for w in range(n_words)
+        band_entries = shd.select(
+            "id", F.posexplode(band_structs).alias("band", "bucket")
         )
+        a = band_entries.select("band", "bucket", F.col("id").alias("id_a"))
+        b = band_entries.select("band", "bucket", F.col("id").alias("id_b"))
+        cands = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+            .repartition(num_partitions, "id_a", "id_b")
+        )
+        sh_a = shd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = shd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
         out = (
-            raw_pairs.join(ba, "id_a")
-            .join(bb, "id_b")
-            .withColumn("__i", inter)
+            cands.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                F.round(
-                    F.col("__i").cast("double")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("__i")),
-                    6,
-                ).alias("jaccard"),
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
             )
             .where(F.col("jaccard") >= jaccard_threshold)
-            .dropDuplicates(["id_a", "id_b"])
         )
-        # Materialize eagerly so the cached intermediates can be
-        # released NOW instead of leaking into later queries (the
-        # result is small — the pair list — while shd/bm hold the
-        # corpus' arrays).  localCheckpoint also truncates the lineage,
-        # so downstream re-use never re-runs the band join.
-        out = out.localCheckpoint(eager=True)
-        bm.unpersist()
-        shd.unpersist()
-        return out
 
-    # Fallback: unbounded vocabulary — dedup candidates BEFORE the
-    # (expensive) array verify, and repartition explicitly: AQE would
-    # coalesce the byte-small pair stream to a few partitions and
-    # serialize a verify that is CPU-bound per row, not byte-bound.
-    # Join strategy left to AQE (no broadcast hint: that would ship
-    # the whole corpus' sets).
-    cands = raw_pairs.dropDuplicates(["id_a", "id_b"]).repartition(
-        num_partitions, "id_a", "id_b"
-    )
-    sh_a = shd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = shd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    out = (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-    )
-    out = out.localCheckpoint(eager=True)
+    if eager:
+        out = out.localCheckpoint(eager=True)
     shd.unpersist()
     return out
 

@@ -30,12 +30,15 @@ Plan-shape rules, learned by profiling three architectures:
    built-in functions genuinely can't express the computation
    efficiently, which is exactly the Pandas-UDF contract.
 
-Candidate generation stays declarative: narrow materialized
-(id, table, bucket) tables, equi-self-joins on the bucket key (scales
-out on the (table, bucket) shuffle), windows for ranking.  Pair
-streams carry only ids and are explicitly repartitioned — AQE would
-coalesce the byte-small stream into a few partitions and serialize
-the CPU-bound scoring.
+Candidate generation and scoring are FUSED per bucket: vectors are
+tagged with their (table, bucket) keys in one narrow pass, grouped on
+that key (the one shuffle), and each bucket is scored in place by a
+blocked GEMM that emits only the per-member local top-k (or the
+above-threshold pairs).  A globally top-k pair is locally top-k in
+every bucket containing it, so ranking the deduped union of local
+top-k's is exact over the candidate set — the O(Σ bucket²) pair
+stream of the join-based formulation never exists, shrinking shuffled
+rows to O(L·k·N).  Windows rank the small union JVM-side.
 
 Ranking happens on the ROUNDED cosine (6 dp) with an id tiebreak so
 results are reproducible across engines: the DuckDB oracles embed the
@@ -89,20 +92,6 @@ def _mat(series: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
 
 
-def cosine_pairs_udf() -> Column:
-    """(vec_a, vec_b) → round(cosine, 6), vectorized per Arrow batch."""
-
-    @pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A, B = _mat(a), _mat(b)
-        d = np.einsum("ij,ij->i", A, B)
-        na = np.sqrt(np.einsum("ij,ij->i", A, A))
-        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-        return pd.Series(np.round(d / (na * nb), 6))
-
-    return _cos
-
-
 def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
@@ -114,22 +103,6 @@ def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
             F.col("id_b").alias("neighbor_id"),
             "cosine",
         )
-    )
-
-
-def _score_pairs(
-    cand: DataFrame, df: DataFrame, id_col: str, vec_col: str
-) -> DataFrame:
-    """Join embeddings back onto an (id_a, id_b) candidate stream and
-    score with the vectorized cosine.  The embedding table rides in as
-    a broadcast when small; at scale the equi-joins shuffle on the id
-    keys like any dimension join."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", cosine_pairs_udf()(F.col("va"), F.col("vb")).alias("cosine"))
     )
 
 
@@ -283,52 +256,110 @@ def rh_lsh_bucket(
     )
 
 
-def _lsh_candidates(
+def _id_type(df: DataFrame, id_col: str) -> str:
+    return df.schema[id_col].dataType.simpleString()
+
+
+def _tagged(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
     n_planes: int,
     n_tables: int,
-    num_partitions: int,
-    symmetric: bool,
-) -> tuple[DataFrame, DataFrame]:
-    """Deduped candidate id-pairs colliding in ANY table's bucket,
-    plus the persisted (id, tbl, bucket) table the caller must
-    unpersist once the result is materialized.
+) -> DataFrame:
+    """(id, v, tbl, bucket) — one row per (vector, LSH table).
 
-    ``symmetric=True`` keeps only id_a < id_b (undirected pairs);
-    False keeps both directions (kNN queries need neighbors per id).
+    The vector rides into the (tbl, bucket) shuffle (L× duplication of
+    the embedding payload — the standard multi-table LSH index cost;
+    the alternative, joining vectors back onto a pair stream, shuffles
+    strictly more bytes because candidate pairs outnumber vectors).
     """
     planes = [hyperplanes(dim, n_planes, seed=7 + 101 * t) for t in range(n_tables)]
-    tagged = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
         F.posexplode(_buckets_udf(planes)(F.col(vec_col))).alias("tbl", "bucket"),
-    ).persist()
-    tagged.count()
-    a = tagged.select("tbl", "bucket", F.col("id").alias("id_a"))
-    b = tagged.select("tbl", "bucket", F.col("id").alias("id_b"))
-    cond = F.col("id_a") < F.col("id_b") if symmetric else F.col("id_a") != F.col("id_b")
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .where(cond)
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(num_partitions, "id_a", "id_b")
     )
-    return cand, tagged
 
 
-def _finish(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
-    """Eagerly compute the (small) result, then release intermediates.
+_TILE = 2048  # row-tile for in-bucket GEMM: memory O(_TILE × bucket)
 
-    localCheckpoint truncates the lineage so the returned DataFrame no
-    longer references the persisted tables (same pattern as
-    operators/dedup.py)."""
-    out = result.localCheckpoint(eager=True)
-    for df in intermediates:
-        df.unpersist()
-    return out
+
+def _bucket_topk_fn(k: int):
+    """Per-(tbl,bucket) group: local top-k neighbors for every member.
+
+    The global top-k over all candidates equals the top-k of the union
+    of per-bucket top-k's: if a pair ranks in the global top-k for its
+    query, fewer than k candidates beat it anywhere, in particular
+    inside any bucket containing it.  So each bucket emits only k rows
+    per member and the pair stream shrinks from O(Σ bucket²) to
+    O(L·k·N) before it ever hits a shuffle.
+    """
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["id"].to_numpy()
+        V = _mat(pdf["v"])
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        kk = min(k, m - 1)
+        outs = []
+        for lo in range(0, m, _TILE):
+            hi = min(lo + _TILE, m)
+            sim = np.round((V[lo:hi] @ V.T) / np.outer(n[lo:hi], n), 6)
+            sim[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf  # self
+            order = np.lexsort(
+                (np.broadcast_to(ids, sim.shape), -sim), axis=1
+            )[:, :kk]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.repeat(ids[lo:hi], kk),
+                        "id_b": ids[order].ravel(),
+                        "cosine": np.take_along_axis(sim, order, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return f
+
+
+def _bucket_threshold_fn(threshold: float):
+    """Per-group: all in-bucket pairs with rounded cosine ≥ threshold,
+    ordered id_a < id_b by id value."""
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["id"].to_numpy()
+        V = _mat(pdf["v"])
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        outs = []
+        for lo in range(0, m, _TILE):
+            hi = min(lo + _TILE, m)
+            sim = np.round((V[lo:hi] @ V.T) / np.outer(n[lo:hi], n), 6)
+            # strict upper triangle in POSITION space: each unordered
+            # pair once; value-order the ids afterwards
+            pos_i, pos_j = np.nonzero(
+                (sim >= threshold)
+                & (np.arange(m)[None, :] > (np.arange(lo, hi)[:, None]))
+            )
+            ia, ib = ids[pos_i + lo], ids[pos_j]
+            swap = ia > ib
+            ia2 = np.where(swap, ib, ia)
+            ib2 = np.where(swap, ia, ib)
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": ia2, "id_b": ib2, "cosine": sim[pos_i, pos_j]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return f
 
 
 def rh_lsh_topk(
@@ -345,19 +376,30 @@ def rh_lsh_topk(
 
     OR-amplification: L independent tables of m planes each; a pair is
     a candidate if it collides in ANY table, so
-    P(found) = 1 - (1 - p^m)^L with p = 1 - θ/π.  The per-table bucket
-    join is O(sum bucket²), scaling out on the (table, bucket) shuffle
-    key.  Recall is a measured artifact: see queries/similarity.py's
-    `sim_lsh_recall`, whose oracle mirrors the buckets exactly.
+    P(found) = 1 - (1 - p^m)^L with p = 1 - θ/π.
+
+    Plan: one narrow pass tags vectors with their L bucket ids, one
+    (tbl, bucket) shuffle groups each bucket, and an Arrow-batched
+    GEMM scores the bucket in-place, emitting only each member's local
+    top-k.  Because a globally top-k pair is locally top-k in every
+    bucket containing it, ranking the deduped union of local top-k's
+    is EXACT over the LSH candidate set — identical to scoring all
+    O(Σ bucket²) candidate pairs (the DuckDB oracle's formulation),
+    at O(L·k·N) shuffled rows instead.  No persist, no pair-stream
+    join, no eager materialization.
     """
     dim = dim or infer_dim(df, vec_col)
-    if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-    cand, tagged = _lsh_candidates(
-        df, id_col, vec_col, dim, n_planes, n_tables, num_partitions, symmetric=False
+    idt = _id_type(df, id_col)
+    local = (
+        _tagged(df, id_col, vec_col, dim, n_planes, n_tables)
+        .groupBy("tbl", "bucket")
+        .applyInPandas(
+            _bucket_topk_fn(k), schema=f"id_a {idt}, id_b {idt}, cosine double"
+        )
     )
-    pairs = _score_pairs(cand, df, id_col, vec_col)
-    return _finish(_topk_per_query(pairs, k), tagged)
+    # same pair from several tables → identical cosine; dedup before
+    # ranking so row_number doesn't count it twice
+    return _topk_per_query(local.dropDuplicates(["id_a", "id_b"]), k)
 
 
 def rh_lsh_near_dup_pairs(
@@ -372,27 +414,32 @@ def rh_lsh_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH candidates ∩ exact cosine ≥ t.
 
-    The scale path for embedding dedup — no cross join anywhere; the
-    bucket self-join bounds work to O(sum bucket²) per table.  The
-    semantics are explicitly *LSH-screened*: a pair is emitted iff it
-    collides in at least one table AND its exact cosine clears the
-    threshold.  (A lossless variant is impossible to buy cheaply at
-    low thresholds: for pairs sitting AT θ ≈ 70° the OR-amplification
-    needed for ~100% recall costs more than the cross join — measured
-    on the test corpus, where the pair-cosine distribution starts
-    exactly at the 0.35 threshold.  True near-dups at cosine ≥ 0.9 are
-    found with ≥ 99% probability under the defaults.)  The DuckDB
-    oracle mirrors the bucketing bit-for-bit via the same literal
-    hyperplanes, so the gate checks candidates AND scores exactly.
+    The scale path for embedding dedup — no cross join anywhere; each
+    (tbl, bucket) group is scored by one in-bucket GEMM and only pairs
+    clearing the threshold leave the bucket, so the shuffle after
+    scoring carries true near-dups, not candidates.  The semantics are
+    explicitly *LSH-screened*: a pair is emitted iff it collides in at
+    least one table AND its exact cosine clears the threshold.  (A
+    lossless variant is impossible to buy cheaply at low thresholds:
+    for pairs sitting AT θ ≈ 70° the OR-amplification needed for
+    ~100% recall costs more than the cross join — measured on the test
+    corpus, where the pair-cosine distribution starts exactly at the
+    0.35 threshold.  True near-dups at cosine ≥ 0.9 are found with
+    ≥ 99% probability under the defaults.)  The DuckDB oracle mirrors
+    the bucketing bit-for-bit via the same literal hyperplanes, so the
+    gate checks candidates AND scores exactly.
     """
     dim = dim or infer_dim(df, vec_col)
-    if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-    cand, tagged = _lsh_candidates(
-        df, id_col, vec_col, dim, n_planes, n_tables, num_partitions, symmetric=True
+    idt = _id_type(df, id_col)
+    pairs = (
+        _tagged(df, id_col, vec_col, dim, n_planes, n_tables)
+        .groupBy("tbl", "bucket")
+        .applyInPandas(
+            _bucket_threshold_fn(threshold),
+            schema=f"id_a {idt}, id_b {idt}, cosine double",
+        )
     )
-    out = _score_pairs(cand, df, id_col, vec_col).where(F.col("cosine") >= threshold)
-    return _finish(out, tagged)
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def _centroids(df: DataFrame, n_cells: int, id_col: str, vec_col: str) -> np.ndarray:
@@ -457,24 +504,57 @@ def ivf_topk(
     """ANN top-k via multi-probe IVF.
 
     Every vector is indexed in its home cell (rank-1); a query scans
-    its ``n_probe`` closest cells.  Join key = cell, so the search
-    scales out on the cell shuffle; probe count trades recall for
-    candidate volume.
+    its ``n_probe`` closest cells.  Shuffle key = cell, so the search
+    scales out across cells; probe count trades recall for candidate
+    volume.  Each cell group is scored by one blocked GEMM (queries ×
+    home vectors) emitting local top-k per query — exact over the
+    probed candidate set for the same union-of-local-top-k reason as
+    :func:`rh_lsh_topk`, with no pair-stream join or materialization.
     """
-    if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-    assigned = ivf_assign(df, n_cells, n_probe, id_col, vec_col).persist()
-    assigned.count()
-    queries = assigned.select(F.col("id").alias("id_a"), "cell")
-    data = assigned.where(F.col("cell_rank") == 1).select(
-        F.col("id").alias("id_b"), "cell"
+    cents = _centroids(df, n_cells, id_col, vec_col)
+    idt = _id_type(df, id_col)
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(_cells_udf(cents, n_probe)(F.col(vec_col))).alias("rk0", "cell"),
     )
-    cand = (
-        queries.join(data, "cell")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(num_partitions, "id_a")
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # queries = every row probing this cell; data = rows HOME here
+        # (rank-1).  A data vector is home in exactly one cell, so each
+        # (query, data) pair is produced by exactly one group — no
+        # cross-cell duplicates to dedup.
+        home = pdf["rk0"].to_numpy() == 0
+        n_home = int(home.sum())
+        if n_home == 0 or len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        q_ids = pdf["id"].to_numpy()
+        d_ids = q_ids[home]
+        D = _mat(pdf["v"][home])
+        dn = np.sqrt(np.einsum("ij,ij->i", D, D))
+        outs = []
+        for lo in range(0, len(pdf), _TILE):
+            hi = min(lo + _TILE, len(pdf))
+            Q = _mat(pdf["v"][lo:hi])
+            qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            sim = np.round((Q @ D.T) / np.outer(qn, dn), 6)
+            sim[q_ids[lo:hi, None] == d_ids[None, :]] = -np.inf  # self
+            kk = min(k, n_home)
+            order = np.lexsort(
+                (np.broadcast_to(d_ids, sim.shape), -sim), axis=1
+            )[:, :kk]
+            cos = np.take_along_axis(sim, order, axis=1).ravel()
+            out = pd.DataFrame(
+                {
+                    "id_a": np.repeat(q_ids[lo:hi], kk),
+                    "id_b": d_ids[order].ravel(),
+                    "cosine": cos,
+                }
+            )
+            outs.append(out[np.isfinite(out["cosine"])])
+        return pd.concat(outs, ignore_index=True)
+
+    local = tagged.groupBy("cell").applyInPandas(
+        cell_topk, schema=f"id_a {idt}, id_b {idt}, cosine double"
     )
-    pairs = _score_pairs(cand, df, id_col, vec_col)
-    return _finish(_topk_per_query(pairs, k), assigned)
+    return _topk_per_query(local, k)
