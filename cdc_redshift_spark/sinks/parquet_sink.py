@@ -11,17 +11,27 @@ Layout:
     root/<db>/<table>/v<N>/part-*.parquet
     root/<db>/<table>/_LATEST        # contains "N"
 
-Scale notes: a full-snapshot rewrite per batch is O(table) — fine for
-tests, wrong at 100 TB.  ``partition_cols`` (default ``ts_date``, the
-reference's Redshift sortkey — glue_docdb_redshift_cdc.py:180) enables
-the partition-pruned variant: only partitions containing changed keys
-are rewritten, so cost is O(touched partitions), the same contract a
-Delta MERGE gives.
+Scale notes: with ``partition_cols`` set (``ts_date`` is the natural
+choice — it is the reference's Redshift sortkey,
+glue_docdb_redshift_cdc.py:180) ``apply_changeset`` runs the
+partition-pruned merge: a semi-join of the target's keys against the
+batch's changed keys finds the partitions holding old versions, the
+batch's own partition values add the new landing partitions, and ONLY
+that touched set is merged and rewritten.  Untouched partition
+directories are carried into the new snapshot version as hard links —
+the local-filesystem analogue of manifest-level file reuse in a
+Delta/Iceberg MERGE — so write cost is O(touched partitions), not
+O(table).  (The probe that locates old key versions is a column-pruned
+scan of keys + partition values only; a table format with file-level
+key stats would prune that read too.)  Without ``partition_cols`` the
+merge falls back to the full-snapshot rewrite — fine for tests, wrong
+at 100 TB.
 """
 
 from __future__ import annotations
 
 import os
+import urllib.parse
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +39,8 @@ from pyspark.sql import functions as F
 
 from cdc_redshift_spark.plans.merge import apply_changeset as merge_apply
 from cdc_redshift_spark.sinks.base import Sink
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class ParquetSink(Sink):
@@ -72,14 +84,48 @@ class ParquetSink(Sink):
     ) -> DataFrame | None:
         """Current state.  Delete tombstones (op='delete') are stored so
         late events for deleted keys can't resurrect them across
-        micro-batches; readers see them filtered unless asked."""
+        micro-batches; readers see them filtered unless asked.
+
+        Reads with the schema persisted at commit time (the sink's
+        catalog entry) so partition-directory values keep their written
+        types — Spark's partition type INFERENCE would otherwise read a
+        string '2021-01-01' back as DATE and break merge type parity.
+        """
         v = self._latest_version(db, table)
         if v is None:
             return None
-        df = spark.read.parquet(os.path.join(self._dir(db, table), f"v{v}"))
+        reader = spark.read
+        schema = self._read_schema(db, table)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(os.path.join(self._dir(db, table), f"v{v}"))
         if not include_tombstones and "op" in df.columns:
             df = df.where(F.col("op") != "delete")
         return df
+
+    def _schema_path(self, db: str, table: str) -> str:
+        return os.path.join(self._dir(db, table), "_SCHEMA")
+
+    def _read_schema(self, db: str, table: str):
+        from pyspark.sql.types import StructType
+
+        p = self._schema_path(db, table)
+        if not os.path.exists(p):
+            return None  # pre-catalog snapshot: fall back to inference
+        import json as _json
+
+        with open(p) as f:
+            return StructType.fromJson(_json.load(f))
+
+    def _write_schema(self, db: str, table: str, df: DataFrame) -> None:
+        import json as _json
+
+        d = self._dir(db, table)
+        os.makedirs(d, exist_ok=True)
+        tmp = self._schema_path(db, table) + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(df.schema.jsonValue(), f)
+        os.replace(tmp, self._schema_path(db, table))
 
     def list_tables(self) -> list[tuple[str, str]]:
         out = []
@@ -96,8 +142,21 @@ class ParquetSink(Sink):
 
     # -- merge -------------------------------------------------------------
     def apply_changeset(self, db: str, table: str, changes: DataFrame) -> None:
-        """Merge one table's deduped ChangeSet slice into the snapshot."""
+        """Merge one table's deduped ChangeSet slice into the snapshot.
+
+        Partition-pruned when ``partition_cols`` is a single column the
+        changes carry and the target exists (see module docstring);
+        full merge + rewrite otherwise.
+        """
         target = self.read_table(self.spark, db, table, include_tombstones=True)
+        pruned = (
+            target is not None
+            and len(self.partition_cols) == 1
+            and self.partition_cols[0] in changes.columns
+            and dict(target.dtypes) == dict(changes.dtypes)
+        )
+        if pruned and self._apply_pruned(db, table, target, changes):
+            return
         new_state = merge_apply(
             target,
             changes,
@@ -107,6 +166,88 @@ class ParquetSink(Sink):
             keep_tombstones=True,
         )
         self._commit(db, table, new_state)
+
+    def _apply_pruned(
+        self, db: str, table: str, target: DataFrame, changes: DataFrame
+    ) -> bool:
+        """Merge only the partitions a batch touches; hard-link the rest
+        forward into the new version.  Returns False to signal the
+        caller to fall back to the full rewrite (unparseable partition
+        directory layout)."""
+        pcol = self.partition_cols[0]
+        v = self._latest_version(db, table)
+        src = os.path.join(self._dir(db, table), f"v{v}")
+        existing = self._partition_dirs(src)
+        if existing is None:
+            return False
+
+        changes = changes.persist()
+        try:
+            # Touched = partitions holding OLD versions of changed keys
+            # (column-pruned semi-join probe) ∪ the batch's own landing
+            # partitions.  Both sides are per-batch small.
+            ckeys = changes.select(*self.keys).distinct()
+            old_parts = (
+                target.select(*self.keys, pcol)
+                .join(ckeys, self.keys, "left_semi")
+                .select(pcol)
+            )
+            new_parts = changes.select(pcol)
+            touched_rows = old_parts.union(new_parts).distinct().collect()
+            touched = {r[0] for r in touched_rows}
+            null_touched = None in touched
+            touched_strs = {str(x) for x in touched if x is not None}
+
+            non_null = [x for x in touched if x is not None]
+            cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+            if null_touched:
+                cond = cond | F.col(pcol).isNull()
+            merged = merge_apply(
+                target.where(cond),
+                changes,
+                keys=self.keys,
+                ts_col=self.ts_col,
+                tiebreak_col=self.tiebreak_col,
+                keep_tombstones=True,
+            )
+
+            dst = os.path.join(self._dir(db, table), f"v{v + 1}")
+            merged.write.mode("overwrite").partitionBy(pcol).parquet(dst)
+            self._write_schema(db, table, merged)
+            # copy-forward: hard-link every untouched partition directory
+            for name, val_str in existing.items():
+                is_null = val_str == HIVE_NULL
+                if (is_null and null_touched) or (
+                    not is_null and val_str in touched_strs
+                ):
+                    continue
+                self._link_tree(os.path.join(src, name), os.path.join(dst, name))
+            self._flip(db, table, v + 1)
+            return True
+        finally:
+            changes.unpersist()
+
+    @staticmethod
+    def _partition_dirs(src: str) -> dict[str, str] | None:
+        """{dirname: decoded partition value-string} for one snapshot
+        version, or None if any entry doesn't follow col=value layout."""
+        out: dict[str, str] = {}
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if not os.path.isdir(p):
+                continue  # _SUCCESS etc.
+            if "=" not in name:
+                return None
+            out[name] = urllib.parse.unquote(name.split("=", 1)[1])
+        return out
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s = os.path.join(src, name)
+            if os.path.isfile(s):
+                os.link(s, os.path.join(dst, name))
 
     def expire_tombstones(self, db: str, table: str, before_ts_ms: int) -> None:
         """Compact away tombstones older than the lateness horizon.
@@ -135,6 +276,11 @@ class ParquetSink(Sink):
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(path)
+        self._write_schema(db, table, state)
+        self._flip(db, table, v)
+
+    def _flip(self, db: str, table: str, v: int) -> None:
+        d = self._dir(db, table)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, "_LATEST.tmp")
         with open(tmp, "w") as f:

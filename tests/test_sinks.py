@@ -39,6 +39,93 @@ def test_parquet_sink_merge_roundtrip(spark, tmp_path):
     assert sink.list_tables() == [("d", "t")]
 
 
+def pchdf(spark, rows):
+    """Changeset rows carrying a ts_date partition column."""
+    return spark.createDataFrame(
+        rows,
+        "key string, ts_ms long, offset long, op string, payload string, ts_date string",
+    )
+
+
+def test_parquet_sink_pruned_merge(spark, tmp_path):
+    """Partition-pruned merge: only touched ts_date partitions are
+    rewritten; untouched partition files are carried forward as hard
+    links, byte-identical across versions."""
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    sink.apply_changeset(
+        "d",
+        "t",
+        pchdf(
+            spark,
+            [
+                ("1", 100, 0, "insert", '{"v":1}', "2021-01-01"),
+                ("2", 100, 1, "insert", '{"v":2}', "2021-01-02"),
+                ("3", 100, 2, "insert", '{"v":3}', "2021-01-03"),
+            ],
+        ),
+    )
+    v1 = tmp_path / "d" / "t" / "v1"
+    untouched = sorted((v1 / "ts_date=2021-01-02").iterdir())
+    assert untouched
+
+    # batch 2 touches only 2021-01-01 (update moves key 1 to -03? no —
+    # same partition) and inserts a NEW partition 2021-01-04
+    sink.apply_changeset(
+        "d",
+        "t",
+        pchdf(
+            spark,
+            [
+                ("1", 200, 3, "update", '{"v":9}', "2021-01-01"),
+                ("4", 200, 4, "insert", '{"v":4}', "2021-01-04"),
+            ],
+        ),
+    )
+    v2 = tmp_path / "d" / "t" / "v2"
+    assert v2.is_dir()
+    # untouched partitions carried forward byte-identical (hard links)
+    for f in untouched:
+        g = v2 / "ts_date=2021-01-02" / f.name
+        assert g.exists() and g.read_bytes() == f.read_bytes()
+        assert g.stat().st_ino == f.stat().st_ino  # linked, not rewritten
+    assert (v2 / "ts_date=2021-01-03").is_dir()  # also untouched
+    assert (v2 / "ts_date=2021-01-04").is_dir()  # new partition written
+
+    rows = {r.key: r for r in sink.read_table(spark, "d", "t").collect()}
+    assert set(rows) == {"1", "2", "3", "4"}
+    assert json.loads(rows["1"].payload)["v"] == 9
+    assert rows["2"].ts_date == "2021-01-02"
+
+
+def test_parquet_sink_pruned_merge_moves_key_across_partitions(spark, tmp_path):
+    """An update landing in a different partition than the key's old row
+    must rewrite BOTH partitions (old version removed, new one added)."""
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    sink.apply_changeset(
+        "d",
+        "t",
+        pchdf(
+            spark,
+            [
+                ("1", 100, 0, "insert", '{"v":1}', "2021-01-01"),
+                ("2", 100, 1, "insert", '{"v":2}', "2021-01-02"),
+            ],
+        ),
+    )
+    sink.apply_changeset(
+        "d", "t", pchdf(spark, [("1", 200, 2, "update", '{"v":9}', "2021-02-28")])
+    )
+    rows = sink.read_table(spark, "d", "t").collect()
+    by_key = {r.key: r for r in rows}
+    assert len(rows) == 2  # key 1 not duplicated across partitions
+    assert by_key["1"].ts_date == "2021-02-28"
+    # delete: tombstone lands in its partition, old row goes away
+    sink.apply_changeset(
+        "d", "t", pchdf(spark, [("2", 300, 3, "delete", None, "2021-03-01")])
+    )
+    assert {r.key for r in sink.read_table(spark, "d", "t").collect()} == {"1"}
+
+
 def test_parquet_sink_late_event_ignored(spark, tmp_path):
     sink = ParquetSink(spark, str(tmp_path))
     sink.apply_changeset("d", "t", chdf(spark, [("1", 500, 0, "insert", '{"v":1}')]))
