@@ -4,12 +4,19 @@ import json
 
 from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
 from cdc_redshift_spark.sinks.redshift import (
+    REDSHIFT_FORMAT,
+    JdbcSink,
     RedshiftConfig,
+    RedshiftSink,
+    create_table_ddl,
     delete_insert_postactions,
     delete_using_postactions,
+    jdbc_column_types,
     merge_postactions,
     stage_name,
+    super_col,
     table_exists_sql,
+    typed_col,
     write_options,
 )
 
@@ -139,28 +146,58 @@ def test_stage_name():
     assert stage_name("t") == "stage_t"
 
 
-def test_delete_insert_postactions_shape():
-    sql = delete_insert_postactions("public.d_t", "public.stage_d_t", "doc_id")
-    # same statement sequence as glue_docdb_redshift_cdc.py:180-189
-    assert "create table if not exists public.d_t sortkey (ts_date)" in sql
+COLS = ["pk_id", "data", "ts_date", "cts_ms", "op_type"]
+
+
+def test_delete_insert_postactions_existing_table():
+    """Statement sequence per glue_pg_redshift_cdc.py:182-188: no DDL
+    when the probe says the target exists; op column excluded from the
+    insert list."""
+    sql = delete_insert_postactions(
+        "public.d_t", "public.stage_d_t", "pk_id", COLS, table_exists=True
+    )
+    assert "create table" not in sql
     assert "delete from public.d_t using public.stage_d_t" in sql
-    assert "public.d_t.doc_id = public.stage_d_t.doc_id" in sql
-    assert "where op_type != 'delete'" in sql
-    assert "drop table if exists public.stage_d_t" in sql
+    assert "public.d_t.pk_id = public.stage_d_t.pk_id" in sql
+    assert (
+        "insert into public.d_t (pk_id, data, ts_date, cts_ms) "
+        "select pk_id, data, ts_date, cts_ms from public.stage_d_t "
+        "where op_type != 'delete'" in sql
+    )
+    assert "drop table public.stage_d_t" in sql
     assert sql.index("begin") < sql.index("delete from") < sql.index("insert into") < sql.index("end")
+
+
+def test_delete_insert_postactions_probe_then_ctas():
+    """Absent target: a PLAIN CTAS (no 'if not exists' — invalid
+    Redshift) is prepended inside the transaction, shape-only 0=1,
+    op column excluded (glue_pg_redshift_cdc.py:182-191)."""
+    sql = delete_insert_postactions(
+        "public.d_t", "public.stage_d_t", "pk_id", COLS, table_exists=False
+    )
+    assert "create table if not exists" not in sql
+    assert (
+        "begin; create table public.d_t sortkey (ts_date) "
+        "as select pk_id, data, ts_date, cts_ms from public.stage_d_t "
+        "where 0=1; delete from" in sql
+    )
 
 
 def test_merge_postactions_shape():
     sql = merge_postactions("s.t", "s.stage_t", "id")
-    assert "create table if not exists s.t (like s.stage_t)" in sql
-    assert "merge into s.t using s.stage_t on s.t.id = s.stage_t.id remove duplicates" in sql
+    # glue_dms_redshift_cdc.py:104-110 — LIKE-create carries the PK,
+    # MERGE aliases the stage, txn closed with commit
+    assert "create table if not exists s.t (primary key(id), like s.stage_t)" in sql
+    assert "merge into s.t using s.stage_t s on (s.t.id = s.id) remove duplicates" in sql
     assert "truncate table s.stage_t" in sql
+    assert sql.rstrip().endswith("commit;")
 
 
 def test_delete_using_postactions_shape():
     sql = delete_using_postactions("s.t", "s.stage_t", "id")
     assert sql.startswith("begin;")
     assert "delete from s.t using s.stage_t where s.t.id = s.stage_t.id" in sql
+    assert sql.rstrip().endswith("commit;")
 
 
 def test_write_options_keys():
@@ -182,3 +219,103 @@ def test_table_exists_sql():
     assert table_exists_sql("public") == (
         "select distinct tablename from pg_tables where schemaname = 'public'"
     )
+    # reference probe filters on BOTH (glue_pg_redshift_cdc.py:105)
+    assert table_exists_sql("public", "d_t") == (
+        "select distinct tablename from pg_tables "
+        "where schemaname = 'public' and tablename = 'd_t'"
+    )
+
+
+def _tagged_df(spark):
+    """CDC slice shaped like the reference's per-batch projection
+    (glue_pg_redshift_cdc.py:139-146), with redshift_type metadata."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, '{"v":1}', "2021-01-01", 100, "insert"),
+         (2, None, "2021-01-01", 100, "delete")],
+        "pk_id long, data string, ts_date string, cts_ms long, op string",
+    )
+    return base.select(
+        typed_col(F.col("pk_id"), "pk_id", "INT4"),
+        super_col(F.col("data"), "data"),
+        F.col("ts_date"),
+        F.col("cts_ms"),
+        typed_col(F.col("op"), "op_type", "CHAR(6)"),
+    )
+
+
+def test_ddl_metadata_consumption(spark):
+    df = _tagged_df(spark)
+    ddl = create_table_ddl("public.d_t", df.schema)
+    assert "pk_id INT4" in ddl and "data SUPER" in ddl and "op_type CHAR(6)" in ddl
+    assert "cts_ms BIGINT" in ddl  # untagged falls back to the type map
+    assert ddl.endswith("sortkey (ts_date)")
+    jt = jdbc_column_types(df.schema)
+    assert jt == "pk_id INT4, data SUPER, ts_date VARCHAR(MAX), cts_ms BIGINT, op_type CHAR(6)"
+
+
+def _cfg():
+    return RedshiftConfig(
+        url="jdbc:redshift://h:5439/db",
+        user="u",
+        password="p",
+        tempdir="s3://b/tmp/",
+        aws_iam_role="arn:aws:iam::1:role/r",
+    )
+
+
+def test_redshift_sink_write_invocation(spark):
+    """K1: the sink invokes the connector write with the exact option
+    set + probe-driven postactions for one upsert+delete batch."""
+    calls = []
+
+    def fake_writer(df, fmt, opts):
+        calls.append((df, fmt, opts))
+
+    sink = RedshiftSink(_cfg(), probe=lambda schema, t: False, writer=fake_writer)
+    df = _tagged_df(spark)
+    sink.apply_changeset("db1", "t1", df)
+
+    (wdf, fmt, opts), = calls
+    assert wdf is df
+    assert fmt == REDSHIFT_FORMAT
+    assert opts["dbtable"] == "public.stage_db1_t1"
+    assert opts["tempdir"] == "s3://b/tmp/db1_t1"  # per-table temp prefix
+    assert opts["tempformat"] == "CSV"
+    post = opts["postactions"]
+    # probe said absent -> plain CTAS inside the txn, op excluded
+    assert post.startswith(
+        "begin; create table public.db1_t1 sortkey (ts_date) "
+        "as select pk_id, data, ts_date, cts_ms from public.stage_db1_t1 where 0=1;"
+    )
+    assert "insert into public.db1_t1 (pk_id, data, ts_date, cts_ms)" in post
+    assert "drop table public.stage_db1_t1; end;" in post
+
+    # second batch: table now known -> no DDL in postactions
+    sink.apply_changeset("db1", "t1", df)
+    assert "create table" not in calls[1][2]["postactions"]
+
+
+def test_jdbc_sink_typed_stage_and_postactions(spark):
+    writes, sqls = [], []
+
+    def fake_writer(df, fmt, opts):
+        writes.append((fmt, opts))
+
+    def run_sql(sql):
+        sqls.append(sql)
+        return []  # probe: nothing exists
+
+    sink = JdbcSink("jdbc:postgresql://h/db", writer=fake_writer, run_sql=run_sql)
+    df = _tagged_df(spark)
+    sink.apply_changeset("db1", "t1", df)
+
+    fmt, opts = writes[0]
+    assert fmt == "jdbc"
+    assert opts["dbtable"] == "public.stage_db1_t1"
+    # P7: redshift_type metadata feeds Spark JDBC's typed DDL option
+    assert opts["createTableColumnTypes"].startswith("pk_id INT4, data SUPER")
+    # probe SQL then the postactions batch
+    assert sqls[0] == table_exists_sql("public", "db1_t1")
+    assert sqls[1].startswith("begin; create table public.db1_t1 sortkey (ts_date)")
