@@ -17,9 +17,9 @@ Scale design (100 TB corpus):
   guard drops ubiquitous shingles (doc-frequency cap) like a stopword
   filter, which bounds the worst bucket.
 
-Determinism: all hash seeds are fixed constants; md5-derived 32-bit
-shingle hashes (portable to the DuckDB oracle), xxhash64 only where
-the oracle doesn't need to mirror it.
+Determinism: all hash seeds are fixed constants; every hash is
+md5-derived (28-bit shingle hashes, 60-bit simhash token hashes) so
+the DuckDB oracles mirror signatures bit-for-bit.
 """
 
 from __future__ import annotations
@@ -649,9 +649,15 @@ def simhash64_from(th: Column) -> Column:
 
 
 def token_hashes(text_col: Column) -> Column:
-    """xxhash64 of each distinct whitespace token (simhash input)."""
+    """60-bit md5-derived hash of each distinct whitespace token
+    (simhash input).  First 15 hex chars of md5 parsed as int —
+    identical in DuckDB (``('0x' || substr(md5(t),1,15))::BIGINT``), so
+    the simhash oracle mirrors signatures bit-for-bit; bits 60-63 of
+    the simhash are constantly 0 on both engines (every vote is -1)."""
     toks = F.array_distinct(F.split(normalize_text(text_col), " "))
-    return F.transform(toks, lambda t: F.xxhash64(t))
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
 
 
 def simhash64(text_col: Column) -> Column:

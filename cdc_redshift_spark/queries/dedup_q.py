@@ -7,9 +7,9 @@ the same pair set Spark's bucket join produces (modulo murmur3 band-
 hash collisions, which the exact-Jaccard verification step makes
 irrelevant in practice).
 
-SimHash uses Spark's xxhash64 (not portable to DuckDB) → rows-only
-check; its correctness is pinned by tests/test_dedup_ops.py against a
-brute-force hamming computation.
+The SimHash oracle mirrors the md5-derived 60-bit token hashes, the
+per-bit votes, the pigeonhole chunks and the hamming filter — every
+dedup query now carries a full value oracle.
 """
 
 from __future__ import annotations
@@ -128,10 +128,48 @@ WHERE ({band_eq})
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (xxhash64 is Spark-specific); pinned by unit
-    tests against brute-force hamming distance."""
+    """Near-dup pairs by 64-bit SimHash hamming ≤ 8 with pigeonhole
+    blocking; full mirrored oracle (md5-derived 60-bit token hashes
+    are identical on both engines), plus the blocking-completeness
+    unit test against brute-force hamming."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=8, blocks=4)
+
+
+def _oracle_simhash(max_hamming: int = 8, blocks: int = 4, n_hex: int = 15) -> str:
+    """Mirror of operators/dedup.py simhash_pairs: same token hashes,
+    same bit votes, same pigeonhole chunks, same hamming filter."""
+    norm = DUCK_NORM.format(c="text")
+    n_bits = 4 * n_hex  # 60: bits 60-63 vote -1 everywhere → always 0
+    sig_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunk_cols = ", ".join(
+        f"((sig >> {j * width}) & {mask}) AS c{j}" for j in range(blocks)
+    )
+    block_eq = " OR ".join(f"a.c{j} = b.c{j}" for j in range(blocks))
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split({norm}, ' '))) AS tok
+  FROM documents
+), th AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, {n_hex}))::BIGINT AS h FROM t
+), sig AS (
+  SELECT id, {sig_terms} AS sig FROM th GROUP BY id
+), ch AS (
+  SELECT id, sig, {chunk_cols} FROM sig
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM ch a JOIN ch b ON a.id < b.id AND ({block_eq})
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
 
 
 EMB_THRESHOLD, EMB_PLANES, EMB_TABLES = 0.35, 4, 4
@@ -168,6 +206,6 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),
-    # dedup_simhash: rows-only (engine-specific hash)
+    "dedup_simhash": _oracle_simhash(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
 }
