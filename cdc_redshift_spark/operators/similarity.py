@@ -472,6 +472,50 @@ def _cells_udf(cents: np.ndarray, n_probe: int) -> Column:
     return _cells
 
 
+def kmeans_refine(
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> np.ndarray:
+    """Deterministic Lloyd refinement of IVF centroids.
+
+    Each pass assigns every vector to its nearest centroid by rounded
+    cosine (the same ranking `_cells_udf` uses) and replaces each
+    non-empty cell's centroid with the 6-dp-rounded mean of its
+    members, summed in id order — ``np.cumsum`` is sequential
+    left-to-right, so a DuckDB oracle can mirror the refined centroids
+    with ``list_sum`` over an id-ordered list.  Empty cells keep their
+    previous centroid.  The assignment scan is distributed; only the
+    (n_cells × dim) centroid state ever reaches the driver.
+    """
+    for _ in range(iters):
+        assign = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.element_at(_cells_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+        )
+
+        def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id")
+            V = _mat(pdf["v"])
+            s = np.cumsum(V, axis=0)[-1]  # left-to-right, id order
+            return pd.DataFrame(
+                {"cell": [int(pdf["cell"].iloc[0])], "mean": [np.round(s / len(V), 6)]}
+            )
+
+        rows = (
+            assign.groupBy("cell")
+            .applyInPandas(cell_mean, schema="cell int, mean array<double>")
+            .collect()
+        )
+        cents = cents.copy()
+        for r in rows:
+            cents[r["cell"] - 1] = np.asarray(r["mean"], dtype=np.float64)
+    return cents
+
+
 def ivf_assign(
     df: DataFrame,
     n_cells: int = 16,
@@ -500,6 +544,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     num_partitions: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k via multi-probe IVF.
 
@@ -512,6 +557,8 @@ def ivf_topk(
     :func:`rh_lsh_topk`, with no pair-stream join or materialization.
     """
     cents = _centroids(df, n_cells, id_col, vec_col)
+    if refine_iters:
+        cents = kmeans_refine(df, cents, id_col, vec_col, iters=refine_iters)
     idt = _id_type(df, id_col)
     tagged = df.select(
         F.col(id_col).alias("id"),

@@ -220,6 +220,83 @@ SELECT {LSH_K} AS k,
 IVF_K, IVF_CELLS, IVF_PROBE = 3, 8, 2
 
 
+def _ivf_ctes(n_cells: int, n_probe: int, s: str, refined: bool) -> str:
+    """CTE chain (appended after a shared ``v``) ending in ``ranked{s}``,
+    mirroring operators/similarity.py `ivf_topk`.
+
+    ``refined=True`` adds one deterministic Lloyd step exactly as
+    `kmeans_refine` computes it: home assignment under the seed
+    centroids, then per-cell elementwise mean over the id-ORDERED
+    member list (DuckDB's list_sum is left-to-right, matching numpy
+    cumsum), rounded to 6 dp; empty cells keep their seed."""
+    seeds = f"""
+c0{s} AS (
+  SELECT row_number() OVER (ORDER BY id) AS cell, e AS ce, n AS cn
+  FROM (SELECT * FROM v ORDER BY id LIMIT {n_cells})
+)"""
+    if not refined:
+        cents = f"cc{s} AS (SELECT cell, ce, cn FROM c0{s})"
+    else:
+        cents = f"""
+a0{s} AS (
+  SELECT id, cell FROM (
+    SELECT v.id, c.cell,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             round(list_sum(list_transform(range(1, len(v.e) + 1),
+                                           i -> v.e[i] * c.ce[i])) / (v.n * c.cn), 6) DESC,
+             c.cell ASC) AS rk
+    FROM v CROSS JOIN c0{s} c
+  ) WHERE rk = 1
+),
+vl{s} AS (
+  SELECT a.cell, list(v.e ORDER BY v.id) AS L
+  FROM a0{s} a JOIN v ON v.id = a.id GROUP BY a.cell
+),
+cm{s} AS (
+  SELECT c.cell,
+         CASE WHEN l.cell IS NULL THEN c.ce
+              ELSE list_transform(range(1, {DIM} + 1),
+                                  j -> round(list_sum(list_transform(l.L, x -> x[j]))
+                                             / len(l.L), 6))
+         END AS ce
+  FROM c0{s} c LEFT JOIN vl{s} l ON c.cell = l.cell
+),
+cc{s} AS (
+  SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cn FROM cm{s}
+)"""
+    return f"""{seeds},
+{cents},
+cellsim{s} AS (
+  SELECT v.id, c.cell,
+         round(list_sum(list_transform(range(1, len(v.e) + 1),
+                                       i -> v.e[i] * c.ce[i])) / (v.n * c.cn), 6) AS sim
+  FROM v CROSS JOIN cc{s} c
+),
+assigned{s} AS (
+  SELECT id, cell, cell_rank FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell ASC) AS cell_rank
+    FROM cellsim{s}
+  ) WHERE cell_rank <= {n_probe}
+),
+cand{s} AS (
+  SELECT DISTINCT q.id AS id_a, d.id AS id_b
+  FROM assigned{s} q JOIN assigned{s} d
+    ON q.cell = d.cell AND d.cell_rank = 1 AND q.id <> d.id
+),
+scored{s} AS (
+  SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
+  FROM cand{s} c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+),
+ranked{s} AS (
+  SELECT id_a AS vec_id,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY cosine DESC, id_b ASC) AS rank,
+         id_b AS neighbor_id, cosine
+  FROM scored{s}
+)"""
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-probe IVF (full mirrored oracle: centroid
     seeds are the first n_cells vectors by id on both engines)."""
@@ -229,40 +306,86 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_IVF_TOPK = f"""
 WITH v AS ({DUCK_V}),
-c AS (
-  SELECT row_number() OVER (ORDER BY id) AS cell, e AS ce, n AS cn
-  FROM (SELECT * FROM v ORDER BY id LIMIT {IVF_CELLS})
-),
-cellsim AS (
-  SELECT v.id, c.cell,
-         round(list_sum(list_transform(range(1, len(v.e) + 1),
-                                       i -> v.e[i] * c.ce[i])) / (v.n * c.cn), 6) AS sim
-  FROM v CROSS JOIN c
-),
-assigned AS (
-  SELECT id, cell, cell_rank FROM (
-    SELECT id, cell,
-           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell ASC) AS cell_rank
-    FROM cellsim
-  ) WHERE cell_rank <= {IVF_PROBE}
-),
-cand AS (
-  SELECT DISTINCT q.id AS id_a, d.id AS id_b
-  FROM assigned q JOIN assigned d
-    ON q.cell = d.cell AND d.cell_rank = 1 AND q.id <> d.id
-),
-scored AS (
-  SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
-  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
-),
-ranked AS (
-  SELECT id_a AS vec_id,
-         row_number() OVER (PARTITION BY id_a
-                            ORDER BY cosine DESC, id_b ASC) AS rank,
-         id_b AS neighbor_id, cosine
-  FROM scored
-)
+{_ivf_ctes(IVF_CELLS, IVF_PROBE, "", refined=False)}
 SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k after one deterministic k-means (Lloyd) refinement of
+    the seed centroids — full mirrored oracle including the refined
+    centroid math (id-ordered left-to-right sums, 6-dp rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, k=IVF_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE, refine_iters=1
+    )
+
+
+ORACLE_IVF_KMEANS_TOPK = f"""
+WITH v AS ({DUCK_V}),
+{_ivf_ctes(IVF_CELLS, IVF_PROBE, "", refined=True)}
+SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs exact kNN for BOTH IVF variants (seed centroids and
+    one k-means refinement) as one row — makes the quality gain of the
+    refinement step a driver-checked artifact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_all_pairs(emb, k=IVF_K).persist()
+    out_cols = [F.lit(IVF_K).alias("k"), F.col("total")]
+    total = exact.agg(F.count("*").alias("total"))
+    row = total
+    for name, refine in (("seed", 0), ("kmeans", 1)):
+        approx = ivf_topk(
+            emb, k=IVF_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE, refine_iters=refine
+        )
+        hits = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
+            F.count("*").alias(f"hits_{name}")
+        )
+        row = row.crossJoin(hits)
+        out_cols += [
+            F.col(f"hits_{name}"),
+            F.round(F.col(f"hits_{name}") / F.col("total"), 6).alias(f"recall_{name}"),
+        ]
+    result = row.select(*out_cols)
+    exact.unpersist()
+    return result
+
+
+ORACLE_IVF_RECALL = f"""
+WITH v AS ({DUCK_V}),
+{_ivf_ctes(IVF_CELLS, IVF_PROBE, "_s", refined=False)},
+{_ivf_ctes(IVF_CELLS, IVF_PROBE, "_k", refined=True)},
+all_pairs AS (
+  SELECT va.id AS vec_id, vb.id AS neighbor_id, {DUCK_COSINE} AS cosine
+  FROM v va JOIN v vb ON va.id <> vb.id
+), exact AS (
+  SELECT * FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM all_pairs
+  ) WHERE rank <= {IVF_K}
+), a_s AS (SELECT vec_id, neighbor_id FROM ranked_s WHERE rank <= {IVF_K}),
+a_k AS (SELECT vec_id, neighbor_id FROM ranked_k WHERE rank <= {IVF_K})
+SELECT {IVF_K} AS k,
+       (SELECT count(*) FROM exact) AS total,
+       (SELECT count(*) FROM exact e WHERE EXISTS (
+          SELECT 1 FROM a_s a WHERE a.vec_id = e.vec_id
+            AND a.neighbor_id = e.neighbor_id)) AS hits_seed,
+       round((SELECT count(*) FROM exact e WHERE EXISTS (
+          SELECT 1 FROM a_s a WHERE a.vec_id = e.vec_id
+            AND a.neighbor_id = e.neighbor_id))::DOUBLE
+             / (SELECT count(*) FROM exact), 6) AS recall_seed,
+       (SELECT count(*) FROM exact e WHERE EXISTS (
+          SELECT 1 FROM a_k a WHERE a.vec_id = e.vec_id
+            AND a.neighbor_id = e.neighbor_id)) AS hits_kmeans,
+       round((SELECT count(*) FROM exact e WHERE EXISTS (
+          SELECT 1 FROM a_k a WHERE a.vec_id = e.vec_id
+            AND a.neighbor_id = e.neighbor_id))::DOUBLE
+             / (SELECT count(*) FROM exact), 6) AS recall_kmeans
 """
 
 
@@ -272,6 +395,8 @@ QUERIES = {
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_lsh_recall": q_sim_lsh_recall,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
+    "sim_ivf_recall": q_sim_ivf_recall,
 }
 
 ORACLES = {
@@ -280,4 +405,6 @@ ORACLES = {
     "sim_lsh_topk": ORACLE_LSH_TOPK,
     "sim_lsh_recall": ORACLE_LSH_RECALL,
     "sim_ivf_topk": ORACLE_IVF_TOPK,
+    "sim_ivf_kmeans_topk": ORACLE_IVF_KMEANS_TOPK,
+    "sim_ivf_recall": ORACLE_IVF_RECALL,
 }
