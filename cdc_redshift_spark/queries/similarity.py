@@ -163,7 +163,9 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k, total, hits, recall) row — the driver-checkable quality
     artifact for the approximate path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = knn_all_pairs(emb, k=LSH_K)
+    # persisted: both the hits semi-join and the total read it, so the
+    # blocked-GEMM kNN runs once, not once per consumer
+    exact = knn_all_pairs(emb, k=LSH_K).persist()
     approx = rh_lsh_topk(
         emb, k=LSH_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=DIM
     )
@@ -172,12 +174,15 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("hits"))
     )
     total = exact.agg(F.count("*").alias("total"))
-    return hits.crossJoin(total).select(
+    out = hits.crossJoin(total).select(
         F.lit(LSH_K).alias("k"),
         "total",
         "hits",
         F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
     )
+    out = out.localCheckpoint(eager=True)
+    exact.unpersist()
+    return out
 
 
 ORACLE_LSH_RECALL = f"""
@@ -349,7 +354,7 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"hits_{name}"),
             F.round(F.col(f"hits_{name}") / F.col("total"), 6).alias(f"recall_{name}"),
         ]
-    result = row.select(*out_cols)
+    result = row.select(*out_cols).localCheckpoint(eager=True)
     exact.unpersist()
     return result
 
