@@ -71,6 +71,7 @@ class JobConfig:
             "url", "cluster", "port", "database", "schema", "user",
             "password", "tmpdir", "tempdir", "aws_iam_role",
         }
+        port = r.get("port")
         return RedshiftConfig(
             url=r["url"],
             user=r["user"],
@@ -78,6 +79,11 @@ class JobConfig:
             tempdir=tmpdir,
             aws_iam_role=r.get("aws_iam_role", ""),
             schema=r.get("schema", "public"),
+            # DB-API probe/postactions connection params
+            # (glue_pg_redshift_cdc.py:157-166) — carried, not dropped
+            cluster=r.get("cluster"),
+            port=int(port) if port is not None else None,
+            database=r.get("database"),
             extra={k: v for k, v in r.items() if k not in known},
         )
 

@@ -135,6 +135,7 @@ def knn_all_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_partitions: int | None = None,
+    max_collect_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Exact k-NN for every vector (brute force, blocked GEMM).
 
@@ -153,6 +154,18 @@ def knn_all_pairs(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     sc = df.sparkSession.sparkContext
+    if max_collect_rows is not None:
+        n = df.count()
+        if n > max_collect_rows:
+            # The collect+broadcast below is driver-memory-bounded; on
+            # a corpus this size it would OOM the driver rather than
+            # merely run slowly.  Fail loudly instead of silently
+            # degrading — the scale paths are rh_lsh_topk / ivf_topk.
+            raise ValueError(
+                f"knn_all_pairs is a driver-broadcast exact baseline: corpus has "
+                f"{n} rows > max_collect_rows={max_collect_rows}; use rh_lsh_topk/"
+                f"ivf_topk at this scale, or raise/disable max_collect_rows"
+            )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     B = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])

@@ -100,7 +100,13 @@ def jdbc_column_types(schema: T.StructType) -> str:
 
 @dataclass
 class RedshiftConfig:
-    """Connection/config keys, names matching the reference readme.md:11-23."""
+    """Connection/config keys, names matching the reference readme.md:11-23.
+
+    ``cluster``/``port``/``database`` are the DB-API connection params
+    the reference hands to ``redshift_connector.connect`` for the
+    catalog probe + postactions runner (glue_pg_redshift_cdc.py:
+    157-166) — kept alongside the JDBC ``url`` so a probe/run_sql
+    binding can be built from the same config document."""
 
     url: str
     user: str
@@ -109,6 +115,9 @@ class RedshiftConfig:
     aws_iam_role: str
     schema: str = "public"
     tempformat: str = "CSV"
+    cluster: str | None = None
+    port: int | None = None
+    database: str | None = None
     extra: dict = field(default_factory=dict)
 
 

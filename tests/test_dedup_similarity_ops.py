@@ -98,3 +98,42 @@ def test_knn_is_symmetric_topk(spark, emb):
         assert r.vec_id != r.neighbor_id
         by_vec.setdefault(r.vec_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3] for v in by_vec.values())
+
+
+def test_ann_oracle_float_margins(spark):
+    """The ANN value oracles assume numpy and DuckDB agree after 6-dp
+    rounding.  Two failure modes exist in principle: a hyperplane dot
+    so close to 0 that the sign (bucket bit) flips on one engine, and
+    a cosine landing within float-noise of a 6-dp rounding boundary.
+    Assert both margins are comfortably wide on the test corpora so
+    the binary hash gate can't fail nondeterministically across BLAS
+    builds (ADVICE r2)."""
+    import numpy as np
+
+    from cdc_redshift_spark.operators.similarity import hyperplanes
+    from cdc_redshift_spark.queries.dedup_q import EMB_PLANES, EMB_TABLES
+    from cdc_redshift_spark.queries.similarity import DIM, LSH_PLANES, LSH_TABLES
+    from cdc_redshift_spark.sources.tables import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        V = np.array(
+            [np.asarray(r[0], dtype=np.float64) for r in emb.select("embedding").collect()]
+        )
+        planes = []
+        for m, L in ((LSH_PLANES, LSH_TABLES), (EMB_PLANES, EMB_TABLES)):
+            for t in range(L):
+                planes.extend(hyperplanes(DIM, m, seed=7 + 101 * t))
+        P = np.array(planes, dtype=np.float64)
+        dots = V @ P.T
+        # sign-flip margin: |dot| far above the ~1e-13 cross-engine
+        # summation noise floor
+        assert np.abs(dots).min() > 1e-6, np.abs(dots).min()
+
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        cos = (V @ V.T) / np.outer(n, n)
+        iu = np.triu_indices(len(V), 1)
+        frac = np.abs(np.mod(cos[iu] * 1e6, 1.0) - 0.5)
+        # rounding-boundary margin: no pair cosine within 1e-7 of a
+        # half-ulp-at-6dp boundary (noise floor ~1e-9)
+        assert frac.min() > 1e-7, frac.min()
