@@ -137,3 +137,15 @@ def test_ann_oracle_float_margins(spark):
         # rounding-boundary margin: no pair cosine within 1e-7 of a
         # half-ulp-at-6dp boundary (noise floor ~1e-9)
         assert frac.min() > 1e-7, frac.min()
+
+
+def test_minhash_frames_matches_column_formulation(spark, docs):
+    """The Arrow-batched minhash pass (Python md5 + numpy LCG perms)
+    must be numerically identical to the pure-Column formulation it
+    replaced in the hot path — shingle hash lists (sorted, hash-level
+    duplicates preserved) and all k signature minima."""
+    from cdc_redshift_spark.operators.dedup import minhash_frames, minhash_signatures
+
+    old = {r["id"]: (list(r["sh"]), list(r["sig"])) for r in minhash_signatures(docs).collect()}
+    new = {r["id"]: (list(r["sh"]), list(r["sig"])) for r in minhash_frames(docs).collect()}
+    assert old == new
