@@ -15,12 +15,13 @@ def all_queries():
         dedup_q,
         multimodal_q,
         similarity,
+        streaming_q,
         text_q,
     )
 
     q: dict = {}
     o: dict = {}
-    for mod in (cdc, analytics, text_q, dedup_q, similarity, multimodal_q):
+    for mod in (cdc, analytics, text_q, dedup_q, similarity, multimodal_q, streaming_q):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

@@ -1,0 +1,103 @@
+"""Driver-checkable query for the stateful streaming LWW dedup.
+
+`cdc_stateful_lww_stream` runs a REAL two-phase Structured Streaming
+job (file source → pg_changeset → applyInPandasWithState → foreachBatch)
+over the synthesized pg changelog, split deterministically into two
+micro-batches:
+
+  batch 0: all inserts        batch 1: all updates + deletes
+
+and returns every row the stateful operator EMITTED.  Because the split
+is fixed, the delta stream is exactly SQL-expressible, so the weaker
+rows-only check isn't needed — the oracle reconstructs the emission set
+from `orders` directly (mirroring ORACLE_CDC_PG_REPLAY's approach of
+deriving fields rather than comparing raw JSON):
+
+  - batch 0 emits every key's insert (no prior state);
+  - batch 1 emits each key's in-batch (ts, offset)-winner — the delete
+    where both an update and a delete exist (k % 21 == 0), suppressed
+    events never surface — and every winner beats the older insert.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.normalize import pg_changeset
+from cdc_redshift_spark.queries.cdc import synth_pg_changelog
+from cdc_redshift_spark.sources.streams import file_stream
+from cdc_redshift_spark.streaming.stateful import stateful_lww_dedup
+
+
+def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synth_pg_changelog(spark, sf_dir)
+    op = F.get_json_object("value", "$.op")
+    shape = lambda df: df.select(  # noqa: E731
+        "value", "offset", F.lit(0).alias("partition"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    root = tempfile.mkdtemp(prefix="stateful_lww_")
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    os.makedirs(indir, exist_ok=True)
+
+    emitted: list = []
+
+    def drain() -> None:
+        q = (
+            stateful_lww_dedup(
+                pg_changeset(file_stream(spark, indir), offset_col="offset")
+            )
+            .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # phase 1: inserts only; phase 2: updates + deletes (state carries)
+    shape(raw.where(op == "c")).coalesce(1).write.mode("append").json(indir)
+    drain()
+    shape(raw.where(op != "c")).coalesce(1).write.mode("append").json(indir)
+    drain()
+
+    out = spark.createDataFrame(
+        emitted,
+        "db string, table string, key string, ts_ms long, offset long, "
+        "op string, payload string",
+    )
+    return out.select(
+        F.col("key").cast("bigint").alias("okey"),
+        F.get_json_object("payload", "$.status").alias("status"),
+        F.get_json_object("payload", "$.total").cast("double").alias("total"),
+        "op",
+        "ts_ms",
+        F.col("offset").alias("off"),
+    )
+
+
+_DAY = 86_400_000
+
+ORACLE_STATEFUL_LWW = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tot,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
+  FROM orders
+)
+SELECT k AS okey, st AS status, tot AS total, 'insert' AS op,
+       ts0 AS ts_ms, k * 10 AS off
+FROM base
+UNION ALL
+SELECT k, 'U', tot, 'update', ts0 + {_DAY}, k * 10 + 1
+FROM base WHERE k % 3 = 0 AND k % 21 <> 0
+UNION ALL
+SELECT k, st, tot, 'delete', ts0 + 2 * {_DAY}, k * 10 + 2
+FROM base WHERE k % 7 = 0
+"""
+
+QUERIES = {"cdc_stateful_lww_stream": q_cdc_stateful_lww_stream}
+ORACLES = {"cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW}

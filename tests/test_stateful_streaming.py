@@ -1,0 +1,122 @@
+"""Stateful streaming operators: applyInPandasWithState LWW dedup
+(cross-batch suppression, checkpointed state, restart survival) and
+watermarked windowed aggregation with late-data drop."""
+
+from __future__ import annotations
+
+import os
+
+from cdc_redshift_spark.normalize import pg_changeset
+from cdc_redshift_spark.sources.streams import file_stream
+from cdc_redshift_spark.streaming.stateful import (
+    stateful_lww_dedup,
+    windowed_op_counts,
+)
+
+from tests.test_streaming import pg_line, write_batch_file
+
+
+def run_updates(spark, indir, ckpt, build):
+    """Drain an update-mode stateful stream via foreachBatch, returning
+    every emitted row across micro-batches."""
+    emitted = []
+    q = (
+        build(pg_changeset(file_stream(spark, indir), offset_col="offset"))
+        .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    return emitted
+
+
+def test_stateful_lww_dedup_suppresses_cross_batch_stale(spark, tmp_path):
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    # batch 0: two fresh keys (drained before batch 1 is written — the
+    # file source does not guarantee tie-broken ordering of preexisting
+    # files, and cross-batch suppression is exactly what's under test)
+    write_batch_file(
+        indir,
+        "b0.json",
+        [pg_line("c", 1, 100, {"v": "a"}, 0), pg_line("c", 2, 100, {"v": "b"}, 1)],
+    )
+    emitted = run_updates(spark, indir, ckpt, stateful_lww_dedup)
+    assert {(r["key"], r["ts_ms"]) for r in emitted} == {("1", 100), ("2", 100)}
+
+    # batch 1: k1 stale (ts 50 < 100) must be SUPPRESSED by state,
+    # k2 newer emitted, k3 new emitted
+    write_batch_file(
+        indir,
+        "b1.json",
+        [
+            pg_line("u", 1, 50, {"v": "stale"}, 2),
+            pg_line("u", 2, 200, {"v": "b2"}, 3),
+            pg_line("c", 3, 150, {"v": "c"}, 4),
+        ],
+    )
+    emitted = run_updates(spark, indir, ckpt, stateful_lww_dedup)
+    got = {(r["key"], r["ts_ms"]) for r in emitted}
+    assert got == {("2", 200), ("3", 150)}
+
+    # restart from the same checkpoint: state survives, so an even
+    # older replay of k1 still loses without any sink read-back
+    write_batch_file(indir, "b2.json", [pg_line("u", 1, 75, {"v": "older"}, 5)])
+    emitted2 = run_updates(spark, indir, ckpt, stateful_lww_dedup)
+    assert emitted2 == []
+
+
+def test_stateful_lww_dedup_batch_internal_winner(spark, tmp_path):
+    """Within one batch only the (ts, offset)-max event per key emits."""
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    write_batch_file(
+        indir,
+        "b0.json",
+        [
+            pg_line("c", 1, 100, {"v": "first"}, 0),
+            pg_line("u", 1, 100, {"v": "second"}, 1),  # same ts, higher offset
+            pg_line("u", 1, 90, {"v": "older"}, 2),
+        ],
+    )
+    emitted = run_updates(spark, indir, ckpt, stateful_lww_dedup)
+    assert len(emitted) == 1
+    assert emitted[0]["offset"] == 1 and emitted[0]["op"] == "update"
+
+
+def test_windowed_op_counts_watermark(spark, tmp_path):
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    t0 = 1_700_000_000_000  # window [t0, t0+60s)
+    build = lambda ch: windowed_op_counts(  # noqa: E731
+        ch, window="1 minute", watermark_delay="2 minutes"
+    )
+    emitted = []
+    # batch 0: three events in one window
+    write_batch_file(
+        indir,
+        "b0.json",
+        [
+            pg_line("c", 1, t0 + 1_000, {"v": "a"}, 0),
+            pg_line("c", 2, t0 + 2_000, {"v": "b"}, 1),
+            pg_line("d", 3, t0 + 3_000, None, 2),
+        ],
+    )
+    emitted += run_updates(spark, indir, ckpt, build)
+    # batch 1: push the watermark far past the first window...
+    write_batch_file(indir, "b1.json", [pg_line("c", 4, t0 + 600_000, {"v": "d"}, 3)])
+    emitted += run_updates(spark, indir, ckpt, build)
+    # batch 2: ...then a very late event for the closed window → dropped
+    write_batch_file(indir, "b2.json", [pg_line("c", 5, t0 + 4_000, {"v": "e"}, 4)])
+    emitted += run_updates(spark, indir, ckpt, build)
+    # final counts per (window_start, op): the first window saw 2
+    # inserts + 1 delete from batch 0 and NOTHING from the late batch 2
+    final: dict = {}
+    for r in emitted:
+        final[(r["window_start"], r["op"])] = r["n"]
+    w0 = [k for k in final if k[1] == "insert" and final[k] == 2]
+    assert w0, final  # first window's insert count stayed 2 (late row dropped)
+    assert any(k[1] == "delete" and final[k] == 1 for k in final)
