@@ -149,3 +149,20 @@ def test_minhash_frames_matches_column_formulation(spark, docs):
     old = {r["id"]: (list(r["sh"]), list(r["sig"])) for r in minhash_signatures(docs).collect()}
     new = {r["id"]: (list(r["sh"]), list(r["sig"])) for r in minhash_frames(docs).collect()}
     assert old == new
+
+
+def test_minhash_array_fallback_matches_bitmap_path(spark, docs):
+    """Forcing the vocabulary over the bitmap cap exercises the
+    unbounded-vocabulary fallback (slice-value band join +
+    array_intersect verify); both paths must produce identical pairs."""
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.6).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.6, bitmap_dict_max=1
+        ).collect()
+    }
+    assert fast == slow
