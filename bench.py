@@ -63,8 +63,17 @@ def main() -> None:
         for wname in ("dedup_minhash_lsh", "sim_lsh_topk"):
             force(qs[wname](spark, warm_sf))
 
+    def settle() -> None:
+        """Between-measurement cleanup (outside every timed window):
+        release leaked cache blocks and force a JVM GC so one query's
+        heap churn (checkpoint blocks, shuffle buffers) doesn't bleed
+        into the next query's wall time."""
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     times: dict[str, float] = {}
     for name in headline:
+        settle()
         t0 = time.perf_counter()
         force(qs[name](spark, SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
@@ -76,6 +85,7 @@ def main() -> None:
     from cdc_redshift_spark.plans.merge import apply_changeset
     from cdc_redshift_spark.queries.cdc import synth_pg_changelog
 
+    settle()
     raw = synth_pg_changelog(spark, SF_DIR).persist()
     n_events = raw.count()
     t0 = time.perf_counter()
