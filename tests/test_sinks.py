@@ -319,3 +319,25 @@ def test_jdbc_sink_typed_stage_and_postactions(spark):
     # probe SQL then the postactions batch
     assert sqls[0] == table_exists_sql("public", "db1_t1")
     assert sqls[1].startswith("begin; create table public.db1_t1 sortkey (ts_date)")
+
+
+def test_parquet_sink_pruned_falls_back_on_schema_evolution(spark, tmp_path):
+    """A batch introducing a new column can't hard-link old partition
+    files (they lack the column); the sink must fall back to the full
+    merge and surface the evolved schema across the whole table."""
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    sink.apply_changeset(
+        "d", "t", pchdf(spark, [("1", 100, 0, "insert", '{"v":1}', "2021-01-01"),
+                                 ("2", 100, 1, "insert", '{"v":2}', "2021-01-02")])
+    )
+    evolved = spark.createDataFrame(
+        [("1", 200, 2, "update", '{"v":9}', "2021-01-01", "extra")],
+        "key string, ts_ms long, offset long, op string, payload string, "
+        "ts_date string, note string",
+    )
+    sink.apply_changeset("d", "t", evolved)
+    df = sink.read_table(spark, "d", "t")
+    assert "note" in df.columns
+    rows = {r.key: r for r in df.collect()}
+    assert rows["1"].note == "extra"
+    assert rows["2"].note is None  # untouched row got a typed null
