@@ -60,10 +60,15 @@ def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
 
     # phase 1: inserts only; phase 2: updates + deletes (state carries)
-    shape(raw.where(op == "c")).coalesce(1).write.mode("append").json(indir)
-    drain()
-    shape(raw.where(op != "c")).coalesce(1).write.mode("append").json(indir)
-    drain()
+    try:
+        shape(raw.where(op == "c")).coalesce(1).write.mode("append").json(indir)
+        drain()
+        shape(raw.where(op != "c")).coalesce(1).write.mode("append").json(indir)
+        drain()
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
     out = spark.createDataFrame(
         emitted,
