@@ -71,6 +71,14 @@ def parse_envelope(raw: DataFrame, schema, value_col: str = "value") -> DataFram
     return parsed.select("j.*", *keep)
 
 
+def _with_ts_date(cs: DataFrame) -> DataFrame:
+    """Append the reference's Redshift sortkey derivation:
+    ``ts_date = to_date(event time)`` (glue_pg_redshift_cdc.py:137,
+    glue_docdb_redshift_cdc.py:138).  Also the partition column the
+    pruned ParquetSink merge keys on."""
+    return cs.withColumn("ts_date", F.to_date(F.timestamp_millis(F.col("ts_ms"))))
+
+
 def normalize_mongo(env: DataFrame, offset_col: str | None = None) -> DataFrame:
     """Debezium-Mongo envelope → ChangeSet.
 
@@ -78,14 +86,16 @@ def normalize_mongo(env: DataFrame, offset_col: str | None = None) -> DataFrame:
     SUPER-bound), routing = ns.db/ns.coll, ordering = ts_ms
     (reference glue_docdb_redshift_cdc.py:133-140).
     """
-    return env.select(
-        F.col("ns.db").alias("db"),
-        F.col("ns.coll").alias("table"),
-        F.get_json_object("documentKey", "$._id").alias("key"),
-        F.col("ts_ms").cast("long").alias("ts_ms"),
-        _offset_col(env, offset_col).alias("offset"),
-        _map_op(F.col("operationType"), _MONGO_OPS).alias("op"),
-        F.col("fullDocument").alias("payload"),
+    return _with_ts_date(
+        env.select(
+            F.col("ns.db").alias("db"),
+            F.col("ns.coll").alias("table"),
+            F.get_json_object("documentKey", "$._id").alias("key"),
+            F.col("ts_ms").cast("long").alias("ts_ms"),
+            _offset_col(env, offset_col).alias("offset"),
+            _map_op(F.col("operationType"), _MONGO_OPS).alias("op"),
+            F.col("fullDocument").alias("payload"),
+        )
     )
 
 
@@ -97,16 +107,18 @@ def normalize_pg(env: DataFrame, key_path: str = "$.id", offset_col: str | None 
     source.ts_ms (reference glue_pg_redshift_cdc.py:128-138).
     """
     after_ok = F.col("after").isNotNull()
-    return env.select(
-        F.col("source.db").alias("db"),
-        F.col("source.table").alias("table"),
-        F.when(after_ok, F.get_json_object("after", key_path))
-        .otherwise(F.get_json_object("before", key_path))
-        .alias("key"),
-        F.col("source.ts_ms").cast("long").alias("ts_ms"),
-        _offset_col(env, offset_col).alias("offset"),
-        _map_op(F.col("op"), _PG_OPS).alias("op"),
-        F.when(after_ok, F.col("after")).otherwise(F.col("before")).alias("payload"),
+    return _with_ts_date(
+        env.select(
+            F.col("source.db").alias("db"),
+            F.col("source.table").alias("table"),
+            F.when(after_ok, F.get_json_object("after", key_path))
+            .otherwise(F.get_json_object("before", key_path))
+            .alias("key"),
+            F.col("source.ts_ms").cast("long").alias("ts_ms"),
+            _offset_col(env, offset_col).alias("offset"),
+            _map_op(F.col("op"), _PG_OPS).alias("op"),
+            F.when(after_ok, F.col("after")).otherwise(F.col("before")).alias("payload"),
+        )
     )
 
 
@@ -121,7 +133,7 @@ def normalize_dms(
     (:139-141), ordering = metadata.timestamp parsed with microsecond
     format (:138).
     """
-    return (
+    return _with_ts_date(
         env.filter(F.col("metadata.`record-type`") == "data")
         .select(
             F.col("metadata.`schema-name`").alias("db"),

@@ -73,7 +73,7 @@ def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(
         emitted,
         "db string, table string, key string, ts_ms long, offset long, "
-        "op string, payload string",
+        "op string, payload string, ts_date date",
     )
     return out.select(
         F.col("key").cast("bigint").alias("okey"),

@@ -37,7 +37,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 #: ChangeSet stream columns (the normalize_* output shape).
 CHANGESET_SCHEMA = (
     "db string, table string, key string, ts_ms long, offset long, "
-    "op string, payload string"
+    "op string, payload string, ts_date date"
 )
 
 _STATE_SCHEMA = "ts_ms long, offset long"

@@ -277,3 +277,39 @@ def test_job_config_reference_document(tmp_path):
     assert cfg.record_id_key == "id"
     assert cfg.apply_delete is True
     assert cfg.cdc_timestamp_format == "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def test_pipeline_with_partition_pruned_sink(spark, tmp_path):
+    """End-to-end: normalize derives ts_date (the reference's sortkey,
+    glue_pg_redshift_cdc.py:137), and a ts_date-partitioned sink merges
+    micro-batches partition-pruned — untouched partitions hard-linked
+    across versions."""
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    sink = ParquetSink(
+        spark, str(tmp_path / "sink"), keys=KEYS, partition_cols=("ts_date",)
+    )
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"), sink, keys=KEYS
+    )
+    day0, day1 = 1_700_000_000_000, 1_700_000_000_000 + 86_400_000
+    write_batch_file(
+        indir,
+        "b0.json",
+        [pg_line("c", 1, day0, {"v": "a"}, 0), pg_line("c", 2, day1, {"v": "b"}, 1)],
+    )
+    drain(pipe, spark, indir, ckpt)
+    tdir = tmp_path / "sink" / "d1" / "t1"
+    v1_parts = {p.name for p in (tdir / "v1").iterdir() if p.is_dir()}
+    assert len(v1_parts) == 2  # one dir per event day
+
+    # second batch touches only day1's key
+    write_batch_file(indir, "b1.json", [pg_line("u", 2, day1 + 1000, {"v": "b2"}, 2)])
+    drain(pipe, spark, indir, ckpt)
+    day0_dir = next(d for d in v1_parts if "ts_date=" in d and d.endswith("-14"))  # 2023-11-14
+    f1 = sorted((tdir / "v1" / day0_dir).glob("*.parquet"))[0]
+    f2 = tdir / "v2" / day0_dir / f1.name
+    assert f2.exists() and f2.stat().st_ino == f1.stat().st_ino  # linked forward
+    st = state(sink, spark)
+    assert st["1"]["v"] == "a" and st["2"]["v"] == "b2"
