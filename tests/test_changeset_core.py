@@ -216,3 +216,47 @@ def test_schema_union_symmetric(spark):
     assert rows["1"].only_in_changes is None
     assert rows["2"].only_in_changes == 7
     assert rows["2"].only_in_target is None
+
+
+def test_merge_batch_split_invariance(spark):
+    """LWW merge is associative over batch splits: for a random event
+    log, folding apply_changeset over ANY partition into micro-batches
+    yields the same final state as one big batch.  This is the property
+    that makes at-least-once replay + checkpoint restarts safe."""
+    import random
+
+    from cdc_redshift_spark.dedup import latest_per_key
+    from cdc_redshift_spark.plans.merge import apply_changeset
+
+    rng = random.Random(42)
+    ops = ["insert", "update", "delete"]
+    for trial in range(3):
+        events = [
+            (
+                str(rng.randint(1, 6)),                # key
+                rng.randint(1, 5) * 100,               # ts_ms (ties likely)
+                i,                                     # offset (unique)
+                rng.choice(ops),
+                f'{{"v":{i}}}',
+            )
+            for i in range(30)
+        ]
+        mk = lambda rows: latest_per_key(  # noqa: E731
+            spark.createDataFrame(
+                rows, "key string, ts_ms long, offset long, op string, payload string"
+            ),
+            keys=("key",),
+        )
+        # single batch
+        one = apply_changeset(None, mk(events), keys=("key",), keep_tombstones=True)
+        want = {r["key"]: (r["ts_ms"], r["offset"], r["op"]) for r in one.collect()}
+
+        # random split into 1-4 micro-batches, applied in order
+        cuts = sorted(rng.sample(range(1, len(events)), rng.randint(0, 3)))
+        state = None
+        for lo, hi in zip([0] + cuts, cuts + [len(events)]):
+            state = apply_changeset(
+                state, mk(events[lo:hi]), keys=("key",), keep_tombstones=True
+            )
+        got = {r["key"]: (r["ts_ms"], r["offset"], r["op"]) for r in state.collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
