@@ -318,16 +318,17 @@ def _band_rows_fn(
 
 
 def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
-    """mapInPandas over partitions PRE-PARTITIONED on the bucket key
-    (band, k0..k{r-1}): exact pairwise intersections via blocked
-    bool-GEMM per bucket.
+    """mapInPandas over partitions PRE-PARTITIONED AND SORTED on the
+    bucket key (band, k0..k{r-1}): exact pairwise intersections via
+    blocked bool-GEMM per bucket.
 
-    Buckets are segmented inside each partition with one lexsort +
-    boundary scan — NOT applyInPandas, whose per-group pandas/Arrow
-    machinery costs milliseconds per group and melts down on the tens
-    of thousands of tiny buckets LSH banding produces (measured 2×
-    slower than the join it replaced).  Per-segment cost here is one
-    numpy slice + GEMM (~µs for small buckets).
+    Buckets are contiguous sorted runs, segmented with one boundary
+    scan and streamed across Arrow batches — NOT applyInPandas, whose
+    per-group pandas/Arrow machinery costs milliseconds per group and
+    melts down on the tens of thousands of tiny buckets LSH banding
+    produces (measured 2× slower than the join it replaced).
+    Per-segment cost here is one numpy slice + GEMM (~µs for small
+    buckets).
 
     Emits (id_a < id_b by value, inter, uni) for pairs whose raw
     Jaccard clears threshold - 1e-6; the exact rounded-Jaccard filter
@@ -338,8 +339,8 @@ def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
     signature, so band b drops any pair whose slices also match in a
     band < b.  No cross-band pair-dedup shuffle exists downstream.
 
-    Memory: O(partition) for the concat + O(tile × bucket) for the
-    GEMM — bounded by shuffle-partition sizing like any grouped agg.
+    Memory: O(largest bucket) for the carried group + O(tile × bucket)
+    for the GEMM — independent of partition size.
     """
     margin = threshold - 1e-6
     tile = 4096
@@ -385,25 +386,17 @@ def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
                 )
             )
 
-    def f(batches):
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    def process(pdf: pd.DataFrame):
+        """Verify every bucket in a chunk of key-SORTED rows."""
         m = len(pdf)
         keys = np.stack(
             [pdf[c].to_numpy().astype(np.int64) for c in key_cols], axis=1
         )
-        order = np.lexsort(keys.T[::-1])
-        keys = keys[order]
-        ids = pdf["id"].to_numpy()[order]
-        sz = pdf["sz"].to_numpy()[order]
-        SIG = np.stack(
-            [pdf[f"s{j}"].to_numpy()[order] for j in range(k)], axis=1
-        )
+        ids = pdf["id"].to_numpy()
+        sz = pdf["sz"].to_numpy()
+        SIG = np.stack([pdf[f"s{j}"].to_numpy() for j in range(k)], axis=1)
         W = np.stack(
-            [pdf[f"w{w}"].to_numpy().view(np.uint64)[order] for w in range(n_words)],
-            axis=1,
+            [pdf[f"w{w}"].to_numpy().view(np.uint64) for w in range(n_words)], axis=1
         )
         bits = np.unpackbits(np.ascontiguousarray(W).view(np.uint8), axis=1)
         Bf = bits.astype(np.float32)
@@ -417,6 +410,33 @@ def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
                 )
         if outs:
             yield pd.concat(outs, ignore_index=True)
+
+    def f(batches):
+        # Rows arrive key-SORTED within the partition
+        # (sortWithinPartitions upstream), so buckets are contiguous
+        # runs ACROSS Arrow batches: carry the possibly-split trailing
+        # bucket into the next batch instead of concatenating the whole
+        # partition — working memory is O(largest bucket), not
+        # O(partition).
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            keys = np.stack(
+                [pdf[c].to_numpy().astype(np.int64) for c in key_cols], axis=1
+            )
+            is_last = np.all(keys == keys[-1], axis=1)
+            if is_last.all():
+                pending = pdf  # one (possibly continuing) bucket
+                continue
+            cut = len(pdf) - int(np.argmin(is_last[::-1]))
+            pending = pdf.iloc[cut:].reset_index(drop=True)
+            yield from process(pdf.iloc[:cut].reset_index(drop=True))
+        if pending is not None and len(pending):
+            yield from process(pending)
 
     return f
 
@@ -512,9 +532,13 @@ def minhash_lsh_pairs(
         rows = shd.mapInPandas(
             _band_rows_fn(bands, rows_per_band, dict_map, n_words), schema=row_schema
         )
-        pairs = rows.repartition(num_partitions, "band", *kcols).mapInPandas(
-            _bitmap_verify_fn(n_words, rows_per_band, jaccard_threshold, bands),
-            schema=f"id_a {idt}, id_b {idt}, inter long, uni long",
+        pairs = (
+            rows.repartition(num_partitions, "band", *kcols)
+            .sortWithinPartitions("band", *kcols)
+            .mapInPandas(
+                _bitmap_verify_fn(n_words, rows_per_band, jaccard_threshold, bands),
+                schema=f"id_a {idt}, id_b {idt}, inter long, uni long",
+            )
         )
         # first-band suppression makes emission unique — no pair-dedup
         out = pairs.select(
