@@ -1,0 +1,130 @@
+"""Scale smoke: measure hot-operator wall time on 10x-scaled corpora.
+
+Synthesizes larger inputs by replicating the sf0.1 tables with id
+offsets (documents exactly — keeping the shingle vocabulary and the
+bitmap verify path — and vectors/events perturbed), then times:
+
+  - dedup_minhash_lsh on 5k -> 20k docs (threshold 0.9 bounds the
+    emitted pair list; exact replicas make bucket sizes grow linearly,
+    so verify work grows QUADRATICALLY — the worst case)
+  - rh_lsh_topk on 2k -> 8k vectors
+  - CDC apply batch on 221k -> ~900k events
+
+Prints one JSON line per measurement. Not part of bench.py: this is
+the scaling-evidence artifact behind SCALE.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.session import get_spark
+from cdc_redshift_spark.sources.tables import load_table
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "4"))
+
+
+def replicate_docs(docs, n):
+    parts = []
+    for i in range(n):
+        # exact replication: keeps the shingle vocabulary (and thus the
+        # bitmap verify path) unchanged; replica groups become exact-dup
+        # clusters, so bucket sizes grow linearly and verify work grows
+        # quadratically — the honest worst case for template-heavy data
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_emb(emb, n):
+    parts = []
+    for i in range(n):
+        shift = F.lit(0.01 * (i + 1))
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, j: x + shift * F.cos(j.cast("double") + F.lit(float(i)))
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main():
+    spark = get_spark("scale_smoke")
+    from cdc_redshift_spark.operators.dedup import minhash_lsh_pairs
+    from cdc_redshift_spark.operators.similarity import rh_lsh_topk
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+
+    # warm the Python/Arrow worker pool + JIT outside any timed window
+    minhash_lsh_pairs(docs.limit(200), jaccard_threshold=0.9).count()
+    rh_lsh_topk(emb.limit(200), k=3, n_planes=4, n_tables=8, dim=64).count()
+
+    for scale, d in ((1, docs), (REPLICAS, replicate_docs(docs, REPLICAS))):
+        d = d.persist()
+        n = d.count()
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(d, jaccard_threshold=0.9)
+        npairs = pairs.count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "dedup_minhash_lsh", "docs": n, "pairs": npairs, "sec": wall}), flush=True)
+        d.unpersist()
+
+    for scale, e in ((1, emb), (REPLICAS, replicate_emb(emb, REPLICAS))):
+        e = e.persist()
+        n = e.count()
+        t0 = time.perf_counter()
+        out = rh_lsh_topk(e, k=3, n_planes=4, n_tables=8, dim=64)
+        nrows = out.count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "rh_lsh_topk", "vectors": n, "rows": nrows, "sec": wall}), flush=True)
+        e.unpersist()
+
+    # CDC apply at 10x: union the synth changelog with offset/key shifts
+    from cdc_redshift_spark.dedup import latest_per_key
+    from cdc_redshift_spark.normalize import pg_changeset
+    from cdc_redshift_spark.plans.merge import apply_changeset
+    from cdc_redshift_spark.queries.cdc import synth_pg_changelog
+
+    raw1 = synth_pg_changelog(spark, SF)
+    parts = []
+    for i in range(REPLICAS):
+        parts.append(
+            raw1.select(
+                F.regexp_replace("value", '"id":', f'"id":{i}00').alias("value"),
+                (F.col("offset") + i * 100_000_000).alias("offset"),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    for tag, r in (("1x", raw1), (f"{REPLICAS}x", big)):
+        r = r.persist()
+        n = r.count()
+        t0 = time.perf_counter()
+        ch = latest_per_key(pg_changeset(r, offset_col="offset"), keys=("db", "table", "key"))
+        apply_changeset(None, ch, keys=("db", "table", "key")).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "cdc_apply_batch", "events": n, "sec": wall, "rec_per_s": round(n / wall)}), flush=True)
+        r.unpersist()
+
+
+if __name__ == "__main__":
+    main()
