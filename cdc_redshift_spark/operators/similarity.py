@@ -570,9 +570,13 @@ def ivf_topk(
     :func:`rh_lsh_topk`, with no pair-stream join or materialization.
     """
     cents = _centroids(df, n_cells, id_col, vec_col)
+    idt = _id_type(df, id_col)
+    if cents.size == 0:  # empty corpus: no cells, no candidates
+        return df.sparkSession.createDataFrame(
+            [], f"vec_id {idt}, rank int, neighbor_id {idt}, cosine double"
+        )
     if refine_iters:
         cents = kmeans_refine(df, cents, id_col, vec_col, iters=refine_iters)
-    idt = _id_type(df, id_col)
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -166,3 +166,18 @@ def test_minhash_array_fallback_matches_bitmap_path(spark, docs):
         ).collect()
     }
     assert fast == slow
+
+
+def test_empty_inputs_yield_empty_results(spark, docs, emb):
+    """Operators must tolerate empty inputs (a filter upstream can
+    always produce zero rows) without planning errors."""
+    from cdc_redshift_spark.operators.dedup import exact_dedup
+    from cdc_redshift_spark.operators.similarity import ivf_topk
+
+    no_docs = docs.where("doc_id < 0")
+    no_emb = emb.where("vec_id < 0")
+    assert minhash_lsh_pairs(no_docs, jaccard_threshold=0.6).count() == 0
+    assert simhash_pairs(no_docs).count() == 0
+    assert exact_dedup(no_docs).count() == 0
+    assert rh_lsh_topk(no_emb, k=3, n_planes=4, n_tables=8, dim=64).count() == 0
+    assert ivf_topk(no_emb, k=3, n_cells=8, n_probe=2).count() == 0
