@@ -7,10 +7,13 @@ inside whole-stage codegen; nothing here drops to Python per row.
 
 Scale design (100 TB corpus):
 - exact:   one hash-shuffle on the fingerprint.
-- minhash: signatures are computed scan-side (narrow); the LSH
-  band-explode multiplies rows by n_bands (small constant) and
-  shuffles on band keys — candidate pairs are generated per bucket,
-  never the O(N²) cross join.  Verification joins only candidates.
+- minhash: signatures are computed scan-side (one narrow Arrow pass);
+  band rows (n_bands per doc, a small constant) make ONE shuffle keyed
+  on the band's signature-slice values, and each bucket is verified in
+  place by a blocked bitmap GEMM — candidate pairs never exist as a
+  joined stream, and first-band suppression makes emission unique so
+  no cross-band dedup shuffle exists either.  Never the O(N²) cross
+  join.
 - simhash: narrow signature compute + self-join on rotated bucket
   keys; hamming verify on 64-bit ints is a popcount (bit_count).
 - jaccard: explode shingles → shuffle on shingle → pair-count; skew

@@ -383,7 +383,6 @@ def rh_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    num_partitions: int | None = None,
 ) -> DataFrame:
     """ANN top-k with multi-table random-hyperplane LSH.
 
@@ -423,7 +422,6 @@ def rh_lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    num_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH candidates ∩ exact cosine ≥ t.
 
@@ -556,7 +554,6 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    num_partitions: int | None = None,
     refine_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k via multi-probe IVF.

@@ -3,9 +3,9 @@
 The MinHash oracle mirrors the *exact* signature computation (portable
 md5-derived shingle hashes + the same fixed LCG coefficients) and
 models LSH candidate generation as band-slice equality — bit-for-bit
-the same pair set Spark's bucket join produces (modulo murmur3 band-
-hash collisions, which the exact-Jaccard verification step makes
-irrelevant in practice).
+the same pair set Spark produces, which buckets on the band's
+signature-slice VALUES themselves (collision-free; no hash in the
+candidate path).
 
 The SimHash oracle mirrors the md5-derived 60-bit token hashes, the
 per-bit votes, the pigeonhole chunks and the hamming filter — every
