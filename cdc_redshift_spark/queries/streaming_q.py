@@ -59,13 +59,20 @@ def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
 
-    # phase 1: inserts only; phase 2: updates + deletes (state carries)
+    # phase 1: inserts only; phase 2: updates + deletes (state carries).
+    # The state-store partition count is fixed at first checkpoint
+    # creation from spark.sql.shuffle.partitions — scope a size fit for
+    # this corpus (a plain driver session defaults to 200, which turns
+    # a 20k-row check into 400 state-store tasks).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         shape(raw.where(op == "c")).coalesce(1).write.mode("append").json(indir)
         drain()
         shape(raw.where(op != "c")).coalesce(1).write.mode("append").json(indir)
         drain()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
