@@ -200,14 +200,19 @@ def minhash_signatures(
 # md5-derived hashes keep h·a < 2^59, so int64 never overflows and
 # (h*a+b) % P is bit-identical in numpy, Spark and DuckDB.
 
-_WS_RE = re.compile(r"\s+")
+# Java's \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s is
+# unicode-aware — spell the class out so a non-breaking space behaves
+# identically on both engines.  Spark's trim() strips chars <= 0x20.
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
 
 
 def _py_normalize(s: str) -> str:
-    """Python mirror of functions.text.normalize_text (ASCII-safe:
-    Java's \\s and Python's \\s agree on ASCII whitespace, and the
-    corpora are ASCII; parity is pinned by a pytest)."""
-    return _WS_RE.sub(" ", s.lower()).strip()
+    """Python mirror of functions.text.normalize_text, character-exact
+    with the JVM semantics: ASCII-only whitespace collapse (Java \\s),
+    trim of chars <= U+0020 (UTF8String.trim), str.lower (≡ Java
+    toLowerCase on ASCII; parity pinned by pytest incl. unicode ws)."""
+    return _WS_RE.sub(" ", s.lower()).strip(_TRIM_CHARS)
 
 
 def _minhash_frames_fn(k: int, n: int):

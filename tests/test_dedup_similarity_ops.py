@@ -181,3 +181,25 @@ def test_empty_inputs_yield_empty_results(spark, docs, emb):
     assert exact_dedup(no_docs).count() == 0
     assert rh_lsh_topk(no_emb, k=3, n_planes=4, n_tables=8, dim=64).count() == 0
     assert ivf_topk(no_emb, k=3, n_cells=8, n_probe=2).count() == 0
+
+
+def test_minhash_frames_unicode_whitespace_parity(spark):
+    """Java's \\s is ASCII-only while Python's is unicode-aware: a
+    non-breaking space (U+00A0) must survive normalization identically
+    in the Arrow pass and the Column formulation (and thus the DuckDB
+    oracle)."""
+    from cdc_redshift_spark.operators.dedup import minhash_frames, minhash_signatures
+
+    rows = [
+        (1, "hello world"),          # NBSP: NOT whitespace to Java
+        (2, "hello world"),
+        (3, "  tabs\tand\nnewlines  "),
+        (4, " edge nbsp "),      # NBSP at edges: trim keeps it
+        (5, "mixed   run"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = {r["id"]: (list(r["sh"]), list(r["sig"])) for r in minhash_signatures(df).collect()}
+    new = {r["id"]: (list(r["sh"]), list(r["sig"])) for r in minhash_frames(df).collect()}
+    assert old == new
+    # and NBSP genuinely distinguishes docs (it wasn't collapsed away)
+    assert old[1][0] != old[2][0]
