@@ -53,9 +53,17 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from cdc_redshift_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-check")
+    # plain session, like the driver's — catches any hidden dependency
+    # on cdc_redshift_spark.session.get_spark's config
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
