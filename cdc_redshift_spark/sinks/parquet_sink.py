@@ -211,21 +211,37 @@ class ParquetSink(Sink):
                 keep_tombstones=True,
             )
 
-            dst = os.path.join(self._dir(db, table), f"v{v + 1}")
-            merged.write.mode("overwrite").partitionBy(pcol).parquet(dst)
-            self._write_schema(db, table, merged)
-            # copy-forward: hard-link every untouched partition directory
-            for name, val_str in existing.items():
-                is_null = val_str == HIVE_NULL
-                if (is_null and null_touched) or (
-                    not is_null and val_str in touched_strs
-                ):
-                    continue
-                self._link_tree(os.path.join(src, name), os.path.join(dst, name))
-            self._flip(db, table, v + 1)
+            self._commit_pruned(
+                db, table, merged, v, existing, touched_strs, null_touched
+            )
             return True
         finally:
             changes.unpersist()
+
+    def _commit_pruned(
+        self,
+        db: str,
+        table: str,
+        rewritten: DataFrame,
+        v: int,
+        existing: dict[str, str],
+        touched_strs: set[str],
+        null_touched: bool,
+    ) -> None:
+        """Write the touched partitions as v+1 and hard-link every
+        untouched partition directory forward from v."""
+        src = os.path.join(self._dir(db, table), f"v{v}")
+        dst = os.path.join(self._dir(db, table), f"v{v + 1}")
+        rewritten.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(dst)
+        self._write_schema(db, table, rewritten)
+        for name, val_str in existing.items():
+            is_null = val_str == HIVE_NULL
+            if (is_null and null_touched) or (
+                not is_null and val_str in touched_strs
+            ):
+                continue
+            self._link_tree(os.path.join(src, name), os.path.join(dst, name))
+        self._flip(db, table, v + 1)
 
     @staticmethod
     def _partition_dirs(src: str) -> dict[str, str] | None:
@@ -254,15 +270,42 @@ class ParquetSink(Sink):
 
         At scale tombstones accumulate one row per deleted key; once no
         event older than ``before_ts_ms`` can still arrive, they are
-        dead weight and a periodic compaction drops them.
+        dead weight and a periodic compaction drops them.  With a
+        partition column configured the compaction is pruned like the
+        merge: only partitions actually holding expirable tombstones
+        are rewritten (a no-op — not even a new version — when there
+        are none), the rest are hard-linked forward.
         """
         cur = self.read_table(self.spark, db, table, include_tombstones=True)
-        if cur is None:
+        if cur is None or "op" not in cur.columns:
             return
-        keep = cur.where(
-            (F.col("op") != "delete") | (F.col(self.ts_col) >= F.lit(before_ts_ms))
-        )
-        self._commit(db, table, keep)
+        expired = (F.col("op") == "delete") & (F.col(self.ts_col) < F.lit(before_ts_ms))
+        if len(self.partition_cols) == 1:
+            pcol = self.partition_cols[0]
+            v = self._latest_version(db, table)
+            src = os.path.join(self._dir(db, table), f"v{v}")
+            existing = self._partition_dirs(src)
+            if existing is not None and pcol in cur.columns:
+                touched = {r[0] for r in cur.where(expired).select(pcol).distinct().collect()}
+                if not touched:
+                    return  # nothing to expire: current version stands
+                null_touched = None in touched
+                non_null = [x for x in touched if x is not None]
+                in_touched = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+                if null_touched:
+                    in_touched = in_touched | F.col(pcol).isNull()
+                rewritten = cur.where(in_touched & ~expired)
+                self._commit_pruned(
+                    db,
+                    table,
+                    rewritten,
+                    v,
+                    existing,
+                    {str(x) for x in non_null},
+                    null_touched,
+                )
+                return
+        self._commit(db, table, cur.where(~expired))
 
     def overwrite(self, db: str, table: str, state: DataFrame) -> None:
         """Direct snapshot write (initial loads / oracle comparisons)."""

@@ -341,3 +341,61 @@ def test_parquet_sink_pruned_falls_back_on_schema_evolution(spark, tmp_path):
     rows = {r.key: r for r in df.collect()}
     assert rows["1"].note == "extra"
     assert rows["2"].note is None  # untouched row got a typed null
+
+
+def test_expire_tombstones_pruned(spark, tmp_path):
+    """Tombstone compaction rewrites only partitions holding expirable
+    tombstones; a horizon that expires nothing doesn't even cut a new
+    version."""
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    sink.apply_changeset(
+        "d",
+        "t",
+        pchdf(
+            spark,
+            [
+                ("1", 100, 0, "insert", '{"v":1}', "2021-01-01"),
+                ("2", 100, 1, "delete", None, "2021-01-02"),
+                ("3", 500, 2, "insert", '{"v":3}', "2021-01-03"),
+            ],
+        ),
+    )
+    tdir = tmp_path / "d" / "t"
+    # horizon below every tombstone: no-op, still v1
+    sink.expire_tombstones("d", "t", before_ts_ms=50)
+    assert (tdir / "_LATEST").read_text() == "1"
+    # horizon past the delete: only 2021-01-02 rewritten, others linked
+    sink.expire_tombstones("d", "t", before_ts_ms=200)
+    assert (tdir / "_LATEST").read_text() == "2"
+    f1 = sorted((tdir / "v1" / "ts_date=2021-01-01").glob("*.parquet"))[0]
+    f2 = tdir / "v2" / "ts_date=2021-01-01" / f1.name
+    assert f2.exists() and f2.stat().st_ino == f1.stat().st_ino
+    assert not (tdir / "v2" / "ts_date=2021-01-02").exists()  # emptied out
+    rows = sink.read_table(spark, "d", "t", include_tombstones=True).collect()
+    assert {r.key for r in rows} == {"1", "3"}  # tombstone gone
+
+
+def test_route_by_table_partitioned_fanout(spark, tmp_path):
+    """The wide-fanout alternative: one partitionBy(db, table) write
+    lands every table's slice in a single pass."""
+    from cdc_redshift_spark.streaming.pipeline import route_by_table
+
+    changes = spark.createDataFrame(
+        [
+            ("d1", "t1", "1", 100, 0, "insert", "{}"),
+            ("d1", "t2", "2", 100, 1, "insert", "{}"),
+            ("d2", "t1", "3", 100, 2, "delete", None),
+        ],
+        "db string, table string, key string, ts_ms long, offset long, op string, payload string",
+    )
+    root = str(tmp_path / "routed")
+    route_by_table(changes, root)
+    out = spark.read.parquet(root)
+    assert {(r.db, r.table) for r in out.select("db", "table").distinct().collect()} == {
+        ("d1", "t1"),
+        ("d1", "t2"),
+        ("d2", "t1"),
+    }
+    import os as _os
+
+    assert _os.path.isdir(f"{root}/db=d1/table=t2")
