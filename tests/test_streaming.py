@@ -313,3 +313,105 @@ def test_pipeline_with_partition_pruned_sink(spark, tmp_path):
     assert f2.exists() and f2.stat().st_ino == f1.stat().st_ino  # linked forward
     st = state(sink, spark)
     assert st["1"]["v"] == "a" and st["2"]["v"] == "b2"
+
+
+def mongo_line(op, key, ts_ms, doc=None, offset=0, db="m1", coll="c1"):
+    value = json.dumps(
+        {
+            "ns": {"db": db, "coll": coll},
+            "documentKey": json.dumps({"_id": key}),
+            "fullDocument": json.dumps(doc) if doc is not None else None,
+            "operationType": op,
+            "ts_ms": ts_ms,
+        }
+    )
+    return json.dumps(
+        {"value": value, "offset": offset, "partition": 0,
+         "timestamp": "2026-01-01T00:00:00.000Z"}
+    )
+
+
+def dms_line(op, key, ts, data=None, offset=0, schema="s1", table="t1"):
+    value = json.dumps(
+        {
+            "data": json.dumps({"id": key, **(data or {})}) if data is not None else json.dumps({"id": key}),
+            "metadata": {
+                "timestamp": ts,
+                "record-type": "data",
+                "operation": op,
+                "partition-key-type": "schema-table",
+                "schema-name": schema,
+                "table-name": table,
+            },
+        }
+    )
+    return json.dumps(
+        {"value": value, "offset": offset, "partition": 0,
+         "timestamp": "2026-01-01T00:00:00.000Z"}
+    )
+
+
+def test_mongo_pipeline_end_to_end(spark, tmp_path):
+    """Debezium-Mongo envelopes through the full streaming shell:
+    replace normalizes to update, LWW across batches."""
+    from cdc_redshift_spark.normalize import mongo_changeset
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    sink = ParquetSink(spark, str(tmp_path / "sink"), keys=KEYS)
+    pipe = CdcPipeline(
+        lambda raw: mongo_changeset(raw, offset_col="offset"), sink, keys=KEYS
+    )
+    write_batch_file(
+        indir,
+        "b0.json",
+        [
+            mongo_line("insert", 1, 100, {"v": "a"}, 0),
+            mongo_line("insert", 2, 100, {"v": "b"}, 1),
+        ],
+    )
+    write_batch_file(
+        indir,
+        "b1.json",
+        [
+            mongo_line("replace", 1, 200, {"v": "a2"}, 2),  # replace → update
+            mongo_line("delete", 2, 200, None, 3),
+        ],
+    )
+    drain(pipe, spark, indir, ckpt)
+    st = state(sink, spark, "m1", "c1")
+    assert set(st) == {"1"}
+    assert st["1"]["v"] == "a2"
+
+
+def test_dms_pipeline_end_to_end(spark, tmp_path):
+    """DMS envelopes through the streaming shell: microsecond timestamp
+    format, record-type filter, LWW upsert+delete."""
+    from cdc_redshift_spark.normalize import dms_changeset
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    sink = ParquetSink(spark, str(tmp_path / "sink"), keys=KEYS)
+    pipe = CdcPipeline(
+        lambda raw: dms_changeset(raw, offset_col="offset"), sink, keys=KEYS
+    )
+    write_batch_file(
+        indir,
+        "b0.json",
+        [
+            dms_line("load", 1, "2026-01-01T00:00:01.000000Z", {"v": "a"}, 0),
+            dms_line("insert", 2, "2026-01-01T00:00:01.000000Z", {"v": "b"}, 1),
+        ],
+    )
+    write_batch_file(
+        indir,
+        "b1.json",
+        [
+            dms_line("update", 1, "2026-01-01T00:00:02.000000Z", {"v": "a2"}, 2),
+            dms_line("delete", 2, "2026-01-01T00:00:02.000000Z", None, 3),
+        ],
+    )
+    drain(pipe, spark, indir, ckpt)
+    st = state(sink, spark, "s1", "t1")
+    assert set(st) == {"1"}
+    assert st["1"]["v"] == "a2"
