@@ -762,6 +762,57 @@ def exact_dedup(
     )
 
 
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) — cluster_id = min id reachable over pair edges.
+
+    The cluster-resolution step a dedup pipeline runs AFTER pair
+    generation: near-dup pairs form a graph; each connected component
+    keeps one canonical document.  Iterative min-label propagation over
+    the (undirected) edge list: every round each node takes the min of
+    its own label and its neighbors' labels, until a fixpoint (checked
+    via a changed-count aggregate folded into the round's job).
+
+    Scale: each round is one join + one groupBy shuffle on node id —
+    the standard large-graph CC loop; rounds needed = component
+    diameter (near-dup clusters are shallow; ``max_iters`` bounds
+    pathological chains).  Lineage is truncated per round via
+    localCheckpoint so plans don't grow with iterations.
+
+    ``ids``: one column ``id`` (all nodes, including singletons);
+    ``pairs``: columns ``id_a``, ``id_b``.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    labels = ids.select(F.col("id"), F.col("id").alias("lab"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        merged = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                (F.coalesce("nlab", "lab") < F.col("lab")).cast("long").alias("chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = merged.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = merged.select("id", "lab")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lab").alias("cluster_id"))
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -172,6 +172,57 @@ WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over MinHash-LSH near-dup pairs: connected
+    components labeled by min doc id, one canonical doc per cluster —
+    the final step a training-data dedup pipeline actually acts on."""
+    from cdc_redshift_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.6)
+    comp = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
+    return comp.select(
+        "id",
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def _oracle_clusters(k: int = 32, bands: int = 8, threshold: float = 0.6) -> str:
+    """Recursive-CTE mirror: same pair set as the minhash oracle, then
+    min-label reachability (undirected edges) per node."""
+    r = k // bands
+    band_eq = " OR ".join(
+        f"list_slice(a.sig, {i * r + 1}, {(i + 1) * r})"
+        f" = list_slice(b.sig, {i * r + 1}, {(i + 1) * r})"
+        for i in range(bands)
+    )
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
+), sig AS (
+  SELECT id, h, {duck_minhash_sig('h', k)} AS sig FROM sh
+), p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE ({band_eq})
+    AND len(list_intersect(a.h, b.h))::DOUBLE
+        / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= {threshold}
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id
+)
+SELECT id, min(lab) AS cluster_id,
+       CASE WHEN id = min(lab) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 EMB_THRESHOLD, EMB_PLANES, EMB_TABLES = 0.35, 4, 4
 
 
@@ -200,6 +251,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -208,4 +260,5 @@ ORACLES = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
+    "dedup_clusters": _oracle_clusters(),
 }

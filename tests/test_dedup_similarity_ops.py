@@ -203,3 +203,17 @@ def test_minhash_frames_unicode_whitespace_parity(spark):
     assert old == new
     # and NBSP genuinely distinguishes docs (it wasn't collapsed away)
     assert old[1][0] != old[2][0]
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation handles multi-hop chains (diameter > 1)
+    and leaves singletons as their own cluster."""
+    from cdc_redshift_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # chain 1-2-3-4-5 (diameter 4), pair 6-7, singleton 8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
