@@ -215,7 +215,7 @@ def _py_normalize(s: str) -> str:
     return _WS_RE.sub(" ", s.lower()).strip(_TRIM_CHARS)
 
 
-def _minhash_frames_fn(k: int, n: int):
+def _minhash_frames_fn(k: int, n: int, unit: str = "char"):
     """mapInPandas: (id, text) batches → (id, sh, sig).
 
     sh  = sorted shingle-hash list over DISTINCT grams (hash-level
@@ -223,6 +223,11 @@ def _minhash_frames_fn(k: int, n: int):
           preserved, exactly like transform(array_distinct(grams), md5)
           and the DuckDB oracle's list_transform(list_distinct(...))).
     sig = k minhash minima over sh via the fixed LCG coefficients.
+
+    ``unit='word'`` shingles over n consecutive whitespace tokens
+    joined with a single space (the standard large-corpus text-dedup
+    config) instead of char n-grams; the DuckDB mirror is
+    ``array_to_string(list_slice(tokens, i, i+n-1), ' ')``.
     """
     coeffs = minhash_coeffs(k)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
@@ -236,7 +241,14 @@ def _minhash_frames_fn(k: int, n: int):
                 if t is None:
                     continue  # null text: no shingles, no candidates
                 nt = _py_normalize(t)
-                grams = {nt[p : p + n] for p in range(max(len(nt) - (n - 1), 1))}
+                if unit == "word":
+                    toks = nt.split(" ")
+                    grams = {
+                        " ".join(toks[p : p + n])
+                        for p in range(max(len(toks) - (n - 1), 1))
+                    }
+                else:
+                    grams = {nt[p : p + n] for p in range(max(len(nt) - (n - 1), 1))}
                 hl = []
                 for g in grams:
                     h = cache.get(g)
@@ -260,15 +272,18 @@ def minhash_frames(
     text_col: str = "text",
     k: int = 32,
     n: int = 3,
+    unit: str = "char",
 ) -> DataFrame:
     """(id, sh sorted array<long>, sig array<long>) — one narrow
     Arrow-batched pass, no shuffle.  Numerically identical to
-    :func:`minhash_signatures` (pinned by pytest)."""
+    :func:`minhash_signatures` for ``unit='char'`` (pinned by pytest);
+    ``unit='word'`` shingles over token n-grams."""
     idt = df.schema[id_col].dataType.simpleString()
     return df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).mapInPandas(
-        _minhash_frames_fn(k, n), schema=f"id {idt}, sh array<long>, sig array<long>"
+        _minhash_frames_fn(k, n, unit),
+        schema=f"id {idt}, sh array<long>, sig array<long>",
     )
 
 
@@ -460,6 +475,7 @@ def minhash_lsh_pairs(
     bitmap_dict_max: int = 4096,
     num_partitions: int | None = None,
     eager: bool = True,
+    unit: str = "char",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -502,7 +518,7 @@ def minhash_lsh_pairs(
     idt = df.schema[id_col].dataType.simpleString()
 
     shd = minhash_frames(
-        df.repartition(num_partitions), id_col, text_col, k, n
+        df.repartition(num_partitions), id_col, text_col, k, n, unit
     ).persist()
 
     # Vocabulary probe: per-partition uniques in pandas (a few hundred

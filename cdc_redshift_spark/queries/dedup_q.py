@@ -127,6 +127,55 @@ WHERE ({band_eq})
 """
 
 
+def duck_word_shingle_hashes(c: str, n: int = 3) -> str:
+    """Word-n-gram shingle hashes: n consecutive tokens joined with a
+    space (mirrors operators/dedup.py `_minhash_frames_fn(unit='word')`)."""
+    norm = DUCK_NORM.format(c=c)
+    toks = f"string_split({norm}, ' ')"
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+    return f"list_transform({grams}, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)"
+
+
+WORD_N, WORD_THRESHOLD = 3, 0.5
+
+
+def q_dedup_minhash_word_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH over WORD trigram shingles — the standard config for
+    large-corpus text dedup (word shingles are robust to char-level
+    noise; vocabulary is unbounded, handled by the dict probe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, k=32, bands=8, n=WORD_N, jaccard_threshold=WORD_THRESHOLD, unit="word"
+    )
+
+
+def _oracle_minhash_word(k: int = 32, bands: int = 8) -> str:
+    r = k // bands
+    band_eq = " OR ".join(
+        f"list_slice(a.sig, {i * r + 1}, {(i + 1) * r})"
+        f" = list_slice(b.sig, {i * r + 1}, {(i + 1) * r})"
+        for i in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {duck_word_shingle_hashes('text', WORD_N)} AS h FROM documents
+), sig AS (
+  SELECT id, h, {duck_minhash_sig('h', k)} AS sig FROM sh
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.h, b.h))::DOUBLE
+             / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE ({band_eq})
+  AND len(list_intersect(a.h, b.h))::DOUBLE
+      / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= {WORD_THRESHOLD}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash hamming ≤ 8 with pigeonhole
     blocking; full mirrored oracle (md5-derived 60-bit token hashes
@@ -249,6 +298,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_word_lsh": q_dedup_minhash_word_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
@@ -258,6 +308,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_minhash_word_lsh": _oracle_minhash_word(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
     "dedup_clusters": _oracle_clusters(),
