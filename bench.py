@@ -50,6 +50,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "sim_topk_query",
         "sim_lsh_topk",
+        "cdc_stateful_lww_stream",
     ]
 
     # warmup: touch each table + JIT the common codepaths, and spin up

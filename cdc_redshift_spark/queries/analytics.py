@@ -351,8 +351,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag + cumulative sum (30-minute gap rule).
 
     Pure window composition — no state store needed for the batch
-    variant; the streaming variant lives in streaming/ with
-    session_window.
+    variant; the streaming variant is
+    :func:`cdc_redshift_spark.streaming.stateful.streaming_sessionize`
+    (``F.session_window`` + watermark, append mode).
     """
     ev = load_table(spark, sf_dir, "events")
     gap_ns = 30 * 60 * 1_000_000_000  # 30 min in nanos

@@ -42,16 +42,21 @@ def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="stateful_lww_")
     indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    land = os.path.join(root, "land")
     os.makedirs(indir, exist_ok=True)
 
-    emitted: list = []
-
     def drain() -> None:
+        # Emissions land in a parquet dir executor-side — nothing is
+        # funneled through the driver (a foreachBatch collect() would
+        # bound the check at driver memory and is the anti-pattern a
+        # reader must not copy).
         q = (
             stateful_lww_dedup(
                 pg_changeset(file_stream(spark, indir), offset_col="offset")
             )
-            .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(land)
+            )
             .option("checkpointLocation", ckpt)
             .outputMode("update")
             .trigger(availableNow=True)
@@ -75,13 +80,12 @@ def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         import shutil
 
-        shutil.rmtree(root, ignore_errors=True)
+        # the landing dir must outlive this function (the returned
+        # DataFrame reads it lazily); drop only the stream's work dirs
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
-    out = spark.createDataFrame(
-        emitted,
-        "db string, table string, key string, ts_ms long, offset long, "
-        "op string, payload string, ts_date date",
-    )
+    out = spark.read.parquet(land)
     return out.select(
         F.col("key").cast("bigint").alias("okey"),
         F.get_json_object("payload", "$.status").alias("status"),

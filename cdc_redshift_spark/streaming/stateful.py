@@ -18,6 +18,10 @@ stream instead, using Spark's keyed state store:
   with a watermark for late data: pure built-in window aggregation
   (watermark drops events later than the allowed delay and lets the
   store evict closed windows).
+- :func:`streaming_sessionize` — gap-based sessionization via
+  ``F.session_window`` (the streaming analogue of the batch
+  ``events_sessionize`` query's lag+cumsum plan): sessions merge as
+  events arrive and emit once the watermark passes a session's end.
 
 Scale: both operators shuffle once on their grouping key and keep
 per-key state O(1) (two longs for LWW; one count row per open window).
@@ -29,6 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -73,26 +78,33 @@ def stateful_lww_dedup(
         if state.hasTimedOut:
             state.remove()
             return
-        best = None  # the batch's winning row (pandas Series)
+        # Vectorized winner pick: per Arrow chunk, lexsort on the
+        # (ts_ms, offset) total order (offset is the minor key) and take
+        # the argmax — no per-row Python.
+        best = None  # one-row DataFrame holding the batch winner so far
+        best_key = None
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                if best is None or (row["ts_ms"], row["offset"]) > (
-                    best["ts_ms"],
-                    best["offset"],
-                ):
-                    best = row
+            if not len(pdf):
+                continue
+            i = int(
+                np.lexsort((pdf["offset"].to_numpy(), pdf["ts_ms"].to_numpy()))[-1]
+            )
+            cand_key = (int(pdf["ts_ms"].iloc[i]), int(pdf["offset"].iloc[i]))
+            if best is None or cand_key > best_key:
+                best = pdf.iloc[[i]]
+                best_key = cand_key
         if best is None:
             return
         if state.exists:
             ts, off = state.get
-            if (best["ts_ms"], best["offset"]) <= (ts, off):
+            if best_key <= (ts, off):
                 if state_ttl_ms is not None:
                     state.setTimeoutDuration(state_ttl_ms)
                 return  # nothing in this batch beats the remembered winner
-        state.update((int(best["ts_ms"]), int(best["offset"])))
+        state.update((best_key[0], best_key[1]))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
-        yield best.to_frame().T
+        yield best
 
     return changes.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         dedup,
@@ -127,5 +139,46 @@ def windowed_op_counts(
             "table",
             "op",
             "n",
+        )
+    )
+
+
+def streaming_sessionize(
+    changes: DataFrame,
+    key: str = "key",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based streaming sessionization over the ChangeSet stream.
+
+    The streaming counterpart of ``queries/analytics.py``'s
+    ``q_events_sessionize`` (lag + cumulative-sum over a batch window):
+    here ``F.session_window(ts, gap)`` keeps per-key open sessions in
+    the state store, merges them as events arrive, and — in append mode
+    with a watermark — emits a session exactly once, when the watermark
+    passes its end.  Spark requires append (not update) output for
+    session windows and at least one extra grouping column (``key``).
+
+    Scale: one shuffle on (session_window, key); state is one row per
+    OPEN session and the watermark closes/evicts sessions, so state is
+    bounded by key-activity within the lateness horizon, not by stream
+    length.
+    """
+    return (
+        changes.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("first_ts_ms"),
+            F.max("ts_ms").alias("last_ts_ms"),
+        )
+        .select(
+            F.col(key),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "first_ts_ms",
+            "last_ts_ms",
         )
     )

@@ -10,6 +10,7 @@ from cdc_redshift_spark.normalize import pg_changeset
 from cdc_redshift_spark.sources.streams import file_stream
 from cdc_redshift_spark.streaming.stateful import (
     stateful_lww_dedup,
+    streaming_sessionize,
     windowed_op_counts,
 )
 
@@ -120,3 +121,61 @@ def test_windowed_op_counts_watermark(spark, tmp_path):
     w0 = [k for k in final if k[1] == "insert" and final[k] == 2]
     assert w0, final  # first window's insert count stayed 2 (late row dropped)
     assert any(k[1] == "delete" and final[k] == 1 for k in final)
+
+
+def run_append(spark, indir, ckpt, build):
+    """Drain an append-mode stream via foreachBatch, returning emitted rows."""
+    emitted = []
+    q = (
+        build(pg_changeset(file_stream(spark, indir), offset_col="offset"))
+        .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    return emitted
+
+
+def test_streaming_sessionize_gap_merge_and_close(spark, tmp_path):
+    """session_window merges events within the gap into one session and
+    emits it exactly once, after the watermark passes the session end."""
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    t0 = 1_700_000_000_000
+    build = lambda ch: streaming_sessionize(  # noqa: E731
+        ch, gap="30 minutes", watermark_delay="10 minutes"
+    )
+    # batch 0: key 1 has two events 5 min apart (one session), key 2 one
+    # event — all sessions still open, nothing emitted yet
+    write_batch_file(
+        indir,
+        "b0.json",
+        [
+            pg_line("c", 1, t0, {"v": "a"}, 0),
+            pg_line("u", 1, t0 + 300_000, {"v": "b"}, 1),
+            pg_line("c", 2, t0 + 60_000, {"v": "c"}, 2),
+        ],
+    )
+    emitted = run_append(spark, indir, ckpt, build)
+    assert emitted == []
+    # batch 1: an event 2 h later advances the watermark past both open
+    # sessions' ends; the trailing no-data micro-batch (or the next run)
+    # then closes and emits them exactly once
+    write_batch_file(
+        indir, "b1.json", [pg_line("c", 3, t0 + 7_200_000, {"v": "d"}, 3)]
+    )
+    emitted = run_append(spark, indir, ckpt, build)
+    write_batch_file(
+        indir, "b2.json", [pg_line("c", 4, t0 + 14_400_000, {"v": "e"}, 4)]
+    )
+    emitted += run_append(spark, indir, ckpt, build)
+    got = {(r["key"], r["n_events"]) for r in emitted}
+    assert ("1", 2) in got, emitted  # 2 events within gap merged into 1 session
+    assert ("2", 1) in got, emitted
+    s1 = next(r for r in emitted if r["key"] == "1")
+    assert s1["first_ts_ms"] == t0 and s1["last_ts_ms"] == t0 + 300_000
+    # session end = last event + gap (30 min)
+    assert (s1["session_end"] - s1["session_start"]).total_seconds() == 35 * 60
