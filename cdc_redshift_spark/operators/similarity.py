@@ -136,35 +136,48 @@ def knn_all_pairs(
     vec_col: str = "embedding",
     num_partitions: int | None = None,
     max_collect_rows: int | None = 2_000_000,
+    strategy: str = "auto",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact k-NN for every vector (brute force, blocked GEMM).
 
-    Correctness baseline for the ANN variants.  The corpus matrix is
-    broadcast (the same smallness assumption a broadcast nested-loop
-    join would make — this is the documented baseline; at scale use
-    `rh_lsh_topk` / `ivf_topk`); each partition of queries computes
-    one numpy GEMM block against it and emits its rows' top-k
-    directly.  No pair stream is ever materialized and the only
-    shuffle is the query-side repartition, so the O(N²) arithmetic
-    runs at full vector speed spread across the cluster.
+    Correctness baseline for the ANN variants.  Two physical
+    strategies behind one result contract:
 
-    Ranking matches the oracles: rounded cosine (6 dp) descending,
-    neighbor id ascending, self excluded.
+    - ``broadcast`` (fast path, corpus ≤ ``max_collect_rows``): the
+      corpus matrix is collected and broadcast; each partition of
+      queries computes one numpy GEMM block against it and emits its
+      rows' top-k directly.  O(N) driver memory — the same smallness
+      assumption a broadcast nested-loop join makes.
+    - ``tiled`` (scale path, chosen automatically above the bound):
+      :func:`knn_all_pairs_tiled` — a blocked corpus×corpus tile plan
+      with NO driver collect; memory per task is O(N/B · dim), so the
+      exact computation (and the recall artifacts built on it) scales
+      past driver memory, paying O(N·B) shuffled rows for it.
+
+    ``strategy='auto'`` counts the corpus once and picks; pass
+    ``'broadcast'`` or ``'tiled'`` to skip the count and force one.
+
+    Ranking matches the oracles on either path: rounded cosine (6 dp)
+    descending, neighbor id ascending, self excluded.
     """
+    if strategy not in ("auto", "broadcast", "tiled"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "tiled":
+        return knn_all_pairs_tiled(
+            df, k=k, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+        )
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     sc = df.sparkSession.sparkContext
-    if max_collect_rows is not None:
+    if strategy == "auto" and max_collect_rows is not None:
         n = df.count()
         if n > max_collect_rows:
-            # The collect+broadcast below is driver-memory-bounded; on
-            # a corpus this size it would OOM the driver rather than
-            # merely run slowly.  Fail loudly instead of silently
-            # degrading — the scale paths are rh_lsh_topk / ivf_topk.
-            raise ValueError(
-                f"knn_all_pairs is a driver-broadcast exact baseline: corpus has "
-                f"{n} rows > max_collect_rows={max_collect_rows}; use rh_lsh_topk/"
-                f"ivf_topk at this scale, or raise/disable max_collect_rows"
+            # Above the driver-memory bound the collect+broadcast fast
+            # path would OOM the driver; switch to the blocked tile
+            # plan, which computes the identical result distributed.
+            return knn_all_pairs_tiled(
+                df, k=k, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
             )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
@@ -205,6 +218,98 @@ def knn_all_pairs(
         df.select(id_col, vec_col)
         .repartition(num_partitions)
         .mapInPandas(block_topk, schema=schema)
+    )
+
+
+def knn_all_pairs_tiled(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact k-NN via blocked corpus×corpus tiles — no driver collect.
+
+    The corpus is hashed into B blocks (``pmod(xxhash64(id), B)``).
+    Every (query-block, data-block) tile is one group: query rows
+    replicate across the B data blocks and data rows across the B
+    query blocks (2·N·B shuffled rows total), so each tile holds
+    O(N/B) rows per side and is scored by one in-tile GEMM emitting
+    each query's LOCAL top-k against that data block.  A window then
+    merges the B partial top-k lists per query — exact, because a
+    globally top-k neighbor is locally top-k within its own data
+    block (fewer than k candidates beat it anywhere).
+
+    Memory per task is O((N/B)·dim) regardless of corpus size; pick
+    ``n_blocks`` ≈ N·dim·8 / tile-memory-budget.  Each unordered
+    (query, data) pair lives in exactly one tile, so no dedup is
+    needed before the merge.  Arithmetic and ranking are identical to
+    the broadcast path: rounded cosine (6 dp) desc, neighbor id asc,
+    self excluded.
+    """
+    spark = df.sparkSession
+    if n_blocks is None:
+        # Default: one tile side ≈ defaultParallelism tasks worth of
+        # work; at minimum 2 so the path is genuinely tiled.
+        n_blocks = max(2, int(math.isqrt(spark.sparkContext.defaultParallelism)))
+    B = int(n_blocks)
+    all_blocks = F.array(*[F.lit(i) for i in range(B)])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    own_block = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    q_side = base.select(
+        "id", "v",
+        own_block.alias("qb"),
+        F.explode(all_blocks).alias("db"),
+        F.lit(True).alias("is_q"),
+    )
+    d_side = base.select(
+        "id", "v",
+        F.explode(all_blocks).alias("qb"),
+        own_block.alias("db"),
+        F.lit(False).alias("is_q"),
+    )
+
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_q = pdf["is_q"].to_numpy()
+        qpdf, dpdf = pdf[is_q], pdf[~is_q]
+        if len(qpdf) == 0 or len(dpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        d_ids = dpdf["id"].to_numpy()
+        D = _mat(dpdf["v"])
+        dn = np.sqrt(np.einsum("ij,ij->i", D, D))
+        kk = min(k, len(dpdf))
+        outs = []
+        for lo in range(0, len(qpdf), _TILE):
+            hi = min(lo + _TILE, len(qpdf))
+            Q = _mat(qpdf["v"][lo:hi])
+            qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            q_ids = qpdf["id"].to_numpy()[lo:hi]
+            sim = np.round((Q @ D.T) / np.outer(qn, dn), 6)
+            sim[q_ids[:, None] == d_ids[None, :]] = -np.inf  # self
+            order = np.lexsort(
+                (np.broadcast_to(d_ids, sim.shape), -sim), axis=1
+            )[:, :kk]
+            out = pd.DataFrame(
+                {
+                    "id_a": np.repeat(q_ids, kk),
+                    "id_b": d_ids[order].ravel(),
+                    "cosine": np.take_along_axis(sim, order, axis=1).ravel(),
+                }
+            )
+            outs.append(out[np.isfinite(out["cosine"])])
+        return pd.concat(outs, ignore_index=True)
+
+    idt = _id_type(df, id_col)
+    local = (
+        q_side.unionByName(d_side)
+        .groupBy("qb", "db")
+        .applyInPandas(tile_topk, schema=f"id_a {idt}, id_b {idt}, cosine double")
+    )
+    return _topk_per_query(local, k).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "rank",
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
     )
 
 

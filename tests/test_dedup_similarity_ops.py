@@ -100,6 +100,30 @@ def test_knn_is_symmetric_topk(spark, emb):
     assert all(sorted(v) == [1, 2, 3] for v in by_vec.values())
 
 
+def test_knn_tiled_matches_broadcast(spark, emb):
+    """The distributed tile plan must equal the broadcast fast path
+    row-for-row — same top-k, same ranks, same rounded cosines.  A
+    small max_collect_rows forces the auto strategy over the driver
+    bound onto the tiled path (the scale scenario)."""
+    key = lambda r: (r.vec_id, r.rank)  # noqa: E731
+    ref = sorted(
+        knn_all_pairs(emb, k=3, strategy="broadcast").collect(), key=key
+    )
+    # auto with a tiny driver bound → must route to the tile plan
+    tiled = sorted(
+        knn_all_pairs(emb, k=3, max_collect_rows=10).collect(), key=key
+    )
+    assert [tuple(r) for r in tiled] == [tuple(r) for r in ref]
+    # explicit strategy, several block counts (incl. one that leaves
+    # some tiles nearly empty)
+    for nb in (2, 7):
+        got = sorted(
+            knn_all_pairs(emb, k=3, strategy="tiled", n_blocks=nb).collect(),
+            key=key,
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in ref], nb
+
+
 def test_ann_oracle_float_margins(spark):
     """The ANN value oracles assume numpy and DuckDB agree after 6-dp
     rounding.  Two failure modes exist in principle: a hyperplane dot
