@@ -128,6 +128,59 @@ class SchemaCache:
         return self._schemas[key]
 
 
+def detect_drift(
+    changes: DataFrame, schema: T.StructType, payload_col: str = "payload"
+) -> DataFrame:
+    """Rows whose payload carries a top-level field the schema lacks.
+
+    ``from_json`` silently DROPS unknown fields (it flags only
+    malformed JSON as corrupt), so drift must be probed on the raw
+    JSON: compare ``json_object_keys`` against the known field set.
+    Narrow single-column scan, no shuffle; callers early-exit with
+    ``isEmpty()`` so the no-drift steady state costs one pass that
+    stops at the first drifted row.  Top-level only by design — a new
+    NESTED field inside a known struct widens on the next full
+    re-inference, while top-level drift is what DMS/Debezium DDL
+    replication actually emits (ADD COLUMN).
+    """
+    known = F.array(*[F.lit(f.name) for f in schema.fields])
+    j = F.col(payload_col).cast("string")
+    return changes.where(j.isNotNull()).where(
+        F.exists(
+            F.json_object_keys(j), lambda k: ~F.array_contains(known, k)
+        )
+    )
+
+
+def parse_with_evolution(
+    cache: "SchemaCache",
+    db: str,
+    table: str,
+    changes: DataFrame,
+    payload_col: str = "payload",
+    **explode_kw,
+) -> DataFrame:
+    """Explode a payload slice under the cached schema, evolving it on
+    drift — the wiring the reference leaves undefined (SURVEY §1.3:
+    the first inferred schema is cached forever and later-added fields
+    silently vanish).
+
+    Per batch: parse under the cached schema; probe the raw JSON for
+    top-level fields the schema lacks (:func:`detect_drift`); if any
+    exist, re-infer on the DRIFTED rows only, merge via
+    :meth:`SchemaCache.evolve` (additive, conflicts → string), and
+    re-parse the whole slice under the widened schema.  The steady
+    state pays one early-exit probe scan and zero inference jobs.
+    """
+    schema = cache.get(db, table, changes, payload_col)
+    drifted = detect_drift(changes, schema, payload_col)
+    if not drifted.isEmpty():
+        cache.inferences += 1
+        observed = infer_payload_schema(drifted, payload_col, sample=cache.sample)
+        schema = cache.evolve(db, table, observed)
+    return explode_payload(changes, schema, payload_col, **explode_kw)
+
+
 def explode_payload(
     changes: DataFrame,
     schema: T.StructType,

@@ -228,6 +228,26 @@ FROM ev GROUP BY op ORDER BY db, "table", op
 _BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
 
 
+def _dms_envelope(src: DataFrame, data, op: str, ts_ms, off) -> DataFrame:
+    """Wrap a JSON payload column in the AWS DMS envelope shape
+    (data/control/metadata — glue_dms_redshift_cdc.py:80-100)."""
+    meta = F.struct(
+        F.date_format(
+            F.timestamp_millis(ts_ms.cast("long")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+        ).alias("timestamp"),
+        F.lit("data").alias("record-type"),
+        F.lit(op).alias("operation"),
+        F.lit("schema-table").alias("partition-key-type"),
+        F.lit("tpch").alias("schema-name"),
+        F.lit("customer_cdc").alias("table-name"),
+    )
+    env = F.struct(
+        data.alias("data"), F.lit(None).cast("string").alias("control"), meta.alias("metadata")
+    )
+    return src.select(F.to_json(env).alias("value"), off.cast("long").alias("offset"))
+
+
 def synth_dms_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer.parquet → raw Kafka-shaped frame of AWS DMS envelopes.
 
@@ -254,32 +274,15 @@ def synth_dms_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def envelope(src: DataFrame, data, op: str, ts_ms, off):
-        meta = F.struct(
-            F.date_format(
-                F.timestamp_millis(ts_ms.cast("long")),
-                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
-            ).alias("timestamp"),
-            F.lit("data").alias("record-type"),
-            F.lit(op).alias("operation"),
-            F.lit("schema-table").alias("partition-key-type"),
-            F.lit("tpch").alias("schema-name"),
-            F.lit("customer_cdc").alias("table-name"),
-        )
-        env = F.struct(
-            data.alias("data"), F.lit(None).cast("string").alias("control"), meta.alias("metadata")
-        )
-        return src.select(F.to_json(env).alias("value"), off.cast("long").alias("offset"))
-
-    inserts = envelope(customer, payload(F.col("c_mktsegment")), "insert", ts0, k * 10)
-    updates = envelope(
+    inserts = _dms_envelope(customer, payload(F.col("c_mktsegment")), "insert", ts0, k * 10)
+    updates = _dms_envelope(
         customer.filter(k % 5 == 0),
         payload(F.lit("UPDATED")),
         "update",
         ts0 + _DAY_MS,
         k * 10 + 1,
     )
-    deletes = envelope(
+    deletes = _dms_envelope(
         customer.filter(k % 11 == 0),
         payload(F.col("c_mktsegment")),
         "delete",
@@ -324,6 +327,75 @@ SELECT c_custkey AS id,
        TIMESTAMP '2024-01-01 00:00:00' AS gmt_created
 FROM customer
 WHERE c_custkey % 11 <> 0
+"""
+
+
+def q_cdc_dms_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS replay across a schema change: batch 2 adds a column.
+
+    Batch 1 inserts every customer with the v1 payload (id, name,
+    segment, balance); batch 2 updates c_custkey % 5 == 0 rows with a
+    payload that ALSO carries a new ``tier`` field — the ADD COLUMN
+    shape DMS DDL replication emits mid-stream.  Both batches parse
+    through :func:`cdc_redshift_spark.infer.parse_with_evolution`:
+    batch 1 infers and caches the v1 schema; batch 2's drift probe
+    spots ``tier`` in the raw JSON, widens the cached schema, and
+    re-parses, so the merged state carries the new column (NULL for
+    never-updated rows) instead of silently dropping it — the gap the
+    reference leaves undefined (SURVEY §1.3).
+    """
+    from cdc_redshift_spark.infer import SchemaCache, parse_with_evolution
+    from cdc_redshift_spark.normalize import dms_changeset
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    ts0 = F.lit(_BASE_MS) + k * 1000
+
+    v1 = F.to_json(
+        F.struct(
+            k.alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("balance"),
+        )
+    )
+    v2 = F.to_json(
+        F.struct(
+            k.alias("id"),
+            F.col("c_name").alias("name"),
+            F.lit("UPDATED").alias("segment"),
+            F.col("c_acctbal").alias("balance"),
+            F.concat(F.lit("T"), (k % 3).cast("string")).alias("tier"),
+        )
+    )
+    batch1 = _dms_envelope(customer, v1, "insert", ts0, k * 10)
+    batch2 = _dms_envelope(
+        customer.filter(k % 5 == 0), v2, "update", ts0 + _DAY_MS, k * 10 + 1
+    )
+
+    cache = SchemaCache()
+    keys = ("db", "table", "key")
+    state = None
+    for raw in (batch1, batch2):
+        ch = latest_per_key(dms_changeset(raw, offset_col="offset"), keys=keys)
+        rel = parse_with_evolution(cache, "tpch", "customer_cdc", ch)
+        state = apply_changeset(state, rel, keys=("key",))
+    return state.select(
+        F.col("id").alias("id"),
+        F.col("name").alias("name"),
+        F.col("segment").alias("segment"),
+        F.col("balance").alias("balance"),
+        F.col("tier").alias("tier"),
+    )
+
+
+ORACLE_CDC_DMS_SCHEMA_DRIFT = """
+SELECT c_custkey AS id,
+       c_name AS name,
+       CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS segment,
+       c_acctbal AS balance,
+       CASE WHEN c_custkey % 5 = 0 THEN 'T' || CAST(c_custkey % 3 AS VARCHAR) END AS tier
+FROM customer
 """
 
 
@@ -438,6 +510,7 @@ QUERIES = {
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_dms_relational": q_cdc_dms_relational,
+    "cdc_dms_schema_drift": q_cdc_dms_schema_drift,
     "cdc_mongo_replay": q_cdc_mongo_replay,
 }
 
@@ -446,5 +519,6 @@ ORACLES = {
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,
     "cdc_op_counts": ORACLE_CDC_OP_COUNTS,
     "cdc_dms_relational": ORACLE_CDC_DMS_RELATIONAL,
+    "cdc_dms_schema_drift": ORACLE_CDC_DMS_SCHEMA_DRIFT,
     "cdc_mongo_replay": ORACLE_CDC_MONGO_REPLAY,
 }

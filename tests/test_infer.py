@@ -108,3 +108,52 @@ def test_explode_payload_types_and_ts_coercion(spark):
     rows = {r["id"]: r for r in out.collect()}
     assert rows[1]["gmt_created"] == datetime.datetime(2024, 1, 1, 10, 0)
     assert rows[1]["op"] == "insert"
+
+
+def _changes(spark, docs):
+    import json as _json
+
+    return spark.createDataFrame(
+        [
+            (_json.dumps(d), i, i, "insert", str(d["id"]))
+            for i, d in enumerate(docs)
+        ],
+        "payload string, ts_ms long, offset long, op string, key string",
+    )
+
+
+def test_parse_with_evolution_carries_new_field(spark):
+    """A field added in a later batch must survive into the parsed
+    output (the reference silently drops it — SURVEY §1.3)."""
+    from cdc_redshift_spark.infer import parse_with_evolution
+
+    cache = SchemaCache()
+    b1 = _changes(spark, [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}])
+    out1 = parse_with_evolution(cache, "db", "t", b1)
+    assert "tier" not in out1.columns
+    assert cache.inferences == 1
+
+    # batch 2 adds `tier`; the drift probe must widen and re-parse
+    b2 = _changes(spark, [{"id": 3, "name": "c", "tier": "gold"}])
+    out2 = parse_with_evolution(cache, "db", "t", b2)
+    assert "tier" in out2.columns
+    assert out2.collect()[0]["tier"] == "gold"
+    assert cache.inferences == 2  # one drift re-inference, no more
+
+    # batch 3 has no drift: cached schema reused, zero inference jobs,
+    # and the widened schema still applies (tier present, NULL here)
+    b3 = _changes(spark, [{"id": 4, "name": "d"}])
+    out3 = parse_with_evolution(cache, "db", "t", b3)
+    assert "tier" in out3.columns
+    assert out3.collect()[0]["tier"] is None
+    assert cache.inferences == 2
+
+
+def test_detect_drift_top_level_only(spark):
+    from cdc_redshift_spark.infer import detect_drift
+
+    base = _changes(spark, [{"id": 1, "name": "a"}])
+    schema = infer_payload_schema(base)
+    assert detect_drift(base, schema).isEmpty()
+    drifted = _changes(spark, [{"id": 2, "name": "b", "extra": 1}])
+    assert detect_drift(drifted, schema).count() == 1
