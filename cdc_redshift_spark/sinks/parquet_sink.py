@@ -280,6 +280,11 @@ class ParquetSink(Sink):
         if cur is None or "op" not in cur.columns:
             return
         expired = (F.col("op") == "delete") & (F.col(self.ts_col) < F.lit(before_ts_ms))
+        # no-op fast path on EVERY layout: nothing expirable → the
+        # current version stands, no rewrite, no new snapshot (early-
+        # exit scan of op + ts only)
+        if cur.where(expired).isEmpty():
+            return
         if len(self.partition_cols) == 1:
             pcol = self.partition_cols[0]
             v = self._latest_version(db, table)

@@ -68,14 +68,25 @@ class CdcPipeline:
         max_workers: int = 10,
         apply_delete: bool = True,
         on_batch: Callable[[int, DataFrame], None] | None = None,
+        expire_after_ms: int | None = None,
+        expire_every: int = 10,
     ):
+        """``expire_after_ms`` enables periodic tombstone compaction:
+        every ``expire_every`` batches, tombstones older than
+        (max event-time seen) - expire_after_ms are expired from every
+        sink table.  The horizon is EVENT time, so a tombstone survives
+        exactly as long as an event old enough to lose to it can still
+        arrive — the same lateness contract as a watermark."""
         self.changeset_fn = changeset_fn
         self.sink = sink
         self.keys = keys
         self.max_workers = max_workers
         self.apply_delete = apply_delete
         self.on_batch = on_batch
+        self.expire_after_ms = expire_after_ms
+        self.expire_every = expire_every
         self.stats = PipelineStats()
+        self._max_ts_ms: int | None = None
 
     # -- per-batch body (the foreachBatch target) ---------------------------
     def process_batch(self, raw: DataFrame, batch_id: int) -> None:
@@ -96,12 +107,15 @@ class CdcPipeline:
             # Spark job per micro-batch instead of two).
             routing = (
                 changes_f.groupBy(*ROUTING_COLS)
-                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("mx"))
                 .collect()
             )
             tables = [(r["db"], r["table"]) for r in routing]
             self.stats.tables += len(tables)
             self.stats.events += sum(r["n"] for r in routing)
+            batch_max = max((r["mx"] for r in routing if r["mx"] is not None), default=None)
+            if batch_max is not None:
+                self._max_ts_ms = max(self._max_ts_ms or batch_max, batch_max)
 
             def apply_one(db: str, table: str) -> None:
                 slice_df = changes_f.where(
@@ -120,9 +134,26 @@ class CdcPipeline:
                     list(ex.map(lambda t: apply_one(*t), tables))
             if self.on_batch is not None:
                 self.on_batch(batch_id, changes_f)
+            self._maybe_expire()
             log.info("batch %d: %d tables applied", batch_id, len(tables))
         finally:
             changes.unpersist()
+
+    def _maybe_expire(self) -> None:
+        """Periodic tombstone compaction (see __init__).  Expiring
+        BEFORE the horizon would let a late stale event resurrect its
+        deleted key; expiring after it is pure state reclaim — the
+        sink's no-op fast path makes idle cycles free."""
+        if (
+            self.expire_after_ms is None
+            or self._max_ts_ms is None
+            or self.stats.batches % self.expire_every != 0
+            or not hasattr(self.sink, "expire_tombstones")
+        ):
+            return
+        horizon = self._max_ts_ms - self.expire_after_ms
+        for db, table in self.sink.list_tables():
+            self.sink.expire_tombstones(db, table, horizon)
 
     # -- stream driver (T1-T3) ----------------------------------------------
     def start(
@@ -156,11 +187,65 @@ def route_by_table(changes: DataFrame, root: str) -> None:
 
     ``partitionBy(db, table)`` lands every table's slice in one pass —
     the right shape when the stream carries hundreds of tables and
-    per-table filter jobs would swamp the driver (SURVEY §7.3).  A
-    downstream compactor merges each partition into its target.
+    per-table filter jobs would swamp the driver (SURVEY §7.3).
+    :func:`compact_routed` merges each landed partition into its
+    target.
     """
     (
         changes.write.mode("append")
         .partitionBy(*ROUTING_COLS)
         .parquet(root)
     )
+
+
+def compact_routed(
+    spark,
+    root: str,
+    sink: Sink,
+    keys: tuple[str, ...] = ("db", "table", "key"),
+    max_workers: int = 10,
+    clean: bool = True,
+) -> list[tuple[str, str]]:
+    """Merge every (db, table) slice landed by :func:`route_by_table`
+    into its sink target — the downstream half of the wide-fan-out
+    path, producing the SAME per-table state the N-filters path does.
+
+    Each landed partition's files are snapshotted first (so a stream
+    appending concurrently is untouched), read with ``basePath`` to
+    recover the routing columns, LWW-deduped, and applied through the
+    sink's idempotent merge.  ``clean=True`` removes exactly the files
+    processed; a crash between apply and clean just re-applies them —
+    idempotent, because the merge is LWW.  Listing is a directory walk
+    of db=/table= names, O(tables), no Spark job.
+    """
+    import glob
+    import os
+    import urllib.parse
+
+    from cdc_redshift_spark.dedup import latest_per_key as _lww
+
+    work: list[tuple[str, str, list[str]]] = []
+    for dbdir in sorted(glob.glob(os.path.join(root, "db=*"))):
+        db = urllib.parse.unquote(os.path.basename(dbdir).split("=", 1)[1])
+        for tdir in sorted(glob.glob(os.path.join(dbdir, "table=*"))):
+            table = urllib.parse.unquote(os.path.basename(tdir).split("=", 1)[1])
+            files = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+            if files:
+                work.append((db, table, files))
+
+    def one(db: str, table: str, files: list[str]) -> None:
+        slice_df = _lww(
+            spark.read.option("basePath", root).parquet(*files), keys=keys
+        )
+        sink.apply_changeset(db, table, slice_df)
+        if clean:
+            for f in files:
+                os.remove(f)
+
+    if len(work) <= 1 or max_workers <= 1:
+        for db, table, files in work:
+            one(db, table, files)
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(lambda w: one(*w), work))
+    return [(db, table) for db, table, _ in work]

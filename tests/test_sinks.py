@@ -399,3 +399,66 @@ def test_route_by_table_partitioned_fanout(spark, tmp_path):
     import os as _os
 
     assert _os.path.isdir(f"{root}/db=d1/table=t2")
+
+
+def test_compact_routed_matches_filter_path(spark, tmp_path):
+    """Fan-out landing + compactor must converge to the SAME per-table
+    state as the direct filter-path merge, including delete handling,
+    LWW across landed batches, and idempotent re-compaction."""
+    from cdc_redshift_spark.dedup import latest_per_key
+    from cdc_redshift_spark.streaming.pipeline import compact_routed, route_by_table
+
+    rows = [
+        # t1: insert, then newer update; key 2 deleted after insert
+        ("d1", "t1", "1", 100, 0, "insert", '{"v": "a"}'),
+        ("d1", "t1", "1", 200, 1, "update", '{"v": "a2"}'),
+        ("d1", "t1", "2", 100, 2, "insert", '{"v": "b"}'),
+        ("d1", "t2", "9", 100, 3, "insert", '{"v": "x"}'),
+    ]
+    rows2 = [
+        ("d1", "t1", "2", 300, 4, "delete", None),
+        ("d2", "t1", "7", 100, 5, "insert", '{"v": "z"}'),
+        # stale replay of t1/1 — must lose to the landed ts=200 row
+        ("d1", "t1", "1", 150, 6, "update", '{"v": "stale"}'),
+    ]
+    schema = (
+        "db string, table string, key string, ts_ms long, offset long, "
+        "op string, payload string"
+    )
+    root = str(tmp_path / "landing")
+    route_by_table(spark.createDataFrame(rows, schema), root)
+    route_by_table(spark.createDataFrame(rows2, schema), root)
+
+    keys = ("db", "table", "key")
+    sink = ParquetSink(spark, str(tmp_path / "sink"), keys=keys)
+    done = compact_routed(spark, root, sink, keys=keys)
+    assert set(done) == {("d1", "t1"), ("d1", "t2"), ("d2", "t1")}
+
+    # reference: the filter path over the identical union
+    ref_sink = ParquetSink(spark, str(tmp_path / "ref"), keys=keys)
+    allc = latest_per_key(
+        spark.createDataFrame(rows + rows2, schema), keys=keys
+    )
+    import pyspark.sql.functions as F
+
+    for db, table in done:
+        ref_sink.apply_changeset(
+            db, table, allc.where((F.col("db") == db) & (F.col("table") == table))
+        )
+
+    for db, table in done:
+        got = {
+            (r.key, r.ts_ms, r.payload)
+            for r in sink.read_table(spark, db, table).collect()
+        }
+        want = {
+            (r.key, r.ts_ms, r.payload)
+            for r in ref_sink.read_table(spark, db, table).collect()
+        }
+        assert got == want, (db, table)
+    # t1 specifically: key 1 at ts 200 (stale replay lost), key 2 deleted
+    st = {r.key: r.ts_ms for r in sink.read_table(spark, "d1", "t1").collect()}
+    assert st == {"1": 200}
+
+    # clean=True removed the landed files → a second compact is a no-op
+    assert compact_routed(spark, root, sink, keys=keys) == []

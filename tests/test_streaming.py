@@ -415,3 +415,52 @@ def test_dms_pipeline_end_to_end(spark, tmp_path):
     st = state(sink, spark, "s1", "t1")
     assert set(st) == {"1"}
     assert st["1"]["v"] == "a2"
+
+
+def test_pipeline_tombstone_expiry_lifecycle(spark, tmp_path):
+    """expire_after_ms wiring: within the lateness horizon the tombstone
+    survives expiry cycles (so a late stale event can NOT resurrect the
+    deleted key); once the event-time horizon passes, the tombstone is
+    compacted away; idle expiry cycles are no-ops (no new snapshot)."""
+    pipe, sink, indir, ckpt = mk_pipeline(
+        spark, tmp_path, expire_after_ms=10_000, expire_every=1
+    )
+    write_batch_file(
+        indir,
+        "b0.json",
+        [pg_line("c", 1, 1000, {"v": "a"}, 0), pg_line("c", 2, 1000, {"v": "b"}, 1)],
+    )
+    drain(pipe, spark, indir, ckpt)
+    write_batch_file(indir, "b1.json", [pg_line("d", 1, 2000, None, 2)])
+    drain(pipe, spark, indir, ckpt)
+    # horizon = 2000 - 10000 < 0 → tombstone stays; expiry cycles were no-ops
+    v_after_delete = sink._latest_version("d1", "t1")
+    tombs = sink.read_table(spark, "d1", "t1", include_tombstones=True).where(
+        "op = 'delete'"
+    )
+    assert tombs.count() == 1
+
+    # late STALE event for the deleted key (ts 1500 < delete's 2000):
+    # loses to the still-present tombstone — no resurrection
+    write_batch_file(indir, "b2.json", [pg_line("u", 1, 1500, {"v": "zombie"}, 3)])
+    drain(pipe, spark, indir, ckpt)
+    assert state(sink, spark) == {"2": {"id": 2, "v": "b"}}
+
+    # advance event time past the horizon: max_ts=50000 → horizon=40000
+    # > 2000, so this batch's expiry cycle compacts the tombstone away
+    write_batch_file(indir, "b3.json", [pg_line("u", 2, 50_000, {"v": "b2"}, 4)])
+    drain(pipe, spark, indir, ckpt)
+    tombs = sink.read_table(spark, "d1", "t1", include_tombstones=True).where(
+        "op = 'delete'"
+    )
+    assert tombs.count() == 0
+    v_final = sink._latest_version("d1", "t1")
+
+    # one more batch with nothing expirable: apply bumps one version,
+    # the expiry cycle must not (no-op fast path)
+    write_batch_file(indir, "b4.json", [pg_line("u", 2, 50_001, {"v": "b3"}, 5)])
+    drain(pipe, spark, indir, ckpt)
+    # exactly ONE new version (the apply); the expiry cycle added none
+    assert sink._latest_version("d1", "t1") == v_final + 1
+    assert state(sink, spark)["2"]["v"] == "b3"
+    assert v_after_delete is not None
