@@ -202,17 +202,20 @@ def minhash_signatures(
 
 # Java's \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s is
 # unicode-aware — spell the class out so a non-breaking space behaves
-# identically on both engines.  Spark's trim() strips chars <= 0x20.
+# identically on both engines.  Spark's trim() (and DuckDB's) strips
+# ONLY the space character since SPARK-17299 — NOT all chars <= 0x20 —
+# so the mirror must strip(' ') alone or a leading \x01/\x1f would
+# normalize differently from F.trim and the oracles.
 _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
-_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
 
 
 def _py_normalize(s: str) -> str:
     """Python mirror of functions.text.normalize_text, character-exact
     with the JVM semantics: ASCII-only whitespace collapse (Java \\s),
-    trim of chars <= U+0020 (UTF8String.trim), str.lower (≡ Java
-    toLowerCase on ASCII; parity pinned by pytest incl. unicode ws)."""
-    return _WS_RE.sub(" ", s.lower()).strip(_TRIM_CHARS)
+    trim of the space character only (SPARK-17299 trim semantics),
+    str.lower (≡ Java toLowerCase on ASCII; parity pinned by pytest
+    incl. unicode ws and ASCII control chars)."""
+    return _WS_RE.sub(" ", s.lower()).strip(" ")
 
 
 def _minhash_frames_fn(k: int, n: int, unit: str = "char"):

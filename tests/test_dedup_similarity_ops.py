@@ -220,6 +220,10 @@ def test_minhash_frames_unicode_whitespace_parity(spark):
         (3, "  tabs\tand\nnewlines  "),
         (4, " edge nbsp "),      # NBSP at edges: trim keeps it
         (5, "mixed   run"),
+        # ASCII control chars at the edges: since SPARK-17299 trim
+        # strips ONLY space, so \x01/\x1f must SURVIVE on both engines
+        (6, "\x01hello\x1f"),
+        (7, "hello"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     old = {r["id"]: (list(r["sh"]), list(r["sig"])) for r in minhash_signatures(df).collect()}
@@ -227,6 +231,7 @@ def test_minhash_frames_unicode_whitespace_parity(spark):
     assert old == new
     # and NBSP genuinely distinguishes docs (it wasn't collapsed away)
     assert old[1][0] != old[2][0]
+    assert old[6][0] != old[7][0]
 
 
 def test_connected_components_chain_and_singletons(spark):
