@@ -93,8 +93,36 @@ def main() -> None:
     ch = latest_per_key(pg_changeset(raw, offset_col="offset"), keys=("db", "table", "key"))
     force(apply_changeset(None, ch, keys=("db", "table", "key")))
     cdc_secs = time.perf_counter() - t0
-    raw.unpersist()
     rec_per_s = n_events / cdc_secs if cdc_secs > 0 else 0.0
+
+    # Scaling evidence (tools/scale_smoke.py folded in): the same CDC
+    # batch at 4x replication — throughput should RISE as fixed costs
+    # amortize (single-shuffle, map-side-combine plan); a drop flags a
+    # scaling regression.  Reported in `extra` only, so the headline
+    # suite wall stays comparable round-over-round.
+    from pyspark.sql import functions as F
+
+    settle()
+    reps = 4
+    parts = [
+        raw.select(
+            F.regexp_replace("value", '"id":', f'"id":{i}00').alias("value"),
+            (F.col("offset") + i * 100_000_000).alias("offset"),
+        )
+        for i in range(reps)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.persist()
+    n_events_4x = big.count()
+    raw.unpersist()
+    t0 = time.perf_counter()
+    ch4 = latest_per_key(pg_changeset(big, offset_col="offset"), keys=("db", "table", "key"))
+    force(apply_changeset(None, ch4, keys=("db", "table", "key")))
+    cdc_secs_4x = time.perf_counter() - t0
+    big.unpersist()
+    rec_per_s_4x = n_events_4x / cdc_secs_4x if cdc_secs_4x > 0 else 0.0
 
     total = round(sum(times.values()) + cdc_secs, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -111,6 +139,11 @@ def main() -> None:
                     "cdc_rec_per_s": round(rec_per_s, 1),
                     "baseline_rec_per_s": 6667,
                     "cdc_vs_baseline_x": round(rec_per_s / 6667, 2),
+                    "cdc_events_4x": n_events_4x,
+                    "cdc_rec_per_s_4x": round(rec_per_s_4x, 1),
+                    "cdc_scaleup_x": round(rec_per_s_4x / rec_per_s, 2)
+                    if rec_per_s
+                    else 0.0,
                 },
             }
         )

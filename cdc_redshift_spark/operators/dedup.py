@@ -343,7 +343,13 @@ def _band_rows_fn(
     return f
 
 
-def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
+def _bitmap_verify_fn(
+    n_words: int,
+    n_keys: int,
+    threshold: float,
+    bands: int,
+    max_bucket: int | None = None,
+):
     """mapInPandas over partitions PRE-PARTITIONED AND SORTED on the
     bucket key (band, k0..k{r-1}): exact pairwise intersections via
     blocked bool-GEMM per bucket.
@@ -367,6 +373,17 @@ def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
 
     Memory: O(largest bucket) for the carried group + O(tile × bucket)
     for the GEMM — independent of partition size.
+
+    ``max_bucket`` caps verify work on pathological (template-heavy)
+    corpora: a bucket larger than the cap is skipped outright — its
+    size is just the sorted-run length, so the cap costs nothing.
+    Combined with first-band suppression this yields the deterministic
+    rule "a pair survives iff the bucket of its FIRST colliding band
+    is within the cap": an oversized first band claims the pair (later
+    bands still suppress on the slice match) and drops it, so verify
+    FLOPs are bounded by cap² per bucket no matter how skewed the
+    banding gets.  Mirrored verbatim in the DuckDB oracle
+    (queries/dedup_q.py `_capped_cand_cte`).
     """
     margin = threshold - 1e-6
     tile = 4096
@@ -430,7 +447,7 @@ def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
         bounds = np.concatenate([[0], np.nonzero(change)[0] + 1, [m]])
         outs: list[pd.DataFrame] = []
         for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s >= 2:
+            if e - s >= 2 and (max_bucket is None or e - s <= max_bucket):
                 verify_bucket(
                     int(keys[s, 0]), ids[s:e], sz[s:e], Bf[s:e], SIG[s:e], outs
                 )
@@ -445,6 +462,16 @@ def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
         # partition — working memory is O(largest bucket), not
         # O(partition).
         pending: pd.DataFrame | None = None
+
+        def clip(run: pd.DataFrame) -> pd.DataFrame:
+            # A carried run longer than the cap is already doomed to be
+            # skipped — keep just enough rows (cap + 1) to prove it's
+            # oversized, so worker memory stays O(cap) even when one
+            # template bucket spans millions of rows.
+            if max_bucket is not None and len(run) > max_bucket + 1:
+                return run.iloc[: max_bucket + 1]
+            return run
+
         for pdf in batches:
             if pending is not None and len(pending):
                 pdf = pd.concat([pending, pdf], ignore_index=True)
@@ -456,10 +483,10 @@ def _bitmap_verify_fn(n_words: int, n_keys: int, threshold: float, bands: int):
             )
             is_last = np.all(keys == keys[-1], axis=1)
             if is_last.all():
-                pending = pdf  # one (possibly continuing) bucket
+                pending = clip(pdf)  # one (possibly continuing) bucket
                 continue
             cut = len(pdf) - int(np.argmin(is_last[::-1]))
-            pending = pdf.iloc[cut:].reset_index(drop=True)
+            pending = clip(pdf.iloc[cut:].reset_index(drop=True))
             yield from process(pdf.iloc[:cut].reset_index(drop=True))
         if pending is not None and len(pending):
             yield from process(pending)
@@ -479,6 +506,7 @@ def minhash_lsh_pairs(
     num_partitions: int | None = None,
     eager: bool = True,
     unit: str = "char",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -505,6 +533,15 @@ def minhash_lsh_pairs(
     4. **array fallback** (unbounded vocabularies, e.g. word n-grams):
        band-key self-join on the slice-value struct, then
        ``array_intersect`` verify; join strategy left to AQE.
+
+    ``max_bucket_size`` (optional) bounds per-bucket verify work on
+    template-heavy corpora: a pair survives iff the bucket of its
+    FIRST colliding band holds at most that many docs — an oversized
+    first band claims the pair and drops it, keeping emission globally
+    unique and the rule deterministic (mirrored in the DuckDB oracle).
+    In the bitmap path the check is free (bucket size = sorted-run
+    length); in the array fallback it rides the existing (band,
+    bucket) shuffle as a window count.
 
     With ``eager`` (default) the pair list is materialized via
     ``localCheckpoint`` and cached intermediates are released before
@@ -563,7 +600,9 @@ def minhash_lsh_pairs(
             rows.repartition(num_partitions, "band", *kcols)
             .sortWithinPartitions("band", *kcols)
             .mapInPandas(
-                _bitmap_verify_fn(n_words, rows_per_band, jaccard_threshold, bands),
+                _bitmap_verify_fn(
+                    n_words, rows_per_band, jaccard_threshold, bands, max_bucket_size
+                ),
                 schema=f"id_a {idt}, id_b {idt}, inter long, uni long",
             )
         )
@@ -594,15 +633,34 @@ def minhash_lsh_pairs(
         band_entries = shd.select(
             "id", F.posexplode(band_structs).alias("band", "bucket")
         )
-        a = band_entries.select("band", "bucket", F.col("id").alias("id_a"))
-        b = band_entries.select("band", "bucket", F.col("id").alias("id_b"))
-        cands = (
-            a.join(b, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-            .repartition(num_partitions, "id_a", "id_b")
-        )
+        if max_bucket_size is not None:
+            # Bucket size rides the same (band, bucket) partitioning as
+            # the self-join; first-colliding-band-decides via min_by.
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("band", "bucket")
+            entries = band_entries.withColumn("bn", F.count(F.lit(1)).over(w))
+            a = entries.select("band", "bucket", "bn", F.col("id").alias("id_a"))
+            b = entries.select("band", "bucket", F.col("id").alias("id_b"))
+            cands = (
+                a.join(b, ["band", "bucket"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.min_by("bn", "band").alias("bn0"))
+                .where(F.col("bn0") <= max_bucket_size)
+                .select("id_a", "id_b")
+                .repartition(num_partitions, "id_a", "id_b")
+            )
+        else:
+            a = band_entries.select("band", "bucket", F.col("id").alias("id_a"))
+            b = band_entries.select("band", "bucket", F.col("id").alias("id_b"))
+            cands = (
+                a.join(b, ["band", "bucket"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"])
+                .repartition(num_partitions, "id_a", "id_b")
+            )
         sh_a = shd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sh_b = shd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -798,8 +856,9 @@ def connected_components(
     Scale: each round is one join + one groupBy shuffle on node id —
     the standard large-graph CC loop; rounds needed = component
     diameter (near-dup clusters are shallow; ``max_iters`` bounds
-    pathological chains).  Lineage is truncated per round via
-    localCheckpoint so plans don't grow with iterations.
+    pathological chains, and non-convergence RAISES rather than
+    returning silently-wrong labels).  Lineage is truncated per round
+    via localCheckpoint so plans don't grow with iterations.
 
     ``ids``: one column ``id`` (all nodes, including singletons);
     ``pairs``: columns ``id_a``, ``id_b``.
@@ -811,6 +870,7 @@ def connected_components(
     )
     edges = edges.localCheckpoint(eager=False)
     labels = ids.select(F.col("id"), F.col("id").alias("lab"))
+    changed = 0
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.src == labels.id)
@@ -829,6 +889,13 @@ def connected_components(
         labels = merged.select("id", "lab")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing) — a component's "
+            f"diameter exceeds max_iters; raise max_iters rather than "
+            f"consuming unconverged cluster labels"
+        )
     return labels.select("id", F.col("lab").alias("cluster_id"))
 
 

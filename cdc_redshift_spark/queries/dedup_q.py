@@ -99,30 +99,66 @@ WHERE len(list_intersect(a.h, b.h))::DOUBLE
 """
 
 
+# Active bucket cap for the headline MinHash queries: bounds verify
+# FLOPs at cap² per bucket on template-heavy corpora (SCALE.md). 128
+# genuinely trims at both test SFs (max natural bucket: 164 at sf0.01,
+# 1609 at sf0.1) so the capped path — not a no-op — is what the
+# correctness gate certifies.
+MINHASH_BUCKET_CAP = 128
+
+
+def _capped_cand_cte(k: int, bands: int, cap: int) -> str:
+    """CTE chain (expects ``sig(id, h, sig)`` upstream) ending in
+    ``cand(id_a, id_b)``: pairs whose FIRST colliding band has bucket
+    size <= cap — the exact rule of operators/dedup.py
+    `_bitmap_verify_fn` (oversized first band claims and drops the
+    pair) and the array-fallback ``min_by(bn, band)`` filter."""
+    r = k // bands
+    slices = ", ".join(
+        f"list_slice(sig, {i * r + 1}, {(i + 1) * r})" for i in range(bands)
+    )
+    return f"""br AS (
+  SELECT id, unnest(range({bands})) AS band, unnest([{slices}]) AS slc FROM sig
+), bs AS (
+  SELECT band, slc, count(*) AS bn FROM br GROUP BY band, slc
+), coll AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.band, s.bn
+  FROM br a JOIN br b ON a.band = b.band AND a.slc = b.slc AND a.id < b.id
+  JOIN bs s ON s.band = a.band AND s.slc = a.slc
+), cand AS (
+  SELECT id_a, id_b FROM coll GROUP BY id_a, id_b
+  HAVING min_by(bn, band) <= {cap}
+)"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.6)
-
-
-def _oracle_minhash(k: int = 32, bands: int = 8, threshold: float = 0.6) -> str:
-    r = k // bands
-    band_eq = " OR ".join(
-        f"list_slice(a.sig, {i * r + 1}, {(i + 1) * r})"
-        f" = list_slice(b.sig, {i * r + 1}, {(i + 1) * r})"
-        for i in range(bands)
+    return minhash_lsh_pairs(
+        docs,
+        k=32,
+        bands=8,
+        jaccard_threshold=0.6,
+        max_bucket_size=MINHASH_BUCKET_CAP,
     )
+
+
+def _oracle_minhash(
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    cap: int = MINHASH_BUCKET_CAP,
+) -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
 ), sig AS (
   SELECT id, h, {duck_minhash_sig('h', k)} AS sig FROM sh
-)
-SELECT a.id AS id_a, b.id AS id_b,
+), {_capped_cand_cte(k, bands, cap)}
+SELECT c.id_a, c.id_b,
        round(len(list_intersect(a.h, b.h))::DOUBLE
              / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
-FROM sig a JOIN sig b ON a.id < b.id
-WHERE ({band_eq})
-  AND len(list_intersect(a.h, b.h))::DOUBLE
+FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+WHERE len(list_intersect(a.h, b.h))::DOUBLE
       / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= {threshold}
 """
 
@@ -149,29 +185,30 @@ def q_dedup_minhash_word_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise; vocabulary is unbounded, handled by the dict probe)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, k=32, bands=8, n=WORD_N, jaccard_threshold=WORD_THRESHOLD, unit="word"
+        docs,
+        k=32,
+        bands=8,
+        n=WORD_N,
+        jaccard_threshold=WORD_THRESHOLD,
+        unit="word",
+        max_bucket_size=MINHASH_BUCKET_CAP,
     )
 
 
-def _oracle_minhash_word(k: int = 32, bands: int = 8) -> str:
-    r = k // bands
-    band_eq = " OR ".join(
-        f"list_slice(a.sig, {i * r + 1}, {(i + 1) * r})"
-        f" = list_slice(b.sig, {i * r + 1}, {(i + 1) * r})"
-        for i in range(bands)
-    )
+def _oracle_minhash_word(
+    k: int = 32, bands: int = 8, cap: int = MINHASH_BUCKET_CAP
+) -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id AS id, {duck_word_shingle_hashes('text', WORD_N)} AS h FROM documents
 ), sig AS (
   SELECT id, h, {duck_minhash_sig('h', k)} AS sig FROM sh
-)
-SELECT a.id AS id_a, b.id AS id_b,
+), {_capped_cand_cte(k, bands, cap)}
+SELECT c.id_a, c.id_b,
        round(len(list_intersect(a.h, b.h))::DOUBLE
              / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
-FROM sig a JOIN sig b ON a.id < b.id
-WHERE ({band_eq})
-  AND len(list_intersect(a.h, b.h))::DOUBLE
+FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+WHERE len(list_intersect(a.h, b.h))::DOUBLE
       / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= {WORD_THRESHOLD}
 """
 
@@ -228,7 +265,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_redshift_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.6)
+    pairs = minhash_lsh_pairs(
+        docs,
+        k=32,
+        bands=8,
+        jaccard_threshold=0.6,
+        max_bucket_size=MINHASH_BUCKET_CAP,
+    )
     comp = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
     return comp.select(
         "id",
@@ -237,25 +280,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_clusters(k: int = 32, bands: int = 8, threshold: float = 0.6) -> str:
-    """Recursive-CTE mirror: same pair set as the minhash oracle, then
-    min-label reachability (undirected edges) per node."""
-    r = k // bands
-    band_eq = " OR ".join(
-        f"list_slice(a.sig, {i * r + 1}, {(i + 1) * r})"
-        f" = list_slice(b.sig, {i * r + 1}, {(i + 1) * r})"
-        for i in range(bands)
-    )
+def _oracle_clusters(
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    cap: int = MINHASH_BUCKET_CAP,
+) -> str:
+    """Recursive-CTE mirror: same (capped) pair set as the minhash
+    oracle, then min-label reachability (undirected edges) per node."""
     return f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
 ), sig AS (
   SELECT id, h, {duck_minhash_sig('h', k)} AS sig FROM sh
-), p AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM sig a JOIN sig b ON a.id < b.id
-  WHERE ({band_eq})
-    AND len(list_intersect(a.h, b.h))::DOUBLE
+), {_capped_cand_cte(k, bands, cap)}, p AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+  WHERE len(list_intersect(a.h, b.h))::DOUBLE
         / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= {threshold}
 ), e AS (
   SELECT id_a AS s, id_b AS d FROM p

@@ -28,6 +28,7 @@ Redshift is reachable in tests).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
@@ -35,6 +36,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from cdc_redshift_spark.sinks.base import Sink
+
+_log = logging.getLogger(__name__)
 
 #: Connector class name, public spark-redshift community edition.
 REDSHIFT_FORMAT = "io.github.spark_redshift_community.spark.redshift"
@@ -284,9 +287,26 @@ class RedshiftSink(Sink):
         return f"{self.cfg.schema}.{db}_{table}"
 
     def table_exists(self, db: str, table: str) -> bool:
+        """Cache, then probe.  The ``_known`` cache is process-local:
+        after a driver restart a previously-created target looks absent
+        unless a ``probe`` is configured, and the CTAS then prepended by
+        ``delete_insert_postactions`` FAILS against the existing table —
+        so a probe is mandatory for any deployment that restarts (the
+        reference always probes ``pg_tables``).  ``probe=None`` is a
+        single-process convenience (tests, one-shot backfills) and is
+        warned about on every cache miss."""
         if (db, table) in self._known:
             return True
         if self.probe is None:
+            _log.warning(
+                "RedshiftSink: no catalog probe configured — assuming %s.%s_%s "
+                "does not exist. If it does (e.g. created before a driver "
+                "restart), the generated CTAS will fail; pass probe= backed "
+                "by pg_tables for restart-safe operation.",
+                self.cfg.schema,
+                db,
+                table,
+            )
             return False
         return self.probe(self.cfg.schema, f"{db}_{table}")
 

@@ -192,6 +192,65 @@ def test_minhash_array_fallback_matches_bitmap_path(spark, docs):
     assert fast == slow
 
 
+def test_minhash_bucket_cap_drops_template_megabucket(spark):
+    """With max_bucket_size set, pairs whose FIRST colliding band
+    lands in an oversized bucket are dropped — identical template docs
+    collide in every band, so band 0 (size 30 > cap 10) claims and
+    drops all their pairs, while a genuine near-dup pair outside the
+    mega-bucket survives.  Both the bitmap-GEMM path and the array
+    fallback must implement the same rule."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(30)]
+    rows += [
+        (100, "a completely different passage about spark execution engines"),
+        (101, "a completely different passage about spark execution engine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for extra in ({}, {"bitmap_dict_max": 1}):  # bitmap path / fallback
+        capped = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                df, jaccard_threshold=0.5, max_bucket_size=10, **extra
+            ).collect()
+        }
+        assert (100, 101) in capped
+        assert all(a >= 100 for a, _ in capped), extra
+    # sanity: uncapped finds the full template clique
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    assert {(a, b) for a in range(30) for b in range(a + 1, 30)} <= uncapped
+
+
+def test_minhash_bucket_cap_matches_duckdb_oracle(spark, docs):
+    """First-band-decides semantics, pinned cross-engine: on a
+    template-heavy corpus with a cap small enough to trim NATURAL
+    buckets too (cap=8), the Spark pair set must equal the DuckDB
+    `_capped_cand_cte` oracle bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from cdc_redshift_spark.queries.dedup_q import _oracle_minhash
+
+    template = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    base = docs.limit(120).select("doc_id", "text").toPandas()
+    rows = list(base.itertuples(index=False, name=None)) + [
+        (1_000_000 + i, template) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            corpus, jaccard_threshold=0.6, max_bucket_size=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {tuple(r) for r in con.execute(_oracle_minhash(cap=8)).fetchall()}
+    assert got == want
+
+
 def test_empty_inputs_yield_empty_results(spark, docs, emb):
     """Operators must tolerate empty inputs (a filter upstream can
     always produce zero rows) without planning errors."""

@@ -85,6 +85,14 @@ def main():
         npairs = pairs.count()
         wall = round(time.perf_counter() - t0, 2)
         print(json.dumps({"op": "dedup_minhash_lsh", "docs": n, "pairs": npairs, "sec": wall}), flush=True)
+        # capped variant: replica groups are exactly the template-heavy
+        # worst case the bucket cap exists for — worst-bucket verify is
+        # bounded at cap² so wall should grow ~linearly, not 4.8x
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(d, jaccard_threshold=0.9, max_bucket_size=128)
+        npairs = pairs.count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "dedup_minhash_lsh_cap128", "docs": n, "pairs": npairs, "sec": wall}), flush=True)
         d.unpersist()
 
     for scale, e in ((1, emb), (REPLICAS, replicate_emb(emb, REPLICAS))):
