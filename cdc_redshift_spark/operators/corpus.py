@@ -1,0 +1,200 @@
+"""Corpus-level training-data operations: decontamination, repetition
+quality rules, deterministic stratified sampling.
+
+The reference has no corpus operators (its payloads are opaque SUPER
+JSON — SURVEY §0); these are the LLM-training-pipeline extensions a
+100 TB corpus actually needs before data reaches a tokenizer:
+
+- :func:`decontaminate` — benchmark decontamination: flag training
+  documents sharing any word n-gram with an eval/benchmark corpus
+  (the GPT-3/PaLM-style 8-to-13-gram overlap rule).
+- :func:`repetition_stats` — Gopher/MassiveText-style repetition
+  signals (duplicate-line fraction, type-token ratio, top-unigram /
+  top-bigram mass) used as quality filters.
+- :func:`stratified_sample` — deterministic per-stratum Bernoulli
+  sampling for training-mix construction; engine-stable hash, no RNG
+  state, reproducible across runs and engines.
+
+Everything is built-in-Column / DataFrame work (JVM codegen); the only
+per-value computation is md5, which Spark and DuckDB evaluate
+identically (same 60-bit prefix trick as operators/dedup.py
+`token_hashes`), so every operator here carries a full value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.functions.text import normalize_text
+
+#: Modulus for deterministic sampling buckets (rates in parts-per-million).
+PPM = 1_000_000
+
+
+def stable_hash60(col: Column) -> Column:
+    """60-bit engine-stable hash: first 15 hex chars of md5 as int.
+
+    Identical in DuckDB as ``('0x' || substr(md5(c), 1, 15))::BIGINT``
+    — the same construction simhash's ``token_hashes`` uses, so
+    sampling decisions and gram joins mirror bit-for-bit across
+    engines (unlike xxhash64/murmur3, which are engine-specific).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_ngrams(text_col: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-gram array of the normalized text, all JVM-side: slice a
+    window of n tokens at each position and re-join with single
+    spaces.  Documents shorter than n tokens yield their whole token
+    run as the single gram (mirrors the DuckDB ``list_slice`` clamp).
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_ngram_hashes(text_col: Column, n: int) -> Column:
+    """60-bit hashes of the distinct word n-grams (decontamination
+    join keys — 8 bytes shuffled per gram instead of ~8 words)."""
+    return F.transform(word_ngrams(text_col, n), stable_hash60)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word n-grams shared with the eval corpus and the number
+    of eval documents hit.  A training doc appearing here at all is
+    "contaminated" under the standard n-gram overlap rule; callers
+    pick the drop threshold.
+
+    Plan (inverted-index join — the ngram_jaccard shape):
+      1. both corpora explode to (gram-hash, id) — narrow codegen
+         scan, no Python;
+      2. optional ``max_gram_df`` drops eval grams appearing in more
+         than that many eval docs (boilerplate headers/licenses —
+         they'd otherwise be a skewed join key AND a false
+         contamination signal);
+      3. one hash-partitioned join on the 8-byte gram key.  The eval
+         side is a benchmark corpus — typically MBs — so AQE
+         broadcasts it and the "join" costs one scan of the train
+         side; with a huge eval side the plan degrades to a plain
+         shuffled hash join, still one shuffle per side.
+
+    Scale: shuffled bytes are O(total distinct grams) × 8 bytes + ids;
+    no pair stream (the per-(tid) aggregate runs on join output that
+    is already distinct in (tid, g, eid)).
+    """
+    tg = train.select(
+        F.col(id_col).alias("tid"),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    eg = eval_df.select(
+        F.col(id_col).alias("eid"),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    if max_gram_df is not None:
+        keep = (
+            eg.groupBy("g")
+            .agg(F.count_distinct("eid").alias("df"))
+            .where(F.col("df") <= max_gram_df)
+            .select("g")
+        )
+        eg = eg.join(keep, "g")
+    return (
+        tg.join(eg, "g")
+        .groupBy("tid")
+        .agg(
+            F.count_distinct("g").alias("contaminated_grams"),
+            F.count_distinct("eid").alias("eval_docs_hit"),
+        )
+        .select(
+            F.col("tid").alias(id_col), "contaminated_grams", "eval_docs_hit"
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/quality signals (the Gopher rules a
+    training pipeline filters on):
+
+    - ``tokens``: whitespace token count of the normalized text;
+    - ``ttr``: type-token ratio (distinct/total — low = repetitive);
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier line (0 for single-line docs);
+    - ``top_unigram_frac`` / ``top_bigram_frac``: share of all
+      unigram/bigram occurrences taken by the most frequent one.
+
+    ttr and dup_line_frac are pure Column expressions; the top-gram
+    fractions need per-gram frequencies, so each n explodes to
+    (id, gram) and aggregates — groupBy on (id, gram) then id, both
+    hash-partitioned on id first, so at scale this is two narrow
+    shuffles of gram-hash-sized rows, no skew beyond document length.
+    All ratios round to 6 dp for engine parity (int/int division is
+    exactly rounded in IEEE double on both engines).
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.size(lines),
+            6,
+        ).alias("dup_line_frac"),
+    )
+
+    def top_frac(n: int, out: str) -> DataFrame:
+        grams = df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n, distinct=False)).alias("g"),
+        )
+        per_gram = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy(id_col).agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias(out)
+        )
+
+    return (
+        base.join(top_frac(1, "top_unigram_frac"), id_col)
+        .join(top_frac(2, "top_bigram_frac"), id_col)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_ppm: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    ``stable_hash60(id) % 1e6 < rates_ppm[stratum]``.
+
+    The training-mix primitive: rates are parts-per-million per
+    stratum value (integer — no float thresholds to straddle), the
+    hash is engine-stable and keyed on the row id, so the sample is
+    reproducible across runs, engines, and cluster sizes, and a
+    rate increase strictly grows the previous sample (nested samples
+    — raising web 10% → 20% keeps every previously selected row).
+    Strata absent from ``rates_ppm`` fall back to ``default_ppm``.
+
+    Scale: a pure codegen filter on the scan — no shuffle, no RNG
+    state, no seed coordination across executors.
+    """
+    rate = F.lit(default_ppm)
+    for key, ppm in sorted(rates_ppm.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(int(ppm))).otherwise(rate)
+    bucket = F.pmod(stable_hash60(F.col(id_col).cast("string")), F.lit(PPM))
+    return df.where(bucket < rate)

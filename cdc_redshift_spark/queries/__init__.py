@@ -12,6 +12,7 @@ def all_queries():
     from cdc_redshift_spark.queries import (
         analytics,
         cdc,
+        corpus_q,
         dedup_q,
         multimodal_q,
         similarity,
@@ -21,7 +22,16 @@ def all_queries():
 
     q: dict = {}
     o: dict = {}
-    for mod in (cdc, analytics, text_q, dedup_q, similarity, multimodal_q, streaming_q):
+    for mod in (
+        cdc,
+        analytics,
+        text_q,
+        dedup_q,
+        corpus_q,
+        similarity,
+        multimodal_q,
+        streaming_q,
+    ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

@@ -1,0 +1,167 @@
+"""Corpus-pipeline queries (decontamination, repetition rules,
+stratified sampling) with full DuckDB value oracles.
+
+The gram hashing mirrors bit-for-bit (60-bit md5 prefix, the
+`token_hashes` construction); every ratio is int/int division rounded
+to 6 dp, which IEEE doubles evaluate identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.corpus import (
+    decontaminate,
+    repetition_stats,
+    stratified_sample,
+)
+from cdc_redshift_spark.sources.tables import load_table
+
+# ---- DuckDB fragments mirroring operators/corpus.py ----------------------
+
+DUCK_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+DUCK_HASH60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+
+def duck_word_grams(tokens: str, n: int) -> str:
+    """Non-distinct word n-grams over a token list — mirrors
+    operators/corpus.py `word_ngrams(distinct=False)` including the
+    shorter-than-n clamp."""
+    return (
+        f"list_transform(range(1, greatest(len({tokens}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({tokens}, i, i + {n - 1}), ' '))"
+    )
+
+
+# ---- decontamination ------------------------------------------------------
+
+# Production decontamination uses 8-13-word grams; the synthetic
+# fixture corpus has almost no natural 8-gram overlap (1 doc at
+# sf0.01), so the GATED config uses 4-grams against a 10% benchmark
+# slice — 75 contaminated docs at sf0.01, a real correctness signal
+# over the same plan shape.
+DECON_N, DECON_MAX_GRAM_DF, DECON_EVAL_MOD = 4, 10, 10
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the corpus is split deterministically
+    into train (doc_id % 10 != 0) and a "benchmark" slice
+    (doc_id % 10 == 0), then every train doc sharing a word n-gram
+    with the benchmark is reported with its overlap counts.  Grams
+    seen in more than DECON_MAX_GRAM_DF eval docs are boilerplate and
+    ignored."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = F.col("doc_id") % DECON_EVAL_MOD == 0
+    return decontaminate(
+        docs.where(~ev),
+        docs.where(ev),
+        n=DECON_N,
+        max_gram_df=DECON_MAX_GRAM_DF,
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({DUCK_NORM.format(c='text')}, ' ') AS w
+  FROM documents
+), gh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({duck_word_grams('w', DECON_N)},
+                                      g -> {DUCK_HASH60.format(c='g')})) AS hs
+  FROM toks
+), tg AS (
+  SELECT doc_id AS tid, unnest(hs) AS g FROM gh WHERE doc_id % {DECON_EVAL_MOD} <> 0
+), eg AS (
+  SELECT doc_id AS eid, unnest(hs) AS g FROM gh WHERE doc_id % {DECON_EVAL_MOD} = 0
+), keep AS (
+  SELECT g FROM eg GROUP BY g HAVING count(DISTINCT eid) <= {DECON_MAX_GRAM_DF}
+)
+SELECT tid AS doc_id,
+       count(DISTINCT tg.g) AS contaminated_grams,
+       count(DISTINCT eid) AS eval_docs_hit
+FROM tg JOIN keep USING (g) JOIN eg USING (g)
+GROUP BY tid
+"""
+
+
+# ---- repetition stats ------------------------------------------------------
+
+
+def q_corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+ORACLE_REPETITION = f"""
+WITH norm AS (
+  SELECT doc_id, text, {DUCK_NORM.format(c='text')} AS t FROM documents
+), toks AS (
+  SELECT doc_id, text, string_split(t, ' ') AS w FROM norm
+), base AS (
+  SELECT doc_id,
+         len(w) AS tokens,
+         round(len(list_distinct(w))::DOUBLE / len(w), 6) AS ttr,
+         round((len(string_split(text, chr(10)))
+                - len(list_distinct(string_split(text, chr(10)))))::DOUBLE
+               / len(string_split(text, chr(10))), 6) AS dup_line_frac
+  FROM toks
+), u AS (
+  SELECT doc_id, unnest(w) AS g FROM toks
+), uc AS (
+  SELECT doc_id, g, count(*) AS c FROM u GROUP BY doc_id, g
+), uf AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_unigram_frac
+  FROM uc GROUP BY doc_id
+), b AS (
+  SELECT doc_id, unnest({duck_word_grams('w', 2)}) AS g FROM toks
+), bc AS (
+  SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g
+), bf AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT base.doc_id, tokens, ttr, dup_line_frac, top_unigram_frac, top_bigram_frac
+FROM base JOIN uf USING (doc_id) JOIN bf USING (doc_id)
+"""
+
+
+# ---- stratified sampling ---------------------------------------------------
+
+# Training-mix rates (parts per million) by source; everything else
+# falls back to DEFAULT_PPM.  Integer thresholds — nothing to straddle.
+SAMPLE_RATES_PPM = {"src0": 800_000, "src1": 500_000, "src2": 250_000}
+DEFAULT_PPM = 100_000
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, SAMPLE_RATES_PPM, strata_col="source", default_ppm=DEFAULT_PPM
+    )
+
+
+def _oracle_sample() -> str:
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {v}"
+        for k, v in sorted(SAMPLE_RATES_PPM.items())
+    )
+    bucket = DUCK_HASH60.format(c="CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE {bucket} % 1000000 < (CASE {cases} ELSE {DEFAULT_PPM} END)
+"""
+
+
+QUERIES = {
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_repetition_stats": q_corpus_repetition_stats,
+    "corpus_stratified_sample": q_corpus_stratified_sample,
+}
+
+ORACLES = {
+    "corpus_decontaminate": ORACLE_DECONTAMINATE,
+    "corpus_repetition_stats": ORACLE_REPETITION,
+    "corpus_stratified_sample": _oracle_sample(),
+}

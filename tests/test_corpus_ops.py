@@ -1,0 +1,90 @@
+"""Semantics tests for the corpus-pipeline operators (decontamination,
+repetition rules, stratified sampling).  Values are oracle-checked by
+the driver gate; these pin the behavioral contracts on handcrafted
+corpora."""
+
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.corpus import (
+    PPM,
+    decontaminate,
+    repetition_stats,
+    stratified_sample,
+)
+
+EVAL_SENT = "the midterm exam answer key is seven eight nine ten"
+BOILER = "copyright notice all rights reserved by the publisher anon"
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, f"some filler text then {EVAL_SENT} and a tail"),
+            (2, "a completely clean training document with no overlap at all"),
+            (3, f"prefix {BOILER} suffix words here"),  # boilerplate only
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        # the boilerplate line appears in ALL eval docs -> df cap drops it
+        [(100 + i, f"{EVAL_SENT if i == 0 else 'unrelated eval doc ' + str(i)} {BOILER}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.contaminated_grams, r.eval_docs_hit)
+        for r in decontaminate(train, ev, n=8, max_gram_df=2).collect()
+    }
+    # doc 1 shares the 10-token eval sentence => three 8-grams, 1 eval doc
+    assert out[1] == (3, 1)
+    # doc 2 is clean; doc 3 only matches the df-capped boilerplate
+    assert 2 not in out and 3 not in out
+    # without the cap, doc 3 is flagged (the cap is what protects it)
+    uncapped = {r.doc_id for r in decontaminate(train, ev, n=8).collect()}
+    assert 3 in uncapped
+
+
+def test_repetition_stats_known_ratios(spark):
+    df = spark.createDataFrame(
+        [
+            # 6 tokens: "a b a b a c" -> ttr 4/6? no: distinct {a,b,c}=3/6
+            # top unigram a: 3/6; bigrams: [a b, b a, a b, b a, a c] -> 2/5
+            (1, "a b a b a c"),
+            # 3 identical lines of 1 token each
+            (2, "x\nx\nx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1.tokens == 6
+    assert r1.ttr == 0.5
+    assert r1.dup_line_frac == 0.0
+    assert r1.top_unigram_frac == 0.5
+    assert r1.top_bigram_frac == 0.4
+    r2 = out[2]
+    assert r2.dup_line_frac == round(2 / 3, 6)
+    assert r2.ttr == round(1 / 3, 6)
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("code").alias("source"),
+    )
+    lo = stratified_sample(df, {"web": 100_000, "code": 0}, default_ppm=0)
+    hi = stratified_sample(df, {"web": 300_000, "code": 0}, default_ppm=0)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    # nested: raising a rate strictly grows the sample
+    assert lo_ids <= hi_ids
+    # zero-rate stratum contributes nothing
+    assert all(i % 2 == 0 for i in hi_ids)
+    # rate approximately honored (2000 web docs, +-50% tolerance at 10%)
+    assert 100 <= len(lo_ids) <= 300
+    # deterministic: a second run is identical
+    assert {r.doc_id for r in lo.collect()} == lo_ids
+    # unknown strata use default_ppm
+    other = stratified_sample(
+        df.withColumn("source", F.lit("new")), {"web": PPM}, default_ppm=PPM
+    )
+    assert other.count() == 4000
