@@ -50,7 +50,11 @@ def main() -> None:
         "dedup_minhash_lsh",
         "sim_topk_query",
         "sim_lsh_topk",
-        "cdc_stateful_lww_stream",
+        # the JVM-aggregation stateful variant: measures the streaming
+        # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
+        # Python floor (which would add a flat ~40 s at sf0.1's 150k
+        # keys and drown every other signal in the suite wall)
+        "cdc_stateful_lww_agg_stream",
     ]
 
     # warmup: touch each table + JIT the common codepaths, and spin up

@@ -30,11 +30,33 @@ from pyspark.sql import functions as F
 from cdc_redshift_spark.normalize import pg_changeset
 from cdc_redshift_spark.queries.cdc import synth_pg_changelog
 from cdc_redshift_spark.sources.streams import file_stream
-from cdc_redshift_spark.streaming.stateful import stateful_lww_dedup
+from cdc_redshift_spark.streaming.stateful import (
+    stateful_lww_dedup,
+    stateful_lww_dedup_agg,
+)
 
 
 def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = synth_pg_changelog(spark, sf_dir)
+    return _two_phase_lww(spark, sf_dir, stateful_lww_dedup)
+
+
+def q_cdc_stateful_lww_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-aggregation LWW variant over the SAME two-phase stream.
+
+    On this fixture its emissions are provably identical to the
+    ``applyInPandasWithState`` form (phase 1 keys are all new, every
+    phase-2 event beats its key's phase-1 insert, so every touched
+    key's winner changes and the re-emit-vs-suppress divergence never
+    triggers) — both queries share ORACLE_STATEFUL_LWW.  This is the
+    variant bench.py times: per-batch cost is a hash aggregate,
+    independent of the ~0.2 ms/key Python floor of the pandas form."""
+    return _two_phase_lww(spark, sf_dir, stateful_lww_dedup_agg)
+
+
+def _two_phase_lww(spark: SparkSession, sf_dir: str, op_fn) -> DataFrame:
+    # persist: the changelog synthesis (orders scan + to_json) feeds
+    # BOTH phase writes — without it each phase re-synthesizes
+    raw = synth_pg_changelog(spark, sf_dir).persist()
     op = F.get_json_object("value", "$.op")
     shape = lambda df: df.select(  # noqa: E731
         "value", "offset", F.lit(0).alias("partition"),
@@ -51,9 +73,7 @@ def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bound the check at driver memory and is the anti-pattern a
         # reader must not copy).
         q = (
-            stateful_lww_dedup(
-                pg_changeset(file_stream(spark, indir), offset_col="offset")
-            )
+            op_fn(pg_changeset(file_stream(spark, indir), offset_col="offset"))
             .writeStream.foreachBatch(
                 lambda df, bid: df.write.mode("append").parquet(land)
             )
@@ -71,13 +91,17 @@ def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 20k-row check into 400 state-store tasks).
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # coalesce(8), not 1: parallel JSON encode, still far below any
+    # per-batch file limit, so each drain stays a single micro-batch
+    # (the two-phase emission contract needs phase = batch)
     try:
-        shape(raw.where(op == "c")).coalesce(1).write.mode("append").json(indir)
+        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
         drain()
-        shape(raw.where(op != "c")).coalesce(1).write.mode("append").json(indir)
+        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
         drain()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        raw.unpersist()
         import shutil
 
         # the landing dir must outlive this function (the returned
@@ -115,5 +139,11 @@ SELECT k, st, tot, 'delete', ts0 + 2 * {_DAY}, k * 10 + 2
 FROM base WHERE k % 7 = 0
 """
 
-QUERIES = {"cdc_stateful_lww_stream": q_cdc_stateful_lww_stream}
-ORACLES = {"cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW}
+QUERIES = {
+    "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
+    "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
+}
+ORACLES = {
+    "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
+    "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,
+}

@@ -43,3 +43,28 @@ def test_q5_broadcast_dims(spark):
     plan = plan_of(q5_local_supplier_volume(spark, SF))
     # region/nation/supplier are broadcast; only fact-fact joins shuffle
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The benchmark corpus (and the boilerplate keep-list derived from
+    it) must ride as broadcasts — the decontamination join costs one
+    scan of the training side, no train-side gram shuffle."""
+    from cdc_redshift_spark.queries.corpus_q import q_corpus_decontaminate
+
+    plan = plan_of(q_corpus_decontaminate(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only hash exchanges are the count-distinct aggregations (and
+    # the tiny eval-side df-cap groupBy) — never the exploded train side
+    joins = plan.split("BroadcastHashJoin")[-1]
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_scan_level_filter(spark):
+    """Sampling must stay a codegen filter on the scan: no exchange,
+    no Python, and doc_id/source pushed as scan-level IsNotNull."""
+    from cdc_redshift_spark.queries.corpus_q import q_corpus_stratified_sample
+
+    plan = plan_of(q_corpus_stratified_sample(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1) Filter" in plan  # whole-stage-codegen'd filter on the scan
