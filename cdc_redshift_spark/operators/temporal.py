@@ -1,0 +1,151 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+The reference has no temporal operators — its only time logic is LWW
+dedup ordering and the ``ts_date`` partition column (SURVEY §2.7).
+These are the time-series extensions a CDC/analytics engine needs,
+built Spark-first:
+
+- :func:`asof_join` — the classic distributed as-of join via
+  union + window carry-forward: ONE shuffle on the join key, no row
+  explosion, no driver state.  Semantics match DuckDB / pandas
+  ``ASOF JOIN`` with ``direction='backward'`` (match the newest right
+  row with ``right_ts <= left_ts``).
+- :func:`interval_join` — range join (``start <= ts <= end``) via
+  coarse time-cell bucketing.  Spark plans a raw inequality join as a
+  broadcast-nested-loop (O(N·M) compares — dead at scale); bucketing
+  turns it into a shuffle equi-join on cell id with bounded
+  replication (``interval_len / cell + 1`` copies per interval row),
+  AQE-skew-splittable like any equi-join.
+
+Scale notes (100 TB):
+- ``asof_join`` shuffles each side once on the key columns; per-key
+  state inside the window is O(1) (one carried struct).  Hot keys are
+  a window-skew risk (windows cannot be AQE-split) — same exposure as
+  every LWW dedup in this engine; salt upstream if one key dominates.
+- ``interval_join`` replication is controlled by ``cell``: pick it
+  near the typical interval length so each interval lands in ~2
+  cells.  Facts never replicate (each fact has exactly one cell), so
+  the shuffle is ~|facts| + 2|intervals| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | tuple[str, ...],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str] | tuple[str, ...],
+    tolerance: int | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_m",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the newest right
+    row of the same key with ``right_ts <= left_ts`` (NULL payload when
+    none exists — left-outer semantics).
+
+    Parameters
+    ----------
+    on : equi-join key column names (present in both sides).
+    left_ts / right_ts : ORDER columns.  Must be mutually comparable;
+        use exact integer epochs (e.g. ``ts_ns``) for oracle parity.
+    payload : right-side columns carried onto matches; emitted as
+        ``{name}{suffix}`` alongside ``{right_ts}{suffix}``.
+    tolerance : optional max ``left_ts - right_ts`` (same units as the
+        ts columns; requires numeric ts).  Older matches are nulled.
+    tiebreak : optional right-side column; among right rows sharing
+        (key, right_ts) the row with the MAX tiebreak wins, making the
+        join deterministic under right-side ts ties.
+
+    Plan shape: tag both sides, union, one window over the key ordered
+    by (ts, side, tiebreak) where right rows sort before left rows at
+    equal ts (so an exactly-simultaneous right row matches), then
+    ``last(payload_struct, ignorenulls)`` carries the newest right row
+    forward onto each left row.  One shuffle; no join node at all.
+    """
+    keys = list(on)
+    pay = list(payload)
+    lcols = left.columns
+
+    r_struct = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in pay]
+    )
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    rside = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        tb.cast("long").alias("__tb"),
+        r_struct.alias("__r"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
+    )
+    struct_type = rside.schema["__r"].dataType
+    lside = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(struct_type).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = rside.unionByName(lside).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = u.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col("__t") - F.col("__m.__ts") <= F.lit(tolerance), F.col("__m")
+            ),
+        )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.col("__m.__ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in pay],
+    )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start: str,
+    end: str,
+    cell: int,
+) -> DataFrame:
+    """Inner range join: every (fact, interval) pair with
+    ``start <= fact_ts <= end`` (all three integer columns, same unit).
+
+    Each interval explodes to the coarse cells it covers
+    (``start div cell .. end div cell``); each fact maps to its single
+    cell; the equi-join on cell id is then refined by the exact range
+    predicate.  A qualifying pair meets in exactly one cell (the
+    fact's), so no post-join dedup is needed.
+
+    Column names must be disjoint between ``facts`` and ``intervals``
+    apart from none — rename before calling if they collide.
+    """
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(F.expr(f"{start} div {cell}"), F.expr(f"{end} div {cell}"))
+        ),
+    )
+    ft = facts.withColumn("__cell", F.expr(f"{fact_ts} div {cell}"))
+    return (
+        ft.join(iv, "__cell")
+        .filter((F.col(fact_ts) >= F.col(start)) & (F.col(fact_ts) <= F.col(end)))
+        .drop("__cell")
+    )

@@ -17,6 +17,7 @@ def all_queries():
         multimodal_q,
         similarity,
         streaming_q,
+        temporal_q,
         text_q,
     )
 
@@ -31,6 +32,7 @@ def all_queries():
         similarity,
         multimodal_q,
         streaming_q,
+        temporal_q,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -406,6 +406,134 @@ FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def q4_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS decorrelated to a left-semi join — count
+    1996-H2 orders with at least one returned line item, per priority.
+
+    (The testdata lineitem has no commit/receipt dates, so the EXISTS
+    predicate uses l_returnflag = 'R'.)  The semi-join shuffles on
+    orderkey; the date filter pushes into the orders scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + scalar aggregate — the pushdown
+    showcase (all four predicates and both referenced columns reach the
+    parquet scan; tests/test_plan_quality.py pins PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: broadcast dim join + conditional aggregation —
+    share of September-1996 revenue from PROMO parts."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+def q_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-30-day order revenue —
+    a true value-range frame (peers at equal timestamps are frame-mates,
+    so timestamp ties stay deterministic without a tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders")
+    us_30d = 30 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-us_30d, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )
+
+
+ORACLE_MOVING = """
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_us,
+       round(sum(o_totalprice) OVER w, 2) AS rev_30d,
+       count(*) OVER w AS n_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -418,6 +546,10 @@ QUERIES = {
     "set_ops": q_set_ops,
     "events_funnel": q_events_funnel,
     "events_sessionize": q_events_sessionize,
+    "q4_returned_orders": q4_returned_orders,
+    "q6_revenue_change": q6_revenue_change,
+    "q14_promo_revenue": q14_promo_revenue,
+    "moving_revenue_30d": q_moving_revenue,
 }
 
 ORACLES = {
@@ -432,4 +564,8 @@ ORACLES = {
     "set_ops": ORACLE_SET_OPS,
     "events_funnel": ORACLE_FUNNEL,
     "events_sessionize": ORACLE_SESSIONIZE,
+    "q4_returned_orders": ORACLE_Q4,
+    "q6_revenue_change": ORACLE_Q6,
+    "q14_promo_revenue": ORACLE_Q14,
+    "moving_revenue_30d": ORACLE_MOVING,
 }

@@ -72,8 +72,21 @@ def _two_phase_lww(spark: SparkSession, sf_dir: str, op_fn) -> DataFrame:
         # funneled through the driver (a foreachBatch collect() would
         # bound the check at driver memory and is the anti-pattern a
         # reader must not copy).
+        # max_files_per_trigger=None: with availableNow and no file cap,
+        # ALL files dropped since the last drain form ONE micro-batch —
+        # the two-phase contract (phase = batch) that both operator
+        # variants' oracles assume.  (The default cap of 1 file/trigger
+        # would split a phase into 8 batches; the pandas form suppresses
+        # losers so it still matches, but the agg form re-emits a
+        # remembered winner whenever a later losing batch touches its
+        # key, inflating the emission count.)
         q = (
-            op_fn(pg_changeset(file_stream(spark, indir), offset_col="offset"))
+            op_fn(
+                pg_changeset(
+                    file_stream(spark, indir, max_files_per_trigger=None),
+                    offset_col="offset",
+                )
+            )
             .writeStream.foreachBatch(
                 lambda df, bid: df.write.mode("append").parquet(land)
             )
@@ -91,9 +104,8 @@ def _two_phase_lww(spark: SparkSession, sf_dir: str, op_fn) -> DataFrame:
     # a 20k-row check into 400 state-store tasks).
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    # coalesce(8), not 1: parallel JSON encode, still far below any
-    # per-batch file limit, so each drain stays a single micro-batch
-    # (the two-phase emission contract needs phase = batch)
+    # coalesce(8), not 1: parallel JSON encode; the uncapped
+    # availableNow drain below folds all 8 files into one micro-batch
     try:
         shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
         drain()

@@ -1,0 +1,187 @@
+"""Temporal queries: as-of attribution, interval (range) join,
+hypertable-style continuous-aggregate rollup — all over ``events``.
+
+Determinism rules: every time comparison runs on exact integer epochs
+(``ts_ns div 1000`` micros — see sources/tables.py for the two-format
+normalization), as-of right-side ties are broken by max event_id on
+both engines, and float aggregates are rounded identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.temporal import asof_join, interval_join
+from cdc_redshift_spark.sources.tables import load_table
+
+US_2H = 2 * 3600 * 1_000_000
+US_1H = 3600 * 1_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with an exact epoch-micros column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("e_us", F.expr("ts_ns div 1000"))
+
+
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the same user's most recent click at-or-before
+    it (classic last-touch attribution) via the distributed as-of join.
+
+    One shuffle on user_id; no join node (union + window carry-forward
+    — operators/temporal.py).  The reference has no temporal joins;
+    this is a north-star extension.
+    """
+    ev = _events_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "e_us", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("e_us").alias("c_us"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="e_us",
+        right_ts="c_us",
+        payload=["click_id", "click_value"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "e_us",
+        "value",
+        F.col("c_us_m"),
+        F.col("click_id_m"),
+        F.col("click_value_m"),
+        (F.col("e_us") - F.col("c_us_m")).alias("gap_us"),
+    )
+
+
+ORACLE_ASOF = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS e_us, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, c_us, click_id, click_value FROM (
+    SELECT user_id, epoch_ns(ts) // 1000 AS c_us,
+           event_id AS click_id, value AS click_value,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.e_us, p.value,
+       c.c_us AS c_us_m, c.click_id AS click_id_m,
+       c.click_value AS click_value_m,
+       p.e_us - c.c_us AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.e_us >= c.c_us
+"""
+
+
+def q_events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity inside the 2 h following each big purchase: an unkeyed
+    range join (any user's events counted) via time-cell bucketing —
+    shuffle equi-join on 1 h cells + exact refine, never a
+    broadcast-nested-loop (operators/temporal.py).
+    """
+    ev = _events_us(spark, sf_dir)
+    anchors = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    ).select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("e_us").alias("s_us"),
+        (F.col("e_us") + F.lit(US_2H)).alias("t_us"),
+    )
+    facts = ev.select("event_id", "user_id", "value", F.col("e_us").alias("f_us"))
+    joined = interval_join(
+        facts, anchors, fact_ts="f_us", start="s_us", end="t_us", cell=US_1H
+    )
+    return (
+        joined.groupBy("anchor_id", "s_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+ORACLE_BURST = f"""
+WITH a AS (
+  SELECT event_id AS anchor_id,
+         epoch_ns(ts) // 1000 AS s_us,
+         epoch_ns(ts) // 1000 + {US_2H} AS t_us
+  FROM events WHERE event_type = 'purchase' AND value > 150
+), f AS (
+  SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS f_us FROM events
+)
+SELECT anchor_id, s_us, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM a JOIN f ON f.f_us BETWEEN a.s_us AND a.t_us
+GROUP BY anchor_id, s_us
+ORDER BY anchor_id
+"""
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly rollup from raw
+    events, then the daily resolution RE-AGGREGATED from the hourly
+    rollup (never re-scanning raw facts — the multi-resolution rollup
+    pattern).  The oracle computes the daily numbers directly from raw
+    events, so the check proves re-aggregation invariance.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            F.to_date("hour_ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE_ROLLUP_HOURLY = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours,
+       round(sum(value), 4) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+QUERIES = {
+    "events_asof_attribution": q_events_asof_attribution,
+    "events_burst_windows": q_events_burst_windows,
+    "events_hourly_rollup": q_events_hourly_rollup,
+}
+
+ORACLES = {
+    "events_asof_attribution": ORACLE_ASOF,
+    "events_burst_windows": ORACLE_BURST,
+    "events_hourly_rollup": ORACLE_ROLLUP_HOURLY,
+}
