@@ -50,12 +50,15 @@ def main() -> None:
         "dedup_minhash_lsh",
         "sim_topk_query",
         "sim_lsh_topk",
-        # the JVM-aggregation stateful variant: measures the streaming
-        # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
-        # Python floor (which would add a flat ~40 s at sf0.1's 150k
-        # keys and drown every other signal in the suite wall)
-        "cdc_stateful_lww_agg_stream",
     ]
+    # the JVM-aggregation stateful variant: measures the streaming
+    # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
+    # Python floor (which would add a flat ~40 s at sf0.1's 150k
+    # keys and drown every other signal in the suite wall).  Measured
+    # LAST: the streaming run leaves state-store maintenance threads
+    # and JVM churn that settle() can't fully reclaim, which was
+    # measured to double the cdc_apply_batch time when it ran first.
+    tail_headline = ["cdc_stateful_lww_agg_stream"]
 
     # warmup: touch each table + JIT the common codepaths, and spin up
     # the Python/Arrow worker pool at the smallest SF so the first
@@ -127,6 +130,12 @@ def main() -> None:
     cdc_secs_4x = time.perf_counter() - t0
     big.unpersist()
     rec_per_s_4x = n_events_4x / cdc_secs_4x if cdc_secs_4x > 0 else 0.0
+
+    for name in tail_headline:
+        settle()
+        t0 = time.perf_counter()
+        force(qs[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()) + cdc_secs, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -558,6 +558,127 @@ def rh_lsh_near_dup_pairs(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def pq_codebooks(
+    df: DataFrame,
+    n_sub: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks, deterministically seeded.
+
+    Splits the dim into ``n_sub`` equal subspaces; subspace ``m``'s
+    codebook is the m-th sub-vector of the first ``ks`` vectors by id
+    (the same seeding rule as :func:`_centroids`, so the DuckDB oracle
+    reconstructs the identical codebooks from SQL).  Returns
+    (n_sub, ks, sub_dim) float64.  Tiny driver state — the codebook is
+    exactly what a PQ index ships to every worker node.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(ks).collect()
+    M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])  # (ks, dim)
+    dim = M.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    return np.stack([M[:, m * sub : (m + 1) * sub] for m in range(n_sub)])
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: vector → ``n_sub`` one-byte-ish codes (array<int>).
+
+    Per Arrow batch and subspace, squared L2 distances to the ks
+    codewords are computed by one broadcasted numpy subtraction
+    (direct Σ(vᵢ-cᵢ)², not the cancellation-prone norm expansion),
+    rounded to 6 dp, and the argmin (code-id tiebreak) becomes the
+    code — the rounding + tiebreak make the assignment reproducible in
+    the DuckDB oracle's SQL formulation.  Linear scan, no shuffle;
+    the 64-dim float vector compresses to n_sub small ints (16× here),
+    which is the point of PQ at 100 TB: the ADC query scan reads codes
+    only, never the raw vectors.
+    """
+    n_sub, ks, sub = books.shape
+    B = books  # (n_sub, ks, sub)
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        V = _mat(v)  # (rows, dim)
+        out = np.empty((len(V), n_sub), dtype=np.int32)
+        for m in range(n_sub):
+            Vm = V[:, m * sub : (m + 1) * sub]  # (rows, sub)
+            d2 = np.round(
+                ((Vm[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2), 6
+            )  # (rows, ks)
+            codes = np.arange(ks)
+            out[:, m] = np.lexsort(
+                (np.broadcast_to(codes, d2.shape), d2), axis=1
+            )[:, 0]
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col).alias("id"), _codes(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk_query(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_sub: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k for one query via PQ asymmetric distance.
+
+    Encode once (Arrow GEMM — the index build); score with pure
+    codegen Column expressions: the per-subspace lookup tables
+    (query·codeword dot and codeword norm²) are embedded as array
+    LITERALS, so the query-time scan is ``element_at`` chains over the
+    codes column — no Python, no vector reads, whole-stage codegen.
+    approx_cos(v) = Σₘ LUTdot[m][code] / (‖q‖·√Σₘ LUTnorm²[m][code]),
+    i.e. cosine(q, reconstruction(v)).  All LUT values are computed
+    driver-side with left-to-right Python float sums, matching the
+    DuckDB oracle's ``list_sum`` associativity exactly.
+    """
+    if books is None:
+        books = pq_codebooks(df, n_sub=n_sub, ks=ks, id_col=id_col, vec_col=vec_col)
+    n_sub, ks, sub = books.shape
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    # left-to-right Python sums — bit-identical to DuckDB list_sum
+    lut_dot = [
+        [
+            sum(q[m * sub + i] * float(books[m, c, i]) for i in range(sub))
+            for c in range(ks)
+        ]
+        for m in range(n_sub)
+    ]
+    lut_n2 = [
+        [sum(float(books[m, c, i]) ** 2 for i in range(sub)) for c in range(ks)]
+        for m in range(n_sub)
+    ]
+    enc = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+
+    def lut_at(lut: list[list[float]], m: int) -> Column:
+        arr = F.array(*[F.lit(x) for x in lut[m]])
+        return F.element_at(arr, F.element_at(F.col("codes"), m + 1) + 1)
+
+    dot_sum = lut_at(lut_dot, 0)
+    n2_sum = lut_at(lut_n2, 0)
+    for m in range(1, n_sub):
+        dot_sum = dot_sum + lut_at(lut_dot, m)
+        n2_sum = n2_sum + lut_at(lut_n2, m)
+    scored = enc.select(
+        F.col("id").alias(id_col),
+        F.round(dot_sum / (F.lit(qn) * F.sqrt(n2_sum)), 6).alias("approx_cosine"),
+    )
+    return scored.orderBy(F.desc("approx_cosine"), F.asc(id_col)).limit(k)
+
+
 def _centroids(df: DataFrame, n_cells: int, id_col: str, vec_col: str) -> np.ndarray:
     """Deterministic centroid seeds: the first n_cells vectors by id.
 

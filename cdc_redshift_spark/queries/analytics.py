@@ -534,6 +534,128 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
 """
 
 
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE multi-dimensional aggregate — all 4 grouping combinations
+    of (returnflag, linestatus) in one pass (completes the grouping-set
+    family next to ROLLUP and PIVOT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the events props column (the
+    reference's P4 `get_json_object` pattern applied analytically):
+    distribution of the embedded integer by event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS = """
+SELECT event_type, count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
+         AS n_distinct_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of `value` per event_type —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation definition, so the oracle matches to 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+            F.round(F.element_at("p", 4), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6)  AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders through the explicit skew-salted join
+    (operators/joins.py): the fact side spreads each orderkey across 8
+    salt buckets, orders replicate 8×.  The oracle is the PLAIN join —
+    proving salting changes physical distribution only, never results.
+    """
+    from cdc_redshift_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, on=["l_orderkey"], factor=8,
+                    discriminator="l_linenumber")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SALTED = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -550,6 +672,10 @@ QUERIES = {
     "q6_revenue_change": q6_revenue_change,
     "q14_promo_revenue": q14_promo_revenue,
     "moving_revenue_30d": q_moving_revenue,
+    "cube_sales": q_cube_sales,
+    "events_props_extract": q_events_props_extract,
+    "events_value_quantiles": q_events_value_quantiles,
+    "salted_join_orders": q_salted_join_orders,
 }
 
 ORACLES = {
@@ -568,4 +694,8 @@ ORACLES = {
     "q6_revenue_change": ORACLE_Q6,
     "q14_promo_revenue": ORACLE_Q14,
     "moving_revenue_30d": ORACLE_MOVING,
+    "cube_sales": ORACLE_CUBE,
+    "events_props_extract": ORACLE_PROPS,
+    "events_value_quantiles": ORACLE_QUANTILES,
+    "salted_join_orders": ORACLE_SALTED,
 }

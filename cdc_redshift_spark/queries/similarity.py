@@ -394,6 +394,117 @@ SELECT {IVF_K} AS k,
 """
 
 
+PQ_SUB, PQ_KS, PQ_K = 8, 16, 20
+_PQ_SD = DIM // PQ_SUB  # sub-dim
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 for the min-id query point via product
+    quantization: codebooks are the sub-vectors of the first 16
+    vectors by id (mirrored in SQL), codes are argmin of 6-dp-rounded
+    squared L2, scoring is LUT-sum asymmetric distance — the query
+    scan reads codes only, never raw vectors."""
+    from cdc_redshift_spark.operators.similarity import pq_topk_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_query(
+        emb, _query_vec(spark, sf_dir), k=PQ_K, n_sub=PQ_SUB, ks=PQ_KS
+    )
+
+
+def _pq_ctes() -> str:
+    """CTE chain v → cb → enc → lut → sc mirroring pq_encode /
+    pq_topk_query (0-based codes, left-to-right list_sum everywhere)."""
+    return f"""
+cb AS (
+  SELECT r.m, s.code, s.e[(r.m * {_PQ_SD} + 1):(r.m * {_PQ_SD} + {_PQ_SD})] AS sub
+  FROM (SELECT row_number() OVER (ORDER BY id) - 1 AS code, e
+        FROM (SELECT * FROM v ORDER BY id LIMIT {PQ_KS})) s
+  CROSS JOIN range(0, {PQ_SUB}) r(m)
+),
+enc AS (
+  SELECT id, m, code FROM (
+    SELECT v.id, cb.m, cb.code,
+           row_number() OVER (PARTITION BY v.id, cb.m ORDER BY
+             round(list_sum(list_transform(range(1, {_PQ_SD} + 1),
+                   i -> (v.e[cb.m * {_PQ_SD} + i] - cb.sub[i])
+                      * (v.e[cb.m * {_PQ_SD} + i] - cb.sub[i]))), 6) ASC,
+             cb.code ASC) AS rk
+    FROM v CROSS JOIN cb
+  ) WHERE rk = 1
+),
+q AS (SELECT e AS qe, n AS qn FROM v ORDER BY id LIMIT 1),
+lut AS (
+  SELECT cb.m, cb.code,
+         list_sum(list_transform(range(1, {_PQ_SD} + 1),
+                                 i -> q.qe[cb.m * {_PQ_SD} + i] * cb.sub[i])) AS dot_qc,
+         list_sum(list_transform(cb.sub, x -> x * x)) AS c2
+  FROM cb, q
+),
+sc AS (
+  SELECT e.id,
+         list_sum(list(l.dot_qc ORDER BY l.m)) AS dotsum,
+         list_sum(list(l.c2 ORDER BY l.m)) AS n2sum
+  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+  GROUP BY e.id
+)"""
+
+
+ORACLE_PQ_TOPK = f"""
+WITH v AS ({DUCK_V}),
+{_pq_ctes()}
+SELECT sc.id AS vec_id,
+       round(sc.dotsum / (q.qn * sqrt(sc.n2sum)), 6) AS approx_cosine
+FROM sc, q
+ORDER BY approx_cosine DESC, vec_id ASC
+LIMIT {PQ_K}
+"""
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 of the PQ ADC scan vs the exact scan for the same
+    query point, as one (k, hits, recall) row — the PQ quality
+    artifact (compression is 16×: 64 floats → 8 codes)."""
+    from cdc_redshift_spark.operators.similarity import pq_topk_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = cosine_topk_query(emb, qv, k=PQ_K).select("vec_id")
+    approx = pq_topk_query(emb, qv, k=PQ_K, n_sub=PQ_SUB, ks=PQ_KS).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    return hits.select(
+        F.lit(PQ_K).alias("k"),
+        "hits",
+        F.round(F.col("hits") / F.lit(PQ_K), 6).alias("recall"),
+    )
+
+
+ORACLE_PQ_RECALL = f"""
+WITH v AS ({DUCK_V}),
+{_pq_ctes()},
+approx AS (
+  SELECT sc.id FROM sc, q
+  ORDER BY round(sc.dotsum / (q.qn * sqrt(sc.n2sum)), 6) DESC, sc.id ASC
+  LIMIT {PQ_K}
+),
+exact AS (
+  SELECT va.id FROM v va, q
+  ORDER BY round(list_sum(list_transform(range(1, len(va.e) + 1),
+                                         i -> va.e[i] * q.qe[i]))
+                 / (va.n * q.qn), 6) DESC, va.id ASC
+  LIMIT {PQ_K}
+)
+SELECT {PQ_K} AS k,
+       (SELECT count(*) FROM exact e WHERE EXISTS
+          (SELECT 1 FROM approx a WHERE a.id = e.id)) AS hits,
+       round((SELECT count(*) FROM exact e WHERE EXISTS
+                (SELECT 1 FROM approx a WHERE a.id = e.id))::DOUBLE
+             / {PQ_K}, 6) AS recall
+"""
+
+
 QUERIES = {
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
@@ -402,6 +513,8 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_pq_topk": q_sim_pq_topk,
+    "sim_pq_recall": q_sim_pq_recall,
 }
 
 ORACLES = {
@@ -412,4 +525,6 @@ ORACLES = {
     "sim_ivf_topk": ORACLE_IVF_TOPK,
     "sim_ivf_kmeans_topk": ORACLE_IVF_KMEANS_TOPK,
     "sim_ivf_recall": ORACLE_IVF_RECALL,
+    "sim_pq_topk": ORACLE_PQ_TOPK,
+    "sim_pq_recall": ORACLE_PQ_RECALL,
 }

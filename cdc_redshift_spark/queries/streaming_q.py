@@ -33,6 +33,8 @@ from cdc_redshift_spark.sources.streams import file_stream
 from cdc_redshift_spark.streaming.stateful import (
     stateful_lww_dedup,
     stateful_lww_dedup_agg,
+    streaming_sessionize,
+    windowed_op_counts,
 )
 
 
@@ -132,6 +134,206 @@ def _two_phase_lww(spark: SparkSession, sf_dir: str, op_fn) -> DataFrame:
     )
 
 
+def q_cdc_windowed_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed op counts over the same
+    two-phase changelog stream (the gated query for
+    :func:`windowed_op_counts`).
+
+    Update mode emits a (window, db, table, op) group's CUMULATIVE
+    count whenever a batch touches it; the final emission per group is
+    therefore the total — the harness lands every emission with its
+    batch id and keeps each group's last.  The watermark delay is set
+    beyond the changelog's 2-day event-time spread so nothing is
+    dropped and the oracle is exact."""
+    raw = synth_pg_changelog(spark, sf_dir).persist()
+    op = F.get_json_object("value", "$.op")
+    shape = lambda df: df.select(  # noqa: E731
+        "value", "offset", F.lit(0).alias("partition"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    root = tempfile.mkdtemp(prefix="windowed_ops_")
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    land = os.path.join(root, "land")
+    os.makedirs(indir, exist_ok=True)
+
+    def drain() -> None:
+        q = (
+            windowed_op_counts(
+                pg_changeset(
+                    file_stream(spark, indir, max_files_per_trigger=None),
+                    offset_col="offset",
+                ),
+                window="1 day",
+                watermark_delay="36500 days",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(land)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
+        drain()
+        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        raw.unpersist()
+        import shutil
+
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(land)
+    w = Window.partitionBy("window_start", "db", "table", "op").orderBy(
+        F.desc("batch_id")
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.unix_millis("window_start").alias("win_ms"),
+            "db",
+            "table",
+            "op",
+            "n",
+        )
+    )
+
+
+ORACLE_WINDOWED_OPS = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
+  FROM orders
+), ev AS (
+  SELECT ts0 AS ts_ms, 'insert' AS op FROM base
+  UNION ALL
+  SELECT ts0 + 86400000, 'update' FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT ts0 + 172800000, 'delete' FROM base WHERE k % 7 = 0
+)
+SELECT ts_ms - ts_ms % 86400000 AS win_ms,
+       'tpch' AS db, 'orders_cdc' AS "table", op, count(*) AS n
+FROM ev GROUP BY 1, op
+"""
+
+
+def q_cdc_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization over the changelog (the gated query
+    for :func:`streaming_sessionize`, ``F.session_window`` + watermark,
+    append mode).
+
+    A key's insert/update/delete events sit ≥ 1 day apart, far beyond
+    the 30-minute gap, so every event closes as its own session.
+    Append mode emits a session only once the watermark passes its
+    end; a phase-2 sentinel event (year 2100, key 'wm') advances the
+    global watermark past every real session so all of them flush.
+    The sentinel's own session stays open and is excluded."""
+    raw = synth_pg_changelog(spark, sf_dir).persist()
+    shape = lambda df: df.select(  # noqa: E731
+        "value", "offset", F.lit(0).alias("partition"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    root = tempfile.mkdtemp(prefix="sess_stream_")
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    land = os.path.join(root, "land")
+    os.makedirs(indir, exist_ok=True)
+
+    def drain() -> None:
+        q = (
+            streaming_sessionize(
+                pg_changeset(
+                    file_stream(spark, indir, max_files_per_trigger=None),
+                    offset_col="offset",
+                ),
+                key="key",
+                gap="30 minutes",
+                watermark_delay="1 day",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(land)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    sentinel = spark.range(1).select(
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.to_json(F.struct(F.lit(-1).alias("id"))).alias("after"),
+                F.struct(
+                    F.lit("tpch").alias("db"),
+                    F.lit("orders_cdc").alias("table"),
+                    F.lit(4102444800000).alias("ts_ms"),
+                ).alias("source"),
+                F.lit("c").alias("op"),
+                F.lit(4102444800000).alias("ts_ms"),
+            )
+        ).alias("value"),
+        F.lit(999_999_999_999).alias("offset"),
+        F.lit(0).alias("partition"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        shape(raw).coalesce(8).write.mode("append").json(indir)
+        drain()
+        sentinel.coalesce(1).write.mode("append").json(indir)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        raw.unpersist()
+        import shutil
+
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    out = spark.read.parquet(land)
+    return out.where(F.col("key") != "-1").select(
+        F.col("key").cast("bigint").alias("okey"),
+        F.unix_millis("session_start").alias("sess_start_ms"),
+        "n_events",
+        "first_ts_ms",
+        "last_ts_ms",
+    )
+
+
+ORACLE_SESSIONIZE_STREAM = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
+  FROM orders
+), ev AS (
+  SELECT k, ts0 AS ts_ms FROM base
+  UNION ALL
+  SELECT k, ts0 + 86400000 FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, ts0 + 172800000 FROM base WHERE k % 7 = 0
+)
+SELECT k AS okey, ts_ms AS sess_start_ms, 1 AS n_events,
+       ts_ms AS first_ts_ms, ts_ms AS last_ts_ms
+FROM ev
+"""
+
+
 _DAY = 86_400_000
 
 ORACLE_STATEFUL_LWW = f"""
@@ -154,8 +356,12 @@ FROM base WHERE k % 7 = 0
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
+    "cdc_windowed_ops_stream": q_cdc_windowed_ops_stream,
+    "cdc_sessionize_stream": q_cdc_sessionize_stream,
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
     "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,
+    "cdc_windowed_ops_stream": ORACLE_WINDOWED_OPS,
+    "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,
 }

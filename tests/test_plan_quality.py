@@ -45,6 +45,52 @@ def test_q5_broadcast_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_q6_full_pushdown(spark):
+    """Q6 is the pushdown showcase: every predicate reaches the scan and
+    the scan schema carries only the four referenced columns."""
+    from cdc_redshift_spark.queries.analytics import q6_revenue_change
+
+    plan = plan_of(q6_revenue_change(spark, SF))
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs
+
+
+def test_q14_broadcast_part(spark):
+    from cdc_redshift_spark.queries.analytics import q14_promo_revenue
+
+    plan = plan_of(q14_promo_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The as-of join must compile to union + ONE keyed window shuffle —
+    never a join operator (a range join would plan as
+    BroadcastNestedLoopJoin and die at scale)."""
+    from cdc_redshift_spark.queries.temporal_q import q_events_asof_attribution
+
+    plan = plan_of(q_events_asof_attribution(spark, SF))
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the user_id window
+
+
+def test_interval_join_is_equi_join(spark):
+    """The bucketed range join must plan as a hash equi-join on cell id,
+    never a nested-loop over the raw inequality."""
+    from cdc_redshift_spark.queries.temporal_q import q_events_burst_windows
+
+    plan = plan_of(q_events_burst_windows(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     """The benchmark corpus (and the boilerplate keep-list derived from
     it) must ride as broadcasts — the decontamination join costs one
