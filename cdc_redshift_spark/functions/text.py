@@ -12,7 +12,7 @@ JSON — SURVEY §0); these are the training-data-pipeline extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # "BPE-ish" token pattern: letter runs, digit runs, single symbols.
@@ -107,6 +107,88 @@ def normalize_text(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the rolling-hash scheme behind MOSS).
+
+    Positional k-gram hashes of the normalized text (portable 28-bit
+    md5 ints, see operators/dedup.py `shingle_hashes`), then each
+    w-window's MINIMUM hash is selected; the distinct window minima
+    are the document's fingerprint set.  Guarantees of the scheme: any
+    shared substring of length ≥ k + w - 1 contributes at least one
+    common fingerprint, and fingerprint density is ~2/(w+1).
+
+    DO NOT use this array-lambda form on real data: Spark does not
+    hoist loop-invariant subexpressions out of higher-order-function
+    lambdas (the operators/dedup.py `exploded_shingle_hashes` lesson),
+    so the normalization re-runs per position and the hash array
+    re-inlines into every window slice — a measured ~100× blowup.  It
+    exists as the executable spec the unit tests compare against;
+    production is :func:`winnow_fingerprints_df`.
+    """
+    norm = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(norm, i, k))
+    hs = F.transform(
+        grams, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+    wpos = F.sequence(F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1)))
+    wins = F.transform(wpos, lambda p: F.array_min(F.slice(hs, p, w)))
+    return F.array_distinct(wins)
+
+
+def winnow_fingerprints_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing at scale: (id, fps array<long>) per document.
+
+    Row-based plan (the shape that survives 100 TB): normalize once
+    per doc, explode gram positions (the Generate pins normalization
+    below it — expressions can't collapse across explode), hash once
+    per (doc, position) row, take each w-window's min with a sliding
+    ROWS frame, keep valid window starts, and collect the distinct
+    minima per doc.  The window and the final groupBy share the same
+    partitioning key, so the whole operator costs ONE effective
+    shuffle on id; no giant per-row arrays, no re-inlined lambdas.
+    """
+    normed = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__nt")
+    )
+    pos = normed.select(
+        "id",
+        "__nt",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__nt") - (k - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    hashed = pos.select(
+        "id",
+        "__i",
+        F.conv(
+            F.substring(F.md5(F.col("__nt").substr(F.col("__i"), F.lit(k))), 1, 7),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wspec = (
+        Window.partitionBy("id").orderBy("__i").rowsBetween(0, w - 1)
+    )
+    nspec = Window.partitionBy("id")
+    mins = hashed.select(
+        "id",
+        "__i",
+        F.min("h").over(wspec).alias("wmin"),
+        F.count(F.lit(1)).over(nspec).alias("__n"),
+    ).where(F.col("__i") <= F.greatest(F.col("__n") - (w - 1), F.lit(1)))
+    return mins.groupBy("id").agg(F.collect_set("wmin").alias("fps"))
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:

@@ -124,11 +124,59 @@ FROM documents GROUP BY 1
 """
 
 
+WIN_K, WIN_W = 8, 4
+# normalized text — the DuckDB mirror of functions/text.normalize_text
+DUCK_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (k=8 grams,
+    w=4 windows): per document, the size and value-summary of its
+    winnowed fingerprint set.  Two shared fingerprints ⇔ a shared
+    substring ≥ k+w-1 = 11 chars — the plagiarism/near-copy primitive
+    that whole-doc md5 (`text_fingerprint`) can't express."""
+    docs = load_table(spark, sf_dir, "documents")
+    winnowed = TX.winnow_fingerprints_df(docs, k=WIN_K, w=WIN_W)
+    fps = F.col("fps")
+    return winnowed.select(
+        F.col("id").alias("doc_id"),
+        F.size(fps).alias("n_fps"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_fp"
+        ),
+    )
+
+
+ORACLE_WINNOW = rf"""
+WITH n AS (
+  SELECT doc_id, {DUCK_NORM} AS norm FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(norm) - {WIN_K - 1}, 1) + 1),
+                        i -> ('0x' || substr(md5(substr(norm, i, {WIN_K})), 1, 7))::BIGINT)
+           AS hs
+  FROM n
+), wn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {WIN_W - 1}, 1) + 1),
+           p -> list_min(hs[p:p + {WIN_W - 1}]))) AS fps
+  FROM h
+)
+SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp, CAST(list_sum(fps) AS BIGINT) AS sum_fp
+FROM wn
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality_by_source": q_text_quality_by_source,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow": q_text_winnow,
 }
 
 ORACLES = {
@@ -136,4 +184,5 @@ ORACLES = {
     "text_lang_id": ORACLE_LANG_ID,
     "text_quality_by_source": ORACLE_QUALITY_BY_SOURCE,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_winnow": ORACLE_WINNOW,
 }
