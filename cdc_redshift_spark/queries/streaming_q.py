@@ -334,6 +334,113 @@ FROM ev
 """
 
 
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py): purchases ⋈
+    clicks of the same user within the preceding 24 h, both sides live
+    streams of the SAME event feed, split into two micro-batches by
+    event_id parity so matching pairs routinely SPAN phases — the
+    buffered-state path is what's exercised.  Append semantics emit
+    each qualifying pair exactly once regardless of batch boundaries,
+    so the oracle is the plain batch join."""
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_join_")
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    land = os.path.join(root, "land")
+    os.makedirs(indir, exist_ok=True)
+
+    def drain() -> None:
+        src = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .json(indir)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        joined = stream_interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_ts="p_ts",
+            right_ts="c_ts",
+            lower_us=-86_400_000_000,
+            upper_us=0,
+            watermark_delay="3650 days",
+        )
+        q = (
+            joined.select(
+                "p_id",
+                "user_id",
+                "c_id",
+                F.unix_micros("p_ts").alias("p_us"),
+                F.unix_micros("c_ts").alias("c_us"),
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(land)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        ev.where(F.col("event_id") % 2 == 0).coalesce(4).write.mode(
+            "append"
+        ).json(indir)
+        drain()
+        ev.where(F.col("event_id") % 2 == 1).coalesce(4).write.mode(
+            "append"
+        ).json(indir)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        import shutil
+
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return spark.read.parquet(land).select(
+        "p_id", "user_id", "c_id", "p_us", "c_us",
+        (F.col("p_us") - F.col("c_us")).alias("gap_us"),
+    )
+
+
+ORACLE_STREAM_JOIN = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS c_id, user_id, epoch_ns(ts) // 1000 AS c_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p_id, p.user_id, c_id, p_us, c_us, p_us - c_us AS gap_us
+FROM p JOIN c ON p.user_id = c.user_id
+             AND c.c_us >= p.p_us - 86400000000
+             AND c.c_us <= p.p_us
+"""
+
+
 _DAY = 86_400_000
 
 ORACLE_STATEFUL_LWW = f"""
@@ -358,10 +465,12 @@ QUERIES = {
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
     "cdc_windowed_ops_stream": q_cdc_windowed_ops_stream,
     "cdc_sessionize_stream": q_cdc_sessionize_stream,
+    "events_stream_join": q_events_stream_join,
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
     "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,
     "cdc_windowed_ops_stream": ORACLE_WINDOWED_OPS,
     "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,
+    "events_stream_join": ORACLE_STREAM_JOIN,
 }

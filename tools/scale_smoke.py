@@ -105,6 +105,67 @@ def main():
         print(json.dumps({"op": "rh_lsh_topk", "vectors": n, "rows": nrows, "sec": wall}), flush=True)
         e.unpersist()
 
+    # round-4 operators ------------------------------------------------
+    from cdc_redshift_spark.functions.text import winnow_fingerprints_df
+    from cdc_redshift_spark.operators.similarity import pq_codebooks, pq_encode
+    from cdc_redshift_spark.operators.temporal import asof_join
+
+    # winnowing: replicas keep per-doc cost constant -> expect linear
+    for scale, d in ((1, docs), (REPLICAS, replicate_docs(docs, REPLICAS))):
+        d = d.persist()
+        n = d.count()
+        t0 = time.perf_counter()
+        nrows = winnow_fingerprints_df(d, id_col="doc_id").count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "winnow_fingerprints", "docs": n, "rows": nrows, "sec": wall}), flush=True)
+        d.unpersist()
+
+    # PQ encode: fixed codebook, linear scan -> expect linear
+    books = pq_codebooks(emb, n_sub=8, ks=16)
+    for scale, e in ((1, emb), (REPLICAS, replicate_emb(emb, REPLICAS))):
+        e = e.persist()
+        n = e.count()
+        t0 = time.perf_counter()
+        nrows = pq_encode(e, books).count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "pq_encode", "vectors": n, "rows": nrows, "sec": wall}), flush=True)
+        e.unpersist()
+
+    # as-of join: replicas shift user_id, so keys scale and per-key
+    # window size stays constant -> expect ~linear
+    ev = load_table(spark, SF, "events").withColumn(
+        "e_us", F.expr("ts_ns div 1000")
+    ).select("event_id", "user_id", "event_type", "value", "e_us")
+    ev_parts = [
+        ev.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            (F.col("user_id") + i * 1_000_000).alias("user_id"),
+            "event_type", "value", "e_us",
+        )
+        for i in range(REPLICAS)
+    ]
+    big_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        big_ev = big_ev.unionByName(p)
+    for tag, E in (("1x", ev), (f"{REPLICAS}x", big_ev)):
+        E = E.persist()
+        n = E.count()
+        purchases = E.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "e_us", "value"
+        )
+        clicks = E.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("e_us").alias("c_us"),
+            F.col("event_id").alias("click_id"),
+        )
+        t0 = time.perf_counter()
+        nrows = asof_join(
+            purchases, clicks, on=["user_id"], left_ts="e_us",
+            right_ts="c_us", payload=["click_id"], tiebreak="click_id",
+        ).count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "asof_join", "events": n, "rows": nrows, "sec": wall}), flush=True)
+        E.unpersist()
+
     # CDC apply at 10x: union the synth changelog with offset/key shifts
     from cdc_redshift_spark.dedup import latest_per_key
     from cdc_redshift_spark.normalize import pg_changeset
