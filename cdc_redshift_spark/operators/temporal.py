@@ -76,6 +76,12 @@ def asof_join(
         F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in pay]
     )
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    # a NULL right_ts would sort NULLS FIRST and be carried forward as
+    # the "latest" match for every left row until a real right row
+    # appears — drop such rows (they cannot be ordered, so they cannot
+    # match).  Left rows with NULL left_ts also sort first and thus
+    # match nothing, which is the right null semantics for free.
+    right = right.filter(F.col(right_ts).isNotNull())
     rside = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__t"),

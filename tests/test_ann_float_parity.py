@@ -97,6 +97,30 @@ def test_pairwise_cosine_boundary_margin_gate_corpus():
     assert dist > BOUNDARY_FLOOR, f"cosine boundary margin {dist} too thin"
 
 
+@pytest.mark.parametrize("sf_dir", [GATE_SF, TEST_SF])
+def test_pq_assignment_boundary_margins(sf_dir):
+    """PQ code assignment is engine-independent: every squared-L2
+    distance from every vector's sub-vector to every codeword stays
+    clear of the 6-dp rounding boundary (both engines argmin on the
+    ROUNDED distance with a code-id tiebreak, so identical rounded
+    matrices imply identical codes — and the LUT scoring that follows
+    is bit-identical by construction, shared literals + left-to-right
+    sums).  An 8-term sum's cross-engine divergence is < the 64-term
+    DIVERGENCE bound, so the same BOUNDARY_FLOOR applies.  Measured
+    margins: 2.3e-11 (sf0.01), 1.2e-11 (sf0.001)."""
+    from cdc_redshift_spark.queries.similarity import PQ_KS, PQ_SUB
+
+    V = _vectors(sf_dir)
+    sub = DIM // PQ_SUB
+    worst = np.inf
+    for m in range(PQ_SUB):
+        Vm = V[:, m * sub : (m + 1) * sub]
+        Bm = V[:PQ_KS, m * sub : (m + 1) * sub]
+        d2 = ((Vm[:, None, :] - Bm[None, :, :]) ** 2).sum(axis=2)
+        worst = min(worst, _boundary_dist(d2))
+    assert worst > BOUNDARY_FLOOR, f"PQ D2 margin {worst} too thin at {sf_dir}"
+
+
 def test_ivf_cell_ranking_and_refined_mean_margins():
     """IVF decisions on the gate corpus are engine-independent:
     vector-to-centroid cosines (seeded AND 1-iter-refined centroids,

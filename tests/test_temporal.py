@@ -138,6 +138,50 @@ def test_interval_join_matches_bruteforce(spark, cell):
     )
 
 
+def test_asof_null_timestamps(spark, trades):
+    """NULL right_ts rows must never match (they'd otherwise be carried
+    forward from the NULLS FIRST region); NULL left_ts rows match
+    nothing."""
+    q = spark.createDataFrame(
+        [("A", None, 666.0), ("A", 15, 1.0)], "k string, qts long, px double"
+    )
+    t = trades.unionByName(
+        spark.createDataFrame([("A", None, 99)], "k string, ts long, trade_id long")
+    )
+    out = asof_join(
+        t, q, on=["k"], left_ts="ts", right_ts="qts", payload=["px"]
+    )
+    got = {r["trade_id"]: (r["qts_m"], r["px_m"]) for r in out.collect()}
+    assert got[1] == (None, None)  # ts=10 predates qts=15; null row ignored
+    assert got[2] == (15, 1.0)
+    assert got[99] == (None, None)  # null left ts matches nothing
+    assert 666.0 not in {v for _, v in got.values()}
+
+
+def test_interval_join_negative_timestamps(spark):
+    """Pre-epoch (negative) integer timestamps: Spark `div` truncates
+    toward zero rather than flooring, but BOTH sides use the same div,
+    and div is monotonic, so a qualifying fact's cell always lies in
+    the interval's exploded cell range — pinned here."""
+    facts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(range(-25, 26, 5))], "fid long, fts long"
+    )
+    ivs = spark.createDataFrame(
+        [(1, -22, -3), (2, -7, 8), (3, -30, 30)], "iid long, s long, e long"
+    )
+    got = {
+        (r["fid"], r["iid"])
+        for r in interval_join(facts, ivs, "fts", "s", "e", cell=10).collect()
+    }
+    brute = {
+        (r["fid"], r["iid"])
+        for r in facts.crossJoin(ivs)
+        .filter((F.col("fts") >= F.col("s")) & (F.col("fts") <= F.col("e")))
+        .collect()
+    }
+    assert got == brute
+
+
 def test_interval_join_no_duplicate_pairs(spark):
     """A pair qualifying in a long interval appears exactly once even
     when the interval spans many cells."""
