@@ -163,6 +163,9 @@ def winnow_fingerprints_df(
     pos = normed.select(
         "id",
         "__nt",
+        # gram count, carried as a scalar of the text length — cheaper
+        # than recomputing it later with an unbounded count window
+        F.greatest(F.length("__nt") - (k - 1), F.lit(1)).alias("__n"),
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("__nt") - (k - 1), F.lit(1)))
         ).alias("__i"),
@@ -170,6 +173,7 @@ def winnow_fingerprints_df(
     hashed = pos.select(
         "id",
         "__i",
+        "__n",
         F.conv(
             F.substring(F.md5(F.col("__nt").substr(F.col("__i"), F.lit(k))), 1, 7),
             16,
@@ -181,12 +185,11 @@ def winnow_fingerprints_df(
     wspec = (
         Window.partitionBy("id").orderBy("__i").rowsBetween(0, w - 1)
     )
-    nspec = Window.partitionBy("id")
     mins = hashed.select(
         "id",
         "__i",
+        "__n",
         F.min("h").over(wspec).alias("wmin"),
-        F.count(F.lit(1)).over(nspec).alias("__n"),
     ).where(F.col("__i") <= F.greatest(F.col("__n") - (w - 1), F.lit(1)))
     return mins.groupBy("id").agg(F.collect_set("wmin").alias("fps"))
 

@@ -43,8 +43,14 @@ def salted_join(
     ``discriminator``: a fact column (or Column) that varies WITHIN a
     join key — its hash spreads the hot key's rows uniformly and
     deterministically (no rand(), so retries and both engines of the
-    correctness gate see identical placement).  Defaults to the whole
-    fact row, which always discriminates but hashes more bytes.
+    correctness gate see identical placement).  When omitted, a
+    per-row synthetic id (``monotonically_increasing_id``) is used so
+    even EXACT-DUPLICATE rows spread — the classic null-key hot key is
+    often all-identical rows, where a whole-row hash would put every
+    one in the same bucket and silently unsalt the join.  The synthetic
+    id makes row PLACEMENT (never results) depend on partitioning, so
+    pass an explicit discriminator where reproducible placement
+    matters (e.g. the oracle-gated query does).
 
     Supported ``how``: inner / left (semantics of the plain join).
     """
@@ -52,7 +58,7 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(on)
     if discriminator is None:
-        disc = F.xxhash64(*[F.col(c) for c in fact.columns])
+        disc = F.xxhash64(F.monotonically_increasing_id())
     elif isinstance(discriminator, str):
         disc = F.xxhash64(F.col(discriminator))
     else:

@@ -75,6 +75,9 @@ def asof_join(
     r_struct = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in pay]
     )
+    # keep the tiebreak in its NATIVE type — casting to long would turn
+    # a string tiebreak into all-NULLs (silently nondeterministic) and
+    # truncate doubles; any orderable type works in the window sort
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
     # a NULL right_ts would sort NULLS FIRST and be carried forward as
     # the "latest" match for every left row until a real right row
@@ -86,16 +89,19 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        tb.cast("long").alias("__tb"),
+        tb.alias("__tb"),
         r_struct.alias("__r"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
     )
     struct_type = rside.schema["__r"].dataType
+    tb_type = rside.schema["__tb"].dataType
     lside = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(0).cast("long").alias("__tb"),
+        # NULL sorts first among equal (__t, __side=1) peers; left rows'
+        # mutual order is irrelevant (only right rows carry payload)
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.lit(None).cast(struct_type).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
@@ -143,6 +149,10 @@ def interval_join(
     Column names must be disjoint between ``facts`` and ``intervals``
     apart from none — rename before calling if they collide.
     """
+    if cell <= 0:
+        # 'x div 0' is NULL, sequence(NULL, NULL) is NULL, and
+        # explode(NULL) would silently drop every interval row
+        raise ValueError(f"cell must be a positive integer, got {cell}")
     iv = intervals.withColumn(
         "__cell",
         F.explode(

@@ -72,7 +72,11 @@ WITH p AS (
   SELECT user_id, c_us, click_id, click_value FROM (
     SELECT user_id, epoch_ns(ts) // 1000 AS c_us,
            event_id AS click_id, value AS click_value,
-           row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+           -- partition at MICROsecond precision (the join's time unit):
+           -- on nano-precision testdata two clicks can share a micro
+           -- while differing in nanos, and the tie must resolve to max
+           -- click_id exactly as the Spark side's tiebreak does
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
                               ORDER BY event_id DESC) AS rn
     FROM events WHERE event_type = 'click'
   ) WHERE rn = 1

@@ -93,6 +93,28 @@ def test_asof_right_tie_deterministic(spark, trades):
     assert by_trade[1] == (None, None)  # ts=10 predates all quotes
 
 
+def test_asof_string_tiebreak_native_type(spark, trades):
+    """Non-numeric tiebreaks must work in their native type (a long
+    cast would NULL them out and silently lose determinism)."""
+    q = spark.createDataFrame(
+        [("A", 20, 1.0, "uuid-a"), ("A", 20, 2.0, "uuid-z"), ("A", 20, 1.5, "uuid-m")],
+        "k string, qts long, px double, qid string",
+    )
+    out = asof_join(
+        trades, q, on=["k"], left_ts="ts", right_ts="qts",
+        payload=["px", "qid"], tiebreak="qid",
+    )
+    by_trade = {r["trade_id"]: (r["px_m"], r["qid_m"]) for r in out.collect()}
+    assert by_trade[4] == (2.0, "uuid-z")  # max string tiebreak wins
+
+
+def test_interval_join_rejects_bad_cell(spark, trades):
+    facts = spark.createDataFrame([(1, 5)], "fid long, fts long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "iid long, s long, e long")
+    with pytest.raises(ValueError):
+        interval_join(facts, ivs, "fts", "s", "e", cell=0)
+
+
 def test_asof_matches_bruteforce(spark, trades, quotes):
     """Cross-check the window plan against a brute-force join+argmax."""
     q = quotes.select("k", F.col("ts").alias("qts"), "px")
@@ -131,8 +153,8 @@ def test_interval_join_matches_bruteforce(spark, cell):
         .collect()
     }
     assert got == brute
-    # inclusive bounds: point interval [55, 55] catches fact ts=55
-    assert (55 // 3 * 3 == 54) or True  # (documents the data shape)
+    # inclusive bounds: the point interval [55, 55] matches iff some
+    # fact lands exactly on 55 (none does here: facts are multiples of 3)
     assert any(i == 102 for _, i in got) == any(
         3 * f == 55 for f in range(40)
     )
