@@ -656,6 +656,59 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered funnel (view → click → purchase): a user converts a
+    stage only if their FIRST event of that stage happens strictly
+    after the first event of the previous stage — sequential pattern
+    analytics the plain per-type counts (`events_funnel`) can't see.
+    One shuffle: per-user conditional min-aggregates, then a global
+    roll-up."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts_ns"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    purchased = clicked & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_view_click"),
+        F.sum(purchased.cast("long")).alias("n_full_funnel"),
+    )
+
+
+ORACLE_FUNNEL_ORDERED = """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click > t_view AND t_purchase IS NOT NULL
+                      AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM u
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -676,6 +729,7 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "events_value_quantiles": q_events_value_quantiles,
     "salted_join_orders": q_salted_join_orders,
+    "events_funnel_ordered": q_events_funnel_ordered,
 }
 
 ORACLES = {
@@ -698,4 +752,5 @@ ORACLES = {
     "events_props_extract": ORACLE_PROPS,
     "events_value_quantiles": ORACLE_QUANTILES,
     "salted_join_orders": ORACLE_SALTED,
+    "events_funnel_ordered": ORACLE_FUNNEL_ORDERED,
 }

@@ -154,14 +154,76 @@ WHERE {bucket} % 1000000 < (CASE {cases} ELSE {DEFAULT_PPM} END)
 """
 
 
+SHARD_TOKEN_BUDGET = 2_000
+
+
+def q_corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token-budget sharding: documents are laid out in
+    deterministic (source, doc_id) order and cut into training shards
+    of ~SHARD_TOKEN_BUDGET whitespace tokens by the running total —
+    shard id = exclusive-prefix-sum div budget, the distributable
+    formulation of sequential shard packing (one window shuffle per
+    source; a doc whose tokens straddle a boundary belongs to the
+    shard its FIRST token falls in).  Returns per-shard manifests."""
+    from cdc_redshift_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).alias("nt"),
+    ).withColumn("prior", F.coalesce(F.sum("nt").over(w), F.lit(0)))
+    sharded = toks.withColumn(
+        "shard", F.expr(f"prior div {SHARD_TOKEN_BUDGET}").cast("int")
+    )
+    return (
+        sharded.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
+ORACLE_TOKEN_SHARDS = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS nt
+  FROM documents
+), p AS (
+  SELECT source, doc_id, nt,
+         COALESCE(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS prior
+  FROM t
+)
+SELECT source, CAST(prior // {SHARD_TOKEN_BUDGET} AS INTEGER) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY 1, 2 ORDER BY source, shard
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_repetition_stats": q_corpus_repetition_stats,
     "corpus_stratified_sample": q_corpus_stratified_sample,
+    "corpus_token_shards": q_corpus_token_shards,
 }
 
 ORACLES = {
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_repetition_stats": ORACLE_REPETITION,
     "corpus_stratified_sample": _oracle_sample(),
+    "corpus_token_shards": ORACLE_TOKEN_SHARDS,
 }
