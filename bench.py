@@ -50,6 +50,10 @@ def main() -> None:
         "dedup_minhash_lsh",
         "sim_topk_query",
         "sim_lsh_topk",
+        # round-4 operator families
+        "events_asof_attribution",
+        "text_winnow",
+        "sim_pq_topk",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
@@ -79,12 +83,21 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # The sandbox host carries variable background load (measured 7x
+    # swings on identical runs); min-of-2 is the contention-robust
+    # estimator of a plan's actual cost and is what `queries` reports.
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            settle()
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     times: dict[str, float] = {}
     for name in headline:
-        settle()
-        t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        times[name] = timed(lambda: force(qs[name](spark, SF_DIR)))
 
     # CDC apply-rate: one full micro-batch (synth changelog ≈ reference's
     # 200k-offset trigger at sf0.1) through parse→normalize→dedup→merge
@@ -93,13 +106,16 @@ def main() -> None:
     from cdc_redshift_spark.plans.merge import apply_changeset
     from cdc_redshift_spark.queries.cdc import synth_pg_changelog
 
-    settle()
     raw = synth_pg_changelog(spark, SF_DIR).persist()
     n_events = raw.count()
-    t0 = time.perf_counter()
-    ch = latest_per_key(pg_changeset(raw, offset_col="offset"), keys=("db", "table", "key"))
-    force(apply_changeset(None, ch, keys=("db", "table", "key")))
-    cdc_secs = time.perf_counter() - t0
+
+    def run_apply(r):
+        ch = latest_per_key(
+            pg_changeset(r, offset_col="offset"), keys=("db", "table", "key")
+        )
+        force(apply_changeset(None, ch, keys=("db", "table", "key")))
+
+    cdc_secs = timed(lambda: run_apply(raw))
     rec_per_s = n_events / cdc_secs if cdc_secs > 0 else 0.0
 
     # Scaling evidence (tools/scale_smoke.py folded in): the same CDC
@@ -109,7 +125,6 @@ def main() -> None:
     # suite wall stays comparable round-over-round.
     from pyspark.sql import functions as F
 
-    settle()
     reps = 4
     parts = [
         raw.select(
@@ -124,13 +139,12 @@ def main() -> None:
     big = big.persist()
     n_events_4x = big.count()
     raw.unpersist()
-    t0 = time.perf_counter()
-    ch4 = latest_per_key(pg_changeset(big, offset_col="offset"), keys=("db", "table", "key"))
-    force(apply_changeset(None, ch4, keys=("db", "table", "key")))
-    cdc_secs_4x = time.perf_counter() - t0
+    cdc_secs_4x = timed(lambda: run_apply(big))
     big.unpersist()
     rec_per_s_4x = n_events_4x / cdc_secs_4x if cdc_secs_4x > 0 else 0.0
 
+    # the streaming entry runs once (it is 15-25 s and its own harness
+    # amortizes noise over many internal jobs)
     for name in tail_headline:
         settle()
         t0 = time.perf_counter()

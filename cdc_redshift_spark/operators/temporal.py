@@ -44,10 +44,14 @@ def asof_join(
     tolerance: int | None = None,
     tiebreak: str | None = None,
     suffix: str = "_m",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the newest right
-    row of the same key with ``right_ts <= left_ts`` (NULL payload when
-    none exists — left-outer semantics).
+    """As-of join: for each left row, attach the newest right row of
+    the same key with ``right_ts <= left_ts`` (``direction='backward'``,
+    the default) or the EARLIEST right row with ``right_ts >= left_ts``
+    (``direction='forward'``; requires numeric ts — implemented by
+    running the backward join over negated timestamps).  NULL payload
+    when no match exists — left-outer semantics.
 
     Parameters
     ----------
@@ -68,6 +72,25 @@ def asof_join(
     ``last(payload_struct, ignorenulls)`` carries the newest right row
     forward onto each left row.  One shuffle; no join node at all.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction == "forward":
+        out = asof_join(
+            left.withColumn(left_ts, -F.col(left_ts)),
+            right.withColumn(right_ts, -F.col(right_ts)),
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            payload=payload,
+            tolerance=tolerance,
+            tiebreak=tiebreak,
+            suffix=suffix,
+            direction="backward",
+        )
+        # undo the negation on the surfaced timestamps
+        return out.withColumn(left_ts, -F.col(left_ts)).withColumn(
+            f"{right_ts}{suffix}", -F.col(f"{right_ts}{suffix}")
+        )
     keys = list(on)
     pay = list(payload)
     lcols = left.columns

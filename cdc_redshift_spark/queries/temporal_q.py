@@ -178,14 +178,81 @@ ORDER BY day, event_type
 """
 
 
+GRID_START_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+GRID_STEP_US = 6 * 3600 * 1_000_000  # 6 h
+GRID_POINTS = 120  # 30 days
+
+
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + forward-fill: every user's `value`
+    carried forward onto a regular 6-hour grid over January 2024 —
+    gap-filling composed from the as-of join (grid points are the left
+    side, the user's events the right; one keyed window shuffle, no
+    join node).  NULL before a user's first event."""
+    ev = _events_us(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(GRID_START_US),
+                F.lit(GRID_START_US + (GRID_POINTS - 1) * GRID_STEP_US),
+                F.lit(GRID_STEP_US),
+            )
+        ).alias("g_us"),
+    )
+    obs = ev.select(
+        "user_id",
+        F.col("e_us").alias("o_us"),
+        F.col("event_id").alias("obs_id"),
+        F.col("value").alias("obs_value"),
+    )
+    out = asof_join(
+        grid,
+        obs,
+        on=["user_id"],
+        left_ts="g_us",
+        right_ts="o_us",
+        payload=["obs_id", "obs_value"],
+        tiebreak="obs_id",
+    )
+    return out.select(
+        "user_id", "g_us", "o_us_m", "obs_id_m", "obs_value_m"
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+grid AS (
+  SELECT user_id, {GRID_START_US} + i * {GRID_STEP_US} AS g_us
+  FROM u CROSS JOIN range(0, {GRID_POINTS}) r(i)
+),
+obs AS (
+  SELECT user_id, o_us, obs_id, obs_value FROM (
+    SELECT user_id, epoch_ns(ts) // 1000 AS o_us,
+           event_id AS obs_id, value AS obs_value,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT g.user_id, g.g_us, o.o_us AS o_us_m,
+       o.obs_id AS obs_id_m, o.obs_value AS obs_value_m
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.g_us >= o.o_us
+"""
+
+
 QUERIES = {
     "events_asof_attribution": q_events_asof_attribution,
     "events_burst_windows": q_events_burst_windows,
     "events_hourly_rollup": q_events_hourly_rollup,
+    "events_resample_ffill": q_events_resample_ffill,
 }
 
 ORACLES = {
     "events_asof_attribution": ORACLE_ASOF,
     "events_burst_windows": ORACLE_BURST,
     "events_hourly_rollup": ORACLE_ROLLUP_HOURLY,
+    "events_resample_ffill": ORACLE_RESAMPLE,
 }

@@ -204,6 +204,51 @@ def test_interval_join_negative_timestamps(spark):
     assert got == brute
 
 
+def test_asof_forward(spark, trades, quotes):
+    """direction='forward': earliest quote at-or-after each trade."""
+    q = quotes.select("k", F.col("ts").alias("qts"), "px")
+    out = asof_join(
+        trades, q, on=["k"], left_ts="ts", right_ts="qts",
+        payload=["px"], direction="forward",
+    )
+    got = {r["trade_id"]: (r["qts_m"], r["px_m"]) for r in out.collect()}
+    assert got[1] == (20, 101.0)  # earliest quote >= 10
+    assert got[2] == (20, 101.0)  # simultaneous quote matches
+    assert got[4] == (None, None)  # nothing after ts=35
+    assert got[5] == (None, None)  # key B has no quotes
+    # timestamps surface un-negated
+    assert all(r["ts"] >= 0 for r in out.collect())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_random_bruteforce(spark, seed):
+    """Randomized inputs (duplicate timestamps, unmatched keys, ties)
+    against a pure-Python reference reducer."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    trades = [
+        (int(rng.randint(0, 4)), int(rng.randint(0, 50)), i)
+        for i in range(40)
+    ]
+    quotes = [
+        (int(rng.randint(0, 5)), int(rng.randint(0, 50)), float(i), 1000 + i)
+        for i in range(30)
+    ]
+    tdf = spark.createDataFrame(trades, "k long, ts long, trade_id long")
+    qdf = spark.createDataFrame(quotes, "k long, qts long, px double, qid long")
+    out = asof_join(
+        tdf, qdf, on=["k"], left_ts="ts", right_ts="qts",
+        payload=["px", "qid"], tiebreak="qid",
+    )
+    got = {r["trade_id"]: (r["qts_m"], r["qid_m"]) for r in out.collect()}
+    for k, ts, tid in trades:
+        cand = [(qts, qid, px) for (qk, qts, px, qid) in quotes
+                if qk == k and qts <= ts]
+        want = max(cand)[:2] if cand else (None, None)
+        assert got[tid] == want, (seed, tid)
+
+
 def test_interval_join_no_duplicate_pairs(spark):
     """A pair qualifying in a long interval appears exactly once even
     when the interval spans many cells."""
