@@ -70,6 +70,46 @@ def test_stateful_lww_dedup_suppresses_cross_batch_stale(spark, tmp_path):
     assert emitted2 == []
 
 
+def test_stateful_lww_dedup_rocksdb_state_store(spark, tmp_path):
+    """Same cross-batch suppression contract under the RocksDB state
+    store provider — the backend a 100 TB deployment uses so keyed
+    state spills to local disk instead of living on the executor heap.
+    The provider is a per-query conf captured at stream start, so
+    setting it here does not disturb other tests' checkpoints."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        os.makedirs(indir, exist_ok=True)
+        write_batch_file(
+            indir,
+            "b0.json",
+            [pg_line("c", 1, 100, {"v": "a"}, 0), pg_line("c", 2, 100, {"v": "b"}, 1)],
+        )
+        emitted = run_updates(spark, indir, ckpt, stateful_lww_dedup)
+        assert {(r["key"], r["ts_ms"]) for r in emitted} == {("1", 100), ("2", 100)}
+        write_batch_file(
+            indir,
+            "b1.json",
+            [
+                pg_line("u", 1, 50, {"v": "stale"}, 2),
+                pg_line("u", 2, 200, {"v": "b2"}, 3),
+            ],
+        )
+        emitted = run_updates(spark, indir, ckpt, stateful_lww_dedup)
+        # stale k1 suppressed by RocksDB-held state; newer k2 emitted
+        assert {(r["key"], r["ts_ms"]) for r in emitted} == {("2", 200)}
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
 def test_stateful_lww_dedup_batch_internal_winner(spark, tmp_path):
     """Within one batch only the (ts, offset)-max event per key emits."""
     indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
