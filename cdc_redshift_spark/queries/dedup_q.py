@@ -99,6 +99,61 @@ WHERE len(list_intersect(a.h, b.h))::DOUBLE
 """
 
 
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup similarity graph (n-gram Jaccard
+    ≥ 0.6 edges): triangle count, participating nodes, and the densest
+    node's triangle degree — the standard two-join triangle plan over
+    ordered edges (a<b<c), each triangle counted exactly once.  Edge
+    lists shuffle on their join endpoint; no vertex ever needs global
+    adjacency in memory."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = ngram_jaccard_pairs(docs, threshold=0.6).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e12 = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = e12.join(
+        e3, (F.col("a") == F.col("x")) & (F.col("c") == F.col("y"))
+    ).select("a", "b", "c")
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
+    deg = nodes.groupBy("n").count()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_tri_nodes")))
+        .crossJoin(deg.agg(F.max("count").alias("max_node_triangles")))
+    )
+
+
+ORACLE_TRIANGLES = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
+), e AS (
+  SELECT a.id AS a, b.id AS b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE len(list_intersect(a.h, b.h))::DOUBLE
+        / (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.6
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), nodes AS (
+  SELECT unnest([a, b, c]) AS n FROM tri
+), deg AS (
+  SELECT n, count(*) AS cnt FROM nodes GROUP BY n
+)
+SELECT (SELECT count(*) FROM tri) AS n_triangles,
+       (SELECT count(*) FROM deg) AS n_tri_nodes,
+       (SELECT max(cnt) FROM deg) AS max_node_triangles
+"""
+
+
 # Active bucket cap for the headline MinHash queries: bounds verify
 # FLOPs at cap² per bucket on template-heavy corpora (SCALE.md). 128
 # genuinely trims at both test SFs (max natural bucket: 164 at sf0.01,
@@ -343,6 +398,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_graph_triangles": q_dedup_graph_triangles,
 }
 
 ORACLES = {
@@ -353,4 +409,5 @@ ORACLES = {
     "dedup_simhash": _oracle_simhash(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
     "dedup_clusters": _oracle_clusters(),
+    "dedup_graph_triangles": ORACLE_TRIANGLES,
 }
