@@ -709,6 +709,145 @@ FROM u
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bidirectional trade volume between two nations by
+    ship year — 4 joins (2 broadcast dims), one fact-fact shuffle."""
+    n1, n2 = "NATION_18", "NATION_19"
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == n1) & (F.col("cust_nation") == n2)
+    ) | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+ORACLE_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue from returned items
+    in one quarter — join + agg + TakeOrderedAndProject.
+
+    Revenue aggregates EXACT integer cents (each item's amount rounded
+    to cents first — a single product of the same doubles on both
+    engines — then summed as BIGINT): float sums of hundreds of items
+    are summation-order-sensitive, and a one-cent divergence at the
+    2-dp boundary was observed at sf0.01 with the naive round(sum).
+    Integer sums are order-independent, so ranking and values are
+    engine-exact."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(cents).alias("rev_cents"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            "rev_cents",
+        )
+        .orderBy(F.desc("rev_cents"), F.asc("c_custkey"))
+        .limit(20)
+        .drop("rev_cents")
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name
+ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_orders_cheapest_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface — Catalyst
+    decorrelates it into an aggregate + join; exercises spark.sql on
+    registered views rather than the DataFrame API."""
+    from cdc_redshift_spark.sources.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders_v o
+        WHERE o_totalprice = (SELECT min(i.o_totalprice)
+                              FROM orders_v i
+                              WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+ORACLE_CHEAPEST = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice = (SELECT min(i.o_totalprice)
+                      FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -730,6 +869,9 @@ QUERIES = {
     "events_value_quantiles": q_events_value_quantiles,
     "salted_join_orders": q_salted_join_orders,
     "events_funnel_ordered": q_events_funnel_ordered,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_revenue": q10_returned_revenue,
+    "orders_cheapest_per_cust": q_orders_cheapest_per_cust,
 }
 
 ORACLES = {
@@ -753,4 +895,7 @@ ORACLES = {
     "events_value_quantiles": ORACLE_QUANTILES,
     "salted_join_orders": ORACLE_SALTED,
     "events_funnel_ordered": ORACLE_FUNNEL_ORDERED,
+    "q7_nation_volume": ORACLE_Q7,
+    "q10_returned_revenue": ORACLE_Q10,
+    "orders_cheapest_per_cust": ORACLE_CHEAPEST,
 }
