@@ -848,6 +848,74 @@ WHERE o_totalprice = (SELECT min(i.o_totalprice)
 """
 
 
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload via Spark 4's native VARIANT type — the
+    engine-side analogue of Redshift SUPER (SURVEY §1.1): props parsed
+    once with parse_json, typed extraction with try_variant_get, then
+    a decile histogram of the embedded integer."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.expr("k div 10").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_PROPS_VARIANT = """
+WITH t AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+)
+SELECT k // 10 AS bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+FROM t GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table
+    (operators/profile.py): per column, rows / nulls / exact distinct."""
+    from cdc_redshift_spark.operators.profile import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile(orders)
+
+
+ORACLE_PROFILE = """
+SELECT col AS column, (SELECT count(*) FROM orders) AS n_rows,
+       n_nulls, n_distinct
+FROM (
+  SELECT 'o_orderkey' AS col,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_totalprice) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate',
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderdate) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderpriority) FROM orders
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -872,6 +940,8 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_revenue": q10_returned_revenue,
     "orders_cheapest_per_cust": q_orders_cheapest_per_cust,
+    "events_props_variant": q_events_props_variant,
+    "profile_orders": q_profile_orders,
 }
 
 ORACLES = {
@@ -898,4 +968,6 @@ ORACLES = {
     "q7_nation_volume": ORACLE_Q7,
     "q10_returned_revenue": ORACLE_Q10,
     "orders_cheapest_per_cust": ORACLE_CHEAPEST,
+    "events_props_variant": ORACLE_PROPS_VARIANT,
+    "profile_orders": ORACLE_PROFILE,
 }
