@@ -1,0 +1,75 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline
+queries with the scale-relevant properties called out.
+
+Usage: python tools/dump_plans.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# query -> the one-line property a reviewer should verify in the plan
+CALLOUTS = {
+    "q1_pricing_summary": "PushedFilters on l_shipdate; ReadSchema pruned; one Exchange; partial_sum map-side",
+    "q6_revenue_change": "all four predicates in PushedFilters; 4-column ReadSchema; no shuffle before the scalar agg",
+    "q3_shipping_priority": "BroadcastHashJoin for customer; TakeOrderedAndProject for top-10 (no global Sort)",
+    "q5_local_supplier_volume": "every dim a BroadcastHashJoin; single fact-fact shuffle",
+    "events_asof_attribution": "NO join operator at all: union + one hashpartitioning Exchange + window carry-forward",
+    "events_burst_windows": "range join planned as an equi-join on time cells (no BroadcastNestedLoopJoin)",
+    "dedup_minhash_lsh": "one narrow Arrow pass, ONE shuffle on band slice-values, in-bucket verify",
+    "sim_lsh_topk": "tag -> (tbl,bucket) shuffle -> fused bucket GEMM emitting local top-k",
+    "sim_pq_topk": "exactly one ArrowEvalPython (the encode); ADC scoring is codegen element_at chains",
+    "text_winnow": "explode pins normalization; sliding window min; ONE effective shuffle on id",
+    "cdc_pg_replay": "codegen parse/normalize; one LWW shuffle; one max_by merge shuffle",
+}
+
+
+def main() -> None:
+    from cdc_redshift_spark.session import get_spark
+
+    spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — formatted physical plans of the headline queries",
+        "",
+        "Regenerate with `python tools/dump_plans.py` (sf0.001, local[4]).",
+        "Each section names the scale property the plan must keep; the",
+        "same properties are pinned by tests/test_plan_quality.py where",
+        "they are assertable.",
+        "",
+    ]
+    for name, note in CALLOUTS.items():
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**Keep:** {note}")
+        out.append("")
+        out.append("```")
+        lines = plan.strip().splitlines()
+        if len(lines) > 150:
+            lines = lines[:150] + [f"... ({len(lines) - 150} detail lines trimmed)"]
+        out.append("\n".join(lines))
+        out.append("```")
+        out.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(CALLOUTS)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
