@@ -916,6 +916,108 @@ FROM (
 """
 
 
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via df.unpivot (MELT): the four price-model
+    measures as (metric, value) rows, then per-metric stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+        )
+        .orderBy("metric")
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH long AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, count(*) AS n,
+       round(min(v), 4) AS min_v, round(max(v), 4) AS max_v,
+       round(avg(v), 4) AS avg_v
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
+def q_text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of the tokenized corpus → global top-20 words
+    (count desc, word asc tiebreak) — the explode/aggregate shape of
+    every vocabulary build."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_WORDS = r"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions JVM-side over the embedding column
+    (aggregate / array_min / array_max — no Python): per label, norm
+    and element-range statistics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda s, x: s + x * x))
+    return (
+        emb.select(
+            "label",
+            norm.alias("nrm"),
+            F.array_min(d).alias("mn"),
+            F.array_max(d).alias("mx"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("mn"), 6).alias("min_elem"),
+            F.round(F.max("mx"), 6).alias("max_elem"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_NORM = """
+WITH v AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+         list_min(list_transform(embedding, x -> x::DOUBLE)) AS mn,
+         list_max(list_transform(embedding, x -> x::DOUBLE)) AS mx
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vectors,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(mn), 6) AS min_elem,
+       round(max(mx), 6) AS max_elem
+FROM v GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -942,6 +1044,9 @@ QUERIES = {
     "orders_cheapest_per_cust": q_orders_cheapest_per_cust,
     "events_props_variant": q_events_props_variant,
     "profile_orders": q_profile_orders,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "text_top_words": q_text_top_words,
+    "emb_norm_stats": q_emb_norm_stats,
 }
 
 ORACLES = {
@@ -970,4 +1075,7 @@ ORACLES = {
     "orders_cheapest_per_cust": ORACLE_CHEAPEST,
     "events_props_variant": ORACLE_PROPS_VARIANT,
     "profile_orders": ORACLE_PROFILE,
+    "lineitem_unpivot": ORACLE_UNPIVOT,
+    "text_top_words": ORACLE_TOP_WORDS,
+    "emb_norm_stats": ORACLE_EMB_NORM,
 }
