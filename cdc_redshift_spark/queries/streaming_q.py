@@ -97,7 +97,12 @@ def _two_phase_lww(spark: SparkSession, sf_dir: str, op_fn) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming drain exceeded 600 s — partial emissions "
+                "would silently corrupt the oracle comparison"
+            )
 
     # phase 1: inserts only; phase 2: updates + deletes (state carries).
     # The state-store partition count is fixed at first checkpoint
@@ -176,7 +181,12 @@ def q_cdc_windowed_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming drain exceeded 600 s — partial emissions "
+                "would silently corrupt the oracle comparison"
+            )
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
@@ -270,7 +280,12 @@ def q_cdc_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming drain exceeded 600 s — partial emissions "
+                "would silently corrupt the oracle comparison"
+            )
 
     sentinel = spark.range(1).select(
         F.to_json(
@@ -400,7 +415,12 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming drain exceeded 600 s — partial emissions "
+                "would silently corrupt the oracle comparison"
+            )
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
