@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct) per profiled column."""
     cols = list(cols or df.columns)
+    if not cols:
+        raise ValueError("profile() needs at least one column")
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs.append(
@@ -26,8 +28,15 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         )
         aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
     row = df.agg(*aggs)
+
+    def q(name: str) -> str:  # SQL string literal
+        return "'" + name.replace("'", "''") + "'"
+
+    def bq(name: str) -> str:  # backquoted identifier
+        return "`" + name.replace("`", "``") + "`"
+
     stack_args = ", ".join(
-        f"'{c}', `__nulls_{c}`, `__dist_{c}`" for c in cols
+        f"{q(c)}, {bq('__nulls_' + c)}, {bq('__dist_' + c)}" for c in cols
     )
     return row.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)",

@@ -109,8 +109,13 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    e = ngram_jaccard_pairs(docs, threshold=0.6).select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    # localCheckpoint: the edge list is referenced three times (e1, e2,
+    # e3) — without severing the lineage the O(Σ bucket²) shingle
+    # self-join that produces it would execute three times
+    e = (
+        ngram_jaccard_pairs(docs, threshold=0.6)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     e12 = e.alias("e1").join(
         e.alias("e2"), F.col("e1.b") == F.col("e2.a")
