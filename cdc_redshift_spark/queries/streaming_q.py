@@ -31,6 +31,7 @@ from cdc_redshift_spark.normalize import pg_changeset
 from cdc_redshift_spark.queries.cdc import synth_pg_changelog
 from cdc_redshift_spark.sources.streams import file_stream
 from cdc_redshift_spark.streaming.stateful import (
+    first_seen_dedup,
     stateful_lww_dedup,
     stateful_lww_dedup_agg,
     streaming_sessionize,
@@ -461,6 +462,76 @@ FROM p JOIN c ON p.user_id = c.user_id
 """
 
 
+def q_cdc_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-writer-wins streaming dedup (dropDuplicatesWithinWatermark)
+    over the two-phase changelog: phase 1 carries each key's insert
+    (all pass — first sighting); phase 2 carries updates/deletes for
+    already-seen keys (all dropped while state lives, which the huge
+    watermark delay guarantees here).  Emissions = exactly the insert
+    set, which is the oracle."""
+    raw = synth_pg_changelog(spark, sf_dir).persist()
+    op = F.get_json_object("value", "$.op")
+    shape = lambda df: df.select(  # noqa: E731
+        "value", "offset", F.lit(0).alias("partition"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    root = tempfile.mkdtemp(prefix="first_seen_")
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    land = os.path.join(root, "land")
+    os.makedirs(indir, exist_ok=True)
+
+    def drain() -> None:
+        q = (
+            first_seen_dedup(
+                pg_changeset(
+                    file_stream(spark, indir, max_files_per_trigger=None),
+                    offset_col="offset",
+                ),
+                watermark_delay="36500 days",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(land)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("first_seen drain exceeded 600 s")
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
+        drain()
+        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        raw.unpersist()
+        import shutil
+
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    out = spark.read.parquet(land)
+    return out.select(
+        F.col("key").cast("bigint").alias("okey"),
+        F.get_json_object("payload", "$.status").alias("status"),
+        "op",
+        "ts_ms",
+    )
+
+
+ORACLE_FIRST_SEEN = """
+SELECT o_orderkey AS okey, o_orderstatus AS status, 'insert' AS op,
+       epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts_ms
+FROM orders
+"""
+
+
 _DAY = 86_400_000
 
 ORACLE_STATEFUL_LWW = f"""
@@ -486,6 +557,7 @@ QUERIES = {
     "cdc_windowed_ops_stream": q_cdc_windowed_ops_stream,
     "cdc_sessionize_stream": q_cdc_sessionize_stream,
     "events_stream_join": q_events_stream_join,
+    "cdc_first_seen_stream": q_cdc_first_seen_stream,
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
@@ -493,4 +565,5 @@ ORACLES = {
     "cdc_windowed_ops_stream": ORACLE_WINDOWED_OPS,
     "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,
     "events_stream_join": ORACLE_STREAM_JOIN,
+    "cdc_first_seen_stream": ORACLE_FIRST_SEEN,
 }

@@ -153,6 +153,28 @@ def stateful_lww_dedup_agg(
     )
 
 
+def first_seen_dedup(
+    changes: DataFrame,
+    keys: Sequence[str] = ("db", "table", "key"),
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """First-writer-wins streaming dedup via the built-in
+    ``dropDuplicatesWithinWatermark``: a key's FIRST event passes, every
+    later event for that key is dropped while its state lives (state
+    expires once the watermark passes event-time + delay, bounding it
+    at any scale).
+
+    The complement of :func:`stateful_lww_dedup` (last-writer-wins):
+    use first-seen for at-least-once sources that replay identical
+    records (exactly-once ingest dedup), LWW for conflict resolution.
+    Pure built-in operator — no Python, state in the JVM store.
+    """
+    with_ts = changes.withColumn(
+        "__ts", F.timestamp_millis(F.col("ts_ms"))
+    ).withWatermark("__ts", watermark_delay)
+    return with_ts.dropDuplicatesWithinWatermark(list(keys)).drop("__ts")
+
+
 def windowed_op_counts(
     changes: DataFrame,
     window: str = "1 minute",
