@@ -9,6 +9,7 @@ import os
 from cdc_redshift_spark.normalize import pg_changeset
 from cdc_redshift_spark.sources.streams import file_stream
 from cdc_redshift_spark.streaming.stateful import (
+    first_seen_dedup,
     stateful_lww_dedup,
     streaming_sessionize,
     windowed_op_counts,
@@ -68,6 +69,46 @@ def test_stateful_lww_dedup_suppresses_cross_batch_stale(spark, tmp_path):
     write_batch_file(indir, "b2.json", [pg_line("u", 1, 75, {"v": "older"}, 5)])
     emitted2 = run_updates(spark, indir, ckpt, stateful_lww_dedup)
     assert emitted2 == []
+
+
+def test_first_seen_dedup_watermark_expiry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: a duplicate
+    key is dropped while its state lives, and RE-EMITS once the
+    watermark (delay = 1 h here) has passed its event time + delay —
+    the state bound that makes the operator viable at scale."""
+    import functools
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    h = 3_600_000  # 1 h in ms
+    t0 = 1_700_000_000_000
+    build = functools.partial(first_seen_dedup, watermark_delay="1 hour")
+
+    def run_append(batch_file, lines):
+        write_batch_file(indir, batch_file, lines)
+        emitted = []
+        q = (
+            build(pg_changeset(file_stream(spark, indir), offset_col="offset"))
+            .writeStream.foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {(r["key"], r["ts_ms"]) for r in emitted}
+
+    # batch 0: first sightings pass
+    got = run_append("b0.json", [pg_line("c", 1, t0, {"v": "a"}, 0),
+                                 pg_line("c", 2, t0, {"v": "b"}, 1)])
+    assert got == {("1", t0), ("2", t0)}
+    # batch 1: watermark is still t0 - 1h, key 1's state lives -> drop
+    got = run_append("b1.json", [pg_line("u", 1, t0 + 3 * h, {"v": "x"}, 2)])
+    assert got == set()
+    # batch 2: watermark advanced to t0 + 2h > t0 + delay, key 1's
+    # state expired -> the key re-emits as a fresh first sighting
+    got = run_append("b2.json", [pg_line("u", 1, t0 + 4 * h, {"v": "y"}, 3)])
+    assert got == {("1", t0 + 4 * h)}
 
 
 def test_stateful_lww_dedup_rocksdb_state_store(spark, tmp_path):
