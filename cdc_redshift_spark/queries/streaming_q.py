@@ -532,6 +532,96 @@ FROM orders
 """
 
 
+def q_cdc_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the third join mode next to
+    batch-batch (plans/merge.py) and stream-stream (streaming/joins.py):
+    every change event is joined per micro-batch against the STATIC
+    orders dim (broadcast by Catalyst, no state store involved), so
+    each event emits exactly once with its dim attributes and the
+    oracle is the plain batch join of the full changelog."""
+    from cdc_redshift_spark.sources.tables import load_table
+
+    raw = synth_pg_changelog(spark, sf_dir).persist()
+    op = F.get_json_object("value", "$.op")
+    shape = lambda df: df.select(  # noqa: E731
+        "value", "offset", F.lit(0).alias("partition"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="enrich_stream_")
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    land = os.path.join(root, "land")
+    os.makedirs(indir, exist_ok=True)
+
+    def drain() -> None:
+        ch = pg_changeset(
+            file_stream(spark, indir, max_files_per_trigger=None),
+            offset_col="offset",
+        )
+        q = (
+            ch.join(F.broadcast(dim), "key", "left")
+            .select("key", "op", "ts_ms", "o_orderpriority", "o_totalprice")
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(land)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("enrich drain exceeded 600 s")
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
+        drain()
+        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        raw.unpersist()
+        import shutil
+
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    out = spark.read.parquet(land)
+    return out.select(
+        F.col("key").cast("bigint").alias("okey"),
+        "op",
+        "ts_ms",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+_D = 86_400_000
+
+ORACLE_ENRICH = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS tot,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
+  FROM orders
+), ev AS (
+  SELECT k, 'insert' AS op, ts0 AS ts_ms FROM base
+  UNION ALL
+  SELECT k, 'update', ts0 + {_D} FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, 'delete', ts0 + 2 * {_D} FROM base WHERE k % 7 = 0
+)
+SELECT ev.k AS okey, ev.op, ev.ts_ms, b.pri AS o_orderpriority,
+       b.tot AS o_totalprice
+FROM ev JOIN base b ON ev.k = b.k
+"""
+
+
 _DAY = 86_400_000
 
 ORACLE_STATEFUL_LWW = f"""
@@ -558,6 +648,7 @@ QUERIES = {
     "cdc_sessionize_stream": q_cdc_sessionize_stream,
     "events_stream_join": q_events_stream_join,
     "cdc_first_seen_stream": q_cdc_first_seen_stream,
+    "cdc_enrich_stream": q_cdc_enrich_stream,
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
@@ -566,4 +657,5 @@ ORACLES = {
     "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,
     "events_stream_join": ORACLE_STREAM_JOIN,
     "cdc_first_seen_stream": ORACLE_FIRST_SEEN,
+    "cdc_enrich_stream": ORACLE_ENRICH,
 }
