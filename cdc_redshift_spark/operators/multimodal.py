@@ -182,6 +182,50 @@ def sample_frames(
     )
 
 
+def window_stats(
+    df: DataFrame,
+    window: int = 64,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio-style windowed signal statistics over the payload bytes:
+    one row per fixed-size sample window (last window may be partial) —
+    the frame/hop shape of audio feature extraction (RMS, energy),
+    with integer-exact outputs (sum of squares, max) so cross-engine
+    comparison needs no float tolerance.  A real audio pipeline plugs
+    its PCM decode in where ``_require_img1`` unpacks the payload.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, sumsq, mx = [], [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[media_col]):
+                _w, _h, _c, payload = _require_img1(buf)
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for wi in range(0, max(len(arr), 1), window):
+                    chunk = arr[wi : wi + window]
+                    ids.append(i)
+                    idxs.append(wi // window)
+                    ns.append(int(len(chunk)))
+                    sumsq.append(int((chunk * chunk).sum()) if len(chunk) else 0)
+                    mx.append(int(chunk.max()) if len(chunk) else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_sq": pd.Series(sumsq, dtype="int64"),
+                    "max_sample": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        stats,
+        f"{id_col} bigint, win_idx bigint, n_samples bigint, "
+        "sum_sq bigint, max_sample bigint",
+    )
+
+
 def extract_features(
     df: DataFrame, dim: int = 16, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:

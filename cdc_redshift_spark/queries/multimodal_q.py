@@ -22,6 +22,7 @@ from cdc_redshift_spark.operators.multimodal import (
     resize_media,
     sample_frames,
     synth_media,
+    window_stats,
 )
 from cdc_redshift_spark.sources.tables import load_table
 
@@ -159,11 +160,43 @@ ORDER BY doc_id
 """
 
 
+MM_WIN = 64
+
+
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowing: per 64-byte sample window of each media
+    payload, integer-exact energy (sum of squares) and peak — the
+    frame/hop shape of audio feature extraction, flatMap'd via
+    mapInPandas (operators/multimodal.py `window_stats`)."""
+    return window_stats(_media(spark, sf_dir), window=MM_WIN)
+
+
+ORACLE_MM_AUDIO = f"""
+WITH chunks AS (
+  SELECT doc_id, i AS win_idx,
+         substr(text, CAST(i * {MM_WIN} + 1 AS INTEGER), {MM_WIN}) AS chunk
+  FROM documents
+  CROSS JOIN range(0, 100000) r(i)
+  WHERE i * {MM_WIN} < greatest(length(text), 1)
+)
+SELECT doc_id, win_idx,
+       CAST(length(chunk) AS BIGINT) AS n_samples,
+       CAST(coalesce(list_sum(list_transform(string_split_regex(chunk, ''),
+                                             x -> ascii(x) * ascii(x))), 0)
+            AS BIGINT) AS sum_sq,
+       CAST(coalesce(list_max(list_transform(string_split_regex(chunk, ''),
+                                             x -> ascii(x))), 0)
+            AS BIGINT) AS max_sample
+FROM chunks
+"""
+
+
 QUERIES = {
     "mm_decode_meta": q_mm_decode_meta,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize_roundtrip": q_mm_resize_roundtrip,
     "mm_features_similarity": q_mm_features_similarity,
+    "mm_audio_windows": q_mm_audio_windows,
 }
 
 ORACLES = {
@@ -171,4 +204,5 @@ ORACLES = {
     "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
     "mm_resize_roundtrip": ORACLE_MM_RESIZE_ROUNDTRIP,
     "mm_features_similarity": ORACLE_MM_FEATURES_SIMILARITY,
+    "mm_audio_windows": ORACLE_MM_AUDIO,
 }
