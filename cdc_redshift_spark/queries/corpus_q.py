@@ -154,6 +154,102 @@ WHERE {bucket} % 1000000 < (CASE {cases} ELSE {DEFAULT_PPM} END)
 """
 
 
+QMIN = 0.55  # quality cutoff for the composed pipeline
+
+
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a full training-corpus cleaning
+    pipeline in one query: exact dedup (keep canonical doc per
+    fingerprint) → quality filter (score ≥ 0.55) → benchmark
+    decontamination (drop any survivor sharing a 4-gram with the eval
+    slice) → per-source manifest.  Every stage is the already-gated
+    operator; the oracle recomposes the same chain in SQL, so the
+    check covers the stages AND their composition order."""
+    from cdc_redshift_spark.functions import text as TX
+    from cdc_redshift_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    evm = F.col("doc_id") % DECON_EVAL_MOD == 0
+    train, ev = docs.where(~evm), docs.where(evm)
+    canon = (
+        exact_dedup(train)
+        .where("is_duplicate = 0")
+        .select(F.col("id").alias("doc_id"))
+    )
+    surv = train.join(canon, "doc_id", "left_semi")
+    scored = surv.withColumn("q", TX.quality_score(F.col("text"))).where(
+        F.col("q") >= QMIN
+    )
+    cont = decontaminate(
+        scored, ev, n=DECON_N, max_gram_df=DECON_MAX_GRAM_DF
+    ).select("doc_id")
+    clean = scored.join(cont, "doc_id", "left_anti")
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUCK_QUALITY = (
+    f"round(0.4 * {{stop}} + 0.3 * (1 - ({{punct}}))"
+    f" + 0.3 * least({{tok}} / 50.0, 1.0), 6)"
+)
+
+
+def _oracle_clean_pipeline() -> str:
+    from cdc_redshift_spark.functions import text as TX
+
+    quality = _DUCK_QUALITY.format(
+        stop=TX.duck_stop_ratio("text"),
+        punct=TX.DUCK_PUNCT_RATIO.format(c="text"),
+        tok=TX.DUCK_TOKEN_COUNT.format(c="text"),
+    )
+    norm = DUCK_NORM.format(c="text")
+    return f"""
+WITH train AS (
+  SELECT * FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0
+), fp AS (
+  SELECT doc_id, md5({norm}) AS f FROM train
+), canon AS (
+  SELECT f, min(doc_id) AS cid FROM fp GROUP BY f
+), surv AS (
+  SELECT t.* FROM train t
+  WHERE t.doc_id IN (SELECT cid FROM canon)
+), scored AS (
+  SELECT *, {quality} AS q FROM surv WHERE {quality} >= {QMIN}
+), toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS w FROM documents
+), gh AS (
+  SELECT doc_id,
+         list_distinct(list_transform({duck_word_grams('w', DECON_N)},
+                                      g -> {DUCK_HASH60.format(c='g')})) AS hs
+  FROM toks
+), tg AS (
+  SELECT gh.doc_id AS tid, unnest(hs) AS g
+  FROM gh JOIN scored s ON gh.doc_id = s.doc_id
+), eg AS (
+  SELECT doc_id AS eid, unnest(hs) AS g FROM gh
+  WHERE doc_id % {DECON_EVAL_MOD} = 0
+), keep AS (
+  SELECT g FROM eg GROUP BY g HAVING count(DISTINCT eid) <= {DECON_MAX_GRAM_DF}
+), cont AS (
+  SELECT DISTINCT tid FROM tg JOIN keep USING (g) JOIN eg USING (g)
+), clean AS (
+  SELECT * FROM scored WHERE doc_id NOT IN (SELECT tid FROM cont)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum({TX.DUCK_TOKEN_COUNT.format(c='text')}) AS BIGINT)
+         AS total_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM clean GROUP BY source ORDER BY source
+"""
+
+
 SHARD_TOKEN_BUDGET = 2_000
 
 
@@ -219,6 +315,7 @@ QUERIES = {
     "corpus_repetition_stats": q_corpus_repetition_stats,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_token_shards": q_corpus_token_shards,
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,
 }
 
 ORACLES = {
@@ -226,4 +323,5 @@ ORACLES = {
     "corpus_repetition_stats": ORACLE_REPETITION,
     "corpus_stratified_sample": _oracle_sample(),
     "corpus_token_shards": ORACLE_TOKEN_SHARDS,
+    "corpus_clean_pipeline": _oracle_clean_pipeline(),
 }
