@@ -184,12 +184,19 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ev, n=DECON_N, max_gram_df=DECON_MAX_GRAM_DF
     ).select("doc_id")
     clean = scored.join(cont, "doc_id", "left_anti")
+    # avg over EXACT integer micro-units: q is 6-dp-rounded per doc, so
+    # round(q*1e6) is an integer both engines compute identically; the
+    # integer sum is order-independent, unlike a float avg whose
+    # partition-order summation could flip the 6-dp rounding
+    q_micro = F.round(F.col("q") * 1e6, 0).cast("long")
     return (
         clean.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(F.sum(q_micro) / F.count(F.lit(1)) / 1e6, 6).alias(
+                "avg_quality"
+            ),
         )
         .orderBy("source")
     )
@@ -238,14 +245,15 @@ WITH train AS (
 ), keep AS (
   SELECT g FROM eg GROUP BY g HAVING count(DISTINCT eid) <= {DECON_MAX_GRAM_DF}
 ), cont AS (
-  SELECT DISTINCT tid FROM tg JOIN keep USING (g) JOIN eg USING (g)
+  SELECT DISTINCT tid FROM tg JOIN keep USING (g)
 ), clean AS (
   SELECT * FROM scored WHERE doc_id NOT IN (SELECT tid FROM cont)
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum({TX.DUCK_TOKEN_COUNT.format(c='text')}) AS BIGINT)
          AS total_tokens,
-       round(avg(q), 6) AS avg_quality
+       round(sum(CAST(round(q * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6)
+         AS avg_quality
 FROM clean GROUP BY source ORDER BY source
 """
 

@@ -175,9 +175,9 @@ ORACLE_MM_AUDIO = f"""
 WITH chunks AS (
   SELECT doc_id, i AS win_idx,
          substr(text, CAST(i * {MM_WIN} + 1 AS INTEGER), {MM_WIN}) AS chunk
-  FROM documents
-  CROSS JOIN range(0, 100000) r(i)
-  WHERE i * {MM_WIN} < greatest(length(text), 1)
+  FROM documents,
+       LATERAL unnest(range(0, (greatest(length(text), 1) + {MM_WIN - 1})
+                               // {MM_WIN})) AS r(i)
 )
 SELECT doc_id, win_idx,
        CAST(length(chunk) AS BIGINT) AS n_samples,

@@ -602,7 +602,7 @@ def q_cdc_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D = 86_400_000
+_DAY = 86_400_000
 
 ORACLE_ENRICH = f"""
 WITH base AS (
@@ -612,17 +612,15 @@ WITH base AS (
 ), ev AS (
   SELECT k, 'insert' AS op, ts0 AS ts_ms FROM base
   UNION ALL
-  SELECT k, 'update', ts0 + {_D} FROM base WHERE k % 3 = 0
+  SELECT k, 'update', ts0 + {_DAY} FROM base WHERE k % 3 = 0
   UNION ALL
-  SELECT k, 'delete', ts0 + 2 * {_D} FROM base WHERE k % 7 = 0
+  SELECT k, 'delete', ts0 + 2 * {_DAY} FROM base WHERE k % 7 = 0
 )
 SELECT ev.k AS okey, ev.op, ev.ts_ms, b.pri AS o_orderpriority,
        b.tot AS o_totalprice
 FROM ev JOIN base b ON ev.k = b.k
 """
 
-
-_DAY = 86_400_000
 
 ORACLE_STATEFUL_LWW = f"""
 WITH base AS (

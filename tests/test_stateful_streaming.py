@@ -96,6 +96,9 @@ def test_first_seen_dedup_watermark_expiry(spark, tmp_path):
             .start()
         )
         q.awaitTermination(180)
+        # a hung drain would leave emitted empty and make the
+        # "duplicate dropped" assertion pass vacuously
+        assert not q.isActive
         return {(r["key"], r["ts_ms"]) for r in emitted}
 
     # batch 0: first sightings pass
