@@ -1,17 +1,19 @@
-"""Driver-checkable query for the stateful streaming LWW dedup.
+"""Driver-checkable queries for the streaming operators.
 
-`cdc_stateful_lww_stream` runs a REAL two-phase Structured Streaming
-job (file source → pg_changeset → applyInPandasWithState → foreachBatch)
-over the synthesized pg changelog, split deterministically into two
-micro-batches:
+Every query here runs a REAL multi-phase Structured Streaming job
+through one shared harness (:func:`_drive_phases`): phase inputs are
+written as JSON files, each phase drains as ONE ``availableNow``
+micro-batch (no file cap — the phase = batch contract the oracles
+assume), emissions land in a parquet directory executor-side (a
+foreachBatch ``collect()`` would bound the check at driver memory and
+is the anti-pattern a reader must not copy), and a drain that exceeds
+its timeout raises instead of landing partial emissions.
 
-  batch 0: all inserts        batch 1: all updates + deletes
-
-and returns every row the stateful operator EMITTED.  Because the split
-is fixed, the delta stream is exactly SQL-expressible, so the weaker
-rows-only check isn't needed — the oracle reconstructs the emission set
-from `orders` directly (mirroring ORACLE_CDC_PG_REPLAY's approach of
-deriving fields rather than comparing raw JSON):
+`cdc_stateful_lww_stream` is the canonical example — a two-phase
+stream (batch 0: all inserts; batch 1: all updates + deletes) through
+``applyInPandasWithState``.  Because the split is fixed, the delta
+stream is exactly SQL-expressible and the oracle reconstructs the
+emission set from ``orders`` directly:
 
   - batch 0 emits every key's insert (no prior state);
   - batch 1 emits each key's in-batch (ts, offset)-winner — the delete
@@ -22,7 +24,9 @@ deriving fields rather than comparing raw JSON):
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +41,106 @@ from cdc_redshift_spark.streaming.stateful import (
     streaming_sessionize,
     windowed_op_counts,
 )
+
+_DAY = 86_400_000
+
+
+def _raw_shape(df: DataFrame) -> DataFrame:
+    """Project to the RAW_STREAM_SCHEMA shape the file source expects."""
+    return df.select(
+        "value",
+        "offset",
+        F.lit(0).alias("partition"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+
+
+def _changeset_stream(spark: SparkSession, indir: str) -> DataFrame:
+    """File-source ChangeSet stream with NO per-trigger file cap: under
+    ``availableNow`` every file dropped since the last drain folds into
+    ONE micro-batch — the phase = batch contract.  (The default cap of
+    1 file/trigger would split a phase into one batch per file; the
+    pandas LWW form suppresses losers so it still matches, but the agg
+    form re-emits a remembered winner whenever a later losing batch
+    touches its key, inflating the emission count.)"""
+    return pg_changeset(
+        file_stream(spark, indir, max_files_per_trigger=None),
+        offset_col="offset",
+    )
+
+
+def _drive_phases(
+    spark: SparkSession,
+    phases: Sequence[tuple[DataFrame, int]],
+    build: Callable[[SparkSession, str], DataFrame],
+    prefix: str,
+    output_mode: str = "append",
+    with_batch_id: bool = False,
+) -> DataFrame:
+    """Shared streaming-query harness.
+
+    For each ``(df, n_files)`` phase: write the rows as ``n_files``
+    JSON files (coalesce > 1 keeps the encode parallel), then drain
+    ``build(spark, indir)`` with ``availableNow`` so the whole phase is
+    one micro-batch whose emissions append to a parquet landing dir
+    (``with_batch_id`` stamps each emission with its micro-batch id for
+    last-emission-per-group reconstruction in update mode).  Shuffle
+    partitions are pinned to 16 for the run — the state-store partition
+    count is fixed at first checkpoint creation, and a plain driver
+    session's default of 200 would turn a 20k-row check into 400
+    state-store tasks.  Returns the landed DataFrame; the landing dir
+    outlives this function (the result reads it lazily), only the
+    stream's work dirs are removed.
+    """
+    root = tempfile.mkdtemp(prefix=prefix)
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    land = os.path.join(root, "land")
+    os.makedirs(indir, exist_ok=True)
+
+    if with_batch_id:
+        def writer(df: DataFrame, bid: int) -> None:
+            df.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(land)
+    else:
+        def writer(df: DataFrame, bid: int) -> None:
+            df.write.mode("append").parquet(land)
+
+    def drain() -> None:
+        q = (
+            build(spark, indir)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming drain exceeded 600 s — partial emissions "
+                "would silently corrupt the oracle comparison"
+            )
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for df, n_files in phases:
+            df.coalesce(n_files).write.mode("append").json(indir)
+            drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return spark.read.parquet(land)
+
+
+def _changelog_phases(raw: DataFrame) -> list[tuple[DataFrame, int]]:
+    """The canonical two-phase split: inserts, then updates + deletes."""
+    op = F.get_json_object("value", "$.op")
+    return [
+        (_raw_shape(raw.where(op == "c")), 8),
+        (_raw_shape(raw.where(op != "c")), 8),
+    ]
 
 
 def q_cdc_stateful_lww_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,76 +164,16 @@ def _two_phase_lww(spark: SparkSession, sf_dir: str, op_fn) -> DataFrame:
     # persist: the changelog synthesis (orders scan + to_json) feeds
     # BOTH phase writes — without it each phase re-synthesizes
     raw = synth_pg_changelog(spark, sf_dir).persist()
-    op = F.get_json_object("value", "$.op")
-    shape = lambda df: df.select(  # noqa: E731
-        "value", "offset", F.lit(0).alias("partition"),
-        F.lit(None).cast("timestamp").alias("timestamp"),
-    )
-    root = tempfile.mkdtemp(prefix="stateful_lww_")
-    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
-    land = os.path.join(root, "land")
-    os.makedirs(indir, exist_ok=True)
-
-    def drain() -> None:
-        # Emissions land in a parquet dir executor-side — nothing is
-        # funneled through the driver (a foreachBatch collect() would
-        # bound the check at driver memory and is the anti-pattern a
-        # reader must not copy).
-        # max_files_per_trigger=None: with availableNow and no file cap,
-        # ALL files dropped since the last drain form ONE micro-batch —
-        # the two-phase contract (phase = batch) that both operator
-        # variants' oracles assume.  (The default cap of 1 file/trigger
-        # would split a phase into 8 batches; the pandas form suppresses
-        # losers so it still matches, but the agg form re-emits a
-        # remembered winner whenever a later losing batch touches its
-        # key, inflating the emission count.)
-        q = (
-            op_fn(
-                pg_changeset(
-                    file_stream(spark, indir, max_files_per_trigger=None),
-                    offset_col="offset",
-                )
-            )
-            .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(land)
-            )
-            .option("checkpointLocation", ckpt)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming drain exceeded 600 s — partial emissions "
-                "would silently corrupt the oracle comparison"
-            )
-
-    # phase 1: inserts only; phase 2: updates + deletes (state carries).
-    # The state-store partition count is fixed at first checkpoint
-    # creation from spark.sql.shuffle.partitions — scope a size fit for
-    # this corpus (a plain driver session defaults to 200, which turns
-    # a 20k-row check into 400 state-store tasks).
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    # coalesce(8), not 1: parallel JSON encode; the uncapped
-    # availableNow drain below folds all 8 files into one micro-batch
     try:
-        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
-        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
+        out = _drive_phases(
+            spark,
+            _changelog_phases(raw),
+            lambda sp, indir: op_fn(_changeset_stream(sp, indir)),
+            prefix="stateful_lww_",
+            output_mode="update",
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         raw.unpersist()
-        import shutil
-
-        # the landing dir must outlive this function (the returned
-        # DataFrame reads it lazily); drop only the stream's work dirs
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
-    out = spark.read.parquet(land)
     return out.select(
         F.col("key").cast("bigint").alias("okey"),
         F.get_json_object("payload", "$.status").alias("status"),
@@ -140,10 +184,27 @@ def _two_phase_lww(spark: SparkSession, sf_dir: str, op_fn) -> DataFrame:
     )
 
 
+ORACLE_STATEFUL_LWW = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tot,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
+  FROM orders
+)
+SELECT k AS okey, st AS status, tot AS total, 'insert' AS op,
+       ts0 AS ts_ms, k * 10 AS off
+FROM base
+UNION ALL
+SELECT k, 'U', tot, 'update', ts0 + {_DAY}, k * 10 + 1
+FROM base WHERE k % 3 = 0 AND k % 21 <> 0
+UNION ALL
+SELECT k, st, tot, 'delete', ts0 + 2 * {_DAY}, k * 10 + 2
+FROM base WHERE k % 7 = 0
+"""
+
+
 def q_cdc_windowed_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked event-time windowed op counts over the same
-    two-phase changelog stream (the gated query for
-    :func:`windowed_op_counts`).
+    """Watermarked event-time windowed op counts over the two-phase
+    changelog stream (the gated query for :func:`windowed_op_counts`).
 
     Update mode emits a (window, db, table, op) group's CUMULATIVE
     count whenever a batch touches it; the final emission per group is
@@ -151,62 +212,24 @@ def q_cdc_windowed_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch id and keeps each group's last.  The watermark delay is set
     beyond the changelog's 2-day event-time spread so nothing is
     dropped and the oracle is exact."""
-    raw = synth_pg_changelog(spark, sf_dir).persist()
-    op = F.get_json_object("value", "$.op")
-    shape = lambda df: df.select(  # noqa: E731
-        "value", "offset", F.lit(0).alias("partition"),
-        F.lit(None).cast("timestamp").alias("timestamp"),
-    )
-    root = tempfile.mkdtemp(prefix="windowed_ops_")
-    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
-    land = os.path.join(root, "land")
-    os.makedirs(indir, exist_ok=True)
-
-    def drain() -> None:
-        q = (
-            windowed_op_counts(
-                pg_changeset(
-                    file_stream(spark, indir, max_files_per_trigger=None),
-                    offset_col="offset",
-                ),
-                window="1 day",
-                watermark_delay="36500 days",
-            )
-            .writeStream.foreachBatch(
-                lambda df, bid: df.withColumn("batch_id", F.lit(bid))
-                .write.mode("append")
-                .parquet(land)
-            )
-            .option("checkpointLocation", ckpt)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming drain exceeded 600 s — partial emissions "
-                "would silently corrupt the oracle comparison"
-            )
-
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
-        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        raw.unpersist()
-        import shutil
-
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
     from pyspark.sql import Window
 
-    out = spark.read.parquet(land)
+    raw = synth_pg_changelog(spark, sf_dir).persist()
+    try:
+        out = _drive_phases(
+            spark,
+            _changelog_phases(raw),
+            lambda sp, indir: windowed_op_counts(
+                _changeset_stream(sp, indir),
+                window="1 day",
+                watermark_delay="36500 days",
+            ),
+            prefix="windowed_ops_",
+            output_mode="update",
+            with_batch_id=True,
+        )
+    finally:
+        raw.unpersist()
     w = Window.partitionBy("window_start", "db", "table", "op").orderBy(
         F.desc("batch_id")
     )
@@ -223,7 +246,7 @@ def q_cdc_windowed_ops_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_WINDOWED_OPS = """
+ORACLE_WINDOWED_OPS = f"""
 WITH base AS (
   SELECT o_orderkey AS k,
          epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
@@ -231,11 +254,11 @@ WITH base AS (
 ), ev AS (
   SELECT ts0 AS ts_ms, 'insert' AS op FROM base
   UNION ALL
-  SELECT ts0 + 86400000, 'update' FROM base WHERE k % 3 = 0
+  SELECT ts0 + {_DAY}, 'update' FROM base WHERE k % 3 = 0
   UNION ALL
-  SELECT ts0 + 172800000, 'delete' FROM base WHERE k % 7 = 0
+  SELECT ts0 + 2 * {_DAY}, 'delete' FROM base WHERE k % 7 = 0
 )
-SELECT ts_ms - ts_ms % 86400000 AS win_ms,
+SELECT ts_ms - ts_ms % {_DAY} AS win_ms,
        'tpch' AS db, 'orders_cdc' AS "table", op, count(*) AS n
 FROM ev GROUP BY 1, op
 """
@@ -253,41 +276,6 @@ def q_cdc_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     global watermark past every real session so all of them flush.
     The sentinel's own session stays open and is excluded."""
     raw = synth_pg_changelog(spark, sf_dir).persist()
-    shape = lambda df: df.select(  # noqa: E731
-        "value", "offset", F.lit(0).alias("partition"),
-        F.lit(None).cast("timestamp").alias("timestamp"),
-    )
-    root = tempfile.mkdtemp(prefix="sess_stream_")
-    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
-    land = os.path.join(root, "land")
-    os.makedirs(indir, exist_ok=True)
-
-    def drain() -> None:
-        q = (
-            streaming_sessionize(
-                pg_changeset(
-                    file_stream(spark, indir, max_files_per_trigger=None),
-                    offset_col="offset",
-                ),
-                key="key",
-                gap="30 minutes",
-                watermark_delay="1 day",
-            )
-            .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(land)
-            )
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming drain exceeded 600 s — partial emissions "
-                "would silently corrupt the oracle comparison"
-            )
-
     sentinel = spark.range(1).select(
         F.to_json(
             F.struct(
@@ -306,23 +294,21 @@ def q_cdc_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("partition"),
         F.lit(None).cast("timestamp").alias("timestamp"),
     )
-
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        shape(raw).coalesce(8).write.mode("append").json(indir)
-        drain()
-        sentinel.coalesce(1).write.mode("append").json(indir)
-        drain()
+        out = _drive_phases(
+            spark,
+            [(_raw_shape(raw), 8), (sentinel, 1)],
+            lambda sp, indir: streaming_sessionize(
+                _changeset_stream(sp, indir),
+                key="key",
+                gap="30 minutes",
+                watermark_delay="1 day",
+            ),
+            prefix="sess_stream_",
+            output_mode="append",
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         raw.unpersist()
-        import shutil
-
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
-    out = spark.read.parquet(land)
     return out.where(F.col("key") != "-1").select(
         F.col("key").cast("bigint").alias("okey"),
         F.unix_millis("session_start").alias("sess_start_ms"),
@@ -332,7 +318,7 @@ def q_cdc_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SESSIONIZE_STREAM = """
+ORACLE_SESSIONIZE_STREAM = f"""
 WITH base AS (
   SELECT o_orderkey AS k,
          epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
@@ -340,9 +326,9 @@ WITH base AS (
 ), ev AS (
   SELECT k, ts0 AS ts_ms FROM base
   UNION ALL
-  SELECT k, ts0 + 86400000 FROM base WHERE k % 3 = 0
+  SELECT k, ts0 + {_DAY} FROM base WHERE k % 3 = 0
   UNION ALL
-  SELECT k, ts0 + 172800000 FROM base WHERE k % 7 = 0
+  SELECT k, ts0 + 2 * {_DAY} FROM base WHERE k % 7 = 0
 )
 SELECT k AS okey, ts_ms AS sess_start_ms, 1 AS n_events,
        ts_ms AS first_ts_ms, ts_ms AS last_ts_ms
@@ -367,14 +353,10 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("ts_ns div 1000").alias("ts_us"),
     )
-    root = tempfile.mkdtemp(prefix="stream_join_")
-    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
-    land = os.path.join(root, "land")
-    os.makedirs(indir, exist_ok=True)
 
-    def drain() -> None:
+    def build(sp: SparkSession, indir: str) -> DataFrame:
         src = (
-            spark.readStream.schema(
+            sp.readStream.schema(
                 "event_id long, user_id long, event_type string, ts_us long"
             )
             .json(indir)
@@ -390,7 +372,7 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("c_ts"),
         )
-        joined = stream_interval_join(
+        return stream_interval_join(
             purchases,
             clicks,
             key="user_id",
@@ -399,49 +381,25 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lower_us=-86_400_000_000,
             upper_us=0,
             watermark_delay="3650 days",
+        ).select(
+            "p_id",
+            "user_id",
+            "c_id",
+            F.unix_micros("p_ts").alias("p_us"),
+            F.unix_micros("c_ts").alias("c_us"),
         )
-        q = (
-            joined.select(
-                "p_id",
-                "user_id",
-                "c_id",
-                F.unix_micros("p_ts").alias("p_us"),
-                F.unix_micros("c_ts").alias("c_us"),
-            )
-            .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(land)
-            )
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "streaming drain exceeded 600 s — partial emissions "
-                "would silently corrupt the oracle comparison"
-            )
 
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        ev.where(F.col("event_id") % 2 == 0).coalesce(4).write.mode(
-            "append"
-        ).json(indir)
-        drain()
-        ev.where(F.col("event_id") % 2 == 1).coalesce(4).write.mode(
-            "append"
-        ).json(indir)
-        drain()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        import shutil
-
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
-    return spark.read.parquet(land).select(
+    out = _drive_phases(
+        spark,
+        [
+            (ev.where(F.col("event_id") % 2 == 0), 4),
+            (ev.where(F.col("event_id") % 2 == 1), 4),
+        ],
+        build,
+        prefix="stream_join_",
+        output_mode="append",
+    )
+    return out.select(
         "p_id", "user_id", "c_id", "p_us", "c_us",
         (F.col("p_us") - F.col("c_us")).alias("gap_us"),
     )
@@ -470,53 +428,18 @@ def q_cdc_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark delay guarantees here).  Emissions = exactly the insert
     set, which is the oracle."""
     raw = synth_pg_changelog(spark, sf_dir).persist()
-    op = F.get_json_object("value", "$.op")
-    shape = lambda df: df.select(  # noqa: E731
-        "value", "offset", F.lit(0).alias("partition"),
-        F.lit(None).cast("timestamp").alias("timestamp"),
-    )
-    root = tempfile.mkdtemp(prefix="first_seen_")
-    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
-    land = os.path.join(root, "land")
-    os.makedirs(indir, exist_ok=True)
-
-    def drain() -> None:
-        q = (
-            first_seen_dedup(
-                pg_changeset(
-                    file_stream(spark, indir, max_files_per_trigger=None),
-                    offset_col="offset",
-                ),
-                watermark_delay="36500 days",
-            )
-            .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(land)
-            )
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("first_seen drain exceeded 600 s")
-
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
-        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
+        out = _drive_phases(
+            spark,
+            _changelog_phases(raw),
+            lambda sp, indir: first_seen_dedup(
+                _changeset_stream(sp, indir), watermark_delay="36500 days"
+            ),
+            prefix="first_seen_",
+            output_mode="append",
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         raw.unpersist()
-        import shutil
-
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
-    out = spark.read.parquet(land)
     return out.select(
         F.col("key").cast("bigint").alias("okey"),
         F.get_json_object("payload", "$.status").alias("status"),
@@ -542,57 +465,23 @@ def q_cdc_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_redshift_spark.sources.tables import load_table
 
     raw = synth_pg_changelog(spark, sf_dir).persist()
-    op = F.get_json_object("value", "$.op")
-    shape = lambda df: df.select(  # noqa: E731
-        "value", "offset", F.lit(0).alias("partition"),
-        F.lit(None).cast("timestamp").alias("timestamp"),
-    )
     dim = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("key"),
         "o_orderpriority",
         "o_totalprice",
     )
-    root = tempfile.mkdtemp(prefix="enrich_stream_")
-    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
-    land = os.path.join(root, "land")
-    os.makedirs(indir, exist_ok=True)
-
-    def drain() -> None:
-        ch = pg_changeset(
-            file_stream(spark, indir, max_files_per_trigger=None),
-            offset_col="offset",
-        )
-        q = (
-            ch.join(F.broadcast(dim), "key", "left")
-            .select("key", "op", "ts_ms", "o_orderpriority", "o_totalprice")
-            .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(land)
-            )
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("enrich drain exceeded 600 s")
-
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        shape(raw.where(op == "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
-        shape(raw.where(op != "c")).coalesce(8).write.mode("append").json(indir)
-        drain()
+        out = _drive_phases(
+            spark,
+            _changelog_phases(raw),
+            lambda sp, indir: _changeset_stream(sp, indir)
+            .join(F.broadcast(dim), "key", "left")
+            .select("key", "op", "ts_ms", "o_orderpriority", "o_totalprice"),
+            prefix="enrich_stream_",
+            output_mode="append",
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         raw.unpersist()
-        import shutil
-
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
-    out = spark.read.parquet(land)
     return out.select(
         F.col("key").cast("bigint").alias("okey"),
         "op",
@@ -601,8 +490,6 @@ def q_cdc_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
 
-
-_DAY = 86_400_000
 
 ORACLE_ENRICH = f"""
 WITH base AS (
@@ -621,23 +508,6 @@ SELECT ev.k AS okey, ev.op, ev.ts_ms, b.pri AS o_orderpriority,
 FROM ev JOIN base b ON ev.k = b.k
 """
 
-
-ORACLE_STATEFUL_LWW = f"""
-WITH base AS (
-  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tot,
-         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts0
-  FROM orders
-)
-SELECT k AS okey, st AS status, tot AS total, 'insert' AS op,
-       ts0 AS ts_ms, k * 10 AS off
-FROM base
-UNION ALL
-SELECT k, 'U', tot, 'update', ts0 + {_DAY}, k * 10 + 1
-FROM base WHERE k % 3 = 0 AND k % 21 <> 0
-UNION ALL
-SELECT k, st, tot, 'delete', ts0 + 2 * {_DAY}, k * 10 + 2
-FROM base WHERE k % 7 = 0
-"""
 
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
