@@ -203,6 +203,37 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.substring(norm, i, n))
 
 
+#: PII patterns for corpus redaction — conservative, precision-first
+#: (an LLM training pipeline masks rather than drops).  All pure-regex
+#: so redaction runs inside codegen at scan speed.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Mask PII spans with ``[KIND]`` tokens (chained regexp_replace —
+    one codegen pass per pattern, no Python)."""
+    out = col
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """struct of per-kind match counts — the audit signal a redaction
+    pass reports alongside the masked text."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0))).alias(k)
+            for k, p in PII_PATTERNS.items()
+        ]
+    )
+
+
 # ---- DuckDB mirror fragments (kept adjacent so queries and oracles
 # ---- evolve together; see queries/text_q.py)
 
