@@ -171,12 +171,85 @@ FROM wn
 """
 
 
+def q_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate: deterministic PII-bearing text is synthesized
+    per customer (one email + one phone each), redacted with the
+    codegen regex chain, and audited — counts and redacted-length sums
+    are exact integers, and the DuckDB oracle applies the same regexes
+    (both engines' dialects agree on these patterns)."""
+    cust = load_table(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@ex"),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".com call 415-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re "),
+        F.col("c_name"),
+    )
+    red = TX.redact_pii(text)
+    cnt = TX.pii_counts(text)
+    return (
+        cust.select(
+            F.col("c_custkey").alias("id"),
+            F.length(text).alias("raw_len"),
+            F.length(red).alias("red_len"),
+            cnt.getField("email").alias("n_email"),
+            cnt.getField("phone").alias("n_phone"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("raw_len").alias("sum_raw_len"),
+            F.sum("red_len").alias("sum_red_len"),
+            F.sum("n_email").alias("total_email"),
+            F.sum("n_phone").alias("total_phone"),
+        )
+    )
+
+
+ORACLE_PII = r"""
+WITH t AS (
+  SELECT c_custkey AS id,
+         'user' || c_custkey || '@ex' || (c_custkey % 7)
+          || '.com call 415-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+          || ' re ' || c_name AS text
+  FROM customer
+), r AS (
+  SELECT id, length(text) AS raw_len,
+         length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}', '[PHONE]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g')
+         ) AS red_len,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text,
+             '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}')) AS n_phone
+  FROM t
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(raw_len) AS BIGINT) AS sum_raw_len,
+       CAST(sum(red_len) AS BIGINT) AS sum_red_len,
+       CAST(sum(n_email) AS BIGINT) AS total_email,
+       CAST(sum(n_phone) AS BIGINT) AS total_phone
+FROM r
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality_by_source": q_text_quality_by_source,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
+    "pii_redaction_report": q_pii_redaction_report,
 }
 
 ORACLES = {
@@ -185,4 +258,5 @@ ORACLES = {
     "text_quality_by_source": ORACLE_QUALITY_BY_SOURCE,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_winnow": ORACLE_WINNOW,
+    "pii_redaction_report": ORACLE_PII,
 }
