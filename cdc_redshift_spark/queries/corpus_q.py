@@ -154,6 +154,67 @@ WHERE {bucket} % 1000000 < (CASE {cases} ELSE {DEFAULT_PPM} END)
 """
 
 
+NOV_N = 4  # novelty gram width
+
+
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus novelty: per document, the fraction of its
+    distinct word 4-grams NOT seen in any LOWER-doc_id document — the
+    dedup-adjacent curation signal (novelty ≈ 0 ⇒ the doc is stitched
+    from earlier content even if no single source matches).
+
+    Plan: explode distinct (gram-hash, doc_id), min(doc_id) per gram
+    (one gram shuffle, map-side combine), then per-doc counts (one doc
+    shuffle).  No pair stream, no all-pairs anything — linear in total
+    grams at 100 TB."""
+    from cdc_redshift_spark.operators.corpus import word_ngram_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    gh = docs.select(
+        "doc_id",
+        F.explode(word_ngram_hashes(F.col("text"), NOV_N)).alias("g"),
+    ).dropDuplicates(["doc_id", "g"])
+    first = gh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        gh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({DUCK_NORM.format(c='text')}, ' ') AS w
+  FROM documents
+), gh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform({duck_word_grams('w', NOV_N)},
+                               g -> {DUCK_HASH60.format(c='g')})) AS g
+  FROM toks
+), first AS (
+  SELECT g, min(doc_id) AS first_doc FROM gh GROUP BY g
+)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty
+FROM gh JOIN first USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QMIN = 0.55  # quality cutoff for the composed pipeline
 
 
@@ -324,6 +385,7 @@ QUERIES = {
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_token_shards": q_corpus_token_shards,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "corpus_novelty": q_corpus_novelty,
 }
 
 ORACLES = {
@@ -332,4 +394,5 @@ ORACLES = {
     "corpus_stratified_sample": _oracle_sample(),
     "corpus_token_shards": ORACLE_TOKEN_SHARDS,
     "corpus_clean_pipeline": _oracle_clean_pipeline(),
+    "corpus_novelty": ORACLE_NOVELTY,
 }
