@@ -505,6 +505,57 @@ SELECT {PQ_K} AS k,
 """
 
 
+def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before shipping vectors to an ANN index.  Codes
+    are computed JVM-side (scale = max|x|/127 per vector, code =
+    floor(x/scale + 0.5) — explicit half-up so both engines round
+    identically), and the gated aggregates are pure integers: total /
+    extreme code values and exact clip checks per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(d, F.abs)) / F.lit(127.0)
+    codes = F.transform(d, lambda x: F.floor(x / scale + F.lit(0.5)))
+    return (
+        emb.select(
+            "label",
+            F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "sum_q"
+            ),
+            F.array_min(codes).alias("min_q"),
+            F.array_max(codes).alias("max_q"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("sum_q").alias("total_q"),
+            F.min("min_q").alias("global_min_q"),
+            F.max("max_q").alias("global_max_q"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_INT8 = """
+WITH v AS (
+  SELECT label,
+         list_transform(embedding, x -> x::DOUBLE) AS e,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale
+  FROM embeddings
+), q AS (
+  SELECT label,
+         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS c
+  FROM v
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(list_sum(c)) AS BIGINT) AS total_q,
+       min(list_min(c)) AS global_min_q,
+       max(list_max(c)) AS global_max_q
+FROM q GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
@@ -515,6 +566,7 @@ QUERIES = {
     "sim_ivf_recall": q_sim_ivf_recall,
     "sim_pq_topk": q_sim_pq_topk,
     "sim_pq_recall": q_sim_pq_recall,
+    "emb_int8_quantize": q_emb_int8_quantize,
 }
 
 ORACLES = {
@@ -527,4 +579,5 @@ ORACLES = {
     "sim_ivf_recall": ORACLE_IVF_RECALL,
     "sim_pq_topk": ORACLE_PQ_TOPK,
     "sim_pq_recall": ORACLE_PQ_RECALL,
+    "emb_int8_quantize": ORACLE_INT8,
 }
