@@ -1024,6 +1024,80 @@ FROM v GROUP BY label ORDER BY label
 """
 
 
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total line quantity clears a
+    threshold (aggregate → HAVING-style filter → join back) — the
+    large-volume-customer shape.  Quantities are integer-valued
+    doubles, so sums are exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       round(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
+
+
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (the asymmetric
+    grouping ROLLUP/CUBE can't express), plus grouping_id to label the
+    aggregation level."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS gid,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CASE WHEN l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL THEN 0
+            WHEN l_returnflag IS NOT NULL THEN 1
+            ELSE 2 END AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1053,6 +1127,8 @@ QUERIES = {
     "lineitem_unpivot": q_lineitem_unpivot,
     "text_top_words": q_text_top_words,
     "emb_norm_stats": q_emb_norm_stats,
+    "q18_big_orders": q18_big_orders,
+    "grouping_sets_sales": q_grouping_sets_sales,
 }
 
 ORACLES = {
@@ -1084,4 +1160,6 @@ ORACLES = {
     "lineitem_unpivot": ORACLE_UNPIVOT,
     "text_top_words": ORACLE_TOP_WORDS,
     "emb_norm_stats": ORACLE_EMB_NORM,
+    "q18_big_orders": ORACLE_Q18,
+    "grouping_sets_sales": ORACLE_GROUPING_SETS,
 }
