@@ -216,20 +216,26 @@ PII_PATTERNS = {
 
 def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
     """Mask PII spans with ``[KIND]`` tokens (chained regexp_replace —
-    one codegen pass per pattern, no Python)."""
+    one codegen pass per pattern, no Python).  ``kinds=None`` means all
+    patterns; an explicit empty list redacts nothing."""
     out = col
-    for kind in kinds or list(PII_PATTERNS):
+    for kind in list(PII_PATTERNS) if kinds is None else kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return out
 
 
-def pii_counts(col: Column) -> Column:
+def pii_counts(col: Column, kinds: list[str] | None = None) -> Column:
     """struct of per-kind match counts — the audit signal a redaction
-    pass reports alongside the masked text."""
+    pass reports alongside the masked text.  Each counted kind is one
+    full-text regex pass, so pass ``kinds`` to count only what the
+    report reads."""
+    use = list(PII_PATTERNS) if kinds is None else kinds
     return F.struct(
         *[
-            F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0))).alias(k)
-            for k, p in PII_PATTERNS.items()
+            F.size(
+                F.regexp_extract_all(col, F.lit(PII_PATTERNS[k]), F.lit(0))
+            ).alias(k)
+            for k in use
         ]
     )
 

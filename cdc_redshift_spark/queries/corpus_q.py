@@ -183,12 +183,8 @@ def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
                 "n_novel"
             ),
-            F.round(
-                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("novelty"),
         )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
         .orderBy("doc_id")
     )
 

@@ -514,7 +514,11 @@ def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme code values and exact clip checks per label."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = F.transform("embedding", lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(d, F.abs)) / F.lit(127.0)
+    raw_scale = F.array_max(F.transform(d, F.abs)) / F.lit(127.0)
+    # all-zero vector -> scale 0 -> x/scale is NaN and the engines
+    # diverge; with scale forced to 1 its codes are floor(0.5) = 0,
+    # the right quantization of a zero vector
+    scale = F.when(raw_scale == 0, F.lit(1.0)).otherwise(raw_scale)
     codes = F.transform(d, lambda x: F.floor(x / scale + F.lit(0.5)))
     return (
         emb.select(
@@ -537,12 +541,16 @@ def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_INT8 = """
-WITH v AS (
+WITH v0 AS (
   SELECT label,
          list_transform(embedding, x -> x::DOUBLE) AS e,
          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
-           AS scale
+           AS raw_scale
   FROM embeddings
+), v AS (
+  SELECT label, e,
+         CASE WHEN raw_scale = 0 THEN 1.0 ELSE raw_scale END AS scale
+  FROM v0
 ), q AS (
   SELECT label,
          list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS c

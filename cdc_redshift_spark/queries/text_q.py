@@ -189,7 +189,7 @@ def q_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name"),
     )
     red = TX.redact_pii(text)
-    cnt = TX.pii_counts(text)
+    cnt = TX.pii_counts(text, kinds=["email", "phone"])
     return (
         cust.select(
             F.col("c_custkey").alias("id"),
@@ -209,7 +209,19 @@ def q_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PII = r"""
+def _oracle_pii() -> str:
+    """Derive the mirror from TX.PII_PATTERNS so the oracle and the
+    Spark chain can only evolve together (one source of truth for the
+    regexes; a pattern uses no syntax the two dialects disagree on)."""
+    red = "text"
+    for kind, pat in TX.PII_PATTERNS.items():
+        lit = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{lit}', '[{kind.upper()}]', 'g')"
+    counts = {
+        k: f"len(regexp_extract_all(text, '{TX.PII_PATTERNS[k].replace(chr(39), chr(39) * 2)}'))"
+        for k in ("email", "phone")
+    }
+    return f"""
 WITH t AS (
   SELECT c_custkey AS id,
          'user' || c_custkey || '@ex' || (c_custkey % 7)
@@ -218,20 +230,9 @@ WITH t AS (
   FROM customer
 ), r AS (
   SELECT id, length(text) AS raw_len,
-         length(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                 '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}', '[PHONE]', 'g'),
-               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
-             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g')
-         ) AS red_len,
-         len(regexp_extract_all(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-         len(regexp_extract_all(text,
-             '(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]\d{4}')) AS n_phone
+         length({red}) AS red_len,
+         {counts['email']} AS n_email,
+         {counts['phone']} AS n_phone
   FROM t
 )
 SELECT count(*) AS n_rows,
@@ -241,6 +242,9 @@ SELECT count(*) AS n_rows,
        CAST(sum(n_phone) AS BIGINT) AS total_phone
 FROM r
 """
+
+
+ORACLE_PII = _oracle_pii()
 
 
 QUERIES = {

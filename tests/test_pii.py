@@ -42,6 +42,17 @@ def test_counts_per_kind(docs):
     assert got[4]["email"] == 2
 
 
+def test_empty_kinds_redacts_nothing(docs):
+    out = {
+        r["doc_id"]: r["red"]
+        for r in docs.select(
+            "doc_id", redact_pii(F.col("text"), kinds=[]).alias("red")
+        ).collect()
+    }
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert out == raw  # explicit [] means "redact nothing", not "all"
+
+
 def test_redaction_is_codegen_only(docs):
     plan = (
         docs.select(redact_pii(F.col("text")))
