@@ -373,6 +373,77 @@ FROM reach GROUP BY id
 """
 
 
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per near-dup cluster — the step after
+    cluster resolution in a real dedup pipeline: instead of blindly
+    keeping the min-id doc, each cluster keeps its highest-QUALITY
+    member (6-dp-rounded score, min doc id on ties).  One max_by
+    aggregate over the cluster assignment — no window, one shuffle."""
+    from cdc_redshift_spark.functions import text as TX
+    from cdc_redshift_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        k=32,
+        bands=8,
+        jaccard_threshold=0.6,
+        max_bucket_size=MINHASH_BUCKET_CAP,
+    )
+    comp = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
+    dq = docs.select(
+        F.col("doc_id").alias("id"), TX.quality_score(F.col("text")).alias("q")
+    )
+    best = F.max_by(
+        F.struct(F.col("id").alias("rid"), F.col("q").alias("rq")),
+        F.struct(F.col("q").alias("q"), (-F.col("id")).alias("neg_id")),
+    )
+    return (
+        comp.join(dq, "id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("b"))
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("b.rid").alias("rep_doc"),
+            F.col("b.rq").alias("rep_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_cluster_reps() -> str:
+    from cdc_redshift_spark.functions import text as TX
+
+    quality = (
+        f"round(0.4 * {TX.duck_stop_ratio('text')}"
+        f" + 0.3 * (1 - ({TX.DUCK_PUNCT_RATIO.format(c='text')}))"
+        f" + 0.3 * least({TX.DUCK_TOKEN_COUNT.format(c='text')} / 50.0, 1.0), 6)"
+    )
+    base = _oracle_clusters()
+    # reuse the recursive reach CTE chain; replace the final projection
+    # (the chain ends with ')' so the continuation needs a comma)
+    head = base[: base.rindex("SELECT id, min(lab)")].rstrip()
+    assert head.endswith(")"), "unexpected _oracle_clusters shape"
+    return f"""{head},
+cl AS (
+  SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+), dq AS (
+  SELECT doc_id AS id, {quality} AS q FROM documents
+), j AS (
+  SELECT cl.cluster_id, cl.id, dq.q FROM cl JOIN dq USING (id)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY q DESC, id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM j
+)
+SELECT cluster_id, CAST(n AS BIGINT) AS n_members,
+       id AS rep_doc, q AS rep_quality
+FROM r WHERE rk = 1 ORDER BY cluster_id
+"""
+
+
 EMB_THRESHOLD, EMB_PLANES, EMB_TABLES = 0.35, 4, 4
 
 
@@ -404,6 +475,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
     "dedup_graph_triangles": q_dedup_graph_triangles,
+    "dedup_cluster_reps": q_dedup_cluster_reps,
 }
 
 ORACLES = {
@@ -415,4 +487,5 @@ ORACLES = {
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
     "dedup_clusters": _oracle_clusters(),
     "dedup_graph_triangles": ORACLE_TRIANGLES,
+    "dedup_cluster_reps": _oracle_cluster_reps(),
 }
