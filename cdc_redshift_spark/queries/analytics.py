@@ -1098,6 +1098,72 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active day
+    (cohort), counted on each later active day as a day offset — the
+    self-derived cohort join every product-analytics stack runs.  Two
+    shuffles (per-user min, then cohort×offset count-distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT cohort_day, (day - cohort_day) AS day_offset,
+       count(DISTINCT d.user_id) AS n_users
+FROM days d JOIN cohort c ON d.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+"""
+
+
+def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue: window (lag) OVER an aggregate — revenue
+    in exact integer cents so the growth delta is engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    yearly = orders.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(cents).alias("rev_cents"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("yr")
+    return yearly.select(
+        "yr",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        "n_orders",
+        ((F.col("rev_cents") - F.lag("rev_cents").over(w)) / 100.0).alias(
+            "yoy_delta"
+        ),
+    ).orderBy("yr")
+
+
+ORACLE_YOY = """
+WITH y AS (
+  SELECT year(o_orderdate) AS yr,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT yr, rev_cents / 100.0 AS revenue, n_orders,
+       (rev_cents - lag(rev_cents) OVER (ORDER BY yr)) / 100.0 AS yoy_delta
+FROM y ORDER BY yr
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1129,6 +1195,8 @@ QUERIES = {
     "emb_norm_stats": q_emb_norm_stats,
     "q18_big_orders": q18_big_orders,
     "grouping_sets_sales": q_grouping_sets_sales,
+    "events_retention": q_events_retention,
+    "orders_yoy": q_orders_yoy,
 }
 
 ORACLES = {
@@ -1162,4 +1230,6 @@ ORACLES = {
     "emb_norm_stats": ORACLE_EMB_NORM,
     "q18_big_orders": ORACLE_Q18,
     "grouping_sets_sales": ORACLE_GROUPING_SETS,
+    "events_retention": ORACLE_RETENTION,
+    "orders_yoy": ORACLE_YOY,
 }
