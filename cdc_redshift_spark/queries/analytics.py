@@ -1164,6 +1164,39 @@ FROM y ORDER BY yr
 """
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): order rows with an injected
+    nullable status (NULLIF of 'O') joined to a status dim where NULL
+    is a REAL key — plain equality would drop every NULL row, the
+    null-safe operator matches them.  The oracle uses
+    IS NOT DISTINCT FROM, SQL's spelling of the same operator."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("st")
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "st string, st_name string",
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.st.eqNullSafe(dim.st), "left")
+        .groupBy("st_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("st_name")
+    )
+
+
+ORACLE_NULL_SAFE = """
+WITH o AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st FROM orders
+), dim(st, st_name) AS (
+  VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open')
+)
+SELECT d.st_name, count(*) AS n_orders
+FROM o LEFT JOIN dim d ON o.st IS NOT DISTINCT FROM d.st
+GROUP BY d.st_name ORDER BY d.st_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1197,6 +1230,7 @@ QUERIES = {
     "grouping_sets_sales": q_grouping_sets_sales,
     "events_retention": q_events_retention,
     "orders_yoy": q_orders_yoy,
+    "null_safe_join": q_null_safe_join,
 }
 
 ORACLES = {
@@ -1232,4 +1266,5 @@ ORACLES = {
     "grouping_sets_sales": ORACLE_GROUPING_SETS,
     "events_retention": ORACLE_RETENTION,
     "orders_yoy": ORACLE_YOY,
+    "null_safe_join": ORACLE_NULL_SAFE,
 }
