@@ -1197,6 +1197,58 @@ GROUP BY d.st_name ORDER BY d.st_name
 """
 
 
+def q_supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank family beyond row_number: percent_rank, dense_rank
+    and ntile quartiles of supplier balances within each nation."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_SUPPLIER_RANKS = """
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+       dense_rank() OVER w AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       ntile(4) OVER w AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey
+             ORDER BY s_acctbal DESC, s_suppkey ASC)
+"""
+
+
+def q_events_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — calendar-function coverage
+    with exact integer cells.  (Spark's dayofweek is 1-based Sunday=1;
+    the oracle shifts DuckDB's 0-based dow to match.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+ORACLE_HEATMAP = """
+SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY dow, hod
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1231,6 +1283,8 @@ QUERIES = {
     "events_retention": q_events_retention,
     "orders_yoy": q_orders_yoy,
     "null_safe_join": q_null_safe_join,
+    "supplier_balance_ranks": q_supplier_balance_ranks,
+    "events_weekday_heatmap": q_events_weekday_heatmap,
 }
 
 ORACLES = {
@@ -1267,4 +1321,6 @@ ORACLES = {
     "events_retention": ORACLE_RETENTION,
     "orders_yoy": ORACLE_YOY,
     "null_safe_join": ORACLE_NULL_SAFE,
+    "supplier_balance_ranks": ORACLE_SUPPLIER_RANKS,
+    "events_weekday_heatmap": ORACLE_HEATMAP,
 }
