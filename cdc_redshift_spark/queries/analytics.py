@@ -1249,6 +1249,57 @@ FROM events GROUP BY 1, 2 ORDER BY dow, hod
 """
 
 
+def q_order_flags_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: count_if, bool_and,
+    bool_or, plus every/some spelled through their function forms —
+    all exact booleans/ints per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100000
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(big).alias("n_big"),
+            F.bool_and(big).alias("all_big"),
+            F.bool_or(big).alias("any_big"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_FLAGS = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       bool_and(o_totalprice > 100000) AS all_big,
+       bool_or(o_totalprice > 100000) AS any_big,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance functions (the fuzzy-matching primitive behind
+    entity resolution): levenshtein between each customer name and its
+    digit-translated form, histogrammed — exact integer distances on
+    both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    variant = F.translate("c_name", "0123456789", "OIZEASGTBP")
+    return (
+        cust.select(F.levenshtein("c_name", variant).alias("dist"))
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dist")
+    )
+
+
+ORACLE_NAME_DIST = """
+SELECT levenshtein(c_name,
+                   translate(c_name, '0123456789', 'OIZEASGTBP')) AS dist,
+       count(*) AS n
+FROM customer GROUP BY 1 ORDER BY dist
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1285,6 +1336,8 @@ QUERIES = {
     "null_safe_join": q_null_safe_join,
     "supplier_balance_ranks": q_supplier_balance_ranks,
     "events_weekday_heatmap": q_events_weekday_heatmap,
+    "order_flags_summary": q_order_flags_summary,
+    "name_edit_distance": q_name_edit_distance,
 }
 
 ORACLES = {
@@ -1323,4 +1376,6 @@ ORACLES = {
     "null_safe_join": ORACLE_NULL_SAFE,
     "supplier_balance_ranks": ORACLE_SUPPLIER_RANKS,
     "events_weekday_heatmap": ORACLE_HEATMAP,
+    "order_flags_summary": ORACLE_ORDER_FLAGS,
+    "name_edit_distance": ORACLE_NAME_DIST,
 }
