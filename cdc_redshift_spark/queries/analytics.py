@@ -1300,6 +1300,75 @@ FROM customer GROUP BY 1 ORDER BY dist
 """
 
 
+def q_name_key_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped regexp_extract as a data-validation rule: the numeric
+    suffix embedded in each customer name must equal the key — a
+    single-row consistency report (violations would surface as
+    n_mismatch > 0 on either engine)."""
+    cust = load_table(spark, sf_dir, "customer")
+    extracted = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
+    return cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(extracted == F.col("c_custkey")).alias("n_match"),
+        F.count_if(
+            extracted.isNull() | (extracted != F.col("c_custkey"))
+        ).alias("n_mismatch"),
+    )
+
+
+ORACLE_NAME_KEY = r"""
+WITH t AS (
+  SELECT c_custkey,
+         TRY_CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS x
+  FROM customer
+)
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE x = c_custkey) AS n_match,
+       count(*) FILTER (WHERE x IS NULL OR x <> c_custkey) AS n_mismatch
+FROM t
+"""
+
+
+def q_events_extreme_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by as user-facing aggregates (the same primitive
+    the LWW merge is built on): per event type, which event carried
+    the extreme value — tie-broken by event id through the composite
+    ordering struct so both engines pick identically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by(
+                "event_id", F.struct(F.col("value"), F.col("event_id"))
+            ).alias("max_value_event"),
+            F.min_by(
+                "event_id", F.struct(F.col("value"), F.col("event_id"))
+            ).alias("min_value_event"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EXTREME_BY = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rmax,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rmax = 1 THEN event_id END) AS max_value_event,
+       max(CASE WHEN rmin = 1 THEN event_id END) AS min_value_event,
+       round(max(value), 4) AS max_value,
+       round(min(value), 4) AS min_value
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1338,6 +1407,8 @@ QUERIES = {
     "events_weekday_heatmap": q_events_weekday_heatmap,
     "order_flags_summary": q_order_flags_summary,
     "name_edit_distance": q_name_edit_distance,
+    "name_key_consistency": q_name_key_consistency,
+    "events_extreme_by": q_events_extreme_by,
 }
 
 ORACLES = {
@@ -1378,4 +1449,6 @@ ORACLES = {
     "events_weekday_heatmap": ORACLE_HEATMAP,
     "order_flags_summary": ORACLE_ORDER_FLAGS,
     "name_edit_distance": ORACLE_NAME_DIST,
+    "name_key_consistency": ORACLE_NAME_KEY,
+    "events_extreme_by": ORACLE_EXTREME_BY,
 }
