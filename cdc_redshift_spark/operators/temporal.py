@@ -176,13 +176,18 @@ def interval_join(
         # 'x div 0' is NULL, sequence(NULL, NULL) is NULL, and
         # explode(NULL) would silently drop every interval row
         raise ValueError(f"cell must be a positive integer, got {cell}")
+    # Column-API cell ids (no F.expr string splicing: arbitrary column
+    # names — spaces, dots, keywords — must not be parsed as SQL).
+    # floor()+cast matches `div` for the non-negative timestamps this
+    # operator handles, and floors (rather than truncates) negatives so
+    # adjacent cells stay contiguous.
+    def _cell(col: str):
+        return F.floor(F.col(col) / F.lit(cell)).cast("long")
+
     iv = intervals.withColumn(
-        "__cell",
-        F.explode(
-            F.sequence(F.expr(f"{start} div {cell}"), F.expr(f"{end} div {cell}"))
-        ),
+        "__cell", F.explode(F.sequence(_cell(start), _cell(end)))
     )
-    ft = facts.withColumn("__cell", F.expr(f"{fact_ts} div {cell}"))
+    ft = facts.withColumn("__cell", _cell(fact_ts))
     return (
         ft.join(iv, "__cell")
         .filter((F.col(fact_ts) >= F.col(start)) & (F.col(fact_ts) <= F.col(end)))

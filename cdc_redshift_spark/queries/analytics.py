@@ -582,7 +582,8 @@ ORACLE_PROPS = """
 SELECT event_type, count(*) AS n,
        min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
          AS n_distinct_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -861,9 +862,11 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     a decile histogram of the embedded integer."""
     ev = load_table(spark, sf_dir, "events")
     k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    # floor division on BOTH engines (Spark `div` truncates toward zero,
+    # DuckDB `//` floors — they diverge on negative k, see PARITY.md)
     return (
         ev.select(k.alias("k"))
-        .groupBy(F.expr("k div 10").alias("bucket"))
+        .groupBy(F.floor(F.col("k") / 10).cast("long").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("min_k"),
@@ -893,7 +896,8 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROFILE = """
 SELECT col AS column, (SELECT count(*) FROM orders) AS n_rows,
-       n_nulls, n_distinct
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct
 FROM (
   SELECT 'o_orderkey' AS col,
          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
