@@ -54,6 +54,11 @@ def main() -> None:
         "events_asof_attribution",
         "text_winnow",
         "sim_pq_topk",
+        # round-5: the previously un-benched hot-path shapes — corpus
+        # decontamination (n-gram inverted-index join), stream-stream
+        # interval join, and the multimodal feature pipeline
+        "corpus_decontaminate",
+        "mm_features_similarity",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
@@ -62,7 +67,7 @@ def main() -> None:
     # LAST: the streaming run leaves state-store maintenance threads
     # and JVM churn that settle() can't fully reclaim, which was
     # measured to double the cdc_apply_batch time when it ran first.
-    tail_headline = ["cdc_stateful_lww_agg_stream"]
+    tail_headline = ["events_stream_join", "cdc_stateful_lww_agg_stream"]
 
     # warmup: touch each table + JIT the common codepaths, and spin up
     # the Python/Arrow worker pool at the smallest SF so the first

@@ -26,14 +26,41 @@ def latest_per_key(
     keys: Sequence[str] = ("db", "table", "key"),
     ts_col: str = "ts_ms",
     tiebreak_col: str | None = "offset",
+    salt: int | None = None,
 ) -> DataFrame:
     """Keep the newest row per key: LWW dedup with deterministic ties.
 
     Exactly the reference's W1 window, plus the offset tiebreaker.
+
+    ``salt`` enables the two-phase hot-key form: phase 1 picks a
+    partial winner per (keys, hash-salt) — the hot key's rows spread
+    over ``salt`` window tasks — phase 2 picks the winner of the ≤
+    ``salt`` survivors per key.  Same result (max over a partition is
+    associative); bounded task size.  Prefer
+    :func:`latest_per_key_agg` where possible — its map-side combine
+    handles skew without the extra pass — but the salted window keeps
+    window semantics for callers that pin this plan shape.
     """
     order = [F.col(ts_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).desc())
+    if salt is not None:
+        if salt <= 1:
+            raise ValueError(f"salt must be > 1, got {salt}")
+        # deterministic row-level salt: hash the ORDER columns so equal
+        # rows land in the same bucket and replays stay idempotent
+        scol = F.pmod(
+            F.xxhash64(ts_col, *([tiebreak_col] if tiebreak_col else [])),
+            F.lit(salt),
+        )
+        w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+        partial = (
+            df.withColumn("__salt", scol)
+            .withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__salt")
+        )
+        df = partial  # ≤ salt rows per key survive to the final window
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

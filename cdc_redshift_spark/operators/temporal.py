@@ -45,6 +45,7 @@ def asof_join(
     tiebreak: str | None = None,
     suffix: str = "_m",
     direction: str = "backward",
+    salt_bucket_len: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the newest right row of
     the same key with ``right_ts <= left_ts`` (``direction='backward'``,
@@ -66,11 +67,30 @@ def asof_join(
         (key, right_ts) the row with the MAX tiebreak wins, making the
         join deterministic under right-side ts ties.
 
+    salt_bucket_len : optional time-slice width (same units as the ts
+        columns; requires numeric ts).  Splits every key's timeline
+        into ``floor(ts / salt_bucket_len)`` buckets and runs the
+        window per (key, bucket) — the hot-key mitigation: a key whose
+        rows would all land in ONE window task is spread across
+        ``time_range / salt_bucket_len`` tasks.  Cross-bucket matches
+        are restored by a second, tiny carry pass over per-bucket
+        winners (one row per key×bucket).  Results are identical to
+        the unsalted join (pytest-pinned).
+
     Plan shape: tag both sides, union, one window over the key ordered
     by (ts, side, tiebreak) where right rows sort before left rows at
     equal ts (so an exactly-simultaneous right row matches), then
     ``last(payload_struct, ignorenulls)`` carries the newest right row
     forward onto each left row.  One shuffle; no join node at all.
+
+    Salted plan shape (``salt_bucket_len``): phase 1 windows per
+    (key, bucket) — same shuffle volume, bounded task size; phase 2
+    aggregates the newest right row per (key, bucket) with ``max_by``
+    (map-side partial combine, skew-proof), carry-forwards those
+    winners across buckets with a window whose partitions hold one row
+    per bucket (tiny), and equi-joins the incoming carry back on
+    (key, bucket); each left row's match is
+    ``coalesce(in-bucket carry, incoming bucket carry)``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -86,6 +106,7 @@ def asof_join(
             tiebreak=tiebreak,
             suffix=suffix,
             direction="backward",
+            salt_bucket_len=salt_bucket_len,
         )
         # undo the negation on the surfaced timestamps
         return out.withColumn(left_ts, -F.col(left_ts)).withColumn(
@@ -129,14 +150,60 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__t", "__side", "__tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = rside.unionByName(lside).withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
-    )
+    if salt_bucket_len is not None:
+        if salt_bucket_len <= 0:
+            raise ValueError(
+                f"salt_bucket_len must be a positive integer, got {salt_bucket_len}"
+            )
+        bcol = F.floor(F.col("__t") / F.lit(salt_bucket_len)).cast("long")
+        u = rside.unionByName(lside).withColumn("__b", bcol)
+        # phase 1: the ORIGINAL window, but per (key, bucket) — same
+        # shuffle volume, task size bounded by rows-per-bucket
+        wb = (
+            Window.partitionBy(*keys, "__b")
+            .orderBy("__t", "__side", "__tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("__m0", F.last("__r", ignorenulls=True).over(wb))
+        # phase 2a: newest right row per (key, bucket) — max_by matches
+        # the window's (__t, __tb) pick and partial-combines map-side,
+        # so the hot key reduces before it crosses the shuffle
+        bucket_last = (
+            rside.withColumn("__b", bcol)
+            .groupBy(*keys, "__b")
+            .agg(
+                F.max_by("__r", F.struct(F.col("__t"), F.col("__tb"))).alias(
+                    "__bl"
+                )
+            )
+        )
+        # phase 2b: carry winners across buckets — one row per
+        # key×bucket, so this per-key window is tiny by construction
+        buckets = u.select(*keys, "__b").distinct()
+        wkey = (
+            Window.partitionBy(*keys)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            buckets.join(bucket_last, [*keys, "__b"], "left")
+            .withColumn("__in", F.last("__bl", ignorenulls=True).over(wkey))
+            .select(*keys, "__b", "__in")
+        )
+        # phase 3: equi-join the incoming carry back (bucket in the key
+        # → skew-bounded; AQE may broadcast the tiny carry side)
+        u = u.join(carry, [*keys, "__b"]).withColumn(
+            "__m", F.coalesce(F.col("__m0"), F.col("__in"))
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__t", "__side", "__tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = rside.unionByName(lside).withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w)
+        )
     out = u.filter(F.col("__side") == 1)
     if tolerance is not None:
         out = out.withColumn(

@@ -70,13 +70,26 @@ class CdcPipeline:
         on_batch: Callable[[int, DataFrame], None] | None = None,
         expire_after_ms: int | None = None,
         expire_every: int = 10,
+        route_root: str | None = None,
+        compact_every: int = 5,
     ):
         """``expire_after_ms`` enables periodic tombstone compaction:
         every ``expire_every`` batches, tombstones older than
         (max event-time seen) - expire_after_ms are expired from every
         sink table.  The horizon is EVENT time, so a tombstone survives
         exactly as long as an event old enough to lose to it can still
-        arrive — the same lateness contract as a watermark."""
+        arrive — the same lateness contract as a watermark.
+
+        ``route_root`` switches the fan-out strategy: instead of N
+        per-table filter jobs, each batch lands in ONE
+        ``partitionBy(db, table)`` write under ``route_root``
+        (:func:`route_by_table`), and every ``compact_every`` batches
+        the landed slices are merged into the sink
+        (:func:`compact_routed`) — the right shape when the stream
+        carries hundreds of tables (SURVEY §7.3).  Both paths produce
+        identical sink state (LWW merge is associative and idempotent);
+        the routed path just batches the merge work.  Call
+        :meth:`compact_now` after the stream stops to flush the tail."""
         self.changeset_fn = changeset_fn
         self.sink = sink
         self.keys = keys
@@ -85,8 +98,11 @@ class CdcPipeline:
         self.on_batch = on_batch
         self.expire_after_ms = expire_after_ms
         self.expire_every = expire_every
+        self.route_root = route_root
+        self.compact_every = compact_every
         self.stats = PipelineStats()
         self._max_ts_ms: int | None = None
+        self._spark = None  # captured per-batch for compact_now()
 
     # -- per-batch body (the foreachBatch target) ---------------------------
     def process_batch(self, raw: DataFrame, batch_id: int) -> None:
@@ -117,27 +133,51 @@ class CdcPipeline:
             if batch_max is not None:
                 self._max_ts_ms = max(self._max_ts_ms or batch_max, batch_max)
 
-            def apply_one(db: str, table: str) -> None:
-                slice_df = changes_f.where(
-                    (F.col("db") == db) & (F.col("table") == table)
-                )
-                self.sink.apply_changeset(db, table, slice_df)
-
-            if len(tables) <= 1 or self.max_workers <= 1:
-                for db, table in tables:
-                    apply_one(db, table)
+            if self.route_root is not None:
+                # wide-fan-out path: ONE partitioned write per batch,
+                # merge every compact_every batches
+                self._spark = changes_f.sparkSession
+                route_by_table(changes_f, self.route_root)
+                if self.stats.batches % self.compact_every == 0:
+                    self.compact_now()
             else:
-                with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
-                    # surface worker exceptions in the driver (the
-                    # reference's executor.submit without .result() would
-                    # swallow them)
-                    list(ex.map(lambda t: apply_one(*t), tables))
+
+                def apply_one(db: str, table: str) -> None:
+                    slice_df = changes_f.where(
+                        (F.col("db") == db) & (F.col("table") == table)
+                    )
+                    self.sink.apply_changeset(db, table, slice_df)
+
+                if len(tables) <= 1 or self.max_workers <= 1:
+                    for db, table in tables:
+                        apply_one(db, table)
+                else:
+                    with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
+                        # surface worker exceptions in the driver (the
+                        # reference's executor.submit without .result()
+                        # would swallow them)
+                        list(ex.map(lambda t: apply_one(*t), tables))
             if self.on_batch is not None:
                 self.on_batch(batch_id, changes_f)
             self._maybe_expire()
             log.info("batch %d: %d tables applied", batch_id, len(tables))
         finally:
             changes.unpersist()
+
+    def compact_now(self) -> list[tuple[str, str]]:
+        """Merge everything landed under ``route_root`` into the sink.
+        Safe to call any time (idempotent; crash-tolerant — see
+        :func:`compact_routed`).  Call after the stream stops to flush
+        slices landed since the last periodic compaction."""
+        if self.route_root is None or self._spark is None:
+            return []
+        return compact_routed(
+            self._spark,
+            self.route_root,
+            self.sink,
+            keys=self.keys,
+            max_workers=self.max_workers,
+        )
 
     def _maybe_expire(self) -> None:
         """Periodic tombstone compaction (see __init__).  Expiring

@@ -464,3 +464,61 @@ def test_pipeline_tombstone_expiry_lifecycle(spark, tmp_path):
     assert sink._latest_version("d1", "t1") == v_final + 1
     assert state(sink, spark)["2"]["v"] == "b3"
     assert v_after_delete is not None
+
+
+def test_routed_pipeline_matches_filter_path(spark, tmp_path):
+    """route_root wiring (SURVEY §7.3 wide fan-out): the pipeline lands
+    each batch in ONE partitionBy(db, table) write, compacts every
+    compact_every batches inside the stream, and compact_now() flushes
+    the tail — ending in per-table state IDENTICAL to the N-filters
+    path on the same input (LWW merge is associative + idempotent)."""
+    batches = [
+        [
+            pg_line("c", 1, 100, {"v": "a"}, 0, db="d1", table="t1"),
+            pg_line("c", 2, 100, {"v": "b"}, 1, db="d1", table="t2"),
+            pg_line("c", 1, 100, {"v": "c"}, 2, db="d2", table="t1"),
+        ],
+        [
+            pg_line("u", 1, 200, {"v": "a2"}, 3, db="d1", table="t1"),
+            pg_line("d", 2, 200, None, 4, db="d1", table="t2"),
+        ],
+        [
+            pg_line("c", 3, 300, {"v": "e"}, 5, db="d1", table="t1"),
+            pg_line("u", 1, 50, {"v": "stale"}, 6, db="d2", table="t1"),
+        ],
+    ]
+
+    # reference run: the N-filters path
+    pipe_f, sink_f, in_f, ck_f = mk_pipeline(spark, tmp_path / "filt")
+    for i, lines in enumerate(batches):
+        write_batch_file(in_f, f"b{i}.json", lines)
+    drain(pipe_f, spark, in_f, ck_f)
+
+    # routed run: compact_every=2 → one in-stream compaction mid-run,
+    # compact_now() flushes the rest
+    routed_dir = tmp_path / "routed"
+    indir = str(routed_dir / "in")
+    ckpt = str(routed_dir / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    sink_r = ParquetSink(spark, str(routed_dir / "sink"), keys=KEYS)
+    pipe_r = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"),
+        sink_r,
+        keys=KEYS,
+        route_root=str(routed_dir / "landing"),
+        compact_every=2,
+    )
+    for i, lines in enumerate(batches):
+        write_batch_file(indir, f"b{i}.json", lines)
+    drain(pipe_r, spark, indir, ckpt)
+    leftover = pipe_r.compact_now()
+    assert leftover, "tail batches must still be un-compacted at stop"
+    assert pipe_r.compact_now() == []  # landing dir fully drained
+
+    assert sink_r.list_tables() == sink_f.list_tables()
+    for db, table in sink_f.list_tables():
+        assert state(sink_r, spark, db, table) == state(sink_f, spark, db, table)
+    # end state spot-checks (delete applied, stale update lost)
+    assert state(sink_r, spark, "d1", "t2") == {}
+    assert state(sink_r, spark, "d2", "t1")["1"]["v"] == "c"
+    assert state(sink_r, spark, "d1", "t1")["1"]["v"] == "a2"

@@ -256,3 +256,73 @@ def test_interval_join_no_duplicate_pairs(spark):
     ivs = spark.createDataFrame([(9, 0, 1000)], "iid long, s long, e long")
     rows = interval_join(facts, ivs, "fts", "s", "e", cell=10).collect()
     assert len(rows) == 1
+
+
+# ---------------------------------------------------------------------------
+# salted (time-sliced) as-of: identical results to the unsalted plan
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bucket", [1, 7, 10, 1000])
+def test_asof_salted_equals_unsalted(trades, quotes, bucket):
+    """Every bucket width — smaller than gaps (cross-bucket carry
+    exercised), aligned, and larger than the whole range (single
+    bucket) — must reproduce the unsalted join exactly."""
+    base = _asof(trades, quotes)
+    assert _asof(trades, quotes, salt_bucket_len=bucket) == base
+
+
+@pytest.mark.parametrize("bucket", [3, 50])
+def test_asof_salted_tolerance_and_forward(trades, quotes, bucket):
+    for kw in (
+        {"tolerance": 10},
+        {"direction": "forward"},
+        {"tolerance": 5, "direction": "forward"},
+    ):
+        assert _asof(trades, quotes, salt_bucket_len=bucket, **kw) == _asof(
+            trades, quotes, **kw
+        ), kw
+
+
+def test_asof_salted_tiebreak(spark, trades):
+    """Right-side ts tie straddling phase 2's max_by: the max-tiebreak
+    row must win in salted form too."""
+    q = spark.createDataFrame(
+        [("A", 20, 1.0, 1), ("A", 20, 2.0, 9), ("A", 4, 0.5, 3)],
+        "k string, qts long, px double, seq long",
+    )
+    for kw in ({}, {"salt_bucket_len": 6}):
+        out = asof_join(
+            trades, q, on=["k"], left_ts="ts", right_ts="qts",
+            payload=["px"], tiebreak="seq", **kw,
+        )
+        got = {r["trade_id"]: r["px_m"] for r in out.collect()}
+        assert got[2] == 2.0 and got[3] == 2.0 and got[4] == 2.0, kw
+
+
+def test_asof_salted_rejects_bad_bucket(trades, quotes):
+    with pytest.raises(ValueError):
+        _asof(trades, quotes, salt_bucket_len=0)
+
+
+def test_latest_per_key_salted_equals_plain(spark):
+    from cdc_redshift_spark.dedup import latest_per_key
+
+    rows = [
+        ("k1", ts, off, f"v{ts}-{off}")
+        for ts in range(0, 50, 7)
+        for off in range(3)
+    ] + [("k2", 10, 0, "x"), ("k3", 1, 5, "y"), ("k3", 1, 6, "z")]
+    df = spark.createDataFrame(rows, "key string, ts_ms long, offset long, v string")
+    plain = {
+        (r["key"], r["ts_ms"], r["offset"], r["v"])
+        for r in latest_per_key(df, keys=("key",)).collect()
+    }
+    for salt in (2, 8):
+        salted = {
+            (r["key"], r["ts_ms"], r["offset"], r["v"])
+            for r in latest_per_key(df, keys=("key",), salt=salt).collect()
+        }
+        assert salted == plain, salt
+    with pytest.raises(ValueError):
+        latest_per_key(df, keys=("key",), salt=1)

@@ -166,6 +166,37 @@ def main():
         print(json.dumps({"op": "asof_join", "events": n, "rows": nrows, "sec": wall}), flush=True)
         E.unpersist()
 
+    # hot-key as-of: 90% of events on ONE user — the window-skew worst
+    # case.  Unsalted, every hot-key row lands in one window task;
+    # salt_bucket_len splits the hot key's timeline across tasks.  The
+    # informative signal is the salted wall staying bounded as the hot
+    # key grows (the unsalted wall is measured alongside for contrast).
+    hot = big_ev.withColumn(
+        "user_id",
+        F.when(F.rand(seed=7) < 0.9, F.lit(1)).otherwise(F.col("user_id")),
+    ).persist()
+    n = hot.count()
+    h_purch = hot.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "e_us", "value"
+    )
+    h_clicks = hot.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("e_us").alias("c_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    span_us = hot.agg(
+        (F.max("e_us") - F.min("e_us")).alias("s")
+    ).collect()[0]["s"]
+    bucket = max(1, int(span_us) // 256)  # ~256 time slices per key
+    for tag, kw in (("unsalted", {}), ("salted", {"salt_bucket_len": bucket})):
+        t0 = time.perf_counter()
+        nrows = asof_join(
+            h_purch, h_clicks, on=["user_id"], left_ts="e_us",
+            right_ts="c_us", payload=["click_id"], tiebreak="click_id", **kw,
+        ).count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": f"asof_join_hotkey_{tag}", "events": n, "rows": nrows, "sec": wall}), flush=True)
+    hot.unpersist()
+
     # CDC apply at 10x: union the synth changelog with offset/key shifts
     from cdc_redshift_spark.dedup import latest_per_key
     from cdc_redshift_spark.normalize import pg_changeset
