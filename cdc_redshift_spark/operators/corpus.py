@@ -23,7 +23,7 @@ identically (same 60-bit prefix trick as operators/dedup.py
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.functions.text import normalize_text
@@ -41,6 +41,58 @@ def stable_hash60(col: Column) -> Column:
     engines (unlike xxhash64/murmur3, which are engine-specific).
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int | None = None,
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` rows per
+    ``strata_col`` value, chosen by a deterministic engine-stable
+    priority (``stable_hash60(id)``, ties broken by id).
+
+    The domain-cap primitive of web-corpus pipelines (bounding any one
+    domain's share of the training mix, as in MassiveText/RefinedWeb):
+    hash-priority selection is an unbiased uniform draw per source, is
+    reproducible across runs/engines/cluster sizes, and is NESTED —
+    raising the cap keeps every previously selected row (the kept set
+    is always the cap-smallest priorities).
+
+    Scale: one window shuffle on ``strata_col``.  A dominant source
+    (the exact case caps exist for) makes that window hot; ``salt``
+    switches to the two-phase form — phase 1 keeps the per-(source,
+    hash-salt) top-``cap``, phase 2 re-selects the top-``cap`` of the
+    ≤ ``salt·cap`` survivors — exact (global top-K is contained in the
+    union of per-bucket top-Ks) with task size bounded by rows/salt.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    prio = stable_hash60(F.col(id_col).cast("string"))
+    order = [prio.asc(), F.col(id_col).asc()]
+
+    def top_cap(frame: DataFrame, parts: list[str]) -> DataFrame:
+        w = Window.partitionBy(*parts).orderBy(*order)
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+
+    if salt is not None:
+        if salt <= 1:
+            raise ValueError(f"salt must be > 1, got {salt}")
+        df = (
+            df.withColumn(
+                "__salt",
+                F.pmod(stable_hash60(F.concat(F.lit("s:"), F.col(id_col).cast("string"))), F.lit(salt)),
+            )
+            .transform(lambda d: top_cap(d, [strata_col, "__salt"]))
+            .drop("__salt")
+        )
+    return top_cap(df, [strata_col])
 
 
 def word_ngrams(text_col: Column, n: int, distinct: bool = True) -> Column:

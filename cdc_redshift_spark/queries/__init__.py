@@ -16,8 +16,9 @@ analytics/text queries (all driver-green in r4 and stable since) follow.
 from __future__ import annotations
 
 # Exactly 50 names: 42 queries with no r4 driver row (the LLM-pipeline
-# extension suite + pii_redaction_report), the 2 r4 hash-only failures
-# (fixed in round 5, PARITY.md), and the 6 cdc pipelines.
+# extension suite + pii_redaction_report), the new corpus_source_cap,
+# the 2 r4 hash-only failures (fixed in round 5, PARITY.md), and 5 of
+# the 6 cdc pipelines.
 _GATE_WINDOW = [
     # dedup family (9)
     "dedup_exact",
@@ -29,8 +30,9 @@ _GATE_WINDOW = [
     "dedup_clusters",
     "dedup_graph_triangles",
     "dedup_cluster_reps",
-    # corpus family (6)
+    # corpus family (7)
     "corpus_decontaminate",
+    "corpus_source_cap",
     "corpus_repetition_stats",
     "corpus_stratified_sample",
     "corpus_token_shards",
@@ -71,10 +73,11 @@ _GATE_WINDOW = [
     # round-4 hash-only failures, fixed round 5 (2)
     "events_props_extract",
     "profile_orders",
-    # end-to-end CDC pipelines, re-gated every round (6)
+    # end-to-end CDC pipelines, re-gated every round (5; cdc_op_counts
+    # — r3+r4 green, the simplest of the six — yields its slot to the
+    # new corpus_source_cap operator)
     "cdc_pg_replay",
     "cdc_lww_dedup",
-    "cdc_op_counts",
     "cdc_dms_relational",
     "cdc_dms_schema_drift",
     "cdc_mongo_replay",

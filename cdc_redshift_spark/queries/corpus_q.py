@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from cdc_redshift_spark.operators.corpus import (
     decontaminate,
     repetition_stats,
+    source_cap,
     stratified_sample,
 )
 from cdc_redshift_spark.sources.tables import load_table
@@ -375,8 +376,51 @@ FROM p GROUP BY 1, 2 ORDER BY source, shard
 """
 
 
+SOURCE_CAP = 400
+
+
+def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/corpus.py source_cap) — the
+    domain-cap primitive bounding any one source's share of the
+    training mix.  Deterministic hash-priority selection; the report
+    proves WHICH rows were kept (id-sum fingerprint), not just how
+    many.  Run through the salted two-phase form so the skew path is
+    the one the oracle certifies (exactness vs the plain window is
+    also pytest-pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = source_cap(docs, cap=SOURCE_CAP, salt=8)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_CAP = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {DUCK_HASH60.format(c="CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM r WHERE rn <= {SOURCE_CAP}
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_source_cap": q_corpus_source_cap,
     "corpus_repetition_stats": q_corpus_repetition_stats,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_token_shards": q_corpus_token_shards,
@@ -386,6 +430,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
+    "corpus_source_cap": ORACLE_SOURCE_CAP,
     "corpus_repetition_stats": ORACLE_REPETITION,
     "corpus_stratified_sample": _oracle_sample(),
     "corpus_token_shards": ORACLE_TOKEN_SHARDS,

@@ -88,3 +88,41 @@ def test_stratified_sample_nested_and_deterministic(spark):
         df.withColumn("source", F.lit("new")), {"web": PPM}, default_ppm=PPM
     )
     assert other.count() == 4000
+
+
+def test_source_cap_exact_salted_and_nested(spark):
+    from cdc_redshift_spark.operators.corpus import source_cap
+
+    rows = [(i, "web" if i % 10 else "books") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = source_cap(df, cap=50, salt=None)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # web has 450 docs -> capped at 50; books has 50 -> all kept
+    assert by_src == {"web": 50, "books": 50}
+
+    # salted two-phase form is EXACT (same kept set, any salt)
+    plain_ids = {r["doc_id"] for r in kept.collect()}
+    for salt in (2, 7):
+        salted_ids = {
+            r["doc_id"] for r in source_cap(df, cap=50, salt=salt).collect()
+        }
+        assert salted_ids == plain_ids, salt
+
+    # nested: raising the cap keeps every previously selected row
+    bigger = {r["doc_id"] for r in source_cap(df, cap=120).collect()}
+    assert plain_ids < bigger
+
+    # deterministic across invocations
+    again = {r["doc_id"] for r in source_cap(df, cap=50).collect()}
+    assert again == plain_ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        source_cap(df, cap=0)
+    with _pytest.raises(ValueError):
+        source_cap(df, cap=5, salt=1)

@@ -1,0 +1,112 @@
+"""Property-based equivalence of the salted (skew-mitigation) operator
+forms vs their plain forms.
+
+The salted variants exist for hot keys a single window task can't hold
+(SCALE.md); their contract is EXACT result equality with the unsalted
+plan on every input.  Hypothesis drives adversarial shapes — timestamp
+ties straddling bucket boundaries, keys entirely inside one bucket,
+empty right sides, duplicate rows — that the example-based tests in
+test_temporal.py can't enumerate.
+
+Spark round-trips are slow, so examples are capped and deadline
+disabled — the value is the interleavings, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_redshift_spark.dedup import latest_per_key
+from cdc_redshift_spark.operators.temporal import asof_join
+
+# small domains make ties/collisions common
+asof_rows = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(
+            st.sampled_from(["a", "b"]), st.integers(min_value=-20, max_value=20)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(  # right: (key, ts, px, seq)
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=30),  # salt_bucket_len
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=asof_rows)
+def test_asof_salted_equals_unsalted_property(spark, data):
+    lrows, rrows, bucket = data
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "k string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        rrows or [("zzz", 0, 0, 0)], "k string, qts long, px long, seq long"
+    )
+    kw = dict(
+        on=["k"], left_ts="ts", right_ts="qts", payload=["px"], tiebreak="seq"
+    )
+    for extra in ({}, {"direction": "forward"}, {"tolerance": 5}):
+        plain = {
+            (r["lid"], r["qts_m"], r["px_m"])
+            for r in asof_join(left, right, **kw, **extra).collect()
+        }
+        salted = {
+            (r["lid"], r["qts_m"], r["px_m"])
+            for r in asof_join(
+                left, right, **kw, **extra, salt_bucket_len=bucket
+            ).collect()
+        }
+        assert salted == plain, (extra, bucket)
+
+
+lww_rows = st.tuples(
+    st.lists(  # (key, ts, offset)
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=9),  # salt
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=lww_rows)
+def test_latest_per_key_salted_property(spark, data):
+    rows, salt = data
+    df = spark.createDataFrame(
+        [(k, t, o, f"{k}:{t}:{o}") for k, t, o in rows],
+        "key long, ts_ms long, offset long, v string",
+    )
+    plain = {
+        (r["key"], r["ts_ms"], r["offset"])
+        for r in latest_per_key(df, keys=("key",)).collect()
+    }
+    salted = {
+        (r["key"], r["ts_ms"], r["offset"])
+        for r in latest_per_key(df, keys=("key",), salt=salt).collect()
+    }
+    assert salted == plain

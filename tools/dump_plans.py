@@ -26,6 +26,9 @@ CALLOUTS = {
     "sim_pq_topk": "exactly one ArrowEvalPython (the encode); ADC scoring is codegen element_at chains",
     "text_winnow": "explode pins normalization; sliding window min; ONE effective shuffle on id",
     "cdc_pg_replay": "codegen parse/normalize; one LWW shuffle; one max_by merge shuffle",
+    "corpus_source_cap": "salted two-phase cap: windows keyed (source,salt) then (source); no join, md5 priority in codegen",
+    "corpus_decontaminate": "gram-hash equi-join (SortMergeJoin/shuffle on 8-byte hashes), no Python",
+    "mm_features_similarity": "one mapInPandas (Arrow) for features; cosine in codegen; TakeOrdered top-k",
 }
 
 
