@@ -114,3 +114,55 @@ def test_stratified_sample_is_scan_level_filter(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "*(1) Filter" in plan  # whole-stage-codegen'd filter on the scan
+
+
+def test_source_cap_window_group_limit_both_phases(spark):
+    """source_cap's cap must plan as WindowGroupLimit (map-side top-K
+    pruning BEFORE each shuffle) in both the salted and final phases —
+    the property that bounds shuffled rows at cap per map partition
+    even for a dominant source."""
+    from cdc_redshift_spark.operators.corpus import source_cap
+    from cdc_redshift_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(source_cap(docs, cap=100, salt=8).select("doc_id", "source"))
+    # two window phases (salted partial + final), each group-limited,
+    # with the partial limit pushed below its exchange
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final per phase
+    assert "Join" not in plan
+    # column pruning propagates THROUGH both window phases: a consumer
+    # selecting (doc_id, source) must not drag text through the shuffles
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in rs
+
+
+def test_asof_salted_no_join_explosion(spark):
+    """Salted as-of: the carry joinback must be an equi-join on
+    (key, bucket) — never a broadcast nested loop — and the plan must
+    keep the per-bucket windows (no collapse back to one window over
+    the bare key)."""
+    from cdc_redshift_spark.operators.temporal import asof_join
+    from cdc_redshift_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "e_us", F.expr("ts_ns div 1000")
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "e_us"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("e_us").alias("c_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    plan = plan_of(
+        asof_join(
+            left, right, on=["user_id"], left_ts="e_us", right_ts="c_us",
+            payload=["click_id"], salt_bucket_len=1_000_000,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # per-(key,bucket) windows survive: at least one hashpartitioning
+    # exchange keyed on both the join key and the bucket column
+    assert "__b" in plan
