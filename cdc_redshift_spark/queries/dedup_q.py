@@ -466,6 +466,59 @@ WHERE {DUCK_COSINE} >= {EMB_THRESHOLD}
 """
 
 
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: LSH-screened cosine
+    near-dup pairs → connected components over vec ids → per-cluster
+    census.  The embedding analogue of `dedup_clusters` (text
+    MinHash): the composition a semantic-dedup pipeline acts on —
+    multi-member clusters are the near-dup sets, the canonical member
+    is the min id.  Reuses the pair semantics `dedup_embedding_cosine`
+    gates; the oracle replays the same candidate CTE plus min-label
+    reachability."""
+    from cdc_redshift_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = rh_lsh_near_dup_pairs(
+        emb,
+        threshold=EMB_THRESHOLD,
+        n_planes=EMB_PLANES,
+        n_tables=EMB_TABLES,
+        dim=64,
+    )
+    comp = connected_components(
+        emb.select(F.col("vec_id").alias("id")), pairs
+    )
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("id").alias("max_id"))
+        .where(F.col("n_members") > 1)  # near-dup sets only
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_embedding_clusters() -> str:
+    return f"""
+WITH RECURSIVE {duck_lsh_cand_sql(EMB_PLANES, EMB_TABLES, symmetric=True)}, p AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+  WHERE {DUCK_COSINE} >= {EMB_THRESHOLD}
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(id, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id
+), comp AS (
+  SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id, count(*) AS n_members, max(id) AS max_id
+FROM comp GROUP BY cluster_id HAVING count(*) > 1
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -473,6 +526,7 @@ QUERIES = {
     "dedup_minhash_word_lsh": q_dedup_minhash_word_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "dedup_clusters": q_dedup_clusters,
     "dedup_graph_triangles": q_dedup_graph_triangles,
     "dedup_cluster_reps": q_dedup_cluster_reps,
@@ -485,6 +539,7 @@ ORACLES = {
     "dedup_minhash_word_lsh": _oracle_minhash_word(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
+    "dedup_embedding_clusters": _oracle_embedding_clusters(),
     "dedup_clusters": _oracle_clusters(),
     "dedup_graph_triangles": ORACLE_TRIANGLES,
     "dedup_cluster_reps": _oracle_cluster_reps(),

@@ -204,6 +204,16 @@ def main():
     from cdc_redshift_spark.queries.cdc import synth_pg_changelog
 
     raw1 = synth_pg_changelog(spark, SF)
+    # warm the parse→dedup→merge codegen on a slice OUTSIDE the timed
+    # window (same policy as bench.py: whole-stage-codegen compilation
+    # of the wide JSON path costs seconds and is not the operator)
+    warm = latest_per_key(
+        pg_changeset(raw1.limit(2000), offset_col="offset"),
+        keys=("db", "table", "key"),
+    )
+    apply_changeset(None, warm, keys=("db", "table", "key")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     parts = []
     for i in range(REPLICAS):
         parts.append(
