@@ -4,7 +4,11 @@ Runs each queries() entry on Spark and its oracle_sql() on DuckDB over
 the same parquet tables, compares row count, schema (column names), and
 an order-insensitive value hash.  Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes the per-query results as the
+LOCALGATE_r{N}.json artifact shape (committed per round so the judge
+can distinguish "driver didn't run it" from "builder didn't check it").
 """
 
 from __future__ import annotations
@@ -48,8 +52,14 @@ def table_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -73,6 +83,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,6 +92,11 @@ def main():
         scols = sdf.columns
         if name not in oracles:
             print(f"{name}: rows-only check, {len(srows)} rows")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no oracle (rows-only)",
+            }
             continue
         dres = con.execute(oracles[name])
         dcols = [d[0] for d in dres.description]
@@ -95,6 +111,11 @@ def main():
             f"{name}: {status} rows={len(srows)}/{len(drows)} "
             f"cols={'ok' if ok_cols else f'{scols} vs {dcols}'} hash={'ok' if ok_hash else 'MISMATCH'}"
         )
+        results[name] = {
+            "rows_match": ok_count, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(drows), "err": None,
+        }
         if status == "FAIL":
             failures.append(name)
             if not ok_hash and ok_cols and ok_count:
@@ -108,6 +129,22 @@ def main():
                     print("  spark-only:", x)
                 for x in list(dset - sset)[:3]:
                     print("  duck-only: ", x)
+    if json_out is not None:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_green": sum(
+                1 for v in results.values() if v["hash_match"] is True
+            ),
+            "tool": "tools/check_oracle.py"
+            + ("" if not only else " (filtered)"),
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(summary, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
