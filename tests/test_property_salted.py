@@ -110,3 +110,92 @@ def test_latest_per_key_salted_property(spark, data):
         for r in latest_per_key(df, keys=("key",), salt=salt).collect()
     }
     assert salted == plain
+
+
+cap_rows = st.tuples(
+    st.lists(  # (id, source)
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.sampled_from(["web", "books", "code"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),  # cap
+    st.integers(min_value=2, max_value=5),  # salt
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=cap_rows)
+def test_source_cap_salted_property(spark, data):
+    from cdc_redshift_spark.operators.corpus import source_cap
+
+    rows, cap, salt = data
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = {r["doc_id"] for r in source_cap(df, cap=cap).collect()}
+    salted = {r["doc_id"] for r in source_cap(df, cap=cap, salt=salt).collect()}
+    assert salted == plain
+    # per-source cardinality respects the cap
+    from collections import Counter
+
+    by_src = Counter(s for _, s in rows)
+    kept_by_src = Counter(
+        r["source"] for r in source_cap(df, cap=cap).collect()
+    )
+    for s, n in by_src.items():
+        assert kept_by_src[s] == min(n, cap)
+
+
+ij_rows = st.tuples(
+    st.lists(  # facts: ts
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=15
+    ),
+    st.lists(  # intervals: (start, length)
+        st.tuples(
+            st.integers(min_value=-30, max_value=30),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=15),  # cell
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=ij_rows)
+def test_interval_join_bruteforce_property(spark, data):
+    """Random facts/intervals (negative timestamps included — the
+    floor-division cells must stay contiguous there) against the
+    brute-force pair set."""
+    from cdc_redshift_spark.operators.temporal import interval_join
+
+    fts, ivs, cell = data
+    facts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fts)], "fid long, fts long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(ivs)] or [(99, 1, 0)],
+        "iid long, s long, e long",
+    )
+    got = {
+        (r["fid"], r["iid"])
+        for r in interval_join(facts, intervals, "fts", "s", "e", cell).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in enumerate(fts)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= t <= s + ln
+    }
+    assert got == want
