@@ -90,6 +90,7 @@ def all_queries():
         cdc,
         corpus_q,
         dedup_q,
+        incremental_q,
         multimodal_q,
         similarity,
         streaming_q,
@@ -109,6 +110,7 @@ def all_queries():
         multimodal_q,
         streaming_q,
         temporal_q,
+        incremental_q,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -1,0 +1,216 @@
+"""Rollup-maintenance queries: incremental continuous-aggregate update
+from a CDC changeset, and mergeable distinct-count sketches — the two
+capabilities that make a 100 TB rollup cheap to keep fresh (see
+operators/incremental.py and operators/sketches.py for the scale
+rationale).
+
+Determinism rules: measures are DECIMAL(18,4) through every aggregation
+(decimal sums are associative, so incremental maintenance equals full
+recompute bit-for-bit) and only cast to DOUBLE at the output edge; time
+buckets surface as exact epoch-micros BIGINTs; the KMV sketch runs on
+the engine-stable 60-bit md5 hash so even the *estimate* reproduces
+exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.incremental import incremental_rollup
+from cdc_redshift_spark.operators.sketches import (
+    duck_kmv_estimate,
+    hll_merge_estimate,
+    hll_rollup,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+from cdc_redshift_spark.sources.tables import load_table
+
+KMV_K = 256
+
+
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain an hourly (event_type) rollup through a synthetic CDC
+    changeset — inserts (10 % new rows), deletes (10 % of the base) and
+    updates (value + 1.5 on 10 % of the base, arriving as
+    delete-before + insert-after pairs, the Debezium ``before``/
+    ``after`` shape) — WITHOUT rescanning the base table.  The oracle
+    recomputes the rollup from the fully-applied final state, so a
+    green row proves delta maintenance == full recompute.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,4)")
+    )
+    m = F.col("event_id") % 10
+    base = ev.filter(m < 7)
+
+    rollup0 = base.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+
+    cols = ["ts", "event_type", "v"]
+    ins = ev.filter(m >= 8).select(F.lit("insert").alias("op"), *cols)
+    dels = base.filter(m == 3).select(F.lit("delete").alias("op"), *cols)
+    upd = base.filter(m == 5)
+    upd_before = upd.select(F.lit("delete").alias("op"), *cols)
+    upd_after = upd.select(
+        F.lit("insert").alias("op"),
+        "ts",
+        "event_type",
+        (F.col("v") + F.lit("1.5").cast("decimal(18,4)")).alias("v"),
+    )
+    changes = (
+        ins.unionByName(dels).unionByName(upd_before).unionByName(upd_after)
+    )
+
+    out = incremental_rollup(
+        rollup0,
+        changes,
+        time_col="ts",
+        bucket="hour",
+        dims=["event_type"],
+        measures={"sum_v": "v"},
+    )
+    return out.select(
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("sum_v").cast("double").alias("sum_v"),
+    ).orderBy("bucket_us", "event_type")
+
+
+ORACLE_INCR_ROLLUP = """
+WITH state AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         CAST(value AS DECIMAL(18,4))
+           + CASE WHEN event_id % 10 = 5
+                  THEN CAST('1.5' AS DECIMAL(18,4))
+                  ELSE CAST('0' AS DECIMAL(18,4)) END AS v
+  FROM events
+  WHERE (event_id % 10 < 7 AND event_id % 10 <> 3) OR event_id % 10 >= 8
+)
+SELECT epoch_us(CAST(bucket_ts AS TIMESTAMP)) AS bucket_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS DOUBLE) AS sum_v
+FROM state
+GROUP BY 1, 2
+ORDER BY bucket_us, event_type
+"""
+
+
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-day KMV sketches of
+    ``user_id`` per event_type (the artifact you'd persist next to the
+    hourly rollup), merged across days and estimated — plus the exact
+    count for the error column.  The oracle recomputes the k-th global
+    minimum hash directly, so a green row proves the day-wise merge is
+    lossless, and the estimate itself matches to the bit."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = kmv_sketch(ev, dims=["event_type", "day"], col="user_id", k=KMV_K)
+    merged = kmv_merge(daily, dims=["event_type"], k=KMV_K)
+    est = merged.select(
+        "event_type",
+        F.col("n_parts").cast("long").alias("n_days"),
+        F.round(kmv_estimate(F.col("kmv"), KMV_K), 2).alias("n_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_exact",
+            "n_est",
+            F.round(
+                (F.col("n_est") - F.col("n_exact"))
+                / F.col("n_exact")
+                * 100,
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SKETCH_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nd,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+),
+meta AS (
+  SELECT event_type,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type, m.n_days, m.n_exact,
+       round({duck_kmv_estimate(KMV_K, "a.hk", "a.nd")}, 2) AS n_est,
+       round((round({duck_kmv_estimate(KMV_K, "a.hk", "a.nd")}, 2) - m.n_exact)
+             / m.n_exact * 100, 2) AS err_pct
+FROM meta m JOIN agg a USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-form distinct rollup: per-day Apache DataSketches HLL
+    sketches per event_type, unioned across days (``hll_union_agg``)
+    and estimated.  The sketch bytes are the cross-system DataSketches
+    wire format (Redshift/Trino/Druid can merge them), so the estimate
+    is implementation-defined — gated by pytest tolerance + merge
+    equality (tests/test_sketches.py), rows-only here."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=12)
+    merged = hll_merge_estimate(daily, dims=["event_type"], lgk=12)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_parts").cast("long").alias("n_days"),
+            "n_exact",
+            F.col("n_est").cast("long").alias("n_est"),
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                / F.col("n_exact")
+                < 0.05
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "events_incremental_rollup": q_events_incremental_rollup,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_hll_users": q_sketch_hll_users,
+}
+
+ORACLES = {
+    "events_incremental_rollup": ORACLE_INCR_ROLLUP,
+    "sketch_distinct_users": ORACLE_SKETCH_KMV,
+    # sketch_hll_users: DataSketches estimate is implementation-defined
+    # — rows-only here, value-gated by tests/test_sketches.py.
+}
