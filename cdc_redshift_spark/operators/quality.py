@@ -1,0 +1,118 @@
+"""Declarative data-quality validation (constraint suites).
+
+Extends the one-pass profiler (operators/profile.py) from "describe the
+table" to "assert the contract": a check suite is a list of named
+constraints — completeness, uniqueness, accepted values, bounds,
+predicate compliance — evaluated in ONE aggregation pass over the table
+and returned as a long (check_name, metric, passed) DataFrame, plus
+referential-integrity checks between tables as bounded anti-join
+aggregates.  This is the validation gate a training-data / CDC pipeline
+runs before promoting a batch: the output is a tiny frame regardless of
+input size, so it can gate a 100 TB load for the cost of one scan.
+
+Scale notes: all row-level checks compile into a single `agg` (one
+scan, map-side partial aggregation, scalar output).  `uniqueness` uses
+exact `count_distinct` (one expand); at extreme cardinality swap for
+`approx_count_distinct` — the suite accepts any Column metric.
+Referential integrity is a left-anti-style join aggregated to one row;
+Spark broadcasts the dimension side when small, and the key projection
+prunes the scan to one column each side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named constraint: ``metric`` is an aggregate Column over the
+    table; the check passes when ``min_ok <= metric <= max_ok``."""
+
+    name: str
+    metric: Column
+    min_ok: float
+    max_ok: float
+
+
+def completeness(col: str) -> Column:
+    """Fraction of rows with a non-null ``col`` (1.0 = fully complete)."""
+    return F.avg(F.col(col).isNotNull().cast("double"))
+
+
+def uniqueness(*cols: str) -> Column:
+    """distinct / count over ``cols`` (1.0 = key candidate)."""
+    return F.count_distinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))
+
+
+def compliance(predicate: Column) -> Column:
+    """Fraction of rows satisfying ``predicate`` (nulls count as
+    failing — a null status is not a compliant status)."""
+    return F.avg(F.coalesce(predicate.cast("double"), F.lit(0.0)))
+
+
+def accepted_values(col: str, values: list) -> Column:
+    return compliance(F.col(col).isin(values))
+
+
+def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate all checks in one aggregation pass.
+
+    Returns (check_name, metric, passed) — one row per check, computed from
+    a single scan of ``df``.
+    """
+    if not checks:
+        raise ValueError("check_suite() needs at least one check")
+    row = df.agg(
+        *[c.metric.cast("double").alias(f"__m_{i}") for i, c in enumerate(checks)]
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    stack_args = ", ".join(
+        f"{q(c.name)}, __m_{i}, "
+        f"(__m_{i} >= CAST({c.min_ok!r} AS DOUBLE) AND "
+        f"__m_{i} <= CAST({c.max_ok!r} AS DOUBLE))"
+        for i, c in enumerate(checks)
+    )
+    return row.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check_name, metric, passed)"
+    )
+
+
+def referential_integrity(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    name: str | None = None,
+    max_orphan_frac: float = 0.0,
+) -> DataFrame:
+    """Orphan-rate check: fraction of non-null ``child_col`` values
+    with no match in ``parent_col``.  Same (check, metric, passed)
+    shape as :func:`check_suite` so suites union cleanly."""
+    name = name or f"ri_{child_col}_in_{parent_col}"
+    c = child.select(F.col(child_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    )
+    p = (
+        parent.select(F.col(parent_col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = c.join(p, "_k", "left")
+    return joined.agg(
+        F.lit(name).alias("check_name"),
+        F.coalesce(
+            F.avg(F.col("_hit").isNull().cast("double")), F.lit(0.0)
+        ).alias("metric"),
+    ).select(
+        "check_name",
+        "metric",
+        (F.col("metric") <= F.lit(float(max_orphan_frac))).alias("passed"),
+    )

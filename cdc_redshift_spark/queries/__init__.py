@@ -90,6 +90,7 @@ def all_queries():
         cdc,
         corpus_q,
         dedup_q,
+        dq_q,
         incremental_q,
         multimodal_q,
         similarity,
@@ -111,6 +112,7 @@ def all_queries():
         streaming_q,
         temporal_q,
         incremental_q,
+        dq_q,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -1,0 +1,150 @@
+"""Data-quality gate queries: the constraint suite a pipeline runs
+before promoting a batch (operators/quality.py).
+
+Determinism rules: every metric is a ratio of exact integer counts
+carried as doubles (0/1 sums are exact below 2^53, and x/y division of
+identical doubles is IEEE-identical across engines); booleans hash as
+ints on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.quality import (
+    Check,
+    accepted_values,
+    check_suite,
+    completeness,
+    compliance,
+    referential_integrity,
+    uniqueness,
+)
+from cdc_redshift_spark.sources.tables import load_table
+
+
+def q_dq_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion gate over the orders/lineitem star: key completeness
+    and uniqueness, accepted status values, price/quantity bounds
+    compliance, and referential integrity into customer and orders —
+    three scans total (one per table) + two key-projected RI joins,
+    regardless of data size."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    order_checks = check_suite(
+        orders,
+        [
+            Check("orders_key_complete", completeness("o_orderkey"), 1.0, 1.0),
+            Check("orders_key_unique", uniqueness("o_orderkey"), 1.0, 1.0),
+            Check(
+                "orders_status_accepted",
+                accepted_values("o_orderstatus", ["F", "O", "P"]),
+                1.0,
+                1.0,
+            ),
+            Check(
+                "orders_price_positive",
+                compliance(F.col("o_totalprice") > 0),
+                1.0,
+                1.0,
+            ),
+        ],
+    )
+    line_checks = check_suite(
+        lineitem,
+        [
+            Check(
+                "lineitem_pk_unique",
+                uniqueness("l_orderkey", "l_linenumber"),
+                1.0,
+                1.0,
+            ),
+            Check(
+                "lineitem_qty_in_range",
+                compliance(F.col("l_quantity").between(1, 50)),
+                1.0,
+                1.0,
+            ),
+            Check(
+                "lineitem_discount_in_range",
+                compliance(F.col("l_discount").between(0.0, 0.1)),
+                0.95,
+                1.0,
+            ),
+        ],
+    )
+    ri1 = referential_integrity(
+        orders, "o_custkey", customer, "c_custkey", name="ri_orders_customer"
+    )
+    ri2 = referential_integrity(
+        lineitem, "l_orderkey", orders, "o_orderkey", name="ri_lineitem_orders"
+    )
+    return (
+        order_checks.unionByName(line_checks)
+        .unionByName(ri1)
+        .unionByName(ri2)
+        .select(
+            "check_name", F.round("metric", 6).alias("metric"), "passed"
+        )
+        .orderBy("check_name")
+    )
+
+
+ORACLE_DQ_ORDERS = """
+WITH o AS (
+  SELECT
+    avg(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS key_complete,
+    count(DISTINCT o_orderkey) / count(*) AS key_unique,
+    avg(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1.0 ELSE 0.0 END) AS status_ok,
+    avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END) AS price_pos
+  FROM orders
+),
+l AS (
+  SELECT
+    count(DISTINCT (l_orderkey, l_linenumber)) / count(*) AS pk_unique,
+    avg(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1.0 ELSE 0.0 END) AS qty_ok,
+    avg(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.0 END) AS disc_ok
+  FROM lineitem
+),
+r1 AS (
+  SELECT avg(CASE WHEN c.c_custkey IS NULL THEN 1.0 ELSE 0.0 END) AS orphan
+  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o_custkey = c.c_custkey
+  WHERE o_custkey IS NOT NULL
+),
+r2 AS (
+  SELECT avg(CASE WHEN k.o_orderkey IS NULL THEN 1.0 ELSE 0.0 END) AS orphan
+  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+    ON l_orderkey = k.o_orderkey
+  WHERE l_orderkey IS NOT NULL
+)
+SELECT check_name, round(metric, 6) AS metric, passed FROM (
+  SELECT 'orders_key_complete' AS check_name, key_complete AS metric,
+         key_complete = 1.0 AS passed FROM o
+  UNION ALL
+  SELECT 'orders_key_unique', key_unique, key_unique = 1.0 FROM o
+  UNION ALL
+  SELECT 'orders_status_accepted', status_ok, status_ok = 1.0 FROM o
+  UNION ALL
+  SELECT 'orders_price_positive', price_pos, price_pos = 1.0 FROM o
+  UNION ALL
+  SELECT 'lineitem_pk_unique', pk_unique, pk_unique = 1.0 FROM l
+  UNION ALL
+  SELECT 'lineitem_qty_in_range', qty_ok, qty_ok = 1.0 FROM l
+  UNION ALL
+  SELECT 'lineitem_discount_in_range', disc_ok,
+         disc_ok >= 0.95 AND disc_ok <= 1.0 FROM l
+  UNION ALL
+  SELECT 'ri_orders_customer', orphan, orphan <= 0.0 FROM r1
+  UNION ALL
+  SELECT 'ri_lineitem_orders', orphan, orphan <= 0.0 FROM r2
+)
+ORDER BY check_name
+"""
+
+
+QUERIES = {"dq_orders_suite": q_dq_orders_suite}
+ORACLES = {"dq_orders_suite": ORACLE_DQ_ORDERS}

@@ -1,0 +1,93 @@
+"""Unit tests for operators/quality.py: metric math on a frame with
+known defects (nulls, dupes, out-of-range, orphans) and the edge cases
+the gate query can't show (failing checks, null-key RI handling, empty
+child)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.quality import (
+    Check,
+    accepted_values,
+    check_suite,
+    completeness,
+    compliance,
+    referential_integrity,
+    uniqueness,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "b", -5.0),   # out of range
+        (2, "a", 20.0),   # duplicate id
+        (None, "z", 30.0),  # null id, unaccepted status
+    ]
+    return spark.createDataFrame(rows, "id int, status string, amt double")
+
+
+def _by_name(df):
+    return {r["check_name"]: (r["metric"], r["passed"]) for r in df.collect()}
+
+
+def test_check_suite_metrics(spark, dirty):
+    out = _by_name(
+        check_suite(
+            dirty,
+            [
+                Check("complete", completeness("id"), 1.0, 1.0),
+                Check("unique", uniqueness("id"), 1.0, 1.0),
+                Check("status", accepted_values("status", ["a", "b"]), 1.0, 1.0),
+                Check("amt_pos", compliance(F.col("amt") > 0), 0.5, 1.0),
+            ],
+        )
+    )
+    assert out["complete"] == (0.75, False)
+    # 2 distinct non-null ids / 4 rows
+    assert out["unique"] == (0.5, False)
+    assert out["status"] == (0.75, False)
+    assert out["amt_pos"] == (0.75, True)  # within [0.5, 1.0]
+
+
+def test_compliance_counts_null_as_failing(spark):
+    df = spark.createDataFrame([(1.0,), (None,)], "x double")
+    out = _by_name(
+        check_suite(df, [Check("pos", compliance(F.col("x") > 0), 1.0, 1.0)])
+    )
+    assert out["pos"] == (0.5, False)
+
+
+def test_referential_integrity_orphans(spark, dirty):
+    parent = spark.createDataFrame([(1,), (99,)], "pid int")
+    out = _by_name(
+        referential_integrity(dirty, "id", parent, "pid", name="ri")
+    )
+    # non-null child ids: 1, 2, 2 -> orphans 2, 2
+    m, passed = out["ri"]
+    assert m == pytest.approx(2 / 3)
+    assert passed is False
+
+
+def test_referential_integrity_tolerance_and_nulls(spark, dirty):
+    parent = spark.createDataFrame([(1,), (2,)], "pid int")
+    out = _by_name(
+        referential_integrity(dirty, "id", parent, "pid", name="ri")
+    )
+    assert out["ri"] == (0.0, True)  # null child keys are excluded
+
+
+def test_referential_integrity_empty_child(spark):
+    child = spark.createDataFrame([], "k int")
+    parent = spark.createDataFrame([(1,)], "pid int")
+    out = _by_name(referential_integrity(child, "k", parent, "pid", name="ri"))
+    assert out["ri"] == (0.0, True)
+
+
+def test_suites_union_cleanly(spark, dirty):
+    parent = spark.createDataFrame([(1,), (2,)], "pid int")
+    suite = check_suite(
+        dirty, [Check("complete", completeness("amt"), 1.0, 1.0)]
+    ).unionByName(referential_integrity(dirty, "id", parent, "pid"))
+    assert suite.count() == 2
