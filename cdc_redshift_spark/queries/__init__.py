@@ -97,6 +97,7 @@ def all_queries():
         streaming_q,
         temporal_q,
         text_q,
+        tpch_q,
     )
 
     q: dict = {}
@@ -113,6 +114,7 @@ def all_queries():
         temporal_q,
         incremental_q,
         dq_q,
+        tpch_q,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
