@@ -30,9 +30,20 @@ def test_gate_window_covers_every_extension_family():
     assert sum(1 for n in _GATE_WINDOW if n.startswith("cdc_")) >= 5
 
 
-def test_every_query_has_an_oracle_or_is_streaming():
+#: Queries allowed to omit a SQL oracle (driver falls back to the
+#: rows-only check).  Each entry must name the pytest that value-gates
+#: it instead; keep this list justified and short.
+ROWS_ONLY_OK = {
+    # DataSketches HLL estimate is implementation-defined (no DuckDB
+    # equivalent); value-gated by tests/test_sketches.py tolerance +
+    # merge-equality tests.
+    "sketch_hll_users",
+}
+
+
+def test_every_query_has_an_oracle_or_is_allowlisted():
     q, o = all_queries()
-    missing = [n for n in q if n not in o]
-    # streaming queries may legitimately omit oracles (rows-only check),
-    # but currently every query ships one — keep it that way.
+    missing = [n for n in q if n not in o and n not in ROWS_ONLY_OK]
     assert missing == [], missing
+    stale = [n for n in ROWS_ONLY_OK if n not in q or n in o]
+    assert stale == [], f"allowlist out of date: {stale}"
