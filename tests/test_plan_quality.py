@@ -166,3 +166,56 @@ def test_asof_salted_no_join_explosion(spark):
     # per-(key,bucket) windows survive: at least one hashpartitioning
     # exchange keyed on both the join key and the bucket column
     assert "__b" in plan
+
+
+def test_incremental_rollup_two_bounded_shuffles(spark):
+    """Incremental maintenance must shuffle only (a) the changed rows
+    into group deltas and (b) the tiny group-row union — never rescan
+    or re-shuffle base facts, and aggregation must be partial
+    (map-side combine) in both phases."""
+    from cdc_redshift_spark.queries.incremental_q import (
+        q_events_incremental_rollup,
+    )
+
+    plan = plan_of(q_events_incremental_rollup(spark, SF))
+    # sort for the output ordering adds one rangepartitioning exchange;
+    # the maintenance itself gets at most 3 hash exchanges (base rollup,
+    # delta fold, merge — AQE may reuse one for the merge)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_kmv_sketch_rank_limit_pushdown(spark):
+    """The sketch build must get Spark's WindowGroupLimit push-down
+    (partial top-k BEFORE the per-dims shuffle) so per-group state is
+    O(k) — a plain Window+filter materializes whole groups."""
+    from cdc_redshift_spark.operators.sketches import kmv_sketch
+    from cdc_redshift_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    plan = plan_of(kmv_sketch(ev, dims=["event_type"], col="user_id", k=64))
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_q21_single_fact_aggregation(spark):
+    """Q21's multi-exists semantics must stay ONE lineitem pass: a
+    broadcast of the orders filter, per-order aggregation, and no
+    self-join of the fact table."""
+    from cdc_redshift_spark.queries.tpch_q import q21_late_supplier
+
+    plan = plan_of(q21_late_supplier(spark, SF))
+    assert plan.count("Scan parquet") <= 3  # lineitem, orders, supplier
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_suite_single_pass_per_table(spark):
+    """Row-level checks compile into one aggregation over each table;
+    RI joins broadcast their key side (never sort-merge at dim size)."""
+    from cdc_redshift_spark.queries.dq_q import q_dq_orders_suite
+
+    plan = plan_of(q_dq_orders_suite(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both RI checks
