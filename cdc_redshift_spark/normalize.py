@@ -152,6 +152,58 @@ def normalize_dms(
     )
 
 
+def normalize_pg_retractions(
+    env: DataFrame, offset_col: str | None = None
+) -> DataFrame:
+    """Debezium-Postgres envelope → signed RETRACTION stream.
+
+    The upsert ChangeSet (:func:`normalize_pg`) keeps only the
+    after-else-before image — enough for keyed table state, but not for
+    maintaining aggregates: an update's contribution to a SUM can only
+    be corrected by retracting the old value.  Debezium's envelope
+    carries both images (``before``/``after``,
+    glue_pg_redshift_cdc.py:71-73), so each event expands to signed
+    image rows (the Flink retract-stream model):
+
+        insert/load → (+1, after)
+        update      → (-1, before), (+1, after)
+        delete      → (-1, before)
+
+    Retraction algebra is commutative, so downstream per-group sums
+    need NO LWW dedup and no ordering — any partitioning of the stream
+    into batches yields the same totals.  Rows whose needed image is
+    NULL are dropped: a source without ``REPLICA IDENTITY FULL`` emits
+    null ``before`` on update/delete and cannot drive exact aggregate
+    maintenance (resync from a snapshot instead).
+    """
+    imgs = F.array(
+        F.struct(F.lit(-1).alias("sign"), F.col("before").alias("payload")),
+        F.struct(F.lit(1).alias("sign"), F.col("after").alias("payload")),
+    )
+    base = env.select(
+        F.col("source.db").alias("db"),
+        F.col("source.table").alias("table"),
+        F.col("source.ts_ms").cast("long").alias("ts_ms"),
+        _offset_col(env, offset_col).alias("offset"),
+        _map_op(F.col("op"), _PG_OPS).alias("op"),
+        F.explode(imgs).alias("img"),
+    )
+    keep = F.col("img.payload").isNotNull() & (
+        (F.col("op").isin("insert", "load") & (F.col("img.sign") == 1))
+        | ((F.col("op") == "delete") & (F.col("img.sign") == -1))
+        | (F.col("op") == "update")
+    )
+    return base.filter(keep).select(
+        "db",
+        "table",
+        "ts_ms",
+        "offset",
+        "op",
+        F.col("img.sign").alias("sign"),
+        F.col("img.payload").alias("payload"),
+    )
+
+
 def mongo_changeset(raw: DataFrame, **kw) -> DataFrame:
     """Kafka raw frame → Mongo ChangeSet (parse + normalize)."""
     return normalize_mongo(parse_envelope(raw, MONGO_CDC_SCHEMA), **kw)
@@ -165,3 +217,8 @@ def pg_changeset(raw: DataFrame, **kw) -> DataFrame:
 def dms_changeset(raw: DataFrame, **kw) -> DataFrame:
     """Kafka raw frame → DMS ChangeSet (parse + normalize)."""
     return normalize_dms(parse_envelope(raw, DMS_CDC_SCHEMA), **kw)
+
+
+def pg_retraction_stream(raw: DataFrame, **kw) -> DataFrame:
+    """Kafka raw frame → Postgres retraction stream (parse + expand)."""
+    return normalize_pg_retractions(parse_envelope(raw, PG_CDC_SCHEMA), **kw)

@@ -45,8 +45,8 @@ DELETE_OPS = ("delete", "d")
 
 def rollup_delta(
     changeset: DataFrame,
-    time_col: str,
-    bucket: str,
+    time_col: str | None,
+    bucket: str | None,
     dims: list[str] | tuple[str, ...],
     measures: dict[str, str],
     op_col: str = "op",
@@ -74,12 +74,45 @@ def rollup_delta(
         F.when(F.lower(F.col(op_col)).isin(*DELETE_OPS), F.lit(-1))
         .otherwise(F.lit(1))
     )
+    return _signed_delta(
+        changeset, sign, time_col, bucket, dims, measures, n_col
+    )
+
+
+def rollup_delta_signed(
+    retractions: DataFrame,
+    time_col: str | None,
+    bucket: str | None,
+    dims: list[str] | tuple[str, ...],
+    measures: dict[str, str],
+    sign_col: str = "sign",
+    n_col: str = "n",
+) -> DataFrame:
+    """Like :func:`rollup_delta` but over an already-signed retraction
+    stream (``normalize.normalize_pg_retractions``): ``sign_col`` is
+    ±1 per image row.  Because retraction algebra commutes, the input
+    needs no dedup and no ordering — any batch split yields the same
+    merged rollup."""
+    return _signed_delta(
+        retractions, F.col(sign_col), time_col, bucket, dims, measures, n_col
+    )
+
+
+def _signed_delta(df, sign, time_col, bucket, dims, measures, n_col):
     aggs = [F.sum(sign).alias(n_col)] + [
         F.sum(sign * F.col(src)).alias(out) for out, src in measures.items()
     ]
-    return changeset.groupBy(
-        F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"), *dims
-    ).agg(*aggs)
+    # time_col=None → a pure dimensional rollup (no time bucket); the
+    # bucketed form requires the bucketing time to come from the ROW
+    # IMAGE (so an update's retraction lands in the bucket it was
+    # counted in), which is why it is the image payload's column, never
+    # the change timestamp.
+    keys = (
+        [F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts")]
+        if time_col is not None
+        else []
+    )
+    return df.groupBy(*keys, *dims).agg(*aggs)
 
 
 def apply_rollup_delta(
@@ -91,27 +124,47 @@ def apply_rollup_delta(
 ) -> DataFrame:
     """Merge a signed delta into a stored rollup.
 
-    Both inputs carry ``(bucket_ts, *dims, n_col, *measures)``.  Groups
-    whose maintained count drops to zero disappear (a fully-deleted
-    bucket leaves no residue row).  Union + one re-aggregation: with
-    the rollup bucketed/partitioned on the group key this co-locates
-    without a wide shuffle, and AQE coalesces the tiny post-shuffle
-    partitions.
+    Both inputs carry ``(bucket_ts, *dims, n_col, *measures)``.  Union
+    + one re-aggregation: with the rollup bucketed/partitioned on the
+    group key this co-locates without a wide shuffle, and AQE coalesces
+    the tiny post-shuffle partitions.
+
+    Cleanup rule: only groups that are IDENTICALLY zero (count and
+    every measure) disappear — a fully-deleted bucket leaves no residue
+    row (exact with DECIMAL measures).  Groups with a NEGATIVE count
+    are kept: they are in-flight retractions whose matching inserts sit
+    in a batch not yet applied (retraction algebra commutes across
+    batch splits only if negative intermediate states survive the
+    merge).  A converged rollup has no negative groups; readers that
+    must tolerate mid-replay reads can filter ``n > 0`` themselves.
     """
-    cols = ["bucket_ts", *dims, n_col, *measures]
+    keys = (["bucket_ts"] if "bucket_ts" in rollup.columns else []) + list(
+        dims
+    )
+    cols = [*keys, n_col, *measures]
     merged = rollup.select(*cols).unionByName(delta.select(*cols))
-    out = merged.groupBy("bucket_ts", *dims).agg(
+    out = merged.groupBy(*keys).agg(
         F.sum(n_col).alias(n_col),
         *[F.sum(m).alias(m) for m in measures],
     )
-    return out.filter(F.col(n_col) > 0)
+    return out.filter(_nonzero_group(n_col, measures))
+
+
+def _nonzero_group(n_col: str, measures) -> "F.Column":
+    """True for groups that carry any state: nonzero count or any
+    nonzero measure.  (A group at count 0 whose measures are all 0 or
+    NULL is identically empty — nothing left to retract or report.)"""
+    cond = F.col(n_col) != 0
+    for m in measures:
+        cond = cond | (F.col(m) != 0)  # NULL-measure ⇒ no state
+    return cond
 
 
 def incremental_rollup(
     rollup: DataFrame,
     changeset: DataFrame,
-    time_col: str,
-    bucket: str,
+    time_col: str | None,
+    bucket: str | None,
     dims: list[str] | tuple[str, ...],
     measures: dict[str, str],
     op_col: str = "op",

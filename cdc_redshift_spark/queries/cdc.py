@@ -115,7 +115,14 @@ def synth_pg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.to_json(
                     F.struct(
                         k.alias("id"),
-                        F.col("o_orderstatus").alias("status"),
+                        # Debezium's delete before-image reflects the
+                        # CURRENT row, i.e. the post-update status for
+                        # keys the update wave touched — retraction
+                        # consumers (normalize_pg_retractions) depend
+                        # on image consistency
+                        F.when(k % 3 == 0, F.lit("U"))
+                        .otherwise(F.col("o_orderstatus"))
+                        .alias("status"),
                         F.col("o_totalprice").alias("total"),
                     )
                 ).alias("before"),
@@ -505,8 +512,75 @@ WHERE p_partkey % 9 <> 0
 """
 
 
+def q_cdc_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate maintained from the CDC stream itself: the
+    per-status (count, sum(total)) rollup of the orders changelog, kept
+    fresh purely from retraction deltas (before/after images — the
+    base table is never aggregated), applied across TWO micro-batches
+    split by offset parity plus a replayed duplicate of batch 0 (the
+    idempotence marker must no-op it).  The oracle aggregates the
+    fully-applied final state directly, so a green row proves
+    retraction maintenance ≡ recompute-from-final-state AND that batch
+    splits / replays don't change totals."""
+    import tempfile
+
+    from cdc_redshift_spark.normalize import pg_retraction_stream
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    raw = synth_pg_changelog(spark, sf_dir)
+
+    def prepare(r: DataFrame) -> DataFrame:
+        return r.select(
+            "sign",
+            F.get_json_object("payload", "$.status").alias("status"),
+            F.get_json_object("payload", "$.total")
+            .cast("decimal(18,4)")
+            .alias("total"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_rollup_gate_")
+    m = RollupMaintainer(
+        spark,
+        tmp,
+        prepare,
+        time_col=None,
+        bucket=None,
+        dims=["status"],
+        measures={"sum_total": "total"},
+    )
+    b0 = pg_retraction_stream(
+        raw.filter(F.col("offset") % 2 == 0), offset_col="offset"
+    )
+    b1 = pg_retraction_stream(
+        raw.filter(F.col("offset") % 2 == 1), offset_col="offset"
+    )
+    assert m.update(b0, 0) is True
+    assert m.update(b0, 0) is False  # replay: marker makes it a no-op
+    assert m.update(b1, 1) is True
+    out = m.current()
+    return out.select(
+        "status",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_total").cast("double").alias("sum_total"),
+    ).orderBy("status")
+
+
+ORACLE_CDC_ROLLUP = """
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+)
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
+    "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_dms_relational": q_cdc_dms_relational,
@@ -516,6 +590,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
+    "cdc_rollup_maintenance": ORACLE_CDC_ROLLUP,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,
     "cdc_op_counts": ORACLE_CDC_OP_COUNTS,
     "cdc_dms_relational": ORACLE_CDC_DMS_RELATIONAL,

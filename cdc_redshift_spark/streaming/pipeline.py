@@ -68,6 +68,7 @@ class CdcPipeline:
         max_workers: int = 10,
         apply_delete: bool = True,
         on_batch: Callable[[int, DataFrame], None] | None = None,
+        on_raw_batch: Callable[[int, DataFrame], None] | None = None,
         expire_after_ms: int | None = None,
         expire_every: int = 10,
         route_root: str | None = None,
@@ -96,6 +97,7 @@ class CdcPipeline:
         self.max_workers = max_workers
         self.apply_delete = apply_delete
         self.on_batch = on_batch
+        self.on_raw_batch = on_raw_batch
         self.expire_after_ms = expire_after_ms
         self.expire_every = expire_every
         self.route_root = route_root
@@ -110,6 +112,13 @@ class CdcPipeline:
         if raw.isEmpty():  # F7, without the rdd.count() job
             self.stats.empty_batches += 1
             return
+
+        if self.on_raw_batch is not None:
+            # pre-normalization hook: consumers that need the FULL
+            # envelope (e.g. RollupMaintainer's retraction expand needs
+            # before-images that the LWW'd ChangeSet discards).  Runs
+            # first so its replay-idempotence marker covers the batch.
+            self.on_raw_batch(batch_id, raw)
 
         changes = latest_per_key(self.changeset_fn(raw), keys=self.keys).persist()
         try:

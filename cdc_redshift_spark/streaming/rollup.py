@@ -1,0 +1,136 @@
+"""Streaming continuous-aggregate maintenance: a materialized rollup
+kept fresh from the CDC stream itself.
+
+Composes the retraction stream (``normalize.normalize_pg_retractions``
+— Debezium before/after images expanded into ±1 rows) with the
+incremental rollup operators (``operators/incremental.py``) and the
+versioned write-new-then-swap commit discipline of ``ParquetSink``:
+
+    raw micro-batch → retraction expand → signed per-group delta
+      → merge into the stored rollup → commit snapshot v<batch_id>
+
+Per batch this costs O(changed rows) + O(rollup group rows) — the
+base table is NEVER rescanned.  Replay-safe: a batch id at or below
+the committed version is skipped (foreachBatch retries the same id
+after a crash, so the marker makes at-least-once delivery exactly-once
+for the rollup).  Wire into :class:`CdcPipeline` via ``on_raw_batch``:
+
+    maintainer = RollupMaintainer(spark, path, prepare, ...)
+    CdcPipeline(..., on_raw_batch=lambda bid, raw:
+        maintainer.update(pg_retraction_stream(raw), bid))
+
+Layout (mirrors ParquetSink):  path/v<batch_id>/part-*.parquet and
+path/_LATEST containing the committed batch id.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_redshift_spark.operators.incremental import (
+    _nonzero_group,
+    apply_rollup_delta,
+    rollup_delta_signed,
+)
+
+
+class RollupMaintainer:
+    """Maintains one materialized rollup from signed retraction batches.
+
+    ``prepare`` maps a retraction frame to rows carrying ``sign``,
+    ``time_col``, the ``dims`` and the measure source columns (e.g.
+    parse JSON payload fields, cast measures to DECIMAL for exact
+    maintenance).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        prepare: Callable[[DataFrame], DataFrame],
+        time_col: str | None,
+        bucket: str | None,
+        dims: list[str] | tuple[str, ...],
+        measures: dict[str, str],
+        n_col: str = "n",
+        keep_versions: int = 2,
+    ):
+        self.spark = spark
+        self.path = path
+        self.prepare = prepare
+        self.time_col = time_col
+        self.bucket = bucket
+        self.dims = list(dims)
+        self.measures = dict(measures)
+        self.n_col = n_col
+        self.keep_versions = keep_versions
+        os.makedirs(path, exist_ok=True)
+
+    # -- snapshot plumbing (ParquetSink's pointer discipline) ---------------
+    def committed_batch(self) -> int | None:
+        ptr = os.path.join(self.path, "_LATEST")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def current(self) -> DataFrame | None:
+        v = self.committed_batch()
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def _commit(self, merged: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(self.path, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = os.path.join(self.path, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+        # prune old snapshots beyond keep_versions (the previous one is
+        # kept so a reader holding the old pointer still resolves)
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        for v in versions[: -self.keep_versions]:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+
+    # -- the per-batch maintenance step -------------------------------------
+    def update(self, retractions: DataFrame, batch_id: int) -> bool:
+        """Fold one micro-batch of retraction rows into the rollup.
+        Returns False (no-op) when ``batch_id`` was already committed —
+        the replay-idempotence path."""
+        last = self.committed_batch()
+        if last is not None and batch_id <= last:
+            return False
+        delta = rollup_delta_signed(
+            self.prepare(retractions),
+            time_col=self.time_col,
+            bucket=self.bucket,
+            dims=self.dims,
+            measures=self.measures,
+            n_col=self.n_col,
+        )
+        stored = self.current()
+        if stored is None:
+            # same cleanup rule as apply_rollup_delta: negative groups
+            # (retractions ahead of their inserts) must survive
+            merged = delta.filter(
+                _nonzero_group(self.n_col, list(self.measures))
+            )
+        else:
+            merged = apply_rollup_delta(
+                stored,
+                delta,
+                dims=self.dims,
+                measures=list(self.measures),
+                n_col=self.n_col,
+            )
+        self._commit(merged, batch_id)
+        return True

@@ -1,0 +1,188 @@
+"""Tests for the retraction stream (normalize.normalize_pg_retractions)
+and the streaming RollupMaintainer: image expansion per op, null-image
+handling, batch-split invariance, replay idempotence, and pipeline
+integration via on_raw_batch."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.normalize import pg_retraction_stream
+from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+
+def _env(op, before, after, ts=1000, off=0):
+    return (
+        json.dumps(
+            {
+                "before": json.dumps(before) if before else None,
+                "after": json.dumps(after) if after else None,
+                "source": {"db": "d", "table": "t", "ts_ms": ts},
+                "op": op,
+                "ts_ms": ts,
+            }
+        ),
+        off,
+    )
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(rows, "value string, offset long")
+
+
+def test_retraction_expansion(spark):
+    rows = [
+        _env("c", None, {"id": 1, "v": 10}, off=0),
+        _env("u", {"id": 1, "v": 10}, {"id": 1, "v": 12}, off=1),
+        _env("d", {"id": 1, "v": 12}, None, off=2),
+        _env("r", None, {"id": 2, "v": 5}, off=3),
+    ]
+    out = pg_retraction_stream(_raw(spark, rows), offset_col="offset")
+    got = [
+        (r["op"], r["sign"], json.loads(r["payload"])["v"])
+        for r in out.orderBy("offset", "sign").collect()
+    ]
+    assert got == [
+        ("insert", 1, 10),
+        ("update", -1, 10),
+        ("update", 1, 12),
+        ("delete", -1, 12),
+        ("load", 1, 5),
+    ]
+
+
+def test_null_before_on_update_drops_retraction(spark):
+    """Without REPLICA IDENTITY FULL the update's before is NULL — the
+    -1 row is dropped (documented: exact maintenance needs full
+    images), the +1 row survives."""
+    rows = [_env("u", None, {"id": 1, "v": 9}, off=0)]
+    out = pg_retraction_stream(_raw(spark, rows), offset_col="offset")
+    got = [(r["sign"],) for r in out.collect()]
+    assert got == [(1,)]
+
+
+def _prepare(r):
+    return r.select(
+        "sign",
+        F.get_json_object("payload", "$.k").alias("k"),
+        F.get_json_object("payload", "$.v").cast("decimal(18,4)").alias("v"),
+    )
+
+
+def _mk(spark, tmp):
+    return RollupMaintainer(
+        spark,
+        str(tmp),
+        _prepare,
+        time_col=None,
+        bucket=None,
+        dims=["k"],
+        measures={"sv": "v"},
+    )
+
+
+def _hist(spark):
+    rows = [
+        _env("c", None, {"k": "a", "v": 1}, off=0),
+        _env("c", None, {"k": "a", "v": 2}, off=1),
+        _env("c", None, {"k": "b", "v": 4}, off=2),
+        _env("u", {"k": "a", "v": 2}, {"k": "b", "v": 8}, off=3),
+        _env("d", {"k": "a", "v": 1}, None, off=4),
+    ]
+    return _raw(spark, rows)
+
+
+def _state(m):
+    cur = m.current()
+    return {
+        r["k"]: (r["n"], float(r["sv"])) for r in cur.collect()
+    }
+
+
+def test_maintainer_final_state(spark, tmp_path):
+    m = _mk(spark, tmp_path / "r1")
+    m.update(pg_retraction_stream(_hist(spark), offset_col="offset"), 0)
+    # final rows: none under 'a' (one deleted, one moved), b: 4 + 8
+    assert _state(m) == {"b": (2, 12.0)}
+
+
+def test_maintainer_batch_split_invariance(spark, tmp_path):
+    raw = _hist(spark)
+    m = _mk(spark, tmp_path / "r2")
+    m.update(
+        pg_retraction_stream(
+            raw.filter(F.col("offset") < 3), offset_col="offset"
+        ),
+        0,
+    )
+    mid = _state(m)
+    assert mid == {"a": (2, 3.0), "b": (1, 4.0)}
+    m.update(
+        pg_retraction_stream(
+            raw.filter(F.col("offset") >= 3), offset_col="offset"
+        ),
+        1,
+    )
+    assert _state(m) == {"b": (2, 12.0)}
+
+
+def test_maintainer_replay_is_noop(spark, tmp_path):
+    raw = _hist(spark)
+    m = _mk(spark, tmp_path / "r3")
+    b0 = pg_retraction_stream(raw, offset_col="offset")
+    assert m.update(b0, 0) is True
+    assert m.update(b0, 0) is False  # same batch id → skipped
+    assert _state(m) == {"b": (2, 12.0)}
+    assert m.committed_batch() == 0
+
+
+def test_retractions_before_inserts_converge(spark, tmp_path):
+    """The regression the offset-parity gate split exposed: a batch
+    carrying ONLY retractions (deletes/update-befores) applied before
+    the batch carrying the matching inserts must leave negative
+    in-flight groups in the stored rollup — dropping them loses the
+    retraction and over-counts after convergence."""
+    raw = _hist(spark)
+    m = _mk(spark, tmp_path / "r5")
+    # batch 0: the delete and the update (retracts 'a' rows not yet seen)
+    m.update(
+        pg_retraction_stream(
+            raw.filter(F.col("offset") >= 3), offset_col="offset"
+        ),
+        0,
+    )
+    mid = _state(m)
+    assert mid["a"] == (-2, -3.0)  # in-flight retraction survives
+    # batch 1: the original inserts arrive; state must converge exactly
+    m.update(
+        pg_retraction_stream(
+            raw.filter(F.col("offset") < 3), offset_col="offset"
+        ),
+        1,
+    )
+    assert _state(m) == {"b": (2, 12.0)}
+
+
+def test_pipeline_on_raw_batch_drives_maintainer(spark, tmp_path):
+    """End-to-end: CdcPipeline applies table state while on_raw_batch
+    maintains the rollup from the same batches."""
+    from cdc_redshift_spark.normalize import pg_changeset
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+    from cdc_redshift_spark.streaming.pipeline import CdcPipeline
+
+    m = _mk(spark, tmp_path / "r4")
+    sink = ParquetSink(spark, str(tmp_path / "sink"), keys=("key",))
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, key_path="$.k", offset_col="offset"),
+        sink,
+        on_raw_batch=lambda bid, raw: m.update(
+            pg_retraction_stream(raw, offset_col="offset"), bid
+        ),
+    )
+    raw = _hist(spark)
+    pipe.process_batch(raw.filter(F.col("offset") < 3), 0)
+    pipe.process_batch(raw.filter(F.col("offset") >= 3), 1)
+    assert _state(m) == {"b": (2, 12.0)}
+    assert m.committed_batch() == 1
+    assert pipe.stats.batches == 2
