@@ -59,6 +59,10 @@ def main() -> None:
         # interval join, and the multimodal feature pipeline
         "corpus_decontaminate",
         "mm_features_similarity",
+        # round-5 additions: incremental rollup maintenance (the
+        # changed-rows-only aggregate path) and the one-pass DQ gate
+        "events_incremental_rollup",
+        "dq_orders_suite",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

@@ -235,6 +235,74 @@ def main():
         print(json.dumps({"op": "cdc_apply_batch", "events": n, "sec": wall, "rec_per_s": round(n / wall)}), flush=True)
         r.unpersist()
 
+    # incremental rollup maintenance: THE claim is that applying a
+    # fixed-size changeset costs ~the changeset, not the base table.
+    # Base events replicated 1x -> Rx with a CONSTANT ~15k-row
+    # changeset; the stored rollup is materialized to parquet first
+    # (as it would be in production).  Expect: full recompute grows
+    # with R, incremental stays ~flat (its delta fold touches only
+    # the changeset; the merge touches only group rows).
+    import tempfile
+
+    from cdc_redshift_spark.operators.incremental import (
+        apply_rollup_delta,
+        rollup_delta,
+    )
+
+    ev0 = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    changes = ev0.filter(F.col("event_id") % 100 == 0).select(
+        F.when(F.col("event_id") % 200 == 0, "delete")
+        .otherwise("insert")
+        .alias("op"),
+        "ts", "event_type", "v",
+    ).persist()
+    n_changes = changes.count()
+    for scale in (1, REPLICAS):
+        base_parts = [
+            ev0.select(
+                (F.col("event_id") + i * 100_000_000).alias("event_id"),
+                "ts", "event_type", "v",
+            )
+            for i in range(scale)
+        ]
+        base = base_parts[0]
+        for p in base_parts[1:]:
+            base = base.unionByName(p)
+        base = base.persist()
+        n_base = base.count()
+        rollup0 = base.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        with tempfile.TemporaryDirectory() as tmp:
+            rollup0.write.mode("overwrite").parquet(f"{tmp}/rollup")
+            stored = spark.read.parquet(f"{tmp}/rollup")
+            t0 = time.perf_counter()
+            d = rollup_delta(
+                changes, time_col="ts", bucket="hour",
+                dims=["event_type"], measures={"sum_v": "v"},
+            )
+            apply_rollup_delta(
+                stored, d, dims=["event_type"], measures=["sum_v"]
+            ).write.format("noop").mode("overwrite").save()
+            incr_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            base.groupBy(
+                F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+            ).write.format("noop").mode("overwrite").save()
+            full_wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "op": "incremental_rollup", "base_events": n_base,
+            "changeset": n_changes, "incremental_sec": incr_wall,
+            "full_recompute_sec": full_wall,
+        }), flush=True)
+        base.unpersist()
+    changes.unpersist()
+
 
 if __name__ == "__main__":
     main()
