@@ -52,14 +52,28 @@ class ParquetSink(Sink):
         ts_col: str = "ts_ms",
         tiebreak_col: str = "offset",
         partition_cols: Sequence[str] = (),
+        cluster_keys: Sequence[str] = (),
     ):
+        """``cluster_keys`` range-clusters every committed snapshot
+        (operators/layout.py): each written file covers a disjoint
+        slice of the key space, so the merge's key-probe scan and any
+        stats-aware reader skip files by min/max instead of reading
+        the table.  Natural choice: the merge ``keys``."""
         self.spark = spark
         self.root = root
         self.keys = list(keys)
         self.ts_col = ts_col
         self.tiebreak_col = tiebreak_col
         self.partition_cols = list(partition_cols)
+        self.cluster_keys = list(cluster_keys)
         os.makedirs(root, exist_ok=True)
+
+    def _layout(self, state: DataFrame) -> DataFrame:
+        if not self.cluster_keys:
+            return state
+        from cdc_redshift_spark.operators.layout import cluster
+
+        return cluster(state, self.cluster_keys)
 
     # -- catalog -----------------------------------------------------------
     def _dir(self, db: str, table: str) -> str:
@@ -232,7 +246,9 @@ class ParquetSink(Sink):
         untouched partition directory forward from v."""
         src = os.path.join(self._dir(db, table), f"v{v}")
         dst = os.path.join(self._dir(db, table), f"v{v + 1}")
-        rewritten.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(dst)
+        self._layout(rewritten).write.mode("overwrite").partitionBy(
+            *self.partition_cols
+        ).parquet(dst)
         self._write_schema(db, table, rewritten)
         for name, val_str in existing.items():
             is_null = val_str == HIVE_NULL
@@ -320,7 +336,7 @@ class ParquetSink(Sink):
         d = self._dir(db, table)
         v = (self._latest_version(db, table) or 0) + 1
         path = os.path.join(d, f"v{v}")
-        writer = state.write.mode("overwrite")
+        writer = self._layout(state).write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(path)

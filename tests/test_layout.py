@@ -1,0 +1,85 @@
+"""Tests for operators/layout.py and ParquetSink.cluster_keys: the
+range-clustered write must produce files with disjoint key ranges (so
+min/max stats actually prune), and the sink's merge semantics must be
+unchanged by the layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.layout import (
+    cluster,
+    file_ranges,
+    pruned_fraction,
+)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    # shuffled key order so a naive write scatters ranges everywhere
+    return (
+        spark.range(0, 4000)
+        .select(
+            F.col("id").alias("k"),
+            (F.hash("id") % 1000).alias("noise"),
+        )
+        .orderBy("noise")
+    )
+
+
+def test_clustered_files_have_disjoint_ranges(spark, rows, tmp_path):
+    plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clus")
+    rows.repartition(8).write.parquet(plain)
+    cluster(rows, ["k"], num_files=8).write.parquet(clustered)
+
+    pr = sorted(file_ranges(plain, "k"))
+    cr = sorted(file_ranges(clustered, "k"))
+    assert len(cr) >= 4
+
+    def overlaps(rs):
+        return sum(
+            1
+            for i, (a, b) in enumerate(rs)
+            for c, d in rs[i + 1 :]
+            if not (b < c or d < a)
+        )
+
+    assert overlaps(cr) == 0  # disjoint slices: stats fully selective
+    assert overlaps(pr) > 0  # the unclustered layout can't prune
+
+    # a narrow range predicate skips almost every clustered file
+    assert pruned_fraction(cr, 100, 120) >= 0.75
+    assert pruned_fraction(pr, 100, 120) == 0.0
+
+
+def test_sink_cluster_keys_layout_and_semantics(spark, tmp_path):
+    """Clustered sink == plain sink state-wise; its files carry
+    disjoint key ranges."""
+    import os
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    changes = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("key"),
+        (F.col("id") % 7).alias("ts_ms"),
+        F.col("id").alias("offset"),
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        (F.hash("id") % 100).alias("noise"),
+    ).orderBy("noise").drop("noise")
+
+    plain = ParquetSink(spark, str(tmp_path / "p"), keys=("key",))
+    clus = ParquetSink(
+        spark, str(tmp_path / "c"), keys=("key",), cluster_keys=("offset",)
+    )
+    for s in (plain, clus):
+        s.apply_changeset("d", "t", changes)
+
+    a = {r["key"]: r["payload"] for r in plain.read_table(spark, "d", "t").collect()}
+    b = {r["key"]: r["payload"] for r in clus.read_table(spark, "d", "t").collect()}
+    assert a == b
+
+    vdir = os.path.join(str(tmp_path / "c"), "d", "t", "v1")
+    cr = sorted(file_ranges(vdir, "offset"))
+    if len(cr) > 1:
+        for (a1, b1), (a2, b2) in zip(cr, cr[1:]):
+            assert b1 < a2  # strictly disjoint, ascending
