@@ -84,6 +84,35 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def key_skew_report(
+    df: DataFrame, cols: list[str] | tuple[str, ...], top: int = 10
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle/join key: the
+    ``top`` most frequent key values with their row share and skew
+    factor (rows ÷ mean rows per key).  ONE count aggregation over the
+    table + a TakeOrdered of the tiny per-key frame — run it before
+    choosing partition keys; a skew factor ≫ 1 on the planned join key
+    is the signal to salt (operators/joins.py) or pre-aggregate.
+
+    Output: (*cols, n, share, skew_x), ordered by n desc then key.
+    """
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *cols,
+            "n",
+            (F.col("n") / F.col("_total")).alias("share"),
+            (F.col("n") * F.col("_nkeys") / F.col("_total")).alias("skew_x"),
+        )
+        .orderBy(F.desc("n"), *cols)
+        .limit(top)
+    )
+
+
 def referential_integrity(
     child: DataFrame,
     child_col: str,

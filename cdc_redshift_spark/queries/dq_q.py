@@ -146,5 +146,48 @@ ORDER BY check_name
 """
 
 
-QUERIES = {"dq_orders_suite": q_dq_orders_suite}
-ORACLES = {"dq_orders_suite": ORACLE_DQ_ORDERS}
+def q_dq_events_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key planning diagnostic: the 10 heaviest
+    (event_type, user_id) keys in events with share and skew factor —
+    the report you run before picking a join/partition key (a skew_x
+    ≫ 1 key is the salting trigger, operators/joins.py)."""
+    from cdc_redshift_spark.operators.quality import key_skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    rep = key_skew_report(ev, ["event_type", "user_id"], top=10)
+    return rep.select(
+        "event_type",
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.round("share", 9).alias("share"),
+        F.round("skew_x", 6).alias("skew_x"),
+    )
+
+
+ORACLE_DQ_SKEW = """
+WITH counts AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id
+),
+stats AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS nkeys
+  FROM counts
+)
+SELECT event_type, user_id, n,
+       round(n / total, 9) AS share,
+       round(n * nkeys / total, 6) AS skew_x
+FROM counts, stats
+ORDER BY n DESC, event_type, user_id
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "dq_orders_suite": q_dq_orders_suite,
+    "dq_events_skew": q_dq_events_skew,
+}
+ORACLES = {
+    "dq_orders_suite": ORACLE_DQ_ORDERS,
+    "dq_events_skew": ORACLE_DQ_SKEW,
+}

@@ -91,3 +91,23 @@ def test_suites_union_cleanly(spark, dirty):
         dirty, [Check("complete", completeness("amt"), 1.0, 1.0)]
     ).unionByName(referential_integrity(dirty, "id", parent, "pid"))
     assert suite.count() == 2
+
+
+def test_key_skew_report_math(spark):
+    from cdc_redshift_spark.operators.quality import key_skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 1 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    rep = key_skew_report(df, ["k"], top=2).collect()
+    assert [(r["k"], r["n"]) for r in rep] == [("a", 6), ("b", 2)]
+    # 4 keys, 10 rows -> mean 2.5; a: share .6, skew 2.4
+    assert rep[0]["share"] == pytest.approx(0.6)
+    assert rep[0]["skew_x"] == pytest.approx(2.4)
+
+
+def test_key_skew_report_tie_order(spark):
+    from cdc_redshift_spark.operators.quality import key_skew_report
+
+    df = spark.createDataFrame([("b",), ("a",)], "k string")
+    rep = key_skew_report(df, ["k"], top=2).collect()
+    assert [r["k"] for r in rep] == ["a", "b"]  # key tiebreak is stable
