@@ -13,6 +13,7 @@ partsupp table (each docstring names the adaptation):
 - delay bucketing with conditional counts (Q12)
 - left-outer count distribution histogram (Q13)
 - aggregate → global max → equality (Q15, exact integer-cents)
+- group rollup vs global-fraction threshold (Q11)
 - distinct-count group rollup with exclusion filters (Q16)
 - correlated avg threshold scan (Q17, exact avg over integer qty)
 - disjunctive multi-column predicate pushdown (Q19)
@@ -235,6 +236,59 @@ FROM (
 )
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part inventory value among one nation's suppliers,
+    keeping parts above a FRACTION of the global total — group
+    aggregate + global-threshold HAVING (scalar subquery).  Value =
+    shipped quantity × retail price (lineitem stands in for partsupp);
+    the threshold compare runs in exact integer cents
+    (``value*1000 > total``), so both engines keep identical parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    value_c = F.sum(
+        F.col("l_quantity").cast("long") * _cents("p_retailprice")
+    ).alias("value_c")
+    per_part = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_partkey")
+        .agg(value_c)
+    )
+    total = per_part.agg(F.sum("value_c").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("_total"))
+        .select(
+            "p_partkey",
+            F.round(F.col("value_c") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT p_partkey,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(round(p_retailprice*100) AS BIGINT)) AS value_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  GROUP BY p_partkey
+)
+SELECT p_partkey, round(value_c / 100.0, 2) AS value
+FROM per_part
+WHERE value_c * 1000 > (SELECT sum(value_c) FROM per_part)
+ORDER BY value DESC, p_partkey
 """
 
 
@@ -631,6 +685,7 @@ QUERIES = {
     "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
     "q12_ship_delay": q12_ship_delay,
     "q13_order_count_dist": q13_order_count_dist,
     "q15_top_supplier": q15_top_supplier,
@@ -646,6 +701,7 @@ ORACLES = {
     "q2_min_acctbal_supplier": ORACLE_Q2,
     "q8_market_share": ORACLE_Q8,
     "q9_product_profit": ORACLE_Q9,
+    "q11_important_stock": ORACLE_Q11,
     "q12_ship_delay": ORACLE_Q12,
     "q13_order_count_dist": ORACLE_Q13,
     "q15_top_supplier": ORACLE_Q15,
