@@ -113,6 +113,61 @@ def word_ngram_hashes(text_col: Column, n: int) -> Column:
     return F.transform(word_ngrams(text_col, n), stable_hash60)
 
 
+def word_ngram_hash_rows(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_id: str = "tid",
+) -> DataFrame:
+    """(id, g) rows of distinct word n-gram hashes — the Arrow fast
+    path for ``explode(word_ngram_hashes(...))``.
+
+    Produces EXACTLY the same rows (normalize → split → n-token window
+    → md5-prefix 60-bit hash; parity pinned by tests/test_corpus_ops),
+    measured ~5× faster at sf0.1: Spark evaluates higher-order array
+    functions (transform + slice + concat_ws) interpreted per element,
+    and profiling showed the gram-ARRAY construction — not hashing,
+    not the join — dominating decontamination wall time (3.6 s of a
+    5.8 s query).  mapInPandas streams Arrow batches with per-document
+    state only, so the path scales like any narrow map.  The Column
+    form stays canonical for composition and the oracles.
+
+    Whitespace is split on the ASCII class to mirror Java's ``\\s`` in
+    `normalize_text` (Python's ``\\s`` is Unicode-wide); the corpus
+    contract is ASCII-normalized text.
+    """
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            hs: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.sub(" ", text.lower()).strip(" \t\n\x0b\f\r").split(" ")
+                top = max(len(toks) - n + 1, 1)
+                seen = set()
+                for i in range(top):
+                    g = " ".join(toks[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(did)
+                        hs.append(
+                            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        )
+            yield pd.DataFrame({out_id: ids, "g": hs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{out_id} long, g long"
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -128,8 +183,9 @@ def decontaminate(
     pick the drop threshold.
 
     Plan (inverted-index join — the ngram_jaccard shape):
-      1. both corpora explode to (gram-hash, id) — narrow codegen
-         scan, no Python;
+      1. both corpora explode to (gram-hash, id) rows via the Arrow
+         fast path (:func:`word_ngram_hash_rows` — same hashes as the
+         Column form, ~5× cheaper to construct);
       2. optional ``max_gram_df`` drops eval grams appearing in more
          than that many eval docs (boilerplate headers/licenses —
          they'd otherwise be a skewed join key AND a false
@@ -144,22 +200,24 @@ def decontaminate(
     no pair stream (the per-(tid) aggregate runs on join output that
     is already distinct in (tid, g, eid)).
     """
-    tg = train.select(
-        F.col(id_col).alias("tid"),
-        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    tg = word_ngram_hash_rows(
+        train, n, id_col=id_col, text_col=text_col, out_id="tid"
     )
-    eg = eval_df.select(
-        F.col(id_col).alias("eid"),
-        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    eg = word_ngram_hash_rows(
+        eval_df, n, id_col=id_col, text_col=text_col, out_id="eid"
     )
     if max_gram_df is not None:
-        keep = (
-            eg.groupBy("g")
-            .agg(F.count_distinct("eid").alias("df"))
-            .where(F.col("df") <= max_gram_df)
-            .select("g")
+        # gram document-frequency as ONE window over the gram key —
+        # (eid, g) is already distinct (per-doc grams are deduped), so
+        # count(*) per gram == count_distinct(eid).  Replaces the
+        # aggregate + self-join form, which recomputed the whole eval
+        # gram lineage twice and added a second shuffle.
+        wg = Window.partitionBy("g")
+        eg = (
+            eg.withColumn("_df", F.count(F.lit(1)).over(wg))
+            .where(F.col("_df") <= max_gram_df)
+            .drop("_df")
         )
-        eg = eg.join(keep, "g")
     return (
         tg.join(eg, "g")
         .groupBy("tid")

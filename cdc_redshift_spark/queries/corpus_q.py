@@ -168,13 +168,10 @@ def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one gram shuffle, map-side combine), then per-doc counts (one doc
     shuffle).  No pair stream, no all-pairs anything — linear in total
     grams at 100 TB."""
-    from cdc_redshift_spark.operators.corpus import word_ngram_hashes
+    from cdc_redshift_spark.operators.corpus import word_ngram_hash_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    gh = docs.select(
-        "doc_id",
-        F.explode(word_ngram_hashes(F.col("text"), NOV_N)).alias("g"),
-    ).dropDuplicates(["doc_id", "g"])
+    gh = word_ngram_hash_rows(docs, NOV_N, out_id="doc_id")
     first = gh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
         gh.join(first, "g")

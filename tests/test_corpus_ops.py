@@ -126,3 +126,40 @@ def test_source_cap_exact_salted_and_nested(spark):
         source_cap(df, cap=0)
     with _pytest.raises(ValueError):
         source_cap(df, cap=5, salt=1)
+
+
+def test_word_ngram_hash_rows_parity(spark):
+    """The Arrow fast path must emit EXACTLY the rows of the Column
+    form explode(word_ngram_hashes(...)) — same normalize, window
+    clamp, dedup, and md5-prefix hash."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.corpus import (
+        word_ngram_hash_rows,
+        word_ngram_hashes,
+    )
+    from cdc_redshift_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    col_form = {
+        (r["tid"], r["g"])
+        for r in docs.select(
+            F.col("doc_id").alias("tid"),
+            F.explode(word_ngram_hashes(F.col("text"), 5)).alias("g"),
+        ).collect()
+    }
+    arrow_form = {
+        (r["tid"], r["g"])
+        for r in word_ngram_hash_rows(docs, 5).collect()
+    }
+    assert col_form == arrow_form and len(col_form) > 0
+
+
+def test_word_ngram_hash_rows_short_doc_clamp(spark):
+    """Documents shorter than n tokens yield their whole token run as
+    the single gram — both paths."""
+    from cdc_redshift_spark.operators.corpus import word_ngram_hash_rows
+
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    rows = word_ngram_hash_rows(df, 8).collect()
+    assert len(rows) == 1
