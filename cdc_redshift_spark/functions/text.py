@@ -146,16 +146,63 @@ def winnow_fingerprints_df(
     k: int = 8,
     w: int = 4,
 ) -> DataFrame:
-    """Winnowing at scale: (id, fps array<long>) per document.
+    """Winnowing at scale: (id, fps array<long>) per document — Arrow
+    per-document path.
 
-    Row-based plan (the shape that survives 100 TB): normalize once
-    per doc, explode gram positions (the Generate pins normalization
-    below it — expressions can't collapse across explode), hash once
-    per (doc, position) row, take each w-window's min with a sliding
-    ROWS frame, keep valid window starts, and collect the distinct
-    minima per doc.  The window and the final groupBy share the same
-    partitioning key, so the whole operator costs ONE effective
-    shuffle on id; no giant per-row arrays, no re-inlined lambdas.
+    Winnowing is embarrassingly parallel per document, so the right
+    100 TB plan is a NARROW map: one Arrow batch in, per-doc rolling
+    minima in Python, fingerprint sets out — zero shuffles (the window
+    form below shuffles every gram position once).  Hashes are the
+    same md5-prefix construction as the oracles, so output is
+    bit-identical to :func:`winnow_fingerprints_df_window` (parity
+    pinned by tests/test_winnow.py).  Per-doc state is O(doc length).
+    """
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                norm = ws.sub(" ", text.lower()).strip(" \t\n\x0b\f\r")
+                npos = max(len(norm) - (k - 1), 1)
+                hs = [
+                    int(
+                        hashlib.md5(norm[i : i + k].encode()).hexdigest()[:7],
+                        16,
+                    )
+                    for i in range(npos)
+                ]
+                nstart = max(npos - (w - 1), 1)
+                mins = {min(hs[s : s + w]) for s in range(nstart)}
+                ids.append(did)
+                fps.append(sorted(mins))
+            yield pd.DataFrame({"id": ids, "fps": fps})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, "id long, fps array<long>"
+    )
+
+
+def winnow_fingerprints_df_window(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Pure-JVM winnowing (the former default, kept as the no-Python
+    fallback and the parity reference): normalize once per doc, explode
+    gram positions, hash once per (doc, position) row, take each
+    w-window's min with a sliding ROWS frame, keep valid window starts,
+    and collect the distinct minima per doc.  ONE effective shuffle on
+    id (window and groupBy share the key) — correct, but it shuffles
+    every gram position where the Arrow path shuffles nothing.
     """
     normed = df.select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__nt")

@@ -57,3 +57,24 @@ def test_shared_substring_shares_fingerprint(spark, docs):
 def test_short_doc_single_window(spark, docs):
     out = {r["id"]: r["fps"] for r in winnow_fingerprints_df(docs, k=K, w=W).collect()}
     assert len(out[4]) == 1  # "short" < k chars -> one gram, one window
+
+
+def test_arrow_window_parity(spark):
+    """The Arrow per-doc path and the JVM window path must produce
+    identical fingerprint SETS per document."""
+    from cdc_redshift_spark.functions.text import (
+        winnow_fingerprints_df,
+        winnow_fingerprints_df_window,
+    )
+    from cdc_redshift_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    a = {
+        r["id"]: sorted(r["fps"])
+        for r in winnow_fingerprints_df(docs, k=8, w=4).collect()
+    }
+    b = {
+        r["id"]: sorted(r["fps"])
+        for r in winnow_fingerprints_df_window(docs, k=8, w=4).collect()
+    }
+    assert a == b and len(a) == 200
