@@ -12,6 +12,8 @@ JSON — SURVEY §0); these are the training-data-pipeline extensions.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,6 +106,27 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+# Java's \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s is
+# unicode-aware — spell the class out so a non-breaking space behaves
+# identically on both engines.  Spark's trim() (and DuckDB's) strips
+# ONLY the space character since SPARK-17299 — NOT all chars <= 0x20 —
+# so the mirror must strip(' ') alone.  This is THE canonical Python
+# mirror of normalize_text; every Arrow fast path must use it (three
+# drifting copies is how parity bugs are born).
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+#: Arrow fast paths flush output every this many documents, bounding
+#: worker memory to O(flush × per-doc output) instead of a whole batch.
+_FLUSH_DOCS = 1000
+
+
+def py_normalize_text(s: str) -> str:
+    """Python mirror of :func:`normalize_text`, character-exact with
+    the JVM semantics (ASCII whitespace collapse, space-only trim,
+    str.lower ≡ Java toLowerCase on ASCII; parity pinned by pytest)."""
+    return _WS_RE.sub(" ", s.lower()).strip(" ")
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))
@@ -155,21 +178,26 @@ def winnow_fingerprints_df(
     form below shuffles every gram position once).  Hashes are the
     same md5-prefix construction as the oracles, so output is
     bit-identical to :func:`winnow_fingerprints_df_window` (parity
-    pinned by tests/test_winnow.py).  Per-doc state is O(doc length).
+    pinned by tests/test_winnow.py).  Per-doc state is O(doc length);
+    output flushes every ``_FLUSH_DOCS`` documents so worker memory
+    never holds a whole Arrow batch's fingerprints.  NULL text yields
+    (id, []) — the window form's collect_set result.
     """
-    import re
-
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def gen(batches):
         import hashlib
 
         import pandas as pd
 
+        ids: list = []
+        fps: list = []
         for pdf in batches:
-            ids, fps = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                norm = ws.sub(" ", text.lower()).strip(" \t\n\x0b\f\r")
+                if text is None:
+                    ids.append(did)
+                    fps.append([])
+                    continue
+                norm = py_normalize_text(text)
                 npos = max(len(norm) - (k - 1), 1)
                 hs = [
                     int(
@@ -182,10 +210,15 @@ def winnow_fingerprints_df(
                 mins = {min(hs[s : s + w]) for s in range(nstart)}
                 ids.append(did)
                 fps.append(sorted(mins))
+                if len(ids) >= _FLUSH_DOCS:
+                    yield pd.DataFrame({"id": ids, "fps": fps})
+                    ids, fps = [], []
+        if ids:
             yield pd.DataFrame({"id": ids, "fps": fps})
 
+    idt = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        gen, "id long, fps array<long>"
+        gen, f"id {idt}, fps array<long>"
     )
 
 

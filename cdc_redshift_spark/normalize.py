@@ -153,7 +153,9 @@ def normalize_dms(
 
 
 def normalize_pg_retractions(
-    env: DataFrame, offset_col: str | None = None
+    env: DataFrame,
+    offset_col: str | None = None,
+    on_missing_before: str = "error",
 ) -> DataFrame:
     """Debezium-Postgres envelope → signed RETRACTION stream.
 
@@ -171,11 +173,27 @@ def normalize_pg_retractions(
 
     Retraction algebra is commutative, so downstream per-group sums
     need NO LWW dedup and no ordering — any partitioning of the stream
-    into batches yields the same totals.  Rows whose needed image is
-    NULL are dropped: a source without ``REPLICA IDENTITY FULL`` emits
-    null ``before`` on update/delete and cannot drive exact aggregate
-    maintenance (resync from a snapshot instead).
+    into batches yields the same totals.
+
+    A source without ``REPLICA IDENTITY FULL`` emits null ``before`` on
+    update/delete and CANNOT drive exact aggregate maintenance;
+    ``on_missing_before`` picks the failure mode for an update whose
+    before-image is null:
+
+    - ``'error'`` (default): raise — degraded mode must be loud, not a
+      silently drifting rollup (resync from a snapshot instead);
+    - ``'drop'``: drop BOTH images of the update (under-counts the new
+      value but never double-counts — the rollup stays a consistent
+      view of some prefix of each key's history);
+    - ``'keep_after'``: apply only the +1 after-image (over-counts
+      updates forever; only sound when updates never change maintained
+      measures or dims).
+
+    A delete with a null before-image contributes nothing under any
+    mode (there is nothing to retract).
     """
+    if on_missing_before not in ("error", "drop", "keep_after"):
+        raise ValueError(f"on_missing_before: {on_missing_before!r}")
     imgs = F.array(
         F.struct(F.lit(-1).alias("sign"), F.col("before").alias("payload")),
         F.struct(F.lit(1).alias("sign"), F.col("after").alias("payload")),
@@ -186,12 +204,33 @@ def normalize_pg_retractions(
         F.col("source.ts_ms").cast("long").alias("ts_ms"),
         _offset_col(env, offset_col).alias("offset"),
         _map_op(F.col("op"), _PG_OPS).alias("op"),
+        F.col("before").isNull().alias("_no_before"),
         F.explode(imgs).alias("img"),
     )
+    upd = F.col("op") == "update"
+    # the raise_error branch is reachable ONLY when its own `when`
+    # condition includes the update check — relying on AND
+    # short-circuiting around it is unsafe once the optimizer
+    # rearranges the filter expression
+    upd_keep = {
+        "error": F.when(
+            upd & F.col("_no_before"),
+            F.raise_error(
+                F.lit(
+                    "normalize_pg_retractions: update with NULL before-"
+                    "image (source lacks REPLICA IDENTITY FULL) — exact "
+                    "aggregate maintenance is impossible; resync from a "
+                    "snapshot or pass on_missing_before='drop'"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True)),
+        "drop": ~F.col("_no_before"),
+        "keep_after": F.lit(True),
+    }[on_missing_before]
     keep = F.col("img.payload").isNotNull() & (
         (F.col("op").isin("insert", "load") & (F.col("img.sign") == 1))
         | ((F.col("op") == "delete") & (F.col("img.sign") == -1))
-        | (F.col("op") == "update")
+        | (upd & upd_keep)
     )
     return base.filter(keep).select(
         "db",

@@ -31,6 +31,9 @@ from cdc_redshift_spark.functions.text import normalize_text
 #: Modulus for deterministic sampling buckets (rates in parts-per-million).
 PPM = 1_000_000
 
+#: Arrow fast paths flush output every ~this many rows (memory bound).
+_FLUSH_ROWS = 200_000
+
 
 def stable_hash60(col: Column) -> Column:
     """60-bit engine-stable hash: first 15 hex chars of md5 as int.
@@ -133,24 +136,26 @@ def word_ngram_hash_rows(
     state only, so the path scales like any narrow map.  The Column
     form stays canonical for composition and the oracles.
 
-    Whitespace is split on the ASCII class to mirror Java's ``\\s`` in
-    `normalize_text` (Python's ``\\s`` is Unicode-wide); the corpus
-    contract is ASCII-normalized text.
+    Normalization is the shared JVM-parity mirror
+    (``functions.text.py_normalize_text``); NULL text emits no rows
+    (same as exploding a NULL gram array); output flushes every
+    ~``_FLUSH_ROWS`` gram rows so worker memory is bounded regardless
+    of Arrow batch size.
     """
-    import re
-
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    from cdc_redshift_spark.functions.text import py_normalize_text
 
     def gen(batches):
         import hashlib
 
         import pandas as pd
 
+        ids: list = []
+        hs: list = []
         for pdf in batches:
-            ids: list = []
-            hs: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = ws.sub(" ", text.lower()).strip(" \t\n\x0b\f\r").split(" ")
+                if text is None:
+                    continue
+                toks = py_normalize_text(text).split(" ")
                 top = max(len(toks) - n + 1, 1)
                 seen = set()
                 for i in range(top):
@@ -161,10 +166,15 @@ def word_ngram_hash_rows(
                         hs.append(
                             int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
                         )
+                if len(ids) >= _FLUSH_ROWS:
+                    yield pd.DataFrame({out_id: ids, "g": hs})
+                    ids, hs = [], []
+        if ids:
             yield pd.DataFrame({out_id: ids, "g": hs})
 
+    idt = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        gen, f"{out_id} long, g long"
+        gen, f"{out_id} {idt}, g long"
     )
 
 

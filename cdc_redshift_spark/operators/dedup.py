@@ -200,22 +200,10 @@ def minhash_signatures(
 # md5-derived hashes keep h·a < 2^59, so int64 never overflows and
 # (h*a+b) % P is bit-identical in numpy, Spark and DuckDB.
 
-# Java's \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s is
-# unicode-aware — spell the class out so a non-breaking space behaves
-# identically on both engines.  Spark's trim() (and DuckDB's) strips
-# ONLY the space character since SPARK-17299 — NOT all chars <= 0x20 —
-# so the mirror must strip(' ') alone or a leading \x01/\x1f would
-# normalize differently from F.trim and the oracles.
-_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
-
-
-def _py_normalize(s: str) -> str:
-    """Python mirror of functions.text.normalize_text, character-exact
-    with the JVM semantics: ASCII-only whitespace collapse (Java \\s),
-    trim of the space character only (SPARK-17299 trim semantics),
-    str.lower (≡ Java toLowerCase on ASCII; parity pinned by pytest
-    incl. unicode ws and ASCII control chars)."""
-    return _WS_RE.sub(" ", s.lower()).strip(" ")
+# The JVM-parity normalization mirror lives in functions.text (one
+# canonical copy; the SPARK-17299 trim rationale is documented there).
+from cdc_redshift_spark.functions.text import _WS_RE  # noqa: F401
+from cdc_redshift_spark.functions.text import py_normalize_text as _py_normalize
 
 
 def _minhash_frames_fn(k: int, n: int, unit: str = "char"):

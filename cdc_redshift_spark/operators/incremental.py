@@ -38,9 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: op-code vocabularies meaning "row removed" (Debezium 'd', DMS 'D',
-#: our normalized 'delete'); everything else counts as an insert-image.
+#: op-code vocabularies: "row removed" (Debezium 'd', our normalized
+#: 'delete') vs "row image added" (insert/load/snapshot-read).  An op
+#: outside BOTH vocabularies — most importantly a Debezium 'u'/'update'
+#: single-image row, which CANNOT be folded without its before-image —
+#: raises instead of silently drifting the rollup.
 DELETE_OPS = ("delete", "d")
+INSERT_OPS = ("insert", "load", "c", "i", "r")
 
 
 def rollup_delta(
@@ -56,10 +60,10 @@ def rollup_delta(
 
     Parameters
     ----------
-    changeset : one row per change image. ``op_col`` in
-        ``{'insert','delete'}`` (case-insensitive; Debezium/DMS single
-        letters accepted) — updates must arrive as delete(before) +
-        insert(after) pairs.
+    changeset : one row per change image. ``op_col`` in DELETE_OPS ∪
+        INSERT_OPS (case-insensitive) — updates must arrive as
+        delete(before) + insert(after) pairs; a bare update op raises
+        (its before-image is missing by construction).
     time_col / bucket : event-time column and ``date_trunc`` unit for
         the rollup bucket (``'hour'``, ``'day'``, ...).
     dims : extra grouping dimensions.
@@ -70,9 +74,23 @@ def rollup_delta(
     ``n_col`` and measure deltas — the only shuffle is over changed
     rows, grouped map-side first (partial aggregation).
     """
+    op = F.lower(F.col(op_col))
     sign = (
-        F.when(F.lower(F.col(op_col)).isin(*DELETE_OPS), F.lit(-1))
-        .otherwise(F.lit(1))
+        F.when(op.isin(*DELETE_OPS), F.lit(-1))
+        .when(op.isin(*INSERT_OPS), F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "rollup_delta: op must be a delete/insert image "
+                        "(updates arrive as delete-before + insert-after "
+                        "pairs, or use rollup_delta_signed over a "
+                        "retraction stream); got: "
+                    ),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
     )
     return _signed_delta(
         changeset, sign, time_col, bucket, dims, measures, n_col

@@ -34,13 +34,17 @@ def cluster(
 ) -> DataFrame:
     """Range-cluster ``df`` on ``cols``: each output partition (→ file)
     covers a disjoint range, rows sorted within.  One range shuffle —
-    the sort is partition-local, never global."""
-    n = num_files or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    return df.repartitionByRange(n, *[F.col(c) for c in cols]).sortWithinPartitions(
-        *cols
-    )
+    the sort is partition-local, never global.
+
+    Without ``num_files`` the partition count is left to Spark: an
+    EXPLICIT count is exempt from AQE coalescing, so passing one by
+    default would fragment every small snapshot into shuffle-partition
+    many tiny files; with AQE on, small inputs coalesce naturally."""
+    if num_files is not None:
+        parted = df.repartitionByRange(num_files, *[F.col(c) for c in cols])
+    else:
+        parted = df.repartitionByRange(*[F.col(c) for c in cols])
+    return parted.sortWithinPartitions(*cols)
 
 
 def file_ranges(path: str, col: str) -> list[tuple]:

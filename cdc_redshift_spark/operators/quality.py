@@ -106,7 +106,10 @@ def key_skew_report(
             *cols,
             "n",
             (F.col("n") / F.col("_total")).alias("share"),
-            (F.col("n") * F.col("_nkeys") / F.col("_total")).alias("skew_x"),
+            # divide BEFORE multiplying: n * nkeys as int64 overflows at
+            # the cardinalities this report exists for (n=1e10 rows ×
+            # nkeys=1e9 keys > 2^63)
+            (F.col("n") / F.col("_total") * F.col("_nkeys")).alias("skew_x"),
         )
         .orderBy(F.desc("n"), *cols)
         .limit(top)

@@ -554,9 +554,16 @@ def q_cdc_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = pg_retraction_stream(
         raw.filter(F.col("offset") % 2 == 1), offset_col="offset"
     )
-    assert m.update(b0, 0) is True
-    assert m.update(b0, 0) is False  # replay: marker makes it a no-op
-    assert m.update(b1, 1) is True
+    # plain calls with explicit checks: assert statements vanish under
+    # python -O and these updates are load-bearing side effects
+    applied0 = m.update(b0, 0)
+    replayed = m.update(b0, 0)  # same batch id → must no-op
+    applied1 = m.update(b1, 1)
+    if not (applied0 and applied1 and not replayed):
+        raise RuntimeError(
+            f"rollup maintenance sequence broken: {applied0}, "
+            f"{replayed}, {applied1}"
+        )
     out = m.current()
     return out.select(
         "status",

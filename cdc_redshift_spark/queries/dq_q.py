@@ -176,7 +176,7 @@ stats AS (
 )
 SELECT event_type, user_id, n,
        round(n / total, 9) AS share,
-       round(n * nkeys / total, 6) AS skew_x
+       round(n / total * nkeys, 6) AS skew_x
 FROM counts, stats
 ORDER BY n DESC, event_type, user_id
 LIMIT 10

@@ -52,14 +52,34 @@ def test_retraction_expansion(spark):
     ]
 
 
-def test_null_before_on_update_drops_retraction(spark):
-    """Without REPLICA IDENTITY FULL the update's before is NULL — the
-    -1 row is dropped (documented: exact maintenance needs full
-    images), the +1 row survives."""
-    rows = [_env("u", None, {"id": 1, "v": 9}, off=0)]
+def test_null_before_on_update_modes(spark):
+    """Without REPLICA IDENTITY FULL the update's before is NULL:
+    the default raises (degraded mode must be loud); 'drop' removes
+    the whole update; 'keep_after' keeps only the +1 image."""
+    rows = [
+        _env("u", None, {"id": 1, "v": 9}, off=0),
+        _env("c", None, {"id": 2, "v": 3}, off=1),
+    ]
+    raw = _raw(spark, rows)
+    with pytest.raises(Exception, match="REPLICA IDENTITY"):
+        pg_retraction_stream(raw, offset_col="offset").collect()
+    drop = pg_retraction_stream(
+        raw, offset_col="offset", on_missing_before="drop"
+    )
+    assert [(r["op"], r["sign"]) for r in drop.collect()] == [("insert", 1)]
+    keep = pg_retraction_stream(
+        raw, offset_col="offset", on_missing_before="keep_after"
+    )
+    assert sorted((r["op"], r["sign"]) for r in keep.collect()) == [
+        ("insert", 1),
+        ("update", 1),
+    ]
+
+
+def test_delete_null_before_contributes_nothing(spark):
+    rows = [_env("d", None, None, off=0)]
     out = pg_retraction_stream(_raw(spark, rows), offset_col="offset")
-    got = [(r["sign"],) for r in out.collect()]
-    assert got == [(1,)]
+    assert out.count() == 0
 
 
 def _prepare(r):
