@@ -92,17 +92,24 @@ def test_interval_join_is_equi_join(spark):
 
 
 def test_decontaminate_broadcasts_eval_side(spark):
-    """The benchmark corpus (and the boilerplate keep-list derived from
-    it) must ride as broadcasts — the decontamination join costs one
-    scan of the training side, no train-side gram shuffle."""
+    """Since the Arrow gram-row fast path, both sides are mapInPandas
+    (no compile-time stats), so the broadcast decision moves to AQE:
+    statically the join must still be a hash equi-join on the gram key
+    (never a nested loop), there must be exactly two Arrow passes (one
+    per corpus — the df-cap filter is a window, not a third pass), and
+    after execution AQE must have converted the small eval side to a
+    broadcast."""
     from cdc_redshift_spark.queries.corpus_q import q_corpus_decontaminate
 
-    plan = plan_of(q_corpus_decontaminate(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 2
-    # the only hash exchanges are the count-distinct aggregations (and
-    # the tiny eval-side df-cap groupBy) — never the exploded train side
-    joins = plan.split("BroadcastHashJoin")[-1]
-    assert "SortMergeJoin" not in plan
+    df = q_corpus_decontaminate(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 2
+    df.collect()
+    final = plan_of(df)
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final  # AQE runtime conversion
 
 
 def test_stratified_sample_is_scan_level_filter(spark):

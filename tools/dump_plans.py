@@ -24,11 +24,15 @@ CALLOUTS = {
     "dedup_minhash_lsh": "one narrow Arrow pass, ONE shuffle on band slice-values, in-bucket verify",
     "sim_lsh_topk": "tag -> (tbl,bucket) shuffle -> fused bucket GEMM emitting local top-k",
     "sim_pq_topk": "exactly one ArrowEvalPython (the encode); ADC scoring is codegen element_at chains",
-    "text_winnow": "explode pins normalization; sliding window min; ONE effective shuffle on id",
+    "text_winnow": "ONE mapInPandas (Arrow per-doc winnowing) and ZERO shuffles before the output projection",
     "cdc_pg_replay": "codegen parse/normalize; one LWW shuffle; one max_by merge shuffle",
     "corpus_source_cap": "salted two-phase cap: windows keyed (source,salt) then (source); no join, md5 priority in codegen",
-    "corpus_decontaminate": "gram-hash equi-join (SortMergeJoin/shuffle on 8-byte hashes), no Python",
+    "corpus_decontaminate": "Arrow gram-row fast path each side; window DF filter; one gram-hash equi-join",
     "mm_features_similarity": "one mapInPandas (Arrow) for features; cosine in codegen; TakeOrdered top-k",
+    "events_incremental_rollup": "delta fold shuffles ONLY changed rows; merge re-agg over group rows; no joins, no fact rescan",
+    "sketch_distinct_users": "WindowGroupLimit partial+final (O(k) sketch build); one array-merge agg per event_type",
+    "dq_orders_suite": "one aggregation pass per table; RI checks as BroadcastHashJoin on pruned key columns",
+    "q21_late_supplier": "ONE lineitem pass (no fact self-join): broadcast orders filter, per-order Expand agg, TakeOrdered",
 }
 
 
