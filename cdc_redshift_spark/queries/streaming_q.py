@@ -197,7 +197,10 @@ UNION ALL
 SELECT k, 'U', tot, 'update', ts0 + {_DAY}, k * 10 + 1
 FROM base WHERE k % 3 = 0 AND k % 21 <> 0
 UNION ALL
-SELECT k, st, tot, 'delete', ts0 + 2 * {_DAY}, k * 10 + 2
+-- the delete's before-image reflects the CURRENT row (Debezium image
+-- semantics): post-update status for keys the update wave touched
+SELECT k, CASE WHEN k % 3 = 0 THEN 'U' ELSE st END, tot, 'delete',
+       ts0 + 2 * {_DAY}, k * 10 + 2
 FROM base WHERE k % 7 = 0
 """
 
