@@ -922,3 +922,139 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted index
+# ---------------------------------------------------------------------------
+# The realistic 100 TB shape: the corpus is deduped ONCE, its
+# fingerprint / band index is persisted (parquet, bucketed by the join
+# key), and every new ingest batch dedups against the index WITHOUT
+# re-reading or re-hashing the corpus — per-batch work is
+# O(batch + matched buckets), not O(corpus).
+
+
+def incremental_exact_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify each batch doc against a persisted fingerprint index.
+
+    ``index``: one column ``fp`` (md5 fingerprints of every document
+    already accepted — in production a parquet table bucketed by
+    ``fp`` so this join is co-located).  ``batch``: (id, text).
+
+    Output per batch doc: ``id, fp, status, canonical_id`` where
+    status is ``dup_of_index`` (fp already in the index — wins over
+    any in-batch grouping), ``dup_in_batch`` (first occurrence of the
+    fp inside the batch keeps it), or ``new``; ``canonical_id`` is the
+    min batch id of the fp group (the batch's keeper when the fp is
+    not in the index).
+
+    Plan: one fingerprint scan over the batch, one groupBy shuffle on
+    fp (in-batch winner), one left equi-join against the index on fp.
+    Nothing touches the corpus text.
+    """
+    from cdc_redshift_spark.functions.text import fingerprint
+
+    fp = batch.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    canon = fp.groupBy("fp").agg(F.min("id").alias("canonical_id"))
+    idx = index.select("fp").distinct().withColumn("__in_idx", F.lit(1))
+    return (
+        fp.join(canon, "fp")
+        .join(idx, "fp", "left")
+        .select(
+            "id",
+            "fp",
+            F.when(F.col("__in_idx").isNotNull(), F.lit("dup_of_index"))
+            .when(F.col("id") != F.col("canonical_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "canonical_id",
+        )
+    )
+
+
+def _band_key_rows(
+    frames: DataFrame, k: int, bands: int, side: str
+) -> DataFrame:
+    """(id, sh, band, key array<long>, side) — one row per (doc, band)
+    keyed on the band's signature SLICE VALUES (collision-free, same
+    bucket discipline as :func:`minhash_lsh_pairs`), via pure Column
+    ops over an (id, sh, sig) frame."""
+    r = k // bands
+    bk = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.slice("sig", b * r + 1, r).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return frames.select(
+        "id", "sh", F.explode(bk).alias("bk"), F.lit(side).alias("side")
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "side")
+
+
+def incremental_minhash_pairs(
+    existing_frames: DataFrame,
+    batch_frames: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an already-signed corpus.
+
+    Both inputs are (id, sh, sig) frames (:func:`minhash_frames`); in
+    production ``existing_frames`` is READ from the persisted
+    signature index — the corpus is never re-shingled.  Returns
+    ``batch_id, match_id, match_side ('existing'|'batch'), jaccard``
+    for every pair whose exact shingle-set Jaccard clears the
+    threshold and that shares at least one MinHash band bucket:
+    batch-vs-existing pairs, plus batch-vs-batch pairs counted once
+    (``match_id < batch_id``).  Existing-vs-existing pairs are by
+    definition already resolved and never generated.
+
+    Plan: band rows on both sides (pure Column explode over the
+    stored signatures — no Arrow pass for the existing side), ONE
+    equi-join shuffled on (band, slice values) probing batch rows
+    against the union index, exact ``array_intersect`` verify in
+    place, distinct on the tiny qualifying output.  Per-batch cost is
+    the batch's band rows plus the buckets they actually hit.
+    """
+    a = _band_key_rows(batch_frames, k, bands, "batch").withColumnsRenamed(
+        {"id": "batch_id", "sh": "sha"}
+    )
+    b = (
+        _band_key_rows(existing_frames, k, bands, "existing")
+        .unionByName(_band_key_rows(batch_frames, k, bands, "batch"))
+        .withColumnsRenamed({"id": "match_id", "sh": "shb", "side": "match_side"})
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.size("sha") + F.size("shb") - inter)
+    return (
+        a.join(b, ["band", "key"])
+        .where(
+            (
+                (F.col("match_side") == "existing")
+                & (F.col("match_id") != F.col("batch_id"))
+            )
+            | (
+                (F.col("match_side") == "batch")
+                & (F.col("match_id") < F.col("batch_id"))
+            )
+        )
+        .where(jac >= jaccard_threshold)
+        .select(
+            "batch_id",
+            "match_id",
+            "match_side",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .distinct()
+    )

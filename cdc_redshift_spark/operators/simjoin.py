@@ -1,0 +1,137 @@
+"""Set-similarity join with prefix filtering (PPJoin family).
+
+Training-data-pipeline extension (no counterpart in the reference,
+which dedups CDC events by key only — SURVEY §2.7): find ALL document
+pairs whose word-token-set Jaccard similarity clears a threshold,
+without the O(N²) cross join.  The algorithm is the public
+prefix-filtering construction (Chaudhuri/Ganti/Kaushik SSJoin,
+ICDE'06; Xiao/Wang/Lin/Yu PPJoin, WWW'08): order every document's
+distinct tokens by a fixed global order (rarest first), keep only the
+first ``p = |s| - ceil(tau*|s|) + 1`` tokens as the *prefix*, and
+equi-join documents on shared prefix tokens — any pair with
+Jaccard >= tau MUST share at least one prefix token, so exact
+verification of the (small) candidate set finds every qualifying
+pair.  No sketching, no recall loss: the output is exact.
+
+Scale design (100 TB corpus):
+- token document frequencies: one groupBy shuffle on token (the
+  vocabulary aggregate every text pipeline already materializes).
+- rarest-first re-assembly: explode + df join + one groupBy shuffle
+  on doc id; sorting each doc's tokens by (df, token) happens inside
+  the aggregate via ``array_sort`` — no global sort.
+- candidate join: one self-equi-join shuffled on PREFIX tokens only.
+  Rarest-first ordering is the skew guard: a token appears in a
+  prefix only when few rarer tokens exist in that doc, so hot
+  (stopword-like) tokens are pushed into suffixes and never become
+  join keys — bucket sizes are bounded by the df of *rare* tokens by
+  construction, the property that makes prefix filtering the
+  standard exact similarity join at corpus scale.
+- verify: in place on the joined rows (``array_intersect`` under
+  whole-stage codegen) — candidate pairs never re-join the corpus.
+
+Everything is built-in Column expressions; no Python runs per row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.functions.text import normalize_text
+
+
+def _token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks) — distinct word tokens of the normalized text."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "toks"
+        ),
+    )
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with token-set Jaccard >= ``tau``.
+
+    Output: ``id_a, id_b, jaccard`` (rounded to 6 dp), exact — prefix
+    filtering only prunes candidates, never results.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    toks = _token_sets(df, id_col, text_col)
+
+    # Global token order: rarest first, ties broken lexicographically.
+    # The df table is vocabulary-sized; at sf scale AQE broadcasts it,
+    # at 100 TB it is an equi-join shuffled on token either way.
+    tok_df = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    # Re-assemble each doc with tokens sorted rarest-first and slice
+    # the prefix.  ceil/greatest keep p >= 1 so single-token docs
+    # still carry one prefix token.
+    ordered = (
+        toks.select("id", F.explode("toks").alias("tok"))
+        .join(tok_df, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn(
+            "p",
+            F.greatest(
+                F.lit(1),
+                (F.col("sz") - F.ceil(tau * F.col("sz")) + 1).cast("int"),
+            ),
+        )
+    )
+    pre = ordered.select(
+        "id", "toks", "sz", F.explode(F.slice("toks", 1, F.col("p"))).alias("tok")
+    )
+
+    a = pre.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
+        "tok",
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("sb"),
+        "tok",
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.col("sa") + F.col("sb") - inter)
+    return (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: Jaccard >= tau forces min/max size >= tau
+        .where(F.least("sa", "sb") >= tau * F.greatest("sa", "sb"))
+        # threshold on the UNROUNDED value (the oracle does the same);
+        # rounding is presentation only
+        .where(jac >= tau)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        # a pair sharing several prefix tokens joins several times;
+        # the distinct runs on the tiny qualifying-pair output
+        .distinct()
+    )
+
+
+def prefix_length(sz: int, tau: float) -> int:
+    """Prefix length for a set of ``sz`` tokens at threshold ``tau``
+    (exposed for the completeness property test)."""
+    return max(1, sz - math.ceil(tau * sz) + 1)

@@ -20,11 +20,15 @@ from pyspark.sql import functions as F
 from cdc_redshift_spark.operators.dedup import (
     MINHASH_P,
     exact_dedup,
+    incremental_exact_dedup,
+    incremental_minhash_pairs,
     minhash_coeffs,
+    minhash_frames,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from cdc_redshift_spark.operators.simjoin import jaccard_similarity_join
 from cdc_redshift_spark.operators.similarity import rh_lsh_near_dup_pairs
 from cdc_redshift_spark.queries.similarity import DUCK_COSINE, duck_lsh_cand_sql
 from cdc_redshift_spark.sources.tables import load_table
@@ -519,6 +523,124 @@ ORDER BY cluster_id
 """
 
 
+# ---- prefix-filtered similarity join --------------------------------------
+
+SIMJOIN_TAU = 0.9
+
+
+def q_dedup_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs word-token-set Jaccard join at tau=0.9 via
+    prefix filtering (operators/simjoin.py — SSJoin/PPJoin family).
+    The Spark plan never forms the cross product; the oracle is the
+    brute-force O(N^2) definition, so a green hash certifies the
+    pruning loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_similarity_join(docs, tau=SIMJOIN_TAU)
+
+
+ORACLE_SIMJOIN = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split({DUCK_NORM.format(c='text')}, ' ')) AS w
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.w, b.w))::DOUBLE
+             / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.w, b.w))::DOUBLE
+      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= {SIMJOIN_TAU}
+"""
+
+
+# ---- incremental dedup against a persisted index --------------------------
+
+# Deterministic corpus split standing in for "index built yesterday,
+# batch arriving today": doc_id % 4 == 0 is the new batch.
+INC_BATCH_MOD = 4
+
+
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify a new ingest batch against the persisted fingerprint
+    index of the already-accepted corpus (operators/dedup.py
+    `incremental_exact_dedup`) — per-batch work never touches the
+    corpus text."""
+    docs = load_table(spark, sf_dir, "documents")
+    from cdc_redshift_spark.functions.text import fingerprint
+
+    ex = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
+    ba = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    index = ex.select(fingerprint(F.col("text")).alias("fp"))
+    return incremental_exact_dedup(index, ba)
+
+
+ORACLE_INC_EXACT = f"""
+WITH fp AS (
+  SELECT doc_id AS id, md5({DUCK_NORM.format(c='text')}) AS fp FROM documents
+), idx AS (
+  SELECT DISTINCT fp FROM fp WHERE id % {INC_BATCH_MOD} != 0
+), b AS (
+  SELECT id, fp FROM fp WHERE id % {INC_BATCH_MOD} = 0
+), canon AS (
+  SELECT fp, min(id) AS canonical_id FROM b GROUP BY fp
+)
+SELECT b.id, b.fp,
+       CASE WHEN idx.fp IS NOT NULL THEN 'dup_of_index'
+            WHEN b.id != canon.canonical_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       canon.canonical_id
+FROM b JOIN canon USING (fp) LEFT JOIN idx ON idx.fp = b.fp
+"""
+
+INC_MH_K, INC_MH_BANDS, INC_MH_THRESHOLD = 32, 8, 0.5
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs of the new batch against the already-SIGNED
+    corpus (operators/dedup.py `incremental_minhash_pairs`): the
+    existing side's (id, sh, sig) frames stand in for the persisted
+    signature index — band rows come from stored signatures via pure
+    Column ops, the corpus is never re-shingled."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
+    ba = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    return incremental_minhash_pairs(
+        minhash_frames(ex, k=INC_MH_K),
+        minhash_frames(ba, k=INC_MH_K),
+        k=INC_MH_K,
+        bands=INC_MH_BANDS,
+        jaccard_threshold=INC_MH_THRESHOLD,
+    )
+
+
+def _oracle_inc_minhash(
+    k: int = INC_MH_K, bands: int = INC_MH_BANDS, thr: float = INC_MH_THRESHOLD
+) -> str:
+    r = k // bands
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
+), sig AS (
+  SELECT id, h, {duck_minhash_sig('h', k)} AS sig FROM sh
+), bb AS (
+  SELECT id, b, list_slice(sig, b*{r} + 1, b*{r} + {r}) AS key,
+         (id % {INC_BATCH_MOD} = 0) AS is_batch
+  FROM sig, range({bands}) t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS batch_id, m.id AS match_id,
+         CASE WHEN m.is_batch THEN 'batch' ELSE 'existing' END AS match_side
+  FROM bb a JOIN bb m ON a.b = m.b AND a.key = m.key
+  WHERE a.is_batch
+    AND ((NOT m.is_batch AND m.id != a.id) OR (m.is_batch AND m.id < a.id))
+)
+SELECT c.batch_id, c.match_id, c.match_side,
+       round(len(list_intersect(x.h, y.h))::DOUBLE
+             / (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))), 6) AS jaccard
+FROM cand c JOIN sig x ON x.id = c.batch_id JOIN sig y ON y.id = c.match_id
+WHERE len(list_intersect(x.h, y.h))::DOUBLE
+      / (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h))) >= {thr}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -530,6 +652,9 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_graph_triangles": q_dedup_graph_triangles,
     "dedup_cluster_reps": q_dedup_cluster_reps,
+    "dedup_simjoin": q_dedup_simjoin,
+    "dedup_incremental_exact": q_dedup_incremental_exact,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
 }
 
 ORACLES = {
@@ -543,4 +668,7 @@ ORACLES = {
     "dedup_clusters": _oracle_clusters(),
     "dedup_graph_triangles": ORACLE_TRIANGLES,
     "dedup_cluster_reps": _oracle_cluster_reps(),
+    "dedup_simjoin": ORACLE_SIMJOIN,
+    "dedup_incremental_exact": ORACLE_INC_EXACT,
+    "dedup_incremental_minhash": _oracle_inc_minhash(),
 }

@@ -1,0 +1,157 @@
+"""Prefix-filtered similarity join + incremental dedup properties.
+
+The load-bearing guarantees:
+- prefix filtering is EXACT — its output equals the brute-force
+  cross-join definition (completeness: any pair with Jaccard >= tau
+  shares a prefix token under any fixed global token order);
+- the candidate join never degenerates into a cartesian /
+  broadcast-nested-loop plan;
+- incremental dedup against an index equals the from-scratch result
+  restricted to the batch (the property that lets a 100 TB corpus be
+  deduped once and extended per-batch).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.dedup import (
+    incremental_exact_dedup,
+    incremental_minhash_pairs,
+    minhash_frames,
+)
+from cdc_redshift_spark.operators.simjoin import (
+    jaccard_similarity_join,
+    prefix_length,
+)
+from cdc_redshift_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").limit(200).cache()
+
+
+def brute_pairs(spark, docs, tau):
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("w"),
+    )
+    a = toks.select(F.col("id").alias("id_a"), F.col("w").alias("wa"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("w").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    jac = inter / (F.size("wa") + F.size("wb") - inter)
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(jac >= tau)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8, 1.0])
+def test_simjoin_equals_bruteforce(spark, docs, tau):
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_similarity_join(docs, tau=tau).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in brute_pairs(spark, docs, tau).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce at least one qualifying pair"
+
+
+def test_simjoin_rejects_bad_tau(spark, docs):
+    for tau in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            jaccard_similarity_join(docs, tau=tau)
+
+
+def test_prefix_length_bounds():
+    # p >= 1 always; tau=1 keeps exactly one token; tau->0 keeps all
+    assert prefix_length(1, 0.9) == 1
+    assert prefix_length(10, 1.0) == 1
+    assert prefix_length(10, 0.9) == 2
+    assert prefix_length(10, 0.5) == 6
+
+
+def test_simjoin_plan_has_no_cartesian(spark, docs):
+    plan = jaccard_similarity_join(docs, tau=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- incremental dedup ----------------------------------------------------
+
+
+def test_incremental_exact_matches_scratch(spark, docs):
+    from cdc_redshift_spark.functions.text import fingerprint
+
+    ex = docs.where(F.col("doc_id") % 3 != 0)
+    ba = docs.where(F.col("doc_id") % 3 == 0)
+    index = ex.select(fingerprint(F.col("text")).alias("fp"))
+    out = incremental_exact_dedup(index, ba).cache()
+
+    # every batch doc classified exactly once
+    assert out.count() == ba.count()
+    # dup_of_index rows are precisely the batch fps present in the index
+    idx_fps = {r.fp for r in index.distinct().collect()}
+    for r in out.collect():
+        if r.fp in idx_fps:
+            assert r.status == "dup_of_index"
+        elif r.id != r.canonical_id:
+            assert r.status == "dup_in_batch"
+        else:
+            assert r.status == "new"
+
+    # idempotence: fold the new fps into the index -> rerun marks
+    # EVERY batch doc as dup_of_index or dup_in_batch-of-an-accepted fp
+    newly = out.where(F.col("status") == "new").select("fp")
+    out2 = incremental_exact_dedup(index.unionByName(newly), ba)
+    assert out2.where(F.col("status") != "dup_of_index").count() == 0
+
+
+def test_incremental_minhash_matches_scratch(spark, docs):
+    k, bands, thr = 32, 8, 0.5
+    ex = docs.where(F.col("doc_id") % 3 != 0)
+    ba = docs.where(F.col("doc_id") % 3 == 0)
+    batch_ids = {r.doc_id for r in ba.select("doc_id").collect()}
+
+    inc = incremental_minhash_pairs(
+        minhash_frames(ex, k=k),
+        minhash_frames(ba, k=k),
+        k=k,
+        bands=bands,
+        jaccard_threshold=thr,
+    )
+    got = {
+        frozenset((r.batch_id, r.match_id)) for r in inc.collect()
+    }
+
+    # from-scratch: run the SAME band-join over the whole corpus with
+    # an empty "existing" side, keep pairs touching >= 1 batch doc
+    all_frames = minhash_frames(docs, k=k)
+    empty = all_frames.limit(0)
+    full = incremental_minhash_pairs(
+        empty, all_frames, k=k, bands=bands, jaccard_threshold=thr
+    )
+    want = {
+        frozenset((r.batch_id, r.match_id))
+        for r in full.collect()
+        if r.batch_id in batch_ids or r.match_id in batch_ids
+    }
+    assert got == want
+    assert want, "fixture must produce at least one incremental pair"
+
+    # side labels are trustworthy
+    for r in inc.collect():
+        assert (r.match_side == "batch") == (r.match_id in batch_ids)
