@@ -318,3 +318,164 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == key, F.lit(int(ppm))).otherwise(rate)
     bucket = F.pmod(stable_hash60(F.col(id_col).cast("string")), F.lit(PPM))
     return df.where(bucket < rate)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token-budget chunks with overlap —
+    the context-window prep step of an LLM training pipeline.
+
+    Tokens are whitespace words of the normalized text; chunk ``i``
+    covers tokens ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``, so consecutive chunks share
+    ``overlap`` tokens and every token is covered.  Documents at or
+    under the budget yield exactly one chunk.
+
+    Output: ``doc_id, chunk_id, chunk_text, n_tokens`` (one row per
+    chunk).  All math is integer (ceil via ``(x + stride-1) / stride``
+    on positive ints) and the explode is ``sequence`` + ``transform``
+    inside whole-stage codegen — a pure scan-side flatMap, no shuffle,
+    no Python.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    from cdc_redshift_spark.functions.text import normalize_text
+
+    stride = max_tokens - overlap
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    nch = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.floor((n - max_tokens + stride - 1) / stride) + 1
+    )
+    chunk = F.explode(
+        F.sequence(F.lit(0).cast("long"), nch.cast("long") - 1)
+    ).alias("chunk_id")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"), chunk)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice(
+                    "__toks",
+                    (F.col("chunk_id") * stride + 1).cast("int"),
+                    max_tokens,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(
+                    "__toks",
+                    (F.col("chunk_id") * stride + 1).cast("int"),
+                    max_tokens,
+                )
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def pack_token_stream(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-chop sequence packing: map every document to
+    its position in fixed-``budget`` training sequences.
+
+    The standard GPT-style packing: within a shard, documents are
+    concatenated in deterministic (id) order into one token stream
+    that is chopped into ``budget``-token sequences; documents may
+    straddle sequence boundaries.  Output per doc: ``doc_id, shard,
+    n_tokens, start_offset`` (token offset in the shard stream),
+    ``seq_first, seq_last`` (the sequences the doc lands in) — the
+    manifest a loader needs to materialize packed sequences.
+
+    Sharding (``doc_id % n_shards``) bounds the window: the
+    cumulative-sum window runs per shard, so parallelism is
+    ``n_shards`` regardless of corpus size — at 100 TB pick shards ≈
+    output files.  One shuffle (the per-shard ordered window); all
+    integer math.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    from cdc_redshift_spark.functions.text import normalize_text
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("__cum") - F.col("n_tokens")).alias("start_offset"),
+            F.floor((F.col("__cum") - F.col("n_tokens")) / budget).alias(
+                "seq_first"
+            ),
+            F.floor((F.col("__cum") - 1) / budget).alias("seq_last"),
+        )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` documents,
+    weight = token count (sample tokens, not documents — the mix
+    knob for length-skewed corpora).
+
+    Efraimidis–Spirakis A-ES (IPL 2006): priority ``u^(1/w)`` with
+    ``u`` a deterministic per-doc uniform from the engine-stable
+    60-bit hash of ``id:text`` — the top-``k`` priorities are exactly
+    a weighted sample without replacement, reproducible across runs,
+    engines and cluster sizes (no RNG state, same nested-sample
+    property as :func:`stratified_sample`).
+
+    Output: ``doc_id, n_tokens`` of the selected docs.  Plan: pure
+    codegen scan + ``TakeOrderedAndProject`` (top-k never sorts the
+    corpus); ties (identical priority) break on doc_id so the
+    selected SET is engine-stable.
+    """
+    from cdc_redshift_spark.functions.text import normalize_text
+
+    w = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
+    u = (
+        stable_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)))
+        + 1
+    ) / F.lit(float(1 << 60))
+    pri = F.pow(u, 1.0 / w)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            w.alias("n_tokens"),
+            pri.alias("__pri"),
+        )
+        .orderBy(F.col("__pri").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_tokens")
+    )

@@ -12,10 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.corpus import (
+    chunk_documents,
     decontaminate,
+    pack_token_stream,
     repetition_stats,
     source_cap,
     stratified_sample,
+    weighted_sample,
 )
 from cdc_redshift_spark.sources.tables import load_table
 
@@ -415,6 +418,103 @@ GROUP BY source ORDER BY source
 """
 
 
+# ---- chunking / packing / weighted sampling -------------------------------
+
+CHUNK_MAX, CHUNK_OVERLAP = 24, 4
+CHUNK_STRIDE = CHUNK_MAX - CHUNK_OVERLAP
+
+
+def q_corpus_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking with overlap (operators/corpus.py
+    `chunk_documents`) — context-window prep; pure scan-side flatMap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP)
+
+
+ORACLE_CHUNK = f"""
+WITH t AS (
+  SELECT doc_id, string_split({DUCK_NORM.format(c='text')}, ' ') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {CHUNK_MAX} THEN 1
+              ELSE (len(w) - {CHUNK_MAX} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+         END AS nch
+  FROM t
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(range(nch), i -> struct_pack(
+           chunk_id := i,
+           chunk_text := array_to_string(
+             list_slice(w, i*{CHUNK_STRIDE} + 1, i*{CHUNK_STRIDE} + {CHUNK_MAX}), ' '),
+           n_tokens := CAST(len(
+             list_slice(w, i*{CHUNK_STRIDE} + 1, i*{CHUNK_STRIDE} + {CHUNK_MAX})) AS BIGINT)
+         ))) AS u
+  FROM c
+)
+SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+       u.n_tokens AS n_tokens
+FROM e
+"""
+
+PACK_BUDGET, PACK_SHARDS = 512, 8
+
+
+def q_corpus_pack_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chop sequence-packing manifest
+    (operators/corpus.py `pack_token_stream`): every doc's position in
+    fixed-budget training sequences; per-shard windows bound the
+    ordered-window parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_stream(docs, budget=PACK_BUDGET, n_shards=PACK_SHARDS)
+
+
+ORACLE_PACK = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split({DUCK_NORM.format(c='text')}, ' ')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_first,
+       CAST((cum - 1) // {PACK_BUDGET} AS BIGINT) AS seq_last
+FROM c
+"""
+
+WSAMPLE_K = 100
+
+
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted Efraimidis-Spirakis sample of {WSAMPLE_K} docs
+    (operators/corpus.py `weighted_sample`): priority u^(1/n_tokens)
+    on the engine-stable 60-bit hash — deterministic weighted
+    sampling with no RNG state; plan is scan + TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=WSAMPLE_K)
+
+
+ORACLE_WSAMPLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split({DUCK_NORM.format(c='text')}, ' ')) AS BIGINT) AS n_tokens,
+         ({DUCK_HASH60.format(c="CAST(doc_id AS VARCHAR) || ':' || text")} + 1)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, n_tokens
+FROM d
+ORDER BY pow(u, 1.0 / n_tokens) DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
 QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_source_cap": q_corpus_source_cap,
@@ -423,6 +523,9 @@ QUERIES = {
     "corpus_token_shards": q_corpus_token_shards,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "corpus_novelty": q_corpus_novelty,
+    "corpus_chunk_docs": q_corpus_chunk_docs,
+    "corpus_pack_stream": q_corpus_pack_stream,
+    "corpus_weighted_sample": q_corpus_weighted_sample,
 }
 
 ORACLES = {
@@ -433,4 +536,7 @@ ORACLES = {
     "corpus_token_shards": ORACLE_TOKEN_SHARDS,
     "corpus_clean_pipeline": _oracle_clean_pipeline(),
     "corpus_novelty": ORACLE_NOVELTY,
+    "corpus_chunk_docs": ORACLE_CHUNK,
+    "corpus_pack_stream": ORACLE_PACK,
+    "corpus_weighted_sample": ORACLE_WSAMPLE,
 }
