@@ -304,5 +304,66 @@ def main():
     changes.unpersist()
 
 
+    # round-5 operators ------------------------------------------------
+    # prefix-filtered similarity join: replicas get per-replica vowel
+    # permutations (F.translate), so replica vocabularies are disjoint
+    # -> input grows 4x, qualifying pairs grow ~4x, and the candidate
+    # join must stay ~linear (prefix tokens never cross replicas)
+    from cdc_redshift_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_frames,
+    )
+    from cdc_redshift_spark.operators.simjoin import jaccard_similarity_join
+
+    VOWELS = "aeiou"
+    PERMS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio", "eaiou", "aieou", "aeoiu"]
+
+    def translated_docs(docs, n):
+        parts = []
+        for i in range(n):
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                    F.translate("text", VOWELS, PERMS[i % len(PERMS)]).alias(
+                        "text"
+                    ),
+                )
+            )
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
+
+    jaccard_similarity_join(docs.limit(200), tau=0.9).count()  # warm
+    for scale in (1, REPLICAS):
+        d = translated_docs(docs, scale).persist()
+        n = d.count()
+        t0 = time.perf_counter()
+        npairs = jaccard_similarity_join(d, tau=0.9).count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "jaccard_simjoin", "docs": n, "pairs": npairs, "sec": wall}), flush=True)
+        d.unpersist()
+
+    # incremental minhash: FIXED 500-doc batch probed against a growing
+    # signed index -> per-batch wall should grow far slower than the
+    # index (the whole point of indexing: batch cost, not corpus cost)
+    batch = docs.limit(500).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    )
+    bf = minhash_frames(batch).persist()
+    bf.count()
+    for scale in (1, REPLICAS):
+        idx = minhash_frames(translated_docs(docs, scale)).persist()
+        n = idx.count()
+        t0 = time.perf_counter()
+        npairs = incremental_minhash_pairs(
+            idx, bf, jaccard_threshold=0.9
+        ).count()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "incremental_minhash_batch500", "index_docs": n, "pairs": npairs, "sec": wall}), flush=True)
+        idx.unpersist()
+    bf.unpersist()
+
+
 if __name__ == "__main__":
     main()
