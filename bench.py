@@ -63,6 +63,10 @@ def main() -> None:
         # changed-rows-only aggregate path) and the one-pass DQ gate
         "events_incremental_rollup",
         "dq_orders_suite",
+        # round-5 third pass: prefix-filtered exact similarity join
+        # and batch-vs-index incremental near-dup probe
+        "dedup_simjoin",
+        "dedup_incremental_minhash",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

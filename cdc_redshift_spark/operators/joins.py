@@ -68,3 +68,58 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
     )
     return f.join(d, [*keys, "__salt"], how).drop("__salt")
+
+
+def fuzzy_name_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+    max_dist: int = 1,
+    block_len: int = 4,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: blocking + Levenshtein verify.
+
+    ``left_cols``/``right_cols`` are ``(key_col, name_col)``.  Names
+    are canonicalized (lower, trim, collapse whitespace); candidate
+    pairs share the first ``block_len`` characters (the BLOCKING key —
+    the standard ER recall contract: pairs that differ inside the
+    block prefix are not candidates, so pick a prefix that survives
+    the expected error modes, e.g. a stable field prefix or a phonetic
+    code), then are verified with ``levenshtein <= max_dist``, with a
+    free length-difference pre-filter ahead of the O(n·m) distance.
+
+    Output: ``key_a, key_b, name_a, name_b, dist``.
+
+    Scale: one equi-join shuffled on the block key — never an all-pairs
+    theta join (plan-pinned).  Block sizes bound verify work; skewed
+    blocks (one hot prefix) are the same hot-key problem as any join
+    and compose with :func:`salted_join`.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    lk, ln = left_cols
+    rk, rn = right_cols
+
+    def norm(c: str) -> Column:
+        return F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " "))
+
+    a = left.select(
+        F.col(lk).alias("key_a"),
+        norm(ln).alias("name_a"),
+        F.substring(norm(ln), 1, block_len).alias("__blk"),
+    )
+    b = right.select(
+        F.col(rk).alias("key_b"),
+        norm(rn).alias("name_b"),
+        F.substring(norm(rn), 1, block_len).alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )

@@ -641,6 +641,46 @@ WHERE len(list_intersect(x.h, y.h))::DOUBLE
 """
 
 
+# ---- entity-resolution fuzzy join -----------------------------------------
+
+ER_BLOCK_LEN, ER_MAX_DIST = 16, 1
+
+
+def q_er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape (operators/joins.py `fuzzy_name_join`):
+    customer self-match — blocking on the 16-char name prefix, then
+    Levenshtein <= 1 verify; key_a < key_b halves the symmetric pairs.
+    The oracle mirrors blocking + verify exactly, so the hash also
+    certifies cross-engine Levenshtein agreement."""
+    from cdc_redshift_spark.operators.joins import fuzzy_name_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_name_join(
+        cust,
+        cust,
+        ("c_custkey", "c_name"),
+        ("c_custkey", "c_name"),
+        max_dist=ER_MAX_DIST,
+        block_len=ER_BLOCK_LEN,
+    ).where(F.col("key_a") < F.col("key_b"))
+
+
+ORACLE_ER_FUZZY = f"""
+WITH c AS (
+  SELECT c_custkey AS k,
+         trim(regexp_replace(lower(c_name), '\s+', ' ', 'g')) AS nm
+  FROM customer
+)
+SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+FROM c a JOIN c b
+  ON substr(a.nm, 1, {ER_BLOCK_LEN}) = substr(b.nm, 1, {ER_BLOCK_LEN})
+ AND a.k < b.k
+WHERE abs(length(a.nm) - length(b.nm)) <= {ER_MAX_DIST}
+  AND levenshtein(a.nm, b.nm) <= {ER_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -655,6 +695,7 @@ QUERIES = {
     "dedup_simjoin": q_dedup_simjoin,
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
+    "er_fuzzy_name_pairs": q_er_fuzzy_name_pairs,
 }
 
 ORACLES = {
@@ -671,4 +712,5 @@ ORACLES = {
     "dedup_simjoin": ORACLE_SIMJOIN,
     "dedup_incremental_exact": ORACLE_INC_EXACT,
     "dedup_incremental_minhash": _oracle_inc_minhash(),
+    "er_fuzzy_name_pairs": ORACLE_ER_FUZZY,
 }

@@ -512,6 +512,73 @@ FROM ev JOIN base b ON ev.k = b.k
 """
 
 
+# ---- streaming ingest dedup (persisted fingerprint index) -----------------
+
+DUCK_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def q_cdc_ingest_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ingest waves through :class:`IngestDeduper` — each wave is
+    one micro-batch classifying its docs against the fingerprint index
+    persisted by the earlier waves, then growing it.
+
+    Waves partition doc_id ascending (terciles of the id range), so
+    cross-wave first-wins equals global min-id-per-fingerprint and the
+    accepted set is exactly SQL-expressible.
+    """
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.ingest import IngestDeduper
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
+
+    root = tempfile.mkdtemp(prefix="ingest_dedup_")
+    indir = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    idx = os.path.join(root, "index")
+    acc = os.path.join(root, "accepted")
+    os.makedirs(indir, exist_ok=True)
+    dedup = IngestDeduper(idx, acc)
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for lo, up in zip(cuts, cuts[1:]):
+            docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            ).coalesce(4).write.mode("append").json(indir)
+            q = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .json(indir)  # no file cap: the wave = one micro-batch
+                .writeStream.foreachBatch(dedup)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("ingest dedup drain exceeded 600 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return spark.read.parquet(acc).select(F.col("id").alias("doc_id"), "fp")
+
+
+ORACLE_INGEST_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id, md5({DUCK_NORM_TEXT}) AS fp FROM documents
+), r AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fp
+)
+SELECT doc_id, fp FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
@@ -520,6 +587,7 @@ QUERIES = {
     "events_stream_join": q_events_stream_join,
     "cdc_first_seen_stream": q_cdc_first_seen_stream,
     "cdc_enrich_stream": q_cdc_enrich_stream,
+    "cdc_ingest_dedup_stream": q_cdc_ingest_dedup_stream,
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
@@ -529,4 +597,5 @@ ORACLES = {
     "events_stream_join": ORACLE_STREAM_JOIN,
     "cdc_first_seen_stream": ORACLE_FIRST_SEEN,
     "cdc_enrich_stream": ORACLE_ENRICH,
+    "cdc_ingest_dedup_stream": ORACLE_INGEST_DEDUP,
 }

@@ -1,0 +1,74 @@
+"""Streaming ingest-dedup invariants: replay safety and
+split-independence of the admitted corpus."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.sources.tables import load_table
+from cdc_redshift_spark.streaming.ingest import IngestDeduper
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .cache()
+    )
+
+
+def expected_accepted(spark, docs):
+    from cdc_redshift_spark.functions.text import fingerprint
+
+    w = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    return {
+        r.doc_id
+        for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .withColumn("rn", w)
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+
+
+def run_waves(spark, docs, splits, tmp, replay_wave=None):
+    dd = IngestDeduper(os.path.join(tmp, "idx"), os.path.join(tmp, "acc"))
+    for i, (lo, up) in enumerate(splits):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        dd(batch, i)
+        if replay_wave == i:  # at-least-once: same batch delivered twice
+            dd(batch, i)
+    return {r.id for r in spark.read.parquet(os.path.join(tmp, "acc")).collect()}
+
+
+def test_splits_and_replay_agree(spark, docs):
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    want = expected_accepted(spark, docs)
+    thirds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]
+    with tempfile.TemporaryDirectory() as t1:
+        assert run_waves(spark, docs, [(0, hi)], t1) == want  # one wave
+    with tempfile.TemporaryDirectory() as t2:
+        assert run_waves(spark, docs, thirds, t2) == want  # three waves
+    with tempfile.TemporaryDirectory() as t3:
+        # replaying a whole wave must not grow the corpus
+        assert run_waves(spark, docs, thirds, t3, replay_wave=1) == want
+
+
+def test_dup_of_index_never_lands(spark, docs):
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    with tempfile.TemporaryDirectory() as tmp:
+        got = run_waves(
+            spark, docs, [(0, hi // 2), (hi // 2, hi), (0, hi)], tmp
+        )
+        # third wave re-offers the whole corpus; nothing new admitted
+        assert got == expected_accepted(spark, docs)
+        # index holds exactly one fp per accepted doc
+        n_idx = spark.read.parquet(os.path.join(tmp, "idx")).count()
+        assert n_idx == len(got)

@@ -33,6 +33,11 @@ CALLOUTS = {
     "sketch_distinct_users": "WindowGroupLimit partial+final (O(k) sketch build); one array-merge agg per event_type",
     "dq_orders_suite": "one aggregation pass per table; RI checks as BroadcastHashJoin on pruned key columns",
     "q21_late_supplier": "ONE lineitem pass (no fact self-join): broadcast orders filter, per-order Expand agg, TakeOrdered",
+    "dedup_simjoin": "no CartesianProduct/BNLJ anywhere: prefix explode -> equi-join on rare tokens; array_intersect verify in codegen",
+    "dedup_incremental_minhash": "band rows from STORED signatures (no Arrow on the index side); one equi-join on (band, slice-values)",
+    "corpus_chunk_docs": "zero Exchange: sequence+slice flatMap entirely inside WholeStageCodegen",
+    "corpus_pack_stream": "one Exchange keyed on shard; running-sum window per shard; integer-only projections",
+    "corpus_weighted_sample": "scan + TakeOrderedAndProject (no global Sort); priorities in codegen (conv/md5/pow)",
 }
 
 
