@@ -982,23 +982,32 @@ def incremental_exact_dedup(
 def _band_key_rows(
     frames: DataFrame, k: int, bands: int, side: str
 ) -> DataFrame:
-    """(id, sh, band, key array<long>, side) — one row per (doc, band)
-    keyed on the band's signature SLICE VALUES (collision-free, same
-    bucket discipline as :func:`minhash_lsh_pairs`), via pure Column
-    ops over an (id, sh, sig) frame."""
+    """(id, sh, band, key struct<k0..k{r-1}:long>, side) — one row per
+    (doc, band) keyed on the band's signature SLICE VALUES
+    (collision-free, same bucket discipline as
+    :func:`minhash_lsh_pairs`), via pure Column ops over an
+    (id, sh, sig) frame.  The key is a STRUCT, not an array: struct
+    join keys hash-partition (ShuffledHashJoin/SMJ on fixed-width
+    fields), where array keys force order-based comparison paths —
+    measured 30x on the sf0.1 probe (SCALE.md)."""
     r = k // bands
     bk = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.slice("sig", b * r + 1, r).alias("key"),
+                F.struct(
+                    *[
+                        F.col("sig")[b * r + j].alias(f"k{j}")
+                        for j in range(r)
+                    ]
+                ).alias("key"),
             )
             for b in range(bands)
         ]
     )
     return frames.select(
-        "id", "sh", F.explode(bk).alias("bk"), F.lit(side).alias("side")
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "side")
+        "id", F.explode(bk).alias("bk"), F.lit(side).alias("side")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "side")
 
 
 def incremental_minhash_pairs(
@@ -1027,17 +1036,19 @@ def incremental_minhash_pairs(
     place, distinct on the tiny qualifying output.  Per-batch cost is
     the batch's band rows plus the buckets they actually hit.
     """
-    a = _band_key_rows(batch_frames, k, bands, "batch").withColumnsRenamed(
-        {"id": "batch_id", "sh": "sha"}
+    a = _band_key_rows(batch_frames, k, bands, "batch").withColumnRenamed(
+        "id", "batch_id"
     )
     b = (
         _band_key_rows(existing_frames, k, bands, "existing")
         .unionByName(_band_key_rows(batch_frames, k, bands, "batch"))
-        .withColumnsRenamed({"id": "match_id", "sh": "shb", "side": "match_side"})
+        .withColumnsRenamed({"id": "match_id", "side": "match_side"})
     )
-    inter = F.size(F.array_intersect("sha", "shb"))
-    jac = inter / (F.size("sha") + F.size("shb") - inter)
-    return (
+    # candidate ID pairs only — the (possibly megabucket) band join
+    # never shuffles a shingle array, and each pair verifies ONCE
+    # however many bands it collides in (the simjoin lesson: verify
+    # work scales with distinct pairs, not bucket-size × bands)
+    cand = (
         a.join(b, ["band", "key"])
         .where(
             (
@@ -1049,6 +1060,22 @@ def incremental_minhash_pairs(
                 & (F.col("match_id") < F.col("batch_id"))
             )
         )
+        .select("batch_id", "match_id", "match_side")
+        .distinct()
+    )
+    sha = batch_frames.select(
+        F.col("id").alias("batch_id"), F.col("sh").alias("sha")
+    )
+    shb = (
+        existing_frames.select(F.col("id").alias("match_id"), "sh")
+        .unionByName(batch_frames.select(F.col("id").alias("match_id"), "sh"))
+        .withColumnRenamed("sh", "shb")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sha, "batch_id")
+        .join(shb, "match_id")
         .where(jac >= jaccard_threshold)
         .select(
             "batch_id",
@@ -1056,5 +1083,4 @@ def incremental_minhash_pairs(
             "match_side",
             F.round(jac, 6).alias("jaccard"),
         )
-        .distinct()
     )

@@ -356,8 +356,12 @@ def main():
         idx = minhash_frames(translated_docs(docs, scale)).persist()
         n = idx.count()
         t0 = time.perf_counter()
+        # bands=4 (r=8): the banding for a 0.9 threshold — the default
+        # 8x4 is tuned for ~0.5-0.6 and floods the candidate set with
+        # sub-threshold pairs on a template-heavy corpus (measured
+        # 836k candidates -> 12k for the same 541 survivors)
         npairs = incremental_minhash_pairs(
-            idx, bf, jaccard_threshold=0.9
+            idx, bf, bands=4, jaccard_threshold=0.9
         ).count()
         wall = round(time.perf_counter() - t0, 2)
         print(json.dumps({"op": "incremental_minhash_batch500", "index_docs": n, "pairs": npairs, "sec": wall}), flush=True)
