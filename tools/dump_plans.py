@@ -58,8 +58,24 @@ def main() -> None:
         "they are assertable.",
         "",
     ]
+    def lazy_simjoin(spark, sf_dir):
+        # eager=False: the gated form localCheckpoints (collapsing the
+        # dumped plan to an ExistingRDD scan); the lazy form has the
+        # identical logical plan up to that point
+        from cdc_redshift_spark.operators.simjoin import (
+            jaccard_similarity_join,
+        )
+        from cdc_redshift_spark.queries.dedup_q import SIMJOIN_TAU
+        from cdc_redshift_spark.sources.tables import load_table
+
+        return jaccard_similarity_join(
+            load_table(spark, sf_dir, "documents"), tau=SIMJOIN_TAU, eager=False
+        )
+
+    overrides = {"dedup_simjoin": lazy_simjoin}
+
     for name, note in CALLOUTS.items():
-        df = qs[name](spark, SF)
+        df = overrides.get(name, qs[name])(spark, SF)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
