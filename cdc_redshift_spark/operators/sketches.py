@@ -136,3 +136,123 @@ def hll_merge_estimate(
         F.count(F.lit(1)).alias("n_parts"),
     )
     return merged.withColumn("n_est", F.hll_sketch_estimate("hll"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: log2 histogram with integer sub-bins
+# ---------------------------------------------------------------------------
+# Quantiles are the other rollup measure (besides distinct) that can't
+# be re-aggregated from finer rollups.  The standard mergeable answer
+# is a relative-error log histogram (the DDSketch construction —
+# Masson/Rim/Lee, VLDB'19): bucket values by order of magnitude with
+# fixed sub-bins, count per bucket, merge = add counts.  This variant
+# uses base-2 octaves with 16 integer sub-bins over positive integer
+# cents, so every bin id and boundary is EXACT integer math on both
+# engines (msb via length(bin(x)), sub-bin via shift/mask) — the whole
+# sketch, its merge, and the quantile extraction mirror bit-for-bit in
+# DuckDB SQL.  Guarantee: a bin spans [lo, lo + lo/(16+sub)), so the
+# midpoint estimate is within 1/(2*16) ≈ 3.2 % relative error.
+
+HIST_SUB = 16  # sub-bins per octave
+#: (numerator, denominator, label) — ranks are computed as
+#: ceil(num*n/den) in EXACT integer math on both engines (a float
+#: `0.9 * n` is double math in Spark but DECIMAL math in DuckDB and
+#: they disagree at exact multiples — see PARITY.md).
+QUANTILES = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def hist_bin(col: str) -> Column:
+    """Bin id of a positive integer column (by NAME — the shift amount
+    is itself a column, which the Python ``F.shiftright`` helper does
+    not accept; the SQL function does).
+
+    Values < 16 get exact singleton bins (id = value); above, the id
+    is ``msb*16 + sub`` with ``msb = length(bin(v))`` and ``sub`` the
+    4 bits after the leading bit — ids never collide across the two
+    ranges (msb >= 5 → id >= 80)."""
+    return F.expr(
+        f"CAST(CASE WHEN {col} < 16 THEN {col} "
+        f"ELSE length(bin({col})) * {HIST_SUB} "
+        f"     + (shiftright({col}, length(bin({col})) - 5) & 15) "
+        f"END AS BIGINT)"
+    )
+
+
+def hist_bin_mid(col: str) -> Column:
+    """Midpoint (DOUBLE, exact dyadic rational) of a bin-id column."""
+    return F.expr(
+        f"CASE WHEN {col} < 16 THEN CAST({col} AS DOUBLE) "
+        f"ELSE CAST(shiftleft(({col} % {HIST_SUB}) + {HIST_SUB}, "
+        f"                    CAST({col} div {HIST_SUB} AS INT) - 5) AS DOUBLE) "
+        f"     + CAST(shiftleft(1L, CAST({col} div {HIST_SUB} AS INT) - 5) AS DOUBLE) / 2.0 "
+        f"END"
+    )
+
+
+def hist_sketch(
+    df: DataFrame, dims: list[str], value: Column
+) -> DataFrame:
+    """(dims..., bin_id, cnt) — one count row per (group, bin).
+
+    ``value`` must be a positive integer Column (cents, micros, token
+    counts...).  One groupBy shuffle; per-group state is O(bins) ≈
+    16 octaves × 16 sub-bins, independent of row count."""
+    return (
+        df.select(*dims, value.alias("__v"))
+        .select(*dims, hist_bin("__v").alias("bin_id"))
+        .groupBy(*dims, "bin_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(sketch: DataFrame, dims: list[str]) -> DataFrame:
+    """Re-aggregate a sketch to coarser dims (drop grouping columns,
+    add counts) — losslessly, the mergeability property."""
+    return sketch.groupBy(*dims, "bin_id").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    dims: list[str],
+    quantiles=QUANTILES,
+) -> DataFrame:
+    """(dims..., q, est) — midpoint of the bin holding each rank.
+
+    rank = ceil(num*n/den) exact-integer; the answer bin is the first
+    whose cumulative count reaches the rank (one per-group cumsum
+    window + a min-aggregate per quantile)."""
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*dims))
+    )
+    qs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).alias("num"),
+                    F.lit(den).alias("den"),
+                    F.lit(lbl).alias("q"),
+                )
+                for num, den, lbl in quantiles
+            ]
+        )
+    ).alias("qq")
+    return (
+        cum.select(*dims, "bin_id", "cum", "n", qs)
+        .select(
+            *dims,
+            "bin_id",
+            "cum",
+            F.col("qq.q").alias("q"),
+            # ceil(num*n/den) = (num*n + den - 1) div den, all integer
+            F.expr("(qq.num * n + qq.den - 1) div qq.den").alias("rank"),
+        )
+        .where(F.col("cum") >= F.col("rank"))
+        .groupBy(*dims, "q")
+        .agg(F.min("bin_id").alias("bin_id"))
+        .select(*dims, "q", hist_bin_mid("bin_id").alias("est"))
+    )

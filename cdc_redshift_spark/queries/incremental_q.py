@@ -25,6 +25,9 @@ from cdc_redshift_spark.operators.sketches import (
     kmv_estimate,
     kmv_merge,
     kmv_sketch,
+    hist_merge,
+    hist_quantiles,
+    hist_sketch,
 )
 from cdc_redshift_spark.sources.tables import load_table
 
@@ -202,10 +205,80 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- mergeable quantile sketch --------------------------------------------
+
+
+def q_sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (operators/sketches.py hist_*): per
+    order-month log2-histogram sketches of o_totalprice cents per
+    priority, merged across months, p50/p90/p99 extracted from the
+    merged sketch.  Every bin id, boundary, count and rank is exact
+    integer math, so the oracle mirrors the WHOLE sketch pipeline —
+    a green row certifies lossless mergeability and the estimates to
+    the bit.  Error bound (<= 3.2 % relative) is pinned against exact
+    percentiles by tests/test_sketches.py."""
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn(
+            "month",
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp")),
+        )
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+        )
+    )
+    monthly = hist_sketch(
+        od, dims=["o_orderpriority", "month"], value=F.col("cents")
+    )
+    merged = hist_merge(monthly, dims=["o_orderpriority"])
+    return hist_quantiles(merged, dims=["o_orderpriority"]).orderBy(
+        "o_orderpriority", "q"
+    )
+
+
+ORACLE_SKETCH_QUANTILES = """
+WITH c AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT pri,
+         CASE WHEN cents < 16 THEN cents
+              ELSE length(bin(cents)) * 16
+                   + ((cents >> (length(bin(cents)) - 5)) & 15)
+         END AS bin_id
+  FROM c
+), h AS (
+  SELECT pri, bin_id, count(*) AS cnt FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT pri, bin_id,
+         sum(cnt) OVER (PARTITION BY pri ORDER BY bin_id) AS cum,
+         sum(cnt) OVER (PARTITION BY pri) AS n
+  FROM h
+), qq AS (
+  SELECT * FROM (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99'))
+           t(num, den, q)
+), pick AS (
+  SELECT pri, q, min(bin_id) AS bin_id
+  FROM cum, qq
+  WHERE cum >= (num * n + den - 1) // den
+  GROUP BY pri, q
+)
+SELECT pri AS o_orderpriority, q,
+       CASE WHEN bin_id < 16 THEN CAST(bin_id AS DOUBLE)
+            ELSE CAST(((bin_id % 16) + 16) << ((bin_id // 16) - 5) AS DOUBLE)
+                 + CAST(1 << ((bin_id // 16) - 5) AS DOUBLE) / 2.0
+       END AS est
+FROM pick
+ORDER BY o_orderpriority, q
+"""
+
+
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_hll_users": q_sketch_hll_users,
+    "sketch_price_quantiles": q_sketch_price_quantiles,
 }
 
 ORACLES = {
@@ -213,4 +286,5 @@ ORACLES = {
     "sketch_distinct_users": ORACLE_SKETCH_KMV,
     # sketch_hll_users: DataSketches estimate is implementation-defined
     # — rows-only here, value-gated by tests/test_sketches.py.
+    "sketch_price_quantiles": ORACLE_SKETCH_QUANTILES,
 }

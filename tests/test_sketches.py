@@ -9,6 +9,8 @@ for lgk=12 (<1 % typical; we assert 5 %)."""
 import pytest
 from pyspark.sql import functions as F
 
+SF_DIR = "/root/testdata/sf0.001"
+
 from cdc_redshift_spark.operators.sketches import (
     hll_merge_estimate,
     hll_rollup,
@@ -96,3 +98,84 @@ def test_hll_estimate_accuracy(spark, ids):
     for g in ("g0", "g1", "g2"):
         t = ids.filter(F.col("g") == g).select("v").distinct().count()
         assert abs(ests[g] - t) / t < 0.05, (g, ests[g], t)
+
+
+# ---- log-histogram quantile sketch ----------------------------------------
+
+
+def test_hist_quantiles_within_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch,
+    )
+    from cdc_redshift_spark.sources.tables import load_table
+
+    od = load_table(spark, SF_DIR, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    sk = hist_sketch(od, dims=["o_orderpriority"], value=F.col("cents"))
+    est = {
+        (r.o_orderpriority, r.q): r.est
+        for r in hist_quantiles(sk, dims=["o_orderpriority"]).collect()
+    }
+    # exact quantiles per group, same rank definition (ceil(num*n/den))
+    rows = od.select("o_orderpriority", "cents").collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.o_orderpriority, []).append(r.cents)
+    for pri, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for num, den, lbl in ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")):
+            rank = (num * n + den - 1) // den
+            exact = vals[rank - 1]
+            got = est[(pri, lbl)]
+            # bin spans [lo, lo*(1 + 1/(16+sub))) -> midpoint within
+            # 1/(2*16) of any member, plus a hair for integer edges
+            assert abs(got - exact) / exact <= 1 / 32 + 1e-9, (
+                pri,
+                lbl,
+                got,
+                exact,
+            )
+
+
+def test_hist_sketch_merge_is_lossless(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch,
+    )
+    from cdc_redshift_spark.sources.tables import load_table
+
+    od = (
+        load_table(spark, SF_DIR, "orders")
+        .withColumn(
+            "month",
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp")),
+        )
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+        )
+    )
+    direct = hist_quantiles(
+        hist_sketch(od, dims=["o_orderpriority"], value=F.col("cents")),
+        dims=["o_orderpriority"],
+    )
+    merged = hist_quantiles(
+        hist_merge(
+            hist_sketch(
+                od, dims=["o_orderpriority", "month"], value=F.col("cents")
+            ),
+            dims=["o_orderpriority"],
+        ),
+        dims=["o_orderpriority"],
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
