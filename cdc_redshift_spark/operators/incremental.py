@@ -196,3 +196,87 @@ def incremental_rollup(
     return apply_rollup_delta(
         rollup, d, dims, list(measures), n_col=n_col
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Per-partition change report between two snapshots of a table —
+    the backfill planner: downstream recomputes touch ONLY partitions
+    this report marks dirty, instead of diffing or rescanning 100 TB.
+
+    Row-level semantics (full outer join on ``keys``):
+
+    - key only in ``new``            → *added* (new row's partition)
+    - key only in ``old``            → *deleted* (old row's partition)
+    - both, any compare col differs (``IS DISTINCT FROM`` — null-safe)
+      and partition unchanged        → *changed*
+    - both, partition value moved    → *deleted* from the old partition
+      AND *added* to the new one (both partitions are dirty)
+    - otherwise                      → *unchanged*
+
+    Output: ``partition, n_added, n_deleted, n_changed, n_unchanged``
+    (one row per partition appearing in either snapshot).
+
+    Plan: ONE full-outer shuffle join on the keys + one count
+    aggregate on the partition value; with both snapshots bucketed by
+    key (sinks/parquet_sink bucketing) the join is co-located.
+    """
+    o = old.select(
+        *keys,
+        F.col(partition_col).alias("__po"),
+        F.struct(*compare_cols).alias("__vo"),
+        F.lit(1).alias("__ino"),
+    )
+    n = new.select(
+        *keys,
+        F.col(partition_col).alias("__pn"),
+        F.struct(*compare_cols).alias("__vn"),
+        F.lit(1).alias("__inn"),
+    )
+    j = o.join(n, keys, "full_outer")
+    moved = (
+        F.col("__ino").isNotNull()
+        & F.col("__inn").isNotNull()
+        & ~F.col("__po").eqNullSafe(F.col("__pn"))
+    )
+    # each joined row contributes to one partition — except moves,
+    # which contribute a delete to the old and an add to the new
+    contrib = F.when(
+        F.col("__ino").isNull(),
+        F.array(F.struct(F.col("__pn").alias("p"), F.lit("added").alias("s"))),
+    ).when(
+        F.col("__inn").isNull(),
+        F.array(
+            F.struct(F.col("__po").alias("p"), F.lit("deleted").alias("s"))
+        ),
+    ).when(
+        moved,
+        F.array(
+            F.struct(F.col("__po").alias("p"), F.lit("deleted").alias("s")),
+            F.struct(F.col("__pn").alias("p"), F.lit("added").alias("s")),
+        ),
+    ).when(
+        ~F.col("__vo").eqNullSafe(F.col("__vn")),
+        F.array(
+            F.struct(F.col("__pn").alias("p"), F.lit("changed").alias("s"))
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(F.col("__pn").alias("p"), F.lit("unchanged").alias("s"))
+        )
+    )
+    return (
+        j.select(F.explode(contrib).alias("c"))
+        .groupBy(F.col("c.p").alias("partition"))
+        .agg(
+            *[
+                F.sum((F.col("c.s") == s).cast("long")).alias(f"n_{s}")
+                for s in ("added", "deleted", "changed", "unchanged")
+            ]
+        )
+    )

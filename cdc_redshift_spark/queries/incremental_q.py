@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_redshift_spark.operators.incremental import incremental_rollup
+from cdc_redshift_spark.operators.incremental import (
+    snapshot_diff,
+    incremental_rollup,
+)
 from cdc_redshift_spark.operators.sketches import (
     duck_kmv_estimate,
     hll_merge_estimate,
@@ -274,11 +277,110 @@ ORDER BY o_orderpriority, q
 """
 
 
+# ---- snapshot partition diff (backfill planner) ---------------------------
+
+
+def q_snapshot_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner (operators/incremental.py `snapshot_diff`):
+    diff two snapshots of orders and report per-month partition churn.
+    The second snapshot is synthesized deterministically: key%13
+    deleted; else key%7 repriced (in-place change); else key%11 date
+    +40 days (a partition MOVE — dirties both months); key%17 cloned
+    as new keys (+10 days).  One full-outer key join + one partition
+    aggregate; the oracle mirrors row semantics incl. null-safe
+    compares and the move-beats-change precedence."""
+    od = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    new = (
+        od.where(k % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderdate",
+            F.when(
+                (k % 7 != 0) & (k % 11 == 0),
+                F.date_add(F.col("o_orderdate"), 40),
+            ).otherwise(F.col("o_orderdate")),
+        )
+        .unionByName(
+            od.where(k % 17 == 0)
+            .withColumn("o_orderkey", k + 10_000_000)
+            .withColumn("o_orderdate", F.date_add(F.col("o_orderdate"), 10))
+        )
+    )
+
+    def with_month(df):
+        return df.withColumn(
+            "month",
+            F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            .cast("date"),
+        )
+
+    return snapshot_diff(
+        with_month(od),
+        with_month(new),
+        keys=["o_orderkey"],
+        partition_col="month",
+        compare_cols=["o_totalprice", "o_orderdate"],
+    ).orderBy("partition")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS d FROM orders
+), neww AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 THEN p + 1.0 ELSE p END AS p,
+         CASE WHEN k % 7 <> 0 AND k % 11 = 0
+              THEN (d + INTERVAL 40 DAY)::DATE ELSE d END AS d
+  FROM base WHERE k % 13 <> 0
+  UNION ALL
+  SELECT k + 10000000, p, (d + INTERVAL 10 DAY)::DATE
+  FROM base WHERE k % 17 = 0
+), f AS (
+  SELECT b.k AS ko, n.k AS kn,
+         b.p AS po, n.p AS pn, b.d AS ddo, n.d AS dn,
+         date_trunc('month', b.d)::DATE AS mo,
+         date_trunc('month', n.d)::DATE AS mn
+  FROM base b FULL JOIN neww n ON b.k = n.k
+), attrib AS (
+  SELECT mn AS partition, 'added' AS s FROM f WHERE ko IS NULL
+  UNION ALL
+  SELECT mo, 'deleted' FROM f WHERE kn IS NULL
+  UNION ALL
+  SELECT mo, 'deleted' FROM f
+  WHERE ko IS NOT NULL AND kn IS NOT NULL AND mo IS DISTINCT FROM mn
+  UNION ALL
+  SELECT mn, 'added' FROM f
+  WHERE ko IS NOT NULL AND kn IS NOT NULL AND mo IS DISTINCT FROM mn
+  UNION ALL
+  SELECT mn, 'changed' FROM f
+  WHERE ko IS NOT NULL AND kn IS NOT NULL AND mo = mn
+    AND (po IS DISTINCT FROM pn OR ddo IS DISTINCT FROM dn)
+  UNION ALL
+  SELECT mn, 'unchanged' FROM f
+  WHERE ko IS NOT NULL AND kn IS NOT NULL AND mo = mn
+    AND po = pn AND ddo = dn
+)
+SELECT partition,
+       CAST(sum(CASE WHEN s = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN s = 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(sum(CASE WHEN s = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN s = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM attrib GROUP BY partition ORDER BY partition
+"""
+
+
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_price_quantiles": q_sketch_price_quantiles,
+    "snapshot_partition_diff": q_snapshot_partition_diff,
 }
 
 ORACLES = {
@@ -287,4 +389,5 @@ ORACLES = {
     # sketch_hll_users: DataSketches estimate is implementation-defined
     # — rows-only here, value-gated by tests/test_sketches.py.
     "sketch_price_quantiles": ORACLE_SKETCH_QUANTILES,
+    "snapshot_partition_diff": ORACLE_SNAPSHOT_DIFF,
 }

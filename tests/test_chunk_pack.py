@@ -21,7 +21,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, SF_DIR, "documents").cache()
+    d = load_table(spark, SF_DIR, "documents").cache()
+    yield d
+    # unpersist: a lingering cached `documents` relation substitutes an
+    # InMemoryRelation into LATER tests' plans (plan-pin tests break)
+    d.unpersist()
 
 
 def test_chunk_covers_and_overlaps(spark, docs):

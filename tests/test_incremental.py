@@ -174,3 +174,38 @@ def test_apply_is_associative_across_batches(spark, base):
         measures=["s"],
     )
     assert _rows(seq) == _rows(step2)
+
+
+def test_snapshot_diff_semantics(spark):
+    from cdc_redshift_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "p1", 10.0),  # unchanged
+            (2, "p1", 20.0),  # changed in place
+            (3, "p1", 30.0),  # moved p1 -> p2 (value also differs)
+            (4, "p2", 40.0),  # deleted
+            (6, "p2", None),  # null value, unchanged (null-safe compare)
+        ],
+        "k int, part string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "p1", 10.0),
+            (2, "p1", 21.0),
+            (3, "p2", 31.0),
+            (5, "p2", 50.0),  # added
+            (6, "p2", None),
+        ],
+        "k int, part string, v double",
+    )
+    got = {
+        r.partition: (r.n_added, r.n_deleted, r.n_changed, r.n_unchanged)
+        for r in snapshot_diff(
+            old, new, keys=["k"], partition_col="part", compare_cols=["v"]
+        ).collect()
+    }
+    # p1: row1 unchanged, row2 changed, row3 counted as deleted here
+    assert got["p1"] == (0, 1, 1, 1)
+    # p2: row3 arrives (added), row4 deleted, row5 added, row6 unchanged
+    assert got["p2"] == (2, 1, 0, 1)

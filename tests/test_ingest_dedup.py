@@ -18,11 +18,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return (
+    d = (
         load_table(spark, SF_DIR, "documents")
         .select("doc_id", "text")
         .cache()
     )
+    yield d
+    d.unpersist()
 
 
 def expected_accepted(spark, docs):

@@ -32,7 +32,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, SF_DIR, "documents").limit(200).cache()
+    d = load_table(spark, SF_DIR, "documents").limit(200).cache()
+    yield d
+    d.unpersist()
 
 
 def brute_pairs(spark, docs, tau):
