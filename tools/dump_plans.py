@@ -38,6 +38,9 @@ CALLOUTS = {
     "corpus_chunk_docs": "zero Exchange: sequence+slice flatMap entirely inside WholeStageCodegen",
     "corpus_pack_stream": "one Exchange keyed on shard; running-sum window per shard; integer-only projections",
     "corpus_weighted_sample": "scan + TakeOrderedAndProject (no global Sort); priorities in codegen (conv/md5/pow)",
+    "sketch_price_quantiles": "bin ids pure codegen (length(bin())/shift/mask); ONE count shuffle; cumsum window on tiny sketch rows",
+    "snapshot_partition_diff": "ONE full-outer join on the key + one partition aggregate; no second pass over either snapshot",
+    "er_fuzzy_name_pairs": "equi-join on the block key (never all-pairs); levenshtein only after the length prefilter",
 }
 
 
