@@ -10,7 +10,11 @@ FIRST 50 queries in registry order. ``_GATE_WINDOW`` pins that window to the
 streaming/temporal extension suite (never driver-gated before round 5), the
 two round-4 hash fixes, and the six end-to-end CDC pipelines — so every
 operator family carries a driver-green correctness row. The remaining
-analytics/text queries (all driver-green in r4 and stable since) follow.
+analytics/text queries (all driver-green in r4 and stable since) follow,
+then the round-5 additions (simjoin, incremental dedup, chunk/pack/
+sample, ingest stream, ER fuzzy join, quantile sketch, snapshot diff)
+— those carry LOCALGATE + pytest evidence this round and rotate into
+the window next round.
 """
 
 from __future__ import annotations
