@@ -1016,6 +1016,7 @@ def incremental_minhash_pairs(
     k: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an already-signed corpus.
 
@@ -1036,6 +1037,15 @@ def incremental_minhash_pairs(
     place, distinct on the tiny qualifying output.  Per-batch cost is
     the batch's band rows plus the buckets they actually hit.
     """
+    # both frames feed multiple consumers (band rows + verify sides);
+    # without the persist the Arrow shingle pass re-runs per reference
+    # (the docstring's "never re-shingled" claim would be false).
+    # ``eager`` materializes the result and releases the caches before
+    # returning (the simjoin discipline); eager=False keeps everything
+    # lazy/recomputable.
+    if eager:
+        existing_frames = existing_frames.persist()
+        batch_frames = batch_frames.persist()
     a = _band_key_rows(batch_frames, k, bands, "batch").withColumnRenamed(
         "id", "batch_id"
     )
@@ -1066,16 +1076,28 @@ def incremental_minhash_pairs(
     sha = batch_frames.select(
         F.col("id").alias("batch_id"), F.col("sh").alias("sha")
     )
+    # the verify join is keyed on (match_id, match_side): an id present
+    # in BOTH inputs (re-ingesting a doc already indexed) must verify
+    # against the copy its candidate came from, not fan out to both
     shb = (
-        existing_frames.select(F.col("id").alias("match_id"), "sh")
-        .unionByName(batch_frames.select(F.col("id").alias("match_id"), "sh"))
-        .withColumnRenamed("sh", "shb")
+        existing_frames.select(
+            F.col("id").alias("match_id"),
+            F.col("sh").alias("shb"),
+            F.lit("existing").alias("match_side"),
+        )
+        .unionByName(
+            batch_frames.select(
+                F.col("id").alias("match_id"),
+                F.col("sh").alias("shb"),
+                F.lit("batch").alias("match_side"),
+            )
+        )
     )
     inter = F.size(F.array_intersect("sha", "shb"))
     jac = inter / (F.size("sha") + F.size("shb") - inter)
-    return (
+    out = (
         cand.join(sha, "batch_id")
-        .join(shb, "match_id")
+        .join(shb, ["match_id", "match_side"])
         .where(jac >= jaccard_threshold)
         .select(
             "batch_id",
@@ -1084,3 +1106,8 @@ def incremental_minhash_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        existing_frames.unpersist()
+        batch_frames.unpersist()
+    return out

@@ -98,11 +98,13 @@ def fuzzy_name_join(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    from cdc_redshift_spark.functions.text import normalize_text
+
     lk, ln = left_cols
     rk, rn = right_cols
 
     def norm(c: str) -> Column:
-        return F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " "))
+        return normalize_text(F.col(c))
 
     a = left.select(
         F.col(lk).alias("key_a"),

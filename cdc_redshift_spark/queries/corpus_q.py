@@ -492,7 +492,7 @@ WSAMPLE_K = 100
 
 
 def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-weighted Efraimidis-Spirakis sample of {WSAMPLE_K} docs
+    """Token-weighted Efraimidis-Spirakis sample of WSAMPLE_K=100 docs
     (operators/corpus.py `weighted_sample`): priority u^(1/n_tokens)
     on the engine-stable 60-bit hash — deterministic weighted
     sampling with no RNG state; plan is scan + TakeOrdered."""

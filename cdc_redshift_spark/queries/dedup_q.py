@@ -671,8 +671,7 @@ def q_er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ER_FUZZY = f"""
 WITH c AS (
-  SELECT c_custkey AS k,
-         trim(regexp_replace(lower(c_name), '\s+', ' ', 'g')) AS nm
+  SELECT c_custkey AS k, {DUCK_NORM.format(c='c_name')} AS nm
   FROM customer
 )
 SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,

@@ -514,7 +514,10 @@ FROM ev JOIN base b ON ev.k = b.k
 
 # ---- streaming ingest dedup (persisted fingerprint index) -----------------
 
-DUCK_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# the one shared normalization mirror (avoid drifting copies)
+from cdc_redshift_spark.queries.dedup_q import DUCK_NORM
+
+DUCK_NORM_TEXT = DUCK_NORM.format(c="text")
 
 
 def q_cdc_ingest_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,15 +54,27 @@ class IngestDeduper:
         self.text_col = text_col
 
     def _read_index(self, spark) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(self.index_dir)
-        except Exception:
-            return spark.createDataFrame([], _INDEX_SCHEMA)
+        except AnalysisException as e:
+            # ONLY first-batch absence may fall back to an empty index;
+            # any other read failure (corrupt footer, permissions)
+            # must raise — an empty index here would silently admit
+            # every duplicate in the batch
+            if "PATH_NOT_FOUND" in str(e):
+                return spark.createDataFrame([], _INDEX_SCHEMA)
+            raise
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # at-least-once sources can deliver the same row twice WITHIN a
+        # micro-batch; without this the id joins below fan out and the
+        # dedup stage itself would emit duplicates
+        batch_df = batch_df.dropDuplicates([self.id_col])
         index = self._read_index(spark)
         cls = incremental_exact_dedup(
             index, batch_df, id_col=self.id_col, text_col=self.text_col

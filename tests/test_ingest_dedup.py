@@ -74,3 +74,17 @@ def test_dup_of_index_never_lands(spark, docs):
         # index holds exactly one fp per accepted doc
         n_idx = spark.read.parquet(os.path.join(tmp, "idx")).count()
         assert n_idx == len(got)
+
+
+def test_duplicate_rows_within_one_batch(spark, docs):
+    # at-least-once delivery INSIDE a micro-batch: same rows twice
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    doubled = docs.unionByName(docs)
+    with tempfile.TemporaryDirectory() as tmp:
+        dd = IngestDeduper(os.path.join(tmp, "idx"), os.path.join(tmp, "acc"))
+        dd(doubled, 0)
+        acc = spark.read.parquet(os.path.join(tmp, "acc"))
+        # no doc admitted more than once, and the accepted set equals
+        # the clean single-delivery result
+        assert acc.count() == acc.select("id").distinct().count()
+        assert {r.id for r in acc.collect()} == expected_accepted(spark, docs)

@@ -317,6 +317,16 @@ def main():
 
     VOWELS = "aeiou"
     PERMS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio", "eaiou", "aieou", "aeoiu"]
+    # vowel permutation leaves vowel-free tokens (numbers, consonant-only
+    # words) shared across replicas, so disjointness is approximate —
+    # good enough for the linearity probe on this prose-like fixture,
+    # but replica counts beyond the distinct permutations would create
+    # EXACT duplicates and invalidate the measurement outright
+    if REPLICAS > len(PERMS):
+        raise ValueError(
+            f"SCALE_REPLICAS={REPLICAS} exceeds the {len(PERMS)} distinct "
+            "vowel permutations; replicas would exactly duplicate"
+        )
 
     def translated_docs(docs, n):
         parts = []
