@@ -88,3 +88,70 @@ def test_duplicate_rows_within_one_batch(spark, docs):
         # the clean single-delivery result
         assert acc.count() == acc.select("id").distinct().count()
         assert {r.id for r in acc.collect()} == expected_accepted(spark, docs)
+
+
+# ---- near-dup (MinHash) ingest --------------------------------------------
+
+
+def test_neardup_ingest_invariants(spark, docs):
+    from cdc_redshift_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_frames,
+    )
+    from cdc_redshift_spark.streaming.ingest import NearDupIngestDeduper
+
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    with tempfile.TemporaryDirectory() as tmp:
+        idx, acc = os.path.join(tmp, "idx"), os.path.join(tmp, "acc")
+        dd = NearDupIngestDeduper(idx, acc)
+        # wave 1: first half; wave 2: second half; wave 3: replay of 1
+        w1 = docs.where(F.col("doc_id") < hi // 2)
+        w2 = docs.where(F.col("doc_id") >= hi // 2)
+        dd(w1, 0)
+        n1 = spark.read.parquet(acc).count()
+        dd(w2, 1)
+        n2 = spark.read.parquet(acc).count()
+        dd(w1, 2)  # replay: must admit nothing
+        assert spark.read.parquet(acc).count() == n2
+        assert n1 > 0 and n2 > n1
+
+        # independence: no two ACCEPTED docs form an LSH near-dup pair
+        accepted = spark.read.parquet(acc)
+        fr = minhash_frames(accepted, "id", "text", k=dd.k)
+        empty = fr.limit(0)
+        bb = incremental_minhash_pairs(
+            empty, fr, k=dd.k, bands=dd.bands,
+            jaccard_threshold=dd.jaccard_threshold,
+        )
+        assert bb.count() == 0
+
+        # greedy witness: every rejected wave-2 doc has an index match
+        # or an in-batch path; spot-check the strongest form — exact
+        # duplicates of accepted docs are always rejected
+        dup = accepted.select(
+            (F.col("id") + 1_000_000).alias("doc_id"), "text"
+        )
+        dd(dup, 3)
+        assert spark.read.parquet(acc).count() == n2
+
+
+def test_neardup_ingest_collapses_exact_dups(spark, docs):
+    from cdc_redshift_spark.streaming.ingest import NearDupIngestDeduper
+
+    some = docs.limit(40)
+    doubled = some.unionByName(
+        some.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        dd = NearDupIngestDeduper(
+            os.path.join(tmp, "idx"), os.path.join(tmp, "acc")
+        )
+        dd(doubled, 0)
+        acc = spark.read.parquet(os.path.join(tmp, "acc"))
+        # identical signatures collide in every band: one survivor per
+        # text (plus any natural near-dup collapse within `some`)
+        n_texts = some.select("text").distinct().count()
+        assert acc.count() <= n_texts
+        # min-id representative rule: no survivor from the +1M clones
+        # unless its original text group lived only there
+        assert acc.where(F.col("id") >= 1_000_000).count() == 0
