@@ -607,12 +607,16 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
     ba = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    # eager=False: the gate/bench consume the result exactly once and
+    # the ~1M-row output makes the eager checkpoint cost more than the
+    # frame recompute it avoids (16 s vs 12 s at sf0.1)
     return incremental_minhash_pairs(
         minhash_frames(ex, k=INC_MH_K),
         minhash_frames(ba, k=INC_MH_K),
         k=INC_MH_K,
         bands=INC_MH_BANDS,
         jaccard_threshold=INC_MH_THRESHOLD,
+        eager=False,
     )
 
 
