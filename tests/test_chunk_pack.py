@@ -132,3 +132,42 @@ def test_weighted_sample_plan_is_topk(spark, docs):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_new_ops_handle_empty_input(spark, docs):
+    from cdc_redshift_spark.operators.simjoin import jaccard_similarity_join
+
+    empty = docs.limit(0)
+    assert jaccard_similarity_join(empty, tau=0.9, eager=False).count() == 0
+    assert chunk_documents(empty, max_tokens=8).count() == 0
+    assert pack_token_stream(empty, budget=64).count() == 0
+    assert weighted_sample(empty, k=5).count() == 0
+
+
+def test_pack_random_lengths_property(spark):
+    # adversarial: docs longer than the budget, length-1 docs, and a
+    # shard with a single doc — the manifest must stay gapless and the
+    # seq ids must tile the stream exactly
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(rnd.randint(1, 150))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget, shards = 100, 3
+    out = pack_token_stream(df, budget=budget, n_shards=shards).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.start_offset == cum
+            assert r.seq_first == cum // budget
+            assert r.seq_last == (cum + r.n_tokens - 1) // budget
+            cum += r.n_tokens
+        # total sequences tile the stream
+        assert rs[-1].seq_last == (cum - 1) // budget
