@@ -23,6 +23,12 @@ from __future__ import annotations
 # extension suite + pii_redaction_report), the new corpus_source_cap,
 # the 2 r4 hash-only failures (fixed in round 5, PARITY.md), and 5 of
 # the 6 cdc pipelines.
+# Round-6 rotation plan: once CORRECTNESS_r05 lands green rows for the
+# window below, swap the r5-stable families out for the round-5-new
+# queries (dedup_simjoin, dedup_incremental_exact/minhash,
+# er_fuzzy_name_pairs, corpus_chunk_docs/pack_stream/weighted_sample,
+# cdc_ingest_dedup_stream, sketch_price_quantiles,
+# snapshot_partition_diff) so they earn driver rows too.
 _GATE_WINDOW = [
     # dedup family (9)
     "dedup_exact",

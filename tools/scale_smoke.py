@@ -378,6 +378,27 @@ def main():
         idx.unpersist()
     bf.unpersist()
 
+    # streaming ingest dedup: 3 waves through the persisted-index
+    # foreachBatch stage; rate = docs/s including index read+append.
+    # Wave cost must track the WAVE, not the accumulated corpus.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cdc_redshift_spark.streaming.ingest import IngestDeduper
+
+    for scale in (1, REPLICAS):
+        d = translated_docs(docs, scale).persist()
+        n = d.count()
+        root = _tf.mkdtemp(prefix="scale_ingest_")
+        dd = IngestDeduper(root + "/idx", root + "/acc")
+        t0 = time.perf_counter()
+        for w in range(3):
+            dd(d.where((F.col("doc_id") % 3) == w), w)
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "ingest_dedup_3waves", "docs": n, "sec": wall, "docs_per_s": int(n / wall)}), flush=True)
+        _sh.rmtree(root, ignore_errors=True)
+        d.unpersist()
+
 
 if __name__ == "__main__":
     main()
