@@ -226,3 +226,47 @@ def test_dq_suite_single_pass_per_table(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # both RI checks
+
+
+def test_hist_sketch_single_count_shuffle(spark):
+    """The quantile-sketch build must be ONE count aggregation with
+    codegen bin ids — no join, no second scan."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.sketches import hist_sketch
+    from cdc_redshift_spark.sources.tables import load_table
+
+    od = load_table(spark, SF, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    plan = plan_of(
+        hist_sketch(od, dims=["o_orderpriority"], value=F.col("cents"))
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    for bad in ("Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan
+
+
+def test_snapshot_diff_single_outer_join(spark):
+    """snapshot_diff = ONE full-outer join + one partition aggregate;
+    neither snapshot may be scanned twice."""
+    from cdc_redshift_spark.queries.incremental_q import (
+        q_snapshot_partition_diff,
+    )
+
+    plan = plan_of(q_snapshot_partition_diff(spark, SF))
+    assert "FullOuter" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # orders is read once per snapshot side (old + new's two branches)
+    assert plan.count("FileScan parquet") <= 3
+
+
+def test_fuzzy_join_blocks_never_all_pairs(spark):
+    """The ER join must be an equi-join on the block key."""
+    from cdc_redshift_spark.queries.dedup_q import q_er_fuzzy_name_pairs
+
+    plan = plan_of(q_er_fuzzy_name_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
