@@ -280,3 +280,45 @@ def snapshot_diff(
             ]
         )
     )
+
+
+def snapshot_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshots — CDC *generation*,
+    the inverse of ``plans/merge.apply_changeset``: the engine can now
+    both APPLY a changeset to a table and EMIT the changeset two
+    snapshots imply (Delta's ``table_changes`` shape, minus the log).
+
+    Output: ``keys..., op ('insert'|'delete'|'update'), before
+    struct, after struct`` — one row per changed key; unchanged keys
+    (null-safe struct compare) produce nothing.
+
+    Plan: the same ONE full-outer key join as :func:`snapshot_diff`;
+    at 100 TB bucket both snapshots by key so it is co-located, and
+    feed the output straight back through apply_changeset to replicate
+    the table elsewhere.
+    """
+    o = old.select(
+        *keys, F.struct(*compare_cols).alias("before"), F.lit(1).alias("__o")
+    )
+    n = new.select(
+        *keys, F.struct(*compare_cols).alias("after"), F.lit(1).alias("__n")
+    )
+    return (
+        o.join(n, keys, "full_outer")
+        .withColumn(
+            "op",
+            F.when(F.col("__o").isNull(), F.lit("insert"))
+            .when(F.col("__n").isNull(), F.lit("delete"))
+            .when(
+                ~F.col("before").eqNullSafe(F.col("after")), F.lit("update")
+            )
+            .otherwise(F.lit(None)),
+        )
+        .where(F.col("op").isNotNull())
+        .select(*keys, "op", "before", "after")
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.incremental import (
+    snapshot_changes,
     snapshot_diff,
     incremental_rollup,
 )
@@ -375,12 +376,80 @@ FROM attrib GROUP BY partition ORDER BY partition
 """
 
 
+def q_orders_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC generation (operators/incremental.py `snapshot_changes`):
+    emit the op/before/after changeset implied by the same two orders
+    snapshots `snapshot_partition_diff` compares — flattened to scalar
+    before_*/after_* columns (struct cells render differently across
+    engines; scalars hash identically)."""
+    od = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    new = (
+        od.where(k % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderdate",
+            F.when(
+                (k % 7 != 0) & (k % 11 == 0),
+                F.date_add(F.col("o_orderdate"), 40),
+            ).otherwise(F.col("o_orderdate")),
+        )
+        .unionByName(
+            od.where(k % 17 == 0)
+            .withColumn("o_orderkey", k + 10_000_000)
+            .withColumn("o_orderdate", F.date_add(F.col("o_orderdate"), 10))
+        )
+    )
+    ch = snapshot_changes(
+        od, new, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderdate"]
+    )
+    return ch.select(
+        "o_orderkey",
+        "op",
+        F.col("before.o_totalprice").alias("before_price"),
+        F.col("after.o_totalprice").alias("after_price"),
+        F.col("before.o_orderdate").cast("date").alias("before_date"),
+        F.col("after.o_orderdate").cast("date").alias("after_date"),
+    )
+
+
+ORACLE_SNAPSHOT_CHANGES = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS d FROM orders
+), neww AS (
+  SELECT k,
+         CASE WHEN k % 7 = 0 THEN p + 1.0 ELSE p END AS p,
+         CASE WHEN k % 7 <> 0 AND k % 11 = 0
+              THEN (d + INTERVAL 40 DAY)::DATE ELSE d END AS d
+  FROM base WHERE k % 13 <> 0
+  UNION ALL
+  SELECT k + 10000000, p, (d + INTERVAL 10 DAY)::DATE
+  FROM base WHERE k % 17 = 0
+)
+SELECT coalesce(b.k, n.k) AS o_orderkey,
+       CASE WHEN b.k IS NULL THEN 'insert'
+            WHEN n.k IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       b.p AS before_price, n.p AS after_price,
+       b.d::DATE AS before_date, n.d::DATE AS after_date
+FROM base b FULL JOIN neww n ON b.k = n.k
+WHERE b.k IS NULL OR n.k IS NULL
+   OR (b.p IS DISTINCT FROM n.p OR b.d IS DISTINCT FROM n.d)
+"""
+
+
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_price_quantiles": q_sketch_price_quantiles,
     "snapshot_partition_diff": q_snapshot_partition_diff,
+    "orders_snapshot_changes": q_orders_snapshot_changes,
 }
 
 ORACLES = {
@@ -390,4 +459,5 @@ ORACLES = {
     # — rows-only here, value-gated by tests/test_sketches.py.
     "sketch_price_quantiles": ORACLE_SKETCH_QUANTILES,
     "snapshot_partition_diff": ORACLE_SNAPSHOT_DIFF,
+    "orders_snapshot_changes": ORACLE_SNAPSHOT_CHANGES,
 }

@@ -243,11 +243,67 @@ FROM grid g ASOF LEFT JOIN obs o
 """
 
 
+SEQ_MAX_EVENTS = 50
+
+
+def q_events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral training sequences: per user, the time-ordered
+    event-type token string (first SEQ_MAX_EVENTS events; ties broken
+    by event_id on both engines) + counts — the events→text bridge for
+    sequence-model training data.
+
+    Plan: ONE groupBy shuffle on user_id; ordering happens inside the
+    aggregate (`array_sort` over (e_us, event_id) structs), never as a
+    global sort."""
+    # sort on exact NANOS (ts_ns), matching the oracle's epoch_ns —
+    # micros would tie where nanos differ under the NANOS testdata
+    # generation (TESTDATA.md) and the tiebreak would diverge
+    ev = load_table(spark, sf_dir, "events")
+    sorted_types = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.slice(sorted_types, 1, SEQ_MAX_EVENTS), " "
+            ).alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.least(F.col("n_events"), F.lit(SEQ_MAX_EVENTS))
+            .cast("long")
+            .alias("seq_len"),
+            "seq",
+        )
+    )
+
+
+ORACLE_USER_SEQ = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(least(count(*), {SEQ_MAX_EVENTS}) AS BIGINT) AS seq_len,
+       array_to_string(
+         list_slice(
+           list(event_type ORDER BY epoch_ns(ts), event_id),
+           1, {SEQ_MAX_EVENTS}),
+         ' ') AS seq
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_asof_attribution": q_events_asof_attribution,
     "events_burst_windows": q_events_burst_windows,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_resample_ffill": q_events_resample_ffill,
+    "events_user_sequences": q_events_user_sequences,
 }
 
 ORACLES = {
@@ -255,4 +311,5 @@ ORACLES = {
     "events_burst_windows": ORACLE_BURST,
     "events_hourly_rollup": ORACLE_ROLLUP_HOURLY,
     "events_resample_ffill": ORACLE_RESAMPLE,
+    "events_user_sequences": ORACLE_USER_SEQ,
 }
