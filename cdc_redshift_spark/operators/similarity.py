@@ -845,3 +845,70 @@ def ivf_topk(
         cell_topk, schema=f"id_a {idt}, id_b {idt}, cosine double"
     )
     return _topk_per_query(local, k)
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    k_neg: int = 4,
+    n_shards: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor, ``k_neg`` pseudo-random partners drawn WITHOUT
+    replacement from the anchor's hash shard — reproducible across
+    runs/engines (no RNG state), uniform-ish because the engine-stable
+    60-bit hash both assigns shards and orders the ring.
+
+    Construction: shard = hash60(id) % n_shards; within a shard, rows
+    are ranked by (hash, id) into a ring; anchor at rank r takes the
+    rows at ranks ``(r - 1 + j*step_j) % shard_size + 1`` — ``step_j``
+    spreads draws across the ring (j, j + size/k offsets) and the
+    modulo guarantees the partner exists.  Self-draws (tiny shards)
+    are filtered, so degenerate shards yield < k_neg rows rather than
+    a self-pair.
+
+    Output: ``anchor_id, neg_id, j`` (one row per draw).
+
+    Plan: one per-shard rank window + one equi-join on (shard, rank)
+    — parallelism = n_shards regardless of corpus size; no global
+    window, no RNG coordination.  At 100 TB raise ``n_shards`` to the
+    write-parallelism you want.
+    """
+    from cdc_redshift_spark.operators.corpus import stable_hash60
+
+    if k_neg < 1:
+        raise ValueError(f"k_neg must be >= 1, got {k_neg}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        stable_hash60(F.col(id_col).cast("string")).alias("h"),
+    ).withColumn("shard", F.pmod("h", F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("h", "id")
+    ranked = base.withColumn("r", F.row_number().over(w)).withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("shard"))
+    )
+    draws = ranked.select(
+        F.col("id").alias("anchor_id"),
+        "shard",
+        "sz",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, k_neg + 1)])
+        ).alias("j"),
+        F.col("r").alias("r_a"),
+    ).withColumn(
+        # j-th draw: walk j + floor(j*sz/(k+1)) steps around the ring
+        "r_n",
+        F.pmod(
+            F.col("r_a") - 1 + F.col("j")
+            + F.floor(F.col("j") * F.col("sz") / (k_neg + 1)).cast("long"),
+            F.col("sz"),
+        )
+        + 1,
+    )
+    partners = ranked.select(
+        "shard", F.col("r").alias("r_n"), F.col("id").alias("neg_id")
+    )
+    return (
+        draws.join(partners, ["shard", "r_n"])
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_id", "j")
+    )

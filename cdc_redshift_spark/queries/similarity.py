@@ -564,6 +564,42 @@ FROM q GROUP BY label ORDER BY label
 """
 
 
+CN_K, CN_SHARDS = 4, 16
+
+
+def q_emb_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/similarity.py `contrastive_negatives`): 4 pseudo-random
+    partners per anchor from its hash shard's ring — reproducible with
+    zero RNG state; per-shard rank windows keep the plan parallel at
+    any corpus size.  The oracle mirrors the ring arithmetic exactly."""
+    from cdc_redshift_spark.operators.similarity import contrastive_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_negatives(emb, k_neg=CN_K, n_shards=CN_SHARDS)
+
+
+ORACLE_CONTRASTIVE = f"""
+WITH base AS (
+  SELECT vec_id AS id,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM embeddings
+), ranked AS (
+  SELECT id, CAST(h % {CN_SHARDS} AS INT) AS shard,
+         row_number() OVER (PARTITION BY h % {CN_SHARDS} ORDER BY h, id) AS r,
+         count(*) OVER (PARTITION BY h % {CN_SHARDS}) AS sz
+  FROM base
+), draws AS (
+  SELECT a.id AS anchor_id, a.shard, a.sz, t.j, a.r AS r_a,
+         ((a.r - 1 + t.j + (t.j * a.sz) // {CN_K + 1}) % a.sz) + 1 AS r_n
+  FROM ranked a, (VALUES (1), (2), (3), (4)) t(j)
+)
+SELECT d.anchor_id, p.id AS neg_id, CAST(d.j AS INT) AS j
+FROM draws d JOIN ranked p ON p.shard = d.shard AND p.r = d.r_n
+WHERE p.id <> d.anchor_id
+"""
+
+
 QUERIES = {
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
@@ -575,6 +611,7 @@ QUERIES = {
     "sim_pq_topk": q_sim_pq_topk,
     "sim_pq_recall": q_sim_pq_recall,
     "emb_int8_quantize": q_emb_int8_quantize,
+    "emb_contrastive_negatives": q_emb_contrastive_negatives,
 }
 
 ORACLES = {
@@ -588,4 +625,5 @@ ORACLES = {
     "sim_pq_topk": ORACLE_PQ_TOPK,
     "sim_pq_recall": ORACLE_PQ_RECALL,
     "emb_int8_quantize": ORACLE_INT8,
+    "emb_contrastive_negatives": ORACLE_CONTRASTIVE,
 }

@@ -305,3 +305,23 @@ def test_connected_components_chain_and_singletons(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
+
+
+def test_contrastive_negatives_properties(spark, emb):
+    from cdc_redshift_spark.operators.similarity import contrastive_negatives
+
+    out = contrastive_negatives(emb, k_neg=4, n_shards=8).collect()
+    rows = {(r.anchor_id, r.neg_id, r.j) for r in out}
+    # deterministic: a second run is identical
+    out2 = contrastive_negatives(emb, k_neg=4, n_shards=8).collect()
+    assert rows == {(r.anchor_id, r.neg_id, r.j) for r in out2}
+    # no self-pairs; at most k draws per anchor; j in range
+    per_anchor: dict = {}
+    for a, n, j in rows:
+        assert a != n
+        assert 1 <= j <= 4
+        per_anchor.setdefault(a, set()).add(j)
+    assert all(len(js) <= 4 for js in per_anchor.values())
+    # every anchor present (shards here are far larger than 1)
+    n_anchors = emb.count()
+    assert len(per_anchor) == n_anchors
