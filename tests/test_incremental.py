@@ -209,3 +209,45 @@ def test_snapshot_diff_semantics(spark):
     assert got["p1"] == (0, 1, 1, 1)
     # p2: row3 arrives (added), row4 deleted, row5 added, row6 unchanged
     assert got["p2"] == (2, 1, 0, 1)
+
+
+def test_snapshot_changes_roundtrip(spark):
+    """Applying the emitted changeset to `old` reproduces `new` exactly
+    — the generation/application closure."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.incremental import snapshot_changes
+    from cdc_redshift_spark.sources.tables import load_table
+
+    od = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        od.where(k % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            od.where(k % 17 == 0).withColumn("o_orderkey", k + 10_000_000)
+        )
+    )
+    ch = snapshot_changes(
+        od, new, keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderdate"],
+    ).cache()
+    touched = ch.select("o_orderkey")
+    rebuilt = od.join(touched, "o_orderkey", "left_anti").unionByName(
+        ch.where(F.col("op") != "delete").select(
+            "o_orderkey",
+            F.col("after.o_totalprice").alias("o_totalprice"),
+            F.col("after.o_orderdate").alias("o_orderdate"),
+        )
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    ch.unpersist()
