@@ -298,86 +298,6 @@ GROUP BY user_id
 """
 
 
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (view → click → purchase): per step, how many
-    users progressed and the total step latency — each step's time is
-    the user's first qualifying event AT OR AFTER the previous step
-    (the classic correlated-min funnel, exact on integer nanos).
-
-    Plan: three conditional min-aggregates chained by per-user
-    equi-joins (each shuffles one row per surviving user — funnels
-    only narrow); no window over raw events, no self-join of the
-    fact table against itself."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_ns"
-    )
-    t1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t1"))
-    )
-    t2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .where(F.col("ts_ns") >= F.col("t1"))
-        .groupBy("user_id", "t1")
-        .agg(F.min("ts_ns").alias("t2"))
-    )
-    t3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .where(F.col("ts_ns") >= F.col("t2"))
-        .groupBy("user_id", "t2")
-        .agg(F.min("ts_ns").alias("t3"))
-    )
-    z = F.lit(0).cast("long")
-    s1 = t1.agg(
-        F.lit(1).alias("step"),
-        F.count(F.lit(1)).alias("n_users"),
-        F.coalesce(F.sum(z), z).alias("total_latency_ns"),
-    )
-    s2 = t2.agg(
-        F.lit(2).alias("step"),
-        F.count(F.lit(1)).alias("n_users"),
-        F.coalesce(F.sum(F.col("t2") - F.col("t1")), z).alias(
-            "total_latency_ns"
-        ),
-    )
-    s3 = t3.agg(
-        F.lit(3).alias("step"),
-        F.count(F.lit(1)).alias("n_users"),
-        F.coalesce(F.sum(F.col("t3") - F.col("t2")), z).alias(
-            "total_latency_ns"
-        ),
-    )
-    return s1.unionByName(s2).unionByName(s3)
-
-
-ORACLE_FUNNEL = """
-WITH t1 AS (
-  SELECT user_id, min(epoch_ns(ts)) AS t1
-  FROM events WHERE event_type = 'view' GROUP BY user_id
-), t2 AS (
-  SELECT e.user_id, t1.t1, min(epoch_ns(e.ts)) AS t2
-  FROM events e JOIN t1 ON e.user_id = t1.user_id
-  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= t1.t1
-  GROUP BY e.user_id, t1.t1
-), t3 AS (
-  SELECT e.user_id, t2.t2, min(epoch_ns(e.ts)) AS t3
-  FROM events e JOIN t2 ON e.user_id = t2.user_id
-  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= t2.t2
-  GROUP BY e.user_id, t2.t2
-)
-SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users,
-       CAST(0 AS BIGINT) AS total_latency_ns FROM t1
-UNION ALL
-SELECT 2, CAST(count(*) AS BIGINT),
-       CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM t2
-UNION ALL
-SELECT 3, CAST(count(*) AS BIGINT),
-       CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM t3
-"""
-
 
 QUERIES = {
     "events_asof_attribution": q_events_asof_attribution,
@@ -385,7 +305,6 @@ QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_resample_ffill": q_events_resample_ffill,
     "events_user_sequences": q_events_user_sequences,
-    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -394,5 +313,4 @@ ORACLES = {
     "events_hourly_rollup": ORACLE_ROLLUP_HOURLY,
     "events_resample_ffill": ORACLE_RESAMPLE,
     "events_user_sequences": ORACLE_USER_SEQ,
-    "events_funnel": ORACLE_FUNNEL,
 }
