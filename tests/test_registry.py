@@ -47,3 +47,35 @@ def test_every_query_has_an_oracle_or_is_allowlisted():
     assert missing == [], missing
     stale = [n for n in ROWS_ONLY_OK if n not in q or n in o]
     assert stale == [], f"allowlist out of date: {stale}"
+
+
+def test_no_cross_module_query_name_collisions():
+    """Module QUERIES keys must be globally unique: the registry is a
+    dict.update chain, so a duplicate name silently SHADOWS an earlier
+    module's query (and its oracle) — exactly the failure that briefly
+    replaced analytics' events_funnel with a temporal duplicate."""
+    from collections import Counter
+
+    from cdc_redshift_spark.queries import (
+        analytics,
+        cdc,
+        corpus_q,
+        dedup_q,
+        dq_q,
+        incremental_q,
+        multimodal_q,
+        similarity,
+        streaming_q,
+        temporal_q,
+        text_q,
+        tpch_q,
+    )
+
+    names: list = []
+    for mod in (
+        cdc, analytics, text_q, dedup_q, corpus_q, similarity,
+        multimodal_q, streaming_q, temporal_q, incremental_q, dq_q, tpch_q,
+    ):
+        names += list(mod.QUERIES)
+    dups = [n for n, c in Counter(names).items() if c > 1]
+    assert not dups, f"query names shadow each other across modules: {dups}"
