@@ -861,11 +861,13 @@ def contrastive_negatives(
 
     Construction: shard = hash60(id) % n_shards; within a shard, rows
     are ranked by (hash, id) into a ring; anchor at rank r takes the
-    rows at ranks ``(r - 1 + j*step_j) % shard_size + 1`` — ``step_j``
-    spreads draws across the ring (j, j + size/k offsets) and the
-    modulo guarantees the partner exists.  Self-draws (tiny shards)
-    are filtered, so degenerate shards yield < k_neg rows rather than
-    a self-pair.
+    ``j``-th ring successor, ``(r - 1 + j) % shard_size + 1`` for
+    ``j = 1..min(k_neg, shard_size - 1)``.  Ring order is hash order —
+    already uniform with respect to content — so successors ARE
+    uniform draws; offsets in ``[1, sz-1]`` are provably distinct and
+    never self, so every anchor gets exactly ``min(k_neg, sz-1)``
+    distinct negatives (fewer only when the shard simply has fewer
+    candidates).
 
     Output: ``anchor_id, neg_id, j`` (one row per draw).
 
@@ -886,29 +888,27 @@ def contrastive_negatives(
     ranked = base.withColumn("r", F.row_number().over(w)).withColumn(
         "sz", F.count(F.lit(1)).over(Window.partitionBy("shard"))
     )
-    draws = ranked.select(
-        F.col("id").alias("anchor_id"),
-        "shard",
-        "sz",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(1, k_neg + 1)])
-        ).alias("j"),
-        F.col("r").alias("r_a"),
-    ).withColumn(
-        # j-th draw: walk j + floor(j*sz/(k+1)) steps around the ring
-        "r_n",
-        F.pmod(
-            F.col("r_a") - 1 + F.col("j")
-            + F.floor(F.col("j") * F.col("sz") / (k_neg + 1)).cast("long"),
-            F.col("sz"),
+    draws = (
+        ranked.select(
+            F.col("id").alias("anchor_id"),
+            "shard",
+            "sz",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, k_neg + 1)])
+            ).alias("j"),
+            F.col("r").alias("r_a"),
         )
-        + 1,
+        # offsets beyond sz-1 would wrap into duplicates/self — cap
+        # the draws at the shard's actual candidate count
+        .where(F.col("j") <= F.col("sz") - 1)
+        .withColumn(
+            "r_n",
+            F.pmod(F.col("r_a") - 1 + F.col("j"), F.col("sz")) + 1,
+        )
     )
     partners = ranked.select(
         "shard", F.col("r").alias("r_n"), F.col("id").alias("neg_id")
     )
-    return (
-        draws.join(partners, ["shard", "r_n"])
-        .where(F.col("neg_id") != F.col("anchor_id"))
-        .select("anchor_id", "neg_id", "j")
+    return draws.join(partners, ["shard", "r_n"]).select(
+        "anchor_id", "neg_id", "j"
     )

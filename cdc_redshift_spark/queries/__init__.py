@@ -110,9 +110,7 @@ def all_queries():
         tpch_q,
     )
 
-    q: dict = {}
-    o: dict = {}
-    for mod in (
+    mods = (
         cdc,
         analytics,
         text_q,
@@ -125,7 +123,18 @@ def all_queries():
         incremental_q,
         dq_q,
         tpch_q,
-    ):
+    )
+    q: dict = {}
+    o: dict = {}
+    for mod in mods:
+        # a duplicate name would silently SHADOW an earlier module's
+        # query AND oracle (dict.update) — fail loudly instead
+        clash = set(q) & set(mod.QUERIES)
+        if clash:
+            raise KeyError(
+                f"query names in {mod.__name__} shadow earlier modules: "
+                f"{sorted(clash)}"
+            )
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
 

@@ -579,6 +579,8 @@ def q_emb_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_negatives(emb, k_neg=CN_K, n_shards=CN_SHARDS)
 
 
+CN_VALUES = ", ".join(f"({{j}})".format(j=j) for j in range(1, CN_K + 1))
+
 ORACLE_CONTRASTIVE = f"""
 WITH base AS (
   SELECT vec_id AS id,
@@ -591,12 +593,12 @@ WITH base AS (
   FROM base
 ), draws AS (
   SELECT a.id AS anchor_id, a.shard, a.sz, t.j, a.r AS r_a,
-         ((a.r - 1 + t.j + (t.j * a.sz) // {CN_K + 1}) % a.sz) + 1 AS r_n
-  FROM ranked a, (VALUES (1), (2), (3), (4)) t(j)
+         ((a.r - 1 + t.j) % a.sz) + 1 AS r_n
+  FROM ranked a, (VALUES {CN_VALUES}) t(j)
+  WHERE t.j <= a.sz - 1
 )
 SELECT d.anchor_id, p.id AS neg_id, CAST(d.j AS INT) AS j
 FROM draws d JOIN ranked p ON p.shard = d.shard AND p.r = d.r_n
-WHERE p.id <> d.anchor_id
 """
 
 

@@ -33,6 +33,22 @@ from cdc_redshift_spark.operators.dedup import incremental_exact_dedup
 _INDEX_SCHEMA = StructType([StructField("fp", StringType())])
 
 
+def _read_parquet_or_empty(spark, path: str, schema):
+    """Read an index dir; ONLY first-batch absence (PATH_NOT_FOUND)
+    may fall back to an empty frame — any other read failure (corrupt
+    footer, permissions) must raise, because an empty index would
+    silently admit every duplicate in the batch."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+
 class IngestDeduper:
     """``foreachBatch`` callable: admit new docs, grow the fp index.
 
@@ -54,18 +70,7 @@ class IngestDeduper:
         self.text_col = text_col
 
     def _read_index(self, spark) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.parquet(self.index_dir)
-        except AnalysisException as e:
-            # ONLY first-batch absence may fall back to an empty index;
-            # any other read failure (corrupt footer, permissions)
-            # must raise — an empty index here would silently admit
-            # every duplicate in the batch
-            if "PATH_NOT_FOUND" in str(e):
-                return spark.createDataFrame([], _INDEX_SCHEMA)
-            raise
+        return _read_parquet_or_empty(spark, self.index_dir, _INDEX_SCHEMA)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -148,17 +153,16 @@ class NearDupIngestDeduper:
         self.bands = bands
         self.jaccard_threshold = jaccard_threshold
 
-    def _read_index(self, spark) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return spark.read.parquet(self.index_dir)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e):
-                return spark.createDataFrame(
-                    [], "id long, sh array<long>, sig array<long>"
-                )
-            raise
+    def _read_index(self, spark, batch_df: DataFrame) -> DataFrame:
+        # the id type comes from the BATCH column — hardcoding long
+        # would crash the first batch for string/int ids (later
+        # batches read the real type from the persisted parquet)
+        idt = batch_df.schema[self.id_col].dataType.simpleString()
+        return _read_parquet_or_empty(
+            spark,
+            self.index_dir,
+            f"id {idt}, sh array<long>, sig array<long>",
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from cdc_redshift_spark.operators.dedup import (
@@ -176,7 +180,7 @@ class NearDupIngestDeduper:
         frames = minhash_frames(
             batch_df, self.id_col, self.text_col, k=self.k
         ).localCheckpoint(eager=True)
-        index = self._read_index(spark)
+        index = self._read_index(spark, batch_df)
         pairs = incremental_minhash_pairs(
             index,
             frames,

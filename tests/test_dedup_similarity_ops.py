@@ -315,13 +315,28 @@ def test_contrastive_negatives_properties(spark, emb):
     # deterministic: a second run is identical
     out2 = contrastive_negatives(emb, k_neg=4, n_shards=8).collect()
     assert rows == {(r.anchor_id, r.neg_id, r.j) for r in out2}
-    # no self-pairs; at most k draws per anchor; j in range
+    # no self-pairs; per anchor: exactly min(k, sz-1) DISTINCT negatives
     per_anchor: dict = {}
     for a, n, j in rows:
         assert a != n
         assert 1 <= j <= 4
-        per_anchor.setdefault(a, set()).add(j)
-    assert all(len(js) <= 4 for js in per_anchor.values())
-    # every anchor present (shards here are far larger than 1)
+        per_anchor.setdefault(a, set()).add(n)
     n_anchors = emb.count()
     assert len(per_anchor) == n_anchors
+    # shards here hold ~60+ vectors, so every anchor gets the full 4
+    # distinct partners (without replacement — the ring-offset proof)
+    assert all(len(negs) == 4 for negs in per_anchor.values())
+
+
+def test_contrastive_negatives_small_shards(spark):
+    from cdc_redshift_spark.operators.similarity import contrastive_negatives
+
+    tiny = spark.createDataFrame([(i,) for i in range(7)], "vec_id long")
+    out = contrastive_negatives(tiny, k_neg=4, n_shards=3).collect()
+    per_anchor: dict = {}
+    for r in out:
+        assert r.anchor_id != r.neg_id
+        per_anchor.setdefault(r.anchor_id, []).append(r.neg_id)
+    for a, negs in per_anchor.items():
+        assert len(negs) == len(set(negs))  # without replacement
+        assert len(negs) <= 4
