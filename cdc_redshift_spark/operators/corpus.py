@@ -401,14 +401,23 @@ def pack_token_stream(
     ``seq_first, seq_last`` (the sequences the doc lands in) — the
     manifest a loader needs to materialize packed sequences.
 
-    Sharding (``doc_id % n_shards``) bounds the window: the
+    Sharding (``pmod(doc_id, n_shards)``) bounds the window: the
     cumulative-sum window runs per shard, so parallelism is
     ``n_shards`` regardless of corpus size — at 100 TB pick shards ≈
     output files.  One shuffle (the per-shard ordered window); all
-    integer math.
+    integer math.  ``pmod`` (not sign-following ``%``) keeps negative
+    ids in ``[0, n_shards)`` — the same sharding discipline as
+    ``stratified_sample`` / ``contrastive_negatives``; a non-numeric
+    id column is rejected up front rather than silently sharding NULL.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    idt = df.schema[id_col].dataType.simpleString()
+    if idt not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"pack_token_stream needs an integral {id_col!r} "
+            f"(got {idt}); hash non-numeric ids to int64 first"
+        )
     from pyspark.sql import Window
 
     from cdc_redshift_spark.functions.text import normalize_text
@@ -418,7 +427,7 @@ def pack_token_stream(
         F.size(F.split(normalize_text(F.col(text_col)), " "))
         .cast("long")
         .alias("n_tokens"),
-    ).withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

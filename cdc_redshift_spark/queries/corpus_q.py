@@ -473,7 +473,8 @@ ORACLE_PACK = f"""
 WITH d AS (
   SELECT doc_id,
          CAST(len(string_split({DUCK_NORM.format(c='text')}, ' ')) AS BIGINT) AS n_tokens,
-         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard
+         -- pmod mirror: ((x % n) + n) % n keeps negative ids in [0, n)
+         CAST(((doc_id % {PACK_SHARDS}) + {PACK_SHARDS}) % {PACK_SHARDS} AS INT) AS shard
   FROM documents
 ), c AS (
   SELECT doc_id, shard, n_tokens,

@@ -365,7 +365,9 @@ WITH base AS (
   UNION ALL
   SELECT mn, 'unchanged' FROM f
   WHERE ko IS NOT NULL AND kn IS NOT NULL AND mo = mn
-    AND po = pn AND ddo = dn
+    -- null-safe, mirroring the operator's eqNullSafe: a row whose
+    -- compare value is NULL in both snapshots is 'unchanged'
+    AND po IS NOT DISTINCT FROM pn AND ddo IS NOT DISTINCT FROM dn
 )
 SELECT partition,
        CAST(sum(CASE WHEN s = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,

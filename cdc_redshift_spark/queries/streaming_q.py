@@ -88,9 +88,10 @@ def _drive_phases(
     partitions are pinned to 16 for the run — the state-store partition
     count is fixed at first checkpoint creation, and a plain driver
     session's default of 200 would turn a 20k-row check into 400
-    state-store tasks.  Returns the landed DataFrame; the landing dir
-    outlives this function (the result reads it lazily), only the
-    stream's work dirs are removed.
+    state-store tasks.  Returns the landed DataFrame, MATERIALIZED
+    (eager localCheckpoint) so the whole mkdtemp root — landing dir
+    included — is removed before returning instead of leaking in /tmp
+    run after run.
     """
     root = tempfile.mkdtemp(prefix=prefix)
     indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
@@ -126,12 +127,12 @@ def _drive_phases(
         for df, n_files in phases:
             df.coalesce(n_files).write.mode("append").json(indir)
             drain()
+        out = spark.read.parquet(land).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
-    return spark.read.parquet(land)
+    return out
 
 
 def _changelog_phases(raw: DataFrame) -> list[tuple[DataFrame, int]]:
@@ -562,12 +563,19 @@ def q_cdc_ingest_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(600):
                 q.stop()
                 raise TimeoutError("ingest dedup drain exceeded 600 s")
+        # materialize NOW so the whole mkdtemp root (index + accepted
+        # parquet included) can be removed — a lazy read of acc would
+        # otherwise pin the dirs and leak them in /tmp on every run
+        out = (
+            spark.read.parquet(acc)
+            .select(F.col("id").alias("doc_id"), "fp")
+            .localCheckpoint(eager=True)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        shutil.rmtree(indir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
-    return spark.read.parquet(acc).select(F.col("id").alias("doc_id"), "fp")
+    return out
 
 
 ORACLE_INGEST_DEDUP = f"""

@@ -9,52 +9,82 @@ batch-proportional work (one fingerprint scan of the batch + one
 equi-join probe), appends the accepted documents to the corpus and
 their fingerprints to the index.  The corpus itself is never re-read.
 
-Crash consistency: the index append lands BEFORE the accepted-docs
-append, so a failure between the two can only over-index (a fp whose
-doc write was lost) — re-ingesting that doc classifies it
-``dup_of_index`` instead of duplicating it in the corpus; an
-at-least-once replay of a whole batch is likewise absorbed because
-every fp it would admit is already indexed.  (Appending docs first
-would instead admit duplicates on replay — the wrong failure mode for
-a dedup stage.)
+Crash consistency (exactly-once): every batch writes into its OWN
+deterministic subdirectory (``batch=<batch_id>``) of both the index
+and the accepted dir, with ``mode("overwrite")``, and classification
+reads only index rows with ``batch < batch_id``.  Structured
+Streaming replays a failed micro-batch under the SAME batch_id, so:
 
-At scale, bucket both parquet tables by ``fp`` so the per-batch probe
-join is co-located (see sinks/parquet_sink bucketing support).
+* a crash between the two writes cannot lose a document — the replay
+  excludes its own half-written ``batch=<id>`` index rows from the
+  probe, re-derives the identical accepted set (classification is a
+  deterministic function of the batch data and the prior-batch index),
+  and overwrites both subdirectories;
+* a replay of a fully-committed batch overwrites both subdirectories
+  with identical content — no duplicates in the corpus;
+* readers of either table never see a batch twice, because each batch
+  owns exactly one partition directory.
+
+This is the classic idempotent-foreachBatch pattern (a poor man's
+``txnVersion``/``txnAppId``) built on plain parquet — the same
+contract a Delta/Iceberg sink would give via its transaction log.
+
+At scale, additionally bucket both parquet tables by ``fp`` so the
+per-batch probe join is co-located (see sinks/parquet_sink bucketing
+support); the ``batch`` partition column keeps per-batch overwrite
+idempotence and lets compaction fold old batches without touching
+live ones.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
 
-from cdc_redshift_spark.operators.dedup import incremental_exact_dedup
-
-_INDEX_SCHEMA = StructType([StructField("fp", StringType())])
+_INDEX_SCHEMA = "fp string, batch int"
 
 
 def _read_parquet_or_empty(spark, path: str, schema):
     """Read an index dir; ONLY first-batch absence (PATH_NOT_FOUND)
     may fall back to an empty frame — any other read failure (corrupt
     footer, permissions) must raise, because an empty index would
-    silently admit every duplicate in the batch."""
+    silently admit every duplicate in the batch.
+
+    Absence is detected via the error CLASS (stable across Spark
+    releases), with a message-substring fallback for versions that
+    predate error classes ("Path does not exist" wording).
+    """
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        # getCondition (Spark 4) with getErrorClass fallback (3.x)
+        get_cls = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        err_cls = get_cls() if callable(get_cls) else None
+        if err_cls == "PATH_NOT_FOUND" or (
+            err_cls is None
+            and (
+                "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+            )
+        ):
             return spark.createDataFrame([], schema)
         raise
 
+
+def _batch_dir(root: str, batch_id: int) -> str:
+    return f"{root}/batch={int(batch_id)}"
 
 
 class IngestDeduper:
     """``foreachBatch`` callable: admit new docs, grow the fp index.
 
-    ``index_dir``: parquet dir of accepted fingerprints (created on
-    first batch).  ``accepted_dir``: parquet dir the admitted
-    ``(id, fp, text)`` rows append to.
+    ``index_dir``: parquet dir of accepted fingerprints, partitioned
+    by ``batch`` (created on first batch).  ``accepted_dir``: parquet
+    dir the admitted ``(id, fp, text)`` rows land in, same layout.
+    Writes are idempotent per ``batch_id`` (see module docstring).
     """
 
     def __init__(
@@ -69,10 +99,16 @@ class IngestDeduper:
         self.id_col = id_col
         self.text_col = text_col
 
-    def _read_index(self, spark) -> DataFrame:
-        return _read_parquet_or_empty(spark, self.index_dir, _INDEX_SCHEMA)
+    def _read_index(self, spark, batch_id: int) -> DataFrame:
+        """Index rows from batches strictly BEFORE ``batch_id`` — a
+        crashed earlier attempt of this very batch contributes nothing
+        to the probe, so its docs are re-admitted (not lost)."""
+        idx = _read_parquet_or_empty(spark, self.index_dir, _INDEX_SCHEMA)
+        return idx.where(F.col("batch") < F.lit(int(batch_id))).drop("batch")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from cdc_redshift_spark.operators.dedup import incremental_exact_dedup
+
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -80,7 +116,7 @@ class IngestDeduper:
         # micro-batch; without this the id joins below fan out and the
         # dedup stage itself would emit duplicates
         batch_df = batch_df.dropDuplicates([self.id_col])
-        index = self._read_index(spark)
+        index = self._read_index(spark, batch_id)
         cls = incremental_exact_dedup(
             index, batch_df, id_col=self.id_col, text_col=self.text_col
         )
@@ -95,12 +131,20 @@ class IngestDeduper:
                 "id",
             )
         )
-        # pin the classification BEFORE the index append: `accepted`
-        # reads the index lazily, and appending to a parquet dir while
-        # a plan still scans it re-lists the new files
+        # pin the result once: it is written twice below, and an eager
+        # checkpoint keeps the second write from re-running the probe
         accepted = accepted.localCheckpoint(eager=True)
-        accepted.select("fp").write.mode("append").parquet(self.index_dir)
-        accepted.write.mode("append").parquet(self.accepted_dir)
+        if accepted.isEmpty():
+            # nothing admitted → no subdirectory (classification is
+            # deterministic, so a crashed attempt of this batch wrote
+            # nothing either); also keeps an all-empty index readable
+            return
+        accepted.select("fp").write.mode("overwrite").parquet(
+            _batch_dir(self.index_dir, batch_id)
+        )
+        accepted.write.mode("overwrite").parquet(
+            _batch_dir(self.accepted_dir, batch_id)
+        )
 
 
 class NearDupIngestDeduper:
@@ -118,17 +162,18 @@ class NearDupIngestDeduper:
     3. REJECT batch docs with an index match; cluster the remaining
        batch-batch pairs (connected components) and keep the min-id
        representative per cluster;
-    4. append survivors' signatures to the index and their rows to
-       ``accepted_dir``.
+    4. overwrite survivors' signatures into the index's
+       ``batch=<id>`` partition and their rows into ``accepted_dir``'s.
 
     Semantics are greedy by arrival order (wave N's acceptances reject
     wave N+1's near-dups) — the standard ingest-dedup contract; the
     invariants "no two accepted docs are near-dups" and "every
     rejection has an accepted witness" are pytest-pinned
-    (tests/test_ingest_dedup.py).  Index appends land before doc
-    appends for the same replay-safety argument as
-    :class:`IngestDeduper`: a replayed batch finds its own ids already
-    in the index and rejects itself.
+    (tests/test_ingest_dedup.py).  Crash/replay safety uses the same
+    per-batch-partition overwrite scheme as :class:`IngestDeduper`
+    (module docstring): the probe reads only ``batch < batch_id``, so
+    a half-committed attempt of the current batch can neither reject
+    its own docs (no loss) nor survive a replay (no duplication).
 
     At 100 TB: bucket the index by a band-key hash so the probe join
     is co-located; per-batch cost is the batch's band rows plus the
@@ -153,16 +198,17 @@ class NearDupIngestDeduper:
         self.bands = bands
         self.jaccard_threshold = jaccard_threshold
 
-    def _read_index(self, spark, batch_df: DataFrame) -> DataFrame:
+    def _read_index(self, spark, batch_df: DataFrame, batch_id: int):
         # the id type comes from the BATCH column — hardcoding long
         # would crash the first batch for string/int ids (later
         # batches read the real type from the persisted parquet)
         idt = batch_df.schema[self.id_col].dataType.simpleString()
-        return _read_parquet_or_empty(
+        idx = _read_parquet_or_empty(
             spark,
             self.index_dir,
-            f"id {idt}, sh array<long>, sig array<long>",
+            f"id {idt}, sh array<long>, sig array<long>, batch int",
         )
+        return idx.where(F.col("batch") < F.lit(int(batch_id))).drop("batch")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from cdc_redshift_spark.operators.dedup import (
@@ -180,7 +226,7 @@ class NearDupIngestDeduper:
         frames = minhash_frames(
             batch_df, self.id_col, self.text_col, k=self.k
         ).localCheckpoint(eager=True)
-        index = self._read_index(spark, batch_df)
+        index = self._read_index(spark, batch_df, batch_id)
         pairs = incremental_minhash_pairs(
             index,
             frames,
@@ -191,16 +237,17 @@ class NearDupIngestDeduper:
         hit_index = pairs.where(F.col("match_side") == "existing").select(
             F.col("batch_id").alias("id")
         )
-        # a replayed doc carries an id ALREADY in the index; the pair
-        # probe deliberately excludes match_id == batch_id, so replay
-        # idempotence needs this explicit id-level rejection
-        replayed = index.select("id")
+        # a doc redelivered in a LATER batch under the same id (the
+        # pair probe deliberately excludes match_id == batch_id) is
+        # rejected here even if its text changed; same-batch replays
+        # are instead handled by the batch-partition overwrite scheme
+        seen_ids = index.select("id")
         # survivors of the index probe; then one representative per
         # in-batch near-dup cluster (min id)
         alive = (
             frames.select("id")
             .join(hit_index, "id", "left_anti")
-            .join(replayed, "id", "left_anti")
+            .join(seen_ids, "id", "left_anti")
         )
         bb = (
             pairs.where(F.col("match_side") == "batch")
@@ -219,11 +266,17 @@ class NearDupIngestDeduper:
             .select("id")
         )
         accepted_frames = frames.join(keep, "id").localCheckpoint(eager=True)
-        accepted_frames.write.mode("append").parquet(self.index_dir)
+        if accepted_frames.isEmpty():
+            return
+        accepted_frames.write.mode("overwrite").parquet(
+            _batch_dir(self.index_dir, batch_id)
+        )
         accepted_frames.select("id").join(
             batch_df.select(
                 F.col(self.id_col).alias("id"),
                 F.col(self.text_col).alias("text"),
             ),
             "id",
-        ).write.mode("append").parquet(self.accepted_dir)
+        ).write.mode("overwrite").parquet(
+            _batch_dir(self.accepted_dir, batch_id)
+        )

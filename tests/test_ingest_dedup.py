@@ -90,6 +90,58 @@ def test_duplicate_rows_within_one_batch(spark, docs):
         assert {r.id for r in acc.collect()} == expected_accepted(spark, docs)
 
 
+def test_crash_between_writes_loses_nothing(spark, docs):
+    """ADVICE r5 (medium): a crash AFTER the index write but BEFORE the
+    accepted write must not lose the document.  The per-batch-partition
+    overwrite scheme recovers it: the replay excludes its own batch's
+    index rows from the probe, re-admits the doc, and overwrites both
+    subdirectories."""
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    w0 = docs.where(F.col("doc_id") < hi // 2)
+    w1 = docs.where(F.col("doc_id") >= hi // 2)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx, acc = os.path.join(tmp, "idx"), os.path.join(tmp, "acc")
+        dd = IngestDeduper(idx, acc)
+        dd(w0, 0)
+
+        # simulate the crashed attempt of batch 1: index partition
+        # written, accepted partition NOT
+        from cdc_redshift_spark.functions.text import fingerprint
+
+        w1.select(
+            fingerprint(F.col("text")).alias("fp")
+        ).write.mode("overwrite").parquet(os.path.join(idx, "batch=1"))
+        crashed = {r.id for r in spark.read.parquet(acc).collect()}
+
+        dd(w1, 1)  # Structured Streaming replays under the SAME id
+        got = {r.id for r in spark.read.parquet(acc).collect()}
+        want = expected_accepted(spark, docs)
+        assert got == want  # wave-1 docs recovered, none lost
+        assert got > crashed
+        # index partition was overwritten, not doubled
+        n_idx = spark.read.parquet(idx).count()
+        assert n_idx == len(want)
+
+
+def test_replay_of_committed_batch_is_idempotent(spark, docs):
+    """Replaying a fully-committed batch (crash after both writes but
+    before the checkpoint commit) must change nothing."""
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    w0 = docs.where(F.col("doc_id") < hi // 2)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx, acc = os.path.join(tmp, "idx"), os.path.join(tmp, "acc")
+        dd = IngestDeduper(idx, acc)
+        dd(w0, 0)
+        before = sorted(
+            (r.id, r.fp) for r in spark.read.parquet(acc).collect()
+        )
+        dd(w0, 0)  # replay
+        after = sorted(
+            (r.id, r.fp) for r in spark.read.parquet(acc).collect()
+        )
+        assert before == after
+
+
 # ---- near-dup (MinHash) ingest --------------------------------------------
 
 
