@@ -590,6 +590,70 @@ SELECT doc_id, fp FROM r WHERE rn = 1
 """
 
 
+# ---- near-dup ingest probe (decomposed oracle) ----------------------------
+
+PROBE_MOD = 4  # doc_id % 4 == 0 is the arriving batch; rest is the index
+PROBE_K, PROBE_BANDS, PROBE_THRESHOLD = 32, 4, 0.9
+
+
+def q_cdc_ingest_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-probe stage of :class:`NearDupIngestDeduper`
+    (streaming/ingest.py `neardup_probe`, the decision rule the live
+    foreachBatch path runs): classify each arriving doc against the
+    persisted signature index — `dup_of_index` when a MinHash band
+    collision verifies at Jaccard >= 0.9, else `pass_probe`.  The
+    greedy in-batch wave collapse that follows is order-dependent and
+    stays pytest-pinned (tests/test_ingest_dedup.py); this gates the
+    SQL-expressible half with a value oracle."""
+    from cdc_redshift_spark.operators.dedup import minhash_frames
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.ingest import neardup_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.where(F.col("doc_id") % PROBE_MOD != 0)
+    ba = docs.where(F.col("doc_id") % PROBE_MOD == 0)
+    return neardup_probe(
+        minhash_frames(ex, k=PROBE_K),
+        minhash_frames(ba, k=PROBE_K),
+        k=PROBE_K,
+        bands=PROBE_BANDS,
+        jaccard_threshold=PROBE_THRESHOLD,
+    ).select(F.col("id").alias("doc_id"), "status")
+
+
+def _oracle_ingest_probe() -> str:
+    from cdc_redshift_spark.queries.dedup_q import (
+        duck_minhash_sig,
+        duck_shingle_hashes,
+    )
+
+    r = PROBE_K // PROBE_BANDS
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {duck_shingle_hashes('text')} AS h FROM documents
+), sig AS (
+  SELECT id, h, {duck_minhash_sig('h', PROBE_K)} AS sig FROM sh
+), bb AS (
+  SELECT id, b, list_slice(sig, b*{r} + 1, b*{r} + {r}) AS key,
+         (id % {PROBE_MOD} = 0) AS is_batch
+  FROM sig, range({PROBE_BANDS}) t(b)
+), hit AS (
+  SELECT DISTINCT a.id
+  FROM bb a JOIN bb m ON a.b = m.b AND a.key = m.key
+  JOIN sig x ON x.id = a.id JOIN sig y ON y.id = m.id
+  WHERE a.is_batch AND NOT m.is_batch
+    AND len(list_intersect(x.h, y.h))::DOUBLE
+        / (len(x.h) + len(y.h) - len(list_intersect(x.h, y.h)))
+        >= {PROBE_THRESHOLD}
+)
+SELECT b.id AS doc_id,
+       CASE WHEN hit.id IS NOT NULL THEN 'dup_of_index'
+            ELSE 'pass_probe' END AS status
+FROM (SELECT id FROM sig WHERE id % {PROBE_MOD} = 0) b
+LEFT JOIN hit USING (id)
+"""
+
+
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
@@ -599,6 +663,7 @@ QUERIES = {
     "cdc_first_seen_stream": q_cdc_first_seen_stream,
     "cdc_enrich_stream": q_cdc_enrich_stream,
     "cdc_ingest_dedup_stream": q_cdc_ingest_dedup_stream,
+    "cdc_ingest_neardup_probe": q_cdc_ingest_neardup_probe,
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
@@ -609,4 +674,5 @@ ORACLES = {
     "cdc_first_seen_stream": ORACLE_FIRST_SEEN,
     "cdc_enrich_stream": ORACLE_ENRICH,
     "cdc_ingest_dedup_stream": ORACLE_INGEST_DEDUP,
+    "cdc_ingest_neardup_probe": _oracle_ingest_probe(),
 }

@@ -78,6 +78,64 @@ def _batch_dir(root: str, batch_id: int) -> str:
     return f"{root}/batch={int(batch_id)}"
 
 
+def _probe_flags(index: DataFrame, frames: DataFrame, pairs: DataFrame):
+    """Per batch doc: ``dup_of_index`` when it MinHash-matches the
+    persisted index (or reuses an already-indexed id), else
+    ``pass_probe``.  Shared by the live ``foreachBatch`` path and the
+    gated ``cdc_ingest_neardup_probe`` query — the oracle certifying
+    the latter certifies the decision rule the stream runs."""
+    hit_index = (
+        pairs.where(F.col("match_side") == "existing")
+        .select(F.col("batch_id").alias("id"))
+        .distinct()
+    )
+    # a doc redelivered in a LATER batch under the same id (the pair
+    # probe deliberately excludes match_id == batch_id) is rejected
+    # even if its text changed; same-batch replays are instead handled
+    # by the batch-partition overwrite scheme
+    seen_ids = index.select("id").distinct()
+    flagged = hit_index.unionByName(seen_ids).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    return frames.select("id").join(flagged, "id", "left").select(
+        "id",
+        F.when(F.col("__hit").isNotNull(), F.lit("dup_of_index"))
+        .otherwise(F.lit("pass_probe"))
+        .alias("status"),
+    )
+
+
+def neardup_probe(
+    index_frames: DataFrame,
+    batch_frames: DataFrame,
+    k: int = 32,
+    bands: int = 4,
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """The index-probe stage of :class:`NearDupIngestDeduper`, exposed
+    as a pure DataFrame transform: both inputs are (id, sh, sig)
+    signature frames (``operators/dedup.minhash_frames``); output is
+    one row per batch doc — ``id, status`` with status
+    ``dup_of_index`` / ``pass_probe``.
+
+    This is the SQL-expressible half of the ingest filter (the greedy
+    in-batch wave collapse that follows is order-dependent and stays
+    pytest-pinned); gating it gives the near-dup ingest path a value
+    oracle without pretending the wave semantics are one SQL expr.
+    """
+    from cdc_redshift_spark.operators.dedup import incremental_minhash_pairs
+
+    pairs = incremental_minhash_pairs(
+        index_frames,
+        batch_frames,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        eager=False,
+    )
+    return _probe_flags(index_frames, batch_frames, pairs)
+
+
 class IngestDeduper:
     """``foreachBatch`` callable: admit new docs, grow the fp index.
 
@@ -234,20 +292,13 @@ class NearDupIngestDeduper:
             bands=self.bands,
             jaccard_threshold=self.jaccard_threshold,
         )
-        hit_index = pairs.where(F.col("match_side") == "existing").select(
-            F.col("batch_id").alias("id")
-        )
-        # a doc redelivered in a LATER batch under the same id (the
-        # pair probe deliberately excludes match_id == batch_id) is
-        # rejected here even if its text changed; same-batch replays
-        # are instead handled by the batch-partition overwrite scheme
-        seen_ids = index.select("id")
-        # survivors of the index probe; then one representative per
+        # survivors of the index probe (shared decision rule with the
+        # gated neardup_probe query); then one representative per
         # in-batch near-dup cluster (min id)
         alive = (
-            frames.select("id")
-            .join(hit_index, "id", "left_anti")
-            .join(seen_ids, "id", "left_anti")
+            _probe_flags(index, frames, pairs)
+            .where(F.col("status") == "pass_probe")
+            .select("id")
         )
         bb = (
             pairs.where(F.col("match_side") == "batch")
