@@ -102,6 +102,7 @@ def all_queries():
         dedup_q,
         dq_q,
         incremental_q,
+        layout_q,
         multimodal_q,
         similarity,
         streaming_q,
@@ -122,6 +123,7 @@ def all_queries():
         temporal_q,
         incremental_q,
         dq_q,
+        layout_q,
         tpch_q,
     )
     q: dict = {}

@@ -337,23 +337,16 @@ WHERE c_custkey % 11 <> 0
 """
 
 
-def q_cdc_dms_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DMS replay across a schema change: batch 2 adds a column.
-
-    Batch 1 inserts every customer with the v1 payload (id, name,
-    segment, balance); batch 2 updates c_custkey % 5 == 0 rows with a
-    payload that ALSO carries a new ``tier`` field — the ADD COLUMN
-    shape DMS DDL replication emits mid-stream.  Both batches parse
-    through :func:`cdc_redshift_spark.infer.parse_with_evolution`:
-    batch 1 infers and caches the v1 schema; batch 2's drift probe
-    spots ``tier`` in the raw JSON, widens the cached schema, and
-    re-parses, so the merged state carries the new column (NULL for
-    never-updated rows) instead of silently dropping it — the gap the
-    reference leaves undefined (SURVEY §1.3).
-    """
-    from cdc_redshift_spark.infer import SchemaCache, parse_with_evolution
-    from cdc_redshift_spark.normalize import dms_changeset
-
+def synth_dms_drift_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(batch1, batch2) raw DMS envelope frames for the schema-drift
+    fixture: batch 1 inserts every customer with the v1 payload (id,
+    name, segment, balance); batch 2 updates ``c_custkey % 5 == 0``
+    rows with a payload that ALSO carries a new ``tier`` field — the
+    ADD COLUMN shape DMS DDL replication emits mid-stream.  Shared by
+    the batch replay (``cdc_dms_schema_drift``) and the live-stream
+    variant (``cdc_stream_schema_drift``)."""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     k = F.col("c_custkey")
     ts0 = F.lit(_BASE_MS) + k * 1000
@@ -379,6 +372,27 @@ def q_cdc_dms_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = _dms_envelope(
         customer.filter(k % 5 == 0), v2, "update", ts0 + _DAY_MS, k * 10 + 1
     )
+    return batch1, batch2
+
+
+def q_cdc_dms_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS replay across a schema change: batch 2 adds a column.
+
+    Batch 1 inserts every customer with the v1 payload (id, name,
+    segment, balance); batch 2 updates c_custkey % 5 == 0 rows with a
+    payload that ALSO carries a new ``tier`` field — the ADD COLUMN
+    shape DMS DDL replication emits mid-stream.  Both batches parse
+    through :func:`cdc_redshift_spark.infer.parse_with_evolution`:
+    batch 1 infers and caches the v1 schema; batch 2's drift probe
+    spots ``tier`` in the raw JSON, widens the cached schema, and
+    re-parses, so the merged state carries the new column (NULL for
+    never-updated rows) instead of silently dropping it — the gap the
+    reference leaves undefined (SURVEY §1.3).
+    """
+    from cdc_redshift_spark.infer import SchemaCache, parse_with_evolution
+    from cdc_redshift_spark.normalize import dms_changeset
+
+    batch1, batch2 = synth_dms_drift_batches(spark, sf_dir)
 
     cache = SchemaCache()
     keys = ("db", "table", "key")

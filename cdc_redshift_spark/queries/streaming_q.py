@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.normalize import pg_changeset
-from cdc_redshift_spark.queries.cdc import synth_pg_changelog
+from cdc_redshift_spark.queries.cdc import (
+    ORACLE_CDC_DMS_SCHEMA_DRIFT,
+    synth_pg_changelog,
+)
 from cdc_redshift_spark.sources.streams import file_stream
 from cdc_redshift_spark.streaming.stateful import (
     first_seen_dedup,
@@ -590,6 +593,88 @@ SELECT doc_id, fp FROM r WHERE rn = 1
 """
 
 
+# ---- schema drift under a LIVE stream -------------------------------------
+
+
+class _DmsDriftApplier:
+    """foreachBatch target: DMS envelope batch → changeset → LWW →
+    :func:`parse_with_evolution` under ONE SchemaCache shared across
+    micro-batches → merge into accumulated state.  The live-stream
+    face of ``q_cdc_dms_schema_drift``'s per-batch loop."""
+
+    def __init__(self) -> None:
+        from cdc_redshift_spark.infer import SchemaCache
+
+        self.cache = SchemaCache()
+        self.state: DataFrame | None = None
+
+    def __call__(self, raw: DataFrame, batch_id: int) -> None:
+        from cdc_redshift_spark.dedup import latest_per_key
+        from cdc_redshift_spark.infer import parse_with_evolution
+        from cdc_redshift_spark.normalize import dms_changeset
+        from cdc_redshift_spark.plans.merge import apply_changeset
+
+        if raw.isEmpty():
+            return
+        ch = latest_per_key(
+            dms_changeset(raw, offset_col="offset"),
+            keys=("db", "table", "key"),
+        )
+        rel = parse_with_evolution(self.cache, "tpch", "customer_cdc", ch)
+        # eager checkpoint: the state feeds the NEXT batch's merge and
+        # the final read — without it each batch re-replays the lineage
+        self.state = apply_changeset(
+            self.state, rel, keys=("key",)
+        ).localCheckpoint(eager=True)
+
+
+def q_cdc_stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under a LIVE stream (infer.py cache path,
+    reference gap SURVEY §1.3): phase 1 streams v1-payload inserts,
+    phase 2 streams updates whose payload carries a new ``tier``
+    field.  Both phases drain through a real file-source stream +
+    checkpoint into :class:`_DmsDriftApplier`; the shared SchemaCache
+    must infer exactly twice (phase-1 bootstrap + phase-2 drift
+    widening) — a third inference means the cache failed, a single one
+    means the drift probe missed the new column.  Shares
+    ORACLE_CDC_DMS_SCHEMA_DRIFT with the batch replay."""
+    from cdc_redshift_spark.queries.cdc import synth_dms_drift_batches
+
+    b1, b2 = synth_dms_drift_batches(spark, sf_dir)
+    applier = _DmsDriftApplier()
+
+    root = tempfile.mkdtemp(prefix="drift_stream_")
+    indir, ckpt = os.path.join(root, "in"), os.path.join(root, "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for phase in (b1, b2):
+            _raw_shape(phase).coalesce(8).write.mode("append").json(indir)
+            q = (
+                file_stream(spark, indir, max_files_per_trigger=None)
+                .writeStream.foreachBatch(applier)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("drift stream drain exceeded 600 s")
+        if applier.cache.inferences != 2:
+            raise RuntimeError(
+                f"SchemaCache ran {applier.cache.inferences} inferences; "
+                "expected exactly 2 (bootstrap + drift widening)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(root, ignore_errors=True)
+
+    return applier.state.select(
+        "id", "name", "segment", "balance", "tier"
+    )
+
+
 # ---- near-dup ingest probe (decomposed oracle) ----------------------------
 
 PROBE_MOD = 4  # doc_id % 4 == 0 is the arriving batch; rest is the index
@@ -664,6 +749,7 @@ QUERIES = {
     "cdc_enrich_stream": q_cdc_enrich_stream,
     "cdc_ingest_dedup_stream": q_cdc_ingest_dedup_stream,
     "cdc_ingest_neardup_probe": q_cdc_ingest_neardup_probe,
+    "cdc_stream_schema_drift": q_cdc_stream_schema_drift,
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
@@ -675,4 +761,5 @@ ORACLES = {
     "cdc_enrich_stream": ORACLE_ENRICH,
     "cdc_ingest_dedup_stream": ORACLE_INGEST_DEDUP,
     "cdc_ingest_neardup_probe": _oracle_ingest_probe(),
+    "cdc_stream_schema_drift": ORACLE_CDC_DMS_SCHEMA_DRIFT,
 }
