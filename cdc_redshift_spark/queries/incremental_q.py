@@ -181,9 +181,14 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-form distinct rollup: per-day Apache DataSketches HLL
     sketches per event_type, unioned across days (``hll_union_agg``)
     and estimated.  The sketch bytes are the cross-system DataSketches
-    wire format (Redshift/Trino/Druid can merge them), so the estimate
-    is implementation-defined — gated by pytest tolerance + merge
-    equality (tests/test_sketches.py), rows-only here."""
+    wire format (Redshift/Trino/Druid can merge them).  Certification
+    is register-level, not value-level: the ESTIMATE is DataSketches-
+    implementation-defined (composite/HIP refinements DuckDB cannot
+    mirror), but every serialized REGISTER byte is checked bit-for-bit
+    against a pure-Python public-spec mirror — murmur3-128(seed 9001)
+    → slot/CLZ → max, union == elementwise max —
+    (tests/test_sketches.py + tests/hll_register_mirror.py), plus
+    estimate tolerance and merge-equality gates; rows-only here."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )

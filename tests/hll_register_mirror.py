@@ -1,0 +1,128 @@
+"""Pure-Python mirror of the Apache DataSketches HLL_8 register array
+(public spec: datasketches.apache.org / datasketches-java HllSketch).
+
+Certification helper for ``operators/sketches.hll_rollup``: Spark's
+``hll_sketch_agg`` registers are a deterministic, order-independent
+function of the input set —
+
+    hash   = MurmurHash3 x64 128 of the UTF-8 bytes, seed 9001
+    slot   = hash[0] & (2^26 - 1) & (k - 1)
+    value  = min(CLZ64(hash[1]), 62) + 1
+    reg[s] = max over inputs hashing to s
+
+so ``tests/test_sketches.py`` can compare every register byte of the
+serialized sketch (HLL_8 layout: 40-byte preamble + k register bytes)
+against this mirror.  This is the register-level oracle VERDICT r5
+asked for; the ESTIMATE stays tolerance-gated because DataSketches'
+composite/HIP estimators are implementation-defined refinements.
+"""
+
+from __future__ import annotations
+
+_M = (1 << 64) - 1
+DEFAULT_UPDATE_SEED = 9001  # DataSketches DEFAULT_UPDATE_SEED
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = DEFAULT_UPDATE_SEED):
+    """(h1, h2) of Austin Appleby's MurmurHash3_x64_128 — the hash
+    DataSketches applies to every update."""
+    C1, C2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed & _M
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * C1) & _M
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * C2) & _M
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _M
+        h1 = (h1 * 5 + 0x52DCE729) & _M
+        k2 = (k2 * C2) & _M
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * C1) & _M
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _M
+        h2 = (h2 * 5 + 0x38495AB5) & _M
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    t = len(tail)
+    for i in range(min(t, 8) - 1, -1, -1):
+        k1 = (k1 << 8) | tail[i]
+    for i in range(t - 1, 7, -1):
+        k2 = (k2 << 8) | tail[i]
+    if t > 8:
+        k2 = (k2 * C2) & _M
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * C1) & _M
+        h2 ^= k2
+    if t > 0:
+        k1 = (k1 * C1) & _M
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * C2) & _M
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return h1, h2
+
+
+def _clz64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def hll8_registers(values, lgk: int = 12, seed: int = DEFAULT_UPDATE_SEED):
+    """Expected HLL_8 register array for an iterable of strings."""
+    k = 1 << lgk
+    regs = [0] * k
+    mask26 = (1 << 26) - 1
+    for v in values:
+        h0, h1 = murmur3_x64_128(v.encode("utf-8"), seed)
+        slot = (h0 & mask26) & (k - 1)
+        val = min(_clz64(h1), 62) + 1
+        if val > regs[slot]:
+            regs[slot] = val
+    return regs
+
+
+def parse_hll8(sketch_bytes: bytes):
+    """(lgk, registers) from serialized DataSketches HLL_8 bytes in
+    HLL array mode.  Raises if the sketch is still in LIST/SET coupon
+    mode (small inputs) or is not HLL_8 — callers choose corpora big
+    enough to promote (> ~0.75 * k distinct)."""
+    b = sketch_bytes
+    if b[2] != 7:
+        raise ValueError(f"not a DataSketches HLL sketch (family {b[2]})")
+    cur_mode = b[7] & 0x3
+    tgt_type = (b[7] >> 2) & 0x3
+    if cur_mode != 2:
+        raise ValueError(f"sketch not in HLL array mode (mode {cur_mode})")
+    if tgt_type != 2:
+        raise ValueError(f"not HLL_8 (tgt type {tgt_type})")
+    lgk = b[3]
+    k = 1 << lgk
+    regs = list(b[40 : 40 + k])
+    if len(regs) != k:
+        raise ValueError(f"short register array: {len(regs)} != {k}")
+    return lgk, regs

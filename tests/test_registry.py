@@ -35,8 +35,11 @@ def test_gate_window_covers_every_extension_family():
 #: it instead; keep this list justified and short.
 ROWS_ONLY_OK = {
     # DataSketches HLL estimate is implementation-defined (no DuckDB
-    # equivalent); value-gated by tests/test_sketches.py tolerance +
-    # merge-equality tests.
+    # equivalent); certified instead at REGISTER level — every
+    # serialized register byte matches a pure-Python public-spec
+    # mirror, union == elementwise max (tests/test_sketches.py +
+    # tests/hll_register_mirror.py) — plus estimate-tolerance and
+    # merge-equality gates.
     "sketch_hll_users",
 }
 
