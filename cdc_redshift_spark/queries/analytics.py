@@ -194,135 +194,162 @@ FROM (
 """
 
 
-def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window frame: running revenue per customer over time —
-    rowsBetween(unboundedPreceding, current)."""
+def q_orders_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame composite (round-6 registry fold of
+    running_order_totals + moving_revenue_30d, identical function
+    coverage): per customer order, the cumulative ROWS-frame running
+    total and row_number sequence PLUS the trailing-30-day RANGE-frame
+    revenue — a true value-range frame whose equal-timestamp peers are
+    frame-mates, so ties stay deterministic without a tiebreak.  Three
+    window specs over ONE partitioning: Spark evaluates them with a
+    single shuffle on o_custkey (plan-pinned in
+    tests/test_plan_quality.py)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = (
+    us_30d = 30 * 86400 * 1_000_000
+    w_rows = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-us_30d, 0)
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum("o_totalprice").over(w_rows), 2).alias("running_total"),
         F.row_number()
         .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
         .alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("rev_30d"),
+        F.count(F.lit(1)).over(w_range).alias("n_30d"),
     )
 
 
-ORACLE_RUNNING = """
+ORACLE_RUNNING_WINDOWS = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-         AS running_total,
+       round(sum(o_totalprice) OVER wr, 2) AS running_total,
        row_number() OVER (PARTITION BY o_custkey
-                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       round(sum(o_totalprice) OVER wv, 2) AS rev_30d,
+       count(*) OVER wv AS n_30d
 FROM orders
+WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wv AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
 """
 
 
-def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP multi-level aggregate (returnflag → linestatus → total)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-ORACLE_ROLLUP = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY l_returnflag, l_linestatus
-"""
-
-
-def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot order counts by status; oracle uses conditional aggregation."""
+def q_order_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot + boolean-aggregate composite (round-6 registry fold of
+    order_priority_pivot + order_flags_summary, identical function
+    coverage): per priority, the status pivot counts (df.pivot with an
+    explicit value list) joined with the conditional/boolean aggregate
+    family — count_if, bool_and, bool_or."""
     orders = load_table(spark, sf_dir, "orders")
     piv = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
-        .orderBy("o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
     )
-    return piv.select(
-        "o_orderpriority",
-        F.coalesce("F", F.lit(0)).alias("n_f"),
-        F.coalesce("O", F.lit(0)).alias("n_o"),
-        F.coalesce("P", F.lit(0)).alias("n_p"),
+    big = F.col("o_totalprice") > 100000
+    flags = orders.groupBy("o_orderpriority").agg(
+        F.count_if(big).alias("n_big"),
+        F.bool_and(big).alias("all_big"),
+        F.bool_or(big).alias("any_big"),
     )
+    return piv.join(flags, "o_orderpriority").orderBy("o_orderpriority")
 
 
-ORACLE_PIVOT = """
+ORACLE_PRIORITY_PROFILE = """
 SELECT o_orderpriority,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
        count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       bool_and(o_totalprice > 100000) AS all_big,
+       bool_or(o_totalprice > 100000) AS any_big
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
-def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi + left_anti (the reference's delete-matching join J1,
-    glue_docdb_redshift_cdc.py:183, as a native Spark join)."""
+def q_customer_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join + set-operation composite (round-6 registry fold
+    of semi_anti_join + set_ops, identical function coverage): every
+    customer labeled by left_semi/left_anti against big orders (the
+    reference's delete-matching join J1, glue_docdb_redshift_cdc.py:183,
+    as native joins) and by intersect/exceptAll 1995-vs-1996 activity
+    (NULL for customers in neither year)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
-    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
-        "c_custkey", F.lit("has_big").alias("segment")
-    )
-    without = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
-        "c_custkey", F.lit("no_big").alias("segment")
-    )
-    return with_big.unionByName(without)
+    with_big = cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("has_big").alias("segment"))
+    without = cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("no_big").alias("segment"))
+    segments = with_big.unionByName(without)
 
-
-ORACLE_SEMI_ANTI = """
-SELECT c_custkey, 'has_big' AS segment FROM customer
-WHERE EXISTS (SELECT 1 FROM orders
-              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-UNION ALL
-SELECT c_custkey, 'no_big' FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-"""
-
-
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """intersect/except: customers active in 1994 vs 1995."""
-    orders = load_table(spark, sf_dir, "orders")
     y = F.year(F.col("o_orderdate"))
     c95 = orders.filter(y == 1995).select("o_custkey").distinct()
     c96 = orders.filter(y == 1996).select("o_custkey").distinct()
-    both = c95.intersect(c96).select("o_custkey", F.lit("both").alias("activity"))
-    only95 = c95.exceptAll(c96).select("o_custkey", F.lit("only_1995").alias("activity"))
-    return both.unionByName(only95)
+    both = c95.intersect(c96).select(
+        "o_custkey", F.lit("both").alias("activity")
+    )
+    only95 = c95.exceptAll(c96).select(
+        "o_custkey", F.lit("only_1995").alias("activity")
+    )
+    activity = both.unionByName(only95)
+
+    return segments.join(
+        activity, segments.c_custkey == activity.o_custkey, "left"
+    ).select("c_custkey", "segment", "activity")
 
 
-ORACLE_SET_OPS = """
-WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
-     c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
-SELECT o_custkey, 'both' AS activity FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
-UNION ALL
-SELECT o_custkey, 'only_1995' FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+ORACLE_ACTIVITY_SEGMENTS = """
+WITH seg AS (
+  SELECT c_custkey, 'has_big' AS segment FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+  UNION ALL
+  SELECT c_custkey, 'no_big' FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+), c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+   c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+   act AS (
+  SELECT o_custkey, 'both' AS activity
+  FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+  UNION ALL
+  SELECT o_custkey, 'only_1995'
+  FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+)
+SELECT s.c_custkey, s.segment, a.activity
+FROM seg s LEFT JOIN act a ON s.c_custkey = a.o_custkey
 """
 
 
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-stream aggregation: per event_type counts, distinct users,
-    value stats over the events table (epoch-nanos handled in loader)."""
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type aggregate composite (round-6 registry fold of
+    events_funnel + events_extreme_by + events_value_quantiles,
+    identical function coverage): counts, distinct users, value sums
+    and extremes, min_by/max_by extreme-event ids (the primitive the
+    LWW merge is built on, tie-broken through the composite ordering
+    struct so both engines pick identically), and exact interpolated
+    percentiles (Spark `percentile` and DuckDB `quantile_cont` share
+    the linear-interpolation definition)."""
     ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -331,19 +358,54 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
+            F.max_by(
+                "event_id", F.struct(F.col("value"), F.col("event_id"))
+            ).alias("max_value_event"),
+            F.min_by(
+                "event_id", F.struct(F.col("value"), F.col("event_id"))
+            ).alias("min_value_event"),
+            pct.alias("p"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+            "min_value",
+            "max_value",
+            "max_value_event",
+            "min_value_event",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+            F.round(F.element_at("p", 4), 6).alias("p90"),
         )
         .orderBy("event_type")
     )
 
 
-ORACLE_FUNNEL = """
+ORACLE_TYPE_STATS = """
+WITH r AS (
+  SELECT event_type, event_id, value, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rmax,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        round(sum(value), 4) AS total_value,
        round(min(value), 4) AS min_value,
-       round(max(value), 4) AS max_value
-FROM events GROUP BY event_type ORDER BY event_type
+       round(max(value), 4) AS max_value,
+       max(CASE WHEN rmax = 1 THEN event_id END) AS max_value_event,
+       max(CASE WHEN rmin = 1 THEN event_id END) AS min_value_event,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6)  AS p90
+FROM r GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -504,44 +566,18 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01'
 """
 
 
-def q_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window: per-customer trailing-30-day order revenue —
-    a true value-range frame (peers at equal timestamps are frame-mates,
-    so timestamp ties stay deterministic without a tiebreak)."""
-    orders = load_table(spark, sf_dir, "orders")
-    us_30d = 30 * 86400 * 1_000_000
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
-        .rangeBetween(-us_30d, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
-        F.count(F.lit(1)).over(w).alias("n_30d"),
-    )
-
-
-ORACLE_MOVING = """
-SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_us,
-       round(sum(o_totalprice) OVER w, 2) AS rev_30d,
-       count(*) OVER w AS n_30d
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
-             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
-"""
-
-
 def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE multi-dimensional aggregate — all 4 grouping combinations
-    of (returnflag, linestatus) in one pass (completes the grouping-set
-    family next to ROLLUP and PIVOT)."""
+    of (returnflag, linestatus) in one Expand pass.  Round-6 registry
+    fold: absorbs rollup_sales (ROLLUP's grouping sets are a strict
+    subset of CUBE's, and both measures — sum_qty and sum_price — now
+    ride the same pass; the asymmetric GROUPING SETS SQL surface stays
+    separate in grouping_sets_sales)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -551,6 +587,7 @@ def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CUBE = """
 SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -586,36 +623,6 @@ SELECT event_type, count(*) AS n,
             AS BIGINT) AS sum_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
          AS n_distinct_k
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of `value` per event_type —
-    Spark `percentile` and DuckDB `quantile_cont` share the linear
-    interpolation definition, so the oracle matches to 6 dp."""
-    ev = load_table(spark, sf_dir, "events")
-    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
-    return (
-        ev.groupBy("event_type")
-        .agg(pct.alias("p"))
-        .select(
-            "event_type",
-            F.round(F.element_at("p", 1), 6).alias("p25"),
-            F.round(F.element_at("p", 2), 6).alias("p50"),
-            F.round(F.element_at("p", 3), 6).alias("p75"),
-            F.round(F.element_at("p", 4), 6).alias("p90"),
-        )
-        .orderBy("event_type")
-    )
-
-
-ORACLE_QUANTILES = """
-SELECT event_type,
-       round(quantile_cont(value, 0.25), 6) AS p25,
-       round(quantile_cont(value, 0.5), 6)  AS p50,
-       round(quantile_cont(value, 0.75), 6) AS p75,
-       round(quantile_cont(value, 0.9), 6)  AS p90
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -661,7 +668,7 @@ def q_events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-ordered funnel (view → click → purchase): a user converts a
     stage only if their FIRST event of that stage happens strictly
     after the first event of the previous stage — sequential pattern
-    analytics the plain per-type counts (`events_funnel`) can't see.
+    analytics the plain per-type counts (`events_type_stats`) cannot see.
     One shuffle: per-user conditional min-aggregates, then a global
     roll-up."""
     ev = load_table(spark, sf_dir, "events")
@@ -1253,123 +1260,47 @@ FROM events GROUP BY 1, 2 ORDER BY dow, hod
 """
 
 
-def q_order_flags_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional/boolean aggregate family: count_if, bool_and,
-    bool_or, plus every/some spelled through their function forms —
-    all exact booleans/ints per priority."""
-    orders = load_table(spark, sf_dir, "orders")
-    big = F.col("o_totalprice") > 100000
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.count_if(big).alias("n_big"),
-            F.bool_and(big).alias("all_big"),
-            F.bool_or(big).alias("any_big"),
-            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-ORACLE_ORDER_FLAGS = """
-SELECT o_orderpriority,
-       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
-       bool_and(o_totalprice > 100000) AS all_big,
-       bool_or(o_totalprice > 100000) AS any_big,
-       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
-def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-distance functions (the fuzzy-matching primitive behind
-    entity resolution): levenshtein between each customer name and its
-    digit-translated form, histogrammed — exact integer distances on
-    both engines."""
+def q_customer_name_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function composite (round-6 registry fold of
+    name_edit_distance + name_key_consistency, identical function
+    coverage): per levenshtein(name, digit-translated name) distance —
+    the fuzzy-matching primitive behind entity resolution — row counts
+    plus the regexp_extract key-consistency rule (the numeric suffix
+    embedded in each name must equal the key; violations surface as
+    n_key_mismatch > 0 on either engine)."""
     cust = load_table(spark, sf_dir, "customer")
     variant = F.translate("c_name", "0123456789", "OIZEASGTBP")
+    extracted = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
     return (
-        cust.select(F.levenshtein("c_name", variant).alias("dist"))
+        cust.select(
+            F.levenshtein("c_name", variant).alias("dist"),
+            extracted.alias("x"),
+            F.col("c_custkey"),
+        )
         .groupBy("dist")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("x") == F.col("c_custkey")).alias("n_key_match"),
+            F.count_if(
+                F.col("x").isNull() | (F.col("x") != F.col("c_custkey"))
+            ).alias("n_key_mismatch"),
+        )
         .orderBy("dist")
     )
 
 
-ORACLE_NAME_DIST = """
-SELECT levenshtein(c_name,
-                   translate(c_name, '0123456789', 'OIZEASGTBP')) AS dist,
-       count(*) AS n
-FROM customer GROUP BY 1 ORDER BY dist
-"""
-
-
-def q_name_key_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped regexp_extract as a data-validation rule: the numeric
-    suffix embedded in each customer name must equal the key — a
-    single-row consistency report (violations would surface as
-    n_mismatch > 0 on either engine)."""
-    cust = load_table(spark, sf_dir, "customer")
-    extracted = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint")
-    return cust.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_if(extracted == F.col("c_custkey")).alias("n_match"),
-        F.count_if(
-            extracted.isNull() | (extracted != F.col("c_custkey"))
-        ).alias("n_mismatch"),
-    )
-
-
-ORACLE_NAME_KEY = r"""
+ORACLE_NAME_PROFILE = r"""
 WITH t AS (
-  SELECT c_custkey,
-         TRY_CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS x
+  SELECT levenshtein(c_name,
+                     translate(c_name, '0123456789', 'OIZEASGTBP')) AS dist,
+         TRY_CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS x,
+         c_custkey
   FROM customer
 )
-SELECT count(*) AS n_rows,
-       count(*) FILTER (WHERE x = c_custkey) AS n_match,
-       count(*) FILTER (WHERE x IS NULL OR x <> c_custkey) AS n_mismatch
-FROM t
-"""
-
-
-def q_events_extreme_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min_by / max_by as user-facing aggregates (the same primitive
-    the LWW merge is built on): per event type, which event carried
-    the extreme value — tie-broken by event id through the composite
-    ordering struct so both engines pick identically."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.max_by(
-                "event_id", F.struct(F.col("value"), F.col("event_id"))
-            ).alias("max_value_event"),
-            F.min_by(
-                "event_id", F.struct(F.col("value"), F.col("event_id"))
-            ).alias("min_value_event"),
-            F.round(F.max("value"), 4).alias("max_value"),
-            F.round(F.min("value"), 4).alias("min_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-ORACLE_EXTREME_BY = """
-WITH r AS (
-  SELECT event_type, event_id, value,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY value DESC, event_id DESC) AS rmax,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY value ASC, event_id ASC) AS rmin
-  FROM events
-)
-SELECT event_type,
-       max(CASE WHEN rmax = 1 THEN event_id END) AS max_value_event,
-       max(CASE WHEN rmin = 1 THEN event_id END) AS min_value_event,
-       round(max(value), 4) AS max_value,
-       round(min(value), 4) AS min_value
-FROM r GROUP BY event_type ORDER BY event_type
+SELECT dist, count(*) AS n,
+       count(*) FILTER (WHERE x = c_custkey) AS n_key_match,
+       count(*) FILTER (WHERE x IS NULL OR x <> c_custkey) AS n_key_mismatch
+FROM t GROUP BY dist ORDER BY dist
 """
 
 
@@ -1378,20 +1309,16 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "top_customers_per_nation": q_top_customers_per_nation,
-    "running_order_totals": q_running_order_totals,
-    "rollup_sales": q_rollup_sales,
-    "order_priority_pivot": q_order_priority_pivot,
-    "semi_anti_join": q_semi_anti_join,
-    "set_ops": q_set_ops,
-    "events_funnel": q_events_funnel,
+    "orders_running_windows": q_orders_running_windows,
+    "order_priority_profile": q_order_priority_profile,
+    "customer_activity_segments": q_customer_activity_segments,
+    "events_type_stats": q_events_type_stats,
     "events_sessionize": q_events_sessionize,
     "q4_returned_orders": q4_returned_orders,
     "q6_revenue_change": q6_revenue_change,
     "q14_promo_revenue": q14_promo_revenue,
-    "moving_revenue_30d": q_moving_revenue,
     "cube_sales": q_cube_sales,
     "events_props_extract": q_events_props_extract,
-    "events_value_quantiles": q_events_value_quantiles,
     "salted_join_orders": q_salted_join_orders,
     "events_funnel_ordered": q_events_funnel_ordered,
     "q7_nation_volume": q7_nation_volume,
@@ -1409,10 +1336,7 @@ QUERIES = {
     "null_safe_join": q_null_safe_join,
     "supplier_balance_ranks": q_supplier_balance_ranks,
     "events_weekday_heatmap": q_events_weekday_heatmap,
-    "order_flags_summary": q_order_flags_summary,
-    "name_edit_distance": q_name_edit_distance,
-    "name_key_consistency": q_name_key_consistency,
-    "events_extreme_by": q_events_extreme_by,
+    "customer_name_profile": q_customer_name_profile,
 }
 
 ORACLES = {
@@ -1420,20 +1344,16 @@ ORACLES = {
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
     "top_customers_per_nation": ORACLE_TOP_CUST,
-    "running_order_totals": ORACLE_RUNNING,
-    "rollup_sales": ORACLE_ROLLUP,
-    "order_priority_pivot": ORACLE_PIVOT,
-    "semi_anti_join": ORACLE_SEMI_ANTI,
-    "set_ops": ORACLE_SET_OPS,
-    "events_funnel": ORACLE_FUNNEL,
+    "orders_running_windows": ORACLE_RUNNING_WINDOWS,
+    "order_priority_profile": ORACLE_PRIORITY_PROFILE,
+    "customer_activity_segments": ORACLE_ACTIVITY_SEGMENTS,
+    "events_type_stats": ORACLE_TYPE_STATS,
     "events_sessionize": ORACLE_SESSIONIZE,
     "q4_returned_orders": ORACLE_Q4,
     "q6_revenue_change": ORACLE_Q6,
     "q14_promo_revenue": ORACLE_Q14,
-    "moving_revenue_30d": ORACLE_MOVING,
     "cube_sales": ORACLE_CUBE,
     "events_props_extract": ORACLE_PROPS,
-    "events_value_quantiles": ORACLE_QUANTILES,
     "salted_join_orders": ORACLE_SALTED,
     "events_funnel_ordered": ORACLE_FUNNEL_ORDERED,
     "q7_nation_volume": ORACLE_Q7,
@@ -1451,8 +1371,5 @@ ORACLES = {
     "null_safe_join": ORACLE_NULL_SAFE,
     "supplier_balance_ranks": ORACLE_SUPPLIER_RANKS,
     "events_weekday_heatmap": ORACLE_HEATMAP,
-    "order_flags_summary": ORACLE_ORDER_FLAGS,
-    "name_edit_distance": ORACLE_NAME_DIST,
-    "name_key_consistency": ORACLE_NAME_KEY,
-    "events_extreme_by": ORACLE_EXTREME_BY,
+    "customer_name_profile": ORACLE_NAME_PROFILE,
 }

@@ -270,3 +270,14 @@ def test_fuzzy_join_blocks_never_all_pairs(spark):
     plan = plan_of(q_er_fuzzy_name_pairs(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_running_windows_single_shuffle(spark):
+    """orders_running_windows (round-6 fold): three window specs over
+    the same o_custkey partitioning must evaluate with ONE hash
+    exchange — if the fold accidentally introduced per-spec shuffles,
+    the composite would cost 3x the queries it replaced."""
+    from cdc_redshift_spark.queries.analytics import q_orders_running_windows
+
+    plan = plan_of(q_orders_running_windows(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1

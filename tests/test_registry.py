@@ -14,20 +14,38 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_covers_every_extension_family():
-    prefixes = {
-        "dedup_": 9,
-        "corpus_": 7,
-        "sim_": 9,
-        "mm_": 5,
-        "events_": 6,  # stream join + 4 temporal + props_extract
+def test_gate_window_is_the_round6_rotation():
+    """The r6 window must hold every query that had no driver row after
+    r5 — the round-5 operator layer (by family), the round-6 additions,
+    the folded composites — plus the 5 CDC pipelines that are re-gated
+    every round."""
+    must_gate = {
+        # round-5 operators, LOCALGATE-only before this rotation
+        "dedup_simjoin", "dedup_incremental_exact",
+        "dedup_incremental_minhash", "dedup_embedding_clusters",
+        "er_fuzzy_name_pairs", "emb_contrastive_negatives",
+        "corpus_chunk_docs", "corpus_pack_stream",
+        "corpus_weighted_sample", "cdc_ingest_dedup_stream",
+        "cdc_rollup_maintenance", "events_incremental_rollup",
+        "snapshot_partition_diff", "orders_snapshot_changes",
+        "events_user_sequences", "sketch_distinct_users",
+        "sketch_hll_users", "sketch_price_quantiles",
+        "dq_orders_suite", "dq_events_skew",
+        # round-6 additions and folded composites
+        "cdc_ingest_neardup_probe", "cdc_stream_schema_drift",
+        "layout_pruned_scan", "customer_name_profile",
+        "events_type_stats", "orders_running_windows", "cube_sales",
+        "order_priority_profile", "customer_activity_segments",
+        # CDC pipelines, every round
+        "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
+        "cdc_dms_schema_drift", "cdc_mongo_replay",
     }
-    for prefix, n in prefixes.items():
-        got = sum(1 for name in _GATE_WINDOW if name.startswith(prefix))
-        assert got >= n, f"{prefix}: {got} < {n} in gate window"
-    # core CDC pipelines are re-gated every round (op_counts rotated
-    # out in r5 for the new corpus operator; still local-gated)
-    assert sum(1 for n in _GATE_WINDOW if n.startswith("cdc_")) >= 5
+    missing = must_gate - set(_GATE_WINDOW)
+    assert not missing, f"never-driver-gated queries outside window: {missing}"
+    # the 13 round-5 TPC-H plan shapes ride this rotation too
+    tpch_new = {f"q{i}" for i in (2, 8, 9, 11, 12, 13, 15, 16, 17, 19, 20, 21, 22)}
+    got = {n.split("_")[0] for n in _GATE_WINDOW if n[0] == "q" and n[1].isdigit()}
+    assert tpch_new <= got, f"missing TPC-H rotations: {tpch_new - got}"
 
 
 #: Queries allowed to omit a SQL oracle (driver falls back to the
@@ -66,6 +84,7 @@ def test_no_cross_module_query_name_collisions():
         dedup_q,
         dq_q,
         incremental_q,
+        layout_q,
         multimodal_q,
         similarity,
         streaming_q,
@@ -77,7 +96,8 @@ def test_no_cross_module_query_name_collisions():
     names: list = []
     for mod in (
         cdc, analytics, text_q, dedup_q, corpus_q, similarity,
-        multimodal_q, streaming_q, temporal_q, incremental_q, dq_q, tpch_q,
+        multimodal_q, streaming_q, temporal_q, incremental_q, dq_q,
+        layout_q, tpch_q,
     ):
         names += list(mod.QUERIES)
     dups = [n for n, c in Counter(names).items() if c > 1]
