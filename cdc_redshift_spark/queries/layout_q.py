@@ -85,7 +85,8 @@ WITH bounds AS (
 )
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents_total,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents_total,
        min(o_orderkey) AS min_key,
        max(o_orderkey) AS max_key
 FROM orders, bounds
