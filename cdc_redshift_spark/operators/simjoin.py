@@ -60,19 +60,33 @@ def jaccard_similarity_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     eager: bool = True,
+    broadcast_verify_max_rows: int = 300_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with token-set Jaccard >= ``tau``.
 
     Output: ``id_a, id_b, jaccard`` (rounded to 6 dp), exact — prefix
     filtering only prunes candidates, never results.
 
-    The candidate join carries only ``(id, size, token)`` rows; the
-    (possibly heavy) token arrays join back ONCE per distinct
-    candidate pair for the verify.  On dense corpora (big near-dup
-    clusters → pairs sharing many prefix tokens) this is the
-    difference between shuffling each array once per pair and once
-    per *shared prefix token* — measured 25× (204 s → 8 s) on the sf0.1 template
-    corpus (SCALE.md).
+    The candidate join carries only ``(id, size, position, token)``
+    rows; candidates are pruned by the PPJoin POSITIONAL filter before
+    any array moves: for each pair the first shared prefix token (both
+    token lists share one global order, so per-pair ``min`` positions
+    land on the same token) bounds the overlap by
+    ``min(sa - pa, sb - pb)``, and pairs below the required overlap
+    ``ceil(tau*(sa+sb)/(1+tau))`` are dropped — the WWW'08 refinement
+    over plain prefix filtering.  Survivors verify with
+    ``array_intersect``; the token arrays join back ONCE per surviving
+    pair.  On dense corpora (big near-dup clusters → pairs sharing
+    many prefix tokens) candidate-first verify was measured 25×
+    (204 s → 8 s at sf0.1, SCALE.md).
+
+    When ``eager`` and the corpus is at most
+    ``broadcast_verify_max_rows`` docs, BOTH verify joins broadcast
+    the ordered-token frame: the surviving-pair stream (ids only)
+    never shuffles carrying an array — this removed the 8×-replica
+    spill knee (131 s → linear, SCALE.md).  Above the threshold the
+    verify falls back to shuffle joins, the only shape that works when
+    the token table itself exceeds executor memory.
 
     ``eager`` persists the ordered-token frame for its three uses and
     releases it before returning (the result is localCheckpoint-ed);
@@ -117,26 +131,65 @@ def jaccard_similarity_join(
     if eager:
         ordered = ordered.persist()
 
-    # candidate generation: ONLY (id, sz, tok) rides the prefix join
+    # candidate generation: ONLY (id, sz, pos, tok) rides the prefix
+    # join — pos (1-based rank in the rarest-first order) feeds the
+    # positional filter below
     pre = ordered.select(
-        "id", "sz", F.explode(F.slice("toks", 1, F.col("p"))).alias("tok")
+        "id",
+        "sz",
+        F.posexplode(F.slice("toks", 1, F.col("p"))).alias("pos", "tok"),
     )
-    a = pre.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"), "tok")
-    b = pre.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"), "tok")
+    a = pre.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sa"),
+        F.col("pos").alias("pa"),
+        "tok",
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sb"),
+        F.col("pos").alias("pb"),
+        "tok",
+    )
+    # required overlap for Jaccard >= tau: |A∩B| >= tau/(1+tau)*(sa+sb).
+    # The 1e-9 slack keeps float noise from rounding an exact integer
+    # boundary UP (which would over-prune); erring low only admits a
+    # few extra candidates for the verify to reject.
+    alpha = F.ceil(
+        F.lit(tau) / (1.0 + tau) * (F.col("sa") + F.col("sb")) - 1e-9
+    )
     cand = (
         a.join(b, "tok")
         .where(F.col("id_a") < F.col("id_b"))
         # length filter: Jaccard >= tau forces min/max size >= tau
         .where(F.least("sa", "sb") >= tau * F.greatest("sa", "sb"))
+        # PPJoin positional filter, applied PER JOIN ROW so pruned
+        # rows never reach the dedup shuffle.  Valid because for the
+        # pair's FIRST shared prefix token t* (both lists share one
+        # global order, so both per-pair position minima land on t*)
+        # overlap <= min(sa - pa, sb - pb); the bound is antitone in
+        # (pa, pb), so "some row passes" == "the t* row passes" — the
+        # row-level filter keeps exactly the pairs the aggregated
+        # filter would, while shrinking the shuffle below instead of
+        # filtering after it.  (pa/pb 0-based from posexplode.)
+        .where(
+            F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+            >= alpha
+        )
         .select("id_a", "id_b", "sa", "sb")
         # a pair sharing several prefix tokens joins several times;
         # verify each pair ONCE
         .distinct()
     )
 
-    # verify: token arrays join back once per distinct candidate pair
+    # verify: token arrays join back once per surviving pair.  Small
+    # corpora broadcast the array table so the pair stream never
+    # shuffles carrying an array (the 8x-replica spill knee); huge
+    # corpora fall back to shuffle joins.
     ta = ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    if eager and ordered.count() <= broadcast_verify_max_rows:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("sa") + F.col("sb") - inter)
     out = (

