@@ -1017,6 +1017,7 @@ def incremental_minhash_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     eager: bool = True,
+    broadcast_batch_max_rows: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an already-signed corpus.
 
@@ -1076,6 +1077,14 @@ def incremental_minhash_pairs(
     sha = batch_frames.select(
         F.col("id").alias("batch_id"), F.col("sh").alias("sha")
     )
+    # the batch side is small by contract (a micro-batch probing a big
+    # index): broadcasting its shingle arrays means the candidate
+    # stream never re-shuffles carrying an array between the two
+    # verify joins (the simjoin 8x-knee lesson).  Counting is cheap
+    # only when the frames are persisted (eager), so the fallback
+    # shuffle path stays for lazy callers and giant batches.
+    if eager and batch_frames.count() <= broadcast_batch_max_rows:
+        sha = F.broadcast(sha)
     # the verify join is keyed on (match_id, match_side): an id present
     # in BOTH inputs (re-ingesting a doc already indexed) must verify
     # against the copy its candidate came from, not fan out to both

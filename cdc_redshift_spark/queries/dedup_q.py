@@ -607,16 +607,21 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
     ba = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0)
-    # eager=False: the gate/bench consume the result exactly once and
-    # the ~1M-row output makes the eager checkpoint cost more than the
-    # frame recompute it avoids (16 s vs 12 s at sf0.1)
+    # eager=True (round 6): the persisted frames let the operator
+    # count the batch side and BROADCAST its shingle arrays into the
+    # verify, so the candidate stream never re-shuffles carrying an
+    # array — the scale-correct shape.  At sf0.1 the wall is UNCHANGED
+    # (15-20 s either way, re-measured): with 1.15M genuinely
+    # qualifying pairs at tau=0.5 the cost is the exact
+    # array_intersect verify itself (~11 us/pair under codegen), not
+    # data movement.  (The r5 eager-vs-lazy gap the old comment cited
+    # vanished with the wide-AQE session config.)
     return incremental_minhash_pairs(
         minhash_frames(ex, k=INC_MH_K),
         minhash_frames(ba, k=INC_MH_K),
         k=INC_MH_K,
         bands=INC_MH_BANDS,
         jaccard_threshold=INC_MH_THRESHOLD,
-        eager=False,
     )
 
 
