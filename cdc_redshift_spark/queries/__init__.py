@@ -17,9 +17,14 @@ code-stable since) stay certified via the per-round LOCALGATE artifact
 
 Round-6 registry hygiene: 12 single-function analytics showcases were
 folded into 5 composites with identical function coverage
-(126 + 3 new - 12 + 5 = 122 entries; see the `*_profile` /
-`events_type_stats` / `orders_running_windows` /
-`customer_activity_segments` / `cube_sales` docstrings).
+(first pass 126 + 3 new - 12 + 5 = 122; second pass folded
+text_lang_id into text_stats and corpus_repetition_stats +
+corpus_novelty into corpus_doc_metrics = 120 entries; see the
+`*_profile` / `events_type_stats` / `orders_running_windows` /
+`customer_activity_segments` / `cube_sales` / `text_stats` /
+`corpus_doc_metrics` docstrings).  Remaining entries are distinct
+plan shapes or distinct certified components — further folding would
+merge evidence, not demos.
 """
 
 from __future__ import annotations
@@ -85,10 +90,11 @@ _GATE_WINDOW = [
     "cube_sales",
     "order_priority_profile",
     "customer_activity_segments",
-    # funnel + grouping cross-checks riding the spare slots (3)
+    # round-6 second-pass folds (changed content; 2)
+    "text_stats",
+    "corpus_doc_metrics",
+    # funnel cross-check riding the spare slot (1)
     "events_funnel_ordered",
-    "grouping_sets_sales",
-    "cdc_op_counts",
     # end-to-end CDC pipelines, re-gated every round (5)
     "cdc_pg_replay",
     "cdc_lww_dedup",

@@ -92,12 +92,35 @@ GROUP BY tid
 # ---- repetition stats ------------------------------------------------------
 
 
-def q_corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation metrics (round-6 registry fold of
+    corpus_repetition_stats + corpus_novelty, identical function
+    coverage, shared doc_id grain): repetition (type-token ratio,
+    duplicate-line fraction, top unigram/bigram mass) joined with
+    within-corpus novelty (fraction of the doc's distinct word 4-grams
+    not seen in any lower-doc_id document).  Plans compose unchanged:
+    the repetition side is one Arrow-free per-doc pass, the novelty
+    side one gram shuffle + one doc shuffle, joined on doc_id."""
+    from cdc_redshift_spark.operators.corpus import word_ngram_hash_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    return repetition_stats(docs)
+    gh = word_ngram_hash_rows(docs, NOV_N, out_id="doc_id")
+    first = gh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novelty = (
+        gh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
+    )
+    return repetition_stats(docs).join(novelty, "doc_id").orderBy("doc_id")
 
 
-ORACLE_REPETITION = f"""
+ORACLE_DOC_METRICS = f"""
 WITH norm AS (
   SELECT doc_id, text, {DUCK_NORM.format(c='text')} AS t FROM documents
 ), toks AS (
@@ -124,9 +147,27 @@ WITH norm AS (
 ), bf AS (
   SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
   FROM bc GROUP BY doc_id
+), gh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform({{dwg}},
+                               g -> {DUCK_HASH60.format(c='g')})) AS g
+  FROM toks
+), firstg AS (
+  SELECT g, min(doc_id) AS first_doc FROM gh GROUP BY g
+), nov AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+         round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS novelty
+  FROM gh JOIN firstg USING (g)
+  GROUP BY doc_id
 )
-SELECT base.doc_id, tokens, ttr, dup_line_frac, top_unigram_frac, top_bigram_frac
+SELECT base.doc_id, tokens, ttr, dup_line_frac, top_unigram_frac,
+       top_bigram_frac, n_grams, n_novel, novelty
 FROM base JOIN uf USING (doc_id) JOIN bf USING (doc_id)
+          JOIN nov USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -160,56 +201,11 @@ WHERE {bucket} % 1000000 < (CASE {cases} ELSE {DEFAULT_PPM} END)
 
 NOV_N = 4  # novelty gram width
 
-
-def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-corpus novelty: per document, the fraction of its
-    distinct word 4-grams NOT seen in any LOWER-doc_id document — the
-    dedup-adjacent curation signal (novelty ≈ 0 ⇒ the doc is stitched
-    from earlier content even if no single source matches).
-
-    Plan: explode distinct (gram-hash, doc_id), min(doc_id) per gram
-    (one gram shuffle, map-side combine), then per-doc counts (one doc
-    shuffle).  No pair stream, no all-pairs anything — linear in total
-    grams at 100 TB."""
-    from cdc_redshift_spark.operators.corpus import word_ngram_hash_rows
-
-    docs = load_table(spark, sf_dir, "documents")
-    gh = word_ngram_hash_rows(docs, NOV_N, out_id="doc_id")
-    first = gh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        gh.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
-        )
-        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
-        .orderBy("doc_id")
-    )
-
-
-ORACLE_NOVELTY = f"""
-WITH toks AS (
-  SELECT doc_id, string_split({DUCK_NORM.format(c='text')}, ' ') AS w
-  FROM documents
-), gh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform({duck_word_grams('w', NOV_N)},
-                               g -> {DUCK_HASH60.format(c='g')})) AS g
-  FROM toks
-), first AS (
-  SELECT g, min(doc_id) AS first_doc FROM gh GROUP BY g
+# the novelty gram expression needs NOV_N, defined here — substitute
+# the one placeholder the f-string above left literal
+ORACLE_DOC_METRICS = ORACLE_DOC_METRICS.format(
+    dwg=duck_word_grams("w", NOV_N)
 )
-SELECT doc_id, count(*) AS n_grams,
-       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_novel,
-       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
-             / count(*), 6) AS novelty
-FROM gh JOIN first USING (g)
-GROUP BY doc_id ORDER BY doc_id
-"""
 
 
 QMIN = 0.55  # quality cutoff for the composed pipeline
@@ -519,11 +515,10 @@ LIMIT {WSAMPLE_K}
 QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_source_cap": q_corpus_source_cap,
-    "corpus_repetition_stats": q_corpus_repetition_stats,
+    "corpus_doc_metrics": q_corpus_doc_metrics,
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_token_shards": q_corpus_token_shards,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
-    "corpus_novelty": q_corpus_novelty,
     "corpus_chunk_docs": q_corpus_chunk_docs,
     "corpus_pack_stream": q_corpus_pack_stream,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -532,11 +527,10 @@ QUERIES = {
 ORACLES = {
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_source_cap": ORACLE_SOURCE_CAP,
-    "corpus_repetition_stats": ORACLE_REPETITION,
+    "corpus_doc_metrics": ORACLE_DOC_METRICS,
     "corpus_stratified_sample": _oracle_sample(),
     "corpus_token_shards": ORACLE_TOKEN_SHARDS,
     "corpus_clean_pipeline": _oracle_clean_pipeline(),
-    "corpus_novelty": ORACLE_NOVELTY,
     "corpus_chunk_docs": ORACLE_CHUNK,
     "corpus_pack_stream": ORACLE_PACK,
     "corpus_weighted_sample": ORACLE_WSAMPLE,

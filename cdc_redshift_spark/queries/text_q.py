@@ -16,7 +16,10 @@ from cdc_redshift_spark.sources.tables import load_table
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts + character-class ratios + quality."""
+    """Per-document token counts + character-class ratios + quality,
+    plus heuristic language ID against the labeled lang column
+    (round-6 registry fold: absorbs text_lang_id — same doc_id grain,
+    identical function coverage, one pass instead of two)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
@@ -27,31 +30,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.digit_ratio(t), 6).alias("digit_ratio"),
         F.round(TX.stopword_ratio(t), 6).alias("stop_ratio"),
         TX.quality_score(t).alias("quality"),
-    )
-
-
-ORACLE_TEXT_STATS = f"""
-SELECT doc_id,
-       {TX.DUCK_TOKEN_COUNT.format(c='text')} AS n_tokens,
-       {TX.DUCK_BPE_COUNT.format(c='text')} AS n_bpe_tokens,
-       round({TX.DUCK_PUNCT_RATIO.format(c='text')}, 6) AS punct_ratio,
-       round({TX.DUCK_DIGIT_RATIO.format(c='text')}, 6) AS digit_ratio,
-       round({TX.duck_stop_ratio('text')}, 6) AS stop_ratio,
-       round(0.4 * {TX.duck_stop_ratio('text')}
-             + 0.3 * (1 - ({TX.DUCK_PUNCT_RATIO.format(c='text')}))
-             + 0.3 * least({TX.DUCK_TOKEN_COUNT.format(c='text')} / 50.0, 1.0), 6)
-         AS quality
-FROM documents
-"""
-
-
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID vs the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
         F.col("lang").alias("labeled_lang"),
-        TX.lang_id(F.col("text")).alias("pred_lang"),
+        TX.lang_id(t).alias("pred_lang"),
     )
 
 
@@ -66,8 +46,19 @@ CASE WHEN {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']}
      ELSE 'und' END"""
 
 
-ORACLE_LANG_ID = f"""
-SELECT doc_id, lang AS labeled_lang, {_duck_lang_case()} AS pred_lang
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       {TX.DUCK_TOKEN_COUNT.format(c='text')} AS n_tokens,
+       {TX.DUCK_BPE_COUNT.format(c='text')} AS n_bpe_tokens,
+       round({TX.DUCK_PUNCT_RATIO.format(c='text')}, 6) AS punct_ratio,
+       round({TX.DUCK_DIGIT_RATIO.format(c='text')}, 6) AS digit_ratio,
+       round({TX.duck_stop_ratio('text')}, 6) AS stop_ratio,
+       round(0.4 * {TX.duck_stop_ratio('text')}
+             + 0.3 * (1 - ({TX.DUCK_PUNCT_RATIO.format(c='text')}))
+             + 0.3 * least({TX.DUCK_TOKEN_COUNT.format(c='text')} / 50.0, 1.0), 6)
+         AS quality,
+       lang AS labeled_lang,
+       {_duck_lang_case()} AS pred_lang
 FROM documents
 """
 
@@ -249,7 +240,6 @@ ORACLE_PII = _oracle_pii()
 
 QUERIES = {
     "text_stats": q_text_stats,
-    "text_lang_id": q_text_lang_id,
     "text_quality_by_source": q_text_quality_by_source,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
@@ -258,7 +248,6 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
-    "text_lang_id": ORACLE_LANG_ID,
     "text_quality_by_source": ORACLE_QUALITY_BY_SOURCE,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_winnow": ORACLE_WINNOW,

@@ -36,6 +36,7 @@ def test_gate_window_is_the_round6_rotation():
         "layout_pruned_scan", "customer_name_profile",
         "events_type_stats", "orders_running_windows", "cube_sales",
         "order_priority_profile", "customer_activity_segments",
+        "text_stats", "corpus_doc_metrics",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
