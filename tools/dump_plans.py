@@ -41,6 +41,8 @@ CALLOUTS = {
     "sketch_price_quantiles": "bin ids pure codegen (length(bin())/shift/mask); ONE count shuffle; cumsum window on tiny sketch rows",
     "snapshot_partition_diff": "ONE full-outer join on the key + one partition aggregate; no second pass over either snapshot",
     "er_fuzzy_name_pairs": "equi-join on the block key (never all-pairs); levenshtein only after the length prefilter",
+    "cdc_ingest_neardup_probe": "band rows from stored signatures; ONE (band,key) equi-join; left join of the tiny hit set back onto the batch",
+    "orders_running_windows": "three window specs, ONE hashpartitioning Exchange on o_custkey (fold must not multiply shuffles)",
 }
 
 
