@@ -101,6 +101,40 @@ def kmv_estimate(kmv: Column, k: int = 256) -> Column:
     )
 
 
+def kmv_intersect_estimate(a: Column, b: Column, k: int = 256) -> Column:
+    """Distinct-INTERSECTION estimate from two KMV arrays — the set
+    operation COUNT(DISTINCT) rollups cannot answer from counts alone
+    ("users active in BOTH cohorts").  Standard KMV set arithmetic
+    (Beyer et al., SIGMOD'07 "On synopses for distinct-value
+    estimation"): form the combined sketch K = k smallest of
+    ``a ∪ b``; the match fraction ``|K ∩ a ∩ b| / k`` times the union
+    estimate ``(k-1)/theta_K`` estimates the intersection.  When the
+    union holds fewer than k hashes BOTH sketches are complete sets
+    and the intersection is exact.  Pure Column arithmetic over the
+    engine-stable 60-bit hashes — deterministic, so the DuckDB oracle
+    reproduces the estimate bit-for-bit."""
+    u = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    matches = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    est_union = F.lit(float(k - 1) * HASH_SPACE) / F.element_at(u, k)
+    return F.when(
+        F.size(u) < k, F.size(F.array_intersect(a, b)).cast("double")
+    ).otherwise((matches / F.lit(float(k))) * est_union)
+
+
+def duck_kmv_intersect(k: int, a: str, b: str) -> str:
+    """DuckDB SQL mirroring :func:`kmv_intersect_estimate` over two
+    list expressions, same operation order so doubles match exactly."""
+    const = float(k - 1) * HASH_SPACE
+    u = f"list_slice(list_sort(list_distinct(list_concat({a}, {b}))), 1, {k})"
+    matches = f"len(list_intersect(list_intersect({u}, {a}), {b}))"
+    return (
+        f"CASE WHEN len({u}) < {k} "
+        f"THEN len(list_intersect({a}, {b}))::DOUBLE "
+        f"ELSE ({matches}::DOUBLE / {float(k)!r}) "
+        f"* ({const!r} / ({u})[{k}]) END"
+    )
+
+
 def duck_kmv_estimate(k: int, hk_expr: str, nd_expr: str) -> str:
     """DuckDB SQL mirroring :func:`kmv_estimate`: ``hk_expr`` is the
     k-th smallest distinct hash (NULL when fewer than k), ``nd_expr``

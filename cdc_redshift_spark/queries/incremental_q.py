@@ -177,6 +177,103 @@ ORDER BY event_type
 """
 
 
+def q_sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimate (operators/sketches.py
+    `kmv_intersect_estimate`, Beyer et al. SIGMOD'07): per event_type,
+    how many users were active on BOTH even and odd epoch days — the
+    cross-cohort overlap question plain distinct rollups cannot answer
+    from counts, answered here from two mergeable per-cohort sketches
+    plus the exact intersection for the error column.  Deterministic
+    60-bit hashes make the ESTIMATE itself oracle-checkable bit-for-
+    bit, unlike any RNG-based sample."""
+    from cdc_redshift_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", F.unix_date(F.to_date("ts")) % 2
+    )
+    ska = kmv_sketch(
+        ev.where(F.col("cohort") == 0), dims=["event_type"],
+        col="user_id", k=KMV_K,
+    ).withColumnRenamed("kmv", "kmv_a")
+    skb = kmv_sketch(
+        ev.where(F.col("cohort") == 1), dims=["event_type"],
+        col="user_id", k=KMV_K,
+    ).withColumnRenamed("kmv", "kmv_b")
+    est = ska.join(skb, "event_type").select(
+        "event_type",
+        F.round(
+            kmv_intersect_estimate(F.col("kmv_a"), F.col("kmv_b"), KMV_K), 2
+        ).alias("n_est_overlap"),
+    )
+    ua = ev.where(F.col("cohort") == 0).select("event_type", "user_id")
+    ub = ev.where(F.col("cohort") == 1).select("event_type", "user_id")
+    exact = (
+        ua.intersect(ub)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact_overlap"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact_overlap",
+            "n_est_overlap",
+            F.round(
+                (F.col("n_est_overlap") - F.col("n_exact_overlap"))
+                / F.col("n_exact_overlap")
+                * 100,
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_sketch_overlap() -> str:
+    from cdc_redshift_spark.operators.sketches import duck_kmv_intersect
+
+    est = duck_kmv_intersect(KMV_K, "ka", "kb")
+    return f"""
+WITH d AS (
+  SELECT event_type, user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') % 2 AS cohort,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), ra AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM (SELECT DISTINCT event_type, h FROM d WHERE cohort = 0)
+), rb AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM (SELECT DISTINCT event_type, h FROM d WHERE cohort = 1)
+), sk AS (
+  SELECT a.event_type,
+         (SELECT list(h ORDER BY h) FROM ra
+          WHERE ra.event_type = a.event_type AND ra.rn <= {KMV_K}) AS ka,
+         (SELECT list(h ORDER BY h) FROM rb
+          WHERE rb.event_type = a.event_type AND rb.rn <= {KMV_K}) AS kb
+  FROM (SELECT DISTINCT event_type FROM d) a
+), ex AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact_overlap
+  FROM (
+    SELECT event_type, user_id FROM d WHERE cohort = 0
+    INTERSECT
+    SELECT event_type, user_id FROM d WHERE cohort = 1
+  ) GROUP BY event_type
+)
+SELECT sk.event_type, ex.n_exact_overlap,
+       round({est}, 2) AS n_est_overlap,
+       round((round({est}, 2) - ex.n_exact_overlap)
+             / ex.n_exact_overlap * 100, 2) AS err_pct
+FROM sk JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-form distinct rollup: per-day Apache DataSketches HLL
     sketches per event_type, unioned across days (``hll_union_agg``)
@@ -453,6 +550,7 @@ WHERE b.k IS NULL OR n.k IS NULL
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_user_overlap": q_sketch_user_overlap,
     "sketch_hll_users": q_sketch_hll_users,
     "sketch_price_quantiles": q_sketch_price_quantiles,
     "snapshot_partition_diff": q_snapshot_partition_diff,
@@ -462,6 +560,7 @@ QUERIES = {
 ORACLES = {
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
     "sketch_distinct_users": ORACLE_SKETCH_KMV,
+    "sketch_user_overlap": _oracle_sketch_overlap(),
     # sketch_hll_users: DataSketches estimate is implementation-defined
     # — rows-only here, value-gated by tests/test_sketches.py.
     "sketch_price_quantiles": ORACLE_SKETCH_QUANTILES,

@@ -225,3 +225,50 @@ def test_hll_union_registers_are_elementwise_max(spark):
     ra = hll8_registers((str(i) for i in range(0, 8_000)), lgk=lgk)
     rb = hll8_registers((str(i) for i in range(4_000, n)), lgk=lgk)
     assert got == [max(x, y) for x, y in zip(ra, rb)]
+
+
+# ---- KMV set-intersection (round 6) ---------------------------------------
+
+
+def test_kmv_intersect_exact_below_k(spark):
+    from cdc_redshift_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    # |A|=60, |B|=50, overlap 30 — everything below k=128: exact path
+    a = spark.range(0, 60).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(30, 80).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    ka = kmv_sketch(a, ["g"], "v", k=128).withColumnRenamed("kmv", "ka")
+    kb = kmv_sketch(b, ["g"], "v", k=128).withColumnRenamed("kmv", "kb")
+    got = (
+        ka.join(kb, "g")
+        .select(kmv_intersect_estimate(F.col("ka"), F.col("kb"), 128).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert got == 30.0
+
+
+def test_kmv_intersect_estimate_within_bounds(spark):
+    from cdc_redshift_spark.operators.sketches import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    # |A|=6000, |B|=6000, true overlap 2000, k=256 — the estimator path.
+    # KMV intersection error grows with 1/match-fraction; 25% relative
+    # is a conservative gate for k=256 at 1/5 overlap of the union.
+    a = spark.range(0, 6000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(4000, 10000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    ka = kmv_sketch(a, ["g"], "v", k=256).withColumnRenamed("kmv", "ka")
+    kb = kmv_sketch(b, ["g"], "v", k=256).withColumnRenamed("kmv", "kb")
+    got = (
+        ka.join(kb, "g")
+        .select(kmv_intersect_estimate(F.col("ka"), F.col("kb"), 256).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(got - 2000) / 2000 < 0.25, got
