@@ -47,6 +47,64 @@ def cluster(
     return parted.sortWithinPartitions(*cols)
 
 
+def zorder_key(scaled: Sequence, bits: int) -> "F.Column":
+    """Interleave the low ``bits`` bits of the scaled integer columns
+    into one Morton (Z-order) key — pure Column bit arithmetic, stays
+    in whole-stage codegen.  ``scaled[i]`` must already lie in
+    ``[0, 2^bits)``."""
+    n = len(scaled)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(scaled):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def zorder_cluster(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_files: int | None = None,
+    bits: int = 12,
+) -> DataFrame:
+    """TRUE multi-dimensional clustering: range-partition + sort on the
+    Morton key of ``cols`` instead of their lexicographic order.
+
+    Lexicographic :func:`cluster` gives perfect pruning on the FIRST
+    column and none on the rest; the Z-order key gives useful min/max
+    locality on EVERY column (each file covers a contiguous Z range ==
+    a small hyper-rectangle stack), which is what a table queried by
+    several independent predicates needs — the same trade Delta's
+    ``ZORDER BY`` and Redshift's interleaved sortkeys make.
+
+    ``cols`` must be numeric (cast dates to epoch days first).  Each
+    column is affinely scaled to ``[0, 2^bits)`` using its observed
+    min/max (one tiny driver-side agg — 2×len(cols) scalars); rows
+    then shuffle ONCE on the key.  The key column is dropped before
+    returning: parquet min/max stats on the ORIGINAL columns are what
+    skipping readers prune on.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        lo = int(stats[f"lo{i}"])
+        span = max(int(stats[f"hi{i}"]) - lo, 1)
+        scaled.append(
+            ((F.col(c).cast("long") - F.lit(lo)) * top / F.lit(span))
+            .cast("long")
+        )
+    keyed = df.withColumn("__z", zorder_key(scaled, bits))
+    if num_files is not None:
+        parted = keyed.repartitionByRange(num_files, F.col("__z"))
+    else:
+        parted = keyed.repartitionByRange(F.col("__z"))
+    return parted.sortWithinPartitions("__z").drop("__z")
+
+
 def file_ranges(path: str, col: str) -> list[tuple]:
     """[(min, max)] of ``col`` per parquet data file under ``path`` —
     the statistics a skipping reader prunes on.  Test/evidence helper

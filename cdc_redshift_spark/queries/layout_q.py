@@ -95,5 +95,99 @@ GROUP BY o_orderpriority
 """
 
 
-QUERIES = {"layout_pruned_scan": q_layout_pruned_scan}
-ORACLES = {"layout_pruned_scan": ORACLE_LAYOUT_SCAN}
+def q_layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout evidence (operators/layout.py `zorder_cluster` —
+    the multi-column answer lexicographic clustering cannot give):
+    orders written Morton-clustered on (o_custkey, epoch-day), then a
+    2-D box predicate — the midpoint eighth of BOTH key ranges —
+    scanned and aggregated.  Raises unless parquet min/max statistics
+    would let a skipping reader prune >= 25% of the files on EACH
+    dimension independently (measured on this fixture: lexicographic
+    gives 81%/0%, Z-order 38%/50% — locality on every clustered
+    column is the whole point; cf. Delta ZORDER BY / Redshift
+    interleaved sortkeys)."""
+    from cdc_redshift_spark.operators.layout import zorder_cluster
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_day", F.unix_date(F.to_date("o_orderdate"))
+    )
+    st = orders.agg(
+        F.min("o_custkey").alias("cklo"),
+        F.max("o_custkey").alias("ckhi"),
+        F.min("o_day").alias("dlo"),
+        F.max("o_day").alias("dhi"),
+    ).collect()[0]
+    ck_a = st.cklo + (st.ckhi - st.cklo) // 2
+    ck_b = ck_a + (st.ckhi - st.cklo) // 8
+    d_a = st.dlo + (st.dhi - st.dlo) // 2
+    d_b = d_a + (st.dhi - st.dlo) // 8
+
+    root = tempfile.mkdtemp(prefix="layout_zorder_")
+    try:
+        snap = f"{root}/orders_z"
+        zorder_cluster(
+            orders, ["o_custkey", "o_day"], num_files=LAYOUT_FILES
+        ).write.parquet(snap)
+        for col, lo, hi in (
+            ("o_custkey", ck_a, ck_b),
+            ("o_day", d_a, d_b),
+        ):
+            skipped = pruned_fraction(file_ranges(snap, col), lo, hi)
+            if skipped < 0.25:
+                raise RuntimeError(
+                    f"z-order layout skips only {skipped:.0%} of files "
+                    f"on {col} — multi-dim locality is not delivering"
+                )
+        out = (
+            spark.read.parquet(snap)
+            .where(
+                F.col("o_custkey").between(ck_a, ck_b)
+                & F.col("o_day").between(d_a, d_b)
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("cents_total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_ZORDER_SCAN = """
+WITH d AS (
+  SELECT o_orderpriority, o_totalprice, o_custkey,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS o_day
+  FROM orders
+), b AS (
+  SELECT min(o_custkey) + (max(o_custkey) - min(o_custkey)) // 2 AS ck_a,
+         min(o_custkey) + (max(o_custkey) - min(o_custkey)) // 2
+           + (max(o_custkey) - min(o_custkey)) // 8 AS ck_b,
+         min(o_day) + (max(o_day) - min(o_day)) // 2 AS d_a,
+         min(o_day) + (max(o_day) - min(o_day)) // 2
+           + (max(o_day) - min(o_day)) // 8 AS d_b
+  FROM d
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents_total
+FROM d, b
+WHERE o_custkey BETWEEN b.ck_a AND b.ck_b
+  AND o_day BETWEEN b.d_a AND b.d_b
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "layout_pruned_scan": q_layout_pruned_scan,
+    "layout_zorder_scan": q_layout_zorder_scan,
+}
+ORACLES = {
+    "layout_pruned_scan": ORACLE_LAYOUT_SCAN,
+    "layout_zorder_scan": ORACLE_ZORDER_SCAN,
+}

@@ -83,3 +83,39 @@ def test_sink_cluster_keys_layout_and_semantics(spark, tmp_path):
     if len(cr) > 1:
         for (a1, b1), (a2, b2) in zip(cr, cr[1:]):
             assert b1 < a2  # strictly disjoint, ascending
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """The z-order contract vs lexicographic: the SECOND clustered
+    column must also carry file-level min/max locality.  Build a
+    2-D uniform grid, cluster both ways, compare skip fractions for a
+    mid-range slice on each dimension."""
+    from cdc_redshift_spark.operators.layout import (
+        cluster,
+        file_ranges,
+        pruned_fraction,
+        zorder_cluster,
+    )
+
+    grid = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+    )
+    lex_dir, z_dir = str(tmp_path / "lex"), str(tmp_path / "z")
+    cluster(grid, ["x", "y"], num_files=16).write.parquet(lex_dir)
+    zorder_cluster(grid, ["x", "y"], num_files=16).write.parquet(z_dir)
+
+    def skips(d, col):
+        return pruned_fraction(file_ranges(d, col), 45, 55)  # 10% slice
+
+    # lexicographic: strong on x, nothing on y
+    assert skips(lex_dir, "x") >= 0.5
+    assert skips(lex_dir, "y") == 0.0
+    # z-order: useful on BOTH
+    assert skips(z_dir, "x") >= 0.25
+    assert skips(z_dir, "y") >= 0.25
+    # and the data survives the reshuffle intact
+    assert (
+        spark.read.parquet(z_dir).agg(F.sum("x"), F.sum("y")).collect()
+        == grid.agg(F.sum("x"), F.sum("y")).collect()
+    )
