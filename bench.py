@@ -67,6 +67,9 @@ def main() -> None:
         # and batch-vs-index incremental near-dup probe
         "dedup_simjoin",
         "dedup_incremental_minhash",
+        # round-6: the layout family's write-clustered-then-scan path
+        # (range shuffle + parquet commit + stats-pruned read)
+        "layout_pruned_scan",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
