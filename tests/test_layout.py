@@ -101,9 +101,13 @@ def test_zorder_prunes_on_every_dimension(spark, tmp_path):
         (F.col("id") % 100).alias("x"),
         (F.col("id") / 100).cast("long").alias("y"),
     )
+    # 64 files: at 16 the z-block grid is 4x4 and the skip fraction
+    # sits on the assert boundary, wobbling with repartitionByRange's
+    # sampled boundaries (an order-dependent flake in the full suite);
+    # 8x8 blocks give a stable 0.69/0.75 margin
     lex_dir, z_dir = str(tmp_path / "lex"), str(tmp_path / "z")
-    cluster(grid, ["x", "y"], num_files=16).write.parquet(lex_dir)
-    zorder_cluster(grid, ["x", "y"], num_files=16).write.parquet(z_dir)
+    cluster(grid, ["x", "y"], num_files=64).write.parquet(lex_dir)
+    zorder_cluster(grid, ["x", "y"], num_files=64).write.parquet(z_dir)
 
     def skips(d, col):
         return pruned_fraction(file_ranges(d, col), 45, 55)  # 10% slice
