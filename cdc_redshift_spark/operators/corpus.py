@@ -488,3 +488,95 @@ def weighted_sample(
         .limit(k)
         .select("doc_id", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` keyword retrieval over the corpus
+    (Robertson & Zaragoza, FnT-IR 2009; the Lucene non-negative idf
+    form ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    A training-data pipeline uses this as the sparse-retrieval
+    baseline next to the ANN dense path (``operators/similarity.py``)
+    — e.g. for decontamination triage or eval-set mining — so it gets
+    the same engine treatment: everything JVM-side, one bounded
+    shuffle per statistic, top-k via ``TakeOrderedAndProject``.
+
+    Plan at 100 TB:
+
+    - per-doc token arrays are a codegen projection (no shuffle);
+    - corpus stats (N, avgdl) are ONE scalar aggregate broadcast back
+      (the established 1-row crossJoin pattern);
+    - term frequencies explode ONLY matching terms — the explode is
+      filtered to the |Q| query terms BEFORE the groupBy, so the tf
+      shuffle carries |matching postings| rows, not the corpus;
+    - document frequencies are a ≤|Q|-row aggregate, broadcast into
+      the scoring join;
+    - the final top-k is a TakeOrderedAndProject (per-partition heads,
+      no global sort).
+
+    Output: ``id_col, score`` (6-dp, engine-stable), score desc /
+    id asc, exactly ``k`` rows (fewer if the corpus has fewer
+    scoring docs).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    lens = base.select(
+        F.col(id_col), F.size("__toks").alias("__dl"),
+        F.filter(
+            "__toks", lambda t: t.isin(*terms) if len(terms) > 1 else t == terms[0]
+        ).alias("__qt"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        lens.where(F.size("__qt") > 0)
+        .select(F.col(id_col), "__dl", F.explode("__qt").alias("__t"))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_ = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(df_), "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

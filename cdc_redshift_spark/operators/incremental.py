@@ -322,3 +322,208 @@ def snapshot_changes(
         .where(F.col("op").isNotNull())
         .select(*keys, "op", "before", "after")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history (validity intervals from a change stream)
+# ---------------------------------------------------------------------------
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    op_col: str = "op",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Build a Slowly-Changing-Dimension Type-2 history from a change
+    stream: one output row per attribute *version* with its validity
+    interval.
+
+    The reference's sinks keep only the latest image per key (LWW merge,
+    `glue_pg_redshift_cdc.py:178-191` — SCD Type 1); warehouse dimension
+    modeling also wants the full history with ``valid_from``/``valid_to``
+    so facts can join to the dimension *as of* the fact's event time
+    (pair with :func:`cdc_redshift_spark.operators.temporal.asof_join`).
+
+    Semantics
+    ---------
+    - each insert/update image opens a version at its ``ts_col``;
+    - a version closes at the NEXT change for the same key (any op —
+      a newer image supersedes it, a delete ends it);
+    - delete images emit no version of their own;
+    - ``is_current`` = the interval is still open (so a key whose last
+      change is a delete has NO current row, matching the LWW view).
+
+    Plan: exactly ONE shuffle — the per-key window that computes
+    ``lead(ts)``; everything else is codegen projections.  At 100 TB
+    the window partitions by the dimension key (hash shuffle, no
+    skew beyond per-key change counts); there is no join and no
+    driver-side step.
+
+    Columns out: ``keys..., attrs..., valid_from, valid_to,
+    is_current`` (``valid_to`` NULL while open).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("__valid_to", F.lead(ts_col).over(w))
+        .where(~F.lower(F.col(op_col)).isin(*DELETE_OPS))
+        .select(
+            *keys,
+            *attrs,
+            F.col(ts_col).alias("valid_from"),
+            F.col("__valid_to").alias("valid_to"),
+            F.col("__valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    op_col: str = "op",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally extend an SCD2 ``history`` with a new ``batch`` of
+    changes WITHOUT rebuilding untouched keys: close each touched key's
+    open interval at the batch's first change for that key, and append
+    the batch's own versions (:func:`scd2_history` over the batch
+    alone).
+
+    Invariant (property-tested): for any event-time split ``part1 /
+    part2`` of a change stream at a watermark,
+    ``scd2_apply(scd2_history(part1), part2) ==
+    scd2_history(part1 + part2)`` — so a streaming pipeline can
+    maintain the dimension history batch-by-batch with work
+    proportional to the BATCH, never re-scanning the stored history.
+
+    Requires the watermark discipline the equality implies: every
+    batch change must be >= the stored history's max ``ts`` for its
+    key (late arrivals belong in a rebuild of that key, exactly like
+    the retraction path in ``streaming/rollup.py``).
+
+    Plan: one window shuffle over the batch (small), one broadcast-able
+    aggregation of the batch's per-key first ts joined to the history's
+    open rows; closed/untouched history rows pass through untouched —
+    at 100 TB with the history stored partitioned by key-hash this is
+    a touched-partition rewrite, the same discipline as the CDC merge
+    path (``plans/merge.py``).
+    """
+    first_ts = batch.groupBy(*keys).agg(F.min(ts_col).alias("__cut"))
+    closed = (
+        history.join(F.broadcast(first_ts), keys, "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("is_current") & F.col("__cut").isNotNull(),
+                F.col("__cut"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__cut")
+    )
+    appended = scd2_history(
+        batch, keys, ts_col, attrs, op_col=op_col, tiebreak=tiebreak
+    )
+    return closed.unionByName(appended)
+
+
+# ---------------------------------------------------------------------------
+# Incremental equi-join view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+def join_view_delta(
+    d_left: DataFrame,
+    left_new: DataFrame,
+    d_right: DataFrame,
+    right_old: DataFrame,
+    on: list[str],
+    cols: list[str],
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Signed delta of the equi-join view ``V = L join R on `on```
+    under signed row deltas to BOTH sides, using the asymmetric
+    delta-join identity (standard incremental view maintenance
+    algebra; see e.g. Chirkova & Yang, *Materialized Views*, FnT-DB
+    2012):
+
+        delta(L join R) = dL join R_old  UNION ALL  L_new join dR
+
+    (telescoping: ``L_new x R_new - L_old x R_old =
+    dL x R_old + L_new x dR`` — the asymmetric form needs no
+    separate ``dL x dR`` term).
+
+    Inputs carry multiplicity signs in ``sign_col`` (+1 inserted row
+    image, -1 deleted row image; an update is -before +after, the
+    same convention as :func:`rollup_delta_signed`).  Output: one row
+    per joined image with the product sign, ready for
+    :func:`apply_view_delta`.
+
+    100 TB plan: the delta sides are micro-batches, so BOTH joins
+    broadcast the delta — ``dL join R_old`` broadcasts dL against the
+    dimension, and ``L_new join dR`` broadcasts dR against the fact,
+    which with join-key partition pruning / bucketing touches only
+    matching fact partitions.  Neither join shuffles the big tables;
+    the view is never recomputed from scratch.
+    """
+    l_cols = [c for c in d_left.columns if c != sign_col]
+    r_cols = [c for c in d_right.columns if c != sign_col]
+    part1 = (
+        F.broadcast(d_left)
+        .join(right_old, on, "inner")
+        .select(*cols, F.col(sign_col))
+    )
+    part2 = (
+        left_new.select(*l_cols)
+        .join(F.broadcast(d_right), on, "inner")
+        .select(*cols, F.col(sign_col))
+    )
+    return part1.unionByName(part2)
+
+
+def apply_view_delta(
+    view: DataFrame,
+    delta: DataFrame,
+    cols: list[str],
+    cnt_col: str = "cnt",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Merge a signed :func:`join_view_delta` into the stored view.
+
+    The view is kept with BAG semantics — ``cols..., cnt_col`` holds
+    each distinct joined row image with its multiplicity — because
+    join views are not generally duplicate-free and deletes must
+    decrement, not drop.  One union + one groupBy over
+    |view| + |delta| rows (map-side combined); images whose net count
+    reaches zero vanish.  A net-negative count raises at evaluation
+    time: it means a delete arrived for a row the view never held
+    (drift), and silently clamping would corrupt the view.
+    """
+    v = view.select(*cols, F.col(cnt_col).alias("__m"))
+    d = delta.select(*cols, F.col(sign_col).cast("long").alias("__m"))
+    net = (
+        v.unionByName(d)
+        .groupBy(*cols)
+        .agg(F.sum("__m").alias(cnt_col))
+    )
+    guard = F.when(
+        F.col(cnt_col) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "apply_view_delta: net multiplicity went negative "
+                    "(delete without matching view row); image count: "
+                ),
+                F.col(cnt_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(cnt_col))
+    return net.withColumn(cnt_col, guard).where(F.col(cnt_col) > 0)

@@ -95,8 +95,10 @@ _GATE_WINDOW = [
     "corpus_doc_metrics",
     # funnel cross-check riding the spare slot (1)
     # (round-7 rotation queue: the round-6 late additions
-    # sketch_user_overlap and layout_zorder_scan carry LOCALGATE +
-    # pytest evidence this round and take window slots next round)
+    # sketch_user_overlap, layout_zorder_scan, scd2_user_history,
+    # scd2_incremental_apply, orders_join_view_maintenance,
+    # docs_bm25_topk, and sink_time_travel carry LOCALGATE + pytest
+    # evidence this round and take window slots next round)
     "events_funnel_ordered",
     # end-to-end CDC pipelines, re-gated every round (5)
     "cdc_pg_replay",

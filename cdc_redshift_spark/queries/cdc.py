@@ -599,8 +599,101 @@ ORDER BY status
 """
 
 
+def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the versioned ParquetSink: commit
+    orders as v1, apply an update+delete changeset to make v2, then
+    read BOTH versions (`read_table(version=)`) and aggregate each —
+    the `VERSION AS OF` contract a transactional table format
+    provides, expressed over the sink's hard-linked snapshot
+    directories.  Also exercises the retention contract: after the
+    reads, `vacuum(keep_last=1)` must drop exactly v1 and keep the
+    current pointer readable.  The oracle reconstructs both states
+    from the base table, so a green row certifies version isolation
+    (the v1 read is unaffected by the v2 commit).  Money rides as
+    exact integer cents."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    mo = F.pmod(F.col("k"), F.lit(10))
+    nxt = (
+        base.where(mo == 1)
+        .withColumn("status", F.lit("X"))
+        .unionByName(base.where(mo == 0).withColumn("op", F.lit("delete")))
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+    )
+    root = tempfile.mkdtemp(prefix="time_travel_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        sink.apply_changeset("db", "t", base)
+        sink.apply_changeset("db", "t", nxt)
+        vs = sink.versions("db", "t")
+        if vs != [1, 2]:
+            raise RuntimeError(f"expected snapshots [1, 2], got {vs}")
+        v1 = sink.read_table(spark, "db", "t", version=1)
+        v2 = sink.read_table(spark, "db", "t")
+
+        def agg(df: DataFrame, v: int) -> DataFrame:
+            return df.groupBy(
+                F.lit(v).alias("version"), F.col("status")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+
+        out = (
+            agg(v1, 1)
+            .unionByName(agg(v2, 2))
+            .orderBy("version", "status")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+        dropped = sink.vacuum("db", "t", keep_last=1)
+        left = sink.versions("db", "t")
+        still = sink.read_table(spark, "db", "t")
+        if dropped != [1] or left != [2] or still is None:
+            raise RuntimeError(
+                f"vacuum contract broken: dropped={dropped}, kept={left}"
+            )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_TIME_TRAVEL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v2 AS (
+  SELECT k, CASE WHEN k % 10 = 1 THEN 'X' ELSE status END AS status, cents
+  FROM base WHERE k % 10 <> 0
+)
+SELECT * FROM (
+  SELECT 1 AS version, status, CAST(count(*) AS BIGINT) AS n,
+         sum(cents) AS sum_cents
+  FROM base GROUP BY status
+  UNION ALL
+  SELECT 2 AS version, status, CAST(count(*) AS BIGINT) AS n,
+         sum(cents) AS sum_cents
+  FROM v2 GROUP BY status
+)
+ORDER BY version, status
+"""
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
+    "sink_time_travel": q_sink_time_travel,
     "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
@@ -610,6 +703,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
     "cdc_rollup_maintenance": ORACLE_CDC_ROLLUP,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.corpus import (
+    bm25_topk,
     chunk_documents,
     decontaminate,
     pack_token_stream,
@@ -512,7 +513,55 @@ LIMIT {WSAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["merge", "spark", "stream", "window"]
+BM25_K = 25
+
+
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k keyword retrieval over the corpus
+    (operators/corpus.bm25_topk) — the sparse-retrieval baseline next
+    to the dense ANN path, with corpus stats as one broadcast scalar,
+    the tf explode filtered to query terms BEFORE its shuffle, and the
+    top-k as TakeOrderedAndProject.  Scores rounded to 6 dp in both
+    engines (the established float-hash discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '')) AS dl,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t IN ('merge', 'spark', 'stream', 'window')) AS qt
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM toks, unnest(qt) AS u(t)
+  GROUP BY 1, 2, 3
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+)
+SELECT doc_id,
+       round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ),
+             6) AS score
+FROM tf JOIN dft USING (term), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
 QUERIES = {
+    "docs_bm25_topk": q_docs_bm25_topk,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_source_cap": q_corpus_source_cap,
     "corpus_doc_metrics": q_corpus_doc_metrics,
@@ -525,6 +574,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_bm25_topk": ORACLE_BM25,
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_source_cap": ORACLE_SOURCE_CAP,
     "corpus_doc_metrics": ORACLE_DOC_METRICS,

@@ -21,6 +21,10 @@ from cdc_redshift_spark.operators.incremental import (
     snapshot_changes,
     snapshot_diff,
     incremental_rollup,
+    scd2_history,
+    scd2_apply,
+    join_view_delta,
+    apply_view_delta,
 )
 from cdc_redshift_spark.operators.sketches import (
     duck_kmv_estimate,
@@ -547,8 +551,185 @@ WHERE b.k IS NULL OR n.k IS NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD Type-2 history
+# ---------------------------------------------------------------------------
+
+def _events_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reinterpreted as a per-user dimension change stream:
+    every 7th event_id is a delete, the rest are attribute updates."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
+
+
+def _scd2_out(hist: DataFrame) -> DataFrame:
+    return hist.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us")
+
+
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD Type-2 dimension-history build from a change stream
+    (operators/incremental.scd2_history): one version row per
+    insert/update image with its validity interval; delete images
+    close intervals and emit nothing — the warehouse-dimension
+    history the reference's LWW-only sink discards
+    (`glue_pg_redshift_cdc.py:178-191` keeps just the latest image).
+    ONE window shuffle; intervals surface as exact epoch micros."""
+    ch = _events_change_stream(spark, sf_dir)
+    hist = scd2_history(
+        ch,
+        keys=["user_id"],
+        ts_col="ts",
+        attrs=["event_type", "value"],
+        tiebreak=["event_id"],
+    )
+    return _scd2_out(hist)
+
+
+def q_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: build the history from changes
+    BEFORE the watermark, then scd2_apply the rest as a batch —
+    closing touched keys' open intervals and appending the batch's
+    versions without rebuilding untouched keys.  The oracle is the
+    FULL-history recompute, so a green row proves
+    scd2_apply(scd2_history(part1), part2) == scd2_history(all) on
+    real data (the batch-split invariance a streaming dimension
+    pipeline relies on)."""
+    ch = _events_change_stream(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    kw = dict(
+        keys=["user_id"],
+        ts_col="ts",
+        attrs=["event_type", "value"],
+        tiebreak=["event_id"],
+    )
+    hist1 = scd2_history(ch.where(F.col("ts") < cut), **kw)
+    hist = scd2_apply(hist1, ch.where(F.col("ts") >= cut), **kw)
+    return _scd2_out(hist)
+
+
+ORACLE_SCD2 = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op
+  FROM events
+), w AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM ch
+)
+SELECT user_id, event_type, value,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+       epoch_us(CAST(vt AS TIMESTAMP)) AS valid_to_us,
+       vt IS NULL AS is_current
+FROM w
+WHERE op <> 'delete'
+ORDER BY user_id, valid_from_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental equi-join view maintenance
+# ---------------------------------------------------------------------------
+
+def q_orders_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the materialized join view
+    ``orders JOIN customer GROUP BY (custkey, status, mktsegment)``
+    under signed deltas to BOTH base tables — order inserts/deletes,
+    order-status updates (-before +after pairs), customer adds and
+    removals — via the asymmetric delta-join identity
+    (operators/incremental.join_view_delta), never recomputing the
+    join.  The oracle recomputes the view from the fully-applied
+    final states, so a green row proves delta maintenance == full
+    recompute including the cross-delta corner (an updated order
+    whose customer is deleted in the same batch)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderstatus"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    mo = F.pmod(F.col("o_orderkey"), F.lit(10))
+    mc = F.pmod(F.col("custkey"), F.lit(10))
+    o_old = o.where(mo < 8)
+    c_old = c.where(mc < 9)
+    cols = ["custkey", "o_orderstatus", "c_mktsegment"]
+
+    view0 = (
+        o_old.join(c_old, "custkey")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def img(frame, status=None, sign=1):
+        s = F.lit(status) if status else F.col("o_orderstatus")
+        return frame.select(
+            "custkey", s.alias("o_orderstatus"), F.lit(sign).alias("sign")
+        )
+
+    d_o = (
+        img(o.where(mo.isin(8, 9)))                 # inserts
+        .unionByName(img(o_old.where(mo == 0), sign=-1))   # deletes
+        .unionByName(img(o_old.where(mo == 1), sign=-1))   # update before
+        .unionByName(img(o_old.where(mo == 1), status="X"))  # update after
+    )
+    o_new = o.where(mo != 0).select(
+        "custkey",
+        F.when(mo == 1, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+    )
+    d_c = (
+        c.where(mc == 9)
+        .select("custkey", "c_mktsegment", F.lit(1).alias("sign"))
+        .unionByName(
+            c_old.where(mc == 0).select(
+                "custkey", "c_mktsegment", F.lit(-1).alias("sign")
+            )
+        )
+    )
+
+    delta = join_view_delta(d_o, o_new, d_c, c_old, on=["custkey"], cols=cols)
+    view = apply_view_delta(view0, delta, cols)
+    return view.orderBy(*cols)
+
+
+ORACLE_JOIN_VIEW = """
+WITH o_new AS (
+  SELECT o_custkey AS custkey,
+         CASE WHEN o_orderkey % 10 = 1 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 0
+), c_new AS (
+  SELECT c_custkey AS custkey, c_mktsegment
+  FROM customer WHERE c_custkey % 10 <> 0
+)
+SELECT custkey, o_orderstatus, c_mktsegment, count(*) AS cnt
+FROM o_new JOIN c_new USING (custkey)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
+    "scd2_user_history": q_scd2_user_history,
+    "scd2_incremental_apply": q_scd2_incremental_apply,
+    "orders_join_view_maintenance": q_orders_join_view_maintenance,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_user_overlap": q_sketch_user_overlap,
     "sketch_hll_users": q_sketch_hll_users,
@@ -559,6 +740,9 @@ QUERIES = {
 
 ORACLES = {
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
+    "scd2_user_history": ORACLE_SCD2,
+    "scd2_incremental_apply": ORACLE_SCD2,
+    "orders_join_view_maintenance": ORACLE_JOIN_VIEW,
     "sketch_distinct_users": ORACLE_SKETCH_KMV,
     "sketch_user_overlap": _oracle_sketch_overlap(),
     # sketch_hll_users: DataSketches estimate is implementation-defined

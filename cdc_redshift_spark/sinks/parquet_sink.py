@@ -31,6 +31,7 @@ at 100 TB.
 from __future__ import annotations
 
 import os
+import shutil
 import urllib.parse
 from collections.abc import Sequence
 
@@ -89,14 +90,36 @@ class ParquetSink(Sink):
     def table_exists(self, db: str, table: str) -> bool:
         return self._latest_version(db, table) is not None
 
+    def versions(self, db: str, table: str) -> list[int]:
+        """Retained snapshot versions, ascending (time-travel targets
+        for ``read_table(version=)``)."""
+        d = self._dir(db, table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(e[1:])
+            for e in os.listdir(d)
+            if e.startswith("v") and e[1:].isdigit()
+        )
+
     def read_table(
         self,
         spark: SparkSession,
         db: str,
         table: str,
         include_tombstones: bool = False,
+        version: int | None = None,
     ) -> DataFrame | None:
-        """Current state.  Delete tombstones (op='delete') are stored so
+        """Current state — or TIME TRAVEL with ``version=``: every
+        ``apply_changeset`` commit is a full snapshot directory
+        (``v1, v2, ...``, unchanged partitions hard-linked forward),
+        so any retained version reads at full scan speed with zero
+        reconstruction — the Delta/Iceberg ``VERSION AS OF`` contract
+        the reference delegates to the warehouse.  ``versions()``
+        lists what is retained; reading an expired/unknown version
+        raises rather than silently serving the latest.
+
+        Delete tombstones (op='delete') are stored so
         late events for deleted keys can't resurrect them across
         micro-batches; readers see them filtered unless asked.
 
@@ -108,6 +131,13 @@ class ParquetSink(Sink):
         v = self._latest_version(db, table)
         if v is None:
             return None
+        if version is not None:
+            if version not in self.versions(db, table):
+                raise ValueError(
+                    f"{db}.{table} has no retained snapshot v{version}; "
+                    f"available: {self.versions(db, table)}"
+                )
+            v = version
         reader = spark.read
         schema = self._read_schema(db, table)
         if schema is not None:
@@ -342,6 +372,25 @@ class ParquetSink(Sink):
         writer.parquet(path)
         self._write_schema(db, table, state)
         self._flip(db, table, v)
+
+    def vacuum(self, db: str, table: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot versions and
+        return the versions removed.  Because unchanged partition
+        directories are HARD-LINKED forward between versions, removing
+        an old version frees only the files no newer version still
+        links — the retention/vacuum contract of a transactional table
+        format, without the log.  The latest version is always kept
+        (``keep_last`` is clamped to >= 1) so readers never lose the
+        current pointer target.
+        """
+        keep_last = max(1, int(keep_last))
+        vs = self.versions(db, table)
+        latest = self._latest_version(db, table)
+        drop = [v for v in vs[:-keep_last] if v != latest]
+        d = self._dir(db, table)
+        for v in drop:
+            shutil.rmtree(os.path.join(d, f"v{v}"), ignore_errors=True)
+        return drop
 
     def _flip(self, db: str, table: str, v: int) -> None:
         d = self._dir(db, table)

@@ -281,3 +281,56 @@ def test_running_windows_single_shuffle(spark):
 
     plan = plan_of(q_orders_running_windows(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_history_single_window_no_join(spark):
+    """SCD2 history = ONE per-key window shuffle, zero join nodes."""
+    from cdc_redshift_spark.queries.incremental_q import q_scd2_user_history
+
+    plan = plan_of(q_scd2_user_history(spark, SF))
+    assert plan.count("Window") >= 1
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+
+
+def test_scd2_apply_broadcasts_batch_cut(spark):
+    """scd2_apply's close step joins the batch's per-key first-ts
+    (tiny) BROADCAST against the stored history — the history side
+    must never shuffle for the join."""
+    from cdc_redshift_spark.queries.incremental_q import (
+        q_scd2_incremental_apply,
+    )
+
+    plan = plan_of(q_scd2_incremental_apply(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_view_delta_broadcasts_both_deltas(spark):
+    """Both IVM joins broadcast the DELTA side; neither base table
+    shuffles for a join, and nothing degenerates to a cartesian."""
+    from cdc_redshift_spark.queries.incremental_q import (
+        q_orders_join_view_maintenance,
+    )
+
+    plan = plan_of(q_orders_join_view_maintenance(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_plan(spark):
+    """BM25: top-k via TakeOrderedAndProject (no global sort), df
+    broadcast into scoring, corpus stats as the single allowed 1-row
+    broadcast nest, and the tf explode filtered before its shuffle
+    (no unfiltered posting explosion = no second corpus-wide
+    aggregate beyond tf/df/stats)."""
+    from cdc_redshift_spark.queries.corpus_q import q_docs_bm25_topk
+
+    plan = plan_of(q_docs_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one 1-row scalar broadcast (corpus stats)
+    assert plan.count("BroadcastNestedLoopJoin") == 1

@@ -1,0 +1,293 @@
+"""SCD Type-2 history + incremental join-view maintenance + BM25 +
+sink time travel: unit semantics the query gate can't isolate, the
+batch-split invariance property, and the delta-join == recompute
+property on randomized deltas."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.incremental import (
+    apply_view_delta,
+    join_view_delta,
+    scd2_apply,
+    scd2_history,
+)
+
+KW = dict(keys=["k"], ts_col="ts", attrs=["attr"], tiebreak=["seq"])
+
+
+def _ch(spark, rows):
+    """rows: (k, ts_int, seq, op, attr)"""
+    return spark.createDataFrame(
+        rows, "k string, ts long, seq long, op string, attr string"
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "seq", "op", "attr")
+
+
+def _hist_rows(df):
+    return sorted(
+        (
+            r["k"],
+            r["attr"],
+            r["valid_from"].isoformat(),
+            r["valid_to"].isoformat() if r["valid_to"] else None,
+            r["is_current"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_scd2_semantics(spark):
+    """Updates chain intervals, a delete closes without emitting, a
+    re-insert after delete opens a fresh current row."""
+    ch = _ch(
+        spark,
+        [
+            ("a", 10, 0, "update", "v1"),
+            ("a", 20, 1, "update", "v2"),
+            ("a", 30, 2, "delete", None),
+            ("a", 40, 3, "update", "v3"),
+            ("b", 10, 0, "update", "w1"),
+            ("b", 50, 1, "delete", None),
+        ],
+    )
+    out = _hist_rows(scd2_history(ch, **KW))
+    ts = lambda s: f"1970-01-01T00:00:{s}"
+    assert out == sorted(
+        [
+            ("a", "v1", ts("10"), ts("20"), False),
+            ("a", "v2", ts("20"), ts("30"), False),
+            ("a", "v3", ts("40"), None, True),
+            ("b", "w1", ts("10"), ts("50"), False),
+        ]
+    )
+    # key 'b' ends deleted: no current row, matching the LWW view
+    cur = [r for r in out if r[4]]
+    assert all(r[0] != "b" for r in cur)
+
+
+def test_scd2_tiebreak_orders_same_ts(spark):
+    """Two changes at the same ts order by the tiebreak column."""
+    ch = _ch(
+        spark,
+        [("a", 10, 1, "update", "late"), ("a", 10, 0, "update", "early")],
+    )
+    out = _hist_rows(scd2_history(ch, **KW))
+    assert [r[1] for r in out] == ["early", "late"]
+    assert out[0][3] == out[1][2]  # early closes exactly at late's open
+
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),  # key
+        st.integers(min_value=0, max_value=50),  # ts seconds
+        st.sampled_from(["update", "delete"]),
+        st.sampled_from(["x", "y", "z"]),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy, cut=st.integers(min_value=0, max_value=50))
+def test_scd2_apply_equals_full_build(spark, ops, cut):
+    """For ANY change stream and ANY event-time split,
+    scd2_apply(scd2_history(part1), part2) == scd2_history(all)."""
+    rows = [(k, t, i, op, a) for i, (k, t, op, a) in enumerate(ops)]
+    ch = _ch(spark, rows)
+    full = _hist_rows(scd2_history(ch, **KW))
+    p1 = ch.where(F.col("ts") < F.timestamp_seconds(F.lit(cut)))
+    p2 = ch.where(F.col("ts") >= F.timestamp_seconds(F.lit(cut)))
+    inc = _hist_rows(scd2_apply(scd2_history(p1, **KW), p2, **KW))
+    assert inc == full
+
+
+# ---------------------------------------------------------------------------
+# join-view IVM
+# ---------------------------------------------------------------------------
+
+
+def _view_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _recompute(l_new, r_new, cols):
+    return (
+        l_new.join(r_new, "j")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _mk_side(spark, rows, attr):
+    return spark.createDataFrame(rows, f"j long, {attr} string")
+
+
+keys_st = st.integers(min_value=0, max_value=4)
+side_st = st.lists(
+    st.tuples(keys_st, st.sampled_from(["p", "q"])), min_size=0, max_size=10
+)
+# subset masks picking which initial rows get deleted / which arrive new
+mask_st = st.lists(st.booleans(), min_size=10, max_size=10)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(l0=side_st, li=side_st, r0=side_st, ri=side_st, lm=mask_st, rm=mask_st)
+def test_join_view_delta_equals_recompute(spark, l0, li, r0, ri, lm, rm):
+    """Randomized inserts+deletes on both sides: maintained view ==
+    recompute from final states, including net-zero images vanishing."""
+    cols = ["j", "la", "ra"]
+    L0 = _mk_side(spark, l0 or [(99, "p")], "la")
+    R0 = _mk_side(spark, r0 or [(99, "p")], "ra")
+    l_del = [row for row, m in zip(l0 or [(99, "p")], lm) if m]
+    r_del = [row for row, m in zip(r0 or [(99, "p")], rm) if m]
+
+    def signed(rows, attr, sign):
+        if not rows:
+            return None
+        return _mk_side(spark, rows, attr).withColumn("sign", F.lit(sign))
+
+    def cat(a, b, attr):
+        parts = [x for x in (a, b) if x is not None]
+        if not parts:
+            # empty delta with the right shape
+            return _mk_side(spark, [], attr).withColumn(
+                "sign", F.lit(1)
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    dL = cat(signed(li, "la", 1), signed(l_del, "la", -1), "la")
+    dR = cat(signed(ri, "ra", 1), signed(r_del, "ra", -1), "ra")
+
+    # final states: multiset difference/addition by row image
+    def apply_side(base, ins, dels, attr):
+        out = base
+        if dels:
+            # remove one instance per delete row image: rebuild rows
+            import collections
+
+            c = collections.Counter(base)
+            for d in dels:
+                c[d] -= 1
+            out = [r for r, n in c.items() for _ in range(n)]
+        return out + list(ins)
+
+    l_new_rows = apply_side(list(l0 or [(99, "p")]), li, l_del, "la")
+    r_new_rows = apply_side(list(r0 or [(99, "p")]), ri, r_del, "ra")
+    L_new = _mk_side(spark, l_new_rows or [], "la")
+    R_new = _mk_side(spark, r_new_rows or [], "ra")
+
+    view0 = _recompute(L0, R0, cols)
+    delta = join_view_delta(dL, L_new, dR, R0, on=["j"], cols=cols)
+    maintained = apply_view_delta(view0, delta, cols)
+    expected = _recompute(L_new, R_new, cols)
+    assert _view_rows(maintained) == _view_rows(expected)
+
+
+def test_apply_view_delta_negative_count_raises(spark):
+    view = _mk_side(spark, [(1, "p")], "la").withColumn("cnt", F.lit(1))
+    bad = _mk_side(spark, [(1, "p"), (1, "p")], "la").withColumn(
+        "sign", F.lit(-1)
+    )
+    out = apply_view_delta(view, bad, ["j", "la"])
+    with pytest.raises(Exception, match="net multiplicity"):
+        out.collect()
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, one query term: verify the exact Okapi value."""
+    import math
+
+    from cdc_redshift_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark engine"),  # tf=2, dl=3
+            (2, "spark shuffle join plan"),  # tf=1, dl=4
+            (3, "duck pond"),  # tf=0, dl=2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, ["spark"], k=10).collect()
+    }
+    n_docs, df_, avgdl = 3, 2, 3.0
+    idf = math.log(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+    def s(tf, dl):
+        return round(
+            idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6
+        )
+
+    assert out == {1: s(2, 3), 2: s(1, 4)}  # doc 3 never scores
+    assert out[1] > out[2]
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    from cdc_redshift_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common filler words") for i in range(1, 9)]
+        + [(9, "common rare"), (10, "common")],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(docs, ["common", "rare"], k=1).collect()[0]
+    assert top["doc_id"] == 9  # the rare term dominates idf
+
+
+# ---------------------------------------------------------------------------
+# sink time travel + vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_sink_time_travel_and_vacuum(spark, tmp_path):
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "tt"), keys=("k",))
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, v string, op string"
+        ).select(
+            "k", "v", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    sink.apply_changeset("db", "t", ch([(1, "a", "insert"), (2, "b", "insert")], 1))
+    sink.apply_changeset("db", "t", ch([(1, "a2", "insert"), (2, None, "delete")], 2))
+    assert sink.versions("db", "t") == [1, 2]
+
+    v1 = {r["k"]: r["v"] for r in sink.read_table(spark, "db", "t", version=1).collect()}
+    v2 = {r["k"]: r["v"] for r in sink.read_table(spark, "db", "t").collect()}
+    assert v1 == {1: "a", 2: "b"}  # v1 unaffected by the v2 commit
+    assert v2 == {1: "a2"}
+
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        sink.read_table(spark, "db", "t", version=7)
+
+    assert sink.vacuum("db", "t", keep_last=1) == [1]
+    assert sink.versions("db", "t") == [2]
+    # latest still readable after vacuum (hard links keep live files)
+    assert {r["k"] for r in sink.read_table(spark, "db", "t").collect()} == {1}
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        sink.read_table(spark, "db", "t", version=1)
