@@ -70,6 +70,11 @@ def main() -> None:
         # round-6: the layout family's write-clustered-then-scan path
         # (range shuffle + parquet commit + stats-pruned read)
         "layout_pruned_scan",
+        # round-6 second pass: SCD2 dimension-history build (one
+        # per-key window over the full change stream) and BM25
+        # sparse retrieval (filtered posting explode + broadcast df)
+        "scd2_user_history",
+        "docs_bm25_topk",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

@@ -473,6 +473,13 @@ def join_view_delta(
     which with join-key partition pruning / bucketing touches only
     matching fact partitions.  Neither join shuffles the big tables;
     the view is never recomputed from scratch.
+
+    When the fact is stored partitioned by a key bucket (the
+    ``ParquetSink`` layout), pass ``left_new`` ALREADY PRUNED to the
+    delta's buckets — rows outside ``dR``'s key buckets cannot join
+    ``dR``, so the filter is semantics-free and turns the fact scan
+    into a touched-partition read (measured 1/64 of files in
+    ``tools/scale_smoke.py``; SCALE.md round-6 second pass).
     """
     l_cols = [c for c in d_left.columns if c != sign_col]
     r_cols = [c for c in d_right.columns if c != sign_col]

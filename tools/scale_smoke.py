@@ -399,6 +399,168 @@ def main():
         _sh.rmtree(root, ignore_errors=True)
         d.unpersist()
 
+    # round-6 second pass ----------------------------------------------
+    # SCD2: a CONSTANT ~3k-change batch applied to a history built over
+    # 1x -> Rx events.  scd2_apply must stay far under the full rebuild
+    # (its only shuffle is the batch window; the history side is a
+    # broadcast-cut projection, no sort), and the gap must WIDEN with R.
+    from cdc_redshift_spark.operators.incremental import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    ev_ch = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
+    kw = dict(keys=["user_id"], ts_col="ts",
+              attrs=["event_type", "value"], tiebreak=["event_id"])
+    batch = ev_ch.where(F.col("event_id") % 64 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 365 DAYS")
+    ).persist()
+    n_batch = batch.count()
+    # 16x, not REPLICAS: below ~1M history rows Tungsten's window sort
+    # rebuilds faster than the broadcast-close scan costs (measured
+    # 0.4-0.5 s either way at 86k rows) — the apply-vs-rebuild gap
+    # only becomes visible past the in-memory sort knee, same honest
+    # crossover story as the salted-window family (SCALE.md)
+    for scale in (1, max(16, REPLICAS)):
+        parts = [
+            ev_ch.select(
+                (F.col("user_id") + i * 1_000_000).alias("user_id"),
+                "ts", "event_id", "event_type", "value", "op",
+            )
+            for i in range(scale)
+        ]
+        big = parts[0]
+        for q in parts[1:]:
+            big = big.unionByName(q)
+        hist = scd2_history(big, **kw).persist()
+        n_hist = hist.count()
+        t0 = time.perf_counter()
+        scd2_apply(hist, batch, **kw).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        apply_wall = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        scd2_history(big.unionByName(batch.select(*big.columns)), **kw).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rebuild_wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "op": "scd2_apply_batch", "history_rows": n_hist,
+            "batch": n_batch, "apply_sec": apply_wall,
+            "full_rebuild_sec": rebuild_wall,
+        }), flush=True)
+        hist.unpersist()
+    batch.unpersist()
+
+    # join-view IVM: CONSTANT delta against a 1x -> Rx fact table
+    # stored bucket-partitioned by key (the 100 TB layout), with the
+    # delta confined to ONE bucket.  Maintenance reads only the
+    # touched bucket's files (partition pruning via the delta's
+    # bucket set — a bounded collect, |delta buckets| values) plus
+    # the tiny stored view; full recompute scans and joins the whole
+    # fact.  Expect: maintain flat, recompute growing with R.
+    import tempfile as _ivm_tf
+
+    from cdc_redshift_spark.operators.incremental import (
+        apply_view_delta,
+        join_view_delta,
+    )
+
+    N_BUCKETS = 64
+    o0 = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderstatus"
+    )
+    c0 = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    cols = ["custkey", "o_orderstatus", "c_mktsegment"]
+    # the delta is on the DIM side (customer deletes), all in bucket 0
+    # -> part2's fact scan (L_new x dR) prunes to 1/64 of the files;
+    # part1 (dL x R_old) is an empty broadcast
+    d_c = c0.where(F.pmod(F.col("custkey"), F.lit(N_BUCKETS)) == 0).select(
+        "custkey", "c_mktsegment", F.lit(-1).alias("sign")
+    ).persist()
+    n_delta = d_c.count()
+    d_o = o0.limit(0).select(
+        "custkey", "o_orderstatus", F.lit(1).alias("sign")
+    )
+    touched = sorted(
+        r[0]
+        for r in d_c.select(
+            F.pmod(F.col("custkey"), F.lit(N_BUCKETS)).alias("b")
+        ).distinct().collect()
+    )  # bounded: <= N_BUCKETS values
+    for scale in (1, REPLICAS, 4 * REPLICAS):
+        parts = [
+            o0.select(
+                "custkey",
+                (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+            )
+            for i in range(scale)
+        ]
+        fact = parts[0]
+        for q in parts[1:]:
+            fact = fact.unionByName(q)
+        with _ivm_tf.TemporaryDirectory() as tmp:
+            fact.withColumn(
+                "bucket", F.pmod(F.col("custkey"), F.lit(N_BUCKETS))
+            ).write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{tmp}/fact"
+            )
+            stored_fact = spark.read.parquet(f"{tmp}/fact")
+            view0 = (
+                stored_fact.join(c0, "custkey")
+                .groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            view0.write.mode("overwrite").parquet(f"{tmp}/view")
+            stored_view = spark.read.parquet(f"{tmp}/view")
+            n_fact = stored_fact.count()
+            t0 = time.perf_counter()
+            pruned = stored_fact.where(
+                F.col("bucket").isin(*touched)
+            ).select("custkey", "o_orderstatus")
+            delta = join_view_delta(
+                d_o, pruned, d_c, c0, on=["custkey"], cols=cols
+            )
+            apply_view_delta(stored_view, delta, cols).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            maint_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            stored_fact.join(c0, "custkey").groupBy(*cols).agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).write.format("noop").mode("overwrite").save()
+            full_wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "op": "join_view_ivm", "fact_rows": n_fact, "delta": n_delta,
+            "touched_buckets": len(touched), "n_buckets": N_BUCKETS,
+            "maintain_sec": maint_wall, "full_recompute_sec": full_wall,
+        }), flush=True)
+    d_c.unpersist()
+
+    # BM25: corpus 1x -> Rx (vowel-permuted replicas keep term stats
+    # non-degenerate); wall must grow ~linearly — the tf shuffle
+    # carries only matching postings, df and stats stay tiny.
+    from cdc_redshift_spark.operators.corpus import bm25_topk
+
+    for scale in (1, REPLICAS):
+        d = translated_docs(docs, scale).persist()
+        n = d.count()
+        t0 = time.perf_counter()
+        bm25_topk(d, ["merge", "spark", "stream", "window"], k=25).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"op": "bm25_topk", "docs": n, "sec": wall}), flush=True)
+        d.unpersist()
+
 
 if __name__ == "__main__":
     main()
