@@ -43,6 +43,10 @@ CALLOUTS = {
     "er_fuzzy_name_pairs": "equi-join on the block key (never all-pairs); levenshtein only after the length prefilter",
     "cdc_ingest_neardup_probe": "band rows from stored signatures; ONE (band,key) equi-join; left join of the tiny hit set back onto the batch",
     "orders_running_windows": "three window specs, ONE hashpartitioning Exchange on o_custkey (fold must not multiply shuffles)",
+    "scd2_user_history": "ONE per-key window Exchange; zero join nodes; delete filter after lead() in codegen",
+    "scd2_incremental_apply": "batch window + BroadcastHashJoin of the per-key cut against history; history never re-sorted",
+    "orders_join_view_maintenance": "both IVM joins broadcast the DELTA side; bases never shuffle for a join; union + one groupBy apply",
+    "docs_bm25_topk": "tf explode filtered to query terms pre-shuffle; df broadcast; ONE 1-row stats BNLJ; TakeOrderedAndProject",
 }
 
 
