@@ -534,3 +534,36 @@ def apply_view_delta(
         ).cast("long"),
     ).otherwise(F.col(cnt_col))
     return net.withColumn(cnt_col, guard).where(F.col(cnt_col) > 0)
+
+
+def scd2_late_batch_rows(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Rows of ``batch`` that violate :func:`scd2_apply`'s watermark
+    contract — their ``ts_col`` is strictly before the stored
+    history's latest ``valid_from`` for the same key, so applying
+    them incrementally would disagree with a full rebuild (their
+    version belongs in the MIDDLE of the chain, not at the end).
+
+    Batch-proportional: the history side reduces to one per-key max
+    over the touched keys (semi-joined by the broadcast batch key
+    set) before the comparison join.  Callers decide the policy —
+    :class:`cdc_redshift_spark.streaming.scd2.Scd2Maintainer` raises
+    by default (a late dimension change means that key's history
+    needs a rebuild, the same posture as the retraction path's
+    out-of-order handling).
+    """
+    bkeys = batch.select(*keys).distinct()
+    frontier = (
+        history.join(F.broadcast(bkeys), keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.max("valid_from").alias("__frontier"))
+    )
+    return (
+        batch.join(F.broadcast(frontier), keys, "inner")
+        .where(F.col(ts_col) < F.col("__frontier"))
+        .drop("__frontier")
+    )

@@ -623,6 +623,59 @@ def q_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_out(hist)
 
 
+def q_scd2_stream_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance end-to-end
+    (streaming/scd2.Scd2Maintainer): the change stream split at the
+    watermark drives two foreachBatch-style update() calls against a
+    persisted history (write-new-then-swap snapshots), with the
+    replay-idempotence path (same batch id must no-op) and the
+    late-batch guard (an out-of-order batch must RAISE, not silently
+    diverge) both exercised in-query.  The oracle is the full-history
+    recompute, so a green row proves the maintained on-disk history
+    equals a from-scratch build across the batch boundary."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.streaming.scd2 import Scd2Maintainer
+
+    ch = _events_change_stream(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    try:
+        m = Scd2Maintainer(
+            spark,
+            root,
+            keys=["user_id"],
+            ts_col="ts",
+            attrs=["event_type", "value"],
+            tiebreak=["event_id"],
+        )
+        b0 = ch.where(F.col("ts") < cut)
+        b1 = ch.where(F.col("ts") >= cut)
+        applied0 = m.update(b0, 0)
+        replayed = m.update(b0, 0)  # same batch id -> must no-op
+        applied1 = m.update(b1, 1)
+        if not (applied0 and applied1 and not replayed):
+            raise RuntimeError(
+                f"scd2 maintenance sequence broken: {applied0}, "
+                f"{replayed}, {applied1}"
+            )
+        # late-batch guard: replaying batch 0's data as a NEW batch id
+        # is behind the frontier and must raise, not corrupt history
+        try:
+            m.update(b0, 2)
+        except ValueError:
+            pass
+        else:
+            raise RuntimeError("late batch was applied silently")
+        if m.committed_batch() != 1:
+            raise RuntimeError("failed late batch must not commit")
+        out = _scd2_out(m.current()).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ORACLE_SCD2 = """
 WITH ch AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -729,6 +782,7 @@ QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
     "scd2_user_history": q_scd2_user_history,
     "scd2_incremental_apply": q_scd2_incremental_apply,
+    "scd2_stream_maintenance": q_scd2_stream_maintenance,
     "orders_join_view_maintenance": q_orders_join_view_maintenance,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_user_overlap": q_sketch_user_overlap,
@@ -742,6 +796,7 @@ ORACLES = {
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
     "scd2_user_history": ORACLE_SCD2,
     "scd2_incremental_apply": ORACLE_SCD2,
+    "scd2_stream_maintenance": ORACLE_SCD2,
     "orders_join_view_maintenance": ORACLE_JOIN_VIEW,
     "sketch_distinct_users": ORACLE_SKETCH_KMV,
     "sketch_user_overlap": _oracle_sketch_overlap(),

@@ -1,0 +1,142 @@
+"""Streaming SCD Type-2 maintenance: the dimension-history table kept
+fresh from the CDC stream itself.
+
+Composes :func:`operators.incremental.scd2_history` /
+:func:`~operators.incremental.scd2_apply` with the versioned
+write-new-then-swap commit discipline of ``RollupMaintainer``:
+
+    raw micro-batch → change images → close touched keys' open
+      intervals + append the batch's versions → commit v<batch_id>
+
+Per batch this costs O(batch) shuffle work (the batch's own window)
+plus a broadcast-cut projection over the stored history — touched
+keys are never re-windowed, untouched keys never read twice.  The
+reference's sinks keep only the LWW image (SCD1); this maintainer
+gives every dimension a full ``valid_from``/``valid_to`` history to
+as-of join facts against.
+
+Replay-safe exactly like the rollup maintainer: a batch id at or
+below the committed version no-ops (foreachBatch retries the same id
+after a crash).  Wire into :class:`CdcPipeline` via ``on_raw_batch``:
+
+    m = Scd2Maintainer(spark, path, keys=["id"], ts_col="ts",
+                       attrs=["name", "segment"])
+    CdcPipeline(..., on_raw_batch=lambda bid, raw:
+        m.update(to_changes(raw), bid))
+
+Late changes (a batch row whose ts precedes the stored history's
+frontier for its key) cannot be applied incrementally — their version
+belongs in the middle of the key's chain.  Policy via
+``late_policy``: ``"raise"`` (default — surface the replay-ordering
+bug; ``scd2_late_batch_rows`` lists the offenders so the caller can
+rebuild exactly those keys from their change log), or ``"ignore"``
+(apply anyway, accepting divergence — forensic replays only).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_redshift_spark.operators.incremental import (
+    scd2_apply,
+    scd2_history,
+    scd2_late_batch_rows,
+)
+
+
+class Scd2Maintainer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        ts_col: str,
+        attrs: list[str],
+        op_col: str = "op",
+        tiebreak: list[str] | None = None,
+        keep_versions: int = 2,
+        late_policy: str = "raise",
+    ):
+        if late_policy not in ("raise", "ignore"):
+            raise ValueError(
+                f"late_policy must be 'raise' or 'ignore', got {late_policy!r}"
+                " ('ignore' accepts silent divergence from a full rebuild"
+                " and is for forensic replays only)"
+            )
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.attrs = list(attrs)
+        self.op_col = op_col
+        self.tiebreak = list(tiebreak) if tiebreak else None
+        self.keep_versions = keep_versions
+        self.late_policy = late_policy
+        os.makedirs(path, exist_ok=True)
+
+    # -- snapshot plumbing (ParquetSink's pointer discipline) --------------
+    def committed_batch(self) -> int | None:
+        ptr = os.path.join(self.path, "_LATEST")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def current(self) -> DataFrame | None:
+        v = self.committed_batch()
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def _commit(self, hist: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(self.path, f"v{batch_id}")
+        hist.write.mode("overwrite").parquet(vdir)
+        tmp = os.path.join(self.path, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(self.path, "_LATEST"))
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        for v in versions[: -self.keep_versions]:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+
+    # -- the per-batch maintenance step ------------------------------------
+    def update(self, changes: DataFrame, batch_id: int) -> bool:
+        """Fold one micro-batch of change images into the history.
+        Returns False (no-op) when ``batch_id`` was already committed —
+        the replay-idempotence path."""
+        last = self.committed_batch()
+        if last is not None and batch_id <= last:
+            return False
+        kw = dict(
+            keys=self.keys,
+            ts_col=self.ts_col,
+            attrs=self.attrs,
+            op_col=self.op_col,
+            tiebreak=self.tiebreak,
+        )
+        stored = self.current()
+        if stored is None:
+            hist = scd2_history(changes, **kw)
+        else:
+            if self.late_policy == "raise":
+                late = scd2_late_batch_rows(
+                    stored, changes, self.keys, self.ts_col
+                ).limit(1).count()
+                if late:
+                    raise ValueError(
+                        f"batch {batch_id} carries change(s) behind the "
+                        "stored history frontier for their key; an "
+                        "incremental apply would diverge from a full "
+                        "rebuild — rebuild the affected keys instead "
+                        "(scd2_late_batch_rows lists them)"
+                    )
+            hist = scd2_apply(stored, changes, **kw)
+        self._commit(hist, batch_id)
+        return True

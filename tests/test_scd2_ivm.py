@@ -291,3 +291,72 @@ def test_sink_time_travel_and_vacuum(spark, tmp_path):
     assert {r["k"] for r in sink.read_table(spark, "db", "t").collect()} == {1}
     with pytest.raises(ValueError, match="no retained snapshot"):
         sink.read_table(spark, "db", "t", version=1)
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 maintainer
+# ---------------------------------------------------------------------------
+
+
+def _maintainer(spark, tmp_path, **kw):
+    from cdc_redshift_spark.streaming.scd2 import Scd2Maintainer
+
+    return Scd2Maintainer(
+        spark, str(tmp_path / "scd2"), keys=["k"], ts_col="ts",
+        attrs=["attr"], tiebreak=["seq"], **kw,
+    )
+
+
+def test_scd2_maintainer_batches_equal_full_build(spark, tmp_path):
+    rows = [
+        ("a", 10, 0, "update", "v1"),
+        ("a", 20, 1, "update", "v2"),
+        ("b", 15, 2, "update", "w1"),
+        ("a", 30, 3, "delete", None),
+        ("b", 40, 4, "update", "w2"),
+    ]
+    ch = _ch(spark, rows)
+    m = _maintainer(spark, tmp_path)
+    assert m.update(ch.where(F.col("seq") < 3), 0)
+    assert not m.update(ch.where(F.col("seq") < 3), 0)  # replay no-op
+    assert m.update(ch.where(F.col("seq") >= 3), 1)
+    assert m.committed_batch() == 1
+    assert _hist_rows(m.current()) == _hist_rows(scd2_history(ch, **KW))
+
+
+def test_scd2_maintainer_late_batch_raises_and_does_not_commit(
+    spark, tmp_path
+):
+    ch0 = _ch(spark, [("a", 10, 0, "update", "v1"), ("a", 30, 1, "update", "v2")])
+    late = _ch(spark, [("a", 20, 2, "update", "mid")])
+    m = _maintainer(spark, tmp_path)
+    m.update(ch0, 0)
+    before = _hist_rows(m.current())
+    with pytest.raises(ValueError, match="frontier"):
+        m.update(late, 1)
+    assert m.committed_batch() == 0
+    assert _hist_rows(m.current()) == before
+
+
+def test_scd2_maintainer_ignore_policy_applies_anyway(spark, tmp_path):
+    ch0 = _ch(spark, [("a", 10, 0, "update", "v1"), ("a", 30, 1, "update", "v2")])
+    late = _ch(spark, [("a", 20, 2, "update", "mid")])
+    m = _maintainer(spark, tmp_path, late_policy="ignore")
+    m.update(ch0, 0)
+    m.update(late, 1)  # accepted, divergence documented
+    assert m.committed_batch() == 1
+
+
+def test_scd2_late_rows_new_keys_are_not_late(spark):
+    from cdc_redshift_spark.operators.incremental import (
+        scd2_late_batch_rows,
+    )
+
+    hist = scd2_history(
+        _ch(spark, [("a", 30, 0, "update", "v1")]), **KW
+    )
+    batch = _ch(
+        spark,
+        [("b", 5, 1, "update", "new-key"), ("a", 40, 2, "update", "ok")],
+    )
+    assert scd2_late_batch_rows(hist, batch, ["k"], "ts").count() == 0
