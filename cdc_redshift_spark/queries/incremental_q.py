@@ -695,6 +695,85 @@ ORDER BY user_id, valid_from_us
 """
 
 
+def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SCD2 consumer: enrich a fact stream with the
+    dimension version ACTIVE AT EACH FACT'S EVENT TIME — history from
+    scd2_history, lookup via the zero-join-node as-of machinery
+    (operators/temporal.asof_join: union + ONE per-key window, no
+    join operator), then the containment check (facts after a delete
+    get NULLs, left-outer semantics).  The oracle is the literal
+    interval-containment LEFT JOIN, so a green row proves the
+    window-carry plan implements point-in-time join semantics
+    exactly.  Exact epoch-micros arithmetic throughout."""
+    from cdc_redshift_spark.operators.temporal import asof_join
+
+    ch = _events_change_stream(spark, sf_dir)
+    hist = scd2_history(
+        ch,
+        keys=["user_id"],
+        ts_col="ts",
+        attrs=["event_type", "value"],
+        tiebreak=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("d_type"),
+        F.col("value").alias("d_value"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("vf_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("vt_us"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    j = asof_join(
+        facts,
+        hist,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="vf_us",
+        payload=["d_type", "d_value", "vt_us"],
+    )
+    active = F.col("vf_us_m").isNotNull() & (
+        F.col("vt_us_m").isNull() | (F.col("ts_us") < F.col("vt_us_m"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(active, F.col("d_type_m")).alias("d_type"),
+        F.when(active, F.col("d_value_m")).alias("d_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_SCD2_ASOF = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op
+  FROM events
+), w AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM ch
+), hist AS (
+  SELECT user_id, event_type AS d_type, value AS d_value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS vf_us,
+         epoch_us(CAST(vt AS TIMESTAMP)) AS vt_us
+  FROM w WHERE op <> 'delete'
+), facts AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_id % 3 = 1
+)
+SELECT f.event_id, f.user_id, f.ts_us, h.d_type, h.d_value
+FROM facts f
+LEFT JOIN hist h
+  ON h.user_id = f.user_id
+ AND h.vf_us <= f.ts_us
+ AND (h.vt_us IS NULL OR f.ts_us < h.vt_us)
+ORDER BY f.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental equi-join view maintenance
 # ---------------------------------------------------------------------------
@@ -783,6 +862,7 @@ QUERIES = {
     "scd2_user_history": q_scd2_user_history,
     "scd2_incremental_apply": q_scd2_incremental_apply,
     "scd2_stream_maintenance": q_scd2_stream_maintenance,
+    "events_scd2_asof_enrich": q_events_scd2_asof_enrich,
     "orders_join_view_maintenance": q_orders_join_view_maintenance,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_user_overlap": q_sketch_user_overlap,
@@ -797,6 +877,7 @@ ORACLES = {
     "scd2_user_history": ORACLE_SCD2,
     "scd2_incremental_apply": ORACLE_SCD2,
     "scd2_stream_maintenance": ORACLE_SCD2,
+    "events_scd2_asof_enrich": ORACLE_SCD2_ASOF,
     "orders_join_view_maintenance": ORACLE_JOIN_VIEW,
     "sketch_distinct_users": ORACLE_SKETCH_KMV,
     "sketch_user_overlap": _oracle_sketch_overlap(),

@@ -334,3 +334,16 @@ def test_bm25_topk_plan(spark):
     assert "CartesianProduct" not in plan
     # exactly one 1-row scalar broadcast (corpus stats)
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_scd2_asof_enrich_no_join_node(spark):
+    """Point-in-time dimension lookup rides the as-of union+window
+    machinery: ZERO join operators anywhere in the plan."""
+    from cdc_redshift_spark.queries.incremental_q import (
+        q_events_scd2_asof_enrich,
+    )
+
+    plan = plan_of(q_events_scd2_asof_enrich(spark, SF))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
