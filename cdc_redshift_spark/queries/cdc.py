@@ -680,11 +680,11 @@ WITH base AS (
 )
 SELECT * FROM (
   SELECT 1 AS version, status, CAST(count(*) AS BIGINT) AS n,
-         sum(cents) AS sum_cents
+         CAST(sum(cents) AS BIGINT) AS sum_cents
   FROM base GROUP BY status
   UNION ALL
   SELECT 2 AS version, status, CAST(count(*) AS BIGINT) AS n,
-         sum(cents) AS sum_cents
+         CAST(sum(cents) AS BIGINT) AS sum_cents
   FROM v2 GROUP BY status
 )
 ORDER BY version, status
