@@ -148,3 +148,79 @@ def referential_integrity(
         "metric",
         (F.col("metric") <= F.lit(float(max_orphan_frac))).alias("passed"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_frac: float,
+) -> DataFrame:
+    """Exact heavy hitters in two bounded passes: keys occurring in at
+    least ``min_frac`` of rows, with their EXACT counts.
+
+    Pass 1 screens candidates with per-partition Misra–Gries summaries
+    (Misra & Gries 1982; the streaming frequent-items algorithm) over
+    ``mapInPandas`` — ``k = ceil(1/min_frac)`` counters per partition
+    guarantee ZERO false negatives: a key with global frequency
+    >= min_frac·N must, by weighted pigeonhole, reach local frequency
+    >= min_frac·n_p on some partition, and MG with k >= 1/min_frac
+    counters retains every key above n_p/(k+1).  Pass 2 computes exact
+    counts for candidates only (broadcast semi-join) and applies the
+    threshold with integer math.
+
+    Why not a plain groupBy: at 100 TB a full count-by-key shuffles
+    EVERY row; here the shuffle carries only rows of candidate keys
+    (<= k per partition survive the Arrow screen, so the candidate
+    set is tiny and broadcastable) while the screen itself is a
+    shuffle-free single scan.  This is the exact-output complement to
+    the sampling-based ``key_skew_report`` above.
+
+    Output: ``key_col, cnt`` for every key with
+    ``cnt * denom >= num * N`` where ``num/denom`` is ``min_frac`` as
+    an exact rational (``min_frac`` is taken to 6 dp), sorted by cnt
+    desc / key asc.
+    """
+    import math
+
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    k = max(1, math.ceil(1.0 / min_frac))
+    num = int(round(min_frac * 1_000_000))
+    out_schema = f"{key_col} {dict(df.dtypes)[key_col]}"
+
+    def mg_screen(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    cands = (
+        df.select(key_col)
+        .mapInPandas(mg_screen, schema=out_schema)
+        .distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        df.join(F.broadcast(cands), key_col, "leftsemi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(1_000_000) >= F.lit(num) * F.col("__n"))
+        .select(key_col, "cnt")
+        .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    )

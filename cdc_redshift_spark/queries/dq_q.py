@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.quality import (
+    heavy_hitters,
     Check,
     accepted_values,
     check_suite,
@@ -183,11 +184,36 @@ LIMIT 10
 """
 
 
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters in two bounded passes
+    (operators/quality.heavy_hitters): per-partition Misra-Gries
+    candidate screen over Arrow (shuffle-free, zero false negatives
+    by the k >= 1/min_frac pigeonhole guarantee), then exact counts
+    for candidates only.  The oracle is the plain
+    GROUP BY ... HAVING over the whole table, so a green row proves
+    the screen lost no qualifying key AND admitted no wrong count —
+    at 100 TB the groupBy shuffle carries only candidate-key rows
+    instead of every row.  Integer threshold math on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_frac=0.005)
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY user_id
+HAVING count(*) * 200 >= (SELECT count(*) FROM events)
+ORDER BY cnt DESC, user_id ASC
+"""
+
+
 QUERIES = {
+    "events_heavy_hitters": q_events_heavy_hitters,
     "dq_orders_suite": q_dq_orders_suite,
     "dq_events_skew": q_dq_events_skew,
 }
 ORACLES = {
+    "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dq_orders_suite": ORACLE_DQ_ORDERS,
     "dq_events_skew": ORACLE_DQ_SKEW,
 }

@@ -347,3 +347,18 @@ def test_scd2_asof_enrich_no_join_node(spark):
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, node
+
+
+def test_heavy_hitters_screen_then_semi_join(spark):
+    """Two-pass heavy hitters: ONE Arrow screen (mapInPandas), the
+    candidate set broadcast into a semi-join, and no full-table
+    groupBy before the screen (the count shuffle carries only
+    candidate-key rows)."""
+    from cdc_redshift_spark.queries.dq_q import q_events_heavy_hitters
+
+    plan = plan_of(q_events_heavy_hitters(spark, SF))
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row total broadcast is the only nest
+    assert plan.count("BroadcastNestedLoopJoin") == 1

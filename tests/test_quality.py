@@ -111,3 +111,54 @@ def test_key_skew_report_tie_order(spark):
     df = spark.createDataFrame([("b",), ("a",)], "k string")
     rep = key_skew_report(df, ["k"], top=2).collect()
     assert [r["k"] for r in rep] == ["a", "b"]  # key tiebreak is stable
+
+
+# ---------------------------------------------------------------------------
+# two-pass heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _hh_rows(df):
+    return {(r[0], r["cnt"]) for r in df.collect()}
+
+
+def test_heavy_hitters_exact_counts(spark):
+    from cdc_redshift_spark.operators.quality import heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    # 20% of 100 rows -> a (50) and b (30) qualify; c (15), d (5) don't
+    assert _hh_rows(heavy_hitters(df, "k", 0.2)) == {("a", 50), ("b", 30)}
+
+
+def test_heavy_hitters_adversarial_spread(spark):
+    """The heavy key is spread thin over many partitions amid unique
+    noise keys — the worst case for a local screen; the MG pigeonhole
+    guarantee must still recover it with its exact count."""
+    from cdc_redshift_spark.operators.quality import heavy_hitters
+
+    heavy = [("hot",)] * 120
+    noise = [(f"n{i}",) for i in range(880)]
+    # interleave so every partition sees mostly-unique keys
+    rows = []
+    hi, ni = iter(heavy), iter(noise)
+    for i in range(1000):
+        rows.append(next(hi) if i % 8 == 0 and len(rows) % 1000 < 960 else next(ni, ("pad",)))
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+    out = _hh_rows(heavy_hitters(df, "k", 0.1))
+    hot = [c for k, c in out if k == "hot"]
+    assert hot and hot[0] == sum(1 for (k,) in rows if k == "hot")
+    # nothing below the threshold sneaks in
+    n_total = len(rows)
+    assert all(c * 10 >= n_total for _, c in out)
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    import pytest
+
+    from cdc_redshift_spark.operators.quality import heavy_hitters
+
+    empty = spark.createDataFrame([], "k string")
+    assert heavy_hitters(empty, "k", 0.5).count() == 0
+    with pytest.raises(ValueError, match="min_frac"):
+        heavy_hitters(empty, "k", 0.0)
