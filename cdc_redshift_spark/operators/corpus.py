@@ -580,3 +580,39 @@ def bm25_topk(
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def corpus_split(
+    df: DataFrame,
+    ratios: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a split
+    label from the engine-stable 60-bit hash of ``salt || id`` taken
+    mod :data:`PPM`, cut at the cumulative ratio boundaries (exact
+    parts-per-million integer math — no RNG state, stable across
+    runs, executors, and engines; changing ``salt`` re-deals the
+    assignment without touching the data).
+
+    Hash-based (not row-number-based) so the assignment of a document
+    NEVER changes when other documents are added or removed — the
+    property an incrementally-growing 100 TB corpus needs so that
+    yesterday's eval docs don't silently migrate into today's train
+    split.  Pure codegen projection: zero shuffles, zero joins.
+    """
+    if abs(sum(ratios.values()) - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {ratios}")
+    bucket = F.pmod(
+        stable_hash60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(PPM),
+    )
+    cum = 0
+    expr = None
+    *head, (last_name, _) = list(ratios.items())
+    for name, frac in head:
+        cum += int(round(frac * PPM))
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn("split", expr)

@@ -96,9 +96,11 @@ _GATE_WINDOW = [
     # funnel cross-check riding the spare slot (1)
     # (round-7 rotation queue: the round-6 late additions
     # sketch_user_overlap, layout_zorder_scan, scd2_user_history,
-    # scd2_incremental_apply, orders_join_view_maintenance,
-    # docs_bm25_topk, and sink_time_travel carry LOCALGATE + pytest
-    # evidence this round and take window slots next round)
+    # scd2_incremental_apply, scd2_stream_maintenance,
+    # events_scd2_asof_enrich, orders_join_view_maintenance,
+    # docs_bm25_topk, sink_time_travel, events_heavy_hitters, and
+    # corpus_split_manifest carry LOCALGATE + pytest evidence this
+    # round and take window slots next round)
     "events_funnel_ordered",
     # end-to-end CDC pipelines, re-gated every round (5)
     "cdc_pg_replay",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.corpus import (
     bm25_topk,
+    corpus_split,
     chunk_documents,
     decontaminate,
     pack_token_stream,
@@ -560,7 +561,48 @@ LIMIT {BM25_K}
 """
 
 
+def q_corpus_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest
+    (operators/corpus.corpus_split): hash-stable 90/5/5 assignment
+    (a document keeps its split forever as the corpus grows — no RNG,
+    no row numbers), aggregated to per-(split, lang) doc counts and
+    char volumes.  Zero shuffles before the manifest aggregate; the
+    oracle mirrors the 60-bit-md5 bucket math bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return (
+        out.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_CORPUS_SPLIT = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 QUERIES = {
+    "corpus_split_manifest": q_corpus_split_manifest,
     "docs_bm25_topk": q_docs_bm25_topk,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_source_cap": q_corpus_source_cap,
@@ -574,6 +616,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_split_manifest": ORACLE_CORPUS_SPLIT,
     "docs_bm25_topk": ORACLE_BM25,
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_source_cap": ORACLE_SOURCE_CAP,

@@ -163,3 +163,37 @@ def test_word_ngram_hash_rows_short_doc_clamp(spark):
     df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
     rows = word_ngram_hash_rows(df, 8).collect()
     assert len(rows) == 1
+
+
+def test_corpus_split_stability_under_growth(spark):
+    """A document's split NEVER changes when the corpus grows — the
+    hash-based (not row-number) property incremental corpora need."""
+    from cdc_redshift_spark.operators.corpus import corpus_split
+
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s_small = {r["doc_id"]: r["split"] for r in corpus_split(small, ratios).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in corpus_split(big, ratios).collect()}
+    assert all(s_big[d] == s for d, s in s_small.items())
+    # rough proportions on the big deal
+    import collections
+
+    c = collections.Counter(s_big.values())
+    assert 0.7 < c["train"] / 1000 < 0.9
+    # a different salt re-deals at least some assignments
+    s_salt = {
+        r["doc_id"]: r["split"]
+        for r in corpus_split(big, ratios, salt="v2").collect()
+    }
+    assert any(s_salt[d] != s_big[d] for d in s_big)
+
+
+def test_corpus_split_ratio_validation(spark):
+    import pytest
+
+    from cdc_redshift_spark.operators.corpus import corpus_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        corpus_split(df, {"train": 0.5, "test": 0.1})
