@@ -139,3 +139,120 @@ def pruned_fraction(ranges: list[tuple], lo, hi) -> float:
         return 0.0
     hit = sum(1 for a, b in ranges if not (b < lo or a > hi))
     return 1.0 - hit / len(ranges)
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom index (point-lookup data skipping on unclustered keys)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry defaults: 16 Kibit / 5 hashes ≈ 0.1 % false-positive
+#: rate at ~1k distinct keys per file (p = (1 - e^{-kn/m})^k).
+BLOOM_M_BITS = 16384
+BLOOM_K_HASHES = 5
+
+
+def _bloom_h1_h2(key_str):
+    """The two engine-stable 60-bit base hashes (double hashing à la
+    Kirsch–Mitzenmacher 2006: pos_i = h1 + i·h2 mod m)."""
+    from cdc_redshift_spark.operators.corpus import stable_hash60
+
+    return (
+        stable_hash60(key_str),
+        stable_hash60(F.concat(F.lit("b:"), key_str)),
+    )
+
+
+def bloom_file_index(
+    spark,
+    path: str,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+) -> DataFrame:
+    """Build one Bloom filter PER DATA FILE of a parquet table:
+    ``(file, words: array<long>)`` with ``m_bits/64`` words.
+
+    Range/Z-order clustering (above) gives min/max skipping on the
+    SORT key; a point lookup on any other high-cardinality column
+    still opens every file.  This index closes that gap the way
+    Delta's Bloom-filter index does, with no table format: build once
+    per snapshot (one scan, one groupBy(file) aggregate — bit_or is a
+    map-side-combining JVM aggregate, no UDF), persist the tiny index
+    next to the snapshot, and let :func:`bloom_lookup_files` turn a
+    point predicate into an explicit file list.  No false negatives
+    by construction (every present key set its bits); false-positive
+    files cost one wasted file read, bounded by the geometry.
+
+    At 100 TB: the index is |files| rows × m_bits/8 bytes (16 KiB per
+    file at defaults — a 2 GiB index for a 128k-file table), the
+    build is a single pass, and it composes with the cluster layouts:
+    cluster on the merge key, Bloom-index the secondary lookup keys.
+    """
+    n_words = m_bits // 64
+    h1, h2 = _bloom_h1_h2(F.col(key_col).cast("string"))
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+    )
+    rows = (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode(positions).alias("pos"),
+        )
+        .select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("widx"),
+            # shiftleft needs a column shift amount -> SQL expr form
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("file", "widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    wm = rows.groupBy("file").agg(
+        F.map_from_arrays(
+            F.collect_list("widx"), F.collect_list("word")
+        ).alias("wm")
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("wm"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return wm.select("file", words.alias("words"))
+
+
+def _py_hash60(s: str) -> int:
+    """Python mirror of corpus.stable_hash60 (md5 hex prefix)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def bloom_lookup_files(
+    index: DataFrame,
+    key_value,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+) -> list[str]:
+    """Files that MAY contain ``key_value`` (no false negatives).
+    The membership test is pure Column bit math over the index frame
+    (tiny — one row per file); the returned list is what a reader
+    passes to ``spark.read.parquet(*files)`` instead of scanning the
+    table.  The collect is bounded by |matching files|."""
+    s = str(key_value)
+    h1, h2 = _py_hash60(s), _py_hash60("b:" + s)
+    cond = None
+    for i in range(k_hashes):
+        pos = (h1 + i * h2) % m_bits
+        mask = 1 << (pos % 64)
+        if mask >= 1 << 63:  # two's-complement wrap for the sign bit
+            mask -= 1 << 64
+        bit_set = (
+            F.element_at(F.col("words"), pos // 64 + 1)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            != 0
+        )
+        cond = bit_set if cond is None else (cond & bit_set)
+    return [r["file"] for r in index.where(cond).select("file").collect()]

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.layout import (
+    bloom_file_index,
+    bloom_lookup_files,
     cluster,
     file_ranges,
     pruned_fraction,
@@ -187,11 +189,86 @@ GROUP BY o_orderpriority
 """
 
 
+#: point-lookup keys for the Bloom-index query: spread across the
+#: keyspace, plus one absent key (must match zero rows AND zero files
+#: beyond false positives)
+BLOOM_KEYS = [7, 1501, 4903, 9001, 13751]
+
+
+def q_layout_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom index on a HASH-SCATTERED layout
+    (operators/layout.bloom_file_index): the worst case for min/max
+    stats — every file covers the whole key range, so range/z-order
+    pruning is useless — yet point lookups must not scan the table.
+    Writes orders hash-partitioned (16 files), builds the per-file
+    Bloom index (one scan, bit_or aggregate, no UDF), resolves each
+    probe key to its candidate file list, and reads ONLY those files.
+    Raises unless the index lets every probe skip at least half the
+    files (defaults give ~0.1% false positives, so typically 1 of 16
+    is read).  The oracle is the plain filter over the full table, so
+    a green row certifies the no-false-negative contract end-to-end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="layout_bloom_")
+    try:
+        snap = f"{root}/orders_scattered"
+        orders.repartition(LAYOUT_FILES, "o_orderdate").write.parquet(snap)
+        idx = bloom_file_index(spark, snap, "o_orderkey").cache()
+        n_files = idx.count()
+        parts = []
+        for k in BLOOM_KEYS:
+            files = bloom_lookup_files(idx, k)
+            if len(files) > n_files // 2:
+                raise RuntimeError(
+                    f"bloom index skipped too little for key {k}: "
+                    f"{len(files)}/{n_files} files matched"
+                )
+            if files:
+                parts.append(
+                    spark.read.parquet(*files).where(
+                        F.col("o_orderkey") == k
+                    )
+                )
+        idx.unpersist()
+        if not parts:
+            return spark.createDataFrame(
+                [],
+                "o_orderkey long, o_orderstatus string, cents long",
+            )
+        out = parts[0]
+        for pdf in parts[1:]:
+            out = out.unionByName(pdf)
+        return (
+            out.select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                    "cents"
+                ),
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_BLOOM_LOOKUP = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderkey IN (7, 1501, 4903, 9001, 13751)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "layout_bloom_lookup": q_layout_bloom_lookup,
     "layout_pruned_scan": q_layout_pruned_scan,
     "layout_zorder_scan": q_layout_zorder_scan,
 }
 ORACLES = {
+    "layout_bloom_lookup": ORACLE_BLOOM_LOOKUP,
     "layout_pruned_scan": ORACLE_LAYOUT_SCAN,
     "layout_zorder_scan": ORACLE_ZORDER_SCAN,
 }

@@ -123,3 +123,56 @@ def test_zorder_prunes_on_every_dimension(spark, tmp_path):
         spark.read.parquet(z_dir).agg(F.sum("x"), F.sum("y")).collect()
         == grid.agg(F.sum("x"), F.sum("y")).collect()
     )
+
+
+def test_bloom_index_no_false_negatives_and_skips(spark, tmp_path):
+    """Every present key's file must match (no false negatives — the
+    correctness contract); absent keys should rarely match anything
+    (geometry gives ~0.1% fp); the sign-bit (pos % 64 == 63) path is
+    exercised by probing every key in a small table."""
+    from cdc_redshift_spark.operators.layout import (
+        bloom_file_index,
+        bloom_lookup_files,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(8).write.parquet(path)
+    idx = bloom_file_index(spark, path, "k").cache()
+    assert idx.count() == 8
+
+    # truth: which file holds each key
+    truth = {
+        r["k"]: r["f"]
+        for r in spark.read.parquet(path)
+        .select("k", F.input_file_name().alias("f"))
+        .collect()
+    }
+    misses = 0
+    for k in range(0, 2000, 37):  # every 37th key, incl. many bit paths
+        files = bloom_lookup_files(idx, k)
+        assert truth[k] in files, f"false negative for {k}"
+    # absent keys: false positives must be rare
+    fp_files = sum(len(bloom_lookup_files(idx, 10_000_000 + k)) for k in range(20))
+    assert fp_files <= 2  # ~0.1% x 8 files x 20 probes
+    idx.unpersist()
+
+
+def test_bloom_index_read_equals_full_filter(spark, tmp_path):
+    from cdc_redshift_spark.operators.layout import (
+        bloom_file_index,
+        bloom_lookup_files,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t2")
+    spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4).write.parquet(path)
+    idx = bloom_file_index(spark, path, "k")
+    files = bloom_lookup_files(idx, 123)
+    got = spark.read.parquet(*files).where(F.col("k") == 123).collect()
+    want = spark.read.parquet(path).where(F.col("k") == 123).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
