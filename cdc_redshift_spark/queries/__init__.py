@@ -98,7 +98,8 @@ _GATE_WINDOW = [
     # sketch_user_overlap, layout_zorder_scan, scd2_user_history,
     # scd2_incremental_apply, scd2_stream_maintenance,
     # events_scd2_asof_enrich, orders_join_view_maintenance,
-    # docs_bm25_topk, sink_time_travel, events_heavy_hitters, and
+    # docs_bm25_topk, sink_time_travel, sink_table_changes,
+    # layout_bloom_lookup, events_heavy_hitters, and
     # corpus_split_manifest carry LOCALGATE + pytest evidence this
     # round and take window slots next round)
     "events_funnel_ordered",

@@ -691,9 +691,83 @@ ORDER BY version, status
 """
 
 
+def q_sink_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the versioned sink
+    (`ParquetSink.table_changes`): after committing orders as v1 and
+    an update+delete changeset as v2, diff the two RETAINED snapshots
+    into the row-level changeset they imply — Delta's
+    ``table_changes`` contract from plain parquet snapshots, one
+    full-outer key join, no transaction log.  The oracle derives the
+    same changeset from the base table, so a green row certifies the
+    feed is exactly the delta a replica would need (updates carry
+    before+after images, deletes surface once, unchanged rows are
+    silent)."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    mo = F.pmod(F.col("k"), F.lit(10))
+    nxt = (
+        base.where(mo == 1)
+        .withColumn("status", F.lit("X"))
+        .unionByName(base.where(mo == 0).withColumn("op", F.lit("delete")))
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+    )
+    root = tempfile.mkdtemp(prefix="table_changes_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        sink.apply_changeset("db", "t", base)
+        sink.apply_changeset("db", "t", nxt)
+        feed = sink.table_changes(spark, "db", "t", from_version=1)
+        out = (
+            feed.select(
+                "k",
+                "op",
+                F.col("before.status").alias("before_status"),
+                F.col("after.status").alias("after_status"),
+                F.col("before.cents").alias("before_cents"),
+                F.col("after.cents").alias("after_cents"),
+            )
+            .orderBy("k")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_TABLE_CHANGES = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT k,
+       CASE WHEN k % 10 = 0 THEN 'delete' ELSE 'update' END AS op,
+       status AS before_status,
+       CASE WHEN k % 10 = 0 THEN NULL ELSE 'X' END AS after_status,
+       cents AS before_cents,
+       CASE WHEN k % 10 = 0 THEN NULL ELSE cents END AS after_cents
+FROM base
+WHERE k % 10 = 0 OR (k % 10 = 1 AND status <> 'X')
+ORDER BY k
+"""
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
     "sink_time_travel": q_sink_time_travel,
+    "sink_table_changes": q_sink_table_changes,
     "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
@@ -704,6 +778,7 @@ QUERIES = {
 
 ORACLES = {
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
+    "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
     "cdc_rollup_maintenance": ORACLE_CDC_ROLLUP,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,

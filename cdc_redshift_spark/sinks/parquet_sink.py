@@ -373,6 +373,47 @@ class ParquetSink(Sink):
         self._write_schema(db, table, state)
         self._flip(db, table, v)
 
+    def table_changes(
+        self,
+        spark: SparkSession,
+        db: str,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        compare_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two retained snapshot versions:
+        the row-level ``(keys..., op, before, after)`` changeset that
+        ``to_version`` implies relative to ``from_version`` — Delta's
+        ``table_changes`` contract, computed as ONE full-outer key
+        join over the two snapshots (``operators/incremental.
+        snapshot_changes``) instead of a transaction log.  Feed the
+        output to ``apply_changeset`` on another sink to replicate
+        the table; tombstones are excluded on both sides so a delete
+        surfaces exactly once as ``op='delete'``.
+
+        ``compare_cols`` defaults to every non-key, non-bookkeeping
+        column shared by both snapshots (schema evolution between the
+        versions narrows the comparison to the common columns).
+        """
+        from cdc_redshift_spark.operators.incremental import (
+            snapshot_changes,
+        )
+
+        old = self.read_table(spark, db, table, version=from_version)
+        new = self.read_table(spark, db, table, version=to_version) \
+            if to_version is not None else self.read_table(spark, db, table)
+        if old is None or new is None:
+            raise ValueError(f"{db}.{table}: missing snapshot for diff")
+        if compare_cols is None:
+            skip = set(self.keys) | {self.ts_col, self.tiebreak_col, "op"}
+            compare_cols = [
+                c for c in old.columns if c in set(new.columns) - skip
+            ]
+        return snapshot_changes(
+            old, new, keys=list(self.keys), compare_cols=list(compare_cols)
+        )
+
     def vacuum(self, db: str, table: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot versions and
         return the versions removed.  Because unchanged partition

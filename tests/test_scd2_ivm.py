@@ -360,3 +360,53 @@ def test_scd2_late_rows_new_keys_are_not_late(spark):
         [("b", 5, 1, "update", "new-key"), ("a", 40, 2, "update", "ok")],
     )
     assert scd2_late_batch_rows(hist, batch, ["k"], "ts").count() == 0
+
+
+def test_sink_table_changes_replicates(spark, tmp_path):
+    """Applying the CDF between v1 and v2 to a replica of v1
+    reproduces v2 exactly — the replication contract."""
+    from cdc_redshift_spark.plans.merge import apply_changeset
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "cdf"), keys=("k",))
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, v string, op string"
+        ).select(
+            "k", "v", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    sink.apply_changeset(
+        "db", "t", ch([(1, "a", "insert"), (2, "b", "insert")], 1)
+    )
+    sink.apply_changeset(
+        "db", "t",
+        ch([(1, "a2", "insert"), (2, None, "delete"), (3, "c", "insert")], 2),
+    )
+    feed = sink.table_changes(spark, "db", "t", from_version=1)
+    got = {
+        (r["k"], r["op"], r["before"]["v"] if r["before"] else None,
+         r["after"]["v"] if r["after"] else None)
+        for r in feed.collect()
+    }
+    assert got == {
+        (1, "update", "a", "a2"),
+        (2, "delete", "b", None),
+        (3, "insert", None, "c"),
+    }
+    # replicate: v1 replica + feed-as-changeset == v2
+    v1 = sink.read_table(spark, "db", "t", version=1)
+    replica = v1.select("k", "v", "ts_ms", "offset", F.lit("insert").alias("op"))
+    changes = feed.select(
+        "k",
+        F.col("after.v").alias("v"),
+        F.when(F.col("op") == "delete", "delete").otherwise("insert").alias("op"),
+        F.lit(2).cast("long").alias("ts_ms"),
+        F.col("k").alias("offset"),
+    )
+    final = apply_changeset(replica, changes, keys=("k",))
+    want = {(r["k"], r["v"]) for r in sink.read_table(spark, "db", "t").collect()}
+    assert {(r["k"], r["v"]) for r in final.collect()} == want
