@@ -530,7 +530,12 @@ def bm25_topk(
     id asc, exactly ``k`` rows (fewer if the corpus has fewer
     scoring docs).
     """
-    terms = sorted({t.lower() for t in query_terms})
+    terms = sorted({t.lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError(
+            "bm25_topk: query_terms must contain at least one non-empty "
+            f"term, got {query_terms!r}"
+        )
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
     )

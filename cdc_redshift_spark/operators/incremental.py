@@ -370,9 +370,17 @@ def scd2_history(
         F.col(c).asc() for c in (tiebreak or [])
     ]
     w = Window.partitionBy(*keys).orderBy(*order)
+    # a NULL / absent op is an UPSERT image (the changeset convention
+    # at rollup_delta / plans/merge.py) — only an explicit delete
+    # vocabulary word closes without emitting; NULL.isin() is NULL,
+    # so the coalesce keeps those rows instead of silently dropping
+    # them from the history
+    is_delete = F.coalesce(
+        F.lower(F.col(op_col)).isin(*DELETE_OPS), F.lit(False)
+    )
     return (
         changes.withColumn("__valid_to", F.lead(ts_col).over(w))
-        .where(~F.lower(F.col(op_col)).isin(*DELETE_OPS))
+        .where(~is_delete)
         .select(
             *keys,
             *attrs,
@@ -482,7 +490,6 @@ def join_view_delta(
     ``tools/scale_smoke.py``; SCALE.md round-6 second pass).
     """
     l_cols = [c for c in d_left.columns if c != sign_col]
-    r_cols = [c for c in d_right.columns if c != sign_col]
     part1 = (
         F.broadcast(d_left)
         .join(right_old, on, "inner")
@@ -543,10 +550,27 @@ def scd2_late_batch_rows(
     ts_col: str,
 ) -> DataFrame:
     """Rows of ``batch`` that violate :func:`scd2_apply`'s watermark
-    contract — their ``ts_col`` is strictly before the stored
-    history's latest ``valid_from`` for the same key, so applying
-    them incrementally would disagree with a full rebuild (their
-    version belongs in the MIDDLE of the chain, not at the end).
+    contract — their ``ts_col`` is NOT after the stored history's
+    latest change for the same key, so applying them incrementally
+    could disagree with a full rebuild (their version belongs in the
+    MIDDLE of the chain, not at the end).
+
+    The frontier is ``greatest(valid_from, valid_to)`` — NOT just
+    ``valid_from``: a trailing DELETE leaves no history row of its
+    own, surviving only as the last row's ``valid_to``, and a batch
+    row between that close and the frontier would otherwise pass the
+    guard and resurrect a deleted key as current.  The comparison is
+    ``<=`` (not ``<``): a batch change at EXACTLY the frontier ts is
+    ambiguous without the stored change's tiebreak value (which the
+    history does not retain), so it is conservatively flagged —
+    sources with strictly-increasing per-key change timestamps never
+    trip this.
+
+    Known residual gap (documented, not silently wrong): a key whose
+    stored changes were ALL deletes has no history rows at all, so
+    its late batch rows cannot be flagged from the history alone —
+    but a delete for a never-inserted key is itself upstream
+    corruption, and the CDC replay path rejects that shape earlier.
 
     Batch-proportional: the history side reduces to one per-key max
     over the touched keys (semi-joined by the broadcast batch key
@@ -560,10 +584,12 @@ def scd2_late_batch_rows(
     frontier = (
         history.join(F.broadcast(bkeys), keys, "leftsemi")
         .groupBy(*keys)
-        .agg(F.max("valid_from").alias("__frontier"))
+        .agg(
+            F.max(F.greatest("valid_from", "valid_to")).alias("__frontier")
+        )
     )
     return (
         batch.join(F.broadcast(frontier), keys, "inner")
-        .where(F.col(ts_col) < F.col("__frontier"))
+        .where(F.col(ts_col) <= F.col("__frontier"))
         .drop("__frontier")
     )

@@ -156,7 +156,10 @@ def heavy_hitters(
     min_frac: float,
 ) -> DataFrame:
     """Exact heavy hitters in two bounded passes: keys occurring in at
-    least ``min_frac`` of rows, with their EXACT counts.
+    least ``min_frac`` of rows, with their EXACT counts — including a
+    NULL key group (a null-heavy column is precisely the kind of skew
+    this report exists to surface, and the plain GROUP BY oracle has
+    the NULL group too).
 
     Pass 1 screens candidates with per-partition Misra–Gries summaries
     (Misra & Gries 1982; the streaming frequent-items algorithm) over
@@ -164,9 +167,12 @@ def heavy_hitters(
     guarantee ZERO false negatives: a key with global frequency
     >= min_frac·N must, by weighted pigeonhole, reach local frequency
     >= min_frac·n_p on some partition, and MG with k >= 1/min_frac
-    counters retains every key above n_p/(k+1).  Pass 2 computes exact
-    counts for candidates only (broadcast semi-join) and applies the
-    threshold with integer math.
+    counters retains every key above n_p/(k+1).  The screen also
+    tallies each partition's row and null-key counts, so the total N
+    and the exact NULL-group count come from the SCREEN output (tiny)
+    — no extra scan.  Pass 2 computes exact counts for non-null
+    candidates only (broadcast semi-join) and applies the threshold
+    with integer math.
 
     Why not a plain groupBy: at 100 TB a full count-by-key shuffles
     EVERY row; here the shuffle carries only rows of candidate keys
@@ -176,9 +182,8 @@ def heavy_hitters(
     the sampling-based ``key_skew_report`` above.
 
     Output: ``key_col, cnt`` for every key with
-    ``cnt * denom >= num * N`` where ``num/denom`` is ``min_frac`` as
-    an exact rational (``min_frac`` is taken to 6 dp), sorted by cnt
-    desc / key asc.
+    ``cnt * 1e6 >= num * N`` where ``num`` is ``min_frac`` in exact
+    parts-per-million, sorted by cnt desc / key asc (NULLS LAST).
     """
     import math
 
@@ -186,14 +191,21 @@ def heavy_hitters(
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
     k = max(1, math.ceil(1.0 / min_frac))
     num = int(round(min_frac * 1_000_000))
-    out_schema = f"{key_col} {dict(df.dtypes)[key_col]}"
+    ktype = dict(df.dtypes)[key_col]
+    out_schema = f"{key_col} {ktype}, __pn long, __pnull long"
 
     def mg_screen(batches):
         import pandas as pd
 
         counters: dict = {}
+        n_rows = 0
+        n_null = 0
         for pdf in batches:
             for v in pdf[key_col]:
+                n_rows += 1
+                if v is None or (isinstance(v, float) and v != v):
+                    n_null += 1  # exact tally; nulls never enter MG
+                    continue
                 if v in counters:
                     counters[v] += 1
                 elif len(counters) < k:
@@ -207,20 +219,54 @@ def heavy_hitters(
                             dead.append(c)
                     for c in dead:
                         del counters[c]
-        yield pd.DataFrame({key_col: list(counters.keys())})
+        cand = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series(cand + [None], dtype=object),
+                "__pn": pd.Series([None] * len(cand) + [n_rows], dtype=object),
+                "__pnull": pd.Series(
+                    [None] * len(cand) + [n_null], dtype=object
+                ),
+            }
+        )
 
-    cands = (
+    # the screen output is tiny (<= k+1 rows per partition) but feeds
+    # THREE consumers (stats, candidates, null group) — persist so the
+    # table is scanned exactly once, not once per consumer
+    screen = (
         df.select(key_col)
         .mapInPandas(mg_screen, schema=out_schema)
+        .persist()
+    )
+    stats = screen.agg(
+        F.sum("__pn").alias("__n"), F.sum("__pnull").alias("__nnull")
+    )
+    cands = (
+        screen.where(F.col("__pn").isNull() & F.col(key_col).isNotNull())
+        .select(key_col)
         .distinct()
     )
-    total = df.agg(F.count(F.lit(1)).alias("__n"))
-    return (
+    counted = (
         df.join(F.broadcast(cands), key_col, "leftsemi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(stats))
         .where(F.col("cnt") * F.lit(1_000_000) >= F.lit(num) * F.col("__n"))
         .select(key_col, "cnt")
-        .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    )
+    null_group = (
+        stats.where(
+            (F.col("__nnull") > 0)
+            & (
+                F.col("__nnull") * F.lit(1_000_000)
+                >= F.lit(num) * F.col("__n")
+            )
+        )
+        .select(
+            F.lit(None).cast(ktype).alias(key_col),
+            F.col("__nnull").alias("cnt"),
+        )
+    )
+    return counted.unionByName(null_group).orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc_nulls_last()
     )

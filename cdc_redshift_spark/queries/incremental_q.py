@@ -720,6 +720,14 @@ def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("d_value"),
         F.unix_micros(F.col("valid_from").cast("timestamp")).alias("vf_us"),
         F.unix_micros(F.col("valid_to").cast("timestamp")).alias("vt_us"),
+    ).withColumn(
+        # tiebreak among versions sharing (user_id, vf_us): only the
+        # ENDURING one (max valid_to, open = +inf) can contain ts —
+        # a zero-length sibling would null the enrichment while the
+        # oracle's interval join deterministically matches the
+        # enduring version
+        "__tb",
+        F.coalesce(F.col("vt_us"), F.lit(1 << 62).cast("long")),
     )
     ev = load_table(spark, sf_dir, "events")
     facts = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
@@ -734,6 +742,7 @@ def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts_us",
         right_ts="vf_us",
         payload=["d_type", "d_value", "vt_us"],
+        tiebreak="__tb",
     )
     active = F.col("vf_us_m").isNotNull() & (
         F.col("vt_us_m").isNull() | (F.col("ts_us") < F.col("vt_us_m"))

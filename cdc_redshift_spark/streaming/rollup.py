@@ -26,7 +26,6 @@ path/_LATEST containing the committed batch id.
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,9 +35,10 @@ from cdc_redshift_spark.operators.incremental import (
     apply_rollup_delta,
     rollup_delta_signed,
 )
+from cdc_redshift_spark.streaming.snapshots import VersionedSnapshotStore
 
 
-class RollupMaintainer:
+class RollupMaintainer(VersionedSnapshotStore):
     """Maintains one materialized rollup from signed retraction batches.
 
     ``prepare`` maps a retraction frame to rows carrying ``sign``,
@@ -70,36 +70,8 @@ class RollupMaintainer:
         self.keep_versions = keep_versions
         os.makedirs(path, exist_ok=True)
 
-    # -- snapshot plumbing (ParquetSink's pointer discipline) ---------------
-    def committed_batch(self) -> int | None:
-        ptr = os.path.join(self.path, "_LATEST")
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as f:
-            return int(f.read().strip())
-
-    def current(self) -> DataFrame | None:
-        v = self.committed_batch()
-        if v is None:
-            return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
-
-    def _commit(self, merged: DataFrame, batch_id: int) -> None:
-        vdir = os.path.join(self.path, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(vdir)
-        tmp = os.path.join(self.path, "_LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(self.path, "_LATEST"))
-        # prune old snapshots beyond keep_versions (the previous one is
-        # kept so a reader holding the old pointer still resolves)
-        versions = sorted(
-            int(d[1:])
-            for d in os.listdir(self.path)
-            if d.startswith("v") and d[1:].isdigit()
-        )
-        for v in versions[: -self.keep_versions]:
-            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+    # snapshot plumbing: VersionedSnapshotStore (shared with
+    # Scd2Maintainer)
 
     # -- the per-batch maintenance step -------------------------------------
     def update(self, retractions: DataFrame, batch_id: int) -> bool:

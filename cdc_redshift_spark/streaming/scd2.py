@@ -36,7 +36,6 @@ rebuild exactly those keys from their change log), or ``"ignore"``
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,9 +44,10 @@ from cdc_redshift_spark.operators.incremental import (
     scd2_history,
     scd2_late_batch_rows,
 )
+from cdc_redshift_spark.streaming.snapshots import VersionedSnapshotStore
 
 
-class Scd2Maintainer:
+class Scd2Maintainer(VersionedSnapshotStore):
     def __init__(
         self,
         spark: SparkSession,
@@ -77,34 +77,8 @@ class Scd2Maintainer:
         self.late_policy = late_policy
         os.makedirs(path, exist_ok=True)
 
-    # -- snapshot plumbing (ParquetSink's pointer discipline) --------------
-    def committed_batch(self) -> int | None:
-        ptr = os.path.join(self.path, "_LATEST")
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as f:
-            return int(f.read().strip())
-
-    def current(self) -> DataFrame | None:
-        v = self.committed_batch()
-        if v is None:
-            return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
-
-    def _commit(self, hist: DataFrame, batch_id: int) -> None:
-        vdir = os.path.join(self.path, f"v{batch_id}")
-        hist.write.mode("overwrite").parquet(vdir)
-        tmp = os.path.join(self.path, "_LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(self.path, "_LATEST"))
-        versions = sorted(
-            int(d[1:])
-            for d in os.listdir(self.path)
-            if d.startswith("v") and d[1:].isdigit()
-        )
-        for v in versions[: -self.keep_versions]:
-            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+    # snapshot plumbing: VersionedSnapshotStore (shared with
+    # RollupMaintainer)
 
     # -- the per-batch maintenance step ------------------------------------
     def update(self, changes: DataFrame, batch_id: int) -> bool:

@@ -357,7 +357,11 @@ def test_heavy_hitters_screen_then_semi_join(spark):
     from cdc_redshift_spark.queries.dq_q import q_events_heavy_hitters
 
     plan = plan_of(q_events_heavy_hitters(spark, SF))
-    assert plan.count("MapInPandas") == 1
+    # the screen output is persisted: its three consumers (stats,
+    # candidates, null group) read the cache, so the Arrow screen —
+    # and the table scan under it — runs exactly ONCE at runtime
+    assert plan.count("InMemoryTableScan") == 3
+    assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     # the 1-row total broadcast is the only nest

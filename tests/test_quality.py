@@ -162,3 +162,14 @@ def test_heavy_hitters_empty_and_validation(spark):
     assert heavy_hitters(empty, "k", 0.5).count() == 0
     with pytest.raises(ValueError, match="min_frac"):
         heavy_hitters(empty, "k", 0.0)
+
+
+def test_heavy_hitters_null_key_group(spark):
+    """A null-heavy key column surfaces as a NULL group with its exact
+    count, matching the GROUP BY oracle's NULL group."""
+    from cdc_redshift_spark.operators.quality import heavy_hitters
+
+    rows = [(None,)] * 30 + [("a",)] * 40 + [(f"n{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    out = {(r["k"], r["cnt"]) for r in heavy_hitters(df, "k", 0.2).collect()}
+    assert out == {("a", 40), (None, 30)}

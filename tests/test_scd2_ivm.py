@@ -26,7 +26,7 @@ def _ch(spark, rows):
 
 
 def _hist_rows(df):
-    return sorted(
+    rows = [
         (
             r["k"],
             r["attr"],
@@ -35,7 +35,9 @@ def _hist_rows(df):
             r["is_current"],
         )
         for r in df.collect()
-    )
+    ]
+    # None-safe sort key (attr/valid_to may be NULL)
+    return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
 
 
 def test_scd2_semantics(spark):
@@ -410,3 +412,54 @@ def test_sink_table_changes_replicates(spark, tmp_path):
     final = apply_changeset(replica, changes, keys=("k",))
     want = {(r["k"], r["v"]) for r in sink.read_table(spark, "db", "t").collect()}
     assert {(r["k"], r["v"]) for r in final.collect()} == want
+
+
+def test_scd2_late_rows_sees_trailing_delete(spark):
+    """A trailing delete leaves no history row — only a valid_to.  A
+    batch row between that close and the frontier must still be
+    flagged (review finding: a valid_from-only frontier resurrected
+    deleted keys as current)."""
+    from cdc_redshift_spark.operators.incremental import (
+        scd2_late_batch_rows,
+    )
+
+    hist = scd2_history(
+        _ch(spark, [("a", 10, 0, "update", "v1"), ("a", 30, 1, "delete", None)]),
+        **KW,
+    )
+    late = _ch(spark, [("a", 20, 2, "update", "mid")])
+    assert scd2_late_batch_rows(hist, late, ["k"], "ts").count() == 1
+    ok = _ch(spark, [("a", 40, 3, "update", "after")])
+    assert scd2_late_batch_rows(hist, ok, ["k"], "ts").count() == 0
+
+
+def test_scd2_late_rows_flags_equal_ts(spark):
+    """ts == frontier is ambiguous without the stored tiebreak —
+    conservatively flagged."""
+    from cdc_redshift_spark.operators.incremental import (
+        scd2_late_batch_rows,
+    )
+
+    hist = scd2_history(_ch(spark, [("a", 10, 5, "update", "v1")]), **KW)
+    same_ts = _ch(spark, [("a", 10, 3, "update", "tie")])
+    assert scd2_late_batch_rows(hist, same_ts, ["k"], "ts").count() == 1
+
+
+def test_scd2_null_op_is_upsert(spark):
+    """A NULL op is an upsert image (the changeset convention), not a
+    silent drop (review finding)."""
+    ch = _ch(spark, [("a", 10, 0, None, "v1"), ("a", 20, 1, "update", "v2")])
+    out = _hist_rows(scd2_history(ch, **KW))
+    assert [r[1] for r in out] == ["v1", "v2"]
+
+
+def test_bm25_empty_terms_raises(spark):
+    import pytest
+
+    from cdc_redshift_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, ["", "  "])
