@@ -99,9 +99,9 @@ _GATE_WINDOW = [
     # scd2_incremental_apply, scd2_stream_maintenance,
     # events_scd2_asof_enrich, orders_join_view_maintenance,
     # docs_bm25_topk, sink_time_travel, sink_table_changes,
-    # layout_bloom_lookup, events_heavy_hitters, and
-    # corpus_split_manifest carry LOCALGATE + pytest evidence this
-    # round and take window slots next round)
+    # layout_bloom_lookup, events_heavy_hitters,
+    # corpus_split_manifest, and cdc_scd2_history carry LOCALGATE +
+    # pytest evidence this round and take window slots next round)
     "events_funnel_ordered",
     # end-to-end CDC pipelines, re-gated every round (5)
     "cdc_pg_replay",

@@ -764,8 +764,75 @@ ORDER BY k
 """
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history straight from the Debezium-PG envelope path:
+    synth changelog → parse/normalize (``pg_changeset``) → per-key
+    validity intervals (``scd2_history``) — the dimension-history
+    counterpart of `cdc_pg_replay`'s LWW final state, built from the
+    SAME change stream: insert@orderdate, update(+1d, status→'U') on
+    every 3rd key, delete(+2d) on every 7th.  ``ts_ms``/``offset``
+    are the interval bounds and tiebreak (exact integer epochs), and
+    the normalized op vocabulary drives open/close (a delete closes
+    without emitting; attrs ride the JSON payload)."""
+    from cdc_redshift_spark.operators.incremental import scd2_history
+
+    raw = synth_pg_changelog(spark, sf_dir)
+    changes = pg_changeset(raw, offset_col="offset").select(
+        F.col("key").cast("bigint").alias("k"),
+        "ts_ms",
+        "offset",
+        "op",
+        F.get_json_object("payload", "$.status").alias("status"),
+        F.get_json_object("payload", "$.total").cast("double").alias("total"),
+    )
+    hist = scd2_history(
+        changes,
+        keys=["k"],
+        ts_col="ts_ms",
+        attrs=["status", "total"],
+        tiebreak=["offset"],
+    )
+    return hist.select(
+        "k",
+        "status",
+        "total",
+        F.col("valid_from").alias("valid_from_ms"),
+        F.col("valid_to").alias("valid_to_ms"),
+        "is_current",
+    ).orderBy("k", "valid_from_ms")
+
+
+ORACLE_CDC_SCD2 = """
+WITH ch AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS total,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ts, 'insert' AS op,
+         o_orderkey * 10 AS off
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + 86400000, 'update',
+         o_orderkey * 10 + 1
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL,
+         epoch_ms(CAST(o_orderdate AS TIMESTAMP)) + 172800000, 'delete',
+         o_orderkey * 10 + 2
+  FROM orders WHERE o_orderkey % 7 = 0
+), w AS (
+  SELECT *, lead(ts) OVER (PARTITION BY k ORDER BY ts, off) AS vt
+  FROM ch
+)
+SELECT k, status, total,
+       ts AS valid_from_ms, vt AS valid_to_ms, vt IS NULL AS is_current
+FROM w
+WHERE op <> 'delete'
+ORDER BY k, valid_from_ms
+"""
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
+    "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
     "sink_table_changes": q_sink_table_changes,
     "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
@@ -777,6 +844,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,

@@ -463,3 +463,83 @@ def test_bm25_empty_terms_raises(spark):
         bm25_topk(docs, [])
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(docs, ["", "  "])
+
+
+def test_scd2_maintainer_via_cdc_pipeline(spark, tmp_path):
+    """Live integration: CdcPipeline applies table state while
+    on_raw_batch drives the SCD2 maintainer from the SAME Debezium
+    micro-batches — history across two batches equals a one-shot
+    build over the full change stream."""
+    import json
+
+    from cdc_redshift_spark.normalize import pg_changeset
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+    from cdc_redshift_spark.streaming.pipeline import CdcPipeline
+    from cdc_redshift_spark.streaming.scd2 import Scd2Maintainer
+
+    def env(op, before, after, ts, off):
+        return (
+            json.dumps(
+                {
+                    "before": json.dumps(before) if before else None,
+                    "after": json.dumps(after) if after else None,
+                    "source": {"db": "d", "table": "t", "ts_ms": ts},
+                    "op": op,
+                    "ts_ms": ts,
+                }
+            ),
+            off,
+        )
+
+    rows = [
+        env("c", None, {"id": 1, "v": "a"}, 10, 0),
+        env("c", None, {"id": 2, "v": "x"}, 10, 1),
+        env("u", {"id": 1, "v": "a"}, {"id": 1, "v": "b"}, 20, 2),
+        # batch 2 (ts strictly after batch 1 per key)
+        env("u", {"id": 1, "v": "b"}, {"id": 1, "v": "c"}, 30, 3),
+        env("d", {"id": 2, "v": "x"}, None, 40, 4),
+    ]
+    raw = spark.createDataFrame(rows, "value string, offset long")
+
+    def to_changes(r):
+        ch = pg_changeset(r, offset_col="offset")
+        return ch.select(
+            F.get_json_object("payload", "$.id").cast("long").alias("k"),
+            F.col("ts_ms").alias("ts"),
+            F.col("offset").alias("seq"),
+            "op",
+            F.get_json_object("payload", "$.v").alias("attr"),
+        )
+
+    m = Scd2Maintainer(
+        spark, str(tmp_path / "h"), keys=["k"], ts_col="ts",
+        attrs=["attr"], tiebreak=["seq"],
+    )
+    sink = ParquetSink(spark, str(tmp_path / "sink"), keys=("key",))
+    pipe = CdcPipeline(
+        lambda r: pg_changeset(r, offset_col="offset"),
+        sink,
+        on_raw_batch=lambda bid, r: m.update(to_changes(r), bid),
+    )
+    pipe.process_batch(raw.filter(F.col("offset") < 3), 0)
+    pipe.process_batch(raw.filter(F.col("offset") >= 3), 1)
+
+    one_shot = scd2_history(
+        to_changes(raw), keys=["k"], ts_col="ts", attrs=["attr"],
+        tiebreak=["seq"],
+    )
+    got = sorted(
+        (r["k"], r["attr"], r["is_current"]) for r in m.current().collect()
+    )
+    want = sorted(
+        (r["k"], r["attr"], r["is_current"]) for r in one_shot.collect()
+    )
+    assert got == want
+    assert m.committed_batch() == 1
+    # the LWW table state and the SCD2 current rows agree
+    state = {
+        int(json.loads(r["payload"])["id"]): json.loads(r["payload"])["v"]
+        for r in sink.read_table(spark, "d", "t").collect()
+    }
+    current = {r["k"]: r["attr"] for r in m.current().collect() if r["is_current"]}
+    assert state == current == {1: "c"}
