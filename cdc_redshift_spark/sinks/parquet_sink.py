@@ -54,12 +54,20 @@ class ParquetSink(Sink):
         tiebreak_col: str = "offset",
         partition_cols: Sequence[str] = (),
         cluster_keys: Sequence[str] = (),
+        bloom_index_cols: Sequence[str] = (),
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
         slice of the key space, so the merge's key-probe scan and any
         stats-aware reader skip files by min/max instead of reading
-        the table.  Natural choice: the merge ``keys``."""
+        the table.  Natural choice: the merge ``keys``.
+
+        ``bloom_index_cols`` additionally builds a per-file Bloom
+        index (operators/layout.bloom_file_index) for each named
+        column at every commit, stored as ``_BLOOM_<col>`` parquet
+        next to the snapshot — point lookups on SECONDARY
+        high-cardinality keys (which min/max clustering cannot serve)
+        then read only candidate files via :meth:`lookup_files`."""
         self.spark = spark
         self.root = root
         self.keys = list(keys)
@@ -67,6 +75,7 @@ class ParquetSink(Sink):
         self.tiebreak_col = tiebreak_col
         self.partition_cols = list(partition_cols)
         self.cluster_keys = list(cluster_keys)
+        self.bloom_index_cols = list(bloom_index_cols)
         os.makedirs(root, exist_ok=True)
 
     def _layout(self, state: DataFrame) -> DataFrame:
@@ -287,6 +296,12 @@ class ParquetSink(Sink):
             ):
                 continue
             self._link_tree(os.path.join(src, name), os.path.join(dst, name))
+        if self.bloom_index_cols:
+            # full index rebuild (one snapshot scan); a 100 TB
+            # deployment would instead carry forward untouched files'
+            # index rows with a path rewrite and scan only the
+            # rewritten partitions — the seam is _build_bloom
+            self._build_bloom(db, table, v + 1)
         self._flip(db, table, v + 1)
 
     @staticmethod
@@ -370,6 +385,8 @@ class ParquetSink(Sink):
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(path)
+        if self.bloom_index_cols:
+            self._build_bloom(db, table, v)
         self._write_schema(db, table, state)
         self._flip(db, table, v)
 
@@ -432,6 +449,40 @@ class ParquetSink(Sink):
         for v in drop:
             shutil.rmtree(os.path.join(d, f"v{v}"), ignore_errors=True)
         return drop
+
+    def _bloom_dir(self, db: str, table: str, v: int, col: str) -> str:
+        return os.path.join(self._dir(db, table), f"v{v}", f"_BLOOM_{col}")
+
+    def _build_bloom(self, db: str, table: str, v: int) -> None:
+        from cdc_redshift_spark.operators.layout import bloom_file_index
+
+        snap = os.path.join(self._dir(db, table), f"v{v}")
+        for col in self.bloom_index_cols:
+            idx = bloom_file_index(self.spark, snap, col)
+            # coalesce: the index is |files| rows — one file suffices
+            idx.coalesce(1).write.mode("overwrite").parquet(
+                self._bloom_dir(db, table, v, col)
+            )
+
+    def lookup_files(
+        self, db: str, table: str, col: str, value
+    ) -> list[str]:
+        """Candidate data files for ``col == value`` in the CURRENT
+        snapshot, via the committed Bloom index (no false negatives).
+        Read them with ``spark.read.parquet(*files)`` instead of
+        scanning the snapshot."""
+        from cdc_redshift_spark.operators.layout import bloom_lookup_files
+
+        if col not in self.bloom_index_cols:
+            raise ValueError(
+                f"no bloom index for column {col!r}; sink indexes "
+                f"{self.bloom_index_cols}"
+            )
+        v = self._latest_version(db, table)
+        if v is None:
+            return []
+        idx = self.spark.read.parquet(self._bloom_dir(db, table, v, col))
+        return bloom_lookup_files(idx, value)
 
     def _flip(self, db: str, table: str, v: int) -> None:
         d = self._dir(db, table)

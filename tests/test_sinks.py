@@ -462,3 +462,47 @@ def test_compact_routed_matches_filter_path(spark, tmp_path):
 
     # clean=True removed the landed files → a second compact is a no-op
     assert compact_routed(spark, root, sink, keys=keys) == []
+
+
+def test_sink_bloom_index_lookup(spark, tmp_path):
+    """bloom_index_cols builds a per-file index at every commit;
+    lookup_files serves point lookups on a secondary key with no
+    false negatives, and the index follows the snapshot version."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path / "b"), keys=("k",), bloom_index_cols=("aux",)
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, aux long, op string"
+        ).select(
+            "k", "aux", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    rows = [(i, 1000 + i, "insert") for i in range(200)]
+    sink.apply_changeset("db", "t", ch(rows, 1))
+    files = sink.lookup_files("db", "t", "aux", 1042)
+    assert files
+    got = (
+        spark.read.parquet(*files).where(F.col("aux") == 1042).collect()
+    )
+    assert [r["k"] for r in got] == [42]
+    # absent value: usually no files (fp-rate bounded)
+    assert len(sink.lookup_files("db", "t", "aux", 99999)) <= 1
+
+    # second commit: index tracks the new version
+    sink.apply_changeset("db", "t", ch([(42, 7777, "insert")], 2))
+    files2 = sink.lookup_files("db", "t", "aux", 7777)
+    got2 = spark.read.parquet(*files2).where(F.col("aux") == 7777).collect()
+    assert [r["k"] for r in got2] == [42]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no bloom index"):
+        sink.lookup_files("db", "t", "k", 1)
