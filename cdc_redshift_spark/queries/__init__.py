@@ -7,13 +7,14 @@ the driver's weaker rows-only check).
 Registry ORDER matters: the external driver's correctness gate checks the
 FIRST 50 queries in registry order. ``_GATE_WINDOW`` pins that window;
 it ROTATES each round so every query eventually earns a driver-green
-correctness row. Round-6 window: everything that has never carried a
-driver row — the round-5 operator layer, the round-6 additions
-(near-dup ingest probe, live-stream schema drift, layout pruning), the
-round-6 folded composites — plus the 5 CDC pipelines (re-gated every
-round). Queries outside the window (all driver-green in r4/r5 and
-code-stable since) stay certified via the per-round LOCALGATE artifact
-(tools/check_oracle.py over the FULL registry) and pytest.
+correctness row. Round-7 window: the 14 round-6 late additions that
+never carried a driver row (SCD2 family, join-view IVM, BM25, sink
+time-travel/CDF, Bloom/Z-order layout, heavy hitters, corpus split,
+KMV intersection), the round-7 new operators, backfill from the
+longest-unrefreshed r4 families, plus the 5 CDC pipelines (re-gated
+every round). Queries outside the window (all driver-green in r4-r6
+and code-stable since) stay certified via the per-round LOCALGATE
+artifact (tools/check_oracle.py over the FULL registry) and pytest.
 
 Round-6 registry hygiene: 12 single-function analytics showcases were
 folded into 5 composites with identical function coverage
@@ -29,80 +30,66 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-6 ROTATION (the r5 window's 50 families
-# all landed driver-green in CORRECTNESS_r05, so they rotate out and
-# stay certified via LOCALGATE + pytest): every query that has never
-# carried a driver row — the round-5 operator layer (simjoin,
-# incremental/ingest dedup, chunk/pack/sample, sketches, ER join,
-# snapshot diff/changes, rollup maintenance, the 13 round-5 TPC-H plan
-# shapes), the round-6 additions (near-dup ingest probe, live-stream
-# schema drift, layout pruning), and the round-6 folded composites —
-# plus the 5 end-to-end CDC pipelines re-gated every round.
+# Exactly 50 names — the ROUND-7 ROTATION (the r6 window's 50 names
+# all landed driver-green in CORRECTNESS_r06, so they rotate out and
+# stay certified via LOCALGATE + pytest): the 14 round-6 late
+# additions that have never carried a driver row (the SCD2 family,
+# join-view IVM, BM25, sink time-travel/CDF, Bloom/Z-order layout,
+# heavy hitters, corpus split, KMV intersection), the round-7 new
+# operators, the 5 end-to-end CDC pipelines re-gated every round, and
+# backfill from the longest-unrefreshed families (last driver row r4).
 _GATE_WINDOW = [
-    # round-5 dedup/similarity operators, LOCALGATE-only until now (6)
-    "dedup_simjoin",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "dedup_embedding_clusters",
-    "er_fuzzy_name_pairs",
-    "emb_contrastive_negatives",
-    # round-5 corpus / packing operators (3)
-    "corpus_chunk_docs",
-    "corpus_pack_stream",
-    "corpus_weighted_sample",
-    # round-5 streaming / incremental / CDC-generation operators (6)
-    "cdc_ingest_dedup_stream",
-    "cdc_rollup_maintenance",
-    "events_incremental_rollup",
-    "snapshot_partition_diff",
-    "orders_snapshot_changes",
-    "events_user_sequences",
-    # round-5 sketches (3; hll is the documented rows-only entry —
-    # register-level pytest oracle, tests/hll_register_mirror.py)
-    "sketch_distinct_users",
-    "sketch_hll_users",
-    "sketch_price_quantiles",
-    # round-5 data-quality reports (2)
-    "dq_orders_suite",
-    "dq_events_skew",
-    # round-5 TPC-H plan shapes (13)
-    "q2_min_acctbal_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_delay",
-    "q13_order_count_dist",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_shipments",
-    "q21_late_supplier",
-    "q22_inactive_customers",
-    # round-6 additions (3)
-    "cdc_ingest_neardup_probe",
-    "cdc_stream_schema_drift",
-    "layout_pruned_scan",
-    # round-6 folded composites (new or changed content; 6)
-    "customer_name_profile",
-    "events_type_stats",
-    "orders_running_windows",
-    "cube_sales",
-    "order_priority_profile",
-    "customer_activity_segments",
-    # round-6 second-pass folds (changed content; 2)
-    "text_stats",
-    "corpus_doc_metrics",
-    # funnel cross-check riding the spare slot (1)
-    # (round-7 rotation queue: the round-6 late additions
-    # sketch_user_overlap, layout_zorder_scan, scd2_user_history,
-    # scd2_incremental_apply, scd2_stream_maintenance,
-    # events_scd2_asof_enrich, orders_join_view_maintenance,
-    # docs_bm25_topk, sink_time_travel, sink_table_changes,
-    # layout_bloom_lookup, events_heavy_hitters,
-    # corpus_split_manifest, and cdc_scd2_history carry LOCALGATE +
-    # pytest evidence this round and take window slots next round)
-    "events_funnel_ordered",
+    # round-6 late additions, LOCALGATE-only until now (14)
+    "cdc_scd2_history",
+    "scd2_user_history",
+    "scd2_incremental_apply",
+    "scd2_stream_maintenance",
+    "events_scd2_asof_enrich",
+    "orders_join_view_maintenance",
+    "docs_bm25_topk",
+    "sink_time_travel",
+    "sink_table_changes",
+    "corpus_split_manifest",
+    "sketch_user_overlap",
+    "events_heavy_hitters",
+    "layout_bloom_lookup",
+    "layout_zorder_scan",
+    # round-7 new operators take these slots as they land (3);
+    # until then the slots are r5-gated streaming re-certification
+    # placeholders (swapped out by the commits adding the operators)
+    "cdc_stateful_lww_stream",  # -> scd2_late_repair
+    "events_stream_join",  # -> cdc_ingest_compaction
+    "cdc_sessionize_stream",  # -> cdc_join_view_stream
+    # r5-gated streaming re-certification riding the spare slot (1)
+    "cdc_first_seen_stream",
+    # backfill: last driver row r4, longest-unrefreshed (27)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_returned_orders",
+    "q5_local_supplier_volume",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q18_big_orders",
+    "cdc_op_counts",
+    "emb_norm_stats",
+    "events_props_variant",
+    "events_retention",
+    "events_sessionize",
+    "events_weekday_heatmap",
+    "grouping_sets_sales",
+    "lineitem_unpivot",
+    "null_safe_join",
+    "orders_cheapest_per_cust",
+    "orders_yoy",
+    "salted_join_orders",
+    "supplier_balance_ranks",
+    "text_fingerprint",
+    "text_quality_by_source",
+    "text_top_words",
+    "text_winnow",
+    "top_customers_per_nation",
     # end-to-end CDC pipelines, re-gated every round (5)
     "cdc_pg_replay",
     "cdc_lww_dedup",

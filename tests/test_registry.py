@@ -14,39 +14,27 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_is_the_round6_rotation():
-    """The r6 window must hold every query that had no driver row after
-    r5 — the round-5 operator layer (by family), the round-6 additions,
-    the folded composites — plus the 5 CDC pipelines that are re-gated
-    every round."""
+def test_gate_window_is_the_round7_rotation():
+    """The r7 window must hold every query that had no driver row after
+    r6 — the 14 round-6 late additions (SCD2 family, join-view IVM,
+    BM25, sink time-travel/CDF, Bloom/Z-order layout, heavy hitters,
+    corpus split, KMV intersection) and the round-7 new operators —
+    plus the 5 CDC pipelines that are re-gated every round."""
     must_gate = {
-        # round-5 operators, LOCALGATE-only before this rotation
-        "dedup_simjoin", "dedup_incremental_exact",
-        "dedup_incremental_minhash", "dedup_embedding_clusters",
-        "er_fuzzy_name_pairs", "emb_contrastive_negatives",
-        "corpus_chunk_docs", "corpus_pack_stream",
-        "corpus_weighted_sample", "cdc_ingest_dedup_stream",
-        "cdc_rollup_maintenance", "events_incremental_rollup",
-        "snapshot_partition_diff", "orders_snapshot_changes",
-        "events_user_sequences", "sketch_distinct_users",
-        "sketch_hll_users", "sketch_price_quantiles",
-        "dq_orders_suite", "dq_events_skew",
-        # round-6 additions and folded composites
-        "cdc_ingest_neardup_probe", "cdc_stream_schema_drift",
-        "layout_pruned_scan", "customer_name_profile",
-        "events_type_stats", "orders_running_windows", "cube_sales",
-        "order_priority_profile", "customer_activity_segments",
-        "text_stats", "corpus_doc_metrics",
+        # round-6 late additions, LOCALGATE-only before this rotation
+        "cdc_scd2_history", "scd2_user_history",
+        "scd2_incremental_apply", "scd2_stream_maintenance",
+        "events_scd2_asof_enrich", "orders_join_view_maintenance",
+        "docs_bm25_topk", "sink_time_travel", "sink_table_changes",
+        "corpus_split_manifest", "sketch_user_overlap",
+        "events_heavy_hitters", "layout_bloom_lookup",
+        "layout_zorder_scan",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
     }
     missing = must_gate - set(_GATE_WINDOW)
     assert not missing, f"never-driver-gated queries outside window: {missing}"
-    # the 13 round-5 TPC-H plan shapes ride this rotation too
-    tpch_new = {f"q{i}" for i in (2, 8, 9, 11, 12, 13, 15, 16, 17, 19, 20, 21, 22)}
-    got = {n.split("_")[0] for n in _GATE_WINDOW if n[0] == "q" and n[1].isdigit()}
-    assert tpch_new <= got, f"missing TPC-H rotations: {tpch_new - got}"
 
 
 #: Queries allowed to omit a SQL oracle (driver falls back to the
