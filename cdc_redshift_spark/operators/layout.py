@@ -91,11 +91,23 @@ def zorder_cluster(
     top = (1 << bits) - 1
     scaled = []
     for i, c in enumerate(cols):
+        if stats[f"lo{i}"] is None:  # empty input or all-NULL column
+            raise ValueError(
+                f"zorder_cluster: column {c!r} has no non-NULL values "
+                "(empty input or all-NULL column) — cannot scale a "
+                "Morton coordinate from it"
+            )
         lo = int(stats[f"lo{i}"])
         span = max(int(stats[f"hi{i}"]) - lo, 1)
+        # a NULL coordinate maps to the column's minimum slot (0):
+        # deterministic placement instead of an arbitrary NULL-key
+        # range partition; such rows cluster with the low corner
         scaled.append(
-            ((F.col(c).cast("long") - F.lit(lo)) * top / F.lit(span))
-            .cast("long")
+            (
+                (F.coalesce(F.col(c).cast("long"), F.lit(lo)) - F.lit(lo))
+                * top
+                / F.lit(span)
+            ).cast("long")
         )
     keyed = df.withColumn("__z", zorder_key(scaled, bits))
     if num_files is not None:
@@ -145,10 +157,17 @@ def pruned_fraction(ranges: list[tuple], lo, hi) -> float:
 # Per-file Bloom index (point-lookup data skipping on unclustered keys)
 # ---------------------------------------------------------------------------
 
-#: Bloom geometry defaults: 16 Kibit / 5 hashes ≈ 0.1 % false-positive
-#: rate at ~1k distinct keys per file (p = (1 - e^{-kn/m})^k).
+#: Bloom geometry: with ``m_bits="auto"`` (the default) each file's
+#: filter is sized from ITS OWN row count at ``BLOOM_BITS_PER_KEY``
+#: bits per key — at k=5 hashes, m/n = 18 gives p = (1-e^{-kn/m})^k
+#: ≈ 0.08 % false positives REGARDLESS of file size, so a realistic
+#: 128 MB parquet file with ~10^6 keys gets a ~2.2 MB filter instead
+#: of a saturated 16 Kibit one that matches every probe.
+#: ``BLOOM_M_BITS`` is the floor (and the legacy fixed default, still
+#: accepted as an int argument): tiny files round up to 16 Kibit.
 BLOOM_M_BITS = 16384
 BLOOM_K_HASHES = 5
+BLOOM_BITS_PER_KEY = 18
 
 
 def _bloom_h1_h2(key_str):
@@ -164,13 +183,15 @@ def _bloom_h1_h2(key_str):
 
 def bloom_file_index(
     spark,
-    path: str,
+    path,
     key_col: str,
-    m_bits: int = BLOOM_M_BITS,
+    m_bits: int | str = "auto",
     k_hashes: int = BLOOM_K_HASHES,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    min_m_bits: int = BLOOM_M_BITS,
 ) -> DataFrame:
     """Build one Bloom filter PER DATA FILE of a parquet table:
-    ``(file, words: array<long>)`` with ``m_bits/64`` words.
+    ``(file, words: array<long>, m_bits, k)``.
 
     Range/Z-order clustering (above) gives min/max skipping on the
     SORT key; a point lookup on any other high-cardinality column
@@ -183,44 +204,101 @@ def bloom_file_index(
     by construction (every present key set its bits); false-positive
     files cost one wasted file read, bounded by the geometry.
 
-    At 100 TB: the index is |files| rows × m_bits/8 bytes (16 KiB per
-    file at defaults — a 2 GiB index for a 128k-file table), the
-    build is a single pass, and it composes with the cluster layouts:
+    ``path`` may be one directory or a list of them (the sink's
+    incremental rebuild indexes only the rewritten partitions).
+
+    Geometry: ``m_bits="auto"`` (default) sizes each file's filter
+    from its OWN row count — ``bits_per_key`` bits per key (rounded
+    up to a 64-bit word, floored at ``min_m_bits``), so the
+    false-positive rate stays at the design point for ANY file size
+    (a fixed 16 Kibit filter saturates to "every probe matches" at
+    the ~10^6 keys a realistic 128 MB file holds).  Per-file counts
+    are an upper bound on distinct keys — duplicates only oversize,
+    never saturate.  A fixed int ``m_bits`` is still accepted.  The
+    geometry travels IN the index rows (``m_bits``, ``k`` columns),
+    so lookups and carried-forward rows from older commits with a
+    different geometry coexist in one index.
+
+    At 100 TB: the index is ~bits_per_key/8 bytes per key per file
+    (a 128 MB file → ~2.2 MB filter; ~1.7 % of data size), the build
+    is a single pass, and it composes with the cluster layouts:
     cluster on the merge key, Bloom-index the secondary lookup keys.
     """
-    n_words = m_bits // 64
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.parquet(*paths)
+    if m_bits == "auto":
+        word = F.ceil(
+            F.col("count") * F.lit(int(bits_per_key)) / F.lit(64.0)
+        ).cast("long")
+        geom = (
+            df.select(F.input_file_name().alias("file"))
+            .groupBy("file")
+            .count()
+            .select(
+                "file",
+                F.greatest(word * 64, F.lit(int(min_m_bits)))
+                .cast("long")
+                .alias("m_bits"),
+            )
+        )
+    else:
+        geom = (
+            df.select(F.input_file_name().alias("file"))
+            .distinct()
+            .select("file", F.lit(int(m_bits)).cast("long").alias("m_bits"))
+        )
     h1, h2 = _bloom_h1_h2(F.col(key_col).cast("string"))
     positions = F.transform(
         F.sequence(F.lit(0), F.lit(k_hashes - 1)),
-        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.col("m_bits")),
     )
     rows = (
-        spark.read.parquet(path)
+        df.select(F.input_file_name().alias("file"), key_col)
+        .join(F.broadcast(geom), "file")
         .select(
-            F.input_file_name().alias("file"),
+            "file",
+            "m_bits",
             F.explode(positions).alias("pos"),
         )
         .select(
             "file",
+            "m_bits",
             (F.col("pos") / 64).cast("int").alias("widx"),
             # shiftleft needs a column shift amount -> SQL expr form
             F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
         )
-        .groupBy("file", "widx")
+        .groupBy("file", "m_bits", "widx")
         .agg(F.bit_or("bit").alias("word"))
     )
-    wm = rows.groupBy("file").agg(
-        F.map_from_arrays(
-            F.collect_list("widx"), F.collect_list("word")
-        ).alias("wm")
+    # densify: union explicit zero words, then ONE sort per file —
+    # O(n_words log n_words).  (The obvious transform-over-a-map
+    # densification is O(n_words^2): Spark map element_at is a linear
+    # scan, which at auto-sized geometries — ~28k words for a 100k-key
+    # file — turns the build into minutes per file.)
+    zeros = geom.select(
+        "file",
+        "m_bits",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), ((F.col("m_bits") / 64) - 1).cast("int"))
+        ).alias("widx"),
+        F.lit(0).cast("long").alias("word"),
     )
-    words = F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("wm"), i.cast("int")), F.lit(0).cast("long")
-        ),
+    dense = (
+        rows.unionByName(zeros)
+        .groupBy("file", "m_bits", "widx")
+        .agg(F.bit_or("word").alias("word"))
     )
-    return wm.select("file", words.alias("words"))
+    wm = dense.groupBy("file", "m_bits").agg(
+        F.array_sort(
+            F.collect_list(F.struct("widx", "word"))
+        ).alias("sw")
+    )
+    return wm.select(
+        "file",
+        F.transform(F.col("sw"), lambda x: x["word"]).alias("words"),
+        "m_bits",
+        F.lit(int(k_hashes)).alias("k"),
+    )
 
 
 def _py_hash60(s: str) -> int:
@@ -240,19 +318,29 @@ def bloom_lookup_files(
     The membership test is pure Column bit math over the index frame
     (tiny — one row per file); the returned list is what a reader
     passes to ``spark.read.parquet(*files)`` instead of scanning the
-    table.  The collect is bounded by |matching files|."""
+    table.  The collect is bounded by |matching files|.
+
+    Geometry is read PER ROW from the index's ``m_bits``/``k``
+    columns (so rows carried forward from commits with a different
+    auto-sized geometry evaluate correctly side by side); the
+    ``m_bits``/``k_hashes`` arguments are only the fallback for
+    legacy indexes written before the geometry columns existed.
+    """
     s = str(key_value)
     h1, h2 = _py_hash60(s), _py_hash60("b:" + s)
-    cond = None
-    for i in range(k_hashes):
-        pos = (h1 + i * h2) % m_bits
-        mask = 1 << (pos % 64)
-        if mask >= 1 << 63:  # two's-complement wrap for the sign bit
-            mask -= 1 << 64
-        bit_set = (
-            F.element_at(F.col("words"), pos // 64 + 1)
-            .bitwiseAND(F.lit(mask).cast("long"))
-            != 0
-        )
-        cond = bit_set if cond is None else (cond & bit_set)
-    return [r["file"] for r in index.where(cond).select("file").collect()]
+    if "m_bits" not in index.columns:
+        index = index.withColumn("m_bits", F.lit(int(m_bits)).cast("long"))
+    if "k" not in index.columns:
+        index = index.withColumn("k", F.lit(int(k_hashes)))
+    # per-row geometry -> the whole test is ONE SQL forall over the
+    # hash sequence (h1 + i*h2 stays < 2^63 for the k<=8 this module
+    # writes: both base hashes are 60-bit)
+    pos = f"pmod({h1}L + cast(i as long) * {h2}L, cast(m_bits as long))"
+    member = (
+        "forall(sequence(0, k - 1), i -> "
+        f"(element_at(words, cast({pos} / 64 as int) + 1) & "
+        f"shiftleft(1L, cast({pos} % 64 as int))) != 0)"
+    )
+    return [
+        r["file"] for r in index.where(F.expr(member)).select("file").collect()
+    ]

@@ -231,12 +231,14 @@ def heavy_hitters(
         )
 
     # the screen output is tiny (<= k+1 rows per partition) but feeds
-    # THREE consumers (stats, candidates, null group) — persist so the
-    # table is scanned exactly once, not once per consumer
-    screen = (
-        df.select(key_col)
-        .mapInPandas(mg_screen, schema=out_schema)
-        .persist()
+    # THREE consumers (stats, candidates, null group) — collect it once
+    # and recreate as a local frame so the table is scanned exactly
+    # once with NOTHING left cached (a persist() here leaked one
+    # cached RDD per call in long-lived sessions; ADVICE r6)
+    spark = df.sparkSession
+    screen = spark.createDataFrame(
+        df.select(key_col).mapInPandas(mg_screen, schema=out_schema).collect(),
+        schema=out_schema,
     )
     stats = screen.agg(
         F.sum("__pn").alias("__n"), F.sum("__pnull").alias("__nnull")

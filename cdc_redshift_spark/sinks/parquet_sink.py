@@ -55,6 +55,7 @@ class ParquetSink(Sink):
         partition_cols: Sequence[str] = (),
         cluster_keys: Sequence[str] = (),
         bloom_index_cols: Sequence[str] = (),
+        bloom_m_bits: int | str = "auto",
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -67,7 +68,12 @@ class ParquetSink(Sink):
         column at every commit, stored as ``_BLOOM_<col>`` parquet
         next to the snapshot — point lookups on SECONDARY
         high-cardinality keys (which min/max clustering cannot serve)
-        then read only candidate files via :meth:`lookup_files`."""
+        then read only candidate files via :meth:`lookup_files`.
+        Pruned commits maintain the index incrementally (untouched
+        partitions' rows carried forward; only rewritten partitions
+        scanned).  ``bloom_m_bits``: 'auto' (default — per-file
+        sizing at ~18 bits/key so realistic file sizes don't
+        saturate the filter) or a fixed bit count."""
         self.spark = spark
         self.root = root
         self.keys = list(keys)
@@ -76,6 +82,7 @@ class ParquetSink(Sink):
         self.partition_cols = list(partition_cols)
         self.cluster_keys = list(cluster_keys)
         self.bloom_index_cols = list(bloom_index_cols)
+        self.bloom_m_bits = bloom_m_bits
         os.makedirs(root, exist_ok=True)
 
     def _layout(self, state: DataFrame) -> DataFrame:
@@ -148,7 +155,14 @@ class ParquetSink(Sink):
                 )
             v = version
         reader = spark.read
-        schema = self._read_schema(db, table)
+        # time travel pins the PER-VERSION schema (falling back to
+        # inference for pre-versioned-schema snapshots); current reads
+        # use the table-level latest
+        schema = (
+            self._read_schema(db, table, v)
+            if version is not None
+            else self._read_schema(db, table)
+        )
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(os.path.join(self._dir(db, table), f"v{v}"))
@@ -156,13 +170,26 @@ class ParquetSink(Sink):
             df = df.where(F.col("op") != "delete")
         return df
 
-    def _schema_path(self, db: str, table: str) -> str:
-        return os.path.join(self._dir(db, table), "_SCHEMA")
+    def _schema_path(self, db: str, table: str, v: int | None = None) -> str:
+        d = self._dir(db, table)
+        return (
+            os.path.join(d, f"v{v}", "_SCHEMA")
+            if v is not None
+            else os.path.join(d, "_SCHEMA")
+        )
 
-    def _read_schema(self, db: str, table: str):
+    def _read_schema(self, db: str, table: str, v: int | None = None):
+        """Committed schema — table-level (latest) by default; with
+        ``v`` the schema persisted WITH that snapshot, so time travel
+        reproduces the schema as of that version (a column added since
+        doesn't read as NULL into history, a dropped one doesn't
+        vanish from it — the Delta/Iceberg ``VERSION AS OF`` schema
+        contract).  Pre-versioned-schema snapshots return None and the
+        reader falls back to parquet inference rather than imposing
+        the latest schema on old data."""
         from pyspark.sql.types import StructType
 
-        p = self._schema_path(db, table)
+        p = self._schema_path(db, table, v)
         if not os.path.exists(p):
             return None  # pre-catalog snapshot: fall back to inference
         import json as _json
@@ -170,15 +197,22 @@ class ParquetSink(Sink):
         with open(p) as f:
             return StructType.fromJson(_json.load(f))
 
-    def _write_schema(self, db: str, table: str, df: DataFrame) -> None:
+    def _write_schema(
+        self, db: str, table: str, df: DataFrame, v: int | None = None
+    ) -> None:
         import json as _json
 
         d = self._dir(db, table)
         os.makedirs(d, exist_ok=True)
-        tmp = self._schema_path(db, table) + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(df.schema.jsonValue(), f)
-        os.replace(tmp, self._schema_path(db, table))
+        payload = _json.dumps(df.schema.jsonValue())
+        targets = [self._schema_path(db, table)]
+        if v is not None:  # per-version copy for time-travel reads
+            targets.append(self._schema_path(db, table, v))
+        for path in targets:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, path)
 
     def list_tables(self) -> list[tuple[str, str]]:
         out = []
@@ -288,7 +322,8 @@ class ParquetSink(Sink):
         self._layout(rewritten).write.mode("overwrite").partitionBy(
             *self.partition_cols
         ).parquet(dst)
-        self._write_schema(db, table, rewritten)
+        self._write_schema(db, table, rewritten, v + 1)
+        linked: list[str] = []
         for name, val_str in existing.items():
             is_null = val_str == HIVE_NULL
             if (is_null and null_touched) or (
@@ -296,12 +331,9 @@ class ParquetSink(Sink):
             ):
                 continue
             self._link_tree(os.path.join(src, name), os.path.join(dst, name))
+            linked.append(name)
         if self.bloom_index_cols:
-            # full index rebuild (one snapshot scan); a 100 TB
-            # deployment would instead carry forward untouched files'
-            # index rows with a path rewrite and scan only the
-            # rewritten partitions — the seam is _build_bloom
-            self._build_bloom(db, table, v + 1)
+            self._build_bloom_incremental(db, table, v + 1, v, linked)
         self._flip(db, table, v + 1)
 
     @staticmethod
@@ -313,6 +345,8 @@ class ParquetSink(Sink):
             p = os.path.join(src, name)
             if not os.path.isdir(p):
                 continue  # _SUCCESS etc.
+            if name.startswith(("_", ".")):
+                continue  # _BLOOM_<col> index dirs etc. — not partitions
             if "=" not in name:
                 return None
             out[name] = urllib.parse.unquote(name.split("=", 1)[1])
@@ -387,7 +421,7 @@ class ParquetSink(Sink):
         writer.parquet(path)
         if self.bloom_index_cols:
             self._build_bloom(db, table, v)
-        self._write_schema(db, table, state)
+        self._write_schema(db, table, state, v)
         self._flip(db, table, v)
 
     def table_changes(
@@ -454,14 +488,105 @@ class ParquetSink(Sink):
         return os.path.join(self._dir(db, table), f"v{v}", f"_BLOOM_{col}")
 
     def _build_bloom(self, db: str, table: str, v: int) -> None:
+        """Full index build over snapshot ``v`` — correct whenever the
+        snapshot was fully (re)written (``_commit``), since every file
+        is new anyway.  Geometry: ``bloom_m_bits`` ('auto' by default
+        — each file's filter sized from its own row count, so large
+        files don't saturate; see operators/layout.bloom_file_index).
+        """
         from cdc_redshift_spark.operators.layout import bloom_file_index
 
         snap = os.path.join(self._dir(db, table), f"v{v}")
         for col in self.bloom_index_cols:
-            idx = bloom_file_index(self.spark, snap, col)
+            idx = bloom_file_index(self.spark, snap, col, m_bits=self.bloom_m_bits)
             # coalesce: the index is |files| rows — one file suffices
             idx.coalesce(1).write.mode("overwrite").parquet(
                 self._bloom_dir(db, table, v, col)
+            )
+
+    def _build_bloom_incremental(
+        self,
+        db: str,
+        table: str,
+        new_v: int,
+        prev_v: int,
+        linked_dirs: list[str],
+    ) -> None:
+        """Index maintenance for a PRUNED commit: hard-linked partition
+        directories hold byte-identical files, so their Bloom rows are
+        unchanged by construction — carry them forward with a path
+        rewrite and scan ONLY the rewritten partitions.  Per-commit
+        index cost is O(touched partitions), matching the data write
+        (a full rebuild would be a full-table read per micro-batch at
+        100 TB).  Carried rows keep the geometry they were built with
+        (it travels in the index's ``m_bits``/``k`` columns), so a
+        geometry change applies to new files without invalidating old
+        rows.  Falls back to a full build when the previous index is
+        missing (``bloom_index_cols`` newly configured)."""
+        from functools import reduce
+
+        from cdc_redshift_spark.operators.layout import (
+            BLOOM_K_HASHES,
+            BLOOM_M_BITS,
+            bloom_file_index,
+        )
+
+        dst = os.path.join(self._dir(db, table), f"v{new_v}")
+        if any(
+            not os.path.isdir(self._bloom_dir(db, table, prev_v, col))
+            for col in self.bloom_index_cols
+        ):
+            self._build_bloom(db, table, new_v)
+            return
+        linked_set = set(linked_dirs)
+        touched = [
+            d
+            for d in os.listdir(dst)
+            if os.path.isdir(os.path.join(dst, d))
+            and not d.startswith(("_", "."))
+            and d not in linked_set
+        ]
+        # paths from input_file_name are URIs over the os path — the
+        # version segment is the only part that changes between
+        # snapshots, so a prefix-anchored substring rewrite is exact
+        old_seg = f"/{db}/{table}/v{prev_v}/"
+        new_seg = f"/{db}/{table}/v{new_v}/"
+        for col in self.bloom_index_cols:
+            old_idx = self.spark.read.parquet(
+                self._bloom_dir(db, table, prev_v, col)
+            )
+            if "m_bits" not in old_idx.columns:  # legacy fixed geometry
+                old_idx = old_idx.withColumn(
+                    "m_bits", F.lit(BLOOM_M_BITS).cast("long")
+                ).withColumn("k", F.lit(BLOOM_K_HASHES))
+            if linked_dirs:
+                in_linked = reduce(
+                    lambda a, b: a | b,
+                    [
+                        F.col("file").contains(old_seg + d + "/")
+                        for d in linked_dirs
+                    ],
+                )
+                carried = old_idx.where(in_linked).withColumn(
+                    "file",
+                    F.replace(
+                        F.col("file"), F.lit(old_seg), F.lit(new_seg)
+                    ),
+                )
+            else:
+                carried = old_idx.limit(0)
+            if touched:
+                fresh = bloom_file_index(
+                    self.spark,
+                    [os.path.join(dst, d) for d in touched],
+                    col,
+                    m_bits=self.bloom_m_bits,
+                )
+                idx = carried.unionByName(fresh)
+            else:
+                idx = carried
+            idx.coalesce(1).write.mode("overwrite").parquet(
+                self._bloom_dir(db, table, new_v, col)
             )
 
     def lookup_files(

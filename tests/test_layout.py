@@ -176,3 +176,71 @@ def test_bloom_index_read_equals_full_filter(spark, tmp_path):
     got = spark.read.parquet(*files).where(F.col("k") == 123).collect()
     want = spark.read.parquet(path).where(F.col("k") == 123).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bloom_auto_geometry_at_100k_keys_per_file(spark, tmp_path):
+    """The r6 'weak' flag: a FIXED 16 Kibit filter saturates at ~10^6
+    keys/file (every probe matches every file).  Auto geometry sizes
+    each file's filter from its own row count, so probes at 100k keys
+    per file still skip at least half the files."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.layout import (
+        bloom_file_index,
+        bloom_lookup_files,
+    )
+
+    path = str(tmp_path / "big")
+    n_files, per_file = 4, 100_000
+    (
+        spark.range(n_files * per_file)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(n_files, "k")
+        .write.parquet(path)
+    )
+    idx = bloom_file_index(spark, path, "k").cache()
+    rows = idx.collect()
+    assert len(rows) == n_files
+    # per-file sizing: ~18 bits x 100k keys, word-rounded
+    for r in rows:
+        assert r["m_bits"] >= 18 * per_file * 0.9
+        assert len(r["words"]) == r["m_bits"] // 64
+    hits = []
+    for k in range(0, n_files * per_file, 37_003):
+        files = bloom_lookup_files(idx, k)
+        # no false negatives: the true file must be a candidate
+        truth = (
+            spark.read.parquet(path)
+            .where(F.col("k") == k)
+            .select(F.input_file_name())
+            .collect()[0][0]
+        )
+        assert truth in files
+        hits.append(len(files))
+    # saturation check: probes skip at least half the files on average
+    assert sum(hits) / len(hits) <= n_files / 2, hits
+    idx.unpersist()
+
+
+def test_zorder_rejects_empty_and_all_null_and_places_nulls(spark):
+    """ADVICE r6 low: clear error on an unscalable Morton coordinate
+    (empty input / all-NULL column) instead of int(None); NULL values
+    in a cluster column get the deterministic low-corner slot."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.layout import zorder_cluster
+
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        zorder_cluster(empty, ["x", "y"]).collect()
+    allnull = spark.createDataFrame([(None, 1), (None, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        zorder_cluster(allnull, ["x", "y"]).collect()
+    # NULL coordinate: row survives with deterministic placement
+    mixed = spark.createDataFrame(
+        [(1, 1), (None, 2), (100, 3)], "x long, y long"
+    )
+    out = zorder_cluster(mixed, ["x", "y"]).collect()
+    got = {((-1 if r["x"] is None else r["x"]), r["y"]) for r in out}
+    assert got == {(1, 1), (-1, 2), (100, 3)}

@@ -173,3 +173,22 @@ def test_heavy_hitters_null_key_group(spark):
     df = spark.createDataFrame(rows, "k string").repartition(4)
     out = {(r["k"], r["cnt"]) for r in heavy_hitters(df, "k", 0.2).collect()}
     assert out == {("a", 40), (None, 30)}
+
+
+def test_heavy_hitters_leaves_no_cached_rdds(spark):
+    """ADVICE r6 low: the MG screen must not leak a cached RDD per
+    call in a long-lived session."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.quality import heavy_hitters
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("k")
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = heavy_hitters(df, "k", 0.2).collect()
+    assert [r["k"] for r in out] == ["hot"]
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before, f"heavy_hitters leaked {after - before} cached RDD(s)"

@@ -506,3 +506,112 @@ def test_sink_bloom_index_lookup(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no bloom index"):
         sink.lookup_files("db", "t", "k", 1)
+
+
+def test_sink_bloom_with_partitions_keeps_pruned_path(spark, tmp_path, monkeypatch):
+    """ADVICE r6 medium: bloom_index_cols + partition_cols must not
+    disable the partition-pruned merge (the _BLOOM_<col> dir inside a
+    snapshot used to make _partition_dirs bail to full rewrites), and
+    a pruned commit must maintain the index INCREMENTALLY — scanning
+    only the rewritten partitions, carrying hard-linked files' index
+    rows forward with a path rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import cdc_redshift_spark.operators.layout as layout_mod
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    root = str(tmp_path / "bp")
+    sink = ParquetSink(
+        spark,
+        root,
+        keys=("k",),
+        partition_cols=("p",),
+        bloom_index_cols=("aux",),
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, p string, aux long, op string"
+        ).select(
+            "k", "p", "aux", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    rows = [(i, f"p{i % 4}", 1000 + i, "insert") for i in range(200)]
+    sink.apply_changeset("db", "t", ch(rows, 1))
+
+    scanned: list = []
+    real = layout_mod.bloom_file_index
+
+    def spy(spark_, path, key_col, **kw):
+        scanned.append(path)
+        return real(spark_, path, key_col, **kw)
+
+    monkeypatch.setattr(layout_mod, "bloom_file_index", spy)
+
+    # second commit touches ONLY partition p1 (key 41 lives there)
+    sink.apply_changeset("db", "t", ch([(41, "p1", 7777, "update")], 2))
+
+    # pruned path engaged: untouched partitions are hard links of v1
+    tdir = os.path.join(root, "db", "t")
+    for p in ("p=p0", "p=p2", "p=p3"):
+        f1 = sorted(
+            f for f in os.listdir(os.path.join(tdir, "v1", p))
+            if f.endswith(".parquet")
+        )
+        f2 = sorted(
+            f for f in os.listdir(os.path.join(tdir, "v2", p))
+            if f.endswith(".parquet")
+        )
+        assert f2 and f1 == f2
+        for f in f2:
+            assert os.path.samefile(
+                os.path.join(tdir, "v1", p, f), os.path.join(tdir, "v2", p, f)
+            ), f"{p}/{f} was rewritten, not hard-linked — pruned path lost"
+
+    # index maintenance scanned ONLY the touched partition
+    assert len(scanned) == 1 and isinstance(scanned[0], list)
+    assert [os.path.basename(x) for x in scanned[0]] == ["p=p1"]
+    assert "/v2/" in scanned[0][0]
+
+    # carried rows (path-rewritten) still serve untouched-partition keys
+    files = sink.lookup_files("db", "t", "aux", 1042)  # key 42, p=p2
+    assert files and all("/v2/" in f for f in files)
+    got = spark.read.parquet(*files).where(F.col("aux") == 1042).collect()
+    assert [r["k"] for r in got] == [42]
+    # fresh rows serve the rewritten partition
+    files2 = sink.lookup_files("db", "t", "aux", 7777)
+    got2 = spark.read.parquet(*files2).where(F.col("aux") == 7777).collect()
+    assert [r["k"] for r in got2] == [41]
+
+
+def test_sink_time_travel_pins_per_version_schema(spark, tmp_path):
+    """ADVICE r6 low: read_table(version=) must reproduce the schema
+    AS OF that version — a column added later must not appear as NULL
+    in historical reads, and table_changes narrows to common columns."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "tt"), keys=("k",))
+    v1 = spark.createDataFrame(
+        [(1, "a", "insert", 1, 1)], "k long, val string, op string, ts_ms long, offset long"
+    )
+    sink.overwrite("db", "t", v1)
+    v2 = spark.createDataFrame(
+        [(1, "a", "x", "insert", 2, 2)],
+        "k long, val string, extra string, op string, ts_ms long, offset long",
+    )
+    sink.overwrite("db", "t", v2)
+
+    old = sink.read_table(spark, "db", "t", version=1)
+    assert "extra" not in old.columns, "v1 read leaked the v2 schema"
+    assert set(old.columns) == {"k", "val", "op", "ts_ms", "offset"}
+    cur = sink.read_table(spark, "db", "t")
+    assert "extra" in cur.columns
+    # change feed narrows to the common columns instead of erroring
+    feed = sink.table_changes(spark, "db", "t", from_version=1).collect()
+    assert feed == []  # val unchanged; extra not comparable across versions
