@@ -593,3 +593,45 @@ def scd2_late_batch_rows(
         .where(F.col(ts_col) <= F.col("__frontier"))
         .drop("__frontier")
     )
+
+
+def scd2_rebuild_keys(
+    history: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+    rebuild_keys: DataFrame,
+    op_col: str = "op",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Repair exactly ``rebuild_keys``' version chains from their
+    change log and splice them into the stored ``history`` — the
+    recovery path :func:`scd2_late_batch_rows` points at: a late
+    change cannot be applied incrementally (its version belongs in
+    the MIDDLE of its key's chain), so that key's chain is rebuilt
+    from scratch while every other key's stored rows pass through
+    untouched.
+
+    Splice invariant (property-tested): whatever state ``history``
+    holds for the rebuilt keys — stale, diverged, or missing — the
+    result equals ``scd2_history(changelog)`` restricted to
+    (untouched-history ∪ rebuilt-keys), because the rebuilt chains
+    derive from the changelog alone.  With ``history`` correct for
+    the untouched keys, the splice IS the full rebuild.
+
+    Batch-proportional plan: ``rebuild_keys`` is a per-batch-small
+    key set, broadcast into BOTH pruning joins (an anti-join keeps
+    untouched history rows where they are; a semi-join prunes the
+    changelog scan to the touched keys — with the changelog stored
+    key-partitioned/bucketed this is a touched-partition read, and a
+    key-range-clustered log prunes at file level); only the touched
+    keys' changes are re-windowed.  Nothing else shuffles.
+    """
+    rk = rebuild_keys.select(*keys).distinct()
+    untouched = history.join(F.broadcast(rk), keys, "left_anti")
+    touched_log = changelog.join(F.broadcast(rk), keys, "left_semi")
+    rebuilt = scd2_history(
+        touched_log, keys, ts_col, attrs, op_col=op_col, tiebreak=tiebreak
+    )
+    return untouched.unionByName(rebuilt)

@@ -57,8 +57,8 @@ _GATE_WINDOW = [
     # round-7 new operators take these slots as they land (3);
     # until then the slots are r5-gated streaming re-certification
     # placeholders (swapped out by the commits adding the operators)
-    "cdc_stateful_lww_stream",  # -> scd2_late_repair
-    "events_stream_join",  # -> cdc_ingest_compaction
+    "scd2_late_repair",
+    "cdc_ingest_compaction",
     "cdc_sessionize_stream",  # -> cdc_join_view_stream
     # r5-gated streaming re-certification riding the spare slot (1)
     "cdc_first_seen_stream",

@@ -676,6 +676,55 @@ def q_scd2_stream_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_scd2_late_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 late-change repair (operators/incremental.
+    scd2_rebuild_keys): a delayed slice of the change stream is
+    withheld from the initial history build, then arrives as ONE late
+    batch.  Rows behind their key's stored frontier cannot apply
+    incrementally (scd2_late_batch_rows flags them — their version
+    belongs mid-chain), so their KEYS are rebuilt from the retained
+    changelog and spliced over the stored rows; the rest of the batch
+    applies incrementally (scd2_apply).  The oracle is the
+    full-history recompute over the COMPLETE stream, so a green row
+    proves splice(repair) == scd2_history(everything) on real data —
+    closing the residual gap the raise-policy maintainer documents.
+    """
+    from cdc_redshift_spark.operators.incremental import (
+        scd2_late_batch_rows,
+        scd2_rebuild_keys,
+    )
+
+    ch = _events_change_stream(spark, sf_dir)
+    kw = dict(
+        keys=["user_id"],
+        ts_col="ts",
+        attrs=["event_type", "value"],
+        tiebreak=["event_id"],
+    )
+    delayed = F.pmod(F.col("event_id"), F.lit(5)) == 3
+    hist0 = scd2_history(ch.where(~delayed), **kw)
+    late_batch = ch.where(delayed)
+    late_keys = (
+        scd2_late_batch_rows(hist0, late_batch, ["user_id"], "ts")
+        .select("user_id")
+        .distinct()
+    )
+    # keys with no flagged row are safely incremental; flagged keys
+    # rebuild from the changelog (which includes this batch's rows)
+    ok = late_batch.join(F.broadcast(late_keys), ["user_id"], "left_anti")
+    hist1 = scd2_apply(hist0, ok, **kw)
+    hist2 = scd2_rebuild_keys(
+        hist1,
+        ch,
+        ["user_id"],
+        "ts",
+        ["event_type", "value"],
+        late_keys,
+        tiebreak=["event_id"],
+    )
+    return _scd2_out(hist2)
+
+
 ORACLE_SCD2 = """
 WITH ch AS (
   SELECT user_id, ts, event_id, event_type, value,
@@ -871,6 +920,7 @@ QUERIES = {
     "scd2_user_history": q_scd2_user_history,
     "scd2_incremental_apply": q_scd2_incremental_apply,
     "scd2_stream_maintenance": q_scd2_stream_maintenance,
+    "scd2_late_repair": q_scd2_late_repair,
     "events_scd2_asof_enrich": q_events_scd2_asof_enrich,
     "orders_join_view_maintenance": q_orders_join_view_maintenance,
     "sketch_distinct_users": q_sketch_distinct_users,
@@ -886,6 +936,7 @@ ORACLES = {
     "scd2_user_history": ORACLE_SCD2,
     "scd2_incremental_apply": ORACLE_SCD2,
     "scd2_stream_maintenance": ORACLE_SCD2,
+    "scd2_late_repair": ORACLE_SCD2,
     "events_scd2_asof_enrich": ORACLE_SCD2_ASOF,
     "orders_join_view_maintenance": ORACLE_JOIN_VIEW,
     "sketch_distinct_users": ORACLE_SKETCH_KMV,

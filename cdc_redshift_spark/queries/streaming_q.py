@@ -581,6 +581,76 @@ def q_cdc_ingest_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest ACROSS A COMPACTION BOUNDARY
+    (streaming/ingest.compact_batches): four ingest waves; after wave
+    2 commits, the accumulated ``batch=<id>`` partitions of both the
+    fingerprint index and the accepted corpus fold into the single
+    ``batch=-1`` partition (the marker-committed, crash-safe swap
+    that bounds partition counts at 100 TB — without it the layout
+    grows one directory per micro-batch forever); wave 3 then lands
+    and is REPLAYED under the same batch id (crash simulation).  The
+    accepted corpus must equal straight-through ingest — the oracle
+    is the same global min-id-per-fingerprint SQL as
+    ``cdc_ingest_dedup_stream`` — proving compaction changes layout,
+    never semantics; the in-query directory assertions pin the layout
+    claim itself."""
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.ingest import (
+        IngestDeduper,
+        compact_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    cuts = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+
+    root = tempfile.mkdtemp(prefix="ingest_compact_")
+    idx = os.path.join(root, "index")
+    acc = os.path.join(root, "accepted")
+
+    def part_dirs(d):
+        return sorted(
+            e
+            for e in os.listdir(d)
+            if e.startswith("batch=") and os.path.isdir(os.path.join(d, e))
+        )
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        dd = IngestDeduper(idx, acc)
+        waves = list(zip(cuts, cuts[1:]))
+        for i, (lo, up) in enumerate(waves[:3]):
+            dd(
+                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up)),
+                i,
+            )
+        for d in (idx, acc):
+            compact_batches(spark, d, upto_batch=3)
+            if part_dirs(d) != ["batch=-1"]:
+                raise RuntimeError(
+                    f"compaction left partitions {part_dirs(d)} in {d}"
+                )
+        lo, up = waves[3]
+        b3 = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        dd(b3, 3)
+        dd(b3, 3)  # replay across the compaction boundary
+        if part_dirs(idx) != ["batch=-1", "batch=3"]:
+            raise RuntimeError(
+                f"replay disturbed the folded layout: {part_dirs(idx)}"
+            )
+        out = (
+            spark.read.parquet(acc)
+            .select(F.col("id").alias("doc_id"), "fp")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 ORACLE_INGEST_DEDUP = f"""
 WITH fp AS (
   SELECT doc_id, md5({DUCK_NORM_TEXT}) AS fp FROM documents
@@ -748,6 +818,7 @@ QUERIES = {
     "cdc_first_seen_stream": q_cdc_first_seen_stream,
     "cdc_enrich_stream": q_cdc_enrich_stream,
     "cdc_ingest_dedup_stream": q_cdc_ingest_dedup_stream,
+    "cdc_ingest_compaction": q_cdc_ingest_compaction,
     "cdc_ingest_neardup_probe": q_cdc_ingest_neardup_probe,
     "cdc_stream_schema_drift": q_cdc_stream_schema_drift,
 }
@@ -760,6 +831,7 @@ ORACLES = {
     "cdc_first_seen_stream": ORACLE_FIRST_SEEN,
     "cdc_enrich_stream": ORACLE_ENRICH,
     "cdc_ingest_dedup_stream": ORACLE_INGEST_DEDUP,
+    "cdc_ingest_compaction": ORACLE_INGEST_DEDUP,
     "cdc_ingest_neardup_probe": _oracle_ingest_probe(),
     "cdc_stream_schema_drift": ORACLE_CDC_DMS_SCHEMA_DRIFT,
 }

@@ -38,6 +38,8 @@ live ones.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -331,3 +333,109 @@ class NearDupIngestDeduper:
         ).write.mode("overwrite").parquet(
             _batch_dir(self.accepted_dir, batch_id)
         )
+
+
+# ---------------------------------------------------------------------------
+# Batch-partition compaction (bounds the partition count at 100 TB)
+# ---------------------------------------------------------------------------
+
+_COMPACTED = "batch=-1"
+_COMPACT_TMP = "_compacting"
+_COMPACT_MARKER = "_COMPACT"
+
+
+def _finish_pending_compaction(root: str) -> bool:
+    """Complete a compaction interrupted after its commit point.  The
+    marker file is the commit: once it exists, the consolidated data
+    is fully written in ``_compacting`` and recovery deterministically
+    (a) removes the folded source dirs, (b) renames ``_compacting`` →
+    ``batch=-1``, (c) drops the marker.  Re-entrant at every crash
+    point: the removals are idempotent, and once the rename happened
+    ``batch=-1`` is never in the removal set again (it only is while
+    ``_compacting`` still exists)."""
+    import json
+    import shutil
+
+    marker = os.path.join(root, _COMPACT_MARKER)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        remove = json.load(f)["remove"]
+    tmp = os.path.join(root, _COMPACT_TMP)
+    if os.path.isdir(tmp):
+        for d in remove:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        os.rename(tmp, os.path.join(root, _COMPACTED))
+    else:  # rename already done; only non-consolidated leftovers remain
+        for d in remove:
+            if d != _COMPACTED:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def compact_batches(spark, root: str, upto_batch: int) -> dict:
+    """Fold every ``batch=<id>`` partition with ``0 <= id <
+    upto_batch`` (plus any previous consolidation) into the single
+    ``batch=-1`` partition, preserving replay idempotence for
+    in-flight ids.
+
+    Why: the exactly-once ingest layout writes one partition directory
+    per micro-batch FOREVER — at 100 TB that is millions of tiny
+    partitions and a file-listing bottleneck on every probe.  Old
+    batches never change again (replays only rewrite their OWN
+    ``batch=<id>`` dir), so they can be folded into one well-sized
+    partition; ``-1`` sorts below every live batch id, which keeps the
+    probe predicate ``batch < current_batch_id`` including the
+    consolidated rows and keeps replays of ids ``>= upto_batch``
+    untouched — they overwrite their own directory only.
+
+    Caller contract: ``upto_batch`` must be at or below the newest
+    batch id whose COMMIT the stream's checkpoint has recorded (ids
+    the engine can still replay must stay in their own partitions),
+    and compaction must not run concurrently with the ingest stream's
+    ``foreachBatch`` (run it between triggers or in a maintenance
+    window — same discipline as Delta's OPTIMIZE).
+
+    Crash-safe via write-ahead marker: consolidated data lands in an
+    underscore-prefixed staging dir readers ignore, a marker commits
+    the swap, and :func:`_finish_pending_compaction` (run first on
+    every call) completes an interrupted swap — at no point is the
+    only copy of a row deleted before its replacement is in place.
+
+    Returns ``{"folded_dirs": n, "rows": m}`` (zeros when nothing to
+    fold).
+    """
+    import json
+    import shutil
+
+    _finish_pending_compaction(root)
+    olds = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("batch=") or not os.path.isdir(
+            os.path.join(root, name)
+        ):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if 0 <= bid < int(upto_batch):
+            olds.append(name)
+    if not olds:
+        return {"folded_dirs": 0, "rows": 0}
+    prior = os.path.join(root, _COMPACTED)
+    sources = ([_COMPACTED] if os.path.isdir(prior) else []) + olds
+    tmp = os.path.join(root, _COMPACT_TMP)
+    shutil.rmtree(tmp, ignore_errors=True)  # stale pre-marker attempt
+    union = spark.read.parquet(*[os.path.join(root, d) for d in sources])
+    # one consolidated partition: target file count from row volume,
+    # not batch count (AQE coalesces the tiny shuffle anyway)
+    union.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    marker = os.path.join(root, _COMPACT_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"upto": int(upto_batch), "remove": sources}, f)
+    os.replace(marker + ".tmp", marker)  # commit point
+    _finish_pending_compaction(root)
+    return {"folded_dirs": len(sources), "rows": rows}

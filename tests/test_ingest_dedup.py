@@ -207,3 +207,109 @@ def test_neardup_ingest_collapses_exact_dups(spark, docs):
         # min-id representative rule: no survivor from the +1M clones
         # unless its original text group lived only there
         assert acc.where(F.col("id") >= 1_000_000).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# batch-partition compaction
+# ---------------------------------------------------------------------------
+
+
+def _dirs(root):
+    return sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+
+
+def test_compaction_folds_dirs_and_preserves_replay(spark, docs):
+    """Crash/replay across a compaction boundary: folding committed
+    batches into batch=-1 must not change the admitted corpus, must
+    bound the partition count, and an in-flight batch replayed AFTER
+    compaction must still no-op (its own partition untouched, probe
+    still sees all folded fingerprints)."""
+    from cdc_redshift_spark.streaming.ingest import compact_batches
+
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    want = expected_accepted(spark, docs)
+    cuts = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx, acc = os.path.join(tmp, "idx"), os.path.join(tmp, "acc")
+        dd = IngestDeduper(idx, acc)
+        waves = list(zip(cuts, cuts[1:]))
+        for i, (lo, up) in enumerate(waves[:3]):
+            dd(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up)), i)
+        # batches 0..2 committed; 3 still in flight -> fold 0..2
+        n_before = len(_dirs(idx))
+        stats = compact_batches(spark, idx, upto_batch=3)
+        assert stats["folded_dirs"] == 3 and stats["rows"] > 0
+        assert _dirs(idx) == ["batch=-1"]
+        assert len(_dirs(idx)) < n_before
+        compact_batches(spark, acc, upto_batch=3)
+        assert _dirs(acc) == ["batch=-1"]
+
+        # in-flight batch 3 lands, crashes, replays — exactly-once holds
+        lo, up = waves[3]
+        b3 = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        dd(b3, 3)
+        dd(b3, 3)  # replay overwrites only batch=3
+        got = {r.id for r in spark.read.parquet(acc).collect()}
+        assert got == want
+        assert sorted(_dirs(idx)) == ["batch=-1", "batch=3"]
+
+        # second compaction folds the new batch in; corpus unchanged
+        compact_batches(spark, acc, upto_batch=4)
+        compact_batches(spark, idx, upto_batch=4)
+        assert _dirs(idx) == ["batch=-1"]
+        got2 = {r.id for r in spark.read.parquet(acc).collect()}
+        assert got2 == want
+
+
+def test_compaction_crash_recovery_never_loses_rows(spark, docs):
+    """Kill the swap at its worst points: after the marker is written
+    but before source removal, and after removal but before the
+    rename.  Every entry path must converge to the same folded state
+    with zero row loss."""
+    import json
+    import shutil
+
+    from cdc_redshift_spark.streaming.ingest import (
+        _COMPACT_MARKER,
+        _COMPACT_TMP,
+        _finish_pending_compaction,
+        compact_batches,
+    )
+
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    with tempfile.TemporaryDirectory() as tmp:
+        idx, acc = os.path.join(tmp, "idx"), os.path.join(tmp, "acc")
+        dd = IngestDeduper(idx, acc)
+        cuts = [0, hi // 3, 2 * hi // 3, hi]
+        for i, (lo, up) in enumerate(zip(cuts, cuts[1:])):
+            dd(docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up)), i)
+        rows_before = spark.read.parquet(idx).drop("batch").count()
+
+        # simulate: crash right AFTER the commit marker (stage the tmp
+        # dir + marker by hand, exactly what compact_batches writes)
+        sources = [d for d in _dirs(idx) if d.startswith("batch=")]
+        union = spark.read.parquet(*[os.path.join(idx, d) for d in sources])
+        union.write.mode("overwrite").parquet(os.path.join(idx, _COMPACT_TMP))
+        with open(os.path.join(idx, _COMPACT_MARKER), "w") as f:
+            json.dump({"upto": 3, "remove": sources}, f)
+
+        # crash point A: nothing removed yet -> recovery completes all
+        assert _finish_pending_compaction(idx)
+        assert _dirs(idx) == ["batch=-1"]
+        assert spark.read.parquet(idx).drop("batch").count() == rows_before
+
+        # crash point B: rename done but marker left behind (the
+        # post-rename window) — recovery must NOT delete batch=-1
+        with open(os.path.join(idx, _COMPACT_MARKER), "w") as f:
+            json.dump({"upto": 3, "remove": ["batch=-1"] + sources}, f)
+        assert _finish_pending_compaction(idx)
+        assert _dirs(idx) == ["batch=-1"]
+        assert spark.read.parquet(idx).drop("batch").count() == rows_before
+
+        # idempotent no-op when nothing left to fold
+        assert compact_batches(spark, idx, upto_batch=99) == {
+            "folded_dirs": 0,
+            "rows": 0,
+        }

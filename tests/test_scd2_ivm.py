@@ -543,3 +543,74 @@ def test_scd2_maintainer_via_cdc_pipeline(spark, tmp_path):
     }
     current = {r["k"]: r["attr"] for r in m.current().collect() if r["is_current"]}
     assert state == current == {1: "c"}
+
+
+# ---------------------------------------------------------------------------
+# late-change repair (scd2_rebuild_keys)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=ops_strategy,
+    touched=st.sets(st.sampled_from(["a", "b", "c"]), max_size=3),
+)
+def test_scd2_rebuild_keys_splice_equals_full_rebuild(spark, ops, touched):
+    """For ANY change stream and ANY touched-key set — with the stored
+    history ARBITRARILY WRONG for the touched keys — rebuilding those
+    keys from the changelog and splicing equals the full rebuild."""
+    from cdc_redshift_spark.operators.incremental import scd2_rebuild_keys
+
+    rows = [(k, t, i, op, a) for i, (k, t, op, a) in enumerate(ops)]
+    ch = _ch(spark, rows)
+    full = scd2_history(ch, **KW)
+    # corrupt the stored history for the touched keys (stale version,
+    # wrong interval, phantom current row)
+    garbage = spark.createDataFrame(
+        [(k, "GARBAGE", 0, None, True) for k in sorted(touched)],
+        "k string, attr string, vf long, vt long, is_current boolean",
+    ).select(
+        "k",
+        "attr",
+        F.timestamp_seconds("vf").alias("valid_from"),
+        F.timestamp_seconds("vt").alias("valid_to"),
+        "is_current",
+    )
+    stored = full.where(
+        ~F.col("k").isin(*sorted(touched)) if touched else F.lit(True)
+    ).unionByName(garbage)
+    rk = spark.createDataFrame(
+        [(k,) for k in sorted(touched)], "k string"
+    )
+    repaired = scd2_rebuild_keys(
+        stored, ch, ["k"], "ts", ["attr"], rk, tiebreak=["seq"]
+    )
+    assert _hist_rows(repaired) == _hist_rows(full)
+
+
+def test_scd2_maintainer_repair_update_handles_late_rows(spark, tmp_path):
+    """repair_update routes late keys to a changelog rebuild and
+    applies the rest incrementally — committing once, equal to the
+    full build over the whole log."""
+    rows = [
+        ("a", 10, 0, "update", "v1"),
+        ("a", 30, 1, "update", "v2"),
+        ("b", 15, 2, "update", "w1"),
+    ]
+    ch0 = _ch(spark, rows)
+    m = _maintainer(spark, tmp_path)
+    assert m.update(ch0, 0)
+    # batch 1: a late mid-chain change for 'a' + an on-time one for 'b'
+    b1_rows = [("a", 20, 3, "update", "mid"), ("b", 40, 4, "update", "w2")]
+    b1 = _ch(spark, b1_rows)
+    changelog = _ch(spark, rows + b1_rows)
+    assert m.repair_update(b1, changelog, 1)
+    assert not m.repair_update(b1, changelog, 1)  # replay no-op
+    assert m.committed_batch() == 1
+    assert _hist_rows(m.current()) == _hist_rows(
+        scd2_history(changelog, **KW)
+    )
