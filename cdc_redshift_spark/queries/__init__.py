@@ -59,7 +59,7 @@ _GATE_WINDOW = [
     # placeholders (swapped out by the commits adding the operators)
     "scd2_late_repair",
     "cdc_ingest_compaction",
-    "cdc_sessionize_stream",  # -> cdc_join_view_stream
+    "cdc_join_view_stream",
     # r5-gated streaming re-certification riding the spare slot (1)
     "cdc_first_seen_stream",
     # backfill: last driver row r4, longest-unrefreshed (27)

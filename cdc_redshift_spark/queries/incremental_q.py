@@ -836,17 +836,14 @@ ORDER BY f.event_id
 # Incremental equi-join view maintenance
 # ---------------------------------------------------------------------------
 
-def q_orders_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maintain the materialized join view
-    ``orders JOIN customer GROUP BY (custkey, status, mktsegment)``
-    under signed deltas to BOTH base tables — order inserts/deletes,
-    order-status updates (-before +after pairs), customer adds and
-    removals — via the asymmetric delta-join identity
-    (operators/incremental.join_view_delta), never recomputing the
-    join.  The oracle recomputes the view from the fully-applied
-    final states, so a green row proves delta maintenance == full
-    recompute including the cross-delta corner (an updated order
-    whose customer is deleted in the same batch)."""
+JOIN_VIEW_COLS = ["custkey", "o_orderstatus", "c_mktsegment"]
+
+
+def _join_view_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared base/delta fixture for the join-view IVM queries: base
+    states ``o_old``/``c_old`` and one batch of signed deltas — order
+    inserts/deletes, order-status updates (-before +after pairs),
+    customer adds and removals — plus the post-batch ``o_new``."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderstatus"
     )
@@ -857,13 +854,6 @@ def q_orders_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     mc = F.pmod(F.col("custkey"), F.lit(10))
     o_old = o.where(mo < 8)
     c_old = c.where(mc < 9)
-    cols = ["custkey", "o_orderstatus", "c_mktsegment"]
-
-    view0 = (
-        o_old.join(c_old, "custkey")
-        .groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
     def img(frame, status=None, sign=1):
         s = F.lit(status) if status else F.col("o_orderstatus")
@@ -892,10 +882,84 @@ def q_orders_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
     )
+    return dict(o_old=o_old, c_old=c_old, d_o=d_o, o_new=o_new, d_c=d_c)
 
-    delta = join_view_delta(d_o, o_new, d_c, c_old, on=["custkey"], cols=cols)
+
+def q_orders_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the materialized join view
+    ``orders JOIN customer GROUP BY (custkey, status, mktsegment)``
+    under signed deltas to BOTH base tables — order inserts/deletes,
+    order-status updates (-before +after pairs), customer adds and
+    removals — via the asymmetric delta-join identity
+    (operators/incremental.join_view_delta), never recomputing the
+    join.  The oracle recomputes the view from the fully-applied
+    final states, so a green row proves delta maintenance == full
+    recompute including the cross-delta corner (an updated order
+    whose customer is deleted in the same batch)."""
+    fx = _join_view_fixture(spark, sf_dir)
+    cols = JOIN_VIEW_COLS
+
+    view0 = (
+        fx["o_old"].join(fx["c_old"], "custkey")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    delta = join_view_delta(
+        fx["d_o"], fx["o_new"], fx["d_c"], fx["c_old"], on=["custkey"], cols=cols
+    )
     view = apply_view_delta(view0, delta, cols)
     return view.orderBy(*cols)
+
+
+def q_cdc_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS join-view maintenance through the streaming
+    maintainer (streaming/joinview.JoinViewMaintainer): batch 0
+    bootstraps the view from the empty state purely via the delta
+    algebra (``dL=L(+1), dR=R(+1), R_old=∅`` makes ``L_new ⋈ dR`` the
+    full join — no special-case initial load), batch 1 folds the same
+    signed deltas as the batch query, and the REPLAY of batch 1 is
+    exercised in-query (same batch id must no-op, per the
+    foreachBatch retry contract).  Snapshots are write-new-then-swap
+    with retention pruning on every commit.  The oracle recomputes
+    the view from the fully-applied final states, so a green row
+    proves the maintained ON-DISK view equals full recompute across
+    the batch and replay boundaries."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.streaming.joinview import JoinViewMaintainer
+
+    fx = _join_view_fixture(spark, sf_dir)
+    cols = JOIN_VIEW_COLS
+    root = tempfile.mkdtemp(prefix="join_view_stream_")
+    try:
+        m = JoinViewMaintainer(
+            spark, root, on=["custkey"], cols=cols
+        )
+        boot_o = fx["o_old"].select(
+            "custkey", "o_orderstatus", F.lit(1).alias("sign")
+        )
+        boot_c = fx["c_old"].select(
+            "custkey", "c_mktsegment", F.lit(1).alias("sign")
+        )
+        applied0 = m.update(
+            boot_o, fx["o_old"], boot_c, fx["c_old"].limit(0), 0
+        )
+        applied1 = m.update(
+            fx["d_o"], fx["o_new"], fx["d_c"], fx["c_old"], 1
+        )
+        replayed = m.update(
+            fx["d_o"], fx["o_new"], fx["d_c"], fx["c_old"], 1
+        )
+        if not (applied0 and applied1) or replayed:
+            raise RuntimeError(
+                f"join-view maintenance sequence broken: "
+                f"{applied0}, {applied1}, replay={replayed}"
+            )
+        out = m.current().orderBy(*cols).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 ORACLE_JOIN_VIEW = """
@@ -923,6 +987,7 @@ QUERIES = {
     "scd2_late_repair": q_scd2_late_repair,
     "events_scd2_asof_enrich": q_events_scd2_asof_enrich,
     "orders_join_view_maintenance": q_orders_join_view_maintenance,
+    "cdc_join_view_stream": q_cdc_join_view_stream,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_user_overlap": q_sketch_user_overlap,
     "sketch_hll_users": q_sketch_hll_users,
@@ -939,6 +1004,7 @@ ORACLES = {
     "scd2_late_repair": ORACLE_SCD2,
     "events_scd2_asof_enrich": ORACLE_SCD2_ASOF,
     "orders_join_view_maintenance": ORACLE_JOIN_VIEW,
+    "cdc_join_view_stream": ORACLE_JOIN_VIEW,
     "sketch_distinct_users": ORACLE_SKETCH_KMV,
     "sketch_user_overlap": _oracle_sketch_overlap(),
     # sketch_hll_users: DataSketches estimate is implementation-defined

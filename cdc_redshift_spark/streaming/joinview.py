@@ -1,0 +1,93 @@
+"""Streaming equi-join view maintenance: a materialized join view
+kept fresh from signed micro-batch deltas — the streaming face of
+``operators/incremental.join_view_delta`` / ``apply_view_delta``,
+wired to the same versioned write-new-then-swap commit discipline as
+``RollupMaintainer`` / ``Scd2Maintainer``.
+
+Per batch this costs two delta-broadcast joins (``dL ⋈ R_old`` and
+``L_new ⋈ dR`` — neither shuffles the big tables) plus one
+view-sized groupBy merge; the view is NEVER recomputed from the base
+tables.  Bootstrap needs no special case: starting from the empty
+view, a first batch of ``dL = L(+1), dR = R(+1), R_old = ∅`` makes
+``L_new ⋈ dR`` the full join — initial load IS the algebra.
+
+Replay-safe exactly like the other maintainers: a batch id at or
+below the committed version no-ops (foreachBatch retries the same id
+after a crash), and snapshots beyond ``keep_versions`` are pruned on
+every commit, so a continuous stream cannot grow unbounded version
+directories.  Wire into :class:`CdcPipeline` via ``on_raw_batch``,
+deriving the four frames from the batch's change images and the
+stored base-table snapshots (``ParquetSink.read_table``).
+
+At 100 TB: both deltas are micro-batch-small and broadcast
+(plan-pinned in tests/test_plan_quality.py for the batch operator);
+with the fact stored bucketed by join key, pass ``left_new`` pruned
+to the delta's key buckets so the fact scan touches only matching
+partitions (SCALE.md round-6: 1/64 files measured).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_redshift_spark.operators.incremental import (
+    apply_view_delta,
+    join_view_delta,
+)
+from cdc_redshift_spark.streaming.snapshots import VersionedSnapshotStore
+
+
+class JoinViewMaintainer(VersionedSnapshotStore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        on: list[str],
+        cols: list[str],
+        cnt_col: str = "cnt",
+        keep_versions: int = 2,
+    ):
+        self.spark = spark
+        self.path = path
+        self.on = list(on)
+        self.cols = list(cols)
+        self.cnt_col = cnt_col
+        self.keep_versions = keep_versions
+        os.makedirs(path, exist_ok=True)
+
+    def update(
+        self,
+        d_left: DataFrame,
+        left_new: DataFrame,
+        d_right: DataFrame,
+        right_old: DataFrame,
+        batch_id: int,
+    ) -> bool:
+        """Fold one micro-batch of signed base-table deltas into the
+        stored view (bag semantics: ``cols..., cnt``).  Frames follow
+        :func:`join_view_delta`'s contract — deltas carry a ``sign``
+        column (+1 insert image / -1 delete image), ``left_new`` is
+        the left table AFTER this batch, ``right_old`` the right
+        table BEFORE it.  Returns False (no-op) when ``batch_id`` was
+        already committed — the replay-idempotence path."""
+        last = self.committed_batch()
+        if last is not None and batch_id <= last:
+            return False
+        delta = join_view_delta(
+            d_left, left_new, d_right, right_old, on=self.on, cols=self.cols
+        )
+        view = self.current()
+        if view is None:  # empty view: bootstrap via the algebra itself
+            view = (
+                delta.select(*self.cols)
+                .limit(0)
+                .withColumn(self.cnt_col, F.lit(0).cast("long"))
+            )
+        new_view = apply_view_delta(
+            view, delta, self.cols, cnt_col=self.cnt_col
+        )
+        self._commit(new_view, batch_id)
+        return True

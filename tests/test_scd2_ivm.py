@@ -614,3 +614,41 @@ def test_scd2_maintainer_repair_update_handles_late_rows(spark, tmp_path):
     assert _hist_rows(m.current()) == _hist_rows(
         scd2_history(changelog, **KW)
     )
+
+
+def test_join_view_maintainer_bootstrap_fold_replay(spark, tmp_path):
+    """JoinViewMaintainer: bootstrap from empty via the delta algebra,
+    fold a mixed batch, replay no-ops, retention bounds versions."""
+    import os
+
+    from cdc_redshift_spark.streaming.joinview import JoinViewMaintainer
+
+    L = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A")], "k int, lv string"
+    )
+    R = spark.createDataFrame([(1, "r1"), (2, "r2")], "k int, rv string")
+    cols = ["k", "lv", "rv"]
+    m = JoinViewMaintainer(spark, str(tmp_path / "jv"), on=["k"], cols=cols)
+    one = F.lit(1).alias("sign")
+    assert m.update(L.select("k", "lv", one), L, R.select("k", "rv", one), R.limit(0), 0)
+    got0 = {(r.k, r.lv, r.rv, r.cnt) for r in m.current().collect()}
+    assert got0 == {(1, "A", "r1", 1), (1, "B", "r1", 1), (2, "A", "r2", 1)}
+
+    # batch 1: delete (1,'B'), insert (2,'C'); R unchanged
+    dL = spark.createDataFrame(
+        [(1, "B", -1), (2, "C", 1)], "k int, lv string, sign int"
+    )
+    L1 = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (2, "C")], "k int, lv string"
+    )
+    dR = spark.createDataFrame([], "k int, rv string, sign int")
+    assert m.update(dL, L1, dR, R, 1)
+    assert not m.update(dL, L1, dR, R, 1)  # replay no-op
+    got1 = {(r.k, r.lv, r.rv, r.cnt) for r in m.current().collect()}
+    assert got1 == {(1, "A", "r1", 1), (2, "A", "r2", 1), (2, "C", "r2", 1)}
+    vdirs = [
+        d
+        for d in os.listdir(tmp_path / "jv")
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    assert len(vdirs) <= m.keep_versions
