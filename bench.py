@@ -66,7 +66,6 @@ def main() -> None:
         # round-5 third pass: prefix-filtered exact similarity join
         # and batch-vs-index incremental near-dup probe
         "dedup_simjoin",
-        "dedup_incremental_minhash",
         # round-6: the layout family's write-clustered-then-scan path
         # (range shuffle + parquet commit + stats-pruned read)
         "layout_pruned_scan",
@@ -125,6 +124,49 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in headline:
         times[name] = timed(lambda: force(qs[name](spark, SF_DIR)))
+
+    # incremental-minhash split (r6 VERDICT #3): the old single entry
+    # conflated the ONE-TIME index construction with the steady-state
+    # probe the operator exists for.  `_build` times signing the
+    # stored corpus; `_probe` times the real per-batch work — sign the
+    # batch + band-join it against the ALREADY-PERSISTED index
+    # (SCALE.md: probe wall is flat as the index grows, so probe ≫
+    # build matters at 100 TB where the index is built once).
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_frames,
+    )
+    from cdc_redshift_spark.queries.dedup_q import (
+        INC_BATCH_MOD,
+        INC_MH_BANDS,
+        INC_MH_K,
+        INC_MH_THRESHOLD,
+    )
+    from cdc_redshift_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ex = docs.where(F.col("doc_id") % INC_BATCH_MOD != 0)
+    ba = docs.where(F.col("doc_id") % INC_BATCH_MOD == 0)
+    times["dedup_incremental_minhash_build"] = timed(
+        lambda: force(minhash_frames(ex, k=INC_MH_K))
+    )
+    idx = minhash_frames(ex, k=INC_MH_K).persist()
+    idx.count()
+    times["dedup_incremental_minhash_probe"] = timed(
+        lambda: force(
+            incremental_minhash_pairs(
+                idx,
+                minhash_frames(ba, k=INC_MH_K),
+                k=INC_MH_K,
+                bands=INC_MH_BANDS,
+                jaccard_threshold=INC_MH_THRESHOLD,
+            )
+        ),
+        keep_cache=True,
+    )
+    idx.unpersist()
 
     # CDC apply-rate: one full micro-batch (synth changelog ≈ reference's
     # 200k-offset trigger at sf0.1) through parse→normalize→dedup→merge

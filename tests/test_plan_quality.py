@@ -366,3 +366,30 @@ def test_heavy_hitters_screen_then_semi_join(spark):
     assert "CartesianProduct" not in plan
     # the 1-row total broadcast is the only nest
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_aqe_coalesces_small_query_despite_wide_initial_partitions():
+    """The session factory starts every shuffle at
+    initialPartitionNum = max(256, 8*cpus) and relies on AQE to
+    coalesce; pin that a small aggregate actually lands on FEW
+    shuffle partitions (a host/config regression here would fragment
+    every tiny stage into 256 sorters — r6 VERDICT #7)."""
+    from cdc_redshift_spark.session import get_spark
+
+    spark = get_spark("aqe-pin-test")
+    df = (
+        spark.range(10_000)
+        .selectExpr("id % 7 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+    )
+    df.collect()  # AQE final plan only exists after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
+    # final partition count of the shuffle read must be far below the
+    # wide initial number — read it from the final RDD
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts <= 16, (
+        f"small aggregate fragmented into {n_parts} partitions; "
+        f"AQE coalescing lost (plan: {plan[:400]})"
+    )

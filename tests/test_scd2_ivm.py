@@ -652,3 +652,96 @@ def test_join_view_maintainer_bootstrap_fold_replay(spark, tmp_path):
         if d.startswith("v") and d[1:].isdigit()
     ]
     assert len(vdirs) <= m.keep_versions
+
+
+def test_join_view_maintainer_via_cdc_pipeline(spark, tmp_path):
+    """Live integration: CdcPipeline applies fact-table state while
+    the join-view maintainer folds the SAME Debezium micro-batches'
+    signed images into a persisted fact-join-dim view — on_raw_batch
+    captures the full envelope (before-images), on_batch (post-apply)
+    reads the NEW fact state the delta identity needs.  Final view
+    equals a from-scratch join over the applied table."""
+    import json
+
+    from cdc_redshift_spark.normalize import pg_changeset, pg_retraction_stream
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+    from cdc_redshift_spark.streaming.joinview import JoinViewMaintainer
+    from cdc_redshift_spark.streaming.pipeline import CdcPipeline
+
+    def env(op, before, after, ts, off):
+        return (
+            json.dumps(
+                {
+                    "before": json.dumps(before) if before else None,
+                    "after": json.dumps(after) if after else None,
+                    "source": {"db": "d", "table": "t", "ts_ms": ts},
+                    "op": op,
+                    "ts_ms": ts,
+                }
+            ),
+            off,
+        )
+
+    rows = [
+        env("c", None, {"id": 1, "grp": "g1"}, 10, 0),
+        env("c", None, {"id": 2, "grp": "g1"}, 10, 1),
+        env("c", None, {"id": 3, "grp": "g2"}, 10, 2),
+        # batch 1: move id 2 to g2, delete id 3
+        env("u", {"id": 2, "grp": "g1"}, {"id": 2, "grp": "g2"}, 20, 3),
+        env("d", {"id": 3, "grp": "g2"}, None, 20, 4),
+    ]
+    raw = spark.createDataFrame(rows, "value string, offset long")
+    dim = spark.createDataFrame(
+        [("g1", "east"), ("g2", "west")], "grp string, region string"
+    )
+    cols = ["grp", "region"]
+    sink = ParquetSink(spark, str(tmp_path / "sink"), keys=("key",))
+    m = JoinViewMaintainer(
+        spark, str(tmp_path / "jv"), on=["grp"], cols=cols
+    )
+
+    class Bridge:
+        """on_raw_batch captures the envelope batch; on_batch (post-
+        apply) derives the four IVM frames and updates the view."""
+
+        def __init__(self):
+            self.raw = None
+
+        def pre(self, bid, r):
+            self.raw = r
+
+        def post(self, bid, _changes):
+            d_left = pg_retraction_stream(self.raw).select(
+                F.get_json_object("payload", "$.grp").alias("grp"),
+                "sign",
+            )
+            left_new = (
+                sink.read_table(spark, "d", "t")
+                .select(F.get_json_object("payload", "$.grp").alias("grp"))
+            )
+            d_dim = dim.select(*cols).limit(0).withColumn("sign", F.lit(1))
+            m.update(d_left, left_new, d_dim, dim, bid)
+
+    b = Bridge()
+    pipe = CdcPipeline(
+        lambda r: pg_changeset(r, offset_col="offset"),
+        sink,
+        on_raw_batch=b.pre,
+        on_batch=b.post,
+    )
+    pipe.process_batch(raw.filter(F.col("offset") < 3), 0)
+    pipe.process_batch(raw.filter(F.col("offset") >= 3), 1)
+    # replay of batch 1: sink apply is LWW-idempotent, maintainer no-ops
+    pipe.process_batch(raw.filter(F.col("offset") >= 3), 1)
+    assert m.committed_batch() == 1
+
+    got = {(r.grp, r.region, r.cnt) for r in m.current().collect()}
+    want_df = (
+        sink.read_table(spark, "d", "t")
+        .select(F.get_json_object("payload", "$.grp").alias("grp"))
+        .join(dim, "grp")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {(r.grp, r.region, r.cnt) for r in want_df.collect()}
+    assert got == want == {("g1", "east", 1), ("g2", "west", 1)}
