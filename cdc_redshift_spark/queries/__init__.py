@@ -60,8 +60,8 @@ _GATE_WINDOW = [
     "scd2_late_repair",
     "cdc_ingest_compaction",
     "cdc_join_view_stream",
-    # r5-gated streaming re-certification riding the spare slot (1)
-    "cdc_first_seen_stream",
+    # round-7 graph-centrality addition riding the spare slot (1)
+    "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -106,6 +106,7 @@ def all_queries():
         corpus_q,
         dedup_q,
         dq_q,
+        graph_q,
         incremental_q,
         layout_q,
         multimodal_q,
@@ -128,6 +129,7 @@ def all_queries():
         temporal_q,
         incremental_q,
         dq_q,
+        graph_q,
         layout_q,
         tpch_q,
     )
