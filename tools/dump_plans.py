@@ -47,7 +47,8 @@ CALLOUTS = {
     "scd2_incremental_apply": "batch window + BroadcastHashJoin of the per-key cut against history; history never re-sorted",
     "orders_join_view_maintenance": "both IVM joins broadcast the DELTA side; bases never shuffle for a join; union + one groupBy apply",
     "docs_bm25_topk": "tf explode filtered to query terms pre-shuffle; df broadcast; ONE 1-row stats BNLJ; TakeOrderedAndProject",
-    "events_heavy_hitters": "MG screen persisted (3 InMemoryTableScan consumers, ONE runtime Arrow pass); candidates broadcast into a LeftSemi; count shuffle carries candidate rows only",
+    "events_heavy_hitters": "MG screen collected once to LOCAL rows (no cache, no runtime Arrow stage); candidates broadcast into a LeftSemi; count shuffle carries candidate rows only",
+    "scd2_late_repair": "late keys broadcast into BOTH prune joins (anti on history, semi on changelog); only touched keys re-window",
     "events_scd2_asof_enrich": "zero join nodes: union + per-key window carry + containment projection",
 }
 
