@@ -561,6 +561,10 @@ def main():
         print(json.dumps({"op": "bm25_topk", "docs": n, "sec": wall}), flush=True)
         d.unpersist()
 
+    round7_sections(spark, docs)
+
+
+def round7_sections(spark, docs):
     # round-7 operators ------------------------------------------------
     # (1) Bloom index maintenance on a pruned commit: touching 1 of 32
     # partitions must pay ~1/32 of a full index rebuild (r6 VERDICT:
@@ -570,42 +574,52 @@ def main():
 
     from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
 
-    orders_ch = load_table(spark, SF, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.pmod(F.col("o_orderkey"), F.lit(32)).cast("string").alias("p"),
-        F.col("o_custkey").alias("aux"),
-        F.lit("insert").alias("op"),
-        F.lit(1).cast("long").alias("ts_ms"),
-        F.col("o_orderkey").alias("offset"),
-    ).persist()
-    n_orders = orders_ch.count()
-    broot = _tf.mkdtemp(prefix="bloom_scale_")
-    try:
-        sink = ParquetSink(
-            spark, broot, keys=("k",), partition_cols=("p",),
-            bloom_index_cols=("aux",),
-        )
-        t0 = time.perf_counter()
-        sink.apply_changeset("d", "t", orders_ch)
-        first_commit = round(time.perf_counter() - t0, 2)
-        one = orders_ch.where(F.col("k") == 7).withColumn(
-            "ts_ms", F.lit(2).cast("long")
-        )
-        t0 = time.perf_counter()
-        sink.apply_changeset("d", "t", one)  # pruned: 1/32 partitions
-        pruned_commit = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        sink._build_bloom("d", "t", sink._latest_version("d", "t"))
-        full_rebuild = round(time.perf_counter() - t0, 2)
-        print(json.dumps({
-            "op": "bloom_pruned_commit", "rows": n_orders,
-            "partitions": 32, "initial_commit_sec": first_commit,
-            "pruned_commit_sec": pruned_commit,
-            "forced_full_index_rebuild_sec": full_rebuild,
-        }), flush=True)
-    finally:
-        _shutil.rmtree(broot, ignore_errors=True)
-    orders_ch.unpersist()
+    # table 1x -> Rx with a CONSTANT one-key commit: the forced full
+    # index rebuild must grow with the table, the pruned commit's
+    # index maintenance must stay ~flat (it scans 1/32 partitions).
+    orders_base = load_table(spark, SF, "orders")
+    for scale in (1, REPLICAS):
+        o_parts = [
+            orders_base.select(
+                (F.col("o_orderkey") + i * 100_000_000).alias("k"),
+                F.pmod(F.col("o_orderkey"), F.lit(32)).cast("string").alias("p"),
+                F.col("o_custkey").alias("aux"),
+                F.lit("insert").alias("op"),
+                F.lit(1).cast("long").alias("ts_ms"),
+                (F.col("o_orderkey") + i * 100_000_000).alias("offset"),
+            )
+            for i in range(scale)
+        ]
+        orders_ch = o_parts[0]
+        for q in o_parts[1:]:
+            orders_ch = orders_ch.unionByName(q)
+        orders_ch = orders_ch.persist()
+        n_orders = orders_ch.count()
+        broot = _tf.mkdtemp(prefix="bloom_scale_")
+        try:
+            sink = ParquetSink(
+                spark, broot, keys=("k",), partition_cols=("p",),
+                bloom_index_cols=("aux",),
+            )
+            sink.apply_changeset("d", "t", orders_ch)
+            one = orders_ch.where(F.col("k") == 7).withColumn(
+                "ts_ms", F.lit(2).cast("long")
+            )
+            t0 = time.perf_counter()
+            sink.apply_changeset("d", "t", one)  # pruned: 1/32 partitions
+            pruned_commit = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            sink._build_bloom("d", "t", sink._latest_version("d", "t"))
+            full_rebuild = round(time.perf_counter() - t0, 2)
+            print(json.dumps({
+                "op": "bloom_pruned_commit", "rows": n_orders,
+                "partitions": 32,
+                "pruned_commit_sec": pruned_commit,
+                "forced_full_index_rebuild_sec": full_rebuild,
+            }), flush=True)
+        finally:
+            _shutil.rmtree(broot, ignore_errors=True)
+        orders_ch.unpersist()
 
     # (2) Ingest-layout compaction: 32 per-batch partitions fold to 1;
     # the per-batch probe read (the hot path) gets faster, and the
@@ -653,40 +667,55 @@ def main():
         scd2_rebuild_keys,
     )
 
-    ch7 = load_table(spark, SF, "events").select(
-        "user_id", "ts", "event_id", "event_type", "value",
-        F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, "delete")
-        .otherwise("update").alias("op"),
-    ).persist()
-    n_ch = ch7.count()
+    # changelog 1x -> Rx with a CONSTANT 20-key repair: full rebuild
+    # must grow with the log, repair must stay ~flat (broadcast
+    # semi-join prunes the window to the touched keys).
+    ev7 = load_table(spark, SF, "events")
     kw7 = dict(keys=["user_id"], ts_col="ts",
                attrs=["event_type", "value"], tiebreak=["event_id"])
-    sroot = _tf.mkdtemp(prefix="scd2_scale_")
-    try:
-        scd2_history(ch7, **kw7).write.mode("overwrite").parquet(
-            f"{sroot}/hist"
-        )
-        stored = spark.read.parquet(f"{sroot}/hist")
-        rk = ch7.select("user_id").distinct().limit(20)
-        t0 = time.perf_counter()
-        scd2_rebuild_keys(
-            stored, ch7, ["user_id"], "ts", ["event_type", "value"], rk,
-            tiebreak=["event_id"],
-        ).write.format("noop").mode("overwrite").save()
-        repair_sec = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        scd2_history(ch7, **kw7).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        full_sec = round(time.perf_counter() - t0, 2)
-        print(json.dumps({
-            "op": "scd2_late_repair", "changes": n_ch,
-            "rebuilt_keys": 20, "repair_sec": repair_sec,
-            "full_rebuild_sec": full_sec,
-        }), flush=True)
-    finally:
-        _shutil.rmtree(sroot, ignore_errors=True)
-    ch7.unpersist()
+    for scale in (1, REPLICAS):
+        c_parts = [
+            ev7.select(
+                (F.col("user_id") + i * 10_000_000).alias("user_id"),
+                "ts",
+                (F.col("event_id") + i * 100_000_000).alias("event_id"),
+                "event_type", "value",
+                F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, "delete")
+                .otherwise("update").alias("op"),
+            )
+            for i in range(scale)
+        ]
+        ch7 = c_parts[0]
+        for q in c_parts[1:]:
+            ch7 = ch7.unionByName(q)
+        ch7 = ch7.persist()
+        n_ch = ch7.count()
+        sroot = _tf.mkdtemp(prefix="scd2_scale_")
+        try:
+            scd2_history(ch7, **kw7).write.mode("overwrite").parquet(
+                f"{sroot}/hist"
+            )
+            stored = spark.read.parquet(f"{sroot}/hist")
+            rk = ch7.select("user_id").distinct().limit(20)
+            t0 = time.perf_counter()
+            scd2_rebuild_keys(
+                stored, ch7, ["user_id"], "ts", ["event_type", "value"],
+                rk, tiebreak=["event_id"],
+            ).write.format("noop").mode("overwrite").save()
+            repair_sec = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            scd2_history(ch7, **kw7).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            full_sec = round(time.perf_counter() - t0, 2)
+            print(json.dumps({
+                "op": "scd2_late_repair", "changes": n_ch,
+                "rebuilt_keys": 20, "repair_sec": repair_sec,
+                "full_rebuild_sec": full_sec,
+            }), flush=True)
+        finally:
+            _shutil.rmtree(sroot, ignore_errors=True)
+        ch7.unpersist()
 
     # (4) PageRank: disjoint replica subgraphs -> per-iteration cost
     # must grow ~linearly with edges (each round is one key-partitioned
@@ -727,4 +756,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--r7" in _sys.argv:  # rerun just the round-7 sections
+        _sp = get_spark("scale_smoke_r7")
+        round7_sections(_sp, load_table(_sp, SF, "documents"))
+    else:
+        main()
