@@ -669,6 +669,98 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sink_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION on the versioned sink
+    (`ParquetSink.repartition_table`): orders committed UNPARTITIONED
+    (v1, full-rewrite merges), evolved in place to partition by
+    ``status`` (v2 — in-query assertion that the new snapshot has
+    ``status=`` directories), then a changeset touching only
+    status-'F' keys applied — with in-query PROOF the post-evolution
+    merge is pruned: every other status partition of v3 is a hard
+    link of v2's files, not a rewrite.  The oracle reconstructs the
+    final state from the base table, so a green row certifies the
+    one-time layout rewrite and the newly-pruned merge both preserve
+    content exactly — the Iceberg partition-evolution contract a
+    mis-partitioned 100 TB table needs, on plain parquet."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    ch = (
+        base.where((F.col("status") == "F") & (F.pmod(F.col("k"), F.lit(10)) == 1))
+        .withColumn("cents", F.col("cents") + 1)
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("update"))
+    )
+    root = tempfile.mkdtemp(prefix="repart_evo_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        sink.apply_changeset("db", "t", base)          # v1, unpartitioned
+        sink.repartition_table("db", "t", ["status"])  # v2, by status
+        tdir = _os.path.join(root, "db", "t")
+        v2_dirs = sorted(
+            d for d in _os.listdir(_os.path.join(tdir, "v2"))
+            if d.startswith("status=")
+        )
+        if not v2_dirs:
+            raise RuntimeError("evolution did not produce status= dirs")
+        sink.apply_changeset("db", "t", ch)            # v3, pruned on status
+        for d in v2_dirs:
+            if d == "status=F":
+                continue
+            for f in _os.listdir(_os.path.join(tdir, "v3", d)):
+                if not f.endswith(".parquet"):
+                    continue
+                if not _os.path.samefile(
+                    _os.path.join(tdir, "v2", d, f),
+                    _os.path.join(tdir, "v3", d, f),
+                ):
+                    raise RuntimeError(
+                        f"post-evolution merge rewrote untouched {d}/{f}"
+                    )
+        out = (
+            sink.read_table(spark, "db", "t")
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_REPARTITION = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), fin AS (
+  SELECT k, status,
+         CASE WHEN status = 'F' AND k % 10 = 1 THEN cents + 1
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM fin GROUP BY status ORDER BY status
+"""
+
+
 ORACLE_SINK_TIME_TRAVEL = """
 WITH base AS (
   SELECT o_orderkey AS k, o_orderstatus AS status,
@@ -835,6 +927,7 @@ QUERIES = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
     "sink_table_changes": q_sink_table_changes,
+    "sink_repartition_evolution": q_sink_repartition_evolution,
     "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
@@ -847,6 +940,7 @@ ORACLES = {
     "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
+    "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
     "cdc_rollup_maintenance": ORACLE_CDC_ROLLUP,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,

@@ -411,6 +411,39 @@ class ParquetSink(Sink):
         """Direct snapshot write (initial loads / oracle comparisons)."""
         self._commit(db, table, state)
 
+    def repartition_table(
+        self, db: str, table: str, new_partition_cols: Sequence[str]
+    ) -> None:
+        """PARTITION-SPEC EVOLUTION: commit a new snapshot of the
+        current state rewritten under ``new_partition_cols`` and adopt
+        them as the sink's partitioning — the Iceberg
+        partition-evolution story on plain parquet, minus per-file
+        spec tracking (the new spec applies to the whole new snapshot;
+        older snapshots stay readable via ``read_table(version=)``
+        with their own layout and per-version schema).  Content is
+        byte-identical; only directory layout changes, and every
+        subsequent ``apply_changeset`` prunes on the NEW column.
+
+        Cost: ONE full rewrite (a repartition shuffle + write) — the
+        unavoidable price of changing physical layout; pay it once in
+        a maintenance window, then merges are O(touched partitions)
+        again.  A mis-partitioned 100 TB table pays a full-table merge
+        on EVERY micro-batch, so the one-time rewrite amortizes in a
+        handful of commits.  The Bloom index (if configured) is
+        rebuilt for the new snapshot; the empty column list reverts
+        the table to unpartitioned."""
+        cur = self.read_table(self.spark, db, table, include_tombstones=True)
+        if cur is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        missing = [c for c in new_partition_cols if c not in cur.columns]
+        if missing:
+            raise ValueError(
+                f"new partition column(s) {missing} not in {db}.{table} "
+                f"schema {cur.columns}"
+            )
+        self.partition_cols = list(new_partition_cols)
+        self._commit(db, table, cur)
+
     def _commit(self, db: str, table: str, state: DataFrame) -> None:
         d = self._dir(db, table)
         v = (self._latest_version(db, table) or 0) + 1

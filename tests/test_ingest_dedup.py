@@ -313,3 +313,34 @@ def test_compaction_crash_recovery_never_loses_rows(spark, docs):
             "folded_dirs": 0,
             "rows": 0,
         }
+
+
+def test_compaction_works_for_neardup_signature_index(spark, docs):
+    """compact_batches is layout-generic: the near-dup deduper's
+    signature index (id, sh, sig arrays) folds the same way, and the
+    post-compaction probe still rejects near-dups of folded batches."""
+    from cdc_redshift_spark.streaming.ingest import (
+        NearDupIngestDeduper,
+        compact_batches,
+    )
+
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    with tempfile.TemporaryDirectory() as tmp:
+        idx, acc = os.path.join(tmp, "idx"), os.path.join(tmp, "acc")
+        dd = NearDupIngestDeduper(idx, acc)
+        half = hi // 2
+        dd(docs.where(F.col("doc_id") < half), 0)
+        dd(docs.where(F.col("doc_id") >= half), 1)
+        accepted_before = {
+            r.id for r in spark.read.parquet(acc).select("id").collect()
+        }
+        compact_batches(spark, idx, upto_batch=2)
+        compact_batches(spark, acc, upto_batch=2)
+        assert _dirs(idx) == ["batch=-1"]
+        # replaying the whole corpus as a NEW batch: every doc must be
+        # rejected against the folded index (ids already indexed)
+        dd(docs, 2)
+        accepted_after = {
+            r.id for r in spark.read.parquet(acc).select("id").collect()
+        }
+        assert accepted_after == accepted_before

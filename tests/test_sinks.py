@@ -615,3 +615,81 @@ def test_sink_time_travel_pins_per_version_schema(spark, tmp_path):
     # change feed narrows to the common columns instead of erroring
     feed = sink.table_changes(spark, "db", "t", from_version=1).collect()
     assert feed == []  # val unchanged; extra not comparable across versions
+
+
+def test_expire_tombstones_keeps_bloom_and_pruned_path(spark, tmp_path):
+    """Tombstone expiry runs through the same pruned-commit path; with
+    bloom_index_cols configured the index must follow the new version
+    and keep serving lookups for surviving rows."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark,
+        str(tmp_path / "ex"),
+        keys=("k",),
+        partition_cols=("p",),
+        bloom_index_cols=("aux",),
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, p string, aux long, op string"
+        ).select(
+            "k", "p", "aux", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    rows = [(i, f"p{i % 3}", 1000 + i, "insert") for i in range(60)]
+    rows += [(100 + i, f"p{i % 3}", 2000 + i, "delete") for i in range(6)]
+    sink.apply_changeset("db", "t", ch(rows, 1))
+    sink.expire_tombstones("db", "t", before_ts_ms=10)
+    cur = sink.read_table(spark, "db", "t", include_tombstones=True)
+    assert cur.where(F.col("op") == "delete").count() == 0
+    files = sink.lookup_files("db", "t", "aux", 1042)
+    assert files and all(
+        f"/v{sink._latest_version('db', 't')}/" in f for f in files
+    )
+    got = spark.read.parquet(*files).where(F.col("aux") == 1042).collect()
+    assert [r["k"] for r in got] == [42]
+
+
+def test_repartition_table_guards_and_layout(spark, tmp_path):
+    """Partition-spec evolution: missing table/column raise; evolving
+    to a column produces the hive layout and adopts the new spec for
+    subsequent merges; the empty list reverts to unpartitioned."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path / "rp"), keys=("k",))
+    with pytest.raises(ValueError, match="does not exist"):
+        sink.repartition_table("db", "t", ["p"])
+    df = spark.createDataFrame(
+        [(1, "a", "insert", 1, 1), (2, "b", "insert", 1, 2)],
+        "k long, p string, op string, ts_ms long, offset long",
+    )
+    sink.apply_changeset("db", "t", df)
+    with pytest.raises(ValueError, match="not in"):
+        sink.repartition_table("db", "t", ["nope"])
+    sink.repartition_table("db", "t", ["p"])
+    v = sink._latest_version("db", "t")
+    vdir = os.path.join(str(tmp_path / "rp"), "db", "t", f"v{v}")
+    assert sorted(
+        d for d in os.listdir(vdir) if d.startswith("p=")
+    ) == ["p=a", "p=b"]
+    assert sink.partition_cols == ["p"]
+    # content identical across the evolution
+    got = {(r.k, r.p) for r in sink.read_table(spark, "db", "t").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # revert to unpartitioned
+    sink.repartition_table("db", "t", [])
+    v2 = sink._latest_version("db", "t")
+    vdir2 = os.path.join(str(tmp_path / "rp"), "db", "t", f"v{v2}")
+    assert not any(d.startswith("p=") for d in os.listdir(vdir2))
+    assert sink.partition_cols == []
