@@ -621,3 +621,111 @@ def corpus_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn("split", expr)
+
+
+def corpus_split_leakage_safe(
+    df: DataFrame,
+    ratios: dict[str, float],
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """CLUSTER-AWARE train/val/test assignment: near-duplicate
+    documents must land in the SAME split, or the eval set silently
+    leaks into train through paraphrases the plain per-doc hash split
+    (:func:`corpus_split`) cannot see — the classic contamination
+    path in web-scale LLM corpora.
+
+    ``pairs`` is any duplicate-pair edge list ``(id_a, id_b)`` — from
+    :func:`~cdc_redshift_spark.operators.dedup.minhash_lsh_pairs`,
+    the exact-fp generator, or simjoin.  Connected components elect
+    each cluster's min-id representative, and the split hash is taken
+    on the REPRESENTATIVE's id, so every member of a duplicate
+    cluster inherits exactly one assignment; singletons degrade to
+    the plain per-doc hash on their own id (their component is
+    themselves), keeping the grow-stable property — adding documents
+    never migrates an existing singleton's split, and joining a
+    cluster moves a doc only if its cluster rep differs.
+
+    Cost: the CC label-propagation loop (rounds = cluster diameter;
+    near-dup clusters are shallow) + ONE key join to attach labels —
+    everything else is the zero-shuffle hash projection.
+    """
+    from cdc_redshift_spark.operators.dedup import connected_components
+
+    ids = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(ids, pairs)  # (id, cluster_id)
+    labeled = corpus_split(
+        comp.withColumnRenamed("cluster_id", "__rep"),
+        ratios,
+        id_col="__rep",
+        salt=salt,
+    ).select(F.col("id").alias(id_col), "split")
+    return df.join(labeled, id_col)
+
+
+def corpus_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budgeted curation: keep the maximal QUALITY-DESC PREFIX
+    of the corpus whose cumulative token count stays within
+    ``budget_tokens`` — the fixed-compute-budget selection step of a
+    training-data mix.  Tie order inside one quality value is the
+    engine-stable 60-bit hash of ``salt || id`` (uniform, not
+    id-biased), then the id itself; tokens are non-negative so the
+    running total is monotone and "cumsum <= budget" IS the prefix.
+
+    Scale design — NO global-order window: (1) per-quality-value
+    token mass (one groupBy producing |distinct quality| rows),
+    (2) the crossing value q* found on the collected tiny histogram,
+    (3) every row with quality above q* passes outright, and ONLY
+    the boundary bucket (quality == q*) runs an ordered running-sum
+    window — partitioned to a single quality value, a sliver of the
+    corpus.  Quantize continuous scores (e.g. ``round(q, 3)``)
+    before calling to bound the histogram.  Output is bit-identical
+    to the naive global sort + running sum (property-tested).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    hist = (
+        df.groupBy(quality_col)
+        .agg(F.sum(tokens_col).alias("__mass"))
+        .orderBy(F.col(quality_col).desc())
+        .collect()
+    )
+    cum = 0
+    qstar = None
+    remaining = 0
+    for r in hist:
+        mass = int(r["__mass"] or 0)
+        if cum + mass <= budget_tokens:
+            cum += mass
+            continue
+        qstar = r[quality_col]
+        remaining = budget_tokens - cum
+        break
+    if qstar is None:  # whole corpus fits
+        return df
+    from pyspark.sql import Window
+
+    above = df.where(F.col(quality_col) > F.lit(qstar))
+    tie = stable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(quality_col)
+        .orderBy(tie.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        df.where(F.col(quality_col) == F.lit(qstar))
+        .withColumn("__cum", F.sum(tokens_col).over(w))
+        .where(F.col("__cum") <= F.lit(int(remaining)))
+        .drop("__cum")
+    )
+    return above.unionByName(boundary)

@@ -61,7 +61,8 @@ _GATE_WINDOW = [
     "cdc_ingest_compaction",
     "cdc_join_view_stream",
     # round-7 graph-centrality addition riding the spare slot (1)
-    # (round-8 rotation queue: sink_repartition_evolution landed after
+    # (round-8 rotation queue: sink_repartition_evolution,
+    # corpus_split_leakage_safe, and corpus_budget_select landed after
     # the window filled — LOCALGATE + pytest this round, window next)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)

@@ -23,6 +23,7 @@ from cdc_redshift_spark.operators.corpus import (
     weighted_sample,
 )
 from cdc_redshift_spark.sources.tables import load_table
+from cdc_redshift_spark.functions import text as TXQ
 
 # ---- DuckDB fragments mirroring operators/corpus.py ----------------------
 
@@ -601,8 +602,124 @@ ORDER BY split, lang
 """
 
 
+def q_corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE split (operators/corpus.corpus_split_leakage_safe):
+    exact-duplicate documents (same normalized fingerprint) must land
+    in the SAME train/val/test split — the per-doc hash split would
+    let a duplicate of an eval doc leak into train.  Pairs come from
+    the fingerprint generator (rep -> member star edges), connected
+    components elect the min-id representative, and the split hash is
+    taken on the representative.  The no-leakage invariant is ALSO
+    asserted in-query (any fingerprint spanning two splits raises);
+    the oracle mirrors rep election (one window) + the 60-bit bucket
+    math bit-for-bit."""
+    from cdc_redshift_spark.functions.text import fingerprint
+    from cdc_redshift_spark.operators.corpus import (
+        corpus_split_leakage_safe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window
+
+    fps = docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    pairs = fps.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    out = corpus_split_leakage_safe(
+        fps.select("doc_id", "fp"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        pairs,
+    )
+    leaks = (
+        out.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .limit(1)
+        .count()
+    )
+    if leaks:
+        raise RuntimeError("duplicate cluster spans two splits — leakage")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH fp AS (
+  SELECT doc_id, md5({DUCK_NORM.format(c='text')}) AS fp FROM documents
+), rep AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep FROM fp
+), b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS b
+  FROM rep
+)
+SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED curation (operators/corpus.corpus_budget_select):
+    keep the maximal quality-desc prefix of the corpus fitting a
+    budget of 1/4 of total tokens — the fixed-compute data-mix
+    selection.  The operator runs the two-phase histogram plan (no
+    global-order window: only the boundary quality value is
+    cumsummed); the oracle runs the NAIVE global running-sum mirror,
+    so a green row proves the scale plan computes exactly the greedy
+    prefix."""
+    from cdc_redshift_spark.functions import text as TX
+    from cdc_redshift_spark.operators.corpus import corpus_budget_select
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total) // 4
+    out = corpus_budget_select(scored, budget)
+    return out.select("doc_id", "quality", "n_tokens").orderBy("doc_id")
+
+
+ORACLE_BUDGET_SELECT = f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(0.4 * {TXQ.duck_stop_ratio('text')}
+               + 0.3 * (1 - ({TXQ.DUCK_PUNCT_RATIO.format(c='text')}))
+               + 0.3 * least({TXQ.DUCK_TOKEN_COUNT.format(c='text')} / 50.0, 1.0), 6)
+           AS quality,
+         CAST({TXQ.DUCK_TOKEN_COUNT.format(c='text')} AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) // 4 AS b FROM scored
+), ordered AS (
+  SELECT *,
+         sum(n_tokens) OVER (
+           ORDER BY quality DESC,
+             ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM scored
+)
+SELECT doc_id, quality, n_tokens
+FROM ordered WHERE cum <= (SELECT b FROM tot)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_split_manifest": q_corpus_split_manifest,
+    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+    "corpus_budget_select": q_corpus_budget_select,
     "docs_bm25_topk": q_docs_bm25_topk,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_source_cap": q_corpus_source_cap,
@@ -617,6 +734,8 @@ QUERIES = {
 
 ORACLES = {
     "corpus_split_manifest": ORACLE_CORPUS_SPLIT,
+    "corpus_split_leakage_safe": ORACLE_SPLIT_LEAKAGE,
+    "corpus_budget_select": ORACLE_BUDGET_SELECT,
     "docs_bm25_topk": ORACLE_BM25,
     "corpus_decontaminate": ORACLE_DECONTAMINATE,
     "corpus_source_cap": ORACLE_SOURCE_CAP,

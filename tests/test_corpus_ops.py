@@ -197,3 +197,89 @@ def test_corpus_split_ratio_validation(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="sum to 1"):
         corpus_split(df, {"train": 0.5, "test": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# round 7: leakage-safe split + budget select
+# ---------------------------------------------------------------------------
+
+
+def test_budget_select_equals_naive_prefix(spark):
+    """The two-phase histogram plan must compute EXACTLY the naive
+    global quality-desc prefix under the budget, including hash tie
+    order inside the boundary quality value."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.corpus import (
+        corpus_budget_select,
+        stable_hash60,
+    )
+
+    rows = [(i, float((i * 7) % 5) / 10.0, 10 + (i * 3) % 17) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+    for budget in (0, 37, 500, 1500, 10**9):
+        got = {
+            r.doc_id
+            for r in corpus_budget_select(df, budget).collect()
+        }
+        tie = stable_hash60(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
+        )
+        w = (
+            Window.orderBy(
+                F.col("quality").desc(), tie.asc(), F.col("doc_id").asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            r.doc_id
+            for r in df.withColumn("c", F.sum("n_tokens").over(w))
+            .where(F.col("c") <= budget)
+            .collect()
+        }
+        assert got == want, budget
+    import pytest
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        corpus_budget_select(df, -1)
+
+
+def test_leakage_safe_split_with_minhash_pairs(spark):
+    """End-to-end with REAL near-dup pairs: every minhash cluster
+    lands whole in one split; singletons keep their plain per-doc
+    assignment (grow-stability)."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.corpus import (
+        corpus_split,
+        corpus_split_leakage_safe,
+    )
+    from cdc_redshift_spark.operators.dedup import minhash_lsh_pairs
+
+    base = [
+        (i, f"unique document number {i} with its own words {i * 17}")
+        for i in range(40)
+    ]
+    dups = [
+        (100 + i, "a shared near duplicate text body repeated verbatim here")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.9).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    ratios = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = corpus_split_leakage_safe(docs, ratios, pairs)
+    splits = {r.doc_id: r.split for r in out.collect()}
+    assert len(splits) == 46
+    dup_splits = {splits[100 + i] for i in range(6)}
+    assert len(dup_splits) == 1, dup_splits
+    # singleton docs keep exactly the plain per-doc hash assignment
+    plain = {
+        r.doc_id: r.split
+        for r in corpus_split(docs, ratios).collect()
+    }
+    clustered = {p for r in pairs.collect() for p in (r.id_a, r.id_b)}
+    for i in range(40):
+        if i not in clustered:
+            assert splits[i] == plain[i]
