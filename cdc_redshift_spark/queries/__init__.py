@@ -54,9 +54,9 @@ _GATE_WINDOW = [
     "events_heavy_hitters",
     "layout_bloom_lookup",
     "layout_zorder_scan",
-    # round-7 new operators take these slots as they land (3);
-    # until then the slots are r5-gated streaming re-certification
-    # placeholders (swapped out by the commits adding the operators)
+    # round-7 new operators (3): SCD2 late-change repair, ingest
+    # compaction across the exactly-once boundary, streaming
+    # join-view maintenance
     "scd2_late_repair",
     "cdc_ingest_compaction",
     "cdc_join_view_stream",
