@@ -693,6 +693,62 @@ WHERE abs(length(a.nm) - length(b.nm)) <= {ER_MAX_DIST}
 """
 
 
+SPAN_N = 8  # span window in tokens (Lee et al. use 50; fixture docs are 10-99 tokens)
+
+
+def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (operators/spandedup.py): every
+    maximal token span whose length-8 windows all occur in >= 2
+    distinct documents — the partial-duplication complement to the
+    doc-level dedups above (boilerplate/quote stripping, Lee et al.
+    2022).  The oracle replays tokenization, the engine-stable 60-bit
+    gram hash, the distinct-doc gram filter and the island merge in
+    DuckDB SQL, so a green row certifies the full span algebra."""
+    from cdc_redshift_spark.operators.spandedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, n=SPAN_N)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    ).orderBy("doc_id", "span_start")
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+{SPAN_N - 1}], ' ')), 1, 15))::BIGINT AS g
+  FROM toks, UNNEST(range(1, len(t) - {SPAN_N} + 2)) AS u(i)
+),
+dup AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g
+  ) WHERE d >= 2
+),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {SPAN_N - 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grouped AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SPAN_N - 1} AS BIGINT) AS span_end
+FROM grouped GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -708,9 +764,11 @@ QUERIES = {
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "er_fuzzy_name_pairs": q_er_fuzzy_name_pairs,
+    "docs_substring_dedup": q_docs_substring_dedup,
 }
 
 ORACLES = {
+    "docs_substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),
