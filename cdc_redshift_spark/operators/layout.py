@@ -344,3 +344,65 @@ def bloom_lookup_files(
     return [
         r["file"] for r in index.where(F.expr(member)).select("file").collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# Persisted zone-map file index (range data skipping as an explicit index)
+# ---------------------------------------------------------------------------
+
+
+def zonemap_file_index(spark, path, cols) -> "DataFrame":
+    """Per-data-file min/max zone map for ``cols``: one row per file,
+    columns ``file, <c>_min, <c>_max ...``.
+
+    :func:`file_ranges` above walks parquet footers on the DRIVER —
+    fine for test evidence, a sequential bottleneck at the ~10^6 files
+    a 100 TB table holds.  This is the distributed, persistable form:
+    ONE column-pruned scan, ``groupBy(input_file_name())`` with
+    min/max JVM aggregates (map-side combining, so shuffle volume is
+    one tiny row per file per task).  The index frame is what a probe
+    planner consults to turn a RANGE predicate into an explicit file
+    list (the range complement of :func:`bloom_file_index`'s point
+    lookup), and being a plain DataFrame it persists next to the
+    snapshot and merges across incremental commits exactly like the
+    Bloom index rows (unchanged files keep their rows).
+
+    ``path`` may be one directory or a list of them.
+    """
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.parquet(*paths)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def zonemap_prune_files(index: "DataFrame", bounds: dict) -> list[str]:
+    """Files whose zones INTERSECT every ``col: (lo, hi)`` bound (no
+    false negatives; ``None`` = unbounded on that side).
+
+    Conservative on NULLs: min/max aggregates ignore NULL values, so a
+    file whose column is entirely NULL has NULL zone bounds and is
+    always kept (zone maps cannot serve ``IS NULL`` predicates — a
+    reader needing those keeps a null-count column alongside).  The
+    collect is one tiny row per candidate file, the same boundedness
+    as :func:`bloom_lookup_files`.
+    """
+    cond = F.lit(True)
+    for c, (lo, hi) in bounds.items():
+        if hi is not None:
+            cond &= F.col(f"{c}_min").isNull() | (
+                F.col(f"{c}_min") <= F.lit(hi)
+            )
+        if lo is not None:
+            cond &= F.col(f"{c}_max").isNull() | (
+                F.col(f"{c}_max") >= F.lit(lo)
+            )
+    return [
+        r["file"] for r in index.where(cond).select("file").collect()
+    ]

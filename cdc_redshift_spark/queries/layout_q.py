@@ -23,6 +23,8 @@ from cdc_redshift_spark.operators.layout import (
     cluster,
     file_ranges,
     pruned_fraction,
+    zonemap_file_index,
+    zonemap_prune_files,
 )
 from cdc_redshift_spark.sources.tables import load_table
 
@@ -262,13 +264,91 @@ ORDER BY o_orderkey
 """
 
 
+#: the zone-map probe window: one quarter out of orders' ~6.6-year
+#: span (1995-01..2001-08 in this testdata; o_orderdate is a
+#: TIMESTAMP), so a date-clustered 16-file layout must prune most of
+#: the files.  Half-open [lo, hi) so both engines bound identically.
+ZM_LO, ZM_HI = "1996-01-01", "1996-04-01"
+
+
+def q_layout_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted zone-map index on a date-clustered layout
+    (operators/layout.zonemap_file_index): write orders range-clustered
+    on ``o_orderdate``, build the per-file min/max index with ONE
+    distributed scan (no driver footer walk), resolve a quarter-long
+    date-range predicate to an explicit candidate file list, and read
+    ONLY those files.  Raises unless the index skips at least half the
+    files.  The oracle is the plain date filter over the full table, so
+    a green row certifies the no-false-negative pruning contract
+    end-to-end — the range complement of ``layout_bloom_lookup``."""
+    import datetime
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo = datetime.datetime.fromisoformat(ZM_LO)
+    hi = datetime.datetime.fromisoformat(ZM_HI)
+    root = tempfile.mkdtemp(prefix="layout_zonemap_")
+    try:
+        snap = f"{root}/orders_dateclustered"
+        cluster(
+            orders, ["o_orderdate"], num_files=LAYOUT_FILES
+        ).write.parquet(snap)
+        idx = zonemap_file_index(
+            spark, snap, ["o_orderdate", "o_orderkey"]
+        ).cache()
+        n_files = idx.count()
+        files = zonemap_prune_files(idx, {"o_orderdate": (lo, hi)})
+        idx.unpersist()
+        if not files or len(files) > n_files // 2:
+            raise RuntimeError(
+                f"zone-map index pruning off-contract: {len(files)}/"
+                f"{n_files} files intersect a one-quarter date window "
+                "on a date-clustered layout"
+            )
+        out = (
+            spark.read.parquet(*files)
+            .where(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("cents_total"),
+            )
+            .orderBy("month")
+            .localCheckpoint(eager=True)  # snap dir is removed below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_ZONEMAP_SCAN = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents_total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{ZM_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{ZM_HI} 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "layout_bloom_lookup": q_layout_bloom_lookup,
+    "layout_zonemap_scan": q_layout_zonemap_scan,
     "layout_pruned_scan": q_layout_pruned_scan,
     "layout_zorder_scan": q_layout_zorder_scan,
 }
 ORACLES = {
     "layout_bloom_lookup": ORACLE_BLOOM_LOOKUP,
+    "layout_zonemap_scan": ORACLE_ZONEMAP_SCAN,
     "layout_pruned_scan": ORACLE_LAYOUT_SCAN,
     "layout_zorder_scan": ORACLE_ZORDER_SCAN,
 }

@@ -244,3 +244,58 @@ def test_zorder_rejects_empty_and_all_null_and_places_nulls(spark):
     out = zorder_cluster(mixed, ["x", "y"]).collect()
     got = {((-1 if r["x"] is None else r["x"]), r["y"]) for r in out}
     assert got == {(1, 1), (-1, 2), (100, 3)}
+
+
+def test_zonemap_prunes_exactly_intersecting_files(spark, tmp_path):
+    from cdc_redshift_spark.operators.layout import (
+        zonemap_file_index,
+        zonemap_prune_files,
+    )
+
+    df = spark.range(0, 1600).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "zm")
+    cluster(df, ["k"], num_files=8).write.parquet(path)
+    idx = zonemap_file_index(spark, path, ["k", "v"])
+    rows = idx.collect()
+    assert len(rows) == 8
+    # each range-clustered file covers a disjoint ~200-wide k slice
+    files = zonemap_prune_files(idx, {"k": (100, 299)})
+    expect = {
+        r["file"] for r in rows if not (r["k_max"] < 100 or r["k_min"] > 299)
+    }
+    assert set(files) == expect and 1 <= len(files) <= 3
+    # no false negatives: reading the candidate list equals full filter
+    got = (
+        spark.read.parquet(*files).where(F.col("k").between(100, 299)).count()
+    )
+    assert got == 200
+    # open-ended bounds
+    assert len(zonemap_prune_files(idx, {"k": (1400, None)})) <= 2
+    assert len(zonemap_prune_files(idx, {"k": (None, None)})) == 8
+    # multi-column bounds intersect: v spans 0-6 in EVERY file, so a
+    # v-bound outside that range empties the candidate list even when
+    # the k-bound matches everything
+    assert zonemap_prune_files(idx, {"k": (None, None), "v": (8, 9)}) == []
+
+
+def test_zonemap_keeps_all_null_zone_files(spark, tmp_path):
+    from cdc_redshift_spark.operators.layout import (
+        zonemap_file_index,
+        zonemap_prune_files,
+    )
+
+    a = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    b = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "zmnull")
+    a.coalesce(1).write.parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    idx = zonemap_file_index(spark, path, ["v"])
+    # the all-NULL file has NULL zone bounds -> conservatively kept
+    files = zonemap_prune_files(idx, {"v": (15, 18)})
+    assert len(files) == 2
