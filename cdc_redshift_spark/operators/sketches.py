@@ -290,3 +290,118 @@ def hist_quantiles(
         .agg(F.min("bin_id").alias("bin_id"))
         .select(*dims, "q", hist_bin_mid("bin_id").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimation in fixed space)
+# ---------------------------------------------------------------------------
+
+#: Count-Min geometry: d hash rows x w buckets.  Error bound is
+#: ``est - exact <= e/w * N`` with probability ``1 - e^-d`` (Cormode &
+#: Muthukrishnan 2005, doi:10.1016/j.jalgor.2003.12.001); w=2048, d=4
+#: bounds the overestimate at ~0.13% of the stream mass with ~98%
+#: confidence, in 64 KiB regardless of key cardinality.
+CM_D = 4
+CM_W = 2048
+
+
+def cm_hashes(key_col: Column) -> tuple[Column, Column]:
+    """Kirsch–Mitzenmacher double-hash bases: row j probes bucket
+    ``(h1 + j*h2) mod w``.  Both bases are the engine-stable 60-bit
+    md5 hash (``stable_hash60``), h2 forced odd so the j-progression
+    never degenerates; j*h2 < 2^62 keeps the sum inside BIGINT in
+    BOTH engines, so the sketch cells — and the estimates — mirror
+    bit-for-bit in DuckDB SQL."""
+    h1 = stable_hash60(key_col)
+    h2 = stable_hash60(F.concat(F.lit("c:"), key_col)).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """Build the sketch: ``(j, bucket, cnt)`` rows, at most d*w of
+    them whatever the key cardinality.  ONE explode of d small ints
+    per input row, then a (j, bucket)-keyed count — the partial
+    aggregation collapses each task's contribution to <= d*w cells
+    map-side, so shuffle volume is bounded by geometry, not data.
+    Unlike the exact ``heavy_hitters`` two-pass (operators/quality),
+    the sketch is MERGEABLE: cells add, so per-bucket rollups union
+    and re-aggregate without touching the base table."""
+    h1, h2 = cm_hashes(F.col(key_col).cast("string"))
+    return (
+        df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+            h1.alias("__h1"),
+            h2.alias("__h2"),
+        )
+        .select(
+            "j",
+            F.pmod(
+                F.col("__h1") + F.col("j").cast("long") * F.col("__h2"),
+                F.lit(int(w)).cast("long"),
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Elementwise sum of sketches with the same geometry — the
+    mergeability that makes CM a rollup measure."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: min over the
+    d rows of the probed cells (absent cell = 0).  Never
+    underestimates.  The sketch side is <= d*w rows BY CONSTRUCTION,
+    so it broadcasts; the probe frame never shuffles.  ``d``/``w``
+    must match the build geometry."""
+    h1, h2 = cm_hashes(F.col(key_col).cast("string"))
+    cells = probes.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(int(d) - 1))).alias("j"),
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+    ).select(
+        key_col,
+        "j",
+        F.pmod(
+            F.col("__h1") + F.col("j").cast("long") * F.col("__h2"),
+            F.lit(int(w)).cast("long"),
+        ).alias("bucket"),
+    )
+    return (
+        cells.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def duck_cm_cells(source_sql: str, key_expr: str, d: int, w: int) -> str:
+    """DuckDB mirror of :func:`cm_sketch`'s cells over ``source_sql``
+    (a relation producing one row per stream element)."""
+    return f"""
+  SELECT j,
+         (('0x' || substr(md5({key_expr}), 1, 15))::BIGINT
+          + j * ((('0x' || substr(md5('c:' || {key_expr}), 1, 15))::BIGINT | 1))
+         ) % {w} AS bucket,
+         count(*) AS cnt
+  FROM ({source_sql}), UNNEST(range(0, {d})) AS u(j)
+  GROUP BY 1, 2
+"""

@@ -979,8 +979,115 @@ ORDER BY 1, 2, 3
 """
 
 
+#: CM probe tokens: three present corpus words + one absent
+#: ("quantum" is not in the generator vocabulary) so the estimate
+#: path exercises both populated and collision-only cells.
+CM_TOKEN_PROBES = ["merge", "quantum", "scan", "window"]
+CM_TOK_W = 2048
+CM_TOK_D = 4
+
+
+def q_sketch_cm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency sketch (operators/sketches.py
+    ``cm_sketch``, Cormode & Muthukrishnan 2005): estimate corpus word
+    frequencies from a fixed d x w = 4 x 2048-cell sketch instead of
+    an unbounded vocabulary groupBy — the fixed-space frequency
+    complement of the KMV distinct sketches above, and like them built
+    on the engine-stable 60-bit hash so the CELLS and the ESTIMATES
+    mirror bit-for-bit in DuckDB.  Raises unless every estimate >= its
+    exact count (the CM never-underestimate guarantee); the oracle
+    recomputes sketch, estimates and exact counts in SQL."""
+    from cdc_redshift_spark.functions.text import words
+    from cdc_redshift_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words(F.col("text"))).alias("w"))
+    sk = cm_sketch(toks, "w", d=CM_TOK_D, w=CM_TOK_W)
+    probes = spark.createDataFrame(
+        [(p,) for p in CM_TOKEN_PROBES], "w string"
+    )
+    est = cm_estimate(sk, probes, "w", d=CM_TOK_D, w=CM_TOK_W)
+    exact = (
+        toks.join(F.broadcast(probes), "w", "left_semi")
+        .groupBy("w")
+        .count()
+    )
+    out = (
+        probes.join(est, "w", "left")
+        .join(exact, "w", "left")
+        .select(
+            F.col("w").alias("token"),
+            F.coalesce(F.col("count"), F.lit(0)).alias("n_exact"),
+            F.coalesce(F.col("est"), F.lit(0)).alias("n_est"),
+            (
+                F.coalesce(F.col("est"), F.lit(0))
+                - F.coalesce(F.col("count"), F.lit(0))
+            ).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+    rows = out.collect()
+    for r in rows:
+        if r.overcount < 0:
+            raise RuntimeError(
+                f"CM sketch UNDERESTIMATED {r.token}: "
+                f"est {r.n_est} < exact {r.n_exact}"
+            )
+    return spark.createDataFrame(
+        rows, "token string, n_exact long, n_est long, overcount long"
+    )
+
+
+def _oracle_cm_tokens() -> str:
+    from cdc_redshift_spark.operators.sketches import duck_cm_cells
+
+    probes = ", ".join(f"'{p}'" for p in CM_TOKEN_PROBES)
+    cells = duck_cm_cells(
+        "SELECT w FROM toks", "w", CM_TOK_D, CM_TOK_W
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+),
+cells AS ({cells}),
+probes AS (SELECT unnest([{probes}]) AS w),
+pcells AS (
+  SELECT p.w, u.j,
+         (p.h1 + u.j * p.h2) % {CM_TOK_W} AS bucket
+  FROM (
+    SELECT w,
+           ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+           (('0x' || substr(md5('c:' || w), 1, 15))::BIGINT | 1) AS h2
+    FROM probes
+  ) p, UNNEST(range(0, {CM_TOK_D})) AS u(j)
+),
+est AS (
+  SELECT w, min(coalesce(c.cnt, 0)) AS n_est
+  FROM pcells LEFT JOIN cells c USING (j, bucket)
+  GROUP BY w
+),
+exact AS (
+  SELECT w, count(*) AS n_exact FROM toks
+  WHERE w IN ({probes}) GROUP BY w
+)
+SELECT p.w AS token,
+       CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(s.n_est AS BIGINT) AS n_est,
+       CAST(s.n_est - coalesce(e.n_exact, 0) AS BIGINT) AS overcount
+FROM probes p
+JOIN est s USING (w)
+LEFT JOIN exact e USING (w)
+ORDER BY token
+"""
+
+
 QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
+    "sketch_cm_tokens": q_sketch_cm_tokens,
     "scd2_user_history": q_scd2_user_history,
     "scd2_incremental_apply": q_scd2_incremental_apply,
     "scd2_stream_maintenance": q_scd2_stream_maintenance,
@@ -997,6 +1104,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_cm_tokens": _oracle_cm_tokens(),
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
     "scd2_user_history": ORACLE_SCD2,
     "scd2_incremental_apply": ORACLE_SCD2,

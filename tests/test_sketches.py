@@ -272,3 +272,53 @@ def test_kmv_intersect_estimate_within_bounds(spark):
         .e
     )
     assert abs(got - 2000) / 2000 < 0.25, got
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cm_never_underestimates_and_is_tight_when_sparse(spark):
+    from cdc_redshift_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    # skewed stream: key k appears k times, k = 1..60 (1830 rows)
+    df = spark.range(1, 61).select(
+        F.explode(F.sequence(F.lit(1), F.col("id"))).alias("r"),
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+    )
+    sk = cm_sketch(df, "key", d=4, w=1024)
+    assert sk.count() <= 4 * 1024
+    probes = df.select("key").distinct().union(
+        spark.createDataFrame([("absent",)], "key string")
+    )
+    est = {r.key: r.est for r in cm_estimate(
+        sk, probes, "key", d=4, w=1024).collect()}
+    for k in range(1, 61):
+        assert est[f"k{k}"] >= k
+        # 60 keys in 1024 buckets: collisions are rare; the estimate
+        # should stay within the e*N/w ~ 5 additive bound
+        assert est[f"k{k}"] - k <= 5
+    assert est["absent"] >= 0
+
+
+def test_cm_merge_equals_whole_stream_sketch(spark):
+    from cdc_redshift_spark.operators.sketches import cm_merge, cm_sketch
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 500).select(
+        (F.col("id") % 37).cast("string").alias("key")
+    )
+    b = spark.range(500, 900).select(
+        (F.col("id") % 23).cast("string").alias("key")
+    )
+    merged = cm_merge(cm_sketch(a, "key"), cm_sketch(b, "key"))
+    whole = cm_sketch(a.union(b), "key")
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
