@@ -716,7 +716,77 @@ ORDER BY doc_id
 """
 
 
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 1.0
+
+
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/corpus.dsir_logweights,
+    Xie et al. 2023): target distribution = the English slice of the
+    corpus, raw distribution = everything; every doc scored by the
+    hashed unigram+bigram likelihood ratio.  The oracle replays the
+    engine-stable bucket hash, the smoothed bucket counts and the
+    per-doc log-sum in SQL at 6 dp — the same discipline as the BM25
+    and PageRank float mirrors."""
+    from cdc_redshift_spark.operators.corpus import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs,
+        target_flag=F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS,
+        alpha=DSIR_ALPHA,
+    ).orderBy("doc_id")
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tgt, g,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, tgt, unnest(list_concat(
+      t,
+      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+    )) AS g
+    FROM toks
+  )
+  WHERE g <> ''
+),
+tcnt AS (SELECT b, count(*) AS ct FROM grams WHERE tgt GROUP BY b),
+scnt AS (SELECT b, count(*) AS cs FROM grams GROUP BY b),
+stats AS (
+  SELECT count(*) FILTER (tgt) AS nt, count(*) AS ns FROM grams
+),
+perdoc AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(ln(coalesce(tc.ct, 0) + {DSIR_ALPHA})
+             - ln(sc.cs + {DSIR_ALPHA})) AS s
+  FROM grams g
+  LEFT JOIN tcnt tc USING (b)
+  JOIN scnt sc USING (b)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(
+         round(p.s + p.n_grams
+               * (ln(st.ns + {DSIR_ALPHA * DSIR_BUCKETS})
+                  - ln(st.nt + {DSIR_ALPHA * DSIR_BUCKETS})), 6),
+         0.0) AS logw
+FROM documents d
+LEFT JOIN perdoc p USING (doc_id), stats st
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split_manifest": q_corpus_split_manifest,
     "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
     "corpus_budget_select": q_corpus_budget_select,
@@ -733,6 +803,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dsir_weights": ORACLE_DSIR_WEIGHTS,
     "corpus_split_manifest": ORACLE_CORPUS_SPLIT,
     "corpus_split_leakage_safe": ORACLE_SPLIT_LEAKAGE,
     "corpus_budget_select": ORACLE_BUDGET_SELECT,

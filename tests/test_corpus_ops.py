@@ -283,3 +283,47 @@ def test_leakage_safe_split_with_minhash_pairs(spark):
     for i in range(40):
         if i not in clustered:
             assert splits[i] == plain[i]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_separates_target_vocab(spark):
+    from cdc_redshift_spark.operators.corpus import dsir_logweights
+    from pyspark.sql import functions as F
+
+    # target docs speak "aa bb", raw-only docs speak "xx yy"; a fresh
+    # target-speaking doc must outscore a raw-speaking one
+    rows = (
+        [(i, "aa bb aa bb aa", 1) for i in range(10)]
+        + [(100 + i, "xx yy xx yy xx", 0) for i in range(10)]
+        + [(900, "aa bb aa", 0), (901, "xx yy xx", 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    w = {
+        r.doc_id: r.logw
+        for r in dsir_logweights(df, F.col("tgt") == 1).collect()
+    }
+    assert len(w) == 22
+    assert w[900] > w[901]
+
+
+def test_dsir_gram_count_and_degenerate_docs(spark):
+    from cdc_redshift_spark.operators.corpus import dsir_logweights
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", 1), (2, "", 0), (3, "solo", 0)],
+        "doc_id long, text string, tgt int",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dsir_logweights(df, F.col("tgt") == 1).collect()
+    }
+    # 4 unigrams + 3 bigrams
+    assert rows[1].n_grams == 7
+    assert rows[2].n_grams == 0 and rows[2].logw == 0.0
+    # single token: 1 unigram, no bigrams
+    assert rows[3].n_grams == 1
