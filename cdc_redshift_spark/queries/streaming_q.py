@@ -809,8 +809,133 @@ LEFT JOIN hit USING (id)
 """
 
 
+CM_STREAM_PROBES = ["1", "2", "3", "424242"]  # three live users + absent
+CM_STREAM_D = 4
+CM_STREAM_W = 1024
+
+
+def q_cdc_stream_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained from a STREAM
+    (streaming/sketch.CmSketchMaintainer): the events table split into
+    three micro-batches by event_id residue, folded into the stored
+    sketch under the versioned swap-commit, with batch 0 REPLAYED to
+    exercise the exactly-once no-op guard.  Probing the final sketch
+    must equal probing a single whole-table sketch — the mergeability
+    contract — so the oracle is the plain batch CM mirror over all of
+    events, plus exact counts; the never-underestimate check raises
+    in-query exactly like ``sketch_cm_tokens``."""
+    from cdc_redshift_spark.operators.sketches import cm_estimate
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.sketch import CmSketchMaintainer
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_cm_")
+    try:
+        m = CmSketchMaintainer(
+            spark,
+            tmp,
+            prepare=lambda b: b.select(
+                F.col("user_id").cast("string").alias("key")
+            ),
+            d=CM_STREAM_D,
+            w=CM_STREAM_W,
+        )
+        seq = [
+            m.update(ev.where(F.col("event_id") % 3 == 0), 0),
+            m.update(ev.where(F.col("event_id") % 3 == 0), 0),  # replay
+            m.update(ev.where(F.col("event_id") % 3 == 1), 1),
+            m.update(ev.where(F.col("event_id") % 3 == 2), 2),
+        ]
+        if seq != [True, False, True, True]:
+            raise RuntimeError(f"CM maintainer sequence broken: {seq}")
+        sketch = m.current()
+        probes = spark.createDataFrame(
+            [(p,) for p in CM_STREAM_PROBES], "key string"
+        )
+        est = cm_estimate(
+            sketch, probes, "key", d=CM_STREAM_D, w=CM_STREAM_W
+        )
+        exact = (
+            ev.select(F.col("user_id").cast("string").alias("key"))
+            .join(F.broadcast(probes), "key", "left_semi")
+            .groupBy("key")
+            .count()
+        )
+        out = (
+            probes.join(est, "key", "left")
+            .join(exact, "key", "left")
+            .select(
+                "key",
+                F.coalesce(F.col("count"), F.lit(0)).alias("n_exact"),
+                F.coalesce(F.col("est"), F.lit(0)).alias("n_est"),
+                (
+                    F.coalesce(F.col("est"), F.lit(0))
+                    - F.coalesce(F.col("count"), F.lit(0))
+                ).alias("overcount"),
+            )
+            .orderBy("key")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for r in rows:
+        if r.overcount < 0:
+            raise RuntimeError(
+                f"streamed CM sketch UNDERESTIMATED key {r.key}: "
+                f"{r.n_est} < {r.n_exact}"
+            )
+    return spark.createDataFrame(
+        rows, "key string, n_exact long, n_est long, overcount long"
+    )
+
+
+def _oracle_stream_cm() -> str:
+    from cdc_redshift_spark.operators.sketches import duck_cm_cells
+
+    probes = ", ".join(f"'{p}'" for p in CM_STREAM_PROBES)
+    cells = duck_cm_cells(
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events",
+        "k",
+        CM_STREAM_D,
+        CM_STREAM_W,
+    )
+    return f"""
+WITH cells AS ({cells}),
+probes AS (SELECT unnest([{probes}]) AS k),
+pcells AS (
+  SELECT p.k, u.j,
+         (p.h1 + u.j * p.h2) % {CM_STREAM_W} AS bucket
+  FROM (
+    SELECT k,
+           ('0x' || substr(md5(k), 1, 15))::BIGINT AS h1,
+           (('0x' || substr(md5('c:' || k), 1, 15))::BIGINT | 1) AS h2
+    FROM probes
+  ) p, UNNEST(range(0, {CM_STREAM_D})) AS u(j)
+),
+est AS (
+  SELECT k, min(coalesce(c.cnt, 0)) AS n_est
+  FROM pcells LEFT JOIN cells c USING (j, bucket)
+  GROUP BY k
+),
+exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n_exact
+  FROM events WHERE CAST(user_id AS VARCHAR) IN ({probes})
+  GROUP BY 1
+)
+SELECT p.k AS key,
+       CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(s.n_est AS BIGINT) AS n_est,
+       CAST(s.n_est - coalesce(e.n_exact, 0) AS BIGINT) AS overcount
+FROM probes p
+JOIN est s USING (k)
+LEFT JOIN exact e USING (k)
+ORDER BY key
+"""
+
+
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
+    "cdc_stream_cm_sketch": q_cdc_stream_cm_sketch,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
     "cdc_windowed_ops_stream": q_cdc_windowed_ops_stream,
     "cdc_sessionize_stream": q_cdc_sessionize_stream,
@@ -824,6 +949,7 @@ QUERIES = {
 }
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
+    "cdc_stream_cm_sketch": _oracle_stream_cm(),
     "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,
     "cdc_windowed_ops_stream": ORACLE_WINDOWED_OPS,
     "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,

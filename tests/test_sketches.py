@@ -322,3 +322,33 @@ def test_cm_merge_equals_whole_stream_sketch(spark):
         merged.exceptAll(whole).count() == 0
         and whole.exceptAll(merged).count() == 0
     )
+
+
+def test_cm_maintainer_replay_and_merge_equivalence(spark, tmp_path):
+    from cdc_redshift_spark.operators.sketches import cm_sketch
+    from cdc_redshift_spark.streaming.sketch import CmSketchMaintainer
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 900).select(
+        (F.col("id") % 41).cast("string").alias("key"),
+        F.col("id").alias("event_id"),
+    )
+    m = CmSketchMaintainer(
+        spark, str(tmp_path / "cm"), prepare=lambda b: b.select("key"),
+        d=4, w=512, keep_versions=2,
+    )
+    assert m.update(df.where(F.col("event_id") % 2 == 0), 0)
+    assert not m.update(df.where(F.col("event_id") % 2 == 0), 0)  # replay
+    assert not m.update(df.limit(5), 0)  # stale id, any payload
+    assert m.update(df.where(F.col("event_id") % 2 == 1), 1)
+    streamed = m.current()
+    whole = cm_sketch(df.select("key"), "key", d=4, w=512)
+    assert (
+        streamed.exceptAll(whole).count() == 0
+        and whole.exceptAll(streamed).count() == 0
+    )
+    # retention: keep_versions bounds the snapshot count
+    m.update(df.limit(10).select("key", "event_id"), 2)
+    vdirs = [d for d in (tmp_path / "cm").iterdir()
+             if d.name.startswith("v")]
+    assert len(vdirs) <= 2
