@@ -61,9 +61,11 @@ _GATE_WINDOW = [
     "cdc_ingest_compaction",
     "cdc_join_view_stream",
     # round-7 graph-centrality addition riding the spare slot (1)
-    # (round-8 rotation queue: sink_repartition_evolution,
-    # corpus_split_leakage_safe, and corpus_budget_select landed after
-    # the window filled — LOCALGATE + pytest this round, window next)
+    # (round-8 rotation queue — landed after the window filled,
+    # LOCALGATE + pytest this round, window next:
+    # sink_repartition_evolution, corpus_split_leakage_safe,
+    # corpus_budget_select, docs_substring_dedup, layout_zonemap_scan,
+    # sketch_cm_tokens, corpus_dsir_weights, cdc_stream_cm_sketch)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",
