@@ -74,6 +74,11 @@ def main() -> None:
         # sparse retrieval (filtered posting explode + broadcast df)
         "scd2_user_history",
         "docs_bm25_topk",
+        # round-7 second pass: substring-span dedup (gram explode +
+        # two gram-keyed aggs + island window) and DSIR importance
+        # weights (gram explode + bucket-bounded broadcast scoring)
+        "docs_substring_dedup",
+        "corpus_dsir_weights",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

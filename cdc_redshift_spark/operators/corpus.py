@@ -765,13 +765,21 @@ def dsir_logweights(
     from cdc_redshift_spark.functions.text import words
 
     toks = words(F.col(text_col))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    # bigrams via zip_with(t, tail(t)): O(n) per doc — a slice(t, i, 2)
+    # inside transform re-slices the array per POSITION (O(n^2)/doc,
+    # measured 5x slower; same trap as map element_at densification).
+    # zip_with pads the shorter side with nulls, so the trailing
+    # (t[n-1], null) pair concats to null and is filtered off.
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.when(
+                b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        lambda x: x.isNotNull(),
+    )
     grams = (
         docs.select(
             F.col(id_col),
@@ -787,27 +795,24 @@ def dsir_logweights(
             ),
         )
     )
-    tcnt = (
-        grams.where(F.col("__tgt"))
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+    # ONE bucket-keyed aggregation carries both distributions (the
+    # target count rides as a conditional sum), and the corpus-size
+    # scalars re-aggregate the <= n_buckets-row count table instead of
+    # rescanning the gram stream — the explode subtree is evaluated
+    # exactly twice (count pass + scoring pass).
+    cnts = grams.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cs"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
     )
-    scnt = grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__cs"))
-    stats = grams.agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__nt"),
-        F.count(F.lit(1)).alias("__ns"),
+    stats = cnts.agg(
+        F.sum("__ct").alias("__nt"), F.sum("__cs").alias("__ns")
     )
     a, ab = F.lit(float(alpha)), F.lit(float(alpha) * n_buckets)
-    ratio = (
-        grams.join(F.broadcast(tcnt), "__b", "left")
-        .join(F.broadcast(scnt), "__b")
-        .select(
-            id_col,
-            (
-                F.log(F.coalesce(F.col("__ct"), F.lit(0)) + a)
-                - F.log(F.col("__cs") + a)
-            ).alias("__r"),
-        )
+    ratio = grams.join(F.broadcast(cnts), "__b").select(
+        id_col,
+        (
+            F.log(F.col("__ct") + a) - F.log(F.col("__cs") + a)
+        ).alias("__r"),
     )
     perdoc = ratio.groupBy(id_col).agg(
         F.sum("__r").alias("__s"), F.count(F.lit(1)).alias("n_grams")
