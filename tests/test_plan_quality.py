@@ -395,3 +395,53 @@ def test_aqe_coalesces_small_query_despite_wide_initial_partitions():
         f"small aggregate fragmented into {n_parts} partitions; "
         f"AQE coalescing lost (plan: {plan[:400]})"
     )
+
+
+def test_substring_dedup_plan_bounded(spark):
+    """Span dedup: no cartesian/nested-loop anywhere, the dup-gram
+    filter is a semi-join, and the two island windows share one
+    per-doc sort (a second Sort node would mean the lag and the
+    running sum each paid their own exchange)."""
+    from cdc_redshift_spark.operators.spandedup import duplicated_spans
+    from cdc_redshift_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(duplicated_spans(docs, n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    import re
+
+    assert len(re.findall(r"\bSort \[doc_id", plan)) == 1
+
+
+def test_cm_sketch_broadcasts_and_bounds(spark):
+    """CM estimate: the sketch side broadcasts (it is <= d*w rows by
+    construction); no cartesian; the build's only wide exchange is
+    the (j, bucket) aggregation."""
+    from cdc_redshift_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    sk = cm_sketch(df, "k", d=4, w=256)
+    probes = spark.createDataFrame([("5",), ("7",)], "k string")
+    plan = plan_of(cm_estimate(sk, probes, "k", d=4, w=256))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_bucket_tables(spark):
+    """DSIR: bucket-count table and corpus scalars broadcast back over
+    the gram stream — the per-doc scoring join must never shuffle the
+    grams by bucket."""
+    from cdc_redshift_spark.queries.corpus_q import q_corpus_dsir_weights
+
+    plan = plan_of(q_corpus_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats nest
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
