@@ -210,3 +210,147 @@ def prefix_length(sz: int, tau: float) -> int:
     """Prefix length for a set of ``sz`` tokens at threshold ``tau``
     (exposed for the completeness property test)."""
     return max(1, sz - math.ceil(tau * sz) + 1)
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, toks) — distinct word ``n``-gram shingles of the
+    normalized text (n=3 default).  Built with nested ``zip_with``
+    over the token array and its shifted tails — O(len) per doc (a
+    slice-inside-transform would re-slice per position, the measured
+    O(len^2) trap) — then ``array_distinct``.  Docs with fewer than
+    ``n`` tokens yield an empty array (callers filter them)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def tail(k: int):
+        return F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+        )
+
+    grams = F.zip_with(toks, tail(1), lambda a, b: F.concat_ws(" ", a, b))
+    for k in range(2, n):
+        # concat_ws skips nulls, so track completeness by word count
+        grams = F.zip_with(
+            grams, tail(k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    full = F.filter(
+        grams,
+        lambda g: F.size(F.split(g, " ")) == n,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(full).alias("toks"),
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    tau: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eager: bool = True,
+    broadcast_verify_max_rows: int = 300_000,
+) -> DataFrame:
+    """All DIRECTED pairs (id_a != id_b) where the fraction of doc A's
+    shingles found in doc B clears ``tau``:
+    ``|S(A) ∩ S(B)| / |S(A)| >= tau`` — the asymmetric doc-in-doc
+    relation Jaccard misses (a paragraph quoted inside a much larger
+    page has high containment but negligible Jaccard).  Word-set
+    containment is degenerate on small shared vocabularies, so the
+    unit is the ``n``-gram SHINGLE set (order-sensitive).
+
+    Output: ``id_a, id_b, containment`` (6 dp), exact.
+
+    Same prefix-filter machinery as :func:`jaccard_similarity_join`
+    with the asymmetric construction: the PROBE side A keeps its
+    rarest-first prefix of ``sa - ceil(tau*sa) + 1`` shingles (A's
+    suffix alone cannot reach the required ``ceil(tau*sa)`` overlap),
+    while the CONTAINER side B must index ALL its shingles — with no
+    A-B size relation, no B-prefix is safe.  Rarest-first ordering
+    still bounds the join buckets: an A-prefix shingle is a join key
+    only when few rarer shingles exist in that doc.  Candidates pass
+    the size gate ``sb >= ceil(tau*sa)`` and the positional bound
+    ``min(sa - pa, sb - pb) >= ceil(tau*sa)`` (for the pair's first
+    shared shingle in the global order, every shared shingle sits at
+    or after it in BOTH ordered lists — the same antitone row-level
+    argument as the Jaccard form), then verify ONCE with
+    ``array_intersect``.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    toks = _shingle_sets(df, id_col, text_col, n).where(
+        F.size("toks") >= 1
+    )
+
+    tok_df = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        toks.select("id", F.explode("toks").alias("tok"))
+        .join(tok_df, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+    )
+    if eager:
+        ordered = ordered.persist()
+
+    # probe side: prefix only; container side: every shingle
+    alpha_a = F.ceil(F.lit(tau) * F.col("sz") - 1e-9).cast("int")
+    a = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sa"),
+        alpha_a.alias("alpha"),
+        F.posexplode(
+            F.slice(
+                "toks",
+                1,
+                F.greatest(
+                    F.lit(1), (F.col("sz") - alpha_a + 1).cast("int")
+                ),
+            )
+        ).alias("pa", "tok"),
+    )
+    b = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sb"),
+        F.posexplode("toks").alias("pb", "tok"),
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.col("sb") >= F.col("alpha"))
+        .where(
+            F.least(
+                F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb")
+            )
+            >= F.col("alpha")
+        )
+        .select("id_a", "id_b", "sa")
+        .distinct()
+    )
+
+    ta = ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    if eager and ordered.count() <= broadcast_verify_max_rows:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
+    cont = F.size(F.array_intersect("ta", "tb")) / F.col("sa")
+    out = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(cont >= tau)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        ordered.unpersist()
+    return out

@@ -749,8 +749,52 @@ ORDER BY doc_id, span_start
 """
 
 
+CONTAIN_TAU = 0.7
+CONTAIN_N = 3
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-in-doc detection
+    (operators/simjoin.containment_join): directed pairs where >= 70%
+    of A's 3-gram shingles occur in B — the quote/boilerplate
+    inclusion relation Jaccard misses (a paragraph embedded in a much
+    larger page).  Same exactness discipline as ``dedup_simjoin``:
+    prefix filtering on the probe side only prunes candidates, and
+    the oracle is the brute-force cross join over the same shingle
+    sets, so a green row certifies completeness."""
+    from cdc_redshift_spark.operators.simjoin import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_join(
+        docs, tau=CONTAIN_TAU, n=CONTAIN_N
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split_regex({DUCK_NORM.format(c="text")}, ' ') AS t
+  FROM documents
+),
+s AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks WHERE len(t) >= {CONTAIN_N}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.g, b.g))::DOUBLE / len(a.g), 6)
+         AS containment
+FROM s a, s b
+WHERE a.id <> b.id
+  AND len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) >= {CONTAIN_TAU}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_containment": q_dedup_containment,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_word_lsh": q_dedup_minhash_word_lsh,
@@ -769,6 +813,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),

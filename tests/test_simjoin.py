@@ -157,3 +157,81 @@ def test_incremental_minhash_matches_scratch(spark, docs):
     # side labels are trustworthy
     for r in inc.collect():
         assert (r.match_side == "batch") == (r.match_id in batch_ids)
+
+
+# ---------------------------------------------------------------------------
+# containment join
+# ---------------------------------------------------------------------------
+
+
+def test_containment_finds_quote_inclusion(spark):
+    from cdc_redshift_spark.operators.simjoin import containment_join
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = (
+        "intro words here now " + quote + " and much more trailing "
+        "content that dilutes jaccard far below any useful threshold "
+        "while the quote is fully contained inside this larger page"
+    )
+    rows = [(1, quote), (2, page), (3, "unrelated text with nothing shared")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join(df, tau=0.8).collect()
+    }
+    # the quote's shingles all occur in the page -> containment 1.0
+    assert got[(1, 2)] == 1.0
+    # the DIRECTED reverse (page in quote) must NOT appear
+    assert (2, 1) not in got
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_containment_equals_brute_force_on_fixture(spark):
+    from cdc_redshift_spark.operators.simjoin import (
+        _shingle_sets,
+        containment_join,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    tau = 0.6
+    fast = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join(docs, tau=tau).collect()
+    }
+    s = _shingle_sets(docs, "doc_id", "text", 3).where(F.size("toks") >= 1)
+    a = s.select(F.col("id").alias("id_a"), F.col("toks").alias("ga"))
+    b = s.select(F.col("id").alias("id_b"), F.col("toks").alias("gb"))
+    brute = {
+        (r.id_a, r.id_b): r.c
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("ga", "gb")) / F.size("ga"), 6
+            ).alias("c"),
+        )
+        .where(F.col("c") >= tau)
+        .collect()
+    }
+    assert fast == brute and len(fast) > 0
+
+
+def test_containment_short_docs_excluded(spark):
+    from cdc_redshift_spark.operators.simjoin import containment_join
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "a b c d e"), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_join(df, tau=0.9).collect()
+    }
+    # <3-token docs have no shingles and never pair; identical 5-token
+    # docs contain each other in BOTH directions
+    assert got == {(3, 4), (4, 3)}
