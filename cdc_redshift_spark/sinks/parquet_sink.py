@@ -56,6 +56,7 @@ class ParquetSink(Sink):
         cluster_keys: Sequence[str] = (),
         bloom_index_cols: Sequence[str] = (),
         bloom_m_bits: int | str = "auto",
+        zonemap_index_cols: Sequence[str] = (),
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -73,7 +74,17 @@ class ParquetSink(Sink):
         partitions' rows carried forward; only rewritten partitions
         scanned).  ``bloom_m_bits``: 'auto' (default — per-file
         sizing at ~18 bits/key so realistic file sizes don't
-        saturate the filter) or a fixed bit count."""
+        saturate the filter) or a fixed bit count.
+
+        ``zonemap_index_cols`` builds the per-file min/max zone map
+        (operators/layout.zonemap_file_index) for the named columns,
+        stored as ``_ZONEMAP`` parquet next to the snapshot — RANGE
+        predicates on any indexed column resolve to an explicit
+        candidate file list via :meth:`lookup_range_files` (the range
+        complement of the Bloom index; useful for columns correlated
+        with but different from the cluster key, e.g. event time on
+        an ingest-time-clustered table).  Maintained incrementally on
+        pruned commits exactly like the Bloom index."""
         self.spark = spark
         self.root = root
         self.keys = list(keys)
@@ -83,6 +94,7 @@ class ParquetSink(Sink):
         self.cluster_keys = list(cluster_keys)
         self.bloom_index_cols = list(bloom_index_cols)
         self.bloom_m_bits = bloom_m_bits
+        self.zonemap_index_cols = list(zonemap_index_cols)
         os.makedirs(root, exist_ok=True)
 
     def _layout(self, state: DataFrame) -> DataFrame:
@@ -334,6 +346,8 @@ class ParquetSink(Sink):
             linked.append(name)
         if self.bloom_index_cols:
             self._build_bloom_incremental(db, table, v + 1, v, linked)
+        if self.zonemap_index_cols:
+            self._build_zonemap_incremental(db, table, v + 1, v, linked)
         self._flip(db, table, v + 1)
 
     @staticmethod
@@ -454,6 +468,8 @@ class ParquetSink(Sink):
         writer.parquet(path)
         if self.bloom_index_cols:
             self._build_bloom(db, table, v)
+        if self.zonemap_index_cols:
+            self._build_zonemap(db, table, v)
         self._write_schema(db, table, state, v)
         self._flip(db, table, v)
 
@@ -556,8 +572,6 @@ class ParquetSink(Sink):
         geometry change applies to new files without invalidating old
         rows.  Falls back to a full build when the previous index is
         missing (``bloom_index_cols`` newly configured)."""
-        from functools import reduce
-
         from cdc_redshift_spark.operators.layout import (
             BLOOM_K_HASHES,
             BLOOM_M_BITS,
@@ -592,22 +606,9 @@ class ParquetSink(Sink):
                 old_idx = old_idx.withColumn(
                     "m_bits", F.lit(BLOOM_M_BITS).cast("long")
                 ).withColumn("k", F.lit(BLOOM_K_HASHES))
-            if linked_dirs:
-                in_linked = reduce(
-                    lambda a, b: a | b,
-                    [
-                        F.col("file").contains(old_seg + d + "/")
-                        for d in linked_dirs
-                    ],
-                )
-                carried = old_idx.where(in_linked).withColumn(
-                    "file",
-                    F.replace(
-                        F.col("file"), F.lit(old_seg), F.lit(new_seg)
-                    ),
-                )
-            else:
-                carried = old_idx.limit(0)
+            carried = self._carried_index_rows(
+                old_idx, linked_dirs, old_seg, new_seg
+            )
             if touched:
                 fresh = bloom_file_index(
                     self.spark,
@@ -621,6 +622,119 @@ class ParquetSink(Sink):
             idx.coalesce(1).write.mode("overwrite").parquet(
                 self._bloom_dir(db, table, new_v, col)
             )
+
+    @staticmethod
+    def _carried_index_rows(
+        old_idx: DataFrame,
+        linked_dirs: list[str],
+        old_seg: str,
+        new_seg: str,
+    ) -> DataFrame:
+        """Index rows of hard-linked (byte-identical) partition dirs,
+        carried to the new snapshot with a path rewrite — shared by
+        the Bloom and zone-map incremental maintainers."""
+        from functools import reduce
+
+        if not linked_dirs:
+            return old_idx.limit(0)
+        in_linked = reduce(
+            lambda a, b: a | b,
+            [
+                F.col("file").contains(old_seg + d + "/")
+                for d in linked_dirs
+            ],
+        )
+        return old_idx.where(in_linked).withColumn(
+            "file",
+            F.replace(F.col("file"), F.lit(old_seg), F.lit(new_seg)),
+        )
+
+    # -- zone-map index maintenance ---------------------------------------
+    def _zonemap_dir(self, db: str, table: str, v: int) -> str:
+        return os.path.join(self._dir(db, table), f"v{v}", "_ZONEMAP")
+
+    def _build_zonemap(self, db: str, table: str, v: int) -> None:
+        """Full zone-map build over one snapshot — full commits only
+        (overwrite / non-pruned merge), where every file is new."""
+        from cdc_redshift_spark.operators.layout import zonemap_file_index
+
+        snap = os.path.join(self._dir(db, table), f"v{v}")
+        idx = zonemap_file_index(
+            self.spark, snap, self.zonemap_index_cols
+        )
+        idx.coalesce(1).write.mode("overwrite").parquet(
+            self._zonemap_dir(db, table, v)
+        )
+
+    def _build_zonemap_incremental(
+        self,
+        db: str,
+        table: str,
+        new_v: int,
+        prev_v: int,
+        linked_dirs: list[str],
+    ) -> None:
+        """Zone-map maintenance for a PRUNED commit: same O(touched
+        partitions) discipline as the Bloom path — hard-linked files'
+        min/max zones are unchanged by construction, so their rows
+        carry forward with a path rewrite and only rewritten
+        partitions are scanned.  Falls back to a full build when the
+        previous index is missing (newly configured)."""
+        from cdc_redshift_spark.operators.layout import zonemap_file_index
+
+        if not os.path.isdir(self._zonemap_dir(db, table, prev_v)):
+            self._build_zonemap(db, table, new_v)
+            return
+        dst = os.path.join(self._dir(db, table), f"v{new_v}")
+        linked_set = set(linked_dirs)
+        touched = [
+            d
+            for d in os.listdir(dst)
+            if os.path.isdir(os.path.join(dst, d))
+            and not d.startswith(("_", "."))
+            and d not in linked_set
+        ]
+        old_seg = f"/{db}/{table}/v{prev_v}/"
+        new_seg = f"/{db}/{table}/v{new_v}/"
+        old_idx = self.spark.read.parquet(
+            self._zonemap_dir(db, table, prev_v)
+        )
+        carried = self._carried_index_rows(
+            old_idx, linked_dirs, old_seg, new_seg
+        )
+        if touched:
+            fresh = zonemap_file_index(
+                self.spark,
+                [os.path.join(dst, d) for d in touched],
+                self.zonemap_index_cols,
+            )
+            idx = carried.unionByName(fresh)
+        else:
+            idx = carried
+        idx.coalesce(1).write.mode("overwrite").parquet(
+            self._zonemap_dir(db, table, new_v)
+        )
+
+    def lookup_range_files(
+        self, db: str, table: str, bounds: dict
+    ) -> list[str]:
+        """Candidate data files whose zones intersect every
+        ``col: (lo, hi)`` bound, in the CURRENT snapshot (no false
+        negatives; ``None`` = unbounded).  Read them with
+        ``spark.read.parquet(*files)`` instead of scanning."""
+        from cdc_redshift_spark.operators.layout import zonemap_prune_files
+
+        missing = [c for c in bounds if c not in self.zonemap_index_cols]
+        if missing:
+            raise ValueError(
+                f"no zone map for column(s) {missing}; sink indexes "
+                f"{self.zonemap_index_cols}"
+            )
+        v = self._latest_version(db, table)
+        if v is None:
+            return []
+        idx = self.spark.read.parquet(self._zonemap_dir(db, table, v))
+        return zonemap_prune_files(idx, bounds)
 
     def lookup_files(
         self, db: str, table: str, col: str, value

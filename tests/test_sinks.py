@@ -693,3 +693,94 @@ def test_repartition_table_guards_and_layout(spark, tmp_path):
     vdir2 = os.path.join(str(tmp_path / "rp"), "db", "t", f"v{v2}")
     assert not any(d.startswith("p=") for d in os.listdir(vdir2))
     assert sink.partition_cols == []
+
+
+def test_sink_zonemap_incremental_and_range_lookup(
+    spark, tmp_path, monkeypatch
+):
+    """zonemap_index_cols: pruned commits maintain the zone map
+    incrementally (only rewritten partitions scanned; hard-linked
+    partitions' rows carried with a path rewrite), the pruned merge
+    path stays engaged alongside the _ZONEMAP dir, and range lookups
+    on the CURRENT snapshot return a no-false-negative candidate
+    list."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import cdc_redshift_spark.operators.layout as layout_mod
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    root = str(tmp_path / "zm")
+    sink = ParquetSink(
+        spark,
+        root,
+        keys=("k",),
+        partition_cols=("p",),
+        zonemap_index_cols=("evt",),
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, p string, evt long, op string"
+        ).select(
+            "k", "p", "evt", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    # evt correlates with k: partition p<i> holds evt in [1000+i, ...]
+    rows = [(i, f"p{i % 4}", 1000 + i, "insert") for i in range(200)]
+    sink.apply_changeset("db", "t", ch(rows, 1))
+
+    scanned: list = []
+    real = layout_mod.zonemap_file_index
+
+    def spy(spark_, path, cols):
+        scanned.append(path)
+        return real(spark_, path, cols)
+
+    monkeypatch.setattr(layout_mod, "zonemap_file_index", spy)
+
+    # second commit touches ONLY p1 (key 41)
+    sink.apply_changeset("db", "t", ch([(41, "p1", 9999, "update")], 2))
+
+    tdir = os.path.join(root, "db", "t")
+    for p in ("p=p0", "p=p2", "p=p3"):
+        f1 = sorted(
+            f for f in os.listdir(os.path.join(tdir, "v1", p))
+            if f.endswith(".parquet")
+        )
+        f2 = sorted(
+            f for f in os.listdir(os.path.join(tdir, "v2", p))
+            if f.endswith(".parquet")
+        )
+        assert f2 and f1 == f2
+        for f in f2:
+            assert os.path.samefile(
+                os.path.join(tdir, "v1", p, f),
+                os.path.join(tdir, "v2", p, f),
+            ), f"{p}/{f} rewritten — pruned path lost with zonemap on"
+
+    # incremental maintenance scanned ONLY the touched partition
+    assert len(scanned) == 1 and isinstance(scanned[0], list)
+    assert [os.path.basename(x) for x in scanned[0]] == ["p=p1"]
+
+    # carried rows serve untouched partitions at the new version
+    files = sink.lookup_range_files("db", "t", {"evt": (1040, 1044)})
+    assert files and all("/v2/" in f for f in files)
+    got = (
+        spark.read.parquet(*files)
+        .where(F.col("evt").between(1040, 1044))
+        .collect()
+    )
+    assert sorted(r["k"] for r in got) == [40, 42, 43, 44]  # 41 updated
+    # fresh rows serve the rewritten partition
+    files2 = sink.lookup_range_files("db", "t", {"evt": (9000, None)})
+    got2 = spark.read.parquet(*files2).where(F.col("evt") >= 9000).collect()
+    assert [r["k"] for r in got2] == [41]
+    # unknown column raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.lookup_range_files("db", "t", {"nope": (0, 1)})
