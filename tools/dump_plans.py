@@ -50,6 +50,11 @@ CALLOUTS = {
     "events_heavy_hitters": "MG screen collected once to LOCAL rows (no cache, no runtime Arrow stage); candidates broadcast into a LeftSemi; count shuffle carries candidate rows only",
     "scd2_late_repair": "late keys broadcast into BOTH prune joins (anti on history, semi on changelog); only touched keys re-window",
     "events_scd2_asof_enrich": "zero join nodes: union + per-key window carry + containment projection",
+    "docs_substring_dedup": "gram hashes in codegen (transform/sequence); dup filter is a LeftSemi; BOTH island windows share ONE per-doc Sort",
+    "dedup_containment": "probe-side prefix explode only; container side full index; positional filter per join row; verify joins broadcast",
+    "sketch_cm_tokens": "cells bounded d*w by map-side partial agg; estimate broadcasts the sketch; probes never shuffle",
+    "corpus_dsir_weights": "bucket tables (<=4096 rows) broadcast; ONE 1-row stats BNLJ; gram explode evaluated exactly twice",
+    "layout_zonemap_scan": "index = ONE distributed groupBy(input_file_name) min/max; read is an explicit candidate file list",
 }
 
 
