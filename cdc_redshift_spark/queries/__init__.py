@@ -65,7 +65,8 @@ _GATE_WINDOW = [
     # LOCALGATE + pytest this round, window next:
     # sink_repartition_evolution, corpus_split_leakage_safe,
     # corpus_budget_select, docs_substring_dedup, layout_zonemap_scan,
-    # sketch_cm_tokens, corpus_dsir_weights, cdc_stream_cm_sketch)
+    # sketch_cm_tokens, corpus_dsir_weights, cdc_stream_cm_sketch,
+    # dedup_containment)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",
