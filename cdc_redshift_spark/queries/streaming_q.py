@@ -933,9 +933,101 @@ ORDER BY key
 """
 
 
+KMV_STREAM_K = 64  # estimator path engages at sf0.01 (150 users), exact path below k
+
+
+def q_cdc_stream_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct-count sketch maintained from a STREAM
+    (streaming/sketch.KmvSketchMaintainer): per-event_type KMV of
+    user_id folded across three micro-batches + a replayed duplicate.
+    KMV merge is LOSSLESS (the global k minima are contained in the
+    union of per-batch minima), so the streamed state is
+    bit-identical to sketching the whole table — the oracle computes
+    the batch sketch estimate directly in SQL, making this the
+    value-oracle-checkable streamed distinct rollup (HLL's streamed
+    form can only be tolerance-gated)."""
+    from cdc_redshift_spark.operators.sketches import kmv_estimate
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.sketch import KmvSketchMaintainer
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_kmv_")
+    try:
+        m = KmvSketchMaintainer(
+            spark,
+            tmp,
+            prepare=lambda b: b.select("event_type", "user_id"),
+            dims=["event_type"],
+            col="user_id",
+            k=KMV_STREAM_K,
+        )
+        seq = [
+            m.update(ev.where(F.col("event_id") % 3 == 0), 0),
+            m.update(ev.where(F.col("event_id") % 3 == 0), 0),  # replay
+            m.update(ev.where(F.col("event_id") % 3 == 1), 1),
+            m.update(ev.where(F.col("event_id") % 3 == 2), 2),
+        ]
+        if seq != [True, False, True, True]:
+            raise RuntimeError(f"KMV maintainer sequence broken: {seq}")
+        sk = m.current()
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        out = (
+            sk.select(
+                "event_type",
+                F.round(
+                    kmv_estimate(F.col("kmv"), k=KMV_STREAM_K), 2
+                ).alias("n_est"),
+            )
+            .join(exact, "event_type")
+            .select("event_type", "n_exact", "n_est")
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(
+            out.collect(),
+            "event_type string, n_exact long, n_est double",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _oracle_stream_kmv() -> str:
+    from cdc_redshift_spark.operators.sketches import duck_kmv_estimate
+
+    k = KMV_STREAM_K
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nd,
+         max(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       round({duck_kmv_estimate(k, "a.hk", "a.nd")}, 2) AS n_est
+FROM exact e JOIN agg a USING (event_type)
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
     "cdc_stream_cm_sketch": q_cdc_stream_cm_sketch,
+    "cdc_stream_kmv_rollup": q_cdc_stream_kmv_rollup,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
     "cdc_windowed_ops_stream": q_cdc_windowed_ops_stream,
     "cdc_sessionize_stream": q_cdc_sessionize_stream,
@@ -950,6 +1042,7 @@ QUERIES = {
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
     "cdc_stream_cm_sketch": _oracle_stream_cm(),
+    "cdc_stream_kmv_rollup": _oracle_stream_kmv(),
     "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,
     "cdc_windowed_ops_stream": ORACLE_WINDOWED_OPS,
     "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,

@@ -75,3 +75,64 @@ class CmSketchMaintainer(VersionedSnapshotStore):
         merged = delta if stored is None else cm_merge(stored, delta)
         self._commit(merged, batch_id)
         return True
+
+
+class KmvSketchMaintainer(VersionedSnapshotStore):
+    """Maintains per-group KMV distinct sketches from append
+    micro-batches — the continuous form of the month-over-distinct
+    question (``operators/sketches.kmv_sketch``): COUNT(DISTINCT) is
+    not incrementally maintainable as a scalar, but the k-minimum-
+    values sketch merges LOSSLESSLY (the global k minima are always
+    contained in the union of per-part k minima), so folding each
+    batch's per-group sketch into the stored one yields BIT-IDENTICAL
+    state to sketching the whole history — the property the gate
+    certifies against the batch SQL mirror.  Per batch cost:
+    O(batch) + one k-long array per touched group.
+
+    ``prepare`` maps a raw batch to rows carrying ``dims`` + ``col``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        prepare: Callable[[DataFrame], DataFrame],
+        dims: list[str] | tuple[str, ...],
+        col: str,
+        k: int = 256,
+        keep_versions: int = 2,
+    ):
+        self.spark = spark
+        self.path = path
+        self.prepare = prepare
+        self.dims = list(dims)
+        self.col = col
+        self.k = k
+        self.keep_versions = keep_versions
+        os.makedirs(path, exist_ok=True)
+
+    def update(self, batch: DataFrame, batch_id: int) -> bool:
+        from cdc_redshift_spark.operators.sketches import (
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        last = self.committed_batch()
+        if last is not None and batch_id <= last:
+            return False
+        delta = kmv_sketch(
+            self.prepare(batch), self.dims, self.col, k=self.k
+        )
+        stored = self.current()
+        if stored is None:
+            merged = delta
+        else:
+            merged = kmv_merge(
+                stored.select(*self.dims, "kmv").unionByName(
+                    delta.select(*self.dims, "kmv")
+                ),
+                self.dims,
+                k=self.k,
+            ).drop("n_parts")
+        self._commit(merged, batch_id)
+        return True

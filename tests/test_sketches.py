@@ -352,3 +352,30 @@ def test_cm_maintainer_replay_and_merge_equivalence(spark, tmp_path):
     vdirs = [d for d in (tmp_path / "cm").iterdir()
              if d.name.startswith("v")]
     assert len(vdirs) <= 2
+
+
+def test_kmv_maintainer_streamed_equals_whole_table(spark, tmp_path):
+    from cdc_redshift_spark.operators.sketches import kmv_sketch
+    from cdc_redshift_spark.streaming.sketch import KmvSketchMaintainer
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 137).alias("u"),
+        F.col("id").alias("event_id"),
+    )
+    m = KmvSketchMaintainer(
+        spark, str(tmp_path / "kmv"),
+        prepare=lambda b: b.select("g", "u"),
+        dims=["g"], col="u", k=32,
+    )
+    assert m.update(df.where(F.col("event_id") % 2 == 0), 0)
+    assert not m.update(df.where(F.col("event_id") % 2 == 0), 0)
+    assert m.update(df.where(F.col("event_id") % 2 == 1), 1)
+    streamed = {r.g: r.kmv for r in m.current().collect()}
+    whole = {
+        r.g: r.kmv
+        for r in kmv_sketch(df, ["g"], "u", k=32).collect()
+    }
+    # lossless merge: BIT-identical sketch arrays per group
+    assert streamed == whole and len(streamed) == 3
