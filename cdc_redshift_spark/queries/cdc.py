@@ -669,6 +669,115 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sink_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR merge mode (`ParquetSink(merge_mode='dv')`):
+    orders committed as v1, then TWO changesets (status updates +
+    deletes, then overlapping re-updates) applied WITHOUT rewriting a
+    single existing data file — superseded rows are masked by the
+    ``_DV`` (file, pos) sidecar and only batch winners append.
+    In-query proof: every v1 data file is the SAME inode in v3
+    (hard-link check over all of them), and the sidecar holds exactly
+    one mask per superseded row (first-batch updates + deletes +
+    second-batch re-updates).  The oracle reconstructs the final
+    state from the base table, so a green row certifies the
+    read-time anti-join reproduces the rewrite-merge semantics
+    exactly — Delta/Iceberg deletion-vector economics on plain
+    parquet."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    mo = F.pmod(F.col("k"), F.lit(10))
+    ch1 = (
+        base.where(mo == 2)
+        .withColumn("status", F.lit("U"))
+        .withColumn("op", F.lit("update"))
+        .unionByName(base.where(mo == 3).withColumn("op", F.lit("delete")))
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+    )
+    ch2 = (
+        base.where(F.pmod(F.col("k"), F.lit(20)) == 2)
+        .withColumn("status", F.lit("V"))
+        .withColumn("op", F.lit("update"))
+        .withColumn("ts_ms", F.lit(3).cast("long"))
+    )
+    root = tempfile.mkdtemp(prefix="sink_dv_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",), merge_mode="dv")
+        sink.apply_changeset("db", "t", base)
+        sink.apply_changeset("db", "t", ch1)
+        sink.apply_changeset("db", "t", ch2)
+        tdir = _os.path.join(root, "db", "t")
+        v1_files = [
+            f
+            for f in _os.listdir(_os.path.join(tdir, "v1"))
+            if f.endswith(".parquet")
+        ]
+        if not v1_files:
+            raise RuntimeError("no v1 data files written")
+        for f in v1_files:
+            if not _os.path.samefile(
+                _os.path.join(tdir, "v1", f), _os.path.join(tdir, "v3", f)
+            ):
+                raise RuntimeError(
+                    f"DV merge rewrote existing data file {f}"
+                )
+        n_masked = spark.read.parquet(
+            _os.path.join(tdir, "v3", "_DV")
+        ).count()
+        expect = (
+            base.where(mo == 2).count()
+            + base.where(mo == 3).count()
+            + base.where(F.pmod(F.col("k"), F.lit(20)) == 2).count()
+        )
+        if n_masked != expect:
+            raise RuntimeError(
+                f"DV sidecar holds {n_masked} masks, expected {expect}"
+            )
+        out = (
+            sink.read_table(spark, "db", "t")
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_DV = """
+WITH state AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 20 = 2 THEN 'V'
+              WHEN o_orderkey % 10 = 2 THEN 'U'
+              ELSE o_orderstatus END AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 10 <> 3
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM state
+GROUP BY status
+ORDER BY status
+"""
+
+
 def q_sink_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION-SPEC EVOLUTION on the versioned sink
     (`ParquetSink.repartition_table`): orders committed UNPARTITIONED
@@ -928,6 +1037,7 @@ QUERIES = {
     "sink_time_travel": q_sink_time_travel,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
+    "sink_dv_merge": q_sink_dv_merge,
     "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_op_counts": q_cdc_op_counts,
@@ -941,6 +1051,7 @@ ORACLES = {
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
+    "sink_dv_merge": ORACLE_SINK_DV,
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
     "cdc_rollup_maintenance": ORACLE_CDC_ROLLUP,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,

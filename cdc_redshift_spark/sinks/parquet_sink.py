@@ -57,6 +57,7 @@ class ParquetSink(Sink):
         bloom_index_cols: Sequence[str] = (),
         bloom_m_bits: int | str = "auto",
         zonemap_index_cols: Sequence[str] = (),
+        merge_mode: str = "rewrite",
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -84,7 +85,20 @@ class ParquetSink(Sink):
         complement of the Bloom index; useful for columns correlated
         with but different from the cluster key, e.g. event time on
         an ingest-time-clustered table).  Maintained incrementally on
-        pruned commits exactly like the Bloom index."""
+        pruned commits exactly like the Bloom index.
+
+        ``merge_mode``: ``'rewrite'`` (default) merges by rewriting
+        touched data (partition-pruned when possible);  ``'dv'``
+        applies changesets as DELETION VECTORS + appends — every
+        existing data file hard-links forward untouched, superseded
+        rows are masked by ``(file, pos)`` rows in a ``_DV`` sidecar
+        (``_metadata.row_index``), and only the batch's winning rows
+        are written as new files.  Per-commit write cost is O(batch),
+        independent of partition sizes — the small-update path a
+        rewrite cannot match when updates scatter across partitions.
+        Reads anti-join the (tiny) DV sidecar at scan time;
+        :meth:`compact` folds DVs back into a clean rewrite when the
+        masked fraction grows."""
         self.spark = spark
         self.root = root
         self.keys = list(keys)
@@ -95,6 +109,11 @@ class ParquetSink(Sink):
         self.bloom_index_cols = list(bloom_index_cols)
         self.bloom_m_bits = bloom_m_bits
         self.zonemap_index_cols = list(zonemap_index_cols)
+        if merge_mode not in ("rewrite", "dv"):
+            raise ValueError(
+                f"merge_mode must be 'rewrite' or 'dv', got {merge_mode!r}"
+            )
+        self.merge_mode = merge_mode
         os.makedirs(root, exist_ok=True)
 
     def _layout(self, state: DataFrame) -> DataFrame:
@@ -178,6 +197,23 @@ class ParquetSink(Sink):
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(os.path.join(self._dir(db, table), f"v{v}"))
+        dvdir = self._dv_dir(db, table, v)
+        if os.path.isdir(dvdir):
+            # deletion vectors: mask superseded (file, pos) rows at
+            # scan time.  The sidecar is per-batch small and broadcast;
+            # compact() folds it away when the masked fraction grows.
+            dv = spark.read.parquet(dvdir)
+            df = (
+                df.withColumn("__f", F.col("_metadata.file_path"))
+                .withColumn("__r", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dv),
+                    (F.col("__f") == dv["file"])
+                    & (F.col("__r") == dv["pos"]),
+                    "left_anti",
+                )
+                .drop("__f", "__r")
+            )
         if not include_tombstones and "op" in df.columns:
             df = df.where(F.col("op") != "delete")
         return df
@@ -248,6 +284,13 @@ class ParquetSink(Sink):
         full merge + rewrite otherwise.
         """
         target = self.read_table(self.spark, db, table, include_tombstones=True)
+        if (
+            self.merge_mode == "dv"
+            and target is not None
+            and dict(target.dtypes) == dict(changes.dtypes)
+        ):
+            self._apply_dv(db, table, changes)
+            return
         pruned = (
             target is not None
             and len(self.partition_cols) == 1
@@ -349,6 +392,262 @@ class ParquetSink(Sink):
         if self.zonemap_index_cols:
             self._build_zonemap_incremental(db, table, v + 1, v, linked)
         self._flip(db, table, v + 1)
+
+    # -- deletion-vector merge ---------------------------------------------
+    def _dv_dir(self, db: str, table: str, v: int) -> str:
+        return os.path.join(self._dir(db, table), f"v{v}", "_DV")
+
+    @classmethod
+    def _link_snapshot(cls, src: str, dst: str) -> None:
+        """Hard-link every DATA entry of one snapshot dir into another
+        (recursing into partition dirs); underscore/dot sidecars
+        (_DV, _SCHEMA, _BLOOM_*, _SUCCESS) are NOT carried — the
+        commit writes fresh ones."""
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            if name.startswith(("_", ".")):
+                continue
+            s = os.path.join(src, name)
+            if os.path.isfile(s):
+                os.link(s, os.path.join(dst, name))
+            else:
+                cls._link_snapshot(s, os.path.join(dst, name))
+
+    @staticmethod
+    def _data_files(root: str) -> set[str]:
+        out = set()
+        for base, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(base, f))
+        return out
+
+    def _apply_dv(self, db: str, table: str, changes: DataFrame) -> None:
+        """Deletion-vector merge: commit ``changes`` WITHOUT rewriting
+        any existing data file.
+
+        v+1 = hard links of every v data file + the batch's winning
+        rows appended as new files + a ``_DV`` sidecar of
+        ``(file, pos)`` rows masking superseded stored rows.  LWW
+        semantics are identical to the rewrite merge: the stored row
+        competes against the batch winner on (ts, tiebreak) and is
+        masked only when it LOSES — a late-arriving older change
+        appends nothing and masks nothing, which also makes replaying
+        the same changeset a natural no-op (equal (ts, offset) never
+        beats itself).
+
+        Scale shape: the probe reads only (keys, ts, tiebreak,
+        _metadata) — a column-pruned scan — and every join broadcasts
+        the per-batch-small side; the write is O(batch winners) + the
+        tiny sidecar.  The trade: reads pay a broadcast anti-join per
+        scan until :meth:`compact` folds the DVs into a clean
+        snapshot (the standard Delta/Iceberg deletion-vector
+        economics)."""
+        changes = changes.persist()
+        try:
+            v = self._latest_version(db, table)
+            src = os.path.join(self._dir(db, table), f"v{v}")
+            dst = os.path.join(self._dir(db, table), f"v{v + 1}")
+            old_seg = f"/{db}/{table}/v{v}/"
+            new_seg = f"/{db}/{table}/v{v + 1}/"
+
+            # batch winners (per-key LWW within the batch, tombstones
+            # kept so deletes land as maskers + tombstone rows)
+            batch_best = merge_apply(
+                None,
+                changes,
+                keys=self.keys,
+                ts_col=self.ts_col,
+                tiebreak_col=self.tiebreak_col,
+                keep_tombstones=True,
+            )
+
+            # stored rows competing with this batch: key-pruned,
+            # column-pruned, and already-masked rows excluded
+            schema = self._read_schema(db, table)
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            cur = reader.parquet(src).select(
+                *self.keys,
+                self.ts_col,
+                self.tiebreak_col,
+                F.col("_metadata.file_path").alias("__f"),
+                F.col("_metadata.row_index").alias("__r"),
+            )
+            dvdir_prev = self._dv_dir(db, table, v)
+            old_dv = (
+                self.spark.read.parquet(dvdir_prev)
+                if os.path.isdir(dvdir_prev)
+                else None
+            )
+            if old_dv is not None:
+                cur = cur.join(
+                    F.broadcast(old_dv),
+                    (F.col("__f") == old_dv["file"])
+                    & (F.col("__r") == old_dv["pos"]),
+                    "left_anti",
+                )
+            ckeys = batch_best.select(*self.keys).distinct()
+            rel = cur.join(F.broadcast(ckeys), self.keys, "left_semi")
+
+            # per key: does the batch winner beat the stored best?
+            stored_best = rel.groupBy(*self.keys).agg(
+                F.max(
+                    F.struct(
+                        F.col(self.ts_col).alias("t"),
+                        F.col(self.tiebreak_col).alias("o"),
+                    )
+                ).alias("__sb")
+            )
+            bb = batch_best.join(
+                F.broadcast(stored_best), self.keys, "left"
+            )
+            wins = F.col("__sb").isNull() | (
+                F.struct(
+                    F.col(self.ts_col).alias("t"),
+                    F.col(self.tiebreak_col).alias("o"),
+                )
+                > F.col("__sb")
+            )
+            winners = bb.where(wins).drop("__sb")
+            win_keys = winners.select(*self.keys).distinct()
+
+            # DV additions: every surviving stored row of a key the
+            # batch won (path-rewritten into the new snapshot)
+            new_dv = (
+                rel.join(F.broadcast(win_keys), self.keys, "left_semi")
+                .select(
+                    F.replace(
+                        F.col("__f"), F.lit(old_seg), F.lit(new_seg)
+                    ).alias("file"),
+                    F.col("__r").alias("pos"),
+                )
+            )
+            carried_dv = (
+                old_dv.select(
+                    F.replace(
+                        F.col("file"), F.lit(old_seg), F.lit(new_seg)
+                    ).alias("file"),
+                    "pos",
+                )
+                if old_dv is not None
+                else None
+            )
+            dv_rows = (
+                new_dv
+                if carried_dv is None
+                else carried_dv.unionByName(new_dv)
+            )
+            # every source below (src data, prev _DV, the persisted
+            # changes) is DISTINCT from the v+1 dir being built, so
+            # the lazy plans stay valid throughout the commit
+            append_rows = winners.localCheckpoint(eager=True)
+            self._link_snapshot(src, dst)
+            before = self._data_files(dst)
+            writer = append_rows.write.mode("append")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.parquet(dst)
+            appended = sorted(self._data_files(dst) - before)
+            dv_rows.select(
+                F.col("file").cast("string"), F.col("pos").cast("long")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._dv_dir(db, table, v + 1)
+            )
+            self._write_schema(db, table, append_rows, v + 1)
+            if self.bloom_index_cols or self.zonemap_index_cols:
+                self._index_dv_commit(db, table, v + 1, v, appended)
+            self._flip(db, table, v + 1)
+        finally:
+            changes.unpersist()
+
+    def _index_dv_commit(
+        self,
+        db: str,
+        table: str,
+        new_v: int,
+        prev_v: int,
+        appended_files: list[str],
+    ) -> None:
+        """Bloom/zone-map maintenance for a DV commit: every previous
+        file is hard-linked (rows carried by path rewrite, ALL dirs
+        linked), and only the appended files are scanned.  Masked rows
+        stay in the indexes as false-positive candidates — a wasted
+        file read at lookup time, never a correctness loss; compact()
+        rebuilds clean."""
+        from cdc_redshift_spark.operators.layout import (
+            BLOOM_K_HASHES,
+            BLOOM_M_BITS,
+            bloom_file_index,
+            zonemap_file_index,
+        )
+
+        old_seg = f"/{db}/{table}/v{prev_v}/"
+        new_seg = f"/{db}/{table}/v{new_v}/"
+
+        def carry(old_idx: DataFrame) -> DataFrame:
+            return old_idx.withColumn(
+                "file",
+                F.replace(F.col("file"), F.lit(old_seg), F.lit(new_seg)),
+            )
+
+        for col in self.bloom_index_cols:
+            prev_dir = self._bloom_dir(db, table, prev_v, col)
+            if not os.path.isdir(prev_dir):
+                self._build_bloom(db, table, new_v)
+                break
+            old_idx = self.spark.read.parquet(prev_dir)
+            if "m_bits" not in old_idx.columns:
+                old_idx = old_idx.withColumn(
+                    "m_bits", F.lit(BLOOM_M_BITS).cast("long")
+                ).withColumn("k", F.lit(BLOOM_K_HASHES))
+            idx = carry(old_idx)
+            if appended_files:
+                idx = idx.unionByName(
+                    bloom_file_index(
+                        self.spark,
+                        appended_files,
+                        col,
+                        m_bits=self.bloom_m_bits,
+                    )
+                )
+            idx.coalesce(1).write.mode("overwrite").parquet(
+                self._bloom_dir(db, table, new_v, col)
+            )
+        if self.zonemap_index_cols:
+            prev_dir = self._zonemap_dir(db, table, prev_v)
+            if not os.path.isdir(prev_dir):
+                self._build_zonemap(db, table, new_v)
+            else:
+                idx = carry(self.spark.read.parquet(prev_dir))
+                if appended_files:
+                    idx = idx.unionByName(
+                        zonemap_file_index(
+                            self.spark,
+                            appended_files,
+                            self.zonemap_index_cols,
+                        )
+                    )
+                idx.coalesce(1).write.mode("overwrite").parquet(
+                    self._zonemap_dir(db, table, new_v)
+                )
+
+    def compact(self, db: str, table: str) -> None:
+        """Fold deletion vectors into a clean snapshot: read the
+        DV-applied current state (tombstones kept) and commit it as a
+        fresh full rewrite — subsequent reads pay no anti-join, and
+        the indexes rebuild without masked-row false positives.  Run
+        when the masked fraction or sidecar size crosses the
+        deployment's read-amplification budget."""
+        state = self.read_table(
+            self.spark, db, table, include_tombstones=True
+        )
+        if state is None:
+            return
+        # break metadata lineage to the dir being superseded
+        self._commit(db, table, state.localCheckpoint(eager=True))
 
     @staticmethod
     def _partition_dirs(src: str) -> dict[str, str] | None:

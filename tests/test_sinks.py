@@ -784,3 +784,109 @@ def test_sink_zonemap_incremental_and_range_lookup(
 
     with _pytest.raises(ValueError):
         sink.lookup_range_files("db", "t", {"nope": (0, 1)})
+
+
+def _dv_ch(spark, rows, ts):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "k long, val string, op string"
+    ).select(
+        "k", "val", "op",
+        F.lit(ts).cast("long").alias("ts_ms"),
+        F.col("k").alias("offset"),
+    )
+
+
+def test_dv_merge_matches_rewrite_and_never_rewrites_files(spark, tmp_path):
+    """merge_mode='dv': state equals the rewrite merge after identical
+    changesets, while every prior data file hard-links forward
+    untouched and only the batch winners are appended."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    dv = ParquetSink(spark, str(tmp_path / "dv"), keys=("k",), merge_mode="dv")
+    rw = ParquetSink(spark, str(tmp_path / "rw"), keys=("k",))
+
+    base = [(i, f"v{i}", "insert") for i in range(100)]
+    batches = [
+        (_dv_ch(spark, base, 1)),
+        (_dv_ch(spark, [(5, "upd5", "update"), (7, "gone", "delete"),
+                        (200, "new200", "insert")], 2)),
+        (_dv_ch(spark, [(5, "upd5b", "update"), (201, "new201", "insert")], 3)),
+    ]
+    for ch in batches:
+        dv.apply_changeset("db", "t", ch)
+        rw.apply_changeset("db", "t", ch)
+
+    a = {r.k: r.val for r in dv.read_table(spark, "db", "t").collect()}
+    b = {r.k: r.val for r in rw.read_table(spark, "db", "t").collect()}
+    assert a == b and a[5] == "upd5b" and 7 not in a and a[201] == "new201"
+
+    # v1's data files are byte-identical hard links in v3
+    tdir = os.path.join(str(tmp_path / "dv"), "db", "t")
+    v1_files = [f for f in os.listdir(os.path.join(tdir, "v1"))
+                if f.endswith(".parquet")]
+    assert v1_files
+    for f in v1_files:
+        assert os.path.samefile(
+            os.path.join(tdir, "v1", f), os.path.join(tdir, "v3", f)
+        ), "DV merge rewrote an existing data file"
+    # DV sidecar masks exactly the superseded rows: k=5 (twice),
+    # k=7 (once) = 3 masked row slots by v3
+    dvrows = spark.read.parquet(os.path.join(tdir, "v3", "_DV")).count()
+    assert dvrows == 3
+
+    # time travel applies each version's own DV
+    v2 = {r.k: r.val
+          for r in dv.read_table(spark, "db", "t", version=2).collect()}
+    assert v2[5] == "upd5" and 7 not in v2 and 201 not in v2
+
+
+def test_dv_merge_late_older_change_is_noop_and_replay_idempotent(
+    spark, tmp_path
+):
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path / "dvl"), keys=("k",), merge_mode="dv"
+    )
+    sink.apply_changeset("db", "t", _dv_ch(spark, [(1, "new", "insert")], 10))
+    # LATE, OLDER change: must not mask the newer stored row
+    sink.apply_changeset("db", "t", _dv_ch(spark, [(1, "old", "update")], 5))
+    got = {r.k: r.val for r in sink.read_table(spark, "db", "t").collect()}
+    assert got == {1: "new"}
+    # replaying an identical changeset: equal (ts, offset) never beats
+    # itself -> no new masks, no duplicate rows
+    sink.apply_changeset("db", "t", _dv_ch(spark, [(1, "new", "insert")], 10))
+    out = sink.read_table(spark, "db", "t").collect()
+    assert len(out) == 1 and out[0].val == "new"
+
+
+def test_dv_compact_folds_vectors_and_preserves_state(spark, tmp_path):
+    import os
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path / "dvc"), keys=("k",), merge_mode="dv"
+    )
+    sink.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(50)], 1)
+    )
+    sink.apply_changeset(
+        "db", "t", _dv_ch(spark, [(3, "u3", "update"), (4, None, "delete")], 2)
+    )
+    before = {r.k: r.val for r in sink.read_table(spark, "db", "t").collect()}
+    sink.compact("db", "t")
+    tdir = os.path.join(str(tmp_path / "dvc"), "db", "t")
+    v = sink._latest_version("db", "t")
+    assert not os.path.isdir(os.path.join(tdir, f"v{v}", "_DV"))
+    after = {r.k: r.val for r in sink.read_table(spark, "db", "t").collect()}
+    assert after == before and after[3] == "u3" and 4 not in after
+    # tombstone survives compaction (late-event guard)
+    withts = sink.read_table(spark, "db", "t", include_tombstones=True)
+    assert withts.where("k = 4").count() == 1
