@@ -890,3 +890,48 @@ def test_dv_compact_folds_vectors_and_preserves_state(spark, tmp_path):
     # tombstone survives compaction (late-event guard)
     withts = sink.read_table(spark, "db", "t", include_tombstones=True)
     assert withts.where("k = 4").count() == 1
+
+
+def test_dv_merge_with_partition_cols(spark, tmp_path):
+    """DV mode composes with a partitioned layout: appends land inside
+    the existing partition dirs next to the hard-linked files, and the
+    read-time mask stays correct per partition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path / "dvp"), keys=("k",),
+        partition_cols=("p",), merge_mode="dv",
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, p string, val string, op string"
+        ).select(
+            "k", "p", "val", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    sink.apply_changeset(
+        "db", "t",
+        ch([(i, f"p{i % 3}", f"v{i}", "insert") for i in range(60)], 1),
+    )
+    sink.apply_changeset(
+        "db", "t", ch([(4, "p1", "u4", "update"), (5, "p2", None, "delete")], 2)
+    )
+    got = {r.k: r.val for r in sink.read_table(spark, "db", "t").collect()}
+    assert got[4] == "u4" and 5 not in got and len(got) == 59
+    # the untouched partition p0's v1 files are hard links in v2
+    tdir = os.path.join(str(tmp_path / "dvp"), "db", "t")
+    p0 = [f for f in os.listdir(os.path.join(tdir, "v1", "p=p0"))
+          if f.endswith(".parquet")]
+    assert p0
+    for f in p0:
+        assert os.path.samefile(
+            os.path.join(tdir, "v1", "p=p0", f),
+            os.path.join(tdir, "v2", "p=p0", f),
+        )
