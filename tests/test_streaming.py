@@ -522,3 +522,50 @@ def test_routed_pipeline_matches_filter_path(spark, tmp_path):
     assert state(sink_r, spark, "d1", "t2") == {}
     assert state(sink_r, spark, "d2", "t1")["1"]["v"] == "c"
     assert state(sink_r, spark, "d1", "t1")["1"]["v"] == "a2"
+
+
+def test_pipeline_with_dv_sink_end_to_end(spark, tmp_path):
+    """The live streaming pipeline drives a deletion-vector sink:
+    identical final state to the default rewrite sink, with the
+    second batch committing ZERO rewrites of first-batch files."""
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    sink = ParquetSink(
+        spark, str(tmp_path / "sink"), keys=KEYS, merge_mode="dv"
+    )
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"), sink, keys=KEYS
+    )
+    write_batch_file(
+        indir,
+        "b0.json",
+        [
+            pg_line("c", 1, 100, {"v": "a"}, 0),
+            pg_line("c", 2, 100, {"v": "b"}, 1),
+        ],
+    )
+    write_batch_file(
+        indir,
+        "b1.json",
+        [
+            pg_line("u", 1, 200, {"v": "a2"}, 2),
+            pg_line("d", 2, 200, None, 3),
+            pg_line("c", 3, 200, {"v": "c"}, 4),
+        ],
+    )
+    drain(pipe, spark, indir, ckpt)
+    st = state(sink, spark)
+    assert set(st) == {"1", "3"} and st["1"]["v"] == "a2"
+    # second batch was a DV commit: v1 data files hard-link into v2
+    tdir = os.path.join(str(tmp_path / "sink"), "d1", "t1")
+    v1_files = [
+        f for f in os.listdir(os.path.join(tdir, "v1"))
+        if f.endswith(".parquet")
+    ]
+    assert v1_files
+    for f in v1_files:
+        assert os.path.samefile(
+            os.path.join(tdir, "v1", f), os.path.join(tdir, "v2", f)
+        )
+    assert os.path.isdir(os.path.join(tdir, "v2", "_DV"))
