@@ -792,9 +792,92 @@ ORDER BY id_a, id_b
 """
 
 
+def q_docs_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end span STRIPPING (spandedup.strip_spans): rebuild every
+    document with its duplicated spans removed and certify the
+    reconstructed text itself by value (md5 over the single-space
+    rejoined surviving tokens).  The oracle recomputes spans AND the
+    surviving-token reconstruction in SQL, so a green row certifies
+    the whole detect→merge→strip pipeline, not just span coordinates."""
+    from cdc_redshift_spark.operators.spandedup import (
+        duplicated_spans,
+        strip_spans,
+    )
+    from cdc_redshift_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, n=SPAN_N)
+    cleaned = strip_spans(docs, spans)
+    return cleaned.select(
+        "doc_id",
+        # split("") yields [''] — an emptied doc has 0 tokens, not 1
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(F.size(words(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.col("text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SUBSTRING_STRIP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+{SPAN_N - 1}], ' ')), 1, 15))::BIGINT AS g
+  FROM toks, UNNEST(range(1, len(t) - {SPAN_N} + 2)) AS u(i)
+),
+dup AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g
+  ) WHERE d >= 2
+),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {SPAN_N - 1}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grouped AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_N - 1} AS e
+  FROM grouped GROUP BY doc_id, island
+),
+kept AS (
+  SELECT tk.doc_id, u.i, tk.t[u.i] AS tok
+  FROM toks tk, UNNEST(range(1, len(tk.t) + 1)) AS u(i)
+  WHERE tk.t[u.i] <> ''
+    AND NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tk.doc_id
+      AND u.i - 1 BETWEEN sp.s AND sp.e
+  )
+),
+clean AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.n_tokens, 0) AS n_tokens,
+       coalesce(c.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN clean c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_containment": q_dedup_containment,
+    "docs_substring_strip": q_docs_substring_strip,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_word_lsh": q_dedup_minhash_word_lsh,
@@ -814,6 +897,7 @@ QUERIES = {
 ORACLES = {
     "docs_substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "dedup_containment": ORACLE_CONTAINMENT,
+    "docs_substring_strip": ORACLE_SUBSTRING_STRIP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _oracle_minhash(),
