@@ -66,7 +66,8 @@ _GATE_WINDOW = [
     # sink_repartition_evolution, corpus_split_leakage_safe,
     # corpus_budget_select, docs_substring_dedup, layout_zonemap_scan,
     # sketch_cm_tokens, corpus_dsir_weights, cdc_stream_cm_sketch,
-    # dedup_containment, cdc_stream_kmv_rollup, sink_dv_merge)
+    # dedup_containment, cdc_stream_kmv_rollup, sink_dv_merge,
+    # docs_substring_strip)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",
