@@ -445,3 +445,31 @@ def test_dsir_broadcasts_bucket_tables(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats nest
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_dv_read_is_broadcast_anti_join(spark, tmp_path):
+    """DV-mode reads mask superseded rows with a BROADCAST anti-join
+    on (file, pos) — a sort-merge join here would shuffle the whole
+    table per scan and erase the deletion-vector economics."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path / "dvplan"), keys=("k",), merge_mode="dv"
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(rows, "k long, val string, op string").select(
+            "k", "val", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    sink.apply_changeset(
+        "db", "t", ch([(i, f"v{i}", "insert") for i in range(100)], 1)
+    )
+    sink.apply_changeset("db", "t", ch([(5, "u", "update")], 2))
+    plan = plan_of(sink.read_table(spark, "db", "t"))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
