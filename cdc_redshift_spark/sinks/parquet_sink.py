@@ -391,6 +391,22 @@ class ParquetSink(Sink):
             self._build_bloom_incremental(db, table, v + 1, v, linked)
         if self.zonemap_index_cols:
             self._build_zonemap_incremental(db, table, v + 1, v, linked)
+        # a DV-bearing snapshot hard-links masked rows forward: the
+        # sidecar rows of LINKED partitions must travel too (rewritten
+        # partitions were rebuilt from the DV-APPLIED state, so their
+        # masks are dead and dropped here)
+        prev_dv = self._dv_dir(db, table, v)
+        if os.path.isdir(prev_dv) and linked:
+            carried = self._carried_index_rows(
+                self.spark.read.parquet(prev_dv),
+                linked,
+                f"/{db}/{table}/v{v}/",
+                f"/{db}/{table}/v{v + 1}/",
+            )
+            if not carried.isEmpty():
+                carried.coalesce(1).write.mode("overwrite").parquet(
+                    self._dv_dir(db, table, v + 1)
+                )
         self._flip(db, table, v + 1)
 
     # -- deletion-vector merge ---------------------------------------------
@@ -544,6 +560,12 @@ class ParquetSink(Sink):
             # changes) is DISTINCT from the v+1 dir being built, so
             # the lazy plans stay valid throughout the commit
             append_rows = winners.localCheckpoint(eager=True)
+            # retry safety: a prior attempt may have died between the
+            # link and the pointer flip, leaving a partial dst (the
+            # rewrite paths get this for free from Spark's overwrite
+            # mode; os.link would raise FileExistsError instead)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
             self._link_snapshot(src, dst)
             before = self._data_files(dst)
             writer = append_rows.write.mode("append")

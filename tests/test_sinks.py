@@ -935,3 +935,84 @@ def test_dv_merge_with_partition_cols(spark, tmp_path):
             os.path.join(tdir, "v1", "p=p0", f),
             os.path.join(tdir, "v2", "p=p0", f),
         )
+
+
+def test_dv_expire_tombstones_carries_sidecar_on_pruned_commit(
+    spark, tmp_path
+):
+    """Review finding (confirmed bug): expire_tombstones' PRUNED
+    commit hard-links untouched partitions forward — their DV-masked
+    rows travel with them, so the sidecar must too, or every masked
+    row resurrects."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path / "dvexp"), keys=("k",),
+        partition_cols=("p",), merge_mode="dv",
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(
+            rows, "k long, p string, val string, op string"
+        ).select(
+            "k", "p", "val", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    sink.apply_changeset(
+        "db", "t", ch([(1, "p0", "a", "insert"), (2, "p1", "b", "insert")], 1)
+    )
+    # DV-commit: update k=1 (mask in p0), delete k=2 (tombstone in p1)
+    sink.apply_changeset(
+        "db", "t", ch([(1, "p0", "a2", "update"), (2, "p1", None, "delete")], 50)
+    )
+    # expire the k=2 tombstone: rewrites p1, hard-links p0 forward
+    sink.expire_tombstones("db", "t", before_ts_ms=100)
+    rows = sink.read_table(spark, "db", "t").collect()
+    got = sorted((r.k, r.val) for r in rows)
+    assert got == [(1, "a2")], f"masked row resurrected: {got}"
+
+
+def test_dv_commit_retries_after_partial_failure(spark, tmp_path, monkeypatch):
+    """Review finding (confirmed bug): a DV commit that dies between
+    the snapshot link and the pointer flip must be retryable — the
+    partial v+1 dir is cleared, not collided with."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path / "dvretry"), keys=("k",), merge_mode="dv"
+    )
+
+    def ch(rows, ts):
+        return spark.createDataFrame(rows, "k long, val string, op string").select(
+            "k", "val", "op",
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("k").alias("offset"),
+        )
+
+    sink.apply_changeset("db", "t", ch([(1, "a", "insert")], 1))
+    # crash the first DV attempt AFTER the link, BEFORE the flip
+    real_flip = sink._flip
+    calls = {"n": 0}
+
+    def dying_flip(db, table, v):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before pointer flip")
+        real_flip(db, table, v)
+
+    monkeypatch.setattr(sink, "_flip", dying_flip)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        sink.apply_changeset("db", "t", ch([(1, "a2", "update")], 2))
+    assert sink._latest_version("db", "t") == 1  # pointer untouched
+    # retry must succeed (partial v2 cleared) and converge
+    sink.apply_changeset("db", "t", ch([(1, "a2", "update")], 2))
+    rows = sink.read_table(spark, "db", "t").collect()
+    assert len(rows) == 1 and rows[0].val == "a2"
