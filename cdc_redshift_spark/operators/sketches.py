@@ -317,6 +317,29 @@ def cm_hashes(key_col: Column) -> tuple[Column, Column]:
     return h1, h2
 
 
+def _cm_cells(
+    df: DataFrame, key_col: str, d: int, w: int, *keep: str
+) -> DataFrame:
+    """The (j, bucket) cell coordinates of every row's key — the ONE
+    definition of the CM hash/bucket arithmetic (build, estimate and
+    the DuckDB mirrors all derive from it; see ``duck_cm_cells`` /
+    ``duck_cm_probe_cells``).  ``keep`` columns ride along."""
+    h1, h2 = cm_hashes(F.col(key_col).cast("string"))
+    return df.select(
+        *keep,
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+    ).select(
+        *keep,
+        "j",
+        F.pmod(
+            F.col("__h1") + F.col("j").cast("long") * F.col("__h2"),
+            F.lit(int(w)).cast("long"),
+        ).alias("bucket"),
+    )
+
+
 def cm_sketch(
     df: DataFrame,
     key_col: str,
@@ -331,20 +354,8 @@ def cm_sketch(
     Unlike the exact ``heavy_hitters`` two-pass (operators/quality),
     the sketch is MERGEABLE: cells add, so per-bucket rollups union
     and re-aggregate without touching the base table."""
-    h1, h2 = cm_hashes(F.col(key_col).cast("string"))
     return (
-        df.select(
-            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j"),
-            h1.alias("__h1"),
-            h2.alias("__h2"),
-        )
-        .select(
-            "j",
-            F.pmod(
-                F.col("__h1") + F.col("j").cast("long") * F.col("__h2"),
-                F.lit(int(w)).cast("long"),
-            ).alias("bucket"),
-        )
+        _cm_cells(df, key_col, d, w)
         .groupBy("j", "bucket")
         .count()
         .withColumnRenamed("count", "cnt")
@@ -372,25 +383,31 @@ def cm_estimate(
     underestimates.  The sketch side is <= d*w rows BY CONSTRUCTION,
     so it broadcasts; the probe frame never shuffles.  ``d``/``w``
     must match the build geometry."""
-    h1, h2 = cm_hashes(F.col(key_col).cast("string"))
-    cells = probes.select(
-        key_col,
-        F.explode(F.sequence(F.lit(0), F.lit(int(d) - 1))).alias("j"),
-        h1.alias("__h1"),
-        h2.alias("__h2"),
-    ).select(
-        key_col,
-        "j",
-        F.pmod(
-            F.col("__h1") + F.col("j").cast("long") * F.col("__h2"),
-            F.lit(int(w)).cast("long"),
-        ).alias("bucket"),
-    )
+    cells = _cm_cells(probes, key_col, d, w, key_col)
     return (
         cells.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def duck_cm_probe_cells(
+    probes_sql: str, key_col: str, d: int, w: int
+) -> str:
+    """DuckDB mirror of the probe side of :func:`cm_estimate`: the
+    (key, j, bucket) cells of a probe relation — shares the exact
+    hash/bucket arithmetic with :func:`duck_cm_cells` so the two
+    mirrors cannot drift from each other or from ``_cm_cells``."""
+    return f"""
+  SELECT p.{key_col}, u.j,
+         (p.h1 + u.j * p.h2) % {w} AS bucket
+  FROM (
+    SELECT {key_col},
+           ('0x' || substr(md5({key_col}), 1, 15))::BIGINT AS h1,
+           (('0x' || substr(md5('c:' || {key_col}), 1, 15))::BIGINT | 1) AS h2
+    FROM ({probes_sql})
+  ) p, UNNEST(range(0, {d})) AS u(j)
+"""
 
 
 def duck_cm_cells(source_sql: str, key_expr: str, d: int, w: int) -> str:

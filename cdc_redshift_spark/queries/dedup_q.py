@@ -715,8 +715,11 @@ def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
-ORACLE_SUBSTRING_DEDUP = f"""
-WITH toks AS (
+# Shared span-detection CTE chain (tokenize -> engine-stable gram
+# hash -> cross-doc dup filter -> island merge) — ONE definition so
+# the dedup and strip oracles can never drift apart.
+SPAN_CTES = f"""
+toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 grams AS (
@@ -741,7 +744,10 @@ grouped AS (
   SELECT doc_id, pos,
          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM flagged
-)
+)"""
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH {SPAN_CTES}
 SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + {SPAN_N - 1} AS BIGINT) AS span_end
 FROM grouped GROUP BY doc_id, island
@@ -820,32 +826,7 @@ def q_docs_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SUBSTRING_STRIP = f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-),
-grams AS (
-  SELECT doc_id, i - 1 AS pos,
-         ('0x' || substr(md5(array_to_string(t[i:i+{SPAN_N - 1}], ' ')), 1, 15))::BIGINT AS g
-  FROM toks, UNNEST(range(1, len(t) - {SPAN_N} + 2)) AS u(i)
-),
-dup AS (
-  SELECT g FROM (
-    SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g
-  ) WHERE d >= 2
-),
-hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
-flagged AS (
-  SELECT doc_id, pos,
-         CASE WHEN lag(pos) OVER w IS NULL
-                OR pos > lag(pos) OVER w + {SPAN_N - 1}
-              THEN 1 ELSE 0 END AS brk
-  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-grouped AS (
-  SELECT doc_id, pos,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM flagged
-),
+WITH {SPAN_CTES},
 spans AS (
   SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_N - 1} AS e
   FROM grouped GROUP BY doc_id, island

@@ -1042,11 +1042,17 @@ def q_sketch_cm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cm_tokens() -> str:
-    from cdc_redshift_spark.operators.sketches import duck_cm_cells
+    from cdc_redshift_spark.operators.sketches import (
+        duck_cm_cells,
+        duck_cm_probe_cells,
+    )
 
     probes = ", ".join(f"'{p}'" for p in CM_TOKEN_PROBES)
     cells = duck_cm_cells(
         "SELECT w FROM toks", "w", CM_TOK_D, CM_TOK_W
+    )
+    pcells = duck_cm_probe_cells(
+        "SELECT w FROM probes", "w", CM_TOK_D, CM_TOK_W
     )
     return f"""
 WITH toks AS (
@@ -1055,16 +1061,7 @@ WITH toks AS (
 ),
 cells AS ({cells}),
 probes AS (SELECT unnest([{probes}]) AS w),
-pcells AS (
-  SELECT p.w, u.j,
-         (p.h1 + u.j * p.h2) % {CM_TOK_W} AS bucket
-  FROM (
-    SELECT w,
-           ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
-           (('0x' || substr(md5('c:' || w), 1, 15))::BIGINT | 1) AS h2
-    FROM probes
-  ) p, UNNEST(range(0, {CM_TOK_D})) AS u(j)
-),
+pcells AS ({pcells}),
 est AS (
   SELECT w, min(coalesce(c.cnt, 0)) AS n_est
   FROM pcells LEFT JOIN cells c USING (j, bucket)

@@ -890,7 +890,10 @@ def q_cdc_stream_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_stream_cm() -> str:
-    from cdc_redshift_spark.operators.sketches import duck_cm_cells
+    from cdc_redshift_spark.operators.sketches import (
+        duck_cm_cells,
+        duck_cm_probe_cells,
+    )
 
     probes = ", ".join(f"'{p}'" for p in CM_STREAM_PROBES)
     cells = duck_cm_cells(
@@ -899,19 +902,13 @@ def _oracle_stream_cm() -> str:
         CM_STREAM_D,
         CM_STREAM_W,
     )
+    pcells = duck_cm_probe_cells(
+        "SELECT k FROM probes", "k", CM_STREAM_D, CM_STREAM_W
+    )
     return f"""
 WITH cells AS ({cells}),
 probes AS (SELECT unnest([{probes}]) AS k),
-pcells AS (
-  SELECT p.k, u.j,
-         (p.h1 + u.j * p.h2) % {CM_STREAM_W} AS bucket
-  FROM (
-    SELECT k,
-           ('0x' || substr(md5(k), 1, 15))::BIGINT AS h1,
-           (('0x' || substr(md5('c:' || k), 1, 15))::BIGINT | 1) AS h2
-    FROM probes
-  ) p, UNNEST(range(0, {CM_STREAM_D})) AS u(j)
-),
+pcells AS ({pcells}),
 est AS (
   SELECT k, min(coalesce(c.cnt, 0)) AS n_est
   FROM pcells LEFT JOIN cells c USING (j, bucket)
