@@ -79,6 +79,10 @@ def main() -> None:
         # weights (gram explode + bucket-bounded broadcast scoring)
         "docs_substring_dedup",
         "corpus_dsir_weights",
+        # round-7 third pass: CCNet-style bigram-LM fluency scoring
+        # (transition explode + two broadcast bucket models + one
+        # per-doc average shuffle)
+        "corpus_lm_perplexity",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

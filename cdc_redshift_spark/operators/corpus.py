@@ -839,3 +839,99 @@ def dsir_logweights(
             F.coalesce("logw", F.lit(0.0)).alias("logw"),
         )
     )
+
+
+def ngram_lm_nll(
+    docs: DataFrame,
+    train_flag: Column,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style n-gram language-model fluency filter (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", LREC — the KenLM-perplexity step): train a
+    hashed-bucket BIGRAM model with add-``alpha`` smoothing on the
+    reference slice (rows where ``train_flag``), then score EVERY
+    document by its average per-transition negative log-likelihood
+
+        nll(doc) = avg_i [ ln(c1(b(w_{i-1})) + alpha*B)
+                           - ln(c2(b(w_{i-1} w_i)) + alpha) ]
+
+    (perplexity = e^nll).  Low nll = reads like the reference corpus;
+    the standard absolute-fluency cut, complementary to
+    :func:`dsir_logweights` (which ranks by RELATIVE domain match, not
+    fluency under a single LM).
+
+    Scale shape (same discipline as DSIR): the model is two
+    bucket-count tables each <= ``n_buckets`` rows BY CONSTRUCTION
+    regardless of corpus size — both broadcast; the transition stream
+    is a narrow explode scored in place; the only shuffle is the
+    per-doc average (map-side combined).  The engine-stable 60-bit
+    hash makes bucket ids — and the 6-dp nll — mirror in DuckDB.
+
+    Output: ``id_col, n_trans, nll`` (6 dp), one row per input doc
+    (docs with < 2 non-empty tokens get ``n_trans = 0, nll = 0``).
+    """
+    from cdc_redshift_spark.functions.text import words
+
+    toks = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    nxt = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    # (context word, bigram string) per POSITION via zip_with — the
+    # O(n)/doc construction (slice-inside-transform is O(n^2)/doc, the
+    # measured trap documented at dsir_logweights).  zip_with pads the
+    # shorter side with nulls, so the trailing (w_n, null) pair maps
+    # to a null struct and is filtered off.
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            nxt,
+            lambda a, b: F.when(
+                b.isNotNull(),
+                F.struct(
+                    a.alias("p"), F.concat(a, F.lit(" "), b).alias("g")
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    b = F.lit(int(n_buckets))
+    trans = docs.select(
+        F.col(id_col),
+        train_flag.alias("__tr"),
+        F.explode(pairs).alias("__pr"),
+    ).select(
+        id_col,
+        "__tr",
+        F.pmod(stable_hash60(F.col("__pr.p")), b).alias("__bc"),
+        F.pmod(stable_hash60(F.col("__pr.g")), b).alias("__bg"),
+    )
+    train = trans.where("__tr")
+    c1 = train.groupBy("__bc").agg(F.count(F.lit(1)).alias("__c1"))
+    c2 = train.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
+    a, ab = F.lit(float(alpha)), F.lit(float(alpha) * n_buckets)
+    perdoc = (
+        trans.join(F.broadcast(c1), "__bc", "left")
+        .join(F.broadcast(c2), "__bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.round(
+                F.avg(
+                    F.log(F.coalesce("__c1", F.lit(0)) + ab)
+                    - F.log(F.coalesce("__c2", F.lit(0)) + a)
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trans", F.lit(0)).alias("n_trans"),
+            F.coalesce("nll", F.lit(0.0)).alias("nll"),
+        )
+    )

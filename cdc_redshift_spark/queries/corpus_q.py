@@ -785,7 +785,69 @@ ORDER BY d.doc_id
 """
 
 
+LM_BUCKETS = 4096
+LM_ALPHA = 0.5
+#: the "reads like the reference corpus" slice the bigram LM trains on
+LM_TRAIN_SOURCES = ("src0", "src1", "src2")
+
+
+def q_corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style hashed-bigram LM fluency scores
+    (operators/corpus.ngram_lm_nll, Wenzek et al. 2020): the LM trains
+    on three sources standing in for the curated reference corpus and
+    every document is scored by average per-transition negative
+    log-likelihood.  The oracle replays the bucket hash, the smoothed
+    train counts and the 6-dp per-doc average in SQL — the DSIR/BM25
+    float-mirror discipline."""
+    from cdc_redshift_spark.operators.corpus import ngram_lm_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_lm_nll(
+        docs,
+        train_flag=F.col("source").isin(*LM_TRAIN_SOURCES),
+        n_buckets=LM_BUCKETS,
+        alpha=LM_ALPHA,
+    ).orderBy("doc_id")
+
+
+_LM_SRCS = ", ".join(f"'{s}'" for s in LM_TRAIN_SOURCES)
+
+ORACLE_LM_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, source IN ({_LM_SRCS}) AS tr,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+trans AS (
+  SELECT doc_id, tr,
+         ('0x' || substr(md5(t[i]), 1, 15))::BIGINT % {LM_BUCKETS} AS bc,
+         ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15))::BIGINT
+           % {LM_BUCKETS} AS bg
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+c1 AS (SELECT bc, count(*) AS c FROM trans WHERE tr GROUP BY bc),
+c2 AS (SELECT bg, count(*) AS c FROM trans WHERE tr GROUP BY bg),
+perdoc AS (
+  SELECT t.doc_id, count(*) AS n_trans,
+         round(avg(ln(coalesce(c1.c, 0) + {LM_ALPHA * LM_BUCKETS})
+                   - ln(coalesce(c2.c, 0) + {LM_ALPHA})), 6) AS nll
+  FROM trans t
+  LEFT JOIN c1 USING (bc)
+  LEFT JOIN c2 USING (bg)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_trans, 0) AS BIGINT) AS n_trans,
+       coalesce(p.nll, 0.0) AS nll
+FROM documents d
+LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "corpus_lm_perplexity": q_corpus_lm_perplexity,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split_manifest": q_corpus_split_manifest,
     "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
@@ -803,6 +865,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "corpus_dsir_weights": ORACLE_DSIR_WEIGHTS,
     "corpus_split_manifest": ORACLE_CORPUS_SPLIT,
     "corpus_split_leakage_safe": ORACLE_SPLIT_LEAKAGE,

@@ -327,3 +327,41 @@ def test_dsir_gram_count_and_degenerate_docs(spark):
     assert rows[2].n_grams == 0 and rows[2].logw == 0.0
     # single token: 1 unigram, no bigrams
     assert rows[3].n_grams == 1
+
+
+def test_lm_nll_prefers_fluent_text(spark):
+    from cdc_redshift_spark.operators.corpus import ngram_lm_nll
+    from pyspark.sql import functions as F
+
+    # the LM trains on "the cat sat on the mat" prose; a doc of SEEN
+    # bigrams must score lower nll than a doc of never-seen bigrams
+    rows = (
+        [(i, "the cat sat on the mat", 1) for i in range(10)]
+        + [(900, "the cat sat", 0), (901, "zz qq ww", 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tr int")
+    out = {
+        r.doc_id: r
+        for r in ngram_lm_nll(df, F.col("tr") == 1).collect()
+    }
+    assert len(out) == 12
+    assert out[900].nll < out[901].nll
+    # 3 tokens -> 2 transitions
+    assert out[900].n_trans == 2
+
+
+def test_lm_nll_degenerate_docs(spark):
+    from cdc_redshift_spark.operators.corpus import ngram_lm_nll
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "", 0), (3, "solo", 0), (4, None, 0)],
+        "doc_id long, text string, tr int",
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_lm_nll(df, F.col("tr") == 1).collect()
+    }
+    assert rows[1].n_trans == 1
+    for d in (2, 3, 4):  # <2 tokens: no transitions, nll 0
+        assert rows[d].n_trans == 0 and rows[d].nll == 0.0
