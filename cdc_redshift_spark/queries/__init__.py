@@ -67,7 +67,8 @@ _GATE_WINDOW = [
     # corpus_budget_select, docs_substring_dedup, layout_zonemap_scan,
     # sketch_cm_tokens, corpus_dsir_weights, cdc_stream_cm_sketch,
     # dedup_containment, cdc_stream_kmv_rollup, sink_dv_merge,
-    # docs_substring_strip, corpus_lm_perplexity)
+    # docs_substring_strip, corpus_lm_perplexity,
+    # events_golden_profile)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

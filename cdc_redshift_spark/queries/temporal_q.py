@@ -299,7 +299,86 @@ GROUP BY user_id
 
 
 
+def q_events_golden_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/golden.golden_record):
+    consolidate each user's event stream into ONE master profile row
+    under field-level rules — most-recent non-null event_type, majority
+    event_type, longest props, max value, first/last seen, count.  The
+    master-data merge step that follows entity resolution; every
+    non-mode rule is one max_by in a single aggregate pass (no window,
+    no per-key sort).  The oracle replays each rule as an explicit
+    row_number pick so the tie-breaks are pinned cross-engine."""
+    from cdc_redshift_spark.operators.golden import golden_record
+
+    ev = load_table(spark, sf_dir, "events")
+    return golden_record(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_ns", "event_id"],
+        rules={
+            "last_event_type": ("latest", "event_type"),
+            "top_event_type": ("mode", "event_type"),
+            "widest_props": ("longest", "props"),
+            "max_value": ("max", "value"),
+            "first_seen_ns": ("min", "ts_ns"),
+            "last_seen_ns": ("max", "ts_ns"),
+            "n_events": ("count",),
+        },
+    ).orderBy("user_id")
+
+
+ORACLE_GOLDEN_PROFILE = """
+WITH ev AS (
+  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type,
+         value, props
+  FROM events
+),
+lat AS (
+  SELECT user_id, event_type AS last_event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_ns DESC, event_id DESC) AS rn
+    FROM ev WHERE event_type IS NOT NULL
+  ) WHERE rn = 1
+),
+md AS (
+  SELECT user_id, event_type AS top_event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, event_type DESC)
+             AS rn
+    FROM ev WHERE event_type IS NOT NULL
+    GROUP BY user_id, event_type
+  ) WHERE rn = 1
+),
+lng AS (
+  SELECT user_id, props AS widest_props FROM (
+    SELECT user_id, props,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY len(props) DESC, props DESC)
+             AS rn
+    FROM ev WHERE props IS NOT NULL
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT user_id, max(value) AS max_value,
+         min(ts_ns) AS first_seen_ns, max(ts_ns) AS last_seen_ns,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id
+)
+SELECT a.user_id, l.last_event_type, m.top_event_type,
+       g.widest_props, a.max_value, a.first_seen_ns, a.last_seen_ns,
+       a.n_events
+FROM agg a
+LEFT JOIN lat l USING (user_id)
+LEFT JOIN md m USING (user_id)
+LEFT JOIN lng g USING (user_id)
+ORDER BY a.user_id
+"""
+
+
 QUERIES = {
+    "events_golden_profile": q_events_golden_profile,
     "events_asof_attribution": q_events_asof_attribution,
     "events_burst_windows": q_events_burst_windows,
     "events_hourly_rollup": q_events_hourly_rollup,
@@ -308,6 +387,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_golden_profile": ORACLE_GOLDEN_PROFILE,
     "events_asof_attribution": ORACLE_ASOF,
     "events_burst_windows": ORACLE_BURST,
     "events_hourly_rollup": ORACLE_ROLLUP_HOURLY,
