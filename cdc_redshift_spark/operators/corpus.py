@@ -935,3 +935,125 @@ def ngram_lm_nll(
             F.coalesce("nll", F.lit(0.0)).alias("nll"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the mBERT/XLM-R exponential-
+    smoothing rule, Devlin et al. 2019 app. / Conneau & Lample 2019):
+    allocate a global token budget across sources by
+
+        q_s = m_s^alpha / sum_t m_t^alpha      (m_s = source token mass)
+
+    — ``alpha = 1`` reproduces natural proportions, ``alpha -> 0``
+    approaches uniform, the standard knob for up-sampling low-resource
+    sources in a training mix — then keep, within each source, the
+    deterministic hash-ordered document prefix whose cumulative tokens
+    fit the source's budget ``b_s = floor(budget * round(q_s, 6))``.
+
+    Cross-engine determinism: budgets derive from per-source masses
+    through sqrt (IEEE-exact for the default ``alpha = 0.5``) and a
+    6-dp share round that buffers summation-order ulp noise (the
+    BM25/DSIR float discipline); selection order is the engine-stable
+    60-bit hash of ``salt:id``, then id.
+
+    Scale shape (NO whole-source window): docs hash into ``n_buckets``
+    rank buckets; ONE (source, bucket) aggregate gives a tiny
+    histogram; whole buckets below each source's crossing bucket pass
+    outright and ONLY the boundary bucket (~1/``n_buckets`` of one
+    source) runs the ordered running-sum window.  Output is
+    bit-identical to the naive per-source ordered prefix (the oracle
+    runs the naive form).
+
+    Output: ``id_col, source_col, tokens_col, src_budget`` for the
+    selected docs.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    import math
+
+    shift = 60 - int(math.log2(n_buckets))
+    if n_buckets << shift != 1 << 60:
+        raise ValueError(
+            f"n_buckets must be a power of 2 <= 2^60, got {n_buckets}"
+        )
+    tie = stable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    # bucket = the tie's HIGH bits, so bucket ascending IS tie
+    # ascending coarsened — whole low buckets are a true prefix of
+    # the per-source (tie, id) selection order
+    bucket = F.shiftright(tie, shift)
+    hist = (
+        df.groupBy(F.col(source_col), bucket.alias("__bk"))
+        .agg(F.sum(tokens_col).alias("__mass"))
+        .collect()
+    )
+    masses: dict = {}
+    per_bucket: dict = {}
+    for r in hist:
+        s = r[source_col]
+        m = int(r["__mass"] or 0)
+        masses[s] = masses.get(s, 0) + m
+        per_bucket[(s, r["__bk"])] = m
+    srcs = sorted(masses, key=str)
+    weights = {
+        s: (math.sqrt(masses[s]) if alpha == 0.5 else masses[s] ** alpha)
+        for s in srcs
+    }
+    total_w = sum(weights[s] for s in srcs)
+    budgets = {
+        s: (
+            int(math.floor(budget_tokens * round(weights[s] / total_w, 6)))
+            if total_w > 0
+            else 0
+        )
+        for s in srcs
+    }
+    # per-source crossing bucket: whole buckets below it fit the
+    # budget; the boundary bucket gets the remainder
+    bstar: dict = {}
+    remaining: dict = {}
+    for s in srcs:
+        cum = 0
+        bstar[s] = n_buckets  # sentinel: every bucket fits
+        for bk in range(n_buckets):
+            m = per_bucket.get((s, bk), 0)
+            if cum + m > budgets[s]:
+                bstar[s] = bk
+                remaining[s] = budgets[s] - cum
+                break
+            cum += m
+    cuts = df.sparkSession.createDataFrame(
+        [
+            (s, budgets[s], bstar[s], remaining.get(s, 0))
+            for s in srcs
+        ],
+        f"{source_col} string, src_budget long, __bstar int, __rem long",
+    )
+    base = df.select(
+        id_col, source_col, tokens_col, bucket.alias("__bk"), tie.alias("__tie")
+    ).join(F.broadcast(cuts), source_col)
+    passed = base.where(F.col("__bk") < F.col("__bstar"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__tie").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        base.where(F.col("__bk") == F.col("__bstar"))
+        .withColumn("__cum", F.sum(tokens_col).over(w))
+        .where(F.col("__cum") <= F.col("__rem"))
+        .drop("__cum")
+    )
+    return passed.unionByName(boundary).select(
+        id_col, source_col, tokens_col, "src_budget"
+    )

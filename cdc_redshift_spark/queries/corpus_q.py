@@ -785,6 +785,65 @@ ORDER BY d.doc_id
 """
 
 
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (operators/corpus.
+    temperature_mix, the mBERT/XLM-R alpha-smoothing rule): a global
+    budget of 1/3 of corpus tokens allocated across sources by
+    sqrt-scaled token mass, each source keeping its hash-ordered
+    document prefix.  The operator runs the bucket-histogram plan
+    (whole high-order-bit buckets pass; only the boundary bucket is
+    cumsummed); the oracle runs the NAIVE per-source running-sum
+    mirror, so a green row proves the scale plan computes exactly the
+    per-source greedy prefix AND the budget arithmetic matches."""
+    from cdc_redshift_spark.functions import text as TX
+    from cdc_redshift_spark.operators.corpus import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    return temperature_mix(toks, int(total) // 3, alpha=0.5).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST({TXQ.DUCK_TOKEN_COUNT.format(c='text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mass
+  FROM toks GROUP BY source
+),
+w AS (SELECT source, sqrt(CAST(mass AS DOUBLE)) AS wt FROM m),
+bud AS (
+  SELECT source,
+         CAST(floor(((SELECT sum(mass) FROM m) // 3)
+                    * round(wt / (SELECT sum(wt) FROM w), 6))
+              AS BIGINT) AS src_budget
+  FROM w
+),
+ordered AS (
+  SELECT t.doc_id, t.source, t.n_tokens, b.src_budget,
+         sum(t.n_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY ('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM toks t JOIN bud b USING (source)
+)
+SELECT doc_id, source, n_tokens, src_budget
+FROM ordered WHERE cum <= src_budget
+ORDER BY doc_id
+"""
+
+
 LM_BUCKETS = 4096
 LM_ALPHA = 0.5
 #: the "reads like the reference corpus" slice the bigram LM trains on
@@ -847,6 +906,7 @@ ORDER BY d.doc_id
 
 
 QUERIES = {
+    "corpus_temperature_mix": q_corpus_temperature_mix,
     "corpus_lm_perplexity": q_corpus_lm_perplexity,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_split_manifest": q_corpus_split_manifest,
@@ -865,6 +925,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_temperature_mix": ORACLE_TEMPERATURE_MIX,
     "corpus_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "corpus_dsir_weights": ORACLE_DSIR_WEIGHTS,
     "corpus_split_manifest": ORACLE_CORPUS_SPLIT,

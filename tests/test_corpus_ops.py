@@ -365,3 +365,68 @@ def test_lm_nll_degenerate_docs(spark):
     assert rows[1].n_trans == 1
     for d in (2, 3, 4):  # <2 tokens: no transitions, nll 0
         assert rows[d].n_trans == 0 and rows[d].nll == 0.0
+
+
+def test_temperature_mix_equals_naive_prefix(spark):
+    """The bucket-histogram plan must equal the naive per-source
+    hash-ordered running-sum prefix bit-for-bit."""
+    from pyspark.sql import Window
+
+    from cdc_redshift_spark.operators.corpus import (
+        stable_hash60,
+        temperature_mix,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", 10 + (i * 7) % 23) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = temperature_mix(df, 1500, n_buckets=16)
+    got = {(r.doc_id, r.src_budget) for r in out.collect()}
+
+    budgets = {r.source: r.src_budget for r in out.select("source", "src_budget").distinct().collect()}
+    tie = stable_hash60(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(tie.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = df.withColumn("__cum", F.sum("n_tokens").over(w))
+    want = set()
+    for r in naive.collect():
+        b = budgets.get(r.source)
+        if b is not None and r["__cum"] <= b:
+            want.add((r.doc_id, b))
+    assert got == want and len(got) > 0
+
+
+def test_temperature_mix_upsamples_small_sources(spark):
+    """alpha=0.5 must give the small source a LARGER share of the
+    selection than its share of the corpus (the whole point of
+    temperature smoothing)."""
+    from cdc_redshift_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "big", 10) for i in range(900)] + [
+        (1000 + i, "small", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = temperature_mix(df, 5000).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in out}
+    # natural shares: 90% / 10%.  sqrt shares: 0.75 / 0.25
+    assert got["small"] / (got["small"] + got["big"]) > 0.2
+
+
+def test_temperature_mix_validation(spark):
+    import pytest
+
+    from cdc_redshift_spark.operators.corpus import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, source string, n_tokens long"
+    )
+    with pytest.raises(ValueError):
+        temperature_mix(df, -1)
+    with pytest.raises(ValueError):
+        temperature_mix(df, 10, n_buckets=100)  # not a power of 2
