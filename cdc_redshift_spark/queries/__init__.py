@@ -68,7 +68,8 @@ _GATE_WINDOW = [
     # sketch_cm_tokens, corpus_dsir_weights, cdc_stream_cm_sketch,
     # dedup_containment, cdc_stream_kmv_rollup, sink_dv_merge,
     # docs_substring_strip, corpus_lm_perplexity,
-    # events_golden_profile, corpus_temperature_mix)
+    # events_golden_profile, corpus_temperature_mix,
+    # sink_column_rename)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

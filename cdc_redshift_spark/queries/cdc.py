@@ -669,6 +669,97 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sink_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY column rename (`ParquetSink.rename_column`, the
+    Delta/Iceberg column-mapping contract on plain parquet): commit
+    orders as v1, rename `cents` -> `amount_cents` (in-query proof:
+    every v2 data file is the SAME inode as v1 — zero bytes
+    rewritten), then apply an update+delete changeset ADDRESSED BY THE
+    NEW NAME and read the final state.  Also checks time travel to v1
+    still serves the pre-rename name.  The oracle reconstructs the
+    final state from the base table, so a green row certifies that
+    files written before and after the rename merge into one coherent
+    logical schema."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="col_rename_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        sink.apply_changeset("db", "t", base)
+        v1_files = sink._data_files(_os.path.join(root, "db", "t", "v1"))
+        sink.rename_column("db", "t", "cents", "amount_cents")
+        v2_files = sink._data_files(_os.path.join(root, "db", "t", "v2"))
+        v1_inodes = {_os.stat(f).st_ino for f in v1_files}
+        v2_inodes = {_os.stat(f).st_ino for f in v2_files}
+        if v1_inodes != v2_inodes:
+            raise RuntimeError(
+                "rename rewrote data files: "
+                f"{len(v2_inodes - v1_inodes)} new of {len(v2_inodes)}"
+            )
+        old = sink.read_table(spark, "db", "t", version=1)
+        if "cents" not in old.columns or "amount_cents" in old.columns:
+            raise RuntimeError(
+                f"time travel lost the pre-rename schema: {old.columns}"
+            )
+        mo = F.pmod(F.col("k"), F.lit(10))
+        nxt = (
+            base.withColumnRenamed("cents", "amount_cents")
+            .where(mo == 1)
+            .withColumn(
+                "amount_cents", F.col("amount_cents") + F.lit(5)
+            )
+            .unionByName(
+                base.withColumnRenamed("cents", "amount_cents")
+                .where(mo == 0)
+                .withColumn("op", F.lit("delete"))
+            )
+            .withColumn("ts_ms", F.lit(2).cast("long"))
+        )
+        sink.apply_changeset("db", "t", nxt)
+        cur = sink.read_table(spark, "db", "t")
+        return (
+            cur.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amount_cents").alias("sum_amount"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_COLUMN_RENAME = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), final AS (
+  SELECT k, status,
+         CASE WHEN k % 10 = 1 THEN cents + 5 ELSE cents END AS amount_cents
+  FROM base WHERE k % 10 <> 0
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(amount_cents) AS BIGINT) AS sum_amount
+FROM final GROUP BY status
+ORDER BY status
+"""
+
+
 def q_sink_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR merge mode (`ParquetSink(merge_mode='dv')`):
     orders committed as v1, then TWO changesets (status updates +
@@ -1035,6 +1126,7 @@ QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
+    "sink_column_rename": q_sink_column_rename,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
@@ -1049,6 +1141,7 @@ QUERIES = {
 ORACLES = {
     "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
+    "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,

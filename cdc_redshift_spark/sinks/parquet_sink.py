@@ -195,7 +195,9 @@ class ParquetSink(Sink):
             else self._read_schema(db, table)
         )
         if schema is not None:
-            reader = reader.schema(schema)
+            # impose PHYSICAL names (column mapping): parquet columns
+            # match by name; logical names apply after the scan
+            reader = reader.schema(self._phys_read_schema(schema))
         df = reader.parquet(os.path.join(self._dir(db, table), f"v{v}"))
         dvdir = self._dv_dir(db, table, v)
         if os.path.isdir(dvdir):
@@ -214,6 +216,8 @@ class ParquetSink(Sink):
                 )
                 .drop("__f", "__r")
             )
+        if schema is not None:
+            df = self._to_logical(df, schema)
         if not include_tombstones and "op" in df.columns:
             df = df.where(F.col("op") != "delete")
         return df
@@ -248,11 +252,32 @@ class ParquetSink(Sink):
     def _write_schema(
         self, db: str, table: str, df: DataFrame, v: int | None = None
     ) -> None:
+        # carry the column-mapping metadata forward: a field that was
+        # renamed keeps pointing at its ORIGINAL physical parquet name
+        # (DataFrame ops strip field metadata, so the stored catalog —
+        # not df.schema — is the mapping's source of truth)
+        from pyspark.sql.types import StructField, StructType
+
+        mapping = self._mapping(db, table)
+        fields = [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {"physical": mapping[f.name]} if f.name in mapping else {},
+            )
+            for f in df.schema.fields
+        ]
+        self._write_schema_json(db, table, StructType(fields), v)
+
+    def _write_schema_json(
+        self, db: str, table: str, schema, v: int | None = None
+    ) -> None:
         import json as _json
 
         d = self._dir(db, table)
         os.makedirs(d, exist_ok=True)
-        payload = _json.dumps(df.schema.jsonValue())
+        payload = _json.dumps(schema.jsonValue())
         targets = [self._schema_path(db, table)]
         if v is not None:  # per-version copy for time-travel reads
             targets.append(self._schema_path(db, table, v))
@@ -261,6 +286,63 @@ class ParquetSink(Sink):
             with open(tmp, "w") as f:
                 f.write(payload)
             os.replace(tmp, path)
+
+    # -- column mapping (metadata-only rename) ------------------------------
+    def _mapping(self, db: str, table: str) -> dict[str, str]:
+        """{logical name: physical parquet name} for renamed columns
+        (identity entries omitted)."""
+        sch = self._read_schema(db, table)
+        if sch is None:
+            return {}
+        out = {}
+        for f in sch.fields:
+            phys = (f.metadata or {}).get("physical", f.name)
+            if phys != f.name:
+                out[f.name] = phys
+        return out
+
+    @staticmethod
+    def _phys_read_schema(schema):
+        """The schema to IMPOSE on a parquet scan: logical types with
+        PHYSICAL field names (Spark matches parquet columns by name —
+        imposing a renamed logical name would read NULLs)."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(
+                    (f.metadata or {}).get("physical", f.name),
+                    f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _to_logical(df: DataFrame, schema) -> DataFrame:
+        """Physical scan columns -> logical names (post-scan rename)."""
+        inv = {
+            (f.metadata or {}).get("physical", f.name): f.name
+            for f in schema.fields
+        }
+        if all(p == l for p, l in inv.items()):
+            return df
+        return df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
+
+    def _to_physical(self, db: str, table: str, df: DataFrame) -> DataFrame:
+        """Logical frame -> physical column names, applied at every
+        data-file write so the physical name NEVER changes after first
+        write (the Delta column-mapping invariant: rename is pure
+        metadata, old and new files stay mutually readable)."""
+        mapping = self._mapping(db, table)
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
 
     def list_tables(self) -> list[tuple[str, str]]:
         out = []
@@ -374,7 +456,9 @@ class ParquetSink(Sink):
         untouched partition directory forward from v."""
         src = os.path.join(self._dir(db, table), f"v{v}")
         dst = os.path.join(self._dir(db, table), f"v{v + 1}")
-        self._layout(rewritten).write.mode("overwrite").partitionBy(
+        self._to_physical(
+            db, table, self._layout(rewritten)
+        ).write.mode("overwrite").partitionBy(
             *self.partition_cols
         ).parquet(dst)
         self._write_schema(db, table, rewritten, v + 1)
@@ -484,7 +568,7 @@ class ParquetSink(Sink):
             schema = self._read_schema(db, table)
             reader = self.spark.read
             if schema is not None:
-                reader = reader.schema(schema)
+                reader = reader.schema(self._phys_read_schema(schema))
             cur = reader.parquet(src).select(
                 *self.keys,
                 self.ts_col,
@@ -568,7 +652,9 @@ class ParquetSink(Sink):
                 shutil.rmtree(dst)
             self._link_snapshot(src, dst)
             before = self._data_files(dst)
-            writer = append_rows.write.mode("append")
+            writer = self._to_physical(db, table, append_rows).write.mode(
+                "append"
+            )
             if self.partition_cols:
                 writer = writer.partitionBy(*self.partition_cols)
             writer.parquet(dst)
@@ -779,11 +865,99 @@ class ParquetSink(Sink):
         self.partition_cols = list(new_partition_cols)
         self._commit(db, table, cur)
 
+    def rename_column(self, db: str, table: str, old: str, new: str) -> None:
+        """METADATA-ONLY column rename (the Delta/Iceberg column-
+        mapping story on plain parquet): commit a new snapshot whose
+        every data file, deletion-vector row and index row is a
+        hard-link / path-rewrite of the current one — ZERO data bytes
+        rewritten however large the table — with an updated catalog
+        schema where the field's LOGICAL name changes but its
+        ``physical`` parquet name (recorded in field metadata) stays
+        what it was at first write.  All subsequent writes translate
+        logical -> physical at the storage boundary, so old and new
+        files remain mutually readable forever; time travel to
+        pre-rename versions serves the old name via the per-version
+        schema.
+
+        Merge-machinery columns (keys, ts/tiebreak, op), partition,
+        cluster and index columns are refused: their names are wired
+        into directory layouts, sidecar names and changeset contracts,
+        where a metadata rename cannot reach.
+        """
+        v = self._latest_version(db, table)
+        if v is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        schema = self._read_schema(db, table)
+        if schema is None:
+            # pre-catalog table: materialize the catalog first so the
+            # mapping has a source of truth
+            schema = self.spark.read.parquet(
+                os.path.join(self._dir(db, table), f"v{v}")
+            ).schema
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"{db}.{table} has no column {old!r}: {names}")
+        if new in names:
+            raise ValueError(f"{db}.{table} already has a column {new!r}")
+        protected = (
+            set(self.keys)
+            | {self.ts_col, self.tiebreak_col, "op"}
+            | set(self.partition_cols)
+            | set(self.cluster_keys)
+            | set(self.bloom_index_cols)
+            | set(self.zonemap_index_cols)
+        )
+        if old in protected:
+            raise ValueError(
+                f"cannot rename {old!r}: merge-key/partition/cluster/"
+                "index columns are wired into layouts and contracts"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(
+                    new,
+                    f.dataType,
+                    f.nullable,
+                    {"physical": (f.metadata or {}).get("physical", f.name)},
+                )
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        src = os.path.join(self._dir(db, table), f"v{v}")
+        dst = os.path.join(self._dir(db, table), f"v{v + 1}")
+        if os.path.isdir(dst):  # retry safety (see _apply_dv)
+            shutil.rmtree(dst)
+        self._link_snapshot(src, dst)
+        old_seg = f"/{db}/{table}/v{v}/"
+        new_seg = f"/{db}/{table}/v{v + 1}/"
+        prev_dv = self._dv_dir(db, table, v)
+        if os.path.isdir(prev_dv):
+            self.spark.read.parquet(prev_dv).select(
+                F.replace(
+                    F.col("file"), F.lit(old_seg), F.lit(new_seg)
+                ).alias("file"),
+                "pos",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._dv_dir(db, table, v + 1)
+            )
+        if self.bloom_index_cols or self.zonemap_index_cols:
+            # every file carries: index rows travel by path rewrite
+            self._index_dv_commit(db, table, v + 1, v, [])
+        self._write_schema_json(db, table, new_schema, v + 1)
+        self._flip(db, table, v + 1)
+
     def _commit(self, db: str, table: str, state: DataFrame) -> None:
         d = self._dir(db, table)
         v = (self._latest_version(db, table) or 0) + 1
         path = os.path.join(d, f"v{v}")
-        writer = self._layout(state).write.mode("overwrite")
+        writer = (
+            self._to_physical(db, table, self._layout(state))
+            .write.mode("overwrite")
+        )
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(path)

@@ -1,6 +1,7 @@
 """ParquetSink versioned-merge behavior + Redshift SQL codegen parity."""
 
 import json
+import os
 
 from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
 from cdc_redshift_spark.sinks.redshift import (
@@ -1016,3 +1017,98 @@ def test_dv_commit_retries_after_partial_failure(spark, tmp_path, monkeypatch):
     sink.apply_changeset("db", "t", ch([(1, "a2", "update")], 2))
     rows = sink.read_table(spark, "db", "t").collect()
     assert len(rows) == 1 and rows[0].val == "a2"
+
+
+# -- metadata-only column rename (column mapping) ------------------------
+
+
+def test_rename_column_zero_rewrite_and_read(spark, tmp_path):
+    """Rename commits a new version whose data files are hard-links of
+    the old one (zero data bytes rewritten); reads serve the new
+    logical name with identical values; time travel serves the old."""
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset(
+        "d", "t", chdf(spark, [("1", 100, 0, "insert", "p1"), ("2", 100, 1, "insert", "p2")])
+    )
+    v1_files = sink._data_files(str(tmp_path / "d" / "t" / "v1"))
+    sink.rename_column("d", "t", "payload", "body")
+    v2_files = sink._data_files(str(tmp_path / "d" / "t" / "v2"))
+    # every v2 data file is a hard link of a v1 file
+    v1_inodes = {os.stat(f).st_ino for f in v1_files}
+    assert {os.stat(f).st_ino for f in v2_files} == v1_inodes
+
+    cur = sink.read_table(spark, "d", "t")
+    assert "body" in cur.columns and "payload" not in cur.columns
+    assert {r.key: r.body for r in cur.collect()} == {"1": "p1", "2": "p2"}
+    # time travel: pre-rename version keeps its name
+    old = sink.read_table(spark, "d", "t", version=1)
+    assert "payload" in old.columns and "body" not in old.columns
+
+
+def test_rename_column_then_merge_keeps_one_physical_name(spark, tmp_path):
+    """Writes after a rename translate logical->physical, so files
+    written before and after the rename stay mutually readable."""
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "p1")]))
+    sink.rename_column("d", "t", "payload", "body")
+    post = spark.createDataFrame(
+        [("1", 200, 1, "update", "p1b"), ("3", 200, 2, "insert", "p3")],
+        "key string, ts_ms long, offset long, op string, body string",
+    )
+    sink.apply_changeset("d", "t", post)
+    rows = {r.key: r.body for r in sink.read_table(spark, "d", "t").collect()}
+    assert rows == {"1": "p1b", "3": "p3"}
+    # physical parquet name stays the ORIGINAL in the new files too
+    import pyarrow.parquet as pq
+
+    v = sink._latest_version("d", "t")
+    for f in sink._data_files(str(tmp_path / "d" / "t" / f"v{v}")):
+        names = set(pq.read_schema(f).names)
+        assert "payload" in names and "body" not in names
+
+
+def test_rename_column_dv_mode(spark, tmp_path):
+    """Rename composed with deletion-vector merges: the DV sidecar
+    carries across the rename commit and post-rename DV commits mask
+    correctly under the logical name."""
+    sink = ParquetSink(spark, str(tmp_path), merge_mode="dv")
+    sink.apply_changeset(
+        "d", "t", chdf(spark, [("1", 100, 0, "insert", "a"), ("2", 100, 1, "insert", "b")])
+    )
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 200, 2, "update", "a2")]))
+    sink.rename_column("d", "t", "payload", "body")
+    rows = {r.key: r.body for r in sink.read_table(spark, "d", "t").collect()}
+    assert rows == {"1": "a2", "2": "b"}
+    post = spark.createDataFrame(
+        [("2", 300, 3, "update", "b2")],
+        "key string, ts_ms long, offset long, op string, body string",
+    )
+    sink.apply_changeset("d", "t", post)
+    rows = {r.key: r.body for r in sink.read_table(spark, "d", "t").collect()}
+    assert rows == {"1": "a2", "2": "b2"}
+
+
+def test_rename_column_validation(spark, tmp_path):
+    import pytest
+
+    sink = ParquetSink(spark, str(tmp_path))
+    with pytest.raises(ValueError):
+        sink.rename_column("d", "missing", "a", "b")
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "p")]))
+    with pytest.raises(ValueError):
+        sink.rename_column("d", "t", "nope", "x")
+    with pytest.raises(ValueError):
+        sink.rename_column("d", "t", "payload", "op")  # collision
+    with pytest.raises(ValueError):
+        sink.rename_column("d", "t", "key", "k2")  # merge key protected
+
+
+def test_rename_column_twice_chains_mapping(spark, tmp_path):
+    """payload -> body -> content: physical stays 'payload' throughout."""
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "p")]))
+    sink.rename_column("d", "t", "payload", "body")
+    sink.rename_column("d", "t", "body", "content")
+    cur = sink.read_table(spark, "d", "t")
+    assert {r.key: r.content for r in cur.collect()} == {"1": "p"}
+    assert sink._mapping("d", "t") == {"content": "payload"}
