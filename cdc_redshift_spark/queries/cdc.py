@@ -669,6 +669,103 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_orders_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional multi-clause MERGE INTO (plans/merge.merge_into):
+    the full Delta-style surface over orders — a delete clause, a
+    conditional update (applies only when the source price BEATS the
+    stored one, exercising a cross-side predicate), a conditional
+    insert, and a not-matched-by-source update flagging cheap stale
+    rows — in ONE full-outer join + codegen when/otherwise chains.
+    The oracle replays every clause as CASE logic, so a green row
+    certifies clause order, per-branch defaults and the cross-side
+    conditions."""
+    from cdc_redshift_spark.plans.merge import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    k = F.col("k")
+    s = (
+        t.where(k % 5 == 0).select(
+            k,
+            F.lit("del").alias("op"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+        .unionByName(
+            t.where((k % 3 == 0) & (k % 5 != 0)).select(
+                k,
+                F.lit("upd").alias("op"),
+                F.lit("U").alias("status"),
+                (F.col("cents") + (k % 7 - 3) * 100).alias("cents"),
+            )
+        )
+        .unionByName(
+            t.where(k % 11 == 0).select(
+                (k + 10_000_000).alias("k"),
+                F.lit("ins").alias("op"),
+                F.lit("N").alias("status"),
+                ((k % 997) * 10).cast("long").alias("cents"),
+            )
+        )
+    )
+    return (
+        merge_into(t, s, ["k"])
+        .when_matched_delete(condition="s.op = 'del'")
+        .when_matched_update(
+            set={"status": "s.status", "cents": "s.cents"},
+            condition="s.cents > t.cents",
+        )
+        .when_not_matched_insert(condition="s.op <> 'del'")
+        .when_not_matched_by_source_update(
+            set={"status": "'STALE'"}, condition="t.cents < 10000000"
+        )
+        .execute()
+        .orderBy("k")
+    )
+
+
+ORACLE_MERGE_INTO = """
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT k, 'del' AS op, CAST(NULL AS VARCHAR) AS status,
+         CAST(NULL AS BIGINT) AS cents
+  FROM t WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, 'upd', 'U', cents + (k % 7 - 3) * 100
+  FROM t WHERE k % 3 = 0 AND k % 5 <> 0
+  UNION ALL
+  SELECT k + 10000000, 'ins', 'N', (k % 997) * 10
+  FROM t WHERE k % 11 = 0
+),
+kept AS (
+  SELECT t.k,
+         CASE
+           WHEN s.k IS NOT NULL AND s.cents > t.cents THEN s.status
+           WHEN s.k IS NULL AND t.cents < 10000000 THEN 'STALE'
+           ELSE t.status
+         END AS status,
+         CASE
+           WHEN s.k IS NOT NULL AND s.cents > t.cents THEN s.cents
+           ELSE t.cents
+         END AS cents
+  FROM t LEFT JOIN s ON t.k = s.k
+  WHERE s.k IS NULL OR s.op <> 'del'
+)
+SELECT k, status, cents FROM kept
+UNION ALL
+SELECT k, status, cents FROM s WHERE op = 'ins'
+ORDER BY k
+"""
+
+
 def q_sink_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """METADATA-ONLY column rename (`ParquetSink.rename_column`, the
     Delta/Iceberg column-mapping contract on plain parquet): commit
@@ -1127,6 +1224,7 @@ QUERIES = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
     "sink_column_rename": q_sink_column_rename,
+    "orders_merge_into": q_orders_merge_into,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
@@ -1142,6 +1240,7 @@ ORACLES = {
     "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,
+    "orders_merge_into": ORACLE_MERGE_INTO,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,
