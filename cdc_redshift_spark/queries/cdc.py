@@ -857,6 +857,95 @@ ORDER BY status
 """
 
 
+
+def q_sink_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement at sink commit
+    (`ParquetSink(constraints=)`, the Delta constraint contract):
+    orders commit under `cents >= 0` and `status IS NOT NULL`; a
+    violating changeset must raise BEFORE any commit work and leave
+    the table bit-identical (version pointer asserted in-query), then
+    a valid update batch lands normally.  Null expression results
+    pass (SQL CHECK semantics) and delete tombstones are exempt.  The
+    oracle recomputes the final state, certifying the rejected batch
+    truly left no trace."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import (
+        ConstraintViolation,
+        ParquetSink,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="constraints_")
+    try:
+        sink = ParquetSink(
+            spark,
+            root,
+            keys=("k",),
+            constraints={
+                "cents_nonneg": "cents >= 0",
+                "status_not_null": "status IS NOT NULL",
+            },
+        )
+        sink.apply_changeset("db", "t", base)
+        bad = (
+            base.where(F.pmod(F.col("k"), F.lit(10)) == 3)
+            .withColumn("cents", -F.col("cents"))
+            .withColumn("ts_ms", F.lit(2).cast("long"))
+        )
+        try:
+            sink.apply_changeset("db", "t", bad)
+            raise RuntimeError("violating batch was accepted")
+        except ConstraintViolation:
+            pass
+        if sink._latest_version("db", "t") != 1:
+            raise RuntimeError("rejected batch still committed a version")
+        good = (
+            base.where(F.pmod(F.col("k"), F.lit(10)) == 3)
+            .withColumn("cents", F.col("cents") + F.lit(7))
+            .withColumn("ts_ms", F.lit(2).cast("long"))
+        )
+        sink.apply_changeset("db", "t", good)
+        cur = sink.read_table(spark, "db", "t")
+        return (
+            cur.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_CONSTRAINTS = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), final AS (
+  SELECT k, status,
+         CASE WHEN k % 10 = 3 THEN cents + 7 ELSE cents END AS cents
+  FROM base
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY status
+ORDER BY status
+"""
+
+
 def q_sink_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR merge mode (`ParquetSink(merge_mode='dv')`):
     orders committed as v1, then TWO changesets (status updates +
@@ -1225,6 +1314,7 @@ QUERIES = {
     "sink_time_travel": q_sink_time_travel,
     "sink_column_rename": q_sink_column_rename,
     "orders_merge_into": q_orders_merge_into,
+    "sink_constraints": q_sink_constraints,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
@@ -1241,6 +1331,7 @@ ORACLES = {
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,
     "orders_merge_into": ORACLE_MERGE_INTO,
+    "sink_constraints": ORACLE_SINK_CONSTRAINTS,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,

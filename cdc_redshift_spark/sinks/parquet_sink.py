@@ -44,6 +44,10 @@ from cdc_redshift_spark.sinks.base import Sink
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class ConstraintViolation(ValueError):
+    """A batch broke a table CHECK constraint; nothing was committed."""
+
+
 class ParquetSink(Sink):
     def __init__(
         self,
@@ -58,6 +62,7 @@ class ParquetSink(Sink):
         bloom_m_bits: int | str = "auto",
         zonemap_index_cols: Sequence[str] = (),
         merge_mode: str = "rewrite",
+        constraints: dict[str, str] | None = None,
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -114,7 +119,40 @@ class ParquetSink(Sink):
                 f"merge_mode must be 'rewrite' or 'dv', got {merge_mode!r}"
             )
         self.merge_mode = merge_mode
+        #: {name: SQL boolean expr} CHECK constraints (Delta contract:
+        #: a row violates only when the expr evaluates FALSE — null is
+        #: a pass; spell NOT NULL as "x IS NOT NULL").  Enforced on
+        #: every incoming batch BEFORE any commit work: a violating
+        #: batch raises and the table is untouched.
+        self.constraints = dict(constraints or {})
         os.makedirs(root, exist_ok=True)
+
+    def _check_constraints(self, df: DataFrame, what: str) -> None:
+        """Raise ConstraintViolation if any non-tombstone row of
+        ``df`` fails a CHECK.  One column-pruned pass over the batch
+        (never the stored table); all constraints verified in a single
+        aggregate so N constraints don't mean N jobs."""
+        if not self.constraints:
+            return
+        rows = df
+        if "op" in df.columns:
+            rows = rows.where(F.col("op") != "delete")
+        aggs = [
+            F.sum(
+                F.when(F.expr(expr) == F.lit(False), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in self.constraints.items()
+        ]
+        counts = rows.agg(*aggs).collect()[0].asDict()
+        bad = {n: int(c) for n, c in counts.items() if c}
+        if bad:
+            raise ConstraintViolation(
+                f"CHECK constraint(s) violated by {what}: "
+                + ", ".join(
+                    f"{n} ({c} row(s), expr: {self.constraints[n]!r})"
+                    for n, c in sorted(bad.items())
+                )
+            )
 
     def _layout(self, state: DataFrame) -> DataFrame:
         if not self.cluster_keys:
@@ -365,6 +403,7 @@ class ParquetSink(Sink):
         changes carry and the target exists (see module docstring);
         full merge + rewrite otherwise.
         """
+        self._check_constraints(changes, f"changeset for {db}.{table}")
         target = self.read_table(self.spark, db, table, include_tombstones=True)
         if (
             self.merge_mode == "dv"
@@ -830,6 +869,7 @@ class ParquetSink(Sink):
 
     def overwrite(self, db: str, table: str, state: DataFrame) -> None:
         """Direct snapshot write (initial loads / oracle comparisons)."""
+        self._check_constraints(state, f"overwrite of {db}.{table}")
         self._commit(db, table, state)
 
     def repartition_table(

@@ -1112,3 +1112,45 @@ def test_rename_column_twice_chains_mapping(spark, tmp_path):
     cur = sink.read_table(spark, "d", "t")
     assert {r.key: r.content for r in cur.collect()} == {"1": "p"}
     assert sink._mapping("d", "t") == {"content": "payload"}
+
+
+# -- CHECK constraints ----------------------------------------------------
+
+
+def test_sink_constraints_reject_and_commit(spark, tmp_path):
+    from cdc_redshift_spark.sinks.parquet_sink import ConstraintViolation
+
+    sink = ParquetSink(
+        spark,
+        str(tmp_path),
+        constraints={
+            "payload_not_null": "payload IS NOT NULL",
+            "ts_positive": "ts_ms > 0",
+        },
+    )
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "p")]))
+    # violating batch: raises, table untouched (same version, same rows)
+    import pytest
+
+    with pytest.raises(ConstraintViolation, match="payload_not_null"):
+        sink.apply_changeset(
+            "d", "t", chdf(spark, [("2", 200, 1, "insert", None)])
+        )
+    assert sink._latest_version("d", "t") == 1
+    assert sink.read_table(spark, "d", "t").count() == 1
+    # delete tombstones are exempt (their payload is null by design)
+    sink.apply_changeset(
+        "d", "t", chdf(spark, [("1", 300, 2, "delete", None)])
+    )
+    assert sink.read_table(spark, "d", "t").count() == 0
+    # null EXPR result is a pass (SQL/Delta CHECK semantics): ts > 0
+    # with null ts is not FALSE
+    sink2 = ParquetSink(
+        spark, str(tmp_path / "s2"), constraints={"ts_positive": "ts_ms > 0"}
+    )
+    rows = spark.createDataFrame(
+        [("1", None, 0, "insert", "p")],
+        "key string, ts_ms long, offset long, op string, payload string",
+    )
+    sink2.apply_changeset("d", "t", rows)
+    assert sink2.read_table(spark, "d", "t").count() == 1
