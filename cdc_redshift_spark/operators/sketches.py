@@ -422,3 +422,52 @@ def duck_cm_cells(source_sql: str, key_expr: str, d: int, w: int) -> str:
   FROM ({source_sql}), UNNEST(range(0, {d})) AS u(j)
   GROUP BY 1, 2
 """
+
+
+def cm_inner_product(sk_a: DataFrame, sk_b: DataFrame, d: int) -> DataFrame:
+    """Equi-join SIZE estimate from two Count-Min sketches — the
+    Cormode-Muthukrishnan inner-product estimator (J. Algorithms 2005
+    §4.3): the true join cardinality is the frequency-vector inner
+    product ``sum_k cA(k)*cB(k)``; each sketch row j overestimates it
+    by its colliding-cell products, so
+
+        est = min_j sum_b A[j,b] * B[j,b]
+
+    NEVER underestimates and errs by <= ||A||_1*||B||_1 / w with
+    probability 1 - 2^-d.  THE pre-shuffle planning probe at 100 TB:
+    decide broadcast-vs-shuffle or pre-detect a pathological join
+    blowup from two geometry-bounded sketches (<= d*w rows each,
+    buildable incrementally via :func:`cm_merge`) without touching
+    either table.
+
+    A row j absent from the cell join has zero colliding cells, which
+    upper-bounds the true product at 0 — so fewer than ``d`` joined
+    rows short-circuits the estimate to exactly 0.
+
+    Output: one row ``(n_est,)``; integer arithmetic end to end.
+    """
+    prod = (
+        sk_a.alias("a")
+        .join(sk_b.alias("b"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("__p"))
+    )
+    return prod.agg(
+        F.when(F.count(F.lit(1)) < d, F.lit(0).cast("long"))
+        .otherwise(F.min("__p"))
+        .alias("n_est")
+    )
+
+
+def duck_cm_inner_product(cells_a: str, cells_b: str, d: int) -> str:
+    """DuckDB mirror of :func:`cm_inner_product` over two
+    :func:`duck_cm_cells` relations."""
+    return f"""
+  SELECT CASE WHEN count(*) < {d} THEN 0 ELSE CAST(min(p) AS BIGINT) END
+           AS n_est
+  FROM (
+    SELECT a.j, sum(a.cnt * b.cnt) AS p
+    FROM ({cells_a}) a JOIN ({cells_b}) b USING (j, bucket)
+    GROUP BY a.j
+  )
+"""

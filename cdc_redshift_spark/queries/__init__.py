@@ -69,7 +69,8 @@ _GATE_WINDOW = [
     # dedup_containment, cdc_stream_kmv_rollup, sink_dv_merge,
     # docs_substring_strip, corpus_lm_perplexity,
     # events_golden_profile, corpus_temperature_mix,
-    # sink_column_rename, orders_merge_into, sink_constraints)
+    # sink_column_rename, orders_merge_into, sink_constraints,
+    # sketch_join_size)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

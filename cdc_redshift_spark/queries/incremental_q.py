@@ -1082,7 +1082,96 @@ ORDER BY token
 """
 
 
+JS_D = 5
+JS_W = 4096
+
+
+def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches
+    (operators/sketches.cm_inner_product, Cormode-Muthukrishnan): the
+    pre-shuffle planning probe — estimate |orders ⋈ customer| (the
+    fact-dim shape) and the events user self-join (quadratic
+    multiplicities) from two geometry-bounded sketches without
+    touching either table at plan time.  In-query assertion: the
+    estimate NEVER undershoots the exact size (the estimator's
+    one-sided guarantee).  Integer end to end, bit-exact oracle."""
+    from cdc_redshift_spark.operators.sketches import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def probe(name, a, b):
+        est = cm_inner_product(
+            cm_sketch(a, "k", d=JS_D, w=JS_W),
+            cm_sketch(b, "k", d=JS_D, w=JS_W),
+            JS_D,
+        ).collect()[0]["n_est"]
+        exact = a.join(b.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).count()
+        if est < exact:
+            raise RuntimeError(
+                f"CM join-size estimate undershot on {name}: "
+                f"{est} < {exact}"
+            )
+        return (name, exact, est)
+
+    rows = [
+        probe("events_self", e, e),
+        probe("orders_customer", o, c),
+    ]
+    return spark.createDataFrame(
+        rows, "join_name string, n_exact long, n_est long"
+    ).orderBy("join_name")
+
+
+def _oracle_join_size() -> str:
+    from cdc_redshift_spark.operators.sketches import (
+        duck_cm_cells,
+        duck_cm_inner_product,
+    )
+
+    co = duck_cm_cells(
+        "SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders", "k", JS_D, JS_W
+    )
+    cc = duck_cm_cells(
+        "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer", "k", JS_D, JS_W
+    )
+    ce = duck_cm_cells(
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events", "k", JS_D, JS_W
+    )
+    e_oc = duck_cm_inner_product(co, cc, JS_D)
+    e_ee = duck_cm_inner_product(ce, ce, JS_D)
+    return f"""
+WITH x_oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+x_ee AS (
+  SELECT CAST(sum(n * n) AS BIGINT) AS n FROM (
+    SELECT count(*) AS n FROM events GROUP BY user_id
+  )
+),
+e_oc AS ({e_oc}),
+e_ee AS ({e_ee})
+SELECT 'events_self' AS join_name, x_ee.n AS n_exact, e_ee.n_est
+FROM x_ee, e_ee
+UNION ALL
+SELECT 'orders_customer', x_oc.n, e_oc.n_est FROM x_oc, e_oc
+ORDER BY join_name
+"""
+
+
 QUERIES = {
+    "sketch_join_size": q_sketch_join_size,
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_cm_tokens": q_sketch_cm_tokens,
     "scd2_user_history": q_scd2_user_history,
@@ -1101,6 +1190,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_join_size": _oracle_join_size(),
     "sketch_cm_tokens": _oracle_cm_tokens(),
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
     "scd2_user_history": ORACLE_SCD2,

@@ -379,3 +379,37 @@ def test_kmv_maintainer_streamed_equals_whole_table(spark, tmp_path):
     }
     # lossless merge: BIT-identical sketch arrays per group
     assert streamed == whole and len(streamed) == 3
+
+
+def test_cm_inner_product_never_underestimates(spark):
+    from cdc_redshift_spark.operators.sketches import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    # heavy collisions: tiny width forces overestimates, never under
+    a = spark.createDataFrame([(str(i % 7),) for i in range(500)], "k string")
+    b = spark.createDataFrame([(str(i % 11),) for i in range(300)], "k string")
+    d, w = 4, 16
+    est = cm_inner_product(
+        cm_sketch(a, "k", d=d, w=w), cm_sketch(b, "k", d=d, w=w), d
+    ).collect()[0]["n_est"]
+    exact = a.join(b, "k").count()
+    assert est >= exact > 0
+
+
+def test_cm_inner_product_disjoint_keys_zero(spark):
+    from cdc_redshift_spark.operators.sketches import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([("a",), ("b",)], "k string")
+    b = spark.createDataFrame([("x",), ("y",)], "k string")
+    # wide sketch: disjoint keys are unlikely to collide in EVERY row,
+    # so at least one row j has no joined cells -> short-circuit to 0
+    d, w = 4, 4096
+    est = cm_inner_product(
+        cm_sketch(a, "k", d=d, w=w), cm_sketch(b, "k", d=d, w=w), d
+    ).collect()[0]["n_est"]
+    assert est == 0
