@@ -946,6 +946,80 @@ ORDER BY status
 """
 
 
+
+def q_sink_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file bin-packing compaction (`ParquetSink.optimize`, the
+    Delta OPTIMIZE / Iceberg rewrite_data_files story): orders land
+    partitioned by status with deliberately fragmented files
+    (explicit 8-way repartition), OPTIMIZE packs every fragmented
+    partition to its byte-budget file count.  In-query proofs: the
+    packed snapshot has exactly one file per partition, a second
+    OPTIMIZE is a version-preserving no-op, and an update changeset
+    applied AFTER the compaction still merges correctly.  The oracle
+    recomputes the final state, certifying compaction moved bytes but
+    changed nothing."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="optimize_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",), partition_cols=("status",))
+        sink.overwrite("db", "t", base.repartition(8))
+        rep = sink.optimize("db", "t")
+        n_parts = base.select("status").distinct().count()
+        if rep["files_after"] != n_parts or rep["files_before"] <= n_parts:
+            raise RuntimeError(f"optimize did not pack: {rep}")
+        rep2 = sink.optimize("db", "t")
+        if rep2["version"] != rep["version"] or rep2["rewritten"]:
+            raise RuntimeError(f"no-op optimize made a version: {rep2}")
+        nxt = (
+            base.where(F.pmod(F.col("k"), F.lit(10)) == 4)
+            .withColumn("cents", F.col("cents") + F.lit(3))
+            .withColumn("ts_ms", F.lit(2).cast("long"))
+        )
+        sink.apply_changeset("db", "t", nxt)
+        cur = sink.read_table(spark, "db", "t")
+        return (
+            cur.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_OPTIMIZE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), final AS (
+  SELECT k, status,
+         CASE WHEN k % 10 = 4 THEN cents + 3 ELSE cents END AS cents
+  FROM base
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY status
+ORDER BY status
+"""
+
+
 def q_sink_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR merge mode (`ParquetSink(merge_mode='dv')`):
     orders committed as v1, then TWO changesets (status updates +
@@ -1315,6 +1389,7 @@ QUERIES = {
     "sink_column_rename": q_sink_column_rename,
     "orders_merge_into": q_orders_merge_into,
     "sink_constraints": q_sink_constraints,
+    "sink_optimize": q_sink_optimize,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
@@ -1332,6 +1407,7 @@ ORACLES = {
     "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,
     "orders_merge_into": ORACLE_MERGE_INTO,
     "sink_constraints": ORACLE_SINK_CONSTRAINTS,
+    "sink_optimize": ORACLE_SINK_OPTIMIZE,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,

@@ -872,6 +872,137 @@ class ParquetSink(Sink):
         self._check_constraints(state, f"overwrite of {db}.{table}")
         self._commit(db, table, state)
 
+    def optimize(
+        self,
+        db: str,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Small-file bin-packing compaction (the Delta ``OPTIMIZE`` /
+        Iceberg ``rewrite_data_files`` story): rewrite ONLY the
+        partitions carrying more data files than
+        ``ceil(bytes / target_file_bytes)`` — each into exactly that
+        many files — and hard-link every already-well-packed partition
+        forward.  Micro-batch merges inevitably fragment partitions
+        (one commit's shuffle writes many small files; at 100 TB the
+        file-listing + per-file open cost dominates scans long before
+        data volume does); OPTIMIZE pays one bounded rewrite of the
+        fragmented slice, never the table.
+
+        Deletion vectors of rewritten partitions are APPLIED (their
+        masks die with the rewrite, exactly like the pruned merge);
+        linked partitions carry their DV rows and index rows forward
+        by path rewrite.  Content is bit-identical before/after.
+
+        Returns ``{"rewritten": [...], "files_before": n,
+        "files_after": m, "version": v}`` (``version`` is unchanged
+        when nothing needed rewriting — a no-op makes NO new
+        snapshot).
+        """
+        v = self._latest_version(db, table)
+        if v is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        src = os.path.join(self._dir(db, table), f"v{v}")
+
+        def part_stats(d: str) -> tuple[int, int]:
+            files = self._data_files(d)
+            return len(files), sum(os.path.getsize(f) for f in files)
+
+        files_before = len(self._data_files(src))
+        cur = self.read_table(self.spark, db, table, include_tombstones=True)
+        pruned_layout = (
+            len(self.partition_cols) == 1
+            and self._partition_dirs(src) is not None
+        )
+        if pruned_layout:
+            pcol = self.partition_cols[0]
+            existing = self._partition_dirs(src)
+            plan: dict[str, int] = {}  # value-string -> target k
+            for name, val_str in existing.items():
+                n, size = part_stats(os.path.join(src, name))
+                k = max(1, -(-size // target_file_bytes))
+                if n > k:
+                    plan[val_str] = k
+            if not plan:
+                return {
+                    "rewritten": [],
+                    "files_before": files_before,
+                    "files_after": files_before,
+                    "version": v,
+                }
+            null_touched = HIVE_NULL in plan
+            non_null = [s for s in plan if s != HIVE_NULL]
+            # partition values compare as their directory strings (the
+            # same str() round-trip _apply_pruned relies on)
+            cond = (
+                F.col(pcol).cast("string").isin(non_null)
+                if non_null
+                else F.lit(False)
+            )
+            if null_touched:
+                cond = cond | F.col(pcol).isNull()
+            rewritten = cur.where(cond)
+            if not self.cluster_keys:
+                # spread each partition over exactly its k target
+                # files; the range-clustered layout (if configured)
+                # governs file organization instead
+                ks = self.spark.createDataFrame(
+                    [(s, k) for s, k in plan.items()],
+                    "__pv string, __k int",
+                )
+                total = sum(plan.values())
+                rewritten = (
+                    rewritten.join(
+                        F.broadcast(ks),
+                        F.coalesce(
+                            F.col(pcol).cast("string"), F.lit(HIVE_NULL)
+                        )
+                        == F.col("__pv"),
+                    )
+                    .withColumn(
+                        "__salt",
+                        F.pmod(
+                            F.xxhash64(*[F.col(k) for k in self.keys]),
+                            F.col("__k").cast("long"),
+                        ),
+                    )
+                    .repartition(max(total, 1), F.col(pcol), F.col("__salt"))
+                    .drop("__pv", "__k", "__salt")
+                )
+            self._commit_pruned(
+                db,
+                table,
+                rewritten,
+                v,
+                existing,
+                set(non_null),
+                null_touched,
+            )
+        else:
+            n, size = part_stats(src)
+            k = max(1, -(-size // target_file_bytes))
+            if n <= k:
+                return {
+                    "rewritten": [],
+                    "files_before": files_before,
+                    "files_after": files_before,
+                    "version": v,
+                }
+            plan = {"": k}
+            # reading v while writing v+1: distinct dirs, lazy is safe
+            state = cur if self.cluster_keys else cur.repartition(k)
+            self._commit(db, table, state)
+        new_v = self._latest_version(db, table)
+        files_after = len(
+            self._data_files(os.path.join(self._dir(db, table), f"v{new_v}"))
+        )
+        return {
+            "rewritten": sorted(plan),
+            "files_before": files_before,
+            "files_after": files_after,
+            "version": new_v,
+        }
+
     def repartition_table(
         self, db: str, table: str, new_partition_cols: Sequence[str]
     ) -> None:

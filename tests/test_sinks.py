@@ -1154,3 +1154,85 @@ def test_sink_constraints_reject_and_commit(spark, tmp_path):
     )
     sink2.apply_changeset("d", "t", rows)
     assert sink2.read_table(spark, "d", "t").count() == 1
+
+
+# -- OPTIMIZE (bin-packing compaction) ------------------------------------
+
+
+def test_optimize_partitioned_packs_only_fragmented(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    rows = [
+        (str(i), 100, i, "insert", f"p{i}", f"2024-01-0{1 + i % 2}")
+        for i in range(40)
+    ]
+    # fragment: force many files per partition dir (explicit
+    # repartition counts survive AQE; the merge agg would coalesce)
+    sink.overwrite("d", "t", pchdf(spark, rows).repartition(8))
+    src = str(tmp_path / "d" / "t" / "v1")
+    before = {
+        name: len(sink._data_files(src + "/" + name))
+        for name in ("ts_date=2024-01-01", "ts_date=2024-01-02")
+    }
+    assert all(n > 1 for n in before.values())
+
+    rep = sink.optimize("d", "t")  # huge target: 1 file per partition
+    assert rep["version"] == 2
+    assert sorted(rep["rewritten"]) == ["2024-01-01", "2024-01-02"]
+    assert rep["files_after"] == 2 < rep["files_before"]
+    # content identical
+    got = {r.key: r.payload for r in sink.read_table(spark, "d", "t").collect()}
+    assert got == {str(i): f"p{i}" for i in range(40)}
+    # second optimize is a NO-OP: no new version
+    rep2 = sink.optimize("d", "t")
+    assert rep2["version"] == 2 and rep2["rewritten"] == []
+
+
+def test_optimize_links_well_packed_partitions(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    packed = [(str(i), 100, i, "insert", "x", "2024-02-01") for i in range(5)]
+    frag = [(str(100 + i), 200, 100 + i, "insert", "y", "2024-02-02") for i in range(8)]
+    # union keeps child task layouts: 1 task holds all packed rows,
+    # 8 tasks spread the fragmented partition
+    sink.overwrite(
+        "d",
+        "t",
+        pchdf(spark, packed).coalesce(1).unionByName(
+            pchdf(spark, frag).repartition(8)
+        ),
+    )
+    v = sink._latest_version("d", "t")
+    packed_files = sink._data_files(
+        str(tmp_path / "d" / "t" / f"v{v}" / "ts_date=2024-02-01")
+    )
+    rep = sink.optimize("d", "t")
+    assert rep["rewritten"] == ["2024-02-02"]
+    after = sink._data_files(
+        str(tmp_path / "d" / "t" / f"v{rep['version']}" / "ts_date=2024-02-01")
+    )
+    # untouched partition: same inodes, hard-linked forward
+    assert {os.stat(f).st_ino for f in after} == {
+        os.stat(f).st_ino for f in packed_files
+    }
+    assert sink.read_table(spark, "d", "t").count() == 13
+
+
+def test_optimize_unpartitioned_and_dv(spark, tmp_path):
+    """Unpartitioned DV table: optimize packs files AND applies the
+    deletion vectors (masked rows stay dead, sidecar dropped)."""
+    sink = ParquetSink(spark, str(tmp_path), merge_mode="dv")
+    sink.apply_changeset(
+        "d", "t",
+        chdf(spark, [(str(i), 100, i, "insert", "a") for i in range(20)]).repartition(6),
+    )
+    sink.apply_changeset(
+        "d", "t", chdf(spark, [("3", 200, 100, "update", "b"), ("4", 200, 101, "delete", None)])
+    )
+    assert os.path.isdir(str(tmp_path / "d" / "t" / "v2" / "_DV"))
+    rep = sink.optimize("d", "t")
+    assert rep["files_after"] == 1
+    rows = {r.key: r.payload for r in sink.read_table(spark, "d", "t").collect()}
+    assert rows["3"] == "b" and "4" not in rows and len(rows) == 19
+    # DVs folded away by the rewrite
+    assert not os.path.isdir(
+        str(tmp_path / "d" / "t" / f"v{rep['version']}" / "_DV")
+    )
