@@ -1020,6 +1020,87 @@ ORDER BY status
 """
 
 
+
+def q_sink_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (`ParquetSink(generated_cols=)`,
+    the Delta contract): the sink derives its `ts_date` PARTITION
+    column from the changeset's ts_ms — batches never carry it, the
+    partition layout and the pruned merge still work, and a batch
+    supplying a WRONG explicit value is rejected (in-query proof).
+    The oracle recomputes the final state including the derived
+    column."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import (
+        ConstraintViolation,
+        ParquetSink,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="gencols_")
+    try:
+        sink = ParquetSink(
+            spark,
+            root,
+            keys=("k",),
+            partition_cols=("ts_month",),
+            generated_cols={
+                "ts_month": "date_format(timestamp_millis(ts_ms), 'yyyy-MM')"
+            },
+        )
+        sink.apply_changeset("db", "t", base)
+        upd = (
+            base.where(F.pmod(F.col("k"), F.lit(10)) == 6)
+            .withColumn("cents", F.col("cents") + F.lit(11))
+            .withColumn("ts_ms", F.col("ts_ms") + F.lit(1))
+        )
+        sink.apply_changeset("db", "t", upd)
+        bad = base.limit(1).withColumn("ts_month", F.lit("2099-01"))
+        try:
+            sink.apply_changeset("db", "t", bad)
+            raise RuntimeError("wrong explicit generated value accepted")
+        except ConstraintViolation:
+            pass
+        cur = sink.read_table(spark, "db", "t")
+        return (
+            cur.groupBy("ts_month")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("ts_month")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_GENERATED = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         strftime(o_orderdate, '%Y-%m') AS ts_month
+  FROM orders
+), final AS (
+  SELECT k, ts_month,
+         CASE WHEN k % 10 = 6 THEN cents + 11 ELSE cents END AS cents
+  FROM base
+)
+SELECT ts_month, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY ts_month
+ORDER BY ts_month
+"""
+
+
 def q_sink_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR merge mode (`ParquetSink(merge_mode='dv')`):
     orders committed as v1, then TWO changesets (status updates +
@@ -1390,6 +1471,7 @@ QUERIES = {
     "orders_merge_into": q_orders_merge_into,
     "sink_constraints": q_sink_constraints,
     "sink_optimize": q_sink_optimize,
+    "sink_generated_columns": q_sink_generated_columns,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
@@ -1408,6 +1490,7 @@ ORACLES = {
     "orders_merge_into": ORACLE_MERGE_INTO,
     "sink_constraints": ORACLE_SINK_CONSTRAINTS,
     "sink_optimize": ORACLE_SINK_OPTIMIZE,
+    "sink_generated_columns": ORACLE_SINK_GENERATED,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,

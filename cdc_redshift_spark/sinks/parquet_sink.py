@@ -63,6 +63,7 @@ class ParquetSink(Sink):
         zonemap_index_cols: Sequence[str] = (),
         merge_mode: str = "rewrite",
         constraints: dict[str, str] | None = None,
+        generated_cols: dict[str, str] | None = None,
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -125,7 +126,52 @@ class ParquetSink(Sink):
         #: every incoming batch BEFORE any commit work: a violating
         #: batch raises and the table is untouched.
         self.constraints = dict(constraints or {})
+        #: {name: SQL expr} GENERATED ALWAYS AS columns (the Delta
+        #: contract): a batch missing the column gets it COMPUTED from
+        #: the expression (so changesets don't have to carry derived
+        #: partition columns — the canonical use is
+        #: ``partition_cols=("ts_date",), generated_cols={"ts_date":
+        #: "..."}``); a batch supplying it explicitly is VALIDATED
+        #: against the expression and a mismatch raises.
+        self.generated_cols = dict(generated_cols or {})
         os.makedirs(root, exist_ok=True)
+
+    def _apply_generated(self, df: DataFrame, what: str) -> DataFrame:
+        """Compute missing generated columns; validate supplied ones
+        (null-safe equality, tombstones exempt) in one batch pass."""
+        if not self.generated_cols:
+            return df
+        to_check = []
+        for name, expr in self.generated_cols.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                to_check.append((name, expr))
+        if to_check:
+            rows = df
+            if "op" in df.columns:
+                rows = rows.where(F.col("op") != "delete")
+            aggs = [
+                F.sum(
+                    F.when(
+                        ~F.col(name).eqNullSafe(F.expr(expr)), 1
+                    ).otherwise(0)
+                ).alias(name)
+                for name, expr in to_check
+            ]
+            counts = rows.agg(*aggs).collect()[0].asDict()
+            bad = {n: int(c) for n, c in counts.items() if c}
+            if bad:
+                raise ConstraintViolation(
+                    f"generated column(s) supplied with non-generated "
+                    f"values in {what}: "
+                    + ", ".join(
+                        f"{n} ({c} row(s), expr: "
+                        f"{self.generated_cols[n]!r})"
+                        for n, c in sorted(bad.items())
+                    )
+                )
+        return df
 
     def _check_constraints(self, df: DataFrame, what: str) -> None:
         """Raise ConstraintViolation if any non-tombstone row of
@@ -403,6 +449,7 @@ class ParquetSink(Sink):
         changes carry and the target exists (see module docstring);
         full merge + rewrite otherwise.
         """
+        changes = self._apply_generated(changes, f"changeset for {db}.{table}")
         self._check_constraints(changes, f"changeset for {db}.{table}")
         target = self.read_table(self.spark, db, table, include_tombstones=True)
         if (
@@ -869,6 +916,7 @@ class ParquetSink(Sink):
 
     def overwrite(self, db: str, table: str, state: DataFrame) -> None:
         """Direct snapshot write (initial loads / oracle comparisons)."""
+        state = self._apply_generated(state, f"overwrite of {db}.{table}")
         self._check_constraints(state, f"overwrite of {db}.{table}")
         self._commit(db, table, state)
 

@@ -1236,3 +1236,58 @@ def test_optimize_unpartitioned_and_dv(spark, tmp_path):
     assert not os.path.isdir(
         str(tmp_path / "d" / "t" / f"v{rep['version']}" / "_DV")
     )
+
+
+# -- generated columns ----------------------------------------------------
+
+
+def test_generated_partition_column(spark, tmp_path):
+    """Changesets need not carry the derived partition column: it is
+    computed, partitions route correctly, and the pruned merge still
+    engages on later batches."""
+    from cdc_redshift_spark.sinks.parquet_sink import ConstraintViolation
+
+    sink = ParquetSink(
+        spark,
+        str(tmp_path),
+        partition_cols=("ts_date",),
+        generated_cols={
+            "ts_date": "CAST(to_date(timestamp_millis(ts_ms)) AS STRING)"
+        },
+    )
+    day = 86_400_000
+    sink.apply_changeset(
+        "d", "t",
+        chdf(spark, [("1", 1 * day, 0, "insert", "a"), ("2", 2 * day, 1, "insert", "b")]),
+    )
+    dirs = {
+        e for e in os.listdir(str(tmp_path / "d" / "t" / "v1"))
+        if e.startswith("ts_date=")
+    }
+    assert dirs == {"ts_date=1970-01-02", "ts_date=1970-01-03"}
+    # second batch without the column: pruned path (one partition touched)
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 1 * day + 5, 2, "update", "a2")]))
+    v2 = str(tmp_path / "d" / "t" / "v2")
+    # untouched partition hard-linked
+    f1 = sink._data_files(str(tmp_path / "d" / "t" / "v1" / "ts_date=1970-01-03"))
+    f2 = sink._data_files(os.path.join(v2, "ts_date=1970-01-03"))
+    assert {os.stat(f).st_ino for f in f2} == {os.stat(f).st_ino for f in f1}
+    rows = {r.key: (r.payload, r.ts_date) for r in sink.read_table(spark, "d", "t").collect()}
+    assert rows == {"1": ("a2", "1970-01-02"), "2": ("b", "1970-01-03")}
+
+    # explicit WRONG value for a generated column raises
+    import pytest
+
+    bad = spark.createDataFrame(
+        [("3", 3 * day, 3, "insert", "c", "2099-01-01")],
+        "key string, ts_ms long, offset long, op string, payload string, ts_date string",
+    )
+    with pytest.raises(ConstraintViolation, match="generated"):
+        sink.apply_changeset("d", "t", bad)
+    # explicit CORRECT value passes
+    ok = spark.createDataFrame(
+        [("3", 3 * day, 3, "insert", "c", "1970-01-04")],
+        "key string, ts_ms long, offset long, op string, payload string, ts_date string",
+    )
+    sink.apply_changeset("d", "t", ok)
+    assert sink.read_table(spark, "d", "t").count() == 3
