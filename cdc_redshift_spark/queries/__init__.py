@@ -70,7 +70,8 @@ _GATE_WINDOW = [
     # docs_substring_strip, corpus_lm_perplexity,
     # events_golden_profile, corpus_temperature_mix,
     # sink_column_rename, orders_merge_into, sink_constraints,
-    # sketch_join_size, sink_optimize, sink_generated_columns)
+    # sketch_join_size, sink_optimize, sink_generated_columns,
+    # events_ohlc_bars)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

@@ -377,8 +377,51 @@ ORDER BY a.user_id
 """
 
 
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical financial/time-series
+    downsample: per (hour, event_type), open/close = the FIRST/LAST
+    value in exact event order (nanos + event_id tiebreak), high/low =
+    extremes, volume = count.  Ordered picks ride max_by/min_by over
+    ordering structs inside ONE time-bucketed aggregate — no window,
+    no per-bucket sort, the shape that rolls up a 100 TB tick stream
+    in a single shuffle.  The oracle uses DuckDB's ordered first/last
+    aggregates over the same total order."""
+    ev = load_table(spark, sf_dir, "events")
+    o = F.struct("ts_ns", "event_id")
+    return (
+        ev.groupBy(
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("bar_ms"),
+            "event_type",
+        )
+        .agg(
+            F.min_by(F.col("value"), o).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), o).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("bar_ms", "event_type")
+    )
+
+
+ORACLE_OHLC = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS bar_ms, event_type,
+       first(value ORDER BY epoch_ns(ts), event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY epoch_ns(ts), event_id) AS close,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bar_ms, event_type
+"""
+
+
 QUERIES = {
     "events_golden_profile": q_events_golden_profile,
+    "events_ohlc_bars": q_events_ohlc_bars,
     "events_asof_attribution": q_events_asof_attribution,
     "events_burst_windows": q_events_burst_windows,
     "events_hourly_rollup": q_events_hourly_rollup,
@@ -388,6 +431,7 @@ QUERIES = {
 
 ORACLES = {
     "events_golden_profile": ORACLE_GOLDEN_PROFILE,
+    "events_ohlc_bars": ORACLE_OHLC,
     "events_asof_attribution": ORACLE_ASOF,
     "events_burst_windows": ORACLE_BURST,
     "events_hourly_rollup": ORACLE_ROLLUP_HOURLY,
