@@ -1101,6 +1101,112 @@ ORDER BY ts_month
 """
 
 
+
+def q_sink_txn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table crash-atomic transaction (`ParquetSink.transaction`):
+    a CDC batch fanning out to TWO tables (order state + a per-status
+    rollup) publishes all-or-nothing — in-query proofs: mid-transaction
+    reads still serve the old state, an ABORTED transaction (simulated
+    crash before the intent manifest) leaves both tables untouched,
+    and the committed transaction publishes both pointers with no
+    pending manifest left behind.  The oracle recomputes both final
+    states, certifying the aborted attempt left no trace."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    roll = base.groupBy("status").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cents").alias("sum_cents"),
+    ).select(
+        F.col("status").alias("k"), "cnt", "sum_cents",
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.lit(0).cast("long").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="txn_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        with sink.transaction():
+            sink.apply_changeset("db", "orders", base)
+            sink.apply_changeset("db", "rollup", roll)
+            if sink.read_table(spark, "db", "orders") is not None:
+                raise RuntimeError("mid-transaction state leaked")
+        upd = (
+            base.where(F.pmod(F.col("k"), F.lit(10)) == 2)
+            .withColumn("cents", F.col("cents") + F.lit(9))
+            .withColumn("ts_ms", F.lit(2).cast("long"))
+        )
+        try:
+            with sink.transaction():
+                sink.apply_changeset("db", "orders", upd)
+                raise RuntimeError("__crash__")
+        except RuntimeError as e:
+            if "__crash__" not in str(e):
+                raise
+        if sink._latest_version("db", "orders") != 1:
+            raise RuntimeError("aborted transaction published a version")
+        if _os.path.exists(sink._txn_path()):
+            raise RuntimeError("aborted transaction left a manifest")
+        with sink.transaction():
+            sink.apply_changeset("db", "orders", upd)
+        cur = sink.read_table(spark, "db", "orders")
+        rcur = sink.read_table(spark, "db", "rollup")
+        out = (
+            cur.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("m"),
+            )
+            .select(
+                F.concat(F.lit("orders:"), F.col("status")).alias("row"),
+                "n",
+                "m",
+            )
+            .unionByName(
+                rcur.select(
+                    F.concat(F.lit("rollup:"), F.col("k")).alias("row"),
+                    F.col("cnt").alias("n"),
+                    F.col("sum_cents").alias("m"),
+                )
+            )
+            .orderBy("row")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_TXN = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT 'orders:' || status AS row, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN k % 10 = 2 THEN cents + 9 ELSE cents END)
+            AS BIGINT) AS m
+FROM base GROUP BY status
+UNION ALL
+SELECT 'rollup:' || status, CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM base GROUP BY status
+ORDER BY row
+"""
+
+
 def q_sink_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR merge mode (`ParquetSink(merge_mode='dv')`):
     orders committed as v1, then TWO changesets (status updates +
@@ -1472,6 +1578,7 @@ QUERIES = {
     "sink_constraints": q_sink_constraints,
     "sink_optimize": q_sink_optimize,
     "sink_generated_columns": q_sink_generated_columns,
+    "sink_txn_batch": q_sink_txn_batch,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
@@ -1491,6 +1598,7 @@ ORACLES = {
     "sink_constraints": ORACLE_SINK_CONSTRAINTS,
     "sink_optimize": ORACLE_SINK_OPTIMIZE,
     "sink_generated_columns": ORACLE_SINK_GENERATED,
+    "sink_txn_batch": ORACLE_SINK_TXN,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,

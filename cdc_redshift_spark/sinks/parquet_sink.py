@@ -134,7 +134,11 @@ class ParquetSink(Sink):
         #: "..."}``); a batch supplying it explicitly is VALIDATED
         #: against the expression and a mismatch raises.
         self.generated_cols = dict(generated_cols or {})
+        self._deferred_flips: list[tuple[str, str, int]] | None = None
         os.makedirs(root, exist_ok=True)
+        # self-heal an interrupted multi-table transaction (roll the
+        # published intent forward — see transaction()/recover())
+        self.recover()
 
     def _apply_generated(self, df: DataFrame, what: str) -> DataFrame:
         """Compute missing generated columns; validate supplied ones
@@ -1471,9 +1475,117 @@ class ParquetSink(Sink):
         return bloom_lookup_files(idx, value)
 
     def _flip(self, db: str, table: str, v: int) -> None:
+        if self._deferred_flips is not None:
+            # inside a transaction: record the intent, flip at commit
+            self._deferred_flips.append((db, table, v))
+            return
+        self._flip_now(db, table, v)
+
+    def _flip_now(self, db: str, table: str, v: int) -> None:
         d = self._dir(db, table)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, "_LATEST.tmp")
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(d, "_LATEST"))  # atomic pointer flip
+
+    # -- multi-table crash-atomic transactions ------------------------------
+    def _txn_path(self) -> str:
+        return os.path.join(self.root, "_TXN_PENDING")
+
+    def transaction(self) -> "SinkTransaction":
+        """Group several table commits into ONE crash-atomic unit —
+        the cross-table guarantee a CDC micro-batch needs when its
+        routing fans out to N tables: without it, a crash mid-batch
+        publishes some tables' new state and not others', and readers
+        can join v_new(orders) against v_old(customers) until the
+        replay catches up.
+
+        Protocol (single-writer, the sink's documented regime):
+        every operation inside the transaction runs its normal commit
+        work — new version directories are fully written — but the
+        per-table ``_LATEST`` pointer flips are DEFERRED; ``commit()``
+        then writes a ``_TXN_PENDING`` intent manifest (one atomic
+        file), flips every pointer, and removes the manifest.  A crash
+        BEFORE the manifest leaves every pointer untouched (the
+        orphaned version dirs are overwritten by the replay — the
+        established retry-safety) and a crash AFTER it is ROLLED
+        FORWARD by :meth:`recover` (the version dirs are complete by
+        construction once the manifest exists).  All-or-nothing under
+        any single crash point.
+
+        Usage::
+
+            with sink.transaction() as txn:
+                sink.apply_changeset("db", "orders", oc)
+                sink.apply_changeset("db", "customers", cc)
+            # both visible, or neither
+        """
+        return SinkTransaction(self)
+
+    def recover(self) -> list[tuple[str, str, int]]:
+        """Roll FORWARD an interrupted transaction: flip any pointer
+        the pending manifest promised but the crash pre-empted.
+        Returns the (db, table, version) flips performed.  Safe to
+        call any time; called from :meth:`transaction`'s entry so a
+        restarted pipeline self-heals before its next batch."""
+        import json as _json
+
+        p = self._txn_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            pending = _json.load(f)
+        done = []
+        for db, table, v in pending:
+            if (self._latest_version(db, table) or 0) < v:
+                self._flip_now(db, table, v)
+                done.append((db, table, v))
+        os.remove(p)
+        return done
+
+
+class SinkTransaction:
+    """Context manager grouping several ParquetSink table commits into
+    one crash-atomic unit (see :meth:`ParquetSink.transaction`).  On
+    clean exit the deferred pointer flips publish together behind a
+    ``_TXN_PENDING`` intent manifest; on exception NOTHING publishes
+    (orphaned version dirs are overwritten by the replay)."""
+
+    def __init__(self, sink: ParquetSink):
+        self.sink = sink
+
+    def __enter__(self) -> "SinkTransaction":
+        if self.sink._deferred_flips is not None:
+            raise RuntimeError("nested sink transactions are not supported")
+        self.sink.recover()
+        self.sink._deferred_flips = []
+        return self
+
+    def __exit__(self, et, ev, tb) -> bool:
+        flips = self.sink._deferred_flips or []
+        self.sink._deferred_flips = None
+        if et is not None:
+            return False  # abort: no pointer moved, exception propagates
+        seen = set()
+        for db, table, _ in flips:
+            if (db, table) in seen:
+                raise RuntimeError(
+                    f"transaction wrote {db}.{table} twice: each table "
+                    "may commit at most once per transaction (later ops "
+                    "would read the table's pre-transaction state)"
+                )
+            seen.add((db, table))
+        if not flips:
+            return False
+        import json as _json
+
+        p = self.sink._txn_path()
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(flips, f)
+        os.replace(tmp, p)  # the atomic commit point
+        for db, table, v in flips:
+            self.sink._flip_now(db, table, v)
+        os.remove(p)
+        return False

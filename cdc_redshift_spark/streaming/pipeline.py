@@ -73,6 +73,7 @@ class CdcPipeline:
         expire_every: int = 10,
         route_root: str | None = None,
         compact_every: int = 5,
+        atomic_batches: bool = False,
     ):
         """``expire_after_ms`` enables periodic tombstone compaction:
         every ``expire_every`` batches, tombstones older than
@@ -90,7 +91,15 @@ class CdcPipeline:
         carries hundreds of tables (SURVEY §7.3).  Both paths produce
         identical sink state (LWW merge is associative and idempotent);
         the routed path just batches the merge work.  Call
-        :meth:`compact_now` after the stream stops to flush the tail."""
+        :meth:`compact_now` after the stream stops to flush the tail.
+
+        ``atomic_batches=True`` wraps each batch's per-table applies in
+        the sink's multi-table transaction (``sink.transaction()``):
+        all of a micro-batch's tables publish together or not at all —
+        a crash mid-batch can no longer expose half the fan-out to
+        readers.  Requires a transaction-capable sink (ParquetSink);
+        incompatible with ``route_root`` (that path defers merges by
+        design)."""
         self.changeset_fn = changeset_fn
         self.sink = sink
         self.keys = keys
@@ -102,6 +111,17 @@ class CdcPipeline:
         self.expire_every = expire_every
         self.route_root = route_root
         self.compact_every = compact_every
+        self.atomic_batches = atomic_batches
+        if atomic_batches and route_root is not None:
+            raise ValueError(
+                "atomic_batches is incompatible with route_root (routed "
+                "fan-out defers merges past the batch boundary)"
+            )
+        if atomic_batches and not hasattr(sink, "transaction"):
+            raise ValueError(
+                f"atomic_batches needs a transaction-capable sink, "
+                f"got {type(sink).__name__}"
+            )
         self.stats = PipelineStats()
         self._max_ts_ms: int | None = None
         self._spark = None  # captured per-batch for compact_now()
@@ -157,15 +177,23 @@ class CdcPipeline:
                     )
                     self.sink.apply_changeset(db, table, slice_df)
 
-                if len(tables) <= 1 or self.max_workers <= 1:
-                    for db, table in tables:
-                        apply_one(db, table)
-                else:
-                    with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
-                        # surface worker exceptions in the driver (the
-                        # reference's executor.submit without .result()
-                        # would swallow them)
-                        list(ex.map(lambda t: apply_one(*t), tables))
+                from contextlib import nullcontext
+
+                scope = (
+                    self.sink.transaction()
+                    if self.atomic_batches
+                    else nullcontext()
+                )
+                with scope:
+                    if len(tables) <= 1 or self.max_workers <= 1:
+                        for db, table in tables:
+                            apply_one(db, table)
+                    else:
+                        with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
+                            # surface worker exceptions in the driver (the
+                            # reference's executor.submit without .result()
+                            # would swallow them)
+                            list(ex.map(lambda t: apply_one(*t), tables))
             if self.on_batch is not None:
                 self.on_batch(batch_id, changes_f)
             self._maybe_expire()

@@ -1291,3 +1291,131 @@ def test_generated_partition_column(spark, tmp_path):
     )
     sink.apply_changeset("d", "t", ok)
     assert sink.read_table(spark, "d", "t").count() == 3
+
+
+# -- multi-table crash-atomic transactions --------------------------------
+
+
+def test_transaction_all_or_nothing(spark, tmp_path):
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "a", chdf(spark, [("1", 100, 0, "insert", "a1")]))
+    sink.apply_changeset("d", "b", chdf(spark, [("1", 100, 0, "insert", "b1")]))
+    with sink.transaction():
+        sink.apply_changeset("d", "a", chdf(spark, [("1", 200, 1, "update", "a2")]))
+        # mid-transaction: nothing published yet
+        assert {r.payload for r in sink.read_table(spark, "d", "a").collect()} == {"a1"}
+        sink.apply_changeset("d", "b", chdf(spark, [("1", 200, 1, "update", "b2")]))
+    # both visible after commit
+    assert {r.payload for r in sink.read_table(spark, "d", "a").collect()} == {"a2"}
+    assert {r.payload for r in sink.read_table(spark, "d", "b").collect()} == {"b2"}
+    assert not os.path.exists(str(tmp_path / "_TXN_PENDING"))
+
+
+def test_transaction_abort_publishes_nothing(spark, tmp_path):
+    import pytest
+
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "a", chdf(spark, [("1", 100, 0, "insert", "a1")]))
+    sink.apply_changeset("d", "b", chdf(spark, [("1", 100, 0, "insert", "b1")]))
+    with pytest.raises(RuntimeError, match="boom"):
+        with sink.transaction():
+            sink.apply_changeset("d", "a", chdf(spark, [("1", 200, 1, "update", "a2")]))
+            raise RuntimeError("boom")
+    assert {r.payload for r in sink.read_table(spark, "d", "a").collect()} == {"a1"}
+    assert {r.payload for r in sink.read_table(spark, "d", "b").collect()} == {"b1"}
+    # the orphaned v2 dir is retry-garbage; the next (non-txn) apply
+    # overwrites it and lands normally
+    sink.apply_changeset("d", "a", chdf(spark, [("1", 300, 2, "update", "a3")]))
+    assert {r.payload for r in sink.read_table(spark, "d", "a").collect()} == {"a3"}
+
+
+def test_transaction_crash_after_manifest_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash between the intent manifest and the pointer flips: a new
+    sink instance (pipeline restart) rolls the transaction FORWARD."""
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "a", chdf(spark, [("1", 100, 0, "insert", "a1")]))
+    sink.apply_changeset("d", "b", chdf(spark, [("1", 100, 0, "insert", "b1")]))
+
+    flips = []
+    orig = ParquetSink._flip_now
+
+    def crashing_flip(self, db, table, v):
+        if flips:  # let the first flip through, die before the second
+            raise OSError("simulated crash mid-publish")
+        flips.append((db, table, v))
+        orig(self, db, table, v)
+
+    with monkeypatch.context() as m:
+        m.setattr(ParquetSink, "_flip_now", crashing_flip)
+        import pytest
+
+        with pytest.raises(OSError, match="simulated crash"):
+            with sink.transaction():
+                sink.apply_changeset("d", "a", chdf(spark, [("1", 200, 1, "update", "a2")]))
+                sink.apply_changeset("d", "b", chdf(spark, [("1", 200, 1, "update", "b2")]))
+    # half-published state + pending manifest on disk
+    assert os.path.exists(str(tmp_path / "_TXN_PENDING"))
+    # restart: a fresh sink self-heals in __init__
+    sink2 = ParquetSink(spark, str(tmp_path))
+    assert not os.path.exists(str(tmp_path / "_TXN_PENDING"))
+    assert {r.payload for r in sink2.read_table(spark, "d", "a").collect()} == {"a2"}
+    assert {r.payload for r in sink2.read_table(spark, "d", "b").collect()} == {"b2"}
+
+
+def test_transaction_same_table_twice_raises(spark, tmp_path):
+    import pytest
+
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "a", chdf(spark, [("1", 100, 0, "insert", "a1")]))
+    with pytest.raises(RuntimeError, match="at most once"):
+        with sink.transaction():
+            sink.apply_changeset("d", "a", chdf(spark, [("1", 200, 1, "update", "x")]))
+            sink.apply_changeset("d", "a", chdf(spark, [("1", 300, 2, "update", "y")]))
+    # nothing published
+    assert {r.payload for r in sink.read_table(spark, "d", "a").collect()} == {"a1"}
+
+
+def test_pipeline_atomic_batches(spark, tmp_path):
+    """End-to-end: a routed 2-table micro-batch under
+    atomic_batches=True publishes both tables and leaves no pending
+    manifest; validation rejects incompatible configs."""
+    import pytest
+
+    from cdc_redshift_spark.streaming.pipeline import CdcPipeline
+
+    sink = ParquetSink(spark, str(tmp_path))
+    pipe = CdcPipeline(
+        changeset_fn=lambda df: df,
+        sink=sink,
+        max_workers=4,
+        atomic_batches=True,
+    )
+    raw = spark.createDataFrame(
+        [
+            ("d", "t1", "1", 100, 0, "insert", "a"),
+            ("d", "t2", "1", 100, 1, "insert", "b"),
+        ],
+        "db string, table string, key string, ts_ms long, offset long, op string, payload string",
+    )
+    pipe.process_batch(raw, 0)
+    assert sink.read_table(spark, "d", "t1").count() == 1
+    assert sink.read_table(spark, "d", "t2").count() == 1
+    assert not os.path.exists(str(tmp_path / "_TXN_PENDING"))
+
+    with pytest.raises(ValueError, match="route_root"):
+        CdcPipeline(
+            changeset_fn=lambda df: df,
+            sink=sink,
+            atomic_batches=True,
+            route_root=str(tmp_path / "routed"),
+        )
+
+    class NoTxnSink:
+        pass
+
+    with pytest.raises(ValueError, match="transaction-capable"):
+        CdcPipeline(
+            changeset_fn=lambda df: df,
+            sink=NoTxnSink(),
+            atomic_batches=True,
+        )
