@@ -55,6 +55,11 @@ CALLOUTS = {
     "sketch_cm_tokens": "cells bounded d*w by map-side partial agg; estimate broadcasts the sketch; probes never shuffle",
     "corpus_dsir_weights": "bucket tables (<=4096 rows) broadcast; ONE 1-row stats BNLJ; gram explode evaluated exactly twice",
     "layout_zonemap_scan": "index = ONE distributed groupBy(input_file_name) min/max; read is an explicit candidate file list",
+    "corpus_lm_perplexity": "both LM count tables (<=4096 rows) broadcast; transitions scored in place; ONE per-doc avg shuffle",
+    "corpus_temperature_mix": "no whole-source window: broadcast per-source cuts; only the boundary bucket cumsums",
+    "events_golden_profile": "all non-mode rules in ONE keyed aggregate (max_by structs); mode table broadcast back",
+    "events_ohlc_bars": "ordered picks via max_by/min_by structs inside ONE time-bucket aggregate; no window, no per-bucket sort",
+    "orders_merge_into": "ONE full-outer join on the key; every clause a codegen when/otherwise chain; no per-clause joins",
 }
 
 
