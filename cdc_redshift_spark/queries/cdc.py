@@ -1207,6 +1207,77 @@ ORDER BY row
 """
 
 
+
+def q_sink_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level commit provenance (`read_table(with_commit_version=
+    True)`, the Delta `_commit_version` story): every row reports the
+    commit that WROTE its file, derived from the per-snapshot file
+    manifest — hard-linked rows keep their original version, so after
+    an update touching ONE generated-bucket partition the provenance
+    split is exactly updated-bucket -> v2, everything else -> v1.  The
+    oracle derives the same split from the update rule, certifying
+    the pruned merge rewrote precisely the partition it claimed."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="provenance_")
+    try:
+        sink = ParquetSink(
+            spark,
+            root,
+            keys=("k",),
+            partition_cols=("bkt",),
+            generated_cols={"bkt": "CAST(pmod(k, 10) AS STRING)"},
+        )
+        sink.apply_changeset("db", "t", base)
+        upd = (
+            base.where(F.pmod(F.col("k"), F.lit(10)) == 5)
+            .withColumn("cents", F.col("cents") + F.lit(13))
+            .withColumn("ts_ms", F.lit(2).cast("long"))
+        )
+        sink.apply_changeset("db", "t", upd)
+        cur = sink.read_table(spark, "db", "t", with_commit_version=True)
+        return (
+            cur.groupBy(F.col("_commit_version").alias("commit_v"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("commit_v")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_PROVENANCE = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), tagged AS (
+  SELECT CASE WHEN k % 10 = 5 THEN 2 ELSE 1 END AS commit_v,
+         CASE WHEN k % 10 = 5 THEN cents + 13 ELSE cents END AS cents
+  FROM base
+)
+SELECT CAST(commit_v AS INTEGER) AS commit_v,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM tagged GROUP BY commit_v
+ORDER BY commit_v
+"""
+
+
 def q_sink_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETION-VECTOR merge mode (`ParquetSink(merge_mode='dv')`):
     orders committed as v1, then TWO changesets (status updates +
@@ -1579,6 +1650,7 @@ QUERIES = {
     "sink_optimize": q_sink_optimize,
     "sink_generated_columns": q_sink_generated_columns,
     "sink_txn_batch": q_sink_txn_batch,
+    "sink_row_provenance": q_sink_row_provenance,
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
@@ -1599,6 +1671,7 @@ ORACLES = {
     "sink_optimize": ORACLE_SINK_OPTIMIZE,
     "sink_generated_columns": ORACLE_SINK_GENERATED,
     "sink_txn_batch": ORACLE_SINK_TXN,
+    "sink_row_provenance": ORACLE_SINK_PROVENANCE,
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,

@@ -244,6 +244,7 @@ class ParquetSink(Sink):
         table: str,
         include_tombstones: bool = False,
         version: int | None = None,
+        with_commit_version: bool = False,
     ) -> DataFrame | None:
         """Current state — or TIME TRAVEL with ``version=``: every
         ``apply_changeset`` commit is a full snapshot directory
@@ -287,6 +288,21 @@ class ParquetSink(Sink):
             # match by name; logical names apply after the scan
             reader = reader.schema(self._phys_read_schema(schema))
         df = reader.parquet(os.path.join(self._dir(db, table), f"v{v}"))
+        man = (
+            self._read_file_manifest(db, table, v)
+            if with_commit_version
+            else {}
+        )
+        if man:
+            # capture the basename while the hidden _metadata column
+            # still resolves (the DV anti-join below severs it); the
+            # provenance join itself happens after the mask
+            df = df.withColumn(
+                "__file",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
         dvdir = self._dv_dir(db, table, v)
         if os.path.isdir(dvdir):
             # deletion vectors: mask superseded (file, pos) rows at
@@ -304,6 +320,23 @@ class ParquetSink(Sink):
                 )
                 .drop("__f", "__r")
             )
+        if with_commit_version:
+            # row provenance: which commit WROTE each row's file (the
+            # Delta _commit_version story) — hard-linked rows keep
+            # their original version, derived from the per-snapshot
+            # file manifest; a tiny broadcast join on the basename
+            if man:
+                mdf = spark.createDataFrame(
+                    [(f, ver) for f, ver in man.items()],
+                    "__file string, _commit_version int",
+                )
+                df = df.join(F.broadcast(mdf), "__file", "left").drop(
+                    "__file"
+                )
+            else:  # pre-manifest snapshot: unknown provenance
+                df = df.withColumn(
+                    "_commit_version", F.lit(None).cast("int")
+                )
         if schema is not None:
             df = self._to_logical(df, schema)
         if not include_tombstones and "op" in df.columns:
@@ -1475,11 +1508,49 @@ class ParquetSink(Sink):
         return bloom_lookup_files(idx, value)
 
     def _flip(self, db: str, table: str, v: int) -> None:
+        # every commit path ends here with the version dir complete —
+        # the one choke point where the file->commit-version manifest
+        # can be derived before the snapshot becomes visible
+        self._write_file_manifest(db, table, v)
         if self._deferred_flips is not None:
             # inside a transaction: record the intent, flip at commit
             self._deferred_flips.append((db, table, v))
             return
         self._flip_now(db, table, v)
+
+    # -- row-level commit provenance ---------------------------------------
+    def _manifest_path(self, db: str, table: str, v: int) -> str:
+        return os.path.join(self._dir(db, table), f"v{v}", "_FILEVERS")
+
+    def _read_file_manifest(self, db: str, table: str, v: int) -> dict:
+        import json as _json
+
+        p = self._manifest_path(db, table, v)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.load(f)
+
+    def _write_file_manifest(self, db: str, table: str, v: int) -> None:
+        """{data-file basename: version that WROTE it} for one
+        snapshot: hard-linked files keep the version recorded by the
+        predecessor's manifest (their bytes are that commit's, by
+        construction); everything else was written by THIS commit.
+        Derivation is pure directory metadata — no data read."""
+        import json as _json
+
+        prev = self._read_file_manifest(db, table, v - 1)
+        man = {
+            os.path.basename(f): prev.get(os.path.basename(f), v)
+            for f in self._data_files(
+                os.path.join(self._dir(db, table), f"v{v}")
+            )
+        }
+        p = self._manifest_path(db, table, v)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(man, f)
+        os.replace(tmp, p)
 
     def _flip_now(self, db: str, table: str, v: int) -> None:
         d = self._dir(db, table)

@@ -1419,3 +1419,50 @@ def test_pipeline_atomic_batches(spark, tmp_path):
             sink=NoTxnSink(),
             atomic_batches=True,
         )
+
+
+# -- row-level commit provenance ------------------------------------------
+
+
+def test_commit_version_tracks_hard_links(spark, tmp_path):
+    """Pruned merge: rows of untouched (hard-linked) partitions keep
+    their ORIGINAL _commit_version; rewritten-partition rows carry the
+    new one.  Time travel reads each version's own manifest."""
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    sink.apply_changeset(
+        "d", "t",
+        pchdf(spark, [
+            ("1", 100, 0, "insert", "a", "2024-01-01"),
+            ("2", 100, 1, "insert", "b", "2024-01-02"),
+        ]),
+    )
+    sink.apply_changeset(
+        "d", "t", pchdf(spark, [("1", 200, 2, "update", "a2", "2024-01-01")])
+    )
+    rows = {
+        r.key: r["_commit_version"]
+        for r in sink.read_table(spark, "d", "t", with_commit_version=True).collect()
+    }
+    assert rows == {"1": 2, "2": 1}
+    old = {
+        r.key: r["_commit_version"]
+        for r in sink.read_table(
+            spark, "d", "t", version=1, with_commit_version=True
+        ).collect()
+    }
+    assert old == {"1": 1, "2": 1}
+
+
+def test_commit_version_dv_mode(spark, tmp_path):
+    """DV commits: appended winners carry the new version; linked
+    survivors keep theirs."""
+    sink = ParquetSink(spark, str(tmp_path), merge_mode="dv")
+    sink.apply_changeset(
+        "d", "t", chdf(spark, [("1", 100, 0, "insert", "a"), ("2", 100, 1, "insert", "b")])
+    )
+    sink.apply_changeset("d", "t", chdf(spark, [("2", 200, 2, "update", "b2")]))
+    rows = {
+        r.key: r["_commit_version"]
+        for r in sink.read_table(spark, "d", "t", with_commit_version=True).collect()
+    }
+    assert rows == {"1": 1, "2": 2}
