@@ -473,3 +473,51 @@ def test_dv_read_is_broadcast_anti_join(spark, tmp_path):
     plan = plan_of(sink.read_table(spark, "db", "t"))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_golden_profile_mode_broadcast(spark):
+    """The mode (majority-vote) table joins back as a BROADCAST: a
+    sort-merge join there would shuffle the key-grain aggregate for a
+    table bounded by distinct (key, value) pairs."""
+    from cdc_redshift_spark.queries.temporal_q import q_events_golden_profile
+
+    plan = plan_of(q_events_golden_profile(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_perplexity_model_tables_broadcast(spark):
+    """Both bigram-LM count tables (<= n_buckets rows by construction)
+    must broadcast back onto the transition stream — a sort-merge join
+    would shuffle the whole corpus's transitions twice."""
+    from cdc_redshift_spark.queries.corpus_q import q_corpus_lm_perplexity
+
+    plan = plan_of(q_corpus_lm_perplexity(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_into_single_join(spark):
+    """All five MERGE clauses compile into ONE full-outer join +
+    codegen when/otherwise chains — never per-clause joins."""
+    from cdc_redshift_spark.queries.cdc import q_orders_merge_into
+
+    plan = plan_of(q_orders_merge_into(spark, SF))
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark):
+    """Ordered picks ride the aggregate: no Window operator, one
+    hash-partition exchange for the time-bucket groupBy."""
+    from cdc_redshift_spark.queries.temporal_q import q_events_ohlc_bars
+
+    plan = plan_of(q_events_ohlc_bars(spark, SF))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
