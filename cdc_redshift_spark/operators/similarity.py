@@ -912,3 +912,82 @@ def contrastive_negatives(
     return draws.join(partners, ["shard", "r_n"]).select(
         "anchor_id", "neg_id", "j"
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> tuple[DataFrame, list, list]:
+    """First principal component of an embedding column by POWER
+    ITERATION on the covariance matrix — the dimensionality-reduction
+    / OPQ-style rotation step in front of an ANN index (PQ quality is
+    dominated by how well the leading variance directions are
+    handled).
+
+    Scale shape: the only distributed work is TWO bounded aggregates —
+    the d-element mean and the d^2-element second-moment matrix (pair
+    explode with map-side combine: every task contributes <= d^2
+    cells whatever its row count).  The d x d matrix collects to the
+    driver (same bounded-collect class as the IVF centroid seeds) and
+    ``iters`` matrix-vector products run there in pure Python.  The
+    projection broadcasts (mu, v) back as literals — one codegen pass,
+    zero joins.
+
+    Cross-engine determinism: covariance cells, the mean, and every
+    iteration step round at 9 dp (absorbing summation-order ulp, the
+    PageRank discipline), so a SQL engine unrolling the SAME
+    iterations reproduces the eigenvector bit-for-bit; starting from
+    the all-ones vector makes the sign itself deterministic (no
+    sign-fix rule needed).  Projections round at 6 dp.
+
+    Returns ``(projections, v, mu)``: projections = one row per input
+    (id_col, pc1); v, mu = the (rounded) component and mean as Python
+    lists.
+    """
+    x = F.transform(F.col(vec_col), lambda c: c.cast("double"))
+    ex = df.select(
+        F.col(id_col), F.posexplode(x).alias("i", "xi"), x.alias("__v")
+    )
+    # second moments: (i, j) cells via inner posexplode of the carried
+    # array — n*d^2 rows, collapsed map-side to <= d^2 cells per task
+    sums = (
+        ex.select("i", F.posexplode("__v").alias("j", "xj"), "xi")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("s"))
+        .collect()
+    )
+    mu_rows = (
+        ex.groupBy("i")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    d = len(mu_rows)
+    n = mu_rows[0]["n"]
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["i"]] = round(r["s"] / n, 9)
+    cov = [[0.0] * d for _ in range(d)]
+    for r in sums:
+        cov[r["i"]][r["j"]] = round(r["s"] / n - mu[r["i"]] * mu[r["j"]], 9)
+    v = [1.0] * d
+    for _ in range(int(iters)):
+        w = [round(sum(cov[i][j] * v[j] for j in range(d)), 9) for i in range(d)]
+        norm = math.sqrt(sum(c * c for c in w))
+        v = [round(c / norm, 9) for c in w]
+    b = round(sum(mu[i] * v[i] for i in range(d)), 9)
+    vlit = F.array(*[F.lit(c) for c in v])
+    proj = df.select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(x, vlit, lambda a, c: a * c),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            - F.lit(b),
+            6,
+        ).alias("pc1"),
+    )
+    return proj, v, mu

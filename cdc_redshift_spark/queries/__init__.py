@@ -71,7 +71,8 @@ _GATE_WINDOW = [
     # events_golden_profile, corpus_temperature_mix,
     # sink_column_rename, orders_merge_into, sink_constraints,
     # sketch_join_size, sink_optimize, sink_generated_columns,
-    # events_ohlc_bars, sink_txn_batch, sink_row_provenance)
+    # events_ohlc_bars, sink_txn_batch, sink_row_provenance,
+    # emb_pca_projection)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

@@ -602,7 +602,85 @@ FROM draws d JOIN ranked p ON p.shard = d.shard AND p.r = d.r_n
 """
 
 
+
+
+def q_emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component by power iteration
+    (operators/similarity.pca_top_component): the OPQ-style rotation /
+    dimensionality-reduction step in front of an ANN index.  The only
+    distributed work is two bounded aggregates (d-element mean,
+    d^2-cell second moments); three matrix-vector iterations run on
+    the collected d x d matrix with 9-dp rounding at every step, so
+    the DuckDB oracle — which unrolls the SAME iterations as CTE
+    blocks, the PageRank discipline — reproduces the eigenvector
+    bit-for-bit and the 6-dp projections hash-match."""
+    from cdc_redshift_spark.operators.similarity import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj, _, _ = pca_top_component(emb, "vec_id", "embedding", iters=3)
+    return proj.orderBy("vec_id")
+
+
+ORACLE_PCA = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, i - 1 AS i, v[i] AS xi
+  FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)
+),
+n AS (SELECT count(*) AS n FROM e),
+mu AS (
+  SELECT i, round(sum(xi) / (SELECT n FROM n), 9) AS m
+  FROM ex GROUP BY i
+),
+cov AS (
+  SELECT a.i, b.i AS j,
+         round(sum(a.xi * b.xi) / (SELECT n FROM n) - ma.m * mb.m, 9)
+           AS c
+  FROM ex a
+  JOIN ex b USING (vec_id)
+  JOIN mu ma ON ma.i = a.i
+  JOIN mu mb ON mb.i = b.i
+  GROUP BY a.i, b.i, ma.m, mb.m
+),
+v0 AS (SELECT i, 1.0 AS vv FROM mu),
+w1 AS (
+  SELECT c.i, round(sum(c.c * v0.vv), 9) AS w
+  FROM cov c JOIN v0 ON v0.i = c.j GROUP BY c.i
+),
+v1 AS (
+  SELECT i, round(w / sqrt((SELECT sum(w * w) FROM w1)), 9) AS vv
+  FROM w1
+),
+w2 AS (
+  SELECT c.i, round(sum(c.c * v1.vv), 9) AS w
+  FROM cov c JOIN v1 ON v1.i = c.j GROUP BY c.i
+),
+v2 AS (
+  SELECT i, round(w / sqrt((SELECT sum(w * w) FROM w2)), 9) AS vv
+  FROM w2
+),
+w3 AS (
+  SELECT c.i, round(sum(c.c * v2.vv), 9) AS w
+  FROM cov c JOIN v2 ON v2.i = c.j GROUP BY c.i
+),
+v3 AS (
+  SELECT i, round(w / sqrt((SELECT sum(w * w) FROM w3)), 9) AS vv
+  FROM w3
+),
+b AS (SELECT round(sum(mu.m * v3.vv), 9) AS b FROM mu JOIN v3 USING (i))
+SELECT ex.vec_id,
+       round(sum(ex.xi * v3.vv) - (SELECT b FROM b), 6) AS pc1
+FROM ex JOIN v3 USING (i)
+GROUP BY ex.vec_id
+ORDER BY ex.vec_id
+"""
+
 QUERIES = {
+    "emb_pca_projection": q_emb_pca_projection,
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
     "sim_lsh_topk": q_sim_lsh_topk,
@@ -617,6 +695,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_pca_projection": ORACLE_PCA,
     "sim_topk_query": ORACLE_TOPK_QUERY,
     "sim_knn_exact": ORACLE_KNN,
     "sim_lsh_topk": ORACLE_LSH_TOPK,
