@@ -1010,9 +1010,16 @@ def temperature_mix(
         for s in srcs
     }
     total_w = sum(weights[s] for s in srcs)
+    from cdc_redshift_spark.functions.numeric import round_half_away
+
     budgets = {
         s: (
-            int(math.floor(budget_tokens * round(weights[s] / total_w, 6)))
+            int(
+                math.floor(
+                    budget_tokens
+                    * round_half_away(weights[s] / total_w, 6)
+                )
+            )
             if total_w > 0
             else 0
         )

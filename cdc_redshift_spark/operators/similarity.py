@@ -963,20 +963,29 @@ def pca_top_component(
         .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    if not mu_rows:
+        raise ValueError("pca_top_component: empty input")
+    from cdc_redshift_spark.functions.numeric import round_half_away as r9
+
     d = len(mu_rows)
     n = mu_rows[0]["n"]
     mu = [0.0] * d
     for r in mu_rows:
-        mu[r["i"]] = round(r["s"] / n, 9)
+        mu[r["i"]] = r9(r["s"] / n, 9)
     cov = [[0.0] * d for _ in range(d)]
     for r in sums:
-        cov[r["i"]][r["j"]] = round(r["s"] / n - mu[r["i"]] * mu[r["j"]], 9)
+        cov[r["i"]][r["j"]] = r9(r["s"] / n - mu[r["i"]] * mu[r["j"]], 9)
     v = [1.0] * d
     for _ in range(int(iters)):
-        w = [round(sum(cov[i][j] * v[j] for j in range(d)), 9) for i in range(d)]
+        w = [r9(sum(cov[i][j] * v[j] for j in range(d)), 9) for i in range(d)]
         norm = math.sqrt(sum(c * c for c in w))
-        v = [round(c / norm, 9) for c in w]
-    b = round(sum(mu[i] * v[i] for i in range(d)), 9)
+        if norm == 0.0:
+            raise ValueError(
+                "pca_top_component: zero-variance input (all vectors "
+                "identical) — no principal direction exists"
+            )
+        v = [r9(c / norm, 9) for c in w]
+    b = r9(sum(mu[i] * v[i] for i in range(d)), 9)
     vlit = F.array(*[F.lit(c) for c in v])
     proj = df.select(
         F.col(id_col),

@@ -444,29 +444,41 @@ def cm_inner_product(sk_a: DataFrame, sk_b: DataFrame, d: int) -> DataFrame:
     upper-bounds the true product at 0 — so fewer than ``d`` joined
     rows short-circuits the estimate to exactly 0.
 
-    Output: one row ``(n_est,)``; integer arithmetic end to end.
+    Output: one row ``(n_est,)`` as DECIMAL(38,0): cell-count products
+    of two ~1e10-row tables exceed 2^63, and a LONG sum would WRAP
+    and silently break the one-sided guarantee — exact 38-digit
+    integer arithmetic matches DuckDB's HUGEINT behavior instead.
     """
+    dec = "decimal(19,0)"
     prod = (
         sk_a.alias("a")
         .join(sk_b.alias("b"), ["j", "bucket"])
         .groupBy("j")
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("__p"))
+        .agg(
+            F.sum(
+                F.col("a.cnt").cast(dec) * F.col("b.cnt").cast(dec)
+            ).alias("__p")
+        )
     )
     return prod.agg(
-        F.when(F.count(F.lit(1)) < d, F.lit(0).cast("long"))
+        F.when(F.count(F.lit(1)) < d, F.lit(0))
         .otherwise(F.min("__p"))
+        .cast("decimal(38,0)")
         .alias("n_est")
     )
 
 
 def duck_cm_inner_product(cells_a: str, cells_b: str, d: int) -> str:
     """DuckDB mirror of :func:`cm_inner_product` over two
-    :func:`duck_cm_cells` relations."""
+    :func:`duck_cm_cells` relations (DECIMAL(38,0) like the Spark
+    side — BIGINT products would raise on overflow)."""
     return f"""
-  SELECT CASE WHEN count(*) < {d} THEN 0 ELSE CAST(min(p) AS BIGINT) END
-           AS n_est
+  SELECT CAST(CASE WHEN count(*) < {d} THEN 0 ELSE min(p) END
+              AS DECIMAL(38,0)) AS n_est
   FROM (
-    SELECT a.j, sum(a.cnt * b.cnt) AS p
+    SELECT a.j,
+           sum(CAST(a.cnt AS DECIMAL(19,0))
+               * CAST(b.cnt AS DECIMAL(19,0))) AS p
     FROM ({cells_a}) a JOIN ({cells_b}) b USING (j, bucket)
     GROUP BY a.j
   )

@@ -176,7 +176,15 @@ class MergeIntoBuilder:
         return self
 
     def when_not_matched_insert(self, values: dict | None = None, condition=None):
-        self._not_matched.append((condition, dict(values) if values else None))
+        """``values=None`` inserts ALL target columns by source-name
+        match (Delta ``insertAll``); a dict inserts EXACTLY the
+        specified columns and NULLs every other target column — keys
+        included, map them explicitly — matching Delta's ``insert``
+        (an unspecified column silently inheriting the source value
+        would populate fields the caller deliberately did not map)."""
+        self._not_matched.append(
+            (condition, None if values is None else dict(values))
+        )
         return self
 
     def when_not_matched_by_source_update(self, set: dict, condition=None):
@@ -248,11 +256,15 @@ class MergeIntoBuilder:
                         F.col("__act") == m_tags[i], self._as_col(aset[c])
                     ).otherwise(col)
             for i, (_, values) in enumerate(self._not_matched):
-                if values is not None and c in values:
+                if values is None:  # insertAll: match by name
+                    v = (
+                        F.col(f"s.{c}")
+                        if c in s_cols
+                        else F.lit(None).cast(t_types[c])
+                    )
+                elif c in values:
                     v = self._as_col(values[c])
-                elif c in s_cols:
-                    v = F.col(f"s.{c}")
-                else:
+                else:  # explicit insert: unspecified columns are NULL
                     v = F.lit(None).cast(t_types[c])
                 col = F.when(F.col("__act") == n_tags[i], v).otherwise(col)
             for i, (kind, _, aset) in enumerate(self._by_source):

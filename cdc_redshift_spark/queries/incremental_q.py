@@ -1111,11 +1111,12 @@ def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def probe(name, a, b):
-        est = cm_inner_product(
-            cm_sketch(a, "k", d=JS_D, w=JS_W),
-            cm_sketch(b, "k", d=JS_D, w=JS_W),
-            JS_D,
-        ).collect()[0]["n_est"]
+        ska = cm_sketch(a, "k", d=JS_D, w=JS_W)
+        # self-join: the two sketch sides are identical — build once
+        skb = ska if a is b else cm_sketch(b, "k", d=JS_D, w=JS_W)
+        est = int(
+            cm_inner_product(ska, skb, JS_D).collect()[0]["n_est"]
+        )
         exact = a.join(b.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).count()
         if est < exact:
             raise RuntimeError(

@@ -140,69 +140,53 @@ class ParquetSink(Sink):
         # published intent forward — see transaction()/recover())
         self.recover()
 
-    def _apply_generated(self, df: DataFrame, what: str) -> DataFrame:
-        """Compute missing generated columns; validate supplied ones
-        (null-safe equality, tombstones exempt) in one batch pass."""
-        if not self.generated_cols:
-            return df
-        to_check = []
+    def _validate_batch(self, df: DataFrame, what: str) -> DataFrame:
+        """Compute missing generated columns, then verify supplied
+        generated values AND every CHECK constraint in ONE aggregate
+        job over the batch (tombstones exempt) — a batch whose lineage
+        is expensive must not pay one validation scan per rule
+        family."""
+        checks: list[tuple[str, str, Column]] = []
         for name, expr in self.generated_cols.items():
             if name not in df.columns:
                 df = df.withColumn(name, F.expr(expr))
             else:
-                to_check.append((name, expr))
-        if to_check:
+                checks.append(
+                    (
+                        f"generated column {name} supplied with "
+                        f"non-generated values (expr: {expr!r})",
+                        name,
+                        ~F.col(name).eqNullSafe(F.expr(expr)),
+                    )
+                )
+        for name, expr in self.constraints.items():
+            # Delta CHECK contract: only an explicit FALSE violates
+            checks.append(
+                (
+                    f"CHECK constraint {name} (expr: {expr!r})",
+                    name,
+                    F.expr(expr) == F.lit(False),
+                )
+            )
+        if checks:
             rows = df
             if "op" in df.columns:
                 rows = rows.where(F.col("op") != "delete")
             aggs = [
-                F.sum(
-                    F.when(
-                        ~F.col(name).eqNullSafe(F.expr(expr)), 1
-                    ).otherwise(0)
-                ).alias(name)
-                for name, expr in to_check
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c{i}")
+                for i, (_, _, cond) in enumerate(checks)
             ]
-            counts = rows.agg(*aggs).collect()[0].asDict()
-            bad = {n: int(c) for n, c in counts.items() if c}
+            counts = rows.agg(*aggs).collect()[0]
+            bad = [
+                f"{label}: {int(counts[f'__c{i}'])} row(s)"
+                for i, (label, _, _) in enumerate(checks)
+                if counts[f"__c{i}"]
+            ]
             if bad:
                 raise ConstraintViolation(
-                    f"generated column(s) supplied with non-generated "
-                    f"values in {what}: "
-                    + ", ".join(
-                        f"{n} ({c} row(s), expr: "
-                        f"{self.generated_cols[n]!r})"
-                        for n, c in sorted(bad.items())
-                    )
+                    f"batch rejected for {what}: " + "; ".join(bad)
                 )
         return df
-
-    def _check_constraints(self, df: DataFrame, what: str) -> None:
-        """Raise ConstraintViolation if any non-tombstone row of
-        ``df`` fails a CHECK.  One column-pruned pass over the batch
-        (never the stored table); all constraints verified in a single
-        aggregate so N constraints don't mean N jobs."""
-        if not self.constraints:
-            return
-        rows = df
-        if "op" in df.columns:
-            rows = rows.where(F.col("op") != "delete")
-        aggs = [
-            F.sum(
-                F.when(F.expr(expr) == F.lit(False), 1).otherwise(0)
-            ).alias(name)
-            for name, expr in self.constraints.items()
-        ]
-        counts = rows.agg(*aggs).collect()[0].asDict()
-        bad = {n: int(c) for n, c in counts.items() if c}
-        if bad:
-            raise ConstraintViolation(
-                f"CHECK constraint(s) violated by {what}: "
-                + ", ".join(
-                    f"{n} ({c} row(s), expr: {self.constraints[n]!r})"
-                    for n, c in sorted(bad.items())
-                )
-            )
 
     def _layout(self, state: DataFrame) -> DataFrame:
         if not self.cluster_keys:
@@ -486,8 +470,7 @@ class ParquetSink(Sink):
         changes carry and the target exists (see module docstring);
         full merge + rewrite otherwise.
         """
-        changes = self._apply_generated(changes, f"changeset for {db}.{table}")
-        self._check_constraints(changes, f"changeset for {db}.{table}")
+        changes = self._validate_batch(changes, f"changeset for {db}.{table}")
         target = self.read_table(self.spark, db, table, include_tombstones=True)
         if (
             self.merge_mode == "dv"
@@ -953,8 +936,7 @@ class ParquetSink(Sink):
 
     def overwrite(self, db: str, table: str, state: DataFrame) -> None:
         """Direct snapshot write (initial loads / oracle comparisons)."""
-        state = self._apply_generated(state, f"overwrite of {db}.{table}")
-        self._check_constraints(state, f"overwrite of {db}.{table}")
+        state = self._validate_batch(state, f"overwrite of {db}.{table}")
         self._commit(db, table, state)
 
     def optimize(
@@ -979,11 +961,28 @@ class ParquetSink(Sink):
         linked partitions carry their DV rows and index rows forward
         by path rewrite.  Content is bit-identical before/after.
 
+        Layouts: a SINGLE partition column gets the pruned path
+        (fragmented partitions rewritten to their per-partition byte
+        budget, the rest hard-linked).  Multi-column / unparseable
+        layouts have no pruned machinery, so a needed compaction
+        rewrites the whole table — but fragmentation is still judged
+        PER LEAF DIRECTORY and the rewrite lands one file per
+        partition tuple, so a second call is a no-op (never the
+        file-multiplying global-repartition trap).  Unpartitioned
+        tables pack to ``ceil(bytes/target)`` files.
+
         Returns ``{"rewritten": [...], "files_before": n,
         "files_after": m, "version": v}`` (``version`` is unchanged
         when nothing needed rewriting — a no-op makes NO new
-        snapshot).
+        snapshot).  Refuses to run inside a :meth:`transaction` (the
+        report would read deferred state).
         """
+        if self._deferred_flips is not None:
+            # the report reads _LATEST, which a transaction defers —
+            # and table maintenance has no business inside a batch txn
+            raise RuntimeError(
+                "optimize() cannot run inside a sink transaction"
+            )
         v = self._latest_version(db, table)
         if v is None:
             raise ValueError(f"{db}.{table} does not exist")
@@ -1063,6 +1062,46 @@ class ParquetSink(Sink):
                 set(non_null),
                 null_touched,
             )
+        elif self.partition_cols:
+            # multi-column / unparseable layout: no pruned machinery,
+            # so the whole table rewrites — but the no-op check and the
+            # file-count target must still be PER LEAF DIRECTORY
+            # (a global repartition(k) + partitionBy would write up to
+            # k files into EVERY partition dir, multiplying fragments)
+            by_dir: dict[str, list[str]] = {}
+            for f in self._data_files(src):
+                by_dir.setdefault(os.path.dirname(f), []).append(f)
+            frag = [
+                d
+                for d, fs in by_dir.items()
+                if len(fs)
+                > max(
+                    1,
+                    -(
+                        -sum(os.path.getsize(f) for f in fs)
+                        // target_file_bytes
+                    ),
+                )
+            ]
+            if not frag:
+                return {
+                    "rewritten": [],
+                    "files_before": files_before,
+                    "files_after": files_before,
+                    "version": v,
+                }
+            plan = {os.path.relpath(d, src): 1 for d in frag}
+            # one task per partition tuple -> one file per leaf dir
+            # (task collisions only merge partitions, never split them)
+            state = (
+                cur
+                if self.cluster_keys
+                else cur.repartition(
+                    max(len(by_dir), 1),
+                    *[F.col(c) for c in self.partition_cols],
+                )
+            )
+            self._commit(db, table, state)
         else:
             n, size = part_stats(src)
             k = max(1, -(-size // target_file_bytes))
@@ -1540,6 +1579,16 @@ class ParquetSink(Sink):
         import json as _json
 
         prev = self._read_file_manifest(db, table, v - 1)
+        if not prev and v > 1:
+            # pre-manifest predecessor (sink root created before this
+            # feature): its carried files have UNKNOWN provenance —
+            # recording the current version would be silently WRONG
+            prev_dir = os.path.join(self._dir(db, table), f"v{v - 1}")
+            if os.path.isdir(prev_dir):
+                prev = {
+                    os.path.basename(f): None
+                    for f in self._data_files(prev_dir)
+                }
         man = {
             os.path.basename(f): prev.get(os.path.basename(f), v)
             for f in self._data_files(

@@ -29,14 +29,31 @@ def test_merge_clause_order_and_defaults(spark):
             condition="s.v > t.v",
         )
         .when_not_matched_insert(
-            values={"status": "'N'"}, condition="s.op = 'ins'"
+            values={"k": "s.k", "status": "'N'", "v": "s.v"},
+            condition="s.op = 'ins'",
         )
         .execute()
     )
     rows = {r.k: (r.status, r.v) for r in out.collect()}
     # k=1 deleted; k=2 updated (25 > 20); k=3 kept (5 < 30, no clause
-    # matched -> keep); k=9 inserted with default v from source
+    # matched -> keep); k=9 inserted with the mapped values
     assert rows == {2: ("U", 25), 3: ("c", 30), 9: ("N", 90)}
+
+
+def test_merge_partial_insert_values_null_unmapped(spark):
+    """Delta insert semantics: a values dict populates EXACTLY the
+    mapped columns; unmapped target columns are NULL even when a
+    same-named source column exists."""
+    t, s = _frames(spark)
+    out = (
+        merge_into(t, s, ["k"])
+        .when_not_matched_insert(
+            values={"k": "s.k", "status": "'N'"}, condition="s.op = 'ins'"
+        )
+        .execute()
+    )
+    rows = {r.k: (r.status, r.v) for r in out.collect()}
+    assert rows[9] == ("N", None)  # v NOT copied from source
 
 
 def test_merge_by_source_clauses(spark):

@@ -1466,3 +1466,55 @@ def test_commit_version_dv_mode(spark, tmp_path):
         for r in sink.read_table(spark, "d", "t", with_commit_version=True).collect()
     }
     assert rows == {"1": 1, "2": 2}
+
+
+def test_optimize_multi_column_layout_converges(spark, tmp_path):
+    """Two partition columns (no pruned machinery): optimize must
+    judge fragmentation per leaf dir, land ONE file per partition
+    tuple (never k files in every dir), and no-op on the second call."""
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date", "op"))
+    rows = [
+        (str(i), 100, i, "insert" if i % 2 else "update", "p", f"2024-03-0{1 + (i // 2) % 2}")
+        for i in range(40)
+    ]
+    sink.overwrite("d", "t", pchdf(spark, rows).repartition(8))
+    n_dirs = 4  # 2 dates x 2 ops
+    before = len(sink._data_files(str(tmp_path / "d" / "t" / "v1")))
+    assert before > n_dirs
+    rep = sink.optimize("d", "t")
+    assert rep["files_after"] == n_dirs
+    rep2 = sink.optimize("d", "t")
+    assert rep2["rewritten"] == [] and rep2["version"] == rep["version"]
+    assert sink.read_table(spark, "d", "t").count() == 40
+
+
+def test_optimize_refuses_inside_transaction(spark, tmp_path):
+    import pytest
+
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "p")]))
+    with pytest.raises(RuntimeError, match="transaction"):
+        with sink.transaction():
+            sink.optimize("d", "t")
+
+
+def test_commit_version_unknown_for_pre_manifest_links(spark, tmp_path):
+    """Upgraded table (predecessor snapshot has no manifest): carried
+    files report NULL provenance, never the current version."""
+    sink = ParquetSink(spark, str(tmp_path), partition_cols=("ts_date",))
+    sink.apply_changeset(
+        "d", "t",
+        pchdf(spark, [
+            ("1", 100, 0, "insert", "a", "2024-01-01"),
+            ("2", 100, 1, "insert", "b", "2024-01-02"),
+        ]),
+    )
+    os.remove(str(tmp_path / "d" / "t" / "v1" / "_FILEVERS"))  # legacy sim
+    sink.apply_changeset(
+        "d", "t", pchdf(spark, [("1", 200, 2, "update", "a2", "2024-01-01")])
+    )
+    rows = {
+        r.key: r["_commit_version"]
+        for r in sink.read_table(spark, "d", "t", with_commit_version=True).collect()
+    }
+    assert rows == {"1": 2, "2": None}
