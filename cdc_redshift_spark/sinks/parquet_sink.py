@@ -1304,6 +1304,69 @@ class ParquetSink(Sink):
             old, new, keys=list(self.keys), compare_cols=list(compare_cols)
         )
 
+    def dv_masked_fraction(self, db: str, table: str) -> float:
+        """Fraction of stored rows masked by the current deletion
+        vector — the read-amplification statistic that schedules
+        :meth:`compact`.  Both counts are metadata-cheap (the DV
+        sidecar is per-batch small; the data count comes from parquet
+        row-group stats, no data read)."""
+        v = self._latest_version(db, table)
+        if v is None:
+            return 0.0
+        dvdir = self._dv_dir(db, table, v)
+        if not os.path.isdir(dvdir):
+            return 0.0
+        masked = self.spark.read.parquet(dvdir).count()
+        total = (
+            self.spark.read.parquet(
+                os.path.join(self._dir(db, table), f"v{v}")
+            ).count()
+        )
+        return masked / total if total else 0.0
+
+    def maintain(
+        self,
+        db: str,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        dv_mask_threshold: float = 0.2,
+        tombstone_horizon_ms: int | None = None,
+        keep_versions: int = 3,
+    ) -> dict:
+        """ONE maintenance entry point — the periodic job a 100 TB
+        deployment schedules per table, composing the four levers in
+        the order that avoids wasted work:
+
+        1. fold deletion vectors (:meth:`compact`) when the masked
+           fraction crosses ``dv_mask_threshold`` — folding first
+           means the subsequent bin-packing never rewrites masked
+           rows;
+        2. expire tombstones older than ``tombstone_horizon_ms``
+           (skipped when None — the horizon is a source-lateness
+           contract only the pipeline knows);
+        3. :meth:`optimize` small files to ``target_file_bytes``;
+        4. :meth:`vacuum` to ``keep_versions`` retained snapshots —
+           last, so every rewrite above can still hard-link from its
+           predecessor.
+
+        Every step is a no-op when its trigger isn't met (steps 1-3
+        commit nothing at all in that case), so running ``maintain``
+        on a healthy table costs metadata reads only.  Returns a
+        report dict of what each step did.
+        """
+        report: dict = {}
+        frac = self.dv_masked_fraction(db, table)
+        report["dv_masked_fraction"] = round(frac, 4)
+        if frac > dv_mask_threshold:
+            self.compact(db, table)
+            report["dv_folded"] = True
+        if tombstone_horizon_ms is not None:
+            report["tombstones_expired_before"] = tombstone_horizon_ms
+            self.expire_tombstones(db, table, tombstone_horizon_ms)
+        report["optimize"] = self.optimize(db, table, target_file_bytes)
+        report["vacuumed"] = self.vacuum(db, table, keep_last=keep_versions)
+        return report
+
     def vacuum(self, db: str, table: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot versions and
         return the versions removed.  Because unchanged partition

@@ -1518,3 +1518,38 @@ def test_commit_version_unknown_for_pre_manifest_links(spark, tmp_path):
         for r in sink.read_table(spark, "d", "t", with_commit_version=True).collect()
     }
     assert rows == {"1": 2, "2": None}
+
+
+def test_maintain_composes_the_four_levers(spark, tmp_path):
+    """DV-heavy fragmented table: maintain folds the DVs, packs the
+    files, and bounds retained versions; a second call on the now-
+    healthy table commits nothing."""
+    sink = ParquetSink(spark, str(tmp_path), merge_mode="dv")
+    sink.apply_changeset(
+        "d", "t",
+        chdf(spark, [(str(i), 100, i, "insert", "a") for i in range(10)]).repartition(4),
+    )
+    # mask 6 of 10 rows across two DV commits
+    sink.apply_changeset(
+        "d", "t",
+        chdf(spark, [(str(i), 200, 100 + i, "update", "b") for i in range(4)]),
+    )
+    sink.apply_changeset(
+        "d", "t",
+        chdf(spark, [(str(i), 300, 200 + i, "update", "c") for i in range(4, 6)]),
+    )
+    assert sink.dv_masked_fraction("d", "t") > 0.2
+    rep = sink.maintain("d", "t", keep_versions=1)
+    assert rep["dv_folded"] and rep["dv_masked_fraction"] > 0.2
+    assert sink.dv_masked_fraction("d", "t") == 0.0
+    assert len(sink.versions("d", "t")) == 1
+    rows = {r.key: r.payload for r in sink.read_table(spark, "d", "t").collect()}
+    assert rows == {
+        **{str(i): "b" for i in range(4)},
+        **{str(i): "c" for i in range(4, 6)},
+        **{str(i): "a" for i in range(6, 10)},
+    }
+    v = sink._latest_version("d", "t")
+    rep2 = sink.maintain("d", "t", keep_versions=1)
+    assert not rep2.get("dv_folded") and rep2["optimize"]["rewritten"] == []
+    assert sink._latest_version("d", "t") == v  # nothing committed
