@@ -1000,3 +1000,61 @@ def pca_top_component(
         ).alias("pc1"),
     )
     return proj, v, mu
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.2,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then drop
+    within-cluster semantic duplicates.
+
+    A document is a semantic duplicate iff some SMALLER-id member of
+    its cluster has rounded cosine similarity >= ``tau`` with it — the
+    deterministic keep-first rule, so the survivor set is a pure
+    function of the corpus (no RNG, mirrorable in SQL).  Returns one
+    row per input vector: (``id_col``, cell, kept).
+
+    Scale shape: centroids are the deterministic first-``n_cells``
+    seeds (+ optional Lloyd refinement — both the distributed
+    assignment scans and the (n_cells x dim) driver state of
+    :func:`kmeans_refine`); the only shuffle is the cell partition, and
+    the per-cell pairwise scoring runs as a tiled in-cell GEMM
+    (memory O(_TILE x cell)).  Per-cell work is O((N/k)^2) — SemDeDup's
+    economics REQUIRE n_cells to grow with the corpus (the paper runs
+    ~100k clusters at web scale) so cells stay ~1e4 rows; n_cells is
+    the knob, not a hidden constant.
+    """
+    cents = _centroids(df, n_cells, id_col, vec_col)
+    idt = _id_type(df, id_col)
+    if cents.size == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {idt}, cell int, kept boolean"
+        )
+    if refine_iters:
+        cents = kmeans_refine(df, cents, id_col, vec_col, iters=refine_iters)
+    assign = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.element_at(_cells_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    pairs = assign.groupBy("cell").applyInPandas(
+        _bucket_threshold_fn(tau), schema=f"id_a {idt}, id_b {idt}, cosine double"
+    )
+    # pairs emit id_a < id_b, so id_b is exactly "has a smaller-id
+    # >= tau partner in its cell" — the dropped set
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        assign.select("id", "cell")
+        .join(dropped.withColumn("hit", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("hit"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -29,6 +29,7 @@ from cdc_redshift_spark.operators.similarity import (
     ivf_topk,
     knn_all_pairs,
     rh_lsh_topk,
+    semantic_dedup,
 )
 from cdc_redshift_spark.sources.tables import load_table
 
@@ -679,7 +680,40 @@ GROUP BY ex.vec_id
 ORDER BY ex.vec_id
 """
 
+SEM_CELLS, SEM_TAU = 8, 0.35
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: one k-means (Lloyd)
+    refinement of the first-k-by-id seed centroids, then the
+    keep-first rule on within-cell rounded cosine >= tau.  The oracle
+    mirrors the ENTIRE path — refined centroid math, cell assignment,
+    pairwise threshold, survivor rule — in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, n_cells=SEM_CELLS, tau=SEM_TAU, refine_iters=1
+    )
+    return out.orderBy("vec_id")
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH v AS ({DUCK_V}),
+{_ivf_ctes(SEM_CELLS, 1, "", refined=True)},
+home AS (SELECT id, cell::INTEGER AS cell FROM assigned WHERE cell_rank = 1),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM home a JOIN home b ON a.cell = b.cell AND a.id < b.id
+  JOIN v va ON va.id = a.id
+  JOIN v vb ON vb.id = b.id
+  WHERE {DUCK_COSINE} >= {SEM_TAU}
+)
+SELECT h.id AS vec_id, h.cell, (d.id_b IS NULL) AS kept
+FROM home h LEFT JOIN (SELECT DISTINCT id_b FROM p) d ON h.id = d.id_b
+ORDER BY vec_id
+"""
+
 QUERIES = {
+    "emb_semantic_dedup": q_emb_semantic_dedup,
     "emb_pca_projection": q_emb_pca_projection,
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
@@ -695,6 +729,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "emb_pca_projection": ORACLE_PCA,
     "sim_topk_query": ORACLE_TOPK_QUERY,
     "sim_knn_exact": ORACLE_KNN,
