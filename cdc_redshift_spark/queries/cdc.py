@@ -669,6 +669,142 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_sink_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + zero-copy CLONE on the versioned sink: commit orders
+    as v1, a changeset as v2, `restore(1)` as v3 (hard-links only),
+    CLONE the restored table, then keep writing to the source (v4) and
+    vacuum it down to one version — the clone must stay readable
+    because hard links keep shared bytes alive (the dangling-reference
+    hazard Delta shallow clones carry, closed by construction).
+    In-query proofs: restore is a new commit (versions [1,2,3]),
+    restore-to-current is a no-op, the clone's files share inodes with
+    the source snapshot (zero bytes written), and restored rows report
+    `_commit_version` 1 — the manifest inherits the RESTORED version's
+    provenance, not the restore commit's.  The oracle reconstructs the
+    restored, cloned and post-restore-merged states from the base
+    table."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    mo = F.pmod(F.col("k"), F.lit(10))
+    nxt = (
+        base.where(mo == 1)
+        .withColumn("status", F.lit("X"))
+        .unionByName(base.where(mo == 0).withColumn("op", F.lit("delete")))
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+    )
+    nxt2 = (
+        base.where(mo == 2)
+        .withColumn("status", F.lit("Y"))
+        .withColumn("ts_ms", F.lit(3).cast("long"))
+    )
+    root = tempfile.mkdtemp(prefix="restore_clone_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        sink.apply_changeset("db", "t", base)
+        sink.apply_changeset("db", "t", nxt)
+        v_after = sink.restore("db", "t", 1)
+        if v_after != 3 or sink.versions("db", "t") != [1, 2, 3]:
+            raise RuntimeError(
+                f"restore must commit a NEW version: v={v_after}, "
+                f"versions={sink.versions('db', 't')}"
+            )
+        if sink.restore("db", "t", 3) != 3 or sink.versions(
+            "db", "t"
+        ) != [1, 2, 3]:
+            raise RuntimeError("restore to current must be a no-op")
+        prov = sink.read_table(
+            spark, "db", "t", with_commit_version=True
+        )
+        bad_prov = prov.where(F.col("_commit_version") != 1).count()
+        if bad_prov:
+            raise RuntimeError(
+                f"{bad_prov} restored rows misreport their writing "
+                "commit (expected _commit_version=1 for every row)"
+            )
+        restored = sink.read_table(spark, "db", "t")
+        sink.clone_table("db", "t", "db", "t_clone")
+        src_dir = _os.path.join(root, "db", "t", "v3")
+        clone_dir = _os.path.join(root, "db", "t_clone", "v1")
+        for dirpath, _dirs, files in _os.walk(clone_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    if _os.stat(_os.path.join(dirpath, fn)).st_nlink < 2:
+                        raise RuntimeError(
+                            f"clone wrote new bytes for {fn}: expected "
+                            f"a hard link into {src_dir}"
+                        )
+
+        def agg(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy(
+                F.lit(tag).alias("tag"), F.col("status")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+
+        out_restored = agg(restored, "restored").localCheckpoint(
+            eager=True
+        )
+        # keep writing to the SOURCE after the clone, then vacuum it:
+        # the clone must be unaffected by both
+        sink.apply_changeset("db", "t", nxt2)
+        merged = sink.read_table(spark, "db", "t")
+        out_merged = agg(merged, "merged").localCheckpoint(eager=True)
+        sink.vacuum("db", "t", keep_last=1)
+        clone = sink.read_table(spark, "db", "t_clone")
+        out = (
+            out_restored.unionByName(out_merged)
+            .unionByName(agg(clone, "clone"))
+            .orderBy("tag", "status")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_RESTORE_CLONE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+merged AS (
+  SELECT k,
+         CASE WHEN k % 10 = 2 THEN 'Y' ELSE status END AS status,
+         cents
+  FROM base
+),
+lab AS (
+  SELECT 'restored' AS tag, status, count(*) AS n,
+         sum(cents) AS sum_cents
+  FROM base GROUP BY status
+  UNION ALL
+  SELECT 'merged', status, count(*), sum(cents)
+  FROM merged GROUP BY status
+  UNION ALL
+  SELECT 'clone', status, count(*), sum(cents)
+  FROM base GROUP BY status
+)
+SELECT tag, status, CAST(n AS BIGINT) AS n,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM lab ORDER BY tag, status
+"""
+
+
 def q_orders_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional multi-clause MERGE INTO (plans/merge.merge_into):
     the full Delta-style surface over orders — a delete clause, a
@@ -1644,6 +1780,7 @@ QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
+    "sink_restore_clone": q_sink_restore_clone,
     "sink_column_rename": q_sink_column_rename,
     "orders_merge_into": q_orders_merge_into,
     "sink_constraints": q_sink_constraints,
@@ -1665,6 +1802,7 @@ QUERIES = {
 ORACLES = {
     "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
+    "sink_restore_clone": ORACLE_SINK_RESTORE_CLONE,
     "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,
     "orders_merge_into": ORACLE_MERGE_INTO,
     "sink_constraints": ORACLE_SINK_CONSTRAINTS,

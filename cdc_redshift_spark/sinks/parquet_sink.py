@@ -1245,6 +1245,121 @@ class ParquetSink(Sink):
         self._write_schema_json(db, table, new_schema, v + 1)
         self._flip(db, table, v + 1)
 
+    def restore(self, db: str, table: str, version: int) -> int:
+        """Delta ``RESTORE TABLE ... VERSION AS OF`` on plain parquet:
+        make the table's CURRENT state equal an earlier retained
+        snapshot, committed as a NEW version — history is preserved,
+        so a restore is itself undoable by another restore.  Zero data
+        bytes move: the new snapshot hard-links the target version's
+        files, its DV sidecar and Bloom/zone-map index rows carry by
+        path rewrite, its per-version schema becomes the current
+        catalog entry again (a later rename/evolution rolls back
+        logically WITH the data, matching Delta), and the file
+        manifest inherits the target's provenance so restored rows
+        keep reporting the commit that actually wrote them.
+        Restoring to the current version is a no-op (no new commit).
+        Returns the current version after the call."""
+        cur = self._latest_version(db, table)
+        if cur is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        vers = self.versions(db, table)
+        if version not in vers:
+            raise ValueError(
+                f"{db}.{table} has no retained snapshot v{version}; "
+                f"available: {vers}"
+            )
+        if version == cur:
+            return cur
+        new_v = cur + 1
+        d = self._dir(db, table)
+        src = os.path.join(d, f"v{version}")
+        dst = os.path.join(d, f"v{new_v}")
+        if os.path.isdir(dst):  # retry safety (see _apply_dv)
+            shutil.rmtree(dst)
+        self._link_snapshot(src, dst)
+        old_seg = f"/{db}/{table}/v{version}/"
+        new_seg = f"/{db}/{table}/v{new_v}/"
+        src_dv = self._dv_dir(db, table, version)
+        if os.path.isdir(src_dv):
+            self.spark.read.parquet(src_dv).select(
+                F.replace(
+                    F.col("file"), F.lit(old_seg), F.lit(new_seg)
+                ).alias("file"),
+                "pos",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._dv_dir(db, table, new_v)
+            )
+        if self.bloom_index_cols or self.zonemap_index_cols:
+            self._index_dv_commit(db, table, new_v, version, [])
+        schema = self._read_schema(db, table, version)
+        if schema is None:
+            # pre-versioned-schema snapshot: infer once so current
+            # reads stay typed
+            schema = self.spark.read.parquet(dst).schema
+        self._write_schema_json(db, table, schema, new_v)
+        self._flip(db, table, new_v, manifest_prev=version)
+        return new_v
+
+    def clone_table(
+        self, db: str, table: str, dest_db: str, dest_table: str
+    ) -> None:
+        """Zero-copy table clone (the Delta SHALLOW CLONE use case —
+        dev/test copies, experiment branches — without its dangling-
+        reference hazard): the clone's v1 HARD-LINKS the source's
+        current snapshot, so no data bytes are written, yet the clone
+        is fully independent afterwards — vacuuming or rewriting the
+        source can never break it, because links keep shared bytes
+        alive until both sides drop them.  DV sidecar and index rows
+        carry by path rewrite; the clone starts its own history at v1
+        (provenance resets, as Delta clones do)."""
+        v = self._latest_version(db, table)
+        if v is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        if self._latest_version(dest_db, dest_table) is not None:
+            raise ValueError(
+                f"clone target {dest_db}.{dest_table} already exists"
+            )
+        src = os.path.join(self._dir(db, table), f"v{v}")
+        dst = os.path.join(self._dir(dest_db, dest_table), "v1")
+        if os.path.isdir(dst):  # retry safety
+            shutil.rmtree(dst)
+        self._link_snapshot(src, dst)
+        old_seg = f"/{db}/{table}/v{v}/"
+        new_seg = f"/{dest_db}/{dest_table}/v1/"
+
+        def rewrite(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "file",
+                F.replace(F.col("file"), F.lit(old_seg), F.lit(new_seg)),
+            )
+
+        src_dv = self._dv_dir(db, table, v)
+        if os.path.isdir(src_dv):
+            rewrite(self.spark.read.parquet(src_dv)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                self._dv_dir(dest_db, dest_table, 1)
+            )
+        for col in self.bloom_index_cols:
+            bdir = self._bloom_dir(db, table, v, col)
+            if os.path.isdir(bdir):
+                rewrite(self.spark.read.parquet(bdir)).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(
+                    self._bloom_dir(dest_db, dest_table, 1, col)
+                )
+        zdir = self._zonemap_dir(db, table, v)
+        if os.path.isdir(zdir):
+            rewrite(self.spark.read.parquet(zdir)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                self._zonemap_dir(dest_db, dest_table, 1)
+            )
+        schema = self._read_schema(db, table)
+        if schema is not None:
+            self._write_schema_json(dest_db, dest_table, schema, 1)
+        self._flip(dest_db, dest_table, 1)
+
     def _commit(self, db: str, table: str, state: DataFrame) -> None:
         d = self._dir(db, table)
         v = (self._latest_version(db, table) or 0) + 1
@@ -1609,11 +1724,16 @@ class ParquetSink(Sink):
         idx = self.spark.read.parquet(self._bloom_dir(db, table, v, col))
         return bloom_lookup_files(idx, value)
 
-    def _flip(self, db: str, table: str, v: int) -> None:
+    def _flip(
+        self, db: str, table: str, v: int, manifest_prev: int | None = None
+    ) -> None:
         # every commit path ends here with the version dir complete —
         # the one choke point where the file->commit-version manifest
-        # can be derived before the snapshot becomes visible
-        self._write_file_manifest(db, table, v)
+        # can be derived before the snapshot becomes visible.
+        # ``manifest_prev`` overrides which version's manifest carried
+        # files inherit provenance from (restore links from an OLDER
+        # snapshot, not v-1)
+        self._write_file_manifest(db, table, v, prev_v=manifest_prev)
         if self._deferred_flips is not None:
             # inside a transaction: record the intent, flip at commit
             self._deferred_flips.append((db, table, v))
@@ -1633,7 +1753,9 @@ class ParquetSink(Sink):
         with open(p) as f:
             return _json.load(f)
 
-    def _write_file_manifest(self, db: str, table: str, v: int) -> None:
+    def _write_file_manifest(
+        self, db: str, table: str, v: int, prev_v: int | None = None
+    ) -> None:
         """{data-file basename: version that WROTE it} for one
         snapshot: hard-linked files keep the version recorded by the
         predecessor's manifest (their bytes are that commit's, by
@@ -1641,12 +1763,14 @@ class ParquetSink(Sink):
         Derivation is pure directory metadata — no data read."""
         import json as _json
 
-        prev = self._read_file_manifest(db, table, v - 1)
+        if prev_v is None:
+            prev_v = v - 1
+        prev = self._read_file_manifest(db, table, prev_v)
         if not prev and v > 1:
             # pre-manifest predecessor (sink root created before this
             # feature): its carried files have UNKNOWN provenance —
             # recording the current version would be silently WRONG
-            prev_dir = os.path.join(self._dir(db, table), f"v{v - 1}")
+            prev_dir = os.path.join(self._dir(db, table), f"v{prev_v}")
             if os.path.isdir(prev_dir):
                 prev = {
                     os.path.basename(f): None

@@ -1553,3 +1553,55 @@ def test_maintain_composes_the_four_levers(spark, tmp_path):
     rep2 = sink.maintain("d", "t", keep_versions=1)
     assert not rep2.get("dv_folded") and rep2["optimize"]["rewritten"] == []
     assert sink._latest_version("d", "t") == v  # nothing committed
+
+
+def test_restore_semantics_dv(spark, tmp_path):
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    s = ParquetSink(spark, str(tmp_path / "r2"), keys=("k",), merge_mode="dv")
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(20)], 1)
+    )
+    s.apply_changeset(
+        "db", "t",
+        _dv_ch(spark, [(5, "upd5", "update"), (7, "gone", "delete")], 2),
+    )
+    # restore back to the pre-changeset state
+    assert s.restore("db", "t", 1) == 3
+    state = {r.k: r.val for r in s.read_table(spark, "db", "t").collect()}
+    assert state[5] == "v5" and 7 in state and len(state) == 20
+    # restore FORWARD to the masked state: the DV sidecar must carry,
+    # keeping k=5's old row masked and k=7 deleted
+    assert s.restore("db", "t", 2) == 4
+    state = {r.k: r.val for r in s.read_table(spark, "db", "t").collect()}
+    assert state[5] == "upd5" and 7 not in state and len(state) == 19
+    # no-op + error paths
+    assert s.restore("db", "t", 4) == 4
+    assert s.versions("db", "t") == [1, 2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        s.restore("db", "t", 99)
+    with _pytest.raises(ValueError, match="does not exist"):
+        s.restore("db", "nope", 1)
+
+
+def test_clone_requires_fresh_target_and_carries_dv(spark, tmp_path):
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    s = ParquetSink(spark, str(tmp_path / "c"), keys=("k",), merge_mode="dv")
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(10)], 1)
+    )
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(3, "upd3", "update")], 2)
+    )
+    s.clone_table("db", "t", "db", "t2")
+    got = {r.k: r.val for r in s.read_table(spark, "db", "t2").collect()}
+    assert got[3] == "upd3" and len(got) == 10  # DV mask carried
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        s.clone_table("db", "t", "db", "t2")
+    with _pytest.raises(ValueError, match="does not exist"):
+        s.clone_table("db", "missing", "db", "t3")
