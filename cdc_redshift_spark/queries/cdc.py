@@ -805,6 +805,123 @@ FROM lab ORDER BY tag, status
 """
 
 
+def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ADD / DROP COLUMN through the versioned sink:
+    commit orders, ADD a column (hard-link commit, reads as NULL),
+    merge a batch populating it, DROP the original status column,
+    prove a batch still carrying it RAISES (the _DROPPED guard), then
+    RE-ADD status — old files must NOT resurrect their stale status
+    bytes (the fresh physical name makes that impossible by
+    construction) — and merge updates into the re-added column.
+    In-query proofs: the add commit links every data file (inode
+    check), the post-add read is all-NULL, the post-re-add read is
+    all-NULL again.  The oracle reconstructs the final state from the
+    base table."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        sink.apply_changeset("db", "t", base)
+        if sink.add_column("db", "t", "prio", "string") != 2:
+            raise RuntimeError("add_column must commit v2")
+        v1_dir = _os.path.join(root, "db", "t", "v1")
+        v2_dir = _os.path.join(root, "db", "t", "v2")
+        for fn in _os.listdir(v2_dir):
+            if fn.endswith(".parquet") and not _os.path.samefile(
+                _os.path.join(v1_dir, fn), _os.path.join(v2_dir, fn)
+            ):
+                raise RuntimeError(f"add_column rewrote data file {fn}")
+        cur = sink.read_table(spark, "db", "t")
+        if cur.where(F.col("prio").isNotNull()).count() != 0:
+            raise RuntimeError("added column must read as NULL")
+        batch2 = (
+            base.where(F.pmod(F.col("k"), F.lit(4)) == 0)
+            .withColumn("prio", F.lit("HI"))
+            .withColumn("ts_ms", F.lit(2).cast("long"))
+            .withColumn("op", F.lit("update"))
+        )
+        sink.apply_changeset("db", "t", batch2)
+        sink.drop_column("db", "t", "status")
+        cur = sink.read_table(spark, "db", "t")
+        if "status" in cur.columns:
+            raise RuntimeError("dropped column still visible")
+        try:
+            sink.apply_changeset(
+                "db", "t", batch2.withColumn("status", F.lit("X"))
+            )
+            raise RuntimeError(
+                "a batch carrying a dropped column must raise"
+            )
+        except ValueError:
+            pass
+        sink.add_column("db", "t", "status", "string")
+        cur = sink.read_table(spark, "db", "t")
+        resurrected = cur.where(F.col("status").isNotNull()).count()
+        if resurrected:
+            raise RuntimeError(
+                f"{resurrected} rows resurrected stale status bytes "
+                "after drop + re-add"
+            )
+        batch3 = (
+            cur.where(F.pmod(F.col("k"), F.lit(10)) == 0)
+            .withColumn("status", F.lit("Z"))
+            .withColumn("ts_ms", F.lit(3).cast("long"))
+            .withColumn("op", F.lit("update"))
+        )
+        sink.apply_changeset("db", "t", batch3)
+        fin = sink.read_table(spark, "db", "t")
+        out = (
+            fin.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+                F.sum(
+                    F.when(F.col("prio") == "HI", 1).otherwise(0)
+                ).alias("n_hi"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_SCHEMA_EVOLUTION = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+fin AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 THEN 'Z' END AS status,
+         cents,
+         CASE WHEN k % 4 = 0 THEN 'HI' END AS prio
+  FROM base
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(CASE WHEN prio = 'HI' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hi
+FROM fin GROUP BY status ORDER BY status
+"""
+
+
 def q_orders_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional multi-clause MERGE INTO (plans/merge.merge_into):
     the full Delta-style surface over orders — a delete clause, a
@@ -1781,6 +1898,7 @@ QUERIES = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
     "sink_restore_clone": q_sink_restore_clone,
+    "sink_schema_evolution": q_sink_schema_evolution,
     "sink_column_rename": q_sink_column_rename,
     "orders_merge_into": q_orders_merge_into,
     "sink_constraints": q_sink_constraints,
@@ -1803,6 +1921,7 @@ ORACLES = {
     "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "sink_restore_clone": ORACLE_SINK_RESTORE_CLONE,
+    "sink_schema_evolution": ORACLE_SINK_SCHEMA_EVOLUTION,
     "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,
     "orders_merge_into": ORACLE_MERGE_INTO,
     "sink_constraints": ORACLE_SINK_CONSTRAINTS,

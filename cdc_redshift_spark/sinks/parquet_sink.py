@@ -471,6 +471,20 @@ class ParquetSink(Sink):
         full merge + rewrite otherwise.
         """
         changes = self._validate_batch(changes, f"changeset for {db}.{table}")
+        if os.path.exists(self._dropped_path(db, table)):
+            sch = self._read_schema(db, table)
+            cur = {f.name for f in sch.fields} if sch is not None else set()
+            stale = [
+                c
+                for c in changes.columns
+                if c in self._dropped(db, table) and c not in cur
+            ]
+            if stale:
+                raise ValueError(
+                    f"changeset for {db}.{table} carries dropped "
+                    f"column(s) {stale}: drop them from the batch, or "
+                    "re-add with add_column() first"
+                )
         target = self.read_table(self.spark, db, table, include_tombstones=True)
         if (
             self.merge_mode == "dv"
@@ -1157,6 +1171,14 @@ class ParquetSink(Sink):
                 f"new partition column(s) {missing} not in {db}.{table} "
                 f"schema {cur.columns}"
             )
+        mapping = self._mapping(db, table)
+        mapped = [c for c in new_partition_cols if c in mapping]
+        if mapped:
+            raise ValueError(
+                f"cannot partition by renamed/added column(s) {mapped}: "
+                "partition directories use physical names, which "
+                "column mapping cannot reach"
+            )
         self.partition_cols = list(new_partition_cols)
         self._commit(db, table, cur)
 
@@ -1222,6 +1244,15 @@ class ParquetSink(Sink):
                 for f in schema.fields
             ]
         )
+        self._metadata_only_commit(db, table, new_schema)
+
+    def _metadata_only_commit(self, db: str, table: str, new_schema) -> int:
+        """Commit a new version whose DATA is a pure hard-link of the
+        current snapshot (DV sidecar and index rows carried by path
+        rewrite) under a changed catalog schema — the shared tail of
+        every ALTER TABLE-style operation (rename / add / drop
+        column).  Zero data bytes move regardless of table size."""
+        v = self._latest_version(db, table)
         src = os.path.join(self._dir(db, table), f"v{v}")
         dst = os.path.join(self._dir(db, table), f"v{v + 1}")
         if os.path.isdir(dst):  # retry safety (see _apply_dv)
@@ -1244,6 +1275,142 @@ class ParquetSink(Sink):
             self._index_dv_commit(db, table, v + 1, v, [])
         self._write_schema_json(db, table, new_schema, v + 1)
         self._flip(db, table, v + 1)
+        return v + 1
+
+    # -- metadata-only column add / drop -------------------------------------
+    def _dropped_path(self, db: str, table: str) -> str:
+        return os.path.join(self._dir(db, table), "_DROPPED")
+
+    def _dropped(self, db: str, table: str) -> dict[str, str]:
+        """{logical name: physical parquet name} of every column ever
+        dropped and not since re-added — the guard set that keeps a
+        later batch from silently resurrecting a dropped column."""
+        import json as _json
+
+        p = self._dropped_path(db, table)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.load(f)
+
+    def _write_dropped(self, db: str, table: str, d: dict[str, str]) -> None:
+        import json as _json
+
+        p = self._dropped_path(db, table)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(d, f)
+        os.replace(tmp, p)
+
+    def _machinery_cols(self) -> set[str]:
+        return (
+            set(self.keys)
+            | {self.ts_col, self.tiebreak_col, "op"}
+            | set(self.partition_cols)
+            | set(self.cluster_keys)
+            | set(self.bloom_index_cols)
+            | set(self.zonemap_index_cols)
+        )
+
+    def _catalog_or_infer(self, db: str, table: str, v: int):
+        schema = self._read_schema(db, table)
+        if schema is None:
+            schema = self.spark.read.parquet(
+                os.path.join(self._dir(db, table), f"v{v}")
+            ).schema
+        return schema
+
+    def add_column(self, db: str, table: str, name: str, dtype: str) -> int:
+        """METADATA-ONLY ``ALTER TABLE ADD COLUMN`` (Delta contract):
+        commit a new snapshot that hard-links every data file and adds
+        the column to the catalog schema — existing rows read as NULL
+        (the imposed scan schema fills columns absent from a file), no
+        backfill, no rewrite.  The new column gets a version-unique
+        PHYSICAL parquet name (``<name>__v<N>`` via the column-mapping
+        machinery), so re-adding a previously dropped name can never
+        resurrect stale bytes from old files — the Delta column-mapping
+        id story on plain parquet.  Returns the new version."""
+        from pyspark.sql.types import StructField, StructType
+
+        v = self._latest_version(db, table)
+        if v is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        if name in self._machinery_cols():
+            raise ValueError(
+                f"cannot add {name!r}: merge-key/partition/cluster/"
+                "index columns must exist physically, not as "
+                "metadata-only nulls"
+            )
+        schema = self._catalog_or_infer(db, table, v)
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"{db}.{table} already has a column {name!r}")
+        dt = StructType.fromDDL(f"x {dtype}").fields[0].dataType
+        new_schema = StructType(
+            [
+                *schema.fields,
+                StructField(name, dt, True, {"physical": f"{name}__v{v + 1}"}),
+            ]
+        )
+        new_v = self._metadata_only_commit(db, table, new_schema)
+        dropped = self._dropped(db, table)
+        if name in dropped:  # hygiene: the catalog-first guard makes
+            del dropped[name]  # the entry inert anyway
+            self._write_dropped(db, table, dropped)
+        return new_v
+
+    def drop_column(self, db: str, table: str, name: str) -> int:
+        """METADATA-ONLY ``ALTER TABLE DROP COLUMN``: the field leaves
+        the catalog schema; data files are hard-linked untouched and
+        the dropped bytes are simply never scanned again (imposed-
+        schema column pruning).  Time travel to pre-drop versions still
+        serves the column via the per-version schema.  The name is
+        recorded in the table's ``_DROPPED`` guard set: a later
+        changeset still carrying it RAISES (instead of silently
+        re-widening the catalog), and ``add_column`` re-adds it under a
+        fresh physical name so old bytes can never leak back.  Columns
+        wired into merge/layout contracts, CHECK constraints or
+        generated-column expressions are refused.  Returns the new
+        version."""
+        import re as _re
+
+        from pyspark.sql.types import StructType
+
+        v = self._latest_version(db, table)
+        if v is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        schema = self._catalog_or_infer(db, table, v)
+        fields = {f.name: f for f in schema.fields}
+        if name not in fields:
+            raise ValueError(
+                f"{db}.{table} has no column {name!r}: {list(fields)}"
+            )
+        if name in self._machinery_cols():
+            raise ValueError(
+                f"cannot drop {name!r}: merge-key/partition/cluster/"
+                "index columns are wired into layouts and contracts"
+            )
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        for label, exprs in (
+            ("CHECK constraint", self.constraints),
+            ("generated column", self.generated_cols),
+        ):
+            for ename, expr in exprs.items():
+                if word.search(expr):
+                    raise ValueError(
+                        f"cannot drop {name!r}: referenced by {label} "
+                        f"{ename} (expr: {expr!r})"
+                    )
+        physical = (fields[name].metadata or {}).get("physical", name)
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        # guard first: a crash between this write and the flip leaves
+        # an inert entry (the catalog-first check ignores it), never a
+        # resurrection window
+        dropped = self._dropped(db, table)
+        dropped[name] = physical
+        self._write_dropped(db, table, dropped)
+        return self._metadata_only_commit(db, table, new_schema)
 
     def restore(self, db: str, table: str, version: int) -> int:
         """Delta ``RESTORE TABLE ... VERSION AS OF`` on plain parquet:

@@ -1605,3 +1605,86 @@ def test_clone_requires_fresh_target_and_carries_dv(spark, tmp_path):
         s.clone_table("db", "t", "db", "t2")
     with _pytest.raises(ValueError, match="does not exist"):
         s.clone_table("db", "missing", "db", "t3")
+
+
+def test_add_drop_column_guards_and_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    s = ParquetSink(
+        spark, str(tmp_path / "evo"), keys=("k",),
+        constraints={"pos": "val IS NULL OR length(val) > 0"},
+    )
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(10)], 1)
+    )
+    import pytest as _pytest
+
+    # machinery columns refused both ways
+    with _pytest.raises(ValueError, match="cannot add"):
+        s.add_column("db", "t", "k", "long")
+    with _pytest.raises(ValueError, match="cannot drop"):
+        s.drop_column("db", "t", "ts_ms")
+    # constraint-referenced column refused
+    with _pytest.raises(ValueError, match="referenced by CHECK"):
+        s.drop_column("db", "t", "val")
+    with _pytest.raises(ValueError, match="already has"):
+        s.add_column("db", "t", "val", "string")
+    with _pytest.raises(ValueError, match="has no column"):
+        s.drop_column("db", "t", "nope")
+
+    s.add_column("db", "t", "extra", "int")
+    # time travel: v1 serves the pre-add schema, v2 the post-add one
+    assert "extra" not in s.read_table(spark, "db", "t", version=1).columns
+    assert "extra" in s.read_table(spark, "db", "t", version=2).columns
+    # drop it again; v2 still serves it via per-version schema
+    s.drop_column("db", "t", "extra")
+    assert "extra" not in s.read_table(spark, "db", "t").columns
+    assert "extra" in s.read_table(spark, "db", "t", version=2).columns
+    # dropped-guard: a batch carrying it raises until re-added
+    with _pytest.raises(ValueError, match="dropped column"):
+        s.apply_changeset(
+            "db", "t",
+            _dv_ch(spark, [(1, "x", "update")], 5).withColumn(
+                "extra", F.lit(7)
+            ),
+        )
+
+
+def test_add_column_dv_mode_and_populate(spark, tmp_path):
+    """DV-mode sink: add_column, then a populating batch — schema
+    mismatch with stored files falls back off the DV fast path but the
+    state stays right and the added column round-trips values."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    s = ParquetSink(spark, str(tmp_path / "evodv"), keys=("k",),
+                    merge_mode="dv")
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(8)], 1)
+    )
+    s.add_column("db", "t", "score", "double")
+    ch = _dv_ch(spark, [(3, "v3b", "update")], 2).withColumn(
+        "score", F.lit(0.5)
+    )
+    s.apply_changeset("db", "t", ch)
+    got = {r.k: (r.val, r.score) for r in
+           s.read_table(spark, "db", "t").collect()}
+    assert got[3] == ("v3b", 0.5) and got[2] == ("v2", None)
+    assert len(got) == 8
+
+
+def test_repartition_refuses_mapped_columns(spark, tmp_path):
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    s = ParquetSink(spark, str(tmp_path / "rp"), keys=("k",))
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(4)], 1)
+    )
+    s.add_column("db", "t", "bucket", "string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot partition"):
+        s.repartition_table("db", "t", ["bucket"])
