@@ -1064,3 +1064,139 @@ def temperature_mix(
     return passed.unionByName(boundary).select(
         id_col, source_col, tokens_col, "src_budget"
     )
+
+
+# ---- BPE tokenizer induction ---------------------------------------------
+
+
+def _bpe_word_types(
+    docs: DataFrame, text_col: str
+) -> DataFrame:
+    """(word, wc, syms): distinct word TYPES with corpus frequency and
+    their initial symbol sequence (characters + the Sennrich '</w>'
+    end-of-word marker).  All pair statistics run over this vocab-sized
+    frame — the classic BPE optimization that makes per-merge cost
+    O(|vocab|), not O(|corpus|); only this one aggregation ever scans
+    the corpus."""
+    from cdc_redshift_spark.functions.text import words
+
+    return (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn(
+            "syms",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))),
+        )
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, cnt) — adjacent-symbol pair frequencies weighted
+    by word count, via the zip_with(t, tail(t)) bigram pattern (O(n)
+    per word; see dsir_logweights for the slice-in-transform trap)."""
+    pairs = F.filter(
+        F.zip_with(
+            F.col("syms"),
+            F.slice(
+                F.col("syms"),
+                2,
+                F.greatest(F.size(F.col("syms")) - 1, F.lit(0)),
+            ),
+            lambda a, b: F.when(
+                b.isNotNull(), F.struct(a.alias("l"), b.alias("r"))
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        vocab.select("wc", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left"), F.col("p.r").alias("right")
+        )
+        .agg(F.sum("wc").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k byte-pair merge candidates (Sennrich et al. 2016,
+    arXiv:1508.07909 — the distributed inner step of BPE tokenizer
+    training): adjacent-symbol pair frequencies over the
+    character+'</w>' decomposition of the corpus vocabulary, ranked
+    (cnt desc, left asc, right asc).
+
+    Plan: ONE corpus scan folds words to types (map-side combined);
+    everything after is vocab-sized.  TakeOrderedAndProject serves the
+    top-k."""
+    return (
+        _pair_counts(_bpe_word_types(docs, text_col))
+        .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        .limit(k)
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) into left||right — the standard BPE apply rule — as
+    one codegen fold (no UDF)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merges: per round, ONE vocab-sized pair
+    aggregation picks the most frequent adjacent pair (ties: left asc,
+    right asc — deterministic), the merge applies to the symbol arrays
+    as a codegen fold, and the loop repeats on the updated vocab.
+
+    Driver state is one (left, right, cnt) row per round — the
+    centroid-seed bounded-collect class; the vocab frame is
+    localCheckpoint'ed each round (lineage truncation, the PageRank
+    discipline).  Returns [(rank, left, right, cnt)], rank 1 first.
+
+    At 100 TB the corpus scan happens ONCE (word-type fold); each of
+    the R merge rounds then costs one aggregation over the vocab
+    (~1e6-1e8 rows), which is why production BPE trainers are
+    feasible at all — the loop never re-reads the corpus.
+    """
+    vocab = _bpe_word_types(docs, text_col).localCheckpoint(eager=True)
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        out.append((rank, left, right, int(cnt)))
+        nxt = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return out

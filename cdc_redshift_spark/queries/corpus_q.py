@@ -905,7 +905,49 @@ ORDER BY d.doc_id
 """
 
 
+def q_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 BPE merge candidates over the documents corpus — the
+    distributed inner step of tokenizer training (operators/corpus.
+    bpe_pair_counts): ONE corpus scan folds words to frequency-
+    weighted types; pair statistics run vocab-sized.  The oracle
+    mirrors the char+'</w>' decomposition, the weighted pair counts
+    and the (cnt desc, lsym, rsym) ranking."""
+    from cdc_redshift_spark.operators.corpus import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=30).select(
+        F.col("left").alias("lsym"),
+        F.col("right").alias("rsym"),
+        "cnt",
+    )
+
+
+ORACLE_BPE_PAIRS = r"""
+WITH w AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+v AS (
+  SELECT wc, list_append(string_split(word, ''), '</w>') AS syms FROM w
+),
+p AS (
+  SELECT syms[i] AS lsym, syms[i + 1] AS rsym, wc
+  FROM v, UNNEST(range(1, len(syms))) AS u(i)
+),
+c AS (
+  SELECT lsym, rsym, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM p GROUP BY lsym, rsym
+)
+SELECT lsym, rsym, cnt FROM c
+ORDER BY cnt DESC, lsym ASC, rsym ASC
+LIMIT 30
+"""
+
+
 QUERIES = {
+    "corpus_bpe_pairs": q_corpus_bpe_pairs,
     "corpus_temperature_mix": q_corpus_temperature_mix,
     "corpus_lm_perplexity": q_corpus_lm_perplexity,
     "corpus_dsir_weights": q_corpus_dsir_weights,
@@ -925,6 +967,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_bpe_pairs": ORACLE_BPE_PAIRS,
     "corpus_temperature_mix": ORACLE_TEMPERATURE_MIX,
     "corpus_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "corpus_dsir_weights": ORACLE_DSIR_WEIGHTS,
