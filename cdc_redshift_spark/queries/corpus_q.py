@@ -562,6 +562,118 @@ LIMIT {BM25_K}
 """
 
 
+RRF_C, RRF_POOL, RRF_TOPK = 60, 50, 20
+
+
+def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR 2009): the BM25 sparse top-50 and the dense cosine top-50
+    (query = the min-vec_id embedding; documents and embeddings share
+    the id space) fuse by ``sum 1/(60 + rank)`` — the standard
+    score-free way to combine retrievers with incomparable scales.
+    Both rank lists are tiny (pool-sized windows, not corpus-sized);
+    the fusion is one full-outer join over <= 100 rows.  The oracle
+    mirrors both retrievers AND the fusion arithmetic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from cdc_redshift_spark.operators.similarity import cosine_topk_query
+
+    qvec = [
+        float(x)
+        for x in emb.orderBy("vec_id").select("embedding").first()[0]
+    ]
+    sparse = bm25_topk(docs, BM25_TERMS, k=RRF_POOL).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("r_s"),
+    )
+    dense = cosine_topk_query(emb, qvec, k=RRF_POOL).select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("r_d"),
+    )
+    fused = sparse.join(dense, "id", "full_outer").select(
+        F.col("id").alias("doc_id"),
+        F.col("r_s").alias("r_sparse"),
+        F.col("r_d").alias("r_dense"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("r_s")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("r_d")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '')) AS dl,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t IN ('merge', 'spark', 'stream', 'window')) AS qt
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, dl, t AS term, count(*) AS tf
+  FROM toks, unnest(qt) AS u(t)
+  GROUP BY 1, 2, 3
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), bm AS (
+  SELECT doc_id,
+         round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ),
+               6) AS score
+  FROM tf JOIN dft USING (term), stats
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT {RRF_POOL}
+), sparse AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+              AS INTEGER) AS r_s
+  FROM bm
+), q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 1
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+), cos AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(range(1, len(e) + 1),
+                                       i -> e[i] * qe[i]))
+               / (sqrt(list_sum(list_transform(e, x -> x*x)))
+                  * sqrt(list_sum(list_transform(qe, x -> x*x)))), 6)
+           AS cosine
+  FROM v, q
+  ORDER BY cosine DESC, vec_id ASC
+  LIMIT {RRF_POOL}
+), dense AS (
+  SELECT vec_id AS id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+              AS INTEGER) AS r_d
+  FROM cos
+), f AS (
+  SELECT coalesce(s.id, d.id) AS doc_id, r_s, r_d
+  FROM sparse s FULL JOIN dense d ON s.id = d.id
+)
+SELECT doc_id, r_s AS r_sparse, r_d AS r_dense,
+       round(coalesce(1.0 / ({RRF_C} + r_s), 0)
+             + coalesce(1.0 / ({RRF_C} + r_d), 0), 6) AS rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
 def q_corpus_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split manifest
     (operators/corpus.corpus_split): hash-stable 90/5/5 assignment
@@ -948,6 +1060,7 @@ LIMIT 30
 
 QUERIES = {
     "corpus_bpe_pairs": q_corpus_bpe_pairs,
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "corpus_temperature_mix": q_corpus_temperature_mix,
     "corpus_lm_perplexity": q_corpus_lm_perplexity,
     "corpus_dsir_weights": q_corpus_dsir_weights,
@@ -968,6 +1081,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_bpe_pairs": ORACLE_BPE_PAIRS,
+    "docs_hybrid_rrf": ORACLE_HYBRID_RRF,
     "corpus_temperature_mix": ORACLE_TEMPERATURE_MIX,
     "corpus_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "corpus_dsir_weights": ORACLE_DSIR_WEIGHTS,
