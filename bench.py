@@ -83,6 +83,10 @@ def main() -> None:
         # (transition explode + two broadcast bucket models + one
         # per-doc average shuffle)
         "corpus_lm_perplexity",
+        # round-7 fourth pass: SemDeDup (kmeans cells + in-cell GEMM)
+        # and BPE pair stats (corpus scan folds to vocab, pair explode)
+        "emb_semantic_dedup",
+        "corpus_bpe_pairs",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

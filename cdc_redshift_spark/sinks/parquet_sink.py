@@ -474,10 +474,11 @@ class ParquetSink(Sink):
         if os.path.exists(self._dropped_path(db, table)):
             sch = self._read_schema(db, table)
             cur = {f.name for f in sch.fields} if sch is not None else set()
+            dropped = self._dropped(db, table)
             stale = [
                 c
                 for c in changes.columns
-                if c in self._dropped(db, table) and c not in cur
+                if c in dropped and c not in cur
             ]
             if stale:
                 raise ValueError(
@@ -1216,15 +1217,7 @@ class ParquetSink(Sink):
             raise ValueError(f"{db}.{table} has no column {old!r}: {names}")
         if new in names:
             raise ValueError(f"{db}.{table} already has a column {new!r}")
-        protected = (
-            set(self.keys)
-            | {self.ts_col, self.tiebreak_col, "op"}
-            | set(self.partition_cols)
-            | set(self.cluster_keys)
-            | set(self.bloom_index_cols)
-            | set(self.zonemap_index_cols)
-        )
-        if old in protected:
+        if old in self._machinery_cols():
             raise ValueError(
                 f"cannot rename {old!r}: merge-key/partition/cluster/"
                 "index columns are wired into layouts and contracts"
@@ -1246,36 +1239,57 @@ class ParquetSink(Sink):
         )
         self._metadata_only_commit(db, table, new_schema)
 
-    def _metadata_only_commit(self, db: str, table: str, new_schema) -> int:
-        """Commit a new version whose DATA is a pure hard-link of the
-        current snapshot (DV sidecar and index rows carried by path
-        rewrite) under a changed catalog schema — the shared tail of
-        every ALTER TABLE-style operation (rename / add / drop
-        column).  Zero data bytes move regardless of table size."""
-        v = self._latest_version(db, table)
-        src = os.path.join(self._dir(db, table), f"v{v}")
-        dst = os.path.join(self._dir(db, table), f"v{v + 1}")
-        if os.path.isdir(dst):  # retry safety (see _apply_dv)
-            shutil.rmtree(dst)
-        self._link_snapshot(src, dst)
-        old_seg = f"/{db}/{table}/v{v}/"
-        new_seg = f"/{db}/{table}/v{v + 1}/"
-        prev_dv = self._dv_dir(db, table, v)
-        if os.path.isdir(prev_dv):
-            self.spark.read.parquet(prev_dv).select(
+    def _dv_rewrite(
+        self, src_dv: str, dst_dv: str, old_seg: str, new_seg: str
+    ) -> None:
+        """Carry a DV sidecar between snapshot dirs by path rewrite
+        (the masks reference absolute file paths)."""
+        if os.path.isdir(src_dv):
+            self.spark.read.parquet(src_dv).select(
                 F.replace(
                     F.col("file"), F.lit(old_seg), F.lit(new_seg)
                 ).alias("file"),
                 "pos",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                self._dv_dir(db, table, v + 1)
-            )
+            ).coalesce(1).write.mode("overwrite").parquet(dst_dv)
+
+    def _metadata_only_commit(
+        self,
+        db: str,
+        table: str,
+        new_schema,
+        src_v: int | None = None,
+    ) -> int:
+        """Commit a new version whose DATA is a pure hard-link of the
+        ``src_v`` snapshot (current by default; DV sidecar and index
+        rows carried by path rewrite) under the given catalog schema —
+        the shared tail of every ALTER TABLE-style operation (rename /
+        add / drop column) and of restore().  Zero data bytes move
+        regardless of table size.  File provenance inherits from
+        ``src_v``'s manifest (for the default src that IS the v-1
+        default)."""
+        cur = self._latest_version(db, table)
+        if src_v is None:
+            src_v = cur
+        new_v = cur + 1
+        src = os.path.join(self._dir(db, table), f"v{src_v}")
+        dst = os.path.join(self._dir(db, table), f"v{new_v}")
+        if os.path.isdir(dst):  # retry safety (see _apply_dv)
+            shutil.rmtree(dst)
+        self._link_snapshot(src, dst)
+        old_seg = f"/{db}/{table}/v{src_v}/"
+        new_seg = f"/{db}/{table}/v{new_v}/"
+        self._dv_rewrite(
+            self._dv_dir(db, table, src_v),
+            self._dv_dir(db, table, new_v),
+            old_seg,
+            new_seg,
+        )
         if self.bloom_index_cols or self.zonemap_index_cols:
             # every file carries: index rows travel by path rewrite
-            self._index_dv_commit(db, table, v + 1, v, [])
-        self._write_schema_json(db, table, new_schema, v + 1)
-        self._flip(db, table, v + 1)
-        return v + 1
+            self._index_dv_commit(db, table, new_v, src_v, [])
+        self._write_schema_json(db, table, new_schema, new_v)
+        self._flip(db, table, new_v, manifest_prev=src_v)
+        return new_v
 
     # -- metadata-only column add / drop -------------------------------------
     def _dropped_path(self, db: str, table: str) -> str:
@@ -1351,12 +1365,12 @@ class ParquetSink(Sink):
                 StructField(name, dt, True, {"physical": f"{name}__v{v + 1}"}),
             ]
         )
-        new_v = self._metadata_only_commit(db, table, new_schema)
-        dropped = self._dropped(db, table)
-        if name in dropped:  # hygiene: the catalog-first guard makes
-            del dropped[name]  # the entry inert anyway
-            self._write_dropped(db, table, dropped)
-        return new_v
+        # the _DROPPED entry (if any) is NOT removed: it is inert
+        # while the name is in the catalog (the guard checks catalog
+        # first), and keeping it means a later restore() to a
+        # pre-re-add version leaves the name guarded instead of
+        # silently re-widenable
+        return self._metadata_only_commit(db, table, new_schema)
 
     def drop_column(self, db: str, table: str, name: str) -> int:
         """METADATA-ONLY ``ALTER TABLE DROP COLUMN``: the field leaves
@@ -1429,43 +1443,25 @@ class ParquetSink(Sink):
         cur = self._latest_version(db, table)
         if cur is None:
             raise ValueError(f"{db}.{table} does not exist")
-        vers = self.versions(db, table)
-        if version not in vers:
+        # validate against FLIPPED history, not the directory listing:
+        # a crashed commit can leave an orphaned, never-published
+        # v(cur+1) dir that must not be restorable (it may be partial)
+        if version > cur or version not in self.versions(db, table):
             raise ValueError(
                 f"{db}.{table} has no retained snapshot v{version}; "
-                f"available: {vers}"
+                f"available: "
+                f"{[v for v in self.versions(db, table) if v <= cur]}"
             )
         if version == cur:
             return cur
-        new_v = cur + 1
-        d = self._dir(db, table)
-        src = os.path.join(d, f"v{version}")
-        dst = os.path.join(d, f"v{new_v}")
-        if os.path.isdir(dst):  # retry safety (see _apply_dv)
-            shutil.rmtree(dst)
-        self._link_snapshot(src, dst)
-        old_seg = f"/{db}/{table}/v{version}/"
-        new_seg = f"/{db}/{table}/v{new_v}/"
-        src_dv = self._dv_dir(db, table, version)
-        if os.path.isdir(src_dv):
-            self.spark.read.parquet(src_dv).select(
-                F.replace(
-                    F.col("file"), F.lit(old_seg), F.lit(new_seg)
-                ).alias("file"),
-                "pos",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                self._dv_dir(db, table, new_v)
-            )
-        if self.bloom_index_cols or self.zonemap_index_cols:
-            self._index_dv_commit(db, table, new_v, version, [])
         schema = self._read_schema(db, table, version)
         if schema is None:
             # pre-versioned-schema snapshot: infer once so current
             # reads stay typed
-            schema = self.spark.read.parquet(dst).schema
-        self._write_schema_json(db, table, schema, new_v)
-        self._flip(db, table, new_v, manifest_prev=version)
-        return new_v
+            schema = self.spark.read.parquet(
+                os.path.join(self._dir(db, table), f"v{version}")
+            ).schema
+        return self._metadata_only_commit(db, table, schema, src_v=version)
 
     def clone_table(
         self, db: str, table: str, dest_db: str, dest_table: str
@@ -1500,27 +1496,44 @@ class ParquetSink(Sink):
                 F.replace(F.col("file"), F.lit(old_seg), F.lit(new_seg)),
             )
 
-        src_dv = self._dv_dir(db, table, v)
-        if os.path.isdir(src_dv):
-            rewrite(self.spark.read.parquet(src_dv)).coalesce(
-                1
-            ).write.mode("overwrite").parquet(
-                self._dv_dir(dest_db, dest_table, 1)
-            )
+        self._dv_rewrite(
+            self._dv_dir(db, table, v),
+            self._dv_dir(dest_db, dest_table, 1),
+            old_seg,
+            new_seg,
+        )
         for col in self.bloom_index_cols:
             bdir = self._bloom_dir(db, table, v, col)
             if os.path.isdir(bdir):
-                rewrite(self.spark.read.parquet(bdir)).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(
-                    self._bloom_dir(dest_db, dest_table, 1, col)
+                from cdc_redshift_spark.operators.layout import (
+                    BLOOM_K_HASHES,
+                    BLOOM_M_BITS,
                 )
+
+                idx = self.spark.read.parquet(bdir)
+                if "m_bits" not in idx.columns:
+                    # legacy pre-geometry index rows: same upgrade
+                    # _index_dv_commit applies on same-table carries
+                    idx = idx.withColumn(
+                        "m_bits", F.lit(BLOOM_M_BITS).cast("long")
+                    ).withColumn("k", F.lit(BLOOM_K_HASHES))
+                rewrite(idx).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(self._bloom_dir(dest_db, dest_table, 1, col))
         zdir = self._zonemap_dir(db, table, v)
         if os.path.isdir(zdir):
             rewrite(self.spark.read.parquet(zdir)).coalesce(
                 1
             ).write.mode("overwrite").parquet(
                 self._zonemap_dir(dest_db, dest_table, 1)
+            )
+        # the _DROPPED guard travels with the catalog: a changeset on
+        # the clone carrying a source-dropped column must raise too
+        if os.path.exists(self._dropped_path(db, table)):
+            os.makedirs(self._dir(dest_db, dest_table), exist_ok=True)
+            shutil.copyfile(
+                self._dropped_path(db, table),
+                self._dropped_path(dest_db, dest_table),
             )
         schema = self._read_schema(db, table)
         if schema is not None:

@@ -1653,9 +1653,11 @@ def test_add_drop_column_guards_and_time_travel(spark, tmp_path):
 
 
 def test_add_column_dv_mode_and_populate(spark, tmp_path):
-    """DV-mode sink: add_column, then a populating batch — schema
-    mismatch with stored files falls back off the DV fast path but the
-    state stays right and the added column round-trips values."""
+    """DV-mode sink: add_column, then a populating batch — the read
+    imposes the widened catalog schema, so batch and target dtypes
+    MATCH and the DV fast path is taken (the appended file stores the
+    physical name, linked files read NULL); the added column
+    round-trips values."""
     from pyspark.sql import functions as F
 
     from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
@@ -1688,3 +1690,71 @@ def test_repartition_refuses_mapped_columns(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="cannot partition"):
         s.repartition_table("db", "t", ["bucket"])
+
+
+def test_restore_rejects_orphan_and_future_versions(spark, tmp_path):
+    """An orphaned, never-flipped v(cur+1) dir (crashed commit) must
+    not be restorable — restore validates against flipped history."""
+    import os
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    s = ParquetSink(spark, str(tmp_path / "orph"), keys=("k",))
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(5)], 1)
+    )
+    s.apply_changeset("db", "t", _dv_ch(spark, [(1, "v1b", "update")], 2))
+    # simulate a crashed commit: partial v3 dir exists, _LATEST=2
+    orphan = os.path.join(str(tmp_path / "orph"), "db", "t", "v3")
+    os.makedirs(orphan)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        s.restore("db", "t", 3)
+    assert os.path.isdir(orphan)  # and it must not have been destroyed
+    # normal restore still works with the orphan present
+    assert s.restore("db", "t", 1) == 3
+    got = {r.k: r.val for r in s.read_table(spark, "db", "t").collect()}
+    assert got[1] == "v1"
+
+
+def test_dropped_guard_survives_readd_restore_and_clone(spark, tmp_path):
+    """The _DROPPED guard set is kept across re-add (inert while the
+    column is in the catalog), re-arms after a restore to a
+    pre-re-add version, and travels with clone_table."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    s = ParquetSink(spark, str(tmp_path / "g"), keys=("k",))
+    s.apply_changeset(
+        "db", "t", _dv_ch(spark, [(i, f"v{i}", "insert") for i in range(5)], 1)
+    )
+    s.add_column("db", "t", "x", "int")          # v2
+    s.drop_column("db", "t", "x")                # v3
+    s.add_column("db", "t", "x", "int")          # v4 (re-add, guard kept)
+    # inert while in catalog: a batch carrying x is fine
+    s.apply_changeset(
+        "db", "t",
+        _dv_ch(spark, [(1, "v1b", "update")], 2).withColumn("x", F.lit(9)),
+    )                                            # v5
+    import pytest as _pytest
+
+    # restore to v3 (x dropped): the guard must re-arm
+    s.restore("db", "t", 3)                      # v6
+    with _pytest.raises(ValueError, match="dropped column"):
+        s.apply_changeset(
+            "db", "t",
+            _dv_ch(spark, [(2, "v2b", "update")], 3).withColumn(
+                "x", F.lit(1)
+            ),
+        )
+    # the guard travels with a clone
+    s.clone_table("db", "t", "db", "t2")
+    with _pytest.raises(ValueError, match="dropped column"):
+        s.apply_changeset(
+            "db", "t2",
+            _dv_ch(spark, [(2, "v2b", "update")], 3).withColumn(
+                "x", F.lit(1)
+            ),
+        )
