@@ -243,6 +243,125 @@ FROM grid g ASOF LEFT JOIN obs o
 """
 
 
+def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample: every user's `value` estimated
+    on the regular 6-hour grid from the BRACKETING observations
+    (prev via backward as-of, next via forward as-of — both the
+    zero-join-node union+window machinery), NULL outside the observed
+    range — the interpolating complement of `events_resample_ffill`.
+    Grid points landing exactly on an observation return it (both
+    as-ofs agree on the max-event_id row, pinning the tie rule).
+    Division rides an explicit DOUBLE cast so the 6-dp rounding
+    hashes identically cross-engine."""
+    ev = _events_us(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(GRID_START_US),
+                F.lit(GRID_START_US + (GRID_POINTS - 1) * GRID_STEP_US),
+                F.lit(GRID_STEP_US),
+            )
+        ).alias("g_us"),
+    )
+    obs = ev.select(
+        "user_id",
+        F.col("e_us").alias("o_us"),
+        F.col("event_id").alias("obs_id"),
+        F.col("value").alias("obs_value"),
+    )
+    back = asof_join(
+        grid,
+        obs,
+        on=["user_id"],
+        left_ts="g_us",
+        right_ts="o_us",
+        payload=["obs_value"],
+        tiebreak="obs_id",
+        suffix="_p",
+    ).select(
+        "user_id",
+        "g_us",
+        F.col("o_us_p").alias("t_prev"),
+        F.col("obs_value_p").alias("v_prev"),
+    )
+    fwd = asof_join(
+        grid,
+        obs,
+        on=["user_id"],
+        left_ts="g_us",
+        right_ts="o_us",
+        payload=["obs_value"],
+        tiebreak="obs_id",
+        suffix="_n",
+        direction="forward",
+    ).select(
+        "user_id",
+        "g_us",
+        F.col("o_us_n").alias("t_next"),
+        F.col("obs_value_n").alias("v_next"),
+    )
+    j = back.join(fwd, ["user_id", "g_us"])
+    frac = (F.col("g_us") - F.col("t_prev")).cast("double") / (
+        F.col("t_next") - F.col("t_prev")
+    ).cast("double")
+    return j.select(
+        "user_id",
+        "g_us",
+        "t_prev",
+        "t_next",
+        F.when(
+            F.col("t_prev") == F.col("t_next"), F.round("v_prev", 6)
+        )
+        .when(
+            F.col("t_prev").isNotNull() & F.col("t_next").isNotNull(),
+            F.round(
+                F.col("v_prev")
+                + (F.col("v_next") - F.col("v_prev")) * frac,
+                6,
+            ),
+        )
+        .alias("v_interp"),
+    )
+
+
+ORACLE_RESAMPLE_INTERP = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+grid AS (
+  SELECT user_id, {GRID_START_US} + i * {GRID_STEP_US} AS g_us
+  FROM u CROSS JOIN range(0, {GRID_POINTS}) r(i)
+),
+obs AS (
+  SELECT user_id, o_us, obs_value FROM (
+    SELECT user_id, epoch_ns(ts) // 1000 AS o_us, value AS obs_value,
+           row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 1000
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+back AS (
+  SELECT g.user_id, g.g_us, o.o_us AS t_prev, o.obs_value AS v_prev
+  FROM grid g ASOF LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.g_us >= o.o_us
+),
+fwd AS (
+  SELECT g.user_id, g.g_us, o.o_us AS t_next, o.obs_value AS v_next
+  FROM grid g ASOF LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.g_us <= o.o_us
+)
+SELECT b.user_id, b.g_us, b.t_prev, f.t_next,
+       CASE
+         WHEN b.t_prev = f.t_next THEN round(b.v_prev, 6)
+         WHEN b.t_prev IS NOT NULL AND f.t_next IS NOT NULL THEN
+           round(b.v_prev + (f.v_next - b.v_prev)
+                 * (CAST(b.g_us - b.t_prev AS DOUBLE)
+                    / CAST(f.t_next - b.t_prev AS DOUBLE)), 6)
+       END AS v_interp
+FROM back b JOIN fwd f USING (user_id, g_us)
+"""
+
+
 SEQ_MAX_EVENTS = 50
 
 
@@ -426,6 +545,7 @@ QUERIES = {
     "events_burst_windows": q_events_burst_windows,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_resample_ffill": q_events_resample_ffill,
+    "events_resample_interp": q_events_resample_interp,
     "events_user_sequences": q_events_user_sequences,
 }
 
@@ -436,5 +556,6 @@ ORACLES = {
     "events_burst_windows": ORACLE_BURST,
     "events_hourly_rollup": ORACLE_ROLLUP_HOURLY,
     "events_resample_ffill": ORACLE_RESAMPLE,
+    "events_resample_interp": ORACLE_RESAMPLE_INTERP,
     "events_user_sequences": ORACLE_USER_SEQ,
 }
