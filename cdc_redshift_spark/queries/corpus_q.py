@@ -562,6 +562,69 @@ LIMIT {BM25_K}
 """
 
 
+PHRASE = ["part", "filter"]
+
+
+def q_docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search as ONE codegen scan — no shuffle, no UDF,
+    no explode: every token position is tested with O(1) array
+    ``element_at`` (NOT slice-in-transform, the O(n·L) vs O(n²) trap
+    in SCALE.md), so the whole predicate runs inside WholeStageCodegen
+    and a 100 TB scan is embarrassingly parallel with zero data
+    movement.  Returns (doc_id, n_hits) for documents containing the
+    phrase; the oracle replays positions with DuckDB list lambdas over
+    the same tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    L = len(PHRASE)
+
+    def match(j):
+        cond = F.element_at(toks, j) == F.lit(PHRASE[0])
+        for i, w in enumerate(PHRASE[1:], start=1):
+            cond = cond & (F.element_at(toks, j + i) == F.lit(w))
+        return cond
+
+    n_hits = (
+        F.when(
+            F.size(toks) >= L,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(toks) - L + 1), match
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_hits")
+    )
+    return (
+        docs.select("doc_id", n_hits)
+        .where(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PHRASE_SEARCH = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2 THEN
+           CAST(len(list_filter(range(1, len(w)),
+                    j -> w[j] = 'part' AND w[j+1] = 'filter'))
+                AS INTEGER)
+         ELSE 0 END AS n_hits
+  FROM t
+)
+SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id
+"""
+
+
 RRF_C, RRF_POOL, RRF_TOPK = 60, 50, 20
 
 
@@ -1061,6 +1124,7 @@ LIMIT 30
 QUERIES = {
     "corpus_bpe_pairs": q_corpus_bpe_pairs,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
+    "docs_phrase_search": q_docs_phrase_search,
     "corpus_temperature_mix": q_corpus_temperature_mix,
     "corpus_lm_perplexity": q_corpus_lm_perplexity,
     "corpus_dsir_weights": q_corpus_dsir_weights,
@@ -1082,6 +1146,7 @@ QUERIES = {
 ORACLES = {
     "corpus_bpe_pairs": ORACLE_BPE_PAIRS,
     "docs_hybrid_rrf": ORACLE_HYBRID_RRF,
+    "docs_phrase_search": ORACLE_PHRASE_SEARCH,
     "corpus_temperature_mix": ORACLE_TEMPERATURE_MIX,
     "corpus_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "corpus_dsir_weights": ORACLE_DSIR_WEIGHTS,
