@@ -680,6 +680,55 @@ GROUP BY ex.vec_id
 ORDER BY ex.vec_id
 """
 
+def q_cdc_stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance (streaming/annindex.py): the
+    offline-trained coarse quantizer assigns three micro-batches of
+    arriving vectors into cell partitions under the exactly-once
+    ``batch=<id>`` layout, a REPLAYED batch is proven not to duplicate
+    index rows in-query, and the final index must equal batch
+    ``ivf_assign`` over the whole table — which is exactly what the
+    mirrored-oracle green row certifies (per-row assignment against
+    fixed centroids is batch/stream invariant BY CONSTRUCTION; the
+    gate proves the landing machinery preserves that)."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.operators.similarity import _centroids
+    from cdc_redshift_spark.streaming.annindex import IvfIndexMaintainer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb, IVF_CELLS, "vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="ivf_stream_")
+    try:
+        m = IvfIndexMaintainer(spark, root, cents)
+        for i in range(3):
+            m.update(
+                emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == i), i
+            )
+        n_before = m.index().count()
+        # foreachBatch retry: same batch id, same rows — must be a
+        # clean overwrite, never an append
+        m.update(emb.where(F.pmod(F.col("vec_id"), F.lit(3)) == 1), 1)
+        if m.index().count() != n_before:
+            raise RuntimeError("replayed batch duplicated index rows")
+        return (
+            m.index()
+            .select(F.col("id").alias("vec_id"), "cell")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_STREAM_IVF = f"""
+WITH v AS ({DUCK_V}),
+{_ivf_ctes(IVF_CELLS, 1, "", refined=False)}
+SELECT id AS vec_id, cell::INTEGER AS cell
+FROM assigned WHERE cell_rank = 1 ORDER BY vec_id
+"""
+
+
 SEM_CELLS, SEM_TAU = 8, 0.35
 
 
@@ -714,6 +763,7 @@ ORDER BY vec_id
 
 QUERIES = {
     "emb_semantic_dedup": q_emb_semantic_dedup,
+    "cdc_stream_ivf_index": q_cdc_stream_ivf_index,
     "emb_pca_projection": q_emb_pca_projection,
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
@@ -730,6 +780,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "cdc_stream_ivf_index": ORACLE_STREAM_IVF,
     "emb_pca_projection": ORACLE_PCA,
     "sim_topk_query": ORACLE_TOPK_QUERY,
     "sim_knn_exact": ORACLE_KNN,

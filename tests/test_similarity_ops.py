@@ -78,3 +78,66 @@ def test_semantic_dedup_empty_input(spark):
     out = semantic_dedup(df, n_cells=4, tau=0.5)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cell", "kept"]
+
+
+def test_ivf_index_maintainer_topk_and_compaction(spark, tmp_path):
+    """Streamed IVF index: topk over probed cells equals a numpy
+    brute-force over the same cells' members, and compacting old
+    batch partitions (the shared ingest compaction) changes neither
+    the index content nor the search result."""
+    import numpy as np
+
+    from cdc_redshift_spark.operators.similarity import _centroids
+    from cdc_redshift_spark.streaming.annindex import IvfIndexMaintainer
+    from cdc_redshift_spark.streaming.ingest import compact_batches
+
+    rng = np.random.RandomState(11)
+    n, d = 200, 16
+    X = rng.randn(n, d)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = _centroids(df, 4, "vec_id", "embedding")
+    m = IvfIndexMaintainer(spark, str(tmp_path / "ivf"), cents)
+    for b in range(4):
+        m.update(df.where((df.vec_id % 4) == b), b)
+    assert m.index().count() == n
+
+    q = [float(x) for x in X[0]]
+    got = [(r.vec_id, r.cosine) for r in m.topk(q, k=5, n_probe=2).collect()]
+
+    # numpy mirror: same cell ranking, same rounded cosine ordering
+    C = np.asarray(cents)
+    qv = np.asarray(q)
+    sim_c = np.round(
+        (C @ qv) / (np.sqrt((C * C).sum(1)) * np.sqrt((qv * qv).sum())), 6
+    )
+    probe = set((np.lexsort((np.arange(len(C)), -sim_c))[:2] + 1).tolist())
+    Xd = X.astype(np.float64)
+    sim_x = np.round(
+        (Xd @ qv) / (np.sqrt((Xd * Xd).sum(1)) * np.sqrt((qv * qv).sum())), 6
+    )
+    cell_of = np.array(
+        [r.cell for r in m.index().orderBy("id").collect()]
+    )
+    members = [i for i in range(n) if cell_of[i] in probe]
+    want = sorted(members, key=lambda i: (-sim_x[i], i))[:5]
+    assert [g[0] for g in got] == want
+
+    # compaction: fold batches 0-2, index and search unchanged
+    res = compact_batches(spark, str(tmp_path / "ivf"), 3)
+    assert res["folded_dirs"] == 3
+    assert m.index().count() == n
+    got2 = [(r.vec_id, r.cosine) for r in m.topk(q, k=5, n_probe=2).collect()]
+    assert got2 == got
+
+
+def test_ivf_index_maintainer_rejects_bad_centroids(spark, tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_redshift_spark.streaming.annindex import IvfIndexMaintainer
+
+    with _pytest.raises(ValueError, match="centroid matrix"):
+        IvfIndexMaintainer(spark, str(tmp_path / "x"), np.zeros((0, 4)))
