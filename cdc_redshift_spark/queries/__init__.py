@@ -74,7 +74,8 @@ _GATE_WINDOW = [
     # events_ohlc_bars, sink_txn_batch, sink_row_provenance,
     # emb_pca_projection, emb_semantic_dedup, sink_restore_clone,
     # sink_schema_evolution, corpus_bpe_pairs, docs_hybrid_rrf,
-    # events_resample_interp)
+    # events_resample_interp, docs_phrase_search,
+    # cdc_stream_ivf_index)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",
