@@ -569,3 +569,84 @@ def test_pipeline_with_dv_sink_end_to_end(spark, tmp_path):
             os.path.join(tdir, "v1", f), os.path.join(tdir, "v2", f)
         )
     assert os.path.isdir(os.path.join(tdir, "v2", "_DV"))
+
+
+def test_ivf_index_maintainer_from_live_stream(spark, tmp_path):
+    """IvfIndexMaintainer driven by a real file-source stream through
+    foreachBatch: after two drained phases the streamed index equals
+    batch assignment over all arrived vectors, and restarting the
+    stream from its checkpoint (replaying nothing new) changes
+    nothing."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.similarity import _centroids
+    from cdc_redshift_spark.streaming.annindex import IvfIndexMaintainer
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(60, 8)
+    all_df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = _centroids(all_df, 4, "vec_id", "embedding")
+    m = IvfIndexMaintainer(spark, str(tmp_path / "idx"), cents)
+
+    indir = str(tmp_path / "vin")
+    os.makedirs(indir, exist_ok=True)
+    ckpt = str(tmp_path / "vckpt")
+
+    def emit(name, ids):
+        write_batch_file(
+            indir,
+            name,
+            [
+                _json.dumps(
+                    {"vec_id": i, "embedding": [float(x) for x in X[i]]}
+                )
+                for i in ids
+            ],
+        )
+
+    schema = "vec_id long, embedding array<float>"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).json(indir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: m.update(b, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    emit("b0.json", range(0, 30))
+    run()
+    emit("b1.json", range(30, 60))
+    run()
+    assert m.index().count() == 60
+    # streamed assignment == batch assignment
+    got = {r.id: r.cell for r in m.index().collect()}
+    from cdc_redshift_spark.operators.similarity import _cells_udf
+
+    want = {
+        r.vec_id: r.cell
+        for r in all_df.select(
+            "vec_id",
+            F.element_at(
+                _cells_udf(cents, 1)(F.col("embedding")), 1
+            ).alias("cell"),
+        ).collect()
+    }
+    assert got == want
+    # restart with no new files: checkpoint replays nothing, index
+    # unchanged
+    run()
+    assert m.index().count() == 60
