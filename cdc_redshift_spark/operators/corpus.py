@@ -1200,3 +1200,44 @@ def bpe_train(
         vocab = nxt
     vocab.unpersist()
     return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge table (:func:`bpe_train` output) to the
+    corpus: every word decomposes to characters + '</w>' and the
+    merges replay IN RANK ORDER as chained greedy folds — the standard
+    BPE encode.  Returns (``id_col``, n_words, n_tokens, tokens) where
+    ``tokens`` is the per-document subword sequence.
+
+    Plan: pure codegen Column expressions (one fold per merge, no UDF,
+    no shuffle) — encoding is embarrassingly parallel however large
+    the corpus.  Keep the merge table to O(100) entries per call;
+    each merge adds one fold layer to the expression tree (chunk
+    deeper vocabularies into successive selects if codegen depth
+    becomes a limit)."""
+    from cdc_redshift_spark.functions.text import words
+
+    toks = F.filter(words(F.col(text_col)), lambda w: w != "")
+    syms = F.transform(
+        toks,
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit("</w>"))),
+    )
+    def _merge_fn(left: str, right: str):
+        # a closure, not default-arg capture: PySpark derives the
+        # higher-order function's arity from the lambda signature
+        return lambda s: _apply_merge(s, left, right)
+
+    for _rank, left, right, _cnt in merges:
+        syms = F.transform(syms, _merge_fn(left, right))
+    flat = F.flatten(syms)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        F.size(flat).alias("n_tokens"),
+        flat.alias("tokens"),
+    )

@@ -498,3 +498,39 @@ def test_bpe_apply_merge_greedy(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "s array<string>")
     out = df.select(_apply_merge(F.col("s"), "a", "a").alias("m")).first()
     assert out.m == ["aa", "a"]
+
+
+def test_bpe_encode_matches_reference(spark):
+    """bpe_encode replays the trained merges exactly as the pure-
+    Python greedy encoder does, word by word."""
+    from cdc_redshift_spark.operators.corpus import bpe_encode, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "lower lowest low the the",
+        "aaa aaab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=6)
+
+    def encode_word(w):
+        syms = list(w) + ["</w>"]
+        for _rank, l, r, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r.doc_id: (r.n_words, r.n_tokens, r.tokens)
+           for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in encode_word(w)]
+        assert got[i] == (len(t.split()), len(want), want), i
