@@ -1304,7 +1304,46 @@ FROM t GROUP BY dist ORDER BY dist
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape via ``groupBy().pivot()`` (the inverse of
+    `lineitem_unpivot`): per-user event counts and purchase value as
+    one row per user with a column per event type.  The pivot values
+    are EXPLICIT literals — with them, Spark plans ONE aggregate pass
+    (conditional aggregation) instead of a distinct-scan plus a
+    second pass, which is the difference between one and two
+    full-table reads at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot emits the type names as columns; null = user never did it
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return out.select(*cols).orderBy("user_id")
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_pivot_types": q_events_pivot_types,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1362,6 +1401,7 @@ ORACLES = {
     "events_props_variant": ORACLE_PROPS_VARIANT,
     "profile_orders": ORACLE_PROFILE,
     "lineitem_unpivot": ORACLE_UNPIVOT,
+    "events_pivot_types": ORACLE_PIVOT,
     "text_top_words": ORACLE_TOP_WORDS,
     "emb_norm_stats": ORACLE_EMB_NORM,
     "q18_big_orders": ORACLE_Q18,
