@@ -214,18 +214,15 @@ ORACLE_DOC_METRICS = ORACLE_DOC_METRICS.format(
 QMIN = 0.55  # quality cutoff for the composed pipeline
 
 
-def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The capstone composition — a full training-corpus cleaning
-    pipeline in one query: exact dedup (keep canonical doc per
-    fingerprint) → quality filter (score ≥ 0.55) → benchmark
-    decontamination (drop any survivor sharing a 4-gram with the eval
-    slice) → per-source manifest.  Every stage is the already-gated
-    operator; the oracle recomposes the same chain in SQL, so the
-    check covers the stages AND their composition order."""
+def _clean_stage(docs: DataFrame) -> DataFrame:
+    """Shared stage chain: exact dedup (keep canonical doc per
+    fingerprint) → quality filter (score ≥ QMIN) → benchmark
+    decontamination (drop any survivor sharing a 4-gram with the
+    doc_id % DECON_EVAL_MOD eval slice).  Returns survivors with
+    their 6-dp quality score ``q``."""
     from cdc_redshift_spark.functions import text as TX
     from cdc_redshift_spark.operators.dedup import exact_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
     evm = F.col("doc_id") % DECON_EVAL_MOD == 0
     train, ev = docs.where(~evm), docs.where(evm)
     canon = (
@@ -240,7 +237,21 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = decontaminate(
         scored, ev, n=DECON_N, max_gram_df=DECON_MAX_GRAM_DF
     ).select("doc_id")
-    clean = scored.join(cont, "doc_id", "left_anti")
+    return scored.join(cont, "doc_id", "left_anti")
+
+
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a full training-corpus cleaning
+    pipeline in one query: exact dedup (keep canonical doc per
+    fingerprint) → quality filter (score ≥ 0.55) → benchmark
+    decontamination (drop any survivor sharing a 4-gram with the eval
+    slice) → per-source manifest.  Every stage is the already-gated
+    operator; the oracle recomposes the same chain in SQL, so the
+    check covers the stages AND their composition order."""
+    from cdc_redshift_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = _clean_stage(docs)
     # avg over EXACT integer micro-units: q is 6-dp-rounded per doc, so
     # round(q*1e6) is an integer both engines compute identically; the
     # integer sum is order-independent, unlike a float avg whose
@@ -265,7 +276,10 @@ _DUCK_QUALITY = (
 )
 
 
-def _oracle_clean_pipeline() -> str:
+def _clean_ctes() -> str:
+    """The clean-chain CTE block (train .. clean) shared by the
+    clean-pipeline oracle and the pretrain-manifest oracle — one
+    definition, so the two mirrors cannot drift."""
     from cdc_redshift_spark.functions import text as TX
 
     quality = _DUCK_QUALITY.format(
@@ -274,8 +288,7 @@ def _oracle_clean_pipeline() -> str:
         tok=TX.DUCK_TOKEN_COUNT.format(c="text"),
     )
     norm = DUCK_NORM.format(c="text")
-    return f"""
-WITH train AS (
+    return f"""train AS (
   SELECT * FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0
 ), fp AS (
   SELECT doc_id, md5({norm}) AS f FROM train
@@ -305,13 +318,102 @@ WITH train AS (
   SELECT DISTINCT tid FROM tg JOIN keep USING (g)
 ), clean AS (
   SELECT * FROM scored WHERE doc_id NOT IN (SELECT tid FROM cont)
-)
+)"""
+
+
+def _oracle_clean_pipeline() -> str:
+    from cdc_redshift_spark.functions import text as TX
+
+    return f"""
+WITH {_clean_ctes()}
 SELECT source, count(*) AS n_docs,
        CAST(sum({TX.DUCK_TOKEN_COUNT.format(c='text')}) AS BIGINT)
          AS total_tokens,
        round(sum(CAST(round(q * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6)
          AS avg_quality
 FROM clean GROUP BY source ORDER BY source
+"""
+
+
+def q_corpus_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretrain data pipeline in one gated query:
+    exact dedup -> quality filter -> benchmark decontamination (the
+    certified clean chain, `_clean_stage`) -> SemDeDup semantic dedup
+    (corpus-level embedding duplicates; documents and embeddings
+    share the id space) -> deterministic hash-stable train/val/test
+    split -> per-(split, source) token manifest.  Every stage is an
+    individually gated operator; this row certifies their COMPOSITION
+    — stage order and interfaces — which is what a user actually runs
+    over 100 TB.  The oracle chains the same five mirrors."""
+    from cdc_redshift_spark.functions.text import token_count
+    from cdc_redshift_spark.operators.similarity import semantic_dedup
+    from cdc_redshift_spark.queries.similarity import SEM_CELLS, SEM_TAU
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    clean = _clean_stage(docs)
+    kept = (
+        semantic_dedup(emb, n_cells=SEM_CELLS, tau=SEM_TAU, refine_iters=1)
+        .where("kept")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    final = clean.join(kept, "doc_id", "left_semi")
+    split = corpus_split(final, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _oracle_pretrain_manifest() -> str:
+    from cdc_redshift_spark.functions import text as TX
+    from cdc_redshift_spark.queries.similarity import (
+        DUCK_COSINE,
+        DUCK_V,
+        SEM_CELLS,
+        SEM_TAU,
+        _ivf_ctes,
+    )
+
+    return f"""
+WITH {_clean_ctes()},
+v AS ({DUCK_V}),
+{_ivf_ctes(SEM_CELLS, 1, "sd", refined=True)},
+homesd AS (SELECT id, cell FROM assignedsd WHERE cell_rank = 1),
+pairsd AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM homesd a JOIN homesd b ON a.cell = b.cell AND a.id < b.id
+  JOIN v va ON va.id = a.id
+  JOIN v vb ON vb.id = b.id
+  WHERE {DUCK_COSINE} >= {SEM_TAU}
+),
+keptsd AS (
+  SELECT h.id FROM homesd h
+  LEFT JOIN (SELECT DISTINCT id_b FROM pairsd) d ON h.id = d.id_b
+  WHERE d.id_b IS NULL
+),
+final AS (
+  SELECT c.* FROM clean c JOIN keptsd k ON c.doc_id = k.id
+),
+assigned_split AS (
+  SELECT *, CASE WHEN b < 900000 THEN 'train'
+                 WHEN b < 950000 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 AS b
+    FROM final
+  )
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum({TX.DUCK_TOKEN_COUNT.format(c='text')}) AS BIGINT)
+         AS total_tokens
+FROM assigned_split GROUP BY split, source ORDER BY split, source
 """
 
 
@@ -1136,6 +1238,7 @@ QUERIES = {
     "corpus_stratified_sample": q_corpus_stratified_sample,
     "corpus_token_shards": q_corpus_token_shards,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
+    "corpus_pretrain_manifest": q_corpus_pretrain_manifest,
     "corpus_chunk_docs": q_corpus_chunk_docs,
     "corpus_pack_stream": q_corpus_pack_stream,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -1158,6 +1261,7 @@ ORACLES = {
     "corpus_stratified_sample": _oracle_sample(),
     "corpus_token_shards": ORACLE_TOKEN_SHARDS,
     "corpus_clean_pipeline": _oracle_clean_pipeline(),
+    "corpus_pretrain_manifest": _oracle_pretrain_manifest(),
     "corpus_chunk_docs": ORACLE_CHUNK,
     "corpus_pack_stream": ORACLE_PACK,
     "corpus_weighted_sample": ORACLE_WSAMPLE,
