@@ -75,7 +75,8 @@ _GATE_WINDOW = [
     # emb_pca_projection, emb_semantic_dedup, sink_restore_clone,
     # sink_schema_evolution, corpus_bpe_pairs, docs_hybrid_rrf,
     # events_resample_interp, docs_phrase_search,
-    # cdc_stream_ivf_index)
+    # cdc_stream_ivf_index, events_pivot_types,
+    # corpus_pretrain_manifest)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",
