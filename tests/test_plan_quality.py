@@ -521,3 +521,38 @@ def test_ohlc_single_aggregate_no_window(spark):
     plan = plan_of(q_events_ohlc_bars(spark, SF))
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_phrase_search_zero_exchange(spark):
+    """docs_phrase_search must stay scan -> filter -> project: no
+    Exchange, no Python/Arrow stage anywhere."""
+    from cdc_redshift_spark.queries.corpus_q import q_docs_phrase_search
+
+    plan = plan_of(q_docs_phrase_search(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """emb_semantic_dedup: the cell partition is the only wide
+    dependency on the pair path (one FlatMapGroupsInPandas over
+    cell), and the survivor rule joins the tiny dropped set — never a
+    cartesian."""
+    from cdc_redshift_spark.queries.similarity import q_emb_semantic_dedup
+
+    plan = plan_of(q_emb_semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_bpe_pair_counts_takeordered(spark):
+    """corpus_bpe_pairs: top-k via TakeOrderedAndProject (no global
+    Sort), pair stats fully JVM-side (no Python stage)."""
+    from cdc_redshift_spark.operators.corpus import bpe_pair_counts
+    from cdc_redshift_spark.sources.tables import load_table
+
+    df = bpe_pair_counts(load_table(spark, SF, "documents"), k=30)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
