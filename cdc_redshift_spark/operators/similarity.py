@@ -1009,6 +1009,7 @@ def semantic_dedup(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then drop
@@ -1028,7 +1029,11 @@ def semantic_dedup(
     (memory O(_TILE x cell)).  Per-cell work is O((N/k)^2) — SemDeDup's
     economics REQUIRE n_cells to grow with the corpus (the paper runs
     ~100k clusters at web scale) so cells stay ~1e4 rows; n_cells is
-    the knob, not a hidden constant.
+    the knob, not a hidden constant.  ``max_cell_size`` makes that
+    contract LOUD: when set, a pre-GEMM count raises naming any cell
+    over the bound (capping silently would change the survivor set —
+    the SemDeDup rule reads every in-cell pair, so the only honest
+    responses to a runaway cell are more cells or more refinement).
     """
     cents = _centroids(df, n_cells, id_col, vec_col)
     idt = _id_type(df, id_col)
@@ -1043,6 +1048,21 @@ def semantic_dedup(
         F.col(vec_col).alias("v"),
         F.element_at(_cells_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
     )
+    if max_cell_size is not None:
+        over = (
+            assign.groupBy("cell")
+            .count()
+            .where(F.col("count") > max_cell_size)
+            .collect()
+        )
+        if over:
+            detail = ", ".join(f"cell {r['cell']}: {r['count']}" for r in over)
+            raise ValueError(
+                f"semantic_dedup: {len(over)} cell(s) exceed "
+                f"max_cell_size={max_cell_size} ({detail}) — raise "
+                "n_cells or refine_iters; capping would silently "
+                "change the survivor set"
+            )
     pairs = assign.groupBy("cell").applyInPandas(
         _bucket_threshold_fn(tau), schema=f"id_a {idt}, id_b {idt}, cosine double"
     )

@@ -141,3 +141,23 @@ def test_ivf_index_maintainer_rejects_bad_centroids(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="centroid matrix"):
         IvfIndexMaintainer(spark, str(tmp_path / "x"), np.zeros((0, 4)))
+
+
+def test_semantic_dedup_cell_size_guard(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_redshift_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(1)
+    X = rng.randn(50, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    # 2 cells over 50 vectors: some cell must exceed 10
+    with _pytest.raises(ValueError, match="exceed max_cell_size"):
+        semantic_dedup(df, n_cells=2, tau=0.5, max_cell_size=10)
+    # generous bound passes and output is complete
+    out = semantic_dedup(df, n_cells=2, tau=0.5, max_cell_size=1000)
+    assert out.count() == 50
