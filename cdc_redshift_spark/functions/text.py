@@ -36,6 +36,14 @@ def words(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def regex_words(col: Column) -> Column:
+    """Lowercase alphanumeric-run tokenization — the BM25 / phrase-
+    search tokenizer.  DuckDB mirror: :data:`DUCK_REGEX_WORDS`; a
+    change to this regex must land in BOTH or Spark/oracle parity
+    silently breaks."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(words(col))
@@ -323,6 +331,10 @@ def pii_counts(col: Column, kinds: list[str] | None = None) -> Column:
 # ---- DuckDB mirror fragments (kept adjacent so queries and oracles
 # ---- evolve together; see queries/text_q.py)
 
+DUCK_REGEX_WORDS = (
+    "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
 DUCK_TOKENS = r"string_split_regex(trim({c}), '\s+')"
 DUCK_TOKEN_COUNT = r"len(string_split_regex(trim({c}), '\s+'))"
 DUCK_BPE_COUNT = (

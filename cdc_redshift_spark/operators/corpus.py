@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_redshift_spark.functions.text import normalize_text
+from cdc_redshift_spark.functions.text import normalize_text, regex_words
 
 #: Modulus for deterministic sampling buckets (rates in parts-per-million).
 PPM = 1_000_000
@@ -536,9 +536,7 @@ def bm25_topk(
             "bm25_topk: query_terms must contain at least one non-empty "
             f"term, got {query_terms!r}"
         )
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
-    )
+    toks = regex_words(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("__toks"))
     lens = base.select(
         F.col(id_col), F.size("__toks").alias("__dl"),

@@ -1049,17 +1049,27 @@ def semantic_dedup(
         F.element_at(_cells_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
     )
     if max_cell_size is not None:
+        # Persist: the guard's count is an ACTION, so without a cache
+        # the assignment UDF would run a third full corpus pass here
+        # (and the two downstream uses re-run it anyway).  The cache is
+        # reused by `pairs` and the final join below; Spark's
+        # ContextCleaner unpersists it when the plan is GC'd.
+        assign = assign.persist()
         over = (
             assign.groupBy("cell")
             .count()
             .where(F.col("count") > max_cell_size)
+            .orderBy(F.desc("count"))
+            .limit(16)
             .collect()
         )
         if over:
+            assign.unpersist()
             detail = ", ".join(f"cell {r['cell']}: {r['count']}" for r in over)
+            more = " (top 16 shown)" if len(over) == 16 else ""
             raise ValueError(
-                f"semantic_dedup: {len(over)} cell(s) exceed "
-                f"max_cell_size={max_cell_size} ({detail}) — raise "
+                f"semantic_dedup: cell(s) exceed "
+                f"max_cell_size={max_cell_size} ({detail}{more}) — raise "
                 "n_cells or refine_iters; capping would silently "
                 "change the survivor set"
             )

@@ -1309,8 +1309,8 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide reshape via ``groupBy().pivot()`` (the inverse of
-    `lineitem_unpivot`): per-user event counts and purchase value as
-    one row per user with a column per event type.  The pivot values
+    `lineitem_unpivot`): per-user event counts as one row per user
+    with a column per event type.  The pivot values
     are EXPLICIT literals — with them, Spark plans ONE aggregate pass
     (conditional aggregation) instead of a distinct-scan plus a
     second pass, which is the difference between one and two

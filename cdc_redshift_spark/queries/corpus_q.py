@@ -636,12 +636,15 @@ def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_TERMS, k=BM25_K)
 
 
+#: the one DuckDB mirror of functions.text.regex_words — every oracle
+#: tokenizing like BM25 must use THIS, not a re-typed copy
+_RW = TXQ.DUCK_REGEX_WORDS.format(c="text")
+
 ORACLE_BM25 = f"""
 WITH toks AS (
   SELECT doc_id,
-         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> t <> '')) AS dl,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         len({_RW}) AS dl,
+         list_filter({_RW},
                      t -> t IN ('merge', 'spark', 'stream', 'window')) AS qt
   FROM documents
 ), stats AS (
@@ -677,10 +680,7 @@ def q_docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase; the oracle replays positions with DuckDB list lambdas over
     the same tokenization."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-        lambda x: x != "",
-    )
+    toks = TXQ.regex_words(F.col("text"))
     L = len(PHRASE)
 
     def match(j):
@@ -706,11 +706,10 @@ def q_docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", n_hits).where(F.col("n_hits") > 0)
 
 
-ORACLE_PHRASE_SEARCH = """
+ORACLE_PHRASE_SEARCH = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS w
+         {_RW} AS w
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -777,9 +776,8 @@ def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HYBRID_RRF = f"""
 WITH toks AS (
   SELECT doc_id,
-         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> t <> '')) AS dl,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         len({_RW}) AS dl,
+         list_filter({_RW},
                      t -> t IN ('merge', 'spark', 'stream', 'window')) AS qt
   FROM documents
 ), stats AS (

@@ -8,8 +8,9 @@ partition with the SAME rows, so replays can never duplicate index
 entries, and the searchable index grows O(batch) per trigger without
 ever rewriting history (the state is O(corpus); the
 RollupMaintainer-style full-snapshot swap would be an O(history) write
-per trigger).  ``streaming/ingest.compact_batches`` folds old
-partitions when the directory count grows.
+per trigger).  :meth:`IvfIndexMaintainer.compact` folds old
+partitions when the directory count grows, preserving the ``cell=``
+sub-layout so directory pruning survives consolidation.
 
 Because cell assignment is per-row against FIXED centroids, the
 streamed index is BIT-IDENTICAL to batch ``ivf_assign`` over the same
@@ -31,7 +32,6 @@ from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.similarity import (
     _cells_udf,
-    _id_type,
     cosine_topk_query,
 )
 
@@ -53,21 +53,25 @@ class IvfIndexMaintainer:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ):
+        cents = np.asarray(cents, dtype=np.float64)
         if cents.ndim != 2 or cents.shape[0] == 0:
             raise ValueError(
                 f"centroid matrix must be (n_cells, dim), got {cents.shape}"
             )
         self.spark = spark
         self.path = path
-        self.cents = np.asarray(cents, dtype=np.float64)
+        self.cents = cents
         self.id_col = id_col
         self.vec_col = vec_col
         os.makedirs(path, exist_ok=True)
 
     def update(self, batch: DataFrame, batch_id: int) -> None:
         """Assign one micro-batch and land it as the ``batch=<id>``
-        partition.  Deterministic overwrite: a replay writes the same
-        rows to the same directory — idempotent by construction."""
+        partition, sub-partitioned by ``cell`` —
+        ``batch=<id>/cell=<c>/`` — so a probe's
+        ``cell IN (...)`` predicate prunes DIRECTORIES, not rows.
+        Deterministic overwrite: a replay writes the same rows to the
+        same directory — idempotent by construction."""
         assign = batch.select(
             F.col(self.id_col).alias("id"),
             F.col(self.vec_col).alias("v"),
@@ -75,8 +79,18 @@ class IvfIndexMaintainer:
                 _cells_udf(self.cents, 1)(F.col(self.vec_col)), 1
             ).alias("cell"),
         )
-        assign.write.mode("overwrite").parquet(
+        assign.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(self.path, f"batch={batch_id}")
+        )
+
+    def compact(self, upto_batch: int) -> dict:
+        """Fold old ``batch=<id>`` partitions via the shared
+        exactly-once compaction, PRESERVING the ``cell=`` sub-layout
+        (so pruning survives consolidation)."""
+        from cdc_redshift_spark.streaming.ingest import compact_batches
+
+        return compact_batches(
+            self.spark, self.path, upto_batch, partition_cols=["cell"]
         )
 
     def index(self) -> DataFrame:

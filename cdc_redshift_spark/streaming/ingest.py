@@ -374,7 +374,12 @@ def _finish_pending_compaction(root: str) -> bool:
     return True
 
 
-def compact_batches(spark, root: str, upto_batch: int) -> dict:
+def compact_batches(
+    spark,
+    root: str,
+    upto_batch: int,
+    partition_cols: list[str] | None = None,
+) -> dict:
     """Fold every ``batch=<id>`` partition with ``0 <= id <
     upto_batch`` (plus any previous consolidation) into the single
     ``batch=-1`` partition, preserving replay idempotence for
@@ -428,10 +433,26 @@ def compact_batches(spark, root: str, upto_batch: int) -> dict:
     sources = ([_COMPACTED] if os.path.isdir(prior) else []) + olds
     tmp = os.path.join(root, _COMPACT_TMP)
     shutil.rmtree(tmp, ignore_errors=True)  # stale pre-marker attempt
-    union = spark.read.parquet(*[os.path.join(root, d) for d in sources])
+    from functools import reduce
+
+    # read each source dir on its own: a multi-path read over
+    # batch=<id> dirs that carry a sub-partition layout (e.g. the IVF
+    # index's cell= dirs) trips CONFLICTING_DIRECTORY_STRUCTURES,
+    # while per-dir reads infer the sub-partition columns cleanly
+    union = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(os.path.join(root, d)) for d in sources],
+    )
     # one consolidated partition: target file count from row volume,
-    # not batch count (AQE coalesces the tiny shuffle anyway)
-    union.write.mode("overwrite").parquet(tmp)
+    # not batch count (AQE coalesces the tiny shuffle anyway).
+    # partition_cols preserves a sub-layout (e.g. the IVF index's
+    # cell= dirs) so directory pruning survives consolidation — the
+    # batch dirs and the consolidated dir must keep the SAME structure
+    # or partition discovery over the root conflicts.
+    writer = union.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     rows = spark.read.parquet(tmp).count()
     marker = os.path.join(root, _COMPACT_MARKER)
     with open(marker + ".tmp", "w") as f:

@@ -89,7 +89,6 @@ def test_ivf_index_maintainer_topk_and_compaction(spark, tmp_path):
 
     from cdc_redshift_spark.operators.similarity import _centroids
     from cdc_redshift_spark.streaming.annindex import IvfIndexMaintainer
-    from cdc_redshift_spark.streaming.ingest import compact_batches
 
     rng = np.random.RandomState(11)
     n, d = 200, 16
@@ -125,8 +124,22 @@ def test_ivf_index_maintainer_topk_and_compaction(spark, tmp_path):
     want = sorted(members, key=lambda i: (-sim_x[i], i))[:5]
     assert [g[0] for g in got] == want
 
-    # compaction: fold batches 0-2, index and search unchanged
-    res = compact_batches(spark, str(tmp_path / "ivf"), 3)
+    # the batch dirs are sub-partitioned by cell, so a probe's
+    # cell IN (...) predicate prunes DIRECTORIES (the docstring's
+    # IVF I/O claim): batch=0/cell=<c>/ must exist on disk
+    import os
+
+    from pyspark.sql import functions as F
+
+    b0 = tmp_path / "ivf" / "batch=0"
+    cell_dirs = [d for d in os.listdir(b0) if d.startswith("cell=")]
+    assert cell_dirs, f"expected cell= sub-partitions, got {os.listdir(b0)}"
+    plan = m.index().where(F.col("cell").isin([1, 2]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # compaction (cell layout preserved): fold batches 0-2, index and
+    # search unchanged, consolidated dir keeps cell= sub-dirs
+    res = m.compact(3)
     assert res["folded_dirs"] == 3
     assert m.index().count() == n
     got2 = [(r.vec_id, r.cosine) for r in m.topk(q, k=5, n_probe=2).collect()]
