@@ -406,3 +406,70 @@ def zonemap_prune_files(index: "DataFrame", bounds: dict) -> list[str]:
     return [
         r["file"] for r in index.where(cond).select("file").collect()
     ]
+
+
+def equi_depth_bounds(df: DataFrame, col: str, k: int) -> list[float]:
+    """Exact interpolated ``(i/k)``-quantile cut points of ``col``,
+    rounded to 6 dp with half-away-from-zero semantics (the
+    cross-engine discipline; Python's builtin round is banker's).
+
+    Why: ``repartitionByRange`` picks its bounds by SAMPLING
+    (RangePartitioner, ~100 rows/partition) — under heavy duplication
+    or skew the sampled bounds land unevenly and some output files run
+    hot.  Computing exact equi-depth bounds first, then range-
+    clustering with them, guarantees each file gets ~rows/k.
+
+    Scale: ONE aggregation pass, no sort, no window.  Spark's exact
+    ``percentile`` buffers a value→count map per task (merged on one
+    reducer), so memory is O(distinct values) — the right tool for
+    bounded-cardinality layout keys (prices, dates, status codes); for
+    unbounded continuous domains swap in the mercantile-accuracy
+    DDSketch quantiles (operators/sketches.py) at the same call site.
+
+    Returns the k-1 interior bounds ascending (a bounded driver
+    collect of scalars, same class as the Bloom/zonemap lookups).
+    """
+    from cdc_redshift_spark.functions.numeric import round_half_away
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ps = [i / k for i in range(1, k)]
+    row = df.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in ps])).alias("b")
+    ).first()
+    if row["b"] is None:
+        raise ValueError(f"equi_depth_bounds: no non-null values in {col!r}")
+    return [round_half_away(float(b), 6) for b in row["b"]]
+
+
+def equi_depth_histogram(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Equi-depth (equal-count) histogram report: bin each row by the
+    exact :func:`equi_depth_bounds` cut points and count per bin —
+    the balance proof for a prospective range-clustered layout (every
+    ``n`` should be ~rows/k; a hot bin means duplicated boundary
+    values, the signal to add a tiebreak column to the cluster key).
+
+    Bin rule: ``bin = #(bounds <= value)`` — a value equal to a cut
+    point belongs to the bin ABOVE it, identically in the SQL mirror
+    (``len(list_filter(bounds, b -> b <= value))``).
+
+    Output: (bin, lo, hi, n) ascending; ``lo`` is NULL for the first
+    bin and ``hi`` NULL for the last (unbounded ends).  Two passes
+    total: the bounds aggregation, then one groupBy over the binned
+    scan (map-side combine, k groups).
+    """
+    bounds = equi_depth_bounds(df, col, k)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    binned = df.where(F.col(col).isNotNull()).select(
+        F.size(F.filter(arr, lambda b: b <= F.col(col))).alias("bin")
+    )
+    out = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    return out.select(
+        "bin",
+        F.when(F.col("bin") >= 1, F.element_at(arr, F.col("bin"))).alias("lo"),
+        F.when(
+            F.col("bin") <= len(bounds) - 1,
+            F.element_at(arr, F.col("bin") + 1),
+        ).alias("hi"),
+        "n",
+    ).orderBy("bin")

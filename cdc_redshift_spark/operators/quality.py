@@ -272,3 +272,72 @@ def heavy_hitters(
     return counted.unionByName(null_group).orderBy(
         F.col("cnt").desc(), F.col(key_col).asc_nulls_last()
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.5,
+    min_group: int = 8,
+) -> DataFrame:
+    """Per-key robust outlier detection: flag rows whose ``value_col``
+    deviates from its key's MEDIAN by more than ``k`` robust standard
+    deviations, where the robust sigma is ``1.4826 · MAD`` (median
+    absolute deviation; the 1.4826 factor makes MAD consistent with
+    sigma under normality — Hampel's rule, the standard robust
+    replacement for the z-score).  Mean/stddev outlier rules break on
+    the exact data they exist to find (one huge value drags the mean
+    and inflates sigma until nothing is flagged — masking); median/MAD
+    have a 50% breakdown point.
+
+    The DQ use: metric streams (payment values, latencies, event
+    volumes) audited per entity before a batch is promoted.
+
+    Scale shape: ONE hash shuffle on ``key_col``; both the median and
+    the MAD evaluate as exact interpolated ``percentile`` aggregates
+    over two whole-partition Window passes that SHARE that single
+    partitioning (no second exchange — the MAD window consumes the
+    median window's output in place).  No driver state, no join.
+
+    Guards (both sides of the oracle mirror):
+    - groups smaller than ``min_group`` rows never flag (median/MAD of
+      a handful of points is noise);
+    - ``mad = 0`` (a majority-constant group) never flags — every
+      deviation would otherwise be infinite sigma; surface those keys
+      with accepted-values checks instead.
+
+    Returns the FLAGGED rows only: (key, value, med, mad, rows in the
+    key's group), med/mad rounded to 6 dp for the cross-engine hash
+    discipline; the flag itself compares UNROUNDED doubles with the
+    same literal-times-literal expression shape both engines constant-
+    fold identically.
+    """
+    from pyspark.sql import Window
+
+    if min_group < 1:
+        raise ValueError(f"min_group must be >= 1, got {min_group}")
+    w = Window.partitionBy(key_col)
+    med = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
+    with_med = df.select(
+        "*",
+        med.alias("__med"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    mad = F.percentile(
+        F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
+    ).over(w)
+    scored = with_med.select("*", mad.alias("__mad"))
+    return scored.where(
+        (F.col("__n") >= F.lit(int(min_group)))
+        & (F.col("__mad") > F.lit(0.0))
+        & (
+            F.abs(F.col(value_col) - F.col("__med"))
+            > F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+        )
+    ).select(
+        *[c for c in df.columns],
+        F.round("__med", 6).alias("med"),
+        F.round("__mad", 6).alias("mad"),
+        F.col("__n").alias("group_rows"),
+    )

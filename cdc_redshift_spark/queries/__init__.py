@@ -76,7 +76,8 @@ _GATE_WINDOW = [
     # sink_schema_evolution, corpus_bpe_pairs, docs_hybrid_rrf,
     # events_resample_interp, docs_phrase_search,
     # cdc_stream_ivf_index, events_pivot_types,
-    # corpus_pretrain_manifest)
+    # corpus_pretrain_manifest, dq_value_outliers,
+    # layout_range_bounds)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

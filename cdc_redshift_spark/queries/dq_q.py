@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cdc_redshift_spark.operators.quality import (
     heavy_hitters,
+    robust_outliers,
     Check,
     accepted_values,
     check_suite,
@@ -207,13 +208,51 @@ ORDER BY cnt DESC, user_id ASC
 """
 
 
+def q_dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier audit over event values
+    (operators/quality.robust_outliers): Hampel's median/MAD rule —
+    the mean/stddev z-score masks exactly the rows it exists to find,
+    median/MAD has a 50% breakdown point.  ONE hash shuffle on
+    user_id; the median and MAD windows share the partitioning, so no
+    second exchange.  The oracle mirrors the interpolated percentile
+    (DuckDB ``quantile_cont``), both guards (min group size, mad > 0),
+    and the unrounded flag comparison; med/mad round to 6 dp for the
+    hash discipline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return robust_outliers(ev, "user_id", "value").orderBy("event_id")
+
+
+ORACLE_VALUE_OUTLIERS = """
+WITH m AS (
+  SELECT event_id, user_id, event_type, value,
+         quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), d AS (
+  SELECT *, quantile_cont(abs(value - med), 0.5)
+              OVER (PARTITION BY user_id) AS mad
+  FROM m
+)
+SELECT event_id, user_id, event_type, value,
+       round(med, 6) AS med, round(mad, 6) AS mad,
+       CAST(n AS BIGINT) AS group_rows
+FROM d
+WHERE n >= 8 AND mad > 0.0 AND abs(value - med) > 3.5 * 1.4826 * mad
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": q_events_heavy_hitters,
     "dq_orders_suite": q_dq_orders_suite,
     "dq_events_skew": q_dq_events_skew,
+    "dq_value_outliers": q_dq_value_outliers,
 }
 ORACLES = {
     "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dq_orders_suite": ORACLE_DQ_ORDERS,
     "dq_events_skew": ORACLE_DQ_SKEW,
+    "dq_value_outliers": ORACLE_VALUE_OUTLIERS,
 }

@@ -340,13 +340,61 @@ ORDER BY 1
 """
 
 
+EDH_K = 8
+
+
+def q_layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram over l_extendedprice
+    (operators/layout.equi_depth_histogram): the balanced
+    repartitionByRange bounds a 100 TB layout job should use instead
+    of RangePartitioner's ~100-row sampling (which lands hot files
+    under duplication/skew).  Two passes: one exact interpolated
+    percentile aggregation (no sort, no window), one k-group count.
+    The oracle recomputes the cut points with DuckDB quantile_cont —
+    a green row certifies Spark percentile ≡ quantile_cont
+    interpolation AND the 6-dp half-away bound rounding AND the
+    bin-edge rule, end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from cdc_redshift_spark.operators.layout import equi_depth_histogram
+
+    return equi_depth_histogram(li, "l_extendedprice", EDH_K)
+
+
+_EDH_PS = ", ".join(str(i / 8) for i in range(1, 8))
+
+ORACLE_RANGE_BOUNDS = f"""
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(l_extendedprice, [{_EDH_PS}]),
+           x -> round(x, 6)
+         ) AS bs
+  FROM lineitem
+), binned AS (
+  SELECT CAST(len(list_filter((SELECT bs FROM b),
+                              x -> x <= l_extendedprice)) AS INTEGER)
+           AS bin
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT bin,
+       CASE WHEN bin >= 1 THEN (SELECT bs FROM b)[bin] END AS lo,
+       CASE WHEN bin <= {EDH_K - 2} THEN (SELECT bs FROM b)[bin + 1] END AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
+    "layout_range_bounds": q_layout_range_bounds,
     "layout_bloom_lookup": q_layout_bloom_lookup,
     "layout_zonemap_scan": q_layout_zonemap_scan,
     "layout_pruned_scan": q_layout_pruned_scan,
     "layout_zorder_scan": q_layout_zorder_scan,
 }
 ORACLES = {
+    "layout_range_bounds": ORACLE_RANGE_BOUNDS,
     "layout_bloom_lookup": ORACLE_BLOOM_LOOKUP,
     "layout_zonemap_scan": ORACLE_ZONEMAP_SCAN,
     "layout_pruned_scan": ORACLE_LAYOUT_SCAN,

@@ -299,3 +299,39 @@ def test_zonemap_keeps_all_null_zone_files(spark, tmp_path):
     # the all-NULL file has NULL zone bounds -> conservatively kept
     files = zonemap_prune_files(idx, {"v": (15, 18)})
     assert len(files) == 2
+
+
+def test_equi_depth_bounds_balance_and_errors(spark):
+    """Exact bounds split a skewed column into near-equal bins (the
+    RangePartitioner-sampling failure mode this operator fixes), and
+    degenerate inputs raise clearly."""
+    import pytest as _pytest
+
+    from cdc_redshift_spark.operators.layout import (
+        equi_depth_bounds,
+        equi_depth_histogram,
+    )
+
+    # heavily duplicated + skewed values: 1000 rows, 90% in [0, 10)
+    rows = [(i, float(i % 10)) for i in range(900)] + [
+        (900 + i, float(100 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    k = 8
+    bounds = equi_depth_bounds(df, "v", k)
+    assert len(bounds) == k - 1 and bounds == sorted(bounds)
+    hist = equi_depth_histogram(df, "v", k).collect()
+    n = sum(r.n for r in hist)
+    assert n == 1000
+    # every bin within 2x of ideal depth despite 90/10 skew
+    assert max(r.n for r in hist) <= 2 * (1000 // k)
+    # lo/hi chain: consecutive bins share an edge, ends unbounded
+    assert hist[0].lo is None and hist[-1].hi is None
+    for a, b in zip(hist, hist[1:]):
+        assert a.hi == b.lo
+
+    with _pytest.raises(ValueError, match="k must be"):
+        equi_depth_bounds(df, "v", 1)
+    allnull = spark.createDataFrame([(1, None)], "id long, v double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        equi_depth_bounds(allnull, "v", 4)

@@ -192,3 +192,43 @@ def test_heavy_hitters_leaves_no_cached_rdds(spark):
     assert [r["k"] for r in out] == ["hot"]
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after == before, f"heavy_hitters leaked {after - before} cached RDD(s)"
+
+
+def test_robust_outliers_catches_masked_spike(spark):
+    """The case MAD exists for: one huge spike inflates mean/stddev so
+    the classic z-score misses a second, smaller anomaly — the robust
+    rule flags both."""
+    from cdc_redshift_spark.operators.quality import robust_outliers
+
+    base = [(i, 1, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 10, 11])]
+    rows = base + [(100, 1, 1000.0), (101, 1, 60.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id int, value double")
+    got = {r.event_id for r in robust_outliers(df, "user_id", "value").collect()}
+    assert got == {100, 101}
+    # classic 3-sigma z-score would MISS the 60.0 row (masking)
+    import statistics
+
+    vals = [v for _, _, v in rows]
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(60.0 - mu) < 3 * sd
+
+
+def test_robust_outliers_guards(spark):
+    from cdc_redshift_spark.operators.quality import robust_outliers
+
+    # group smaller than min_group never flags, whatever the spread
+    small = spark.createDataFrame(
+        [(i, 1, float(x)) for i, x in enumerate([1, 1, 1000])],
+        "event_id long, user_id int, value double",
+    )
+    assert robust_outliers(small, "user_id", "value", min_group=8).count() == 0
+    # majority-constant group (mad = 0) never flags
+    const = spark.createDataFrame(
+        [(i, 1, 5.0) for i in range(9)] + [(9, 1, 500.0)],
+        "event_id long, user_id int, value double",
+    )
+    assert robust_outliers(const, "user_id", "value").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_group"):
+        robust_outliers(const, "user_id", "value", min_group=0)
