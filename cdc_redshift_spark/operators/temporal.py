@@ -260,3 +260,60 @@ def interval_join(
         .filter((F.col(fact_ts) >= F.col(start)) & (F.col(fact_ts) <= F.col(end)))
         .drop("__cell")
     )
+
+
+def session_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_ns: int = 30 * 60 * 1_000_000_000,
+) -> DataFrame:
+    """Within-session event-type transitions (the rows behind "user
+    journey" path mining): sessionize by the ``gap_ns`` inactivity
+    rule, then pair each event with the NEXT event of the same
+    session.
+
+    Scale shape: sessionization (lag + cumulative sum), the
+    session-id of the next row, and the next event type are ALL
+    windows over the SAME (user, time, id) ordering — Spark plans ONE
+    hash-partition exchange on ``user_col`` and a single sort; no
+    ``collect_list`` session arrays (which would need a second
+    shuffle on (user, session) and build unbounded per-session state),
+    no join.  Downstream aggregation by transition is a k-group
+    count, k = |event types|² at most.
+
+    Returns one row per consecutive in-session pair: (user, session_id
+    — 1-based per user, path "a>b").
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        df.withColumn("__prev_ts", F.lag(ts_col).over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev_ts").isNull()
+                | ((F.col(ts_col) - F.col("__prev_ts")) > F.lit(gap_ns)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("__new").over(cum))
+    )
+    nxt = (
+        sess.withColumn("__next_type", F.lead(type_col).over(w))
+        .withColumn("__next_sess", F.lead("session_id").over(w))
+    )
+    return nxt.where(
+        F.col("__next_type").isNotNull()
+        & (F.col("__next_sess") == F.col("session_id"))
+    ).select(
+        F.col(user_col),
+        "session_id",
+        F.concat_ws(">", F.col(type_col), F.col("__next_type")).alias(
+            "path"
+        ),
+    )

@@ -1893,10 +1893,98 @@ ORDER BY k, valid_from_ms
 """
 
 
+def q_sink_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE on the versioned sink (`ParquetSink.analyze`):
+    commit orders, compute per-column stats (rows, nulls, exact NDV,
+    min, max) in ONE aggregation pass, persist them as the snapshot's
+    `_ANALYZE` sidecar, and return what `column_stats()` READS BACK —
+    so a green row certifies the stats math AND the JSON round-trip
+    of the persisted artifact (the cardinality input a 100 TB planner
+    uses for broadcast/skew decisions without re-scanning).  The
+    oracle recomputes every statistic straight from the base table.
+    Numeric min/max ride as DOUBLE (exact below 2^53), string min/max
+    as VARCHAR; each column uses exactly one family."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="analyze_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",))
+        sink.apply_changeset("db", "t", base)
+        cols = ["k", "custkey", "status", "priority", "price"]
+        sink.analyze("db", "t", cols)
+        stats = sink.column_stats("db", "t")
+        num = {"k", "custkey", "price"}
+        rows = [
+            (
+                c,
+                int(st["n"]),
+                int(st["n_null"]),
+                int(st["ndv"]),
+                float(st["min"]) if c in num else None,
+                float(st["max"]) if c in num else None,
+                None if c in num else str(st["min"]),
+                None if c in num else str(st["max"]),
+            )
+            for c, st in ((c, stats[c]) for c in cols)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "col_name string, n long, n_null long, ndv long, "
+            "min_num double, max_num double, min_str string, max_str string",
+        ).orderBy("col_name")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _an(col_name, expr, numeric):
+    mm = (
+        f"CAST(min({expr}) AS DOUBLE) AS min_num, "
+        f"CAST(max({expr}) AS DOUBLE) AS max_num, "
+        "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        if numeric
+        else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+        f"min({expr}) AS min_str, max({expr}) AS max_str"
+    )
+    return (
+        f"SELECT '{col_name}' AS col_name, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count(*) - count({expr}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {expr}) AS BIGINT) AS ndv, {mm} FROM orders"
+    )
+
+
+ORACLE_SINK_ANALYZE = (
+    _an("k", "o_orderkey", True)
+    + " UNION ALL "
+    + _an("custkey", "o_custkey", True)
+    + " UNION ALL "
+    + _an("status", "o_orderstatus", False)
+    + " UNION ALL "
+    + _an("priority", "o_orderpriority", False)
+    + " UNION ALL "
+    + _an("price", "o_totalprice", True)
+    + " ORDER BY col_name"
+)
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
+    "sink_analyze_stats": q_sink_analyze_stats,
     "sink_restore_clone": q_sink_restore_clone,
     "sink_schema_evolution": q_sink_schema_evolution,
     "sink_column_rename": q_sink_column_rename,
@@ -1920,6 +2008,7 @@ QUERIES = {
 ORACLES = {
     "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
+    "sink_analyze_stats": ORACLE_SINK_ANALYZE,
     "sink_restore_clone": ORACLE_SINK_RESTORE_CLONE,
     "sink_schema_evolution": ORACLE_SINK_SCHEMA_EVOLUTION,
     "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_redshift_spark.operators.temporal import asof_join, interval_join
+from cdc_redshift_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    session_transitions,
+)
 from cdc_redshift_spark.sources.tables import load_table
 
 US_2H = 2 * 3600 * 1_000_000
@@ -538,6 +542,73 @@ ORDER BY bar_ms, event_type
 """
 
 
+PATH_TOPK = 25
+
+
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the most frequent within-session
+    event-type transitions (operators/temporal.session_transitions),
+    with both raw transition counts and the number of distinct
+    sessions containing each path.
+
+    Scale shape: sessionization, next-type and next-session are ALL
+    windows over one (user, time, id) ordering — ONE exchange on
+    user_id, no collect_list session arrays, no join; the transition
+    aggregation groups on at most |types|^2 keys and the top-k is
+    TakeOrderedAndProject.  The oracle replays the gap rule and the
+    lead pairing in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    tr = session_transitions(ev)
+    return (
+        tr.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.count_distinct(
+                F.concat_ws(":", F.col("user_id"), F.col("session_id"))
+            ).alias("n_sessions"),
+        )
+        .orderBy(F.desc("n_transitions"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH t AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ns(ts), event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts_ns - prev_ts > 1800000000000::BIGINT
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM t
+), g AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts_ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+  FROM s
+), p AS (
+  SELECT user_id, session_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_ns, event_id) AS next_type,
+         lead(session_id) OVER (PARTITION BY user_id
+                                ORDER BY ts_ns, event_id) AS next_sess
+  FROM g
+)
+SELECT event_type || '>' || next_type AS path,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT user_id || ':' || session_id) AS BIGINT)
+         AS n_sessions
+FROM p
+WHERE next_type IS NOT NULL AND next_sess = session_id
+GROUP BY 1
+ORDER BY n_transitions DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
 QUERIES = {
     "events_golden_profile": q_events_golden_profile,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -547,6 +618,7 @@ QUERIES = {
     "events_resample_ffill": q_events_resample_ffill,
     "events_resample_interp": q_events_resample_interp,
     "events_user_sequences": q_events_user_sequences,
+    "events_session_paths": q_events_session_paths,
 }
 
 ORACLES = {
@@ -558,4 +630,5 @@ ORACLES = {
     "events_resample_ffill": ORACLE_RESAMPLE,
     "events_resample_interp": ORACLE_RESAMPLE_INTERP,
     "events_user_sequences": ORACLE_USER_SEQ,
+    "events_session_paths": ORACLE_SESSION_PATHS,
 }

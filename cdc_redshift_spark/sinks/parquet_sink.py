@@ -1662,6 +1662,89 @@ class ParquetSink(Sink):
         report["vacuumed"] = self.vacuum(db, table, keep_last=keep_versions)
         return report
 
+    def analyze(
+        self, db: str, table: str, cols: list[str] | None = None
+    ) -> dict:
+        """ANALYZE TABLE: per-column statistics — row count, null
+        count, exact NDV, min, max — computed in ONE aggregation pass
+        over the current snapshot and persisted as a ``v<N>/_ANALYZE``
+        sidecar (JSON), the column-stats contract of a transactional
+        table format (Delta's ``ANALYZE``/dataSkippingStatsColumns,
+        Iceberg's puffin NDV blobs) on plain parquet.
+
+        Why at 100 TB: join planning lives or dies on cardinality —
+        a stored NDV/row-count lets a driver decide broadcast vs
+        shuffle (and detect key skew: rows/ndv is mean multiplicity)
+        WITHOUT re-scanning the table per query.  Exact
+        ``count_distinct`` is one expand over the scan (the honest
+        one-pass cost); swap in HLL (operators/sketches.py) at the
+        same seam when approximate NDV suffices.
+
+        Stats are per-version: readers of an older snapshot see that
+        snapshot's own ``_ANALYZE`` (or none), never the future's.
+        Returns the stats dict ``{col: {n, n_null, ndv, min, max,
+        dtype}}``; min/max of non-JSON types (timestamps, decimals)
+        are stored as their string form.
+        """
+        v = self._latest_version(db, table)
+        if v is None:
+            raise ValueError(f"analyze: no committed version for {db}.{table}")
+        df = self.read_table(self.spark, db, table)
+        cols = list(cols) if cols is not None else list(df.columns)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"analyze: unknown columns {missing}")
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cols):
+            aggs += [
+                F.count(F.col(c)).alias(f"__c{i}"),
+                F.count_distinct(F.col(c)).alias(f"__d{i}"),
+                F.min(F.col(c)).alias(f"__lo{i}"),
+                F.max(F.col(c)).alias(f"__hi{i}"),
+            ]
+        row = df.agg(*aggs).first()
+        dts = dict(df.dtypes)
+
+        def js(x):
+            return x if isinstance(x, (int, float, str, bool, type(None))) else str(x)
+
+        stats = {
+            c: {
+                "n": row["__n"],
+                "n_null": row["__n"] - row[f"__c{i}"],
+                "ndv": row[f"__d{i}"],
+                "min": js(row[f"__lo{i}"]),
+                "max": js(row[f"__hi{i}"]),
+                "dtype": dts[c],
+            }
+            for i, c in enumerate(cols)
+        }
+        import json as _json
+
+        path = os.path.join(self._dir(db, table), f"v{v}", "_ANALYZE")
+        with open(path + ".tmp", "w") as f:
+            _json.dump(stats, f)
+        os.replace(path + ".tmp", path)
+        return stats
+
+    def column_stats(
+        self, db: str, table: str, version: int | None = None
+    ) -> dict | None:
+        """Read the persisted :meth:`analyze` stats for ``version``
+        (default: current).  None when that snapshot was never
+        analyzed — stats are an optimization input, not a correctness
+        dependency, so callers must handle absence."""
+        v = self._latest_version(db, table) if version is None else version
+        if v is None:
+            return None
+        path = os.path.join(self._dir(db, table), f"v{v}", "_ANALYZE")
+        if not os.path.exists(path):
+            return None
+        import json as _json
+
+        with open(path) as f:
+            return _json.load(f)
+
     def vacuum(self, db: str, table: str, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot versions and
         return the versions removed.  Because unchanged partition

@@ -556,3 +556,25 @@ def test_bpe_pair_counts_takeordered(spark):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_session_paths_single_window_exchange(spark):
+    """All three session windows (lag, cumulative sum, lead) must share
+    ONE user_id exchange — a second window shuffle would double the
+    dominant data movement of path mining at scale."""
+    from cdc_redshift_spark.queries.temporal_q import q_events_session_paths
+
+    plan = (
+        q_events_session_paths(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    user_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan
+    assert plan.count("Window") == 3, plan
+    assert "TakeOrderedAndProject" in plan

@@ -1758,3 +1758,37 @@ def test_dropped_guard_survives_readd_restore_and_clone(spark, tmp_path):
                 "x", F.lit(1)
             ),
         )
+
+
+def test_analyze_column_stats_roundtrip_and_version_isolation(spark, tmp_path):
+    """analyze() persists exact one-pass stats per SNAPSHOT: the sidecar
+    reads back verbatim, a later commit starts stats-less (stats are
+    version-scoped, never inherited), and the old version keeps its own."""
+    import pytest as _pytest
+
+    sink = ParquetSink(spark, str(tmp_path))
+    rows = [
+        ("a", 100, 0, "insert", "x"),
+        ("b", 100, 1, "insert", "y"),
+        ("c", 100, 2, "insert", None),
+        ("d", 100, 3, "insert", "y"),
+    ]
+    sink.apply_changeset("d", "t", chdf(spark, rows))
+    got = sink.analyze("d", "t", ["key", "payload"])
+    assert got["key"] == {
+        "n": 4, "n_null": 0, "ndv": 4, "min": "a", "max": "d",
+        "dtype": "string",
+    }
+    assert got["payload"]["n_null"] == 1 and got["payload"]["ndv"] == 2
+    # round-trip: reader returns exactly what analyze computed
+    assert sink.column_stats("d", "t") == got
+
+    # a new commit's snapshot has no stats until analyzed; v1 keeps its own
+    sink.apply_changeset("d", "t", chdf(spark, [("e", 200, 4, "insert", "z")]))
+    assert sink.column_stats("d", "t") is None
+    assert sink.column_stats("d", "t", version=1) == got
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        sink.analyze("d", "t", ["nope"])
+    with _pytest.raises(ValueError, match="no committed version"):
+        sink.analyze("d", "missing")

@@ -326,3 +326,30 @@ def test_latest_per_key_salted_equals_plain(spark):
         assert salted == plain, salt
     with pytest.raises(ValueError):
         latest_per_key(df, keys=("key",), salt=1)
+
+
+def test_session_transitions_gap_and_pairing(spark):
+    """Transitions never cross the gap boundary, pairs follow (ts, id)
+    order, and single-event sessions emit nothing."""
+    from cdc_redshift_spark.operators.temporal import session_transitions
+
+    m = 60 * 1_000_000_000  # one minute in ns
+    rows = [
+        # user 1, session 1: a -> b -> c (2 transitions)
+        (1, 1, 0 * m, "a"),
+        (2, 1, 1 * m, "b"),
+        (3, 1, 2 * m, "c"),
+        # 31-min gap -> session 2: d alone (0 transitions)
+        (4, 1, 33 * m, "d"),
+        # user 2: tie on ts broken by event_id: x(5) -> y(6)
+        (5, 2, 0 * m, "x"),
+        (6, 2, 0 * m, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, event_type string"
+    )
+    got = sorted(
+        (r.user_id, r.session_id, r.path)
+        for r in session_transitions(df).collect()
+    )
+    assert got == [(1, 1, "a>b"), (1, 1, "b>c"), (2, 1, "x>y")]
