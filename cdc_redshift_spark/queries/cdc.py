@@ -1980,11 +1980,99 @@ ORACLE_SINK_ANALYZE = (
 )
 
 
+def q_sink_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency commit protocol on the versioned sink
+    (`ParquetSink(occ=True)`): writer A publishes orders as v1; a
+    concurrent writer's CLAIM of v2 is simulated (exclusive version-dir
+    creation, the mkdir-wins rule); A's next commit must CONFLICT
+    rather than silently losing the race (the lost-update guard);
+    `clear_orphans` frees the crashed claim (the FSCK contract) and
+    the retry lands as v2.  The returned aggregate is over the final
+    merged state, so the oracle — base orders with the changeset's
+    status flip applied — certifies that the conflicted-then-retried
+    commit applied EXACTLY ONCE with no rows lost.  Money rides as
+    exact integer cents."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import (
+        CommitConflictError,
+        ParquetSink,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    flip = (
+        base.where(F.pmod(F.col("k"), F.lit(7)) == 3)
+        .withColumn("status", F.lit("Z"))
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+    )
+    root = tempfile.mkdtemp(prefix="occ_commit_")
+    try:
+        sink = ParquetSink(spark, root, keys=("k",), occ=True)
+        sink.apply_changeset("db", "t", base)
+        os.mkdir(os.path.join(root, "db", "t", "v2"))  # rival claim
+        try:
+            sink.apply_changeset("db", "t", flip)
+        except CommitConflictError:
+            pass
+        else:
+            raise RuntimeError(
+                "expected CommitConflictError under a rival claim"
+            )
+        if sink.read_table(spark, "db", "t").count() != base.count():
+            raise RuntimeError(
+                "conflicted commit must leave published state untouched"
+            )
+        if sink.clear_orphans("db", "t") != [2]:
+            raise RuntimeError(
+                "clear_orphans must free exactly the rival claim"
+            )
+        sink.apply_changeset("db", "t", flip)  # retry from fresh state
+        if sink.versions("db", "t") != [1, 2]:
+            raise RuntimeError("retry must land as v2, linear history")
+        out = (
+            sink.read_table(spark, "db", "t")
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_OCC = """
+WITH st AS (
+  SELECT CASE WHEN o_orderkey % 7 = 3 THEN 'Z' ELSE o_orderstatus END
+           AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM st GROUP BY status ORDER BY status
+"""
+
+
 QUERIES = {
     "cdc_pg_replay": q_cdc_pg_replay,
     "cdc_scd2_history": q_cdc_scd2_history,
     "sink_time_travel": q_sink_time_travel,
     "sink_analyze_stats": q_sink_analyze_stats,
+    "sink_occ_commit": q_sink_occ_commit,
     "sink_restore_clone": q_sink_restore_clone,
     "sink_schema_evolution": q_sink_schema_evolution,
     "sink_column_rename": q_sink_column_rename,
@@ -2009,6 +2097,7 @@ ORACLES = {
     "cdc_scd2_history": ORACLE_CDC_SCD2,
     "sink_time_travel": ORACLE_SINK_TIME_TRAVEL,
     "sink_analyze_stats": ORACLE_SINK_ANALYZE,
+    "sink_occ_commit": ORACLE_SINK_OCC,
     "sink_restore_clone": ORACLE_SINK_RESTORE_CLONE,
     "sink_schema_evolution": ORACLE_SINK_SCHEMA_EVOLUTION,
     "sink_column_rename": ORACLE_SINK_COLUMN_RENAME,

@@ -44,6 +44,14 @@ from cdc_redshift_spark.sinks.base import Sink
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer claimed or published the version this commit
+    targeted.  The caller must RE-READ table state and retry the whole
+    operation — its merge was computed against a now-stale base, so
+    blindly re-flipping would lose the other writer's update (the
+    same retry contract as Delta/Iceberg optimistic concurrency)."""
+
+
 class ConstraintViolation(ValueError):
     """A batch broke a table CHECK constraint; nothing was committed."""
 
@@ -64,6 +72,7 @@ class ParquetSink(Sink):
         merge_mode: str = "rewrite",
         constraints: dict[str, str] | None = None,
         generated_cols: dict[str, str] | None = None,
+        occ: bool = False,
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -134,6 +143,24 @@ class ParquetSink(Sink):
         #: "..."}``); a batch supplying it explicitly is VALIDATED
         #: against the expression and a mismatch raises.
         self.generated_cols = dict(generated_cols or {})
+        #: Optimistic concurrency for MULTIPLE INDEPENDENT WRITERS on
+        #: one filesystem: each data-committing operation first claims
+        #: its target version number by atomically creating the version
+        #: directory (os.mkdir — exactly one of two racing writers
+        #: wins; the loser gets :class:`CommitConflictError` and must
+        #: re-read + retry, because its merge used a stale base).  OFF
+        #: by default: the streaming exactly-once regime is SINGLE
+        #: writer per table, where a foreachBatch RETRY must be free to
+        #: overwrite the same version dir it crashed on — exclusive
+        #: claims would block that replay.  The two regimes are
+        #: mutually exclusive by design, like Delta's
+        #: single-writer-fast-path vs OCC commit protocol.  Claims
+        #: orphaned by a writer crash block the number until
+        #: :meth:`clear_orphans` (the FSCK analogue).  NOTE: mkdir
+        #: atomicity is a POSIX-filesystem property — on object stores
+        #: swap this seam for a lock service, the standard deployment
+        #: answer (e.g. a DynamoDB mutex, as S3 Delta does).
+        self.occ = bool(occ)
         self._deferred_flips: list[tuple[str, str, int]] | None = None
         os.makedirs(root, exist_ok=True)
         # self-heal an interrupted multi-table transaction (roll the
@@ -470,6 +497,7 @@ class ParquetSink(Sink):
         changes carry and the target exists (see module docstring);
         full merge + rewrite otherwise.
         """
+        self._occ_claim(db, table)
         changes = self._validate_batch(changes, f"changeset for {db}.{table}")
         if os.path.exists(self._dropped_path(db, table)):
             sch = self._read_schema(db, table)
@@ -949,8 +977,47 @@ class ParquetSink(Sink):
                 return
         self._commit(db, table, cur.where(~expired))
 
+    def _occ_claim(self, db: str, table: str) -> None:
+        """Reserve the next version number (occ mode only): atomic
+        ``os.mkdir`` of the version directory BEFORE any state read —
+        claiming first closes the read-modify-write window where a
+        competitor's commit between our read and our flip would be
+        silently overwritten.  Exactly one of N racing writers wins
+        the mkdir; losers raise :class:`CommitConflictError`."""
+        if not self.occ:
+            return
+        d = self._dir(db, table)
+        os.makedirs(d, exist_ok=True)
+        nxt = (self._latest_version(db, table) or 0) + 1
+        try:
+            os.mkdir(os.path.join(d, f"v{nxt}"))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{db}.{table}: version v{nxt} already claimed or "
+                "published by a concurrent writer — re-read state and "
+                "retry the operation (clear_orphans() if the claimant "
+                "crashed)"
+            ) from None
+
+    def clear_orphans(self, db: str, table: str) -> list[int]:
+        """Remove version directories ABOVE the published ``_LATEST``
+        pointer — claims abandoned by crashed writers (occ mode) or
+        partial commits interrupted before their flip.  The caller
+        guarantees no writer is live (the FSCK contract); published
+        state is untouched by construction, since orphans are exactly
+        the never-flipped versions no reader can reach."""
+        latest = self._latest_version(db, table) or 0
+        orphans = sorted(
+            v for v in self.versions(db, table) if v > latest
+        )
+        d = self._dir(db, table)
+        for v in orphans:
+            shutil.rmtree(os.path.join(d, f"v{v}"), ignore_errors=True)
+        return orphans
+
     def overwrite(self, db: str, table: str, state: DataFrame) -> None:
         """Direct snapshot write (initial loads / oracle comparisons)."""
+        self._occ_claim(db, table)
         state = self._validate_batch(state, f"overwrite of {db}.{table}")
         self._commit(db, table, state)
 

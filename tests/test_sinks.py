@@ -1792,3 +1792,69 @@ def test_analyze_column_stats_roundtrip_and_version_isolation(spark, tmp_path):
         sink.analyze("d", "t", ["nope"])
     with _pytest.raises(ValueError, match="no committed version"):
         sink.analyze("d", "missing")
+
+
+def test_occ_conflict_retry_and_orphan_clear(spark, tmp_path):
+    """Optimistic concurrency: a claimed-but-unpublished version makes a
+    competing commit raise CommitConflictError instead of silently losing
+    an update; clear_orphans frees crashed claims; and two genuinely
+    racing writers serialize to a linear history with both updates."""
+    import os
+    import threading
+
+    import pytest as _pytest
+
+    from cdc_redshift_spark.sinks.parquet_sink import CommitConflictError
+
+    root = str(tmp_path / "occ")
+    a = ParquetSink(spark, root, occ=True)
+    b = ParquetSink(spark, root, occ=True)
+    a.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "x")]))
+
+    # writer B claimed v2 (simulated crash before flip) -> A conflicts
+    os.mkdir(os.path.join(root, "d", "t", "v2"))
+    with _pytest.raises(CommitConflictError, match="v2 already claimed"):
+        a.apply_changeset("d", "t", chdf(spark, [("2", 100, 1, "insert", "y")]))
+    # published state untouched, FSCK frees the number, retry lands
+    assert a.read_table(spark, "d", "t").count() == 1
+    assert a.clear_orphans("d", "t") == [2]
+    a.apply_changeset("d", "t", chdf(spark, [("2", 100, 1, "insert", "y")]))
+    assert a.read_table(spark, "d", "t").count() == 2
+
+    # real race: both writers commit concurrently; conflicts retry from
+    # fresh state — final table must hold BOTH updates, linear history
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def write(sink, key, off):
+        import time
+
+        barrier.wait()
+        for _ in range(30):
+            try:
+                sink.apply_changeset(
+                    "d", "t", chdf(spark, [(key, 200, off, "insert", key)])
+                )
+                return
+            except CommitConflictError:
+                # the competing claim stays held until that writer's
+                # flip — back off, then retry from fresh state
+                time.sleep(1.0)
+        errs.append(key)
+
+    t1 = threading.Thread(target=write, args=(a, "r1", 10))
+    t2 = threading.Thread(target=write, args=(b, "r2", 11))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = {r["key"] for r in a.read_table(spark, "d", "t").collect()}
+    assert {"r1", "r2"} <= got
+    vs = a.versions("d", "t")
+    assert vs == sorted(vs) and a._latest_version("d", "t") == max(vs)
+
+    # occ=False (streaming single-writer regime) keeps replay overwrite:
+    # a pre-existing same-number dir is clobbered, not a conflict
+    c = ParquetSink(spark, str(tmp_path / "plain"))
+    c.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "x")]))
+    os.makedirs(os.path.join(str(tmp_path / "plain"), "d", "t", "v2"), exist_ok=True)
+    c.apply_changeset("d", "t", chdf(spark, [("2", 100, 1, "insert", "y")]))
+    assert c.read_table(spark, "d", "t").count() == 2
