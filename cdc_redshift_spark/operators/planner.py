@@ -1,0 +1,135 @@
+"""Stats-driven join planning: turn persisted column statistics
+(:meth:`ParquetSink.analyze` sidecars, or any ``{col: {n, ndv, ...}}``
+dict of the same shape) into an explicit join strategy BEFORE the job
+launches — broadcast the provably-small side, fall back to shuffle,
+and surface the high-multiplicity warning that precedes a skew blowup.
+
+Why this exists at 100 TB: Spark's own broadcast decision
+(``autoBroadcastJoinThreshold``) sees only file-size estimates at plan
+time, which lie badly after filters or for wide tables read narrow —
+and AQE only corrects it at the first shuffle boundary, after paying
+the scan.  A table that was ``analyze``-d commits its row count / NDV
+once; every later query can make the right call from metadata alone,
+the way a warehouse CBO uses its statistics catalog.  (The reference
+delegates all of this to Redshift's planner; here the engine owns it.)
+
+The estimator is deliberately conservative and transparent: dtype-based
+bytes/row (strings use a documented default width since the stats
+carry no average length) and mean key multiplicity = rows / NDV.
+Stats say nothing about the MAX key frequency, so the planner flags
+*possible* skew (high mean multiplicity) and points at the exact
+diagnostics that measure it (``key_skew_report`` / ``heavy_hitters``)
+rather than silently salting on a guess.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: dtype → estimated bytes per value (in-memory row estimate for the
+#: broadcast decision; strings/binary default wide to stay conservative)
+_DTYPE_BYTES = {
+    "boolean": 1,
+    "tinyint": 1,
+    "smallint": 2,
+    "int": 4,
+    "integer": 4,
+    "float": 4,
+    "date": 4,
+    "bigint": 8,
+    "long": 8,
+    "double": 8,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+_DEFAULT_WIDTH = 24  # strings, decimals, anything unlisted
+
+
+def estimate_size_bytes(stats: dict) -> int:
+    """Conservative in-memory size estimate of an analyzed table:
+    rows × Σ per-column dtype width.  ``stats`` is the
+    :meth:`ParquetSink.analyze` shape; row count is taken from any
+    column's ``n`` (they are all the same scan)."""
+    if not stats:
+        raise ValueError("estimate_size_bytes: empty stats")
+    rows = max(s["n"] for s in stats.values())
+    width = sum(
+        _DTYPE_BYTES.get(s.get("dtype", ""), _DEFAULT_WIDTH)
+        for s in stats.values()
+    )
+    return int(rows) * int(width)
+
+
+def join_plan(
+    left_stats: dict,
+    right_stats: dict,
+    key: str,
+    broadcast_threshold: int = 64 * 1024 * 1024,
+    multiplicity_warn: float = 100.0,
+) -> dict:
+    """Pick a join strategy from persisted stats.
+
+    Decision rule (in order):
+
+    1. a side whose estimated size is under ``broadcast_threshold``
+       is broadcast (smaller side preferred when both qualify) — the
+       shuffle-free plan;
+    2. otherwise shuffle (sort-merge) on ``key``.
+
+    Independently, ``skew_risk`` is set when either side's mean key
+    multiplicity (rows / NDV of ``key``) exceeds
+    ``multiplicity_warn`` — the metadata-visible precursor of a skew
+    blowup.  Mean multiplicity cannot prove a hot key (that needs
+    ``key_skew_report`` / ``heavy_hitters`` over the data), so the
+    planner WARNS and names the measurement instead of silently
+    salting.
+
+    Returns ``{strategy, est_left_bytes, est_right_bytes,
+    mean_multiplicity_left, mean_multiplicity_right, skew_risk}``.
+    """
+    for side, st in (("left", left_stats), ("right", right_stats)):
+        if key not in st:
+            raise ValueError(f"join_plan: key {key!r} not in {side} stats")
+    lb, rb = estimate_size_bytes(left_stats), estimate_size_bytes(right_stats)
+
+    def mult(st: dict) -> float:
+        ks = st[key]
+        return (ks["n"] - ks["n_null"]) / max(ks["ndv"], 1)
+
+    lm, rm = mult(left_stats), mult(right_stats)
+    if min(lb, rb) <= broadcast_threshold:
+        strategy = "broadcast_left" if lb <= rb else "broadcast_right"
+    else:
+        strategy = "shuffle"
+    return {
+        "strategy": strategy,
+        "est_left_bytes": lb,
+        "est_right_bytes": rb,
+        "mean_multiplicity_left": round(lm, 2),
+        "mean_multiplicity_right": round(rm, 2),
+        "skew_risk": max(lm, rm) > multiplicity_warn,
+    }
+
+
+def apply_join_plan(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    plan: dict,
+    how: str = "inner",
+) -> DataFrame:
+    """Execute a :func:`join_plan` decision: attach the broadcast hint
+    to the side the stats proved small, or plain equi-join for the
+    shuffle strategy (AQE still owns runtime re-optimization).  The
+    hint OVERRIDES ``autoBroadcastJoinThreshold`` — that is the point:
+    the decision came from committed statistics, not the scan-time
+    size guess."""
+    strategy = plan["strategy"]
+    if strategy == "broadcast_left":
+        return F.broadcast(left).join(right, on, how)
+    if strategy == "broadcast_right":
+        return left.join(F.broadcast(right), on, how)
+    if strategy == "shuffle":
+        return left.join(right, on, how)
+    raise ValueError(f"apply_join_plan: unknown strategy {strategy!r}")

@@ -341,3 +341,44 @@ def robust_outliers(
         F.round("__mad", 6).alias("mad"),
         F.col("__n").alias("group_rows"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p: float = 0.01,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-key winsorization: clamp ``value_col`` into its key's
+    exact interpolated [p, 1-p] percentile band — the standard tail
+    treatment when downstream aggregates (means, regressions, feature
+    scalings) must survive heavy-tailed metrics WITHOUT dropping rows
+    (the complement of :func:`robust_outliers`, which flags-and-
+    reports instead of repairing).
+
+    Scale shape: both percentile bounds evaluate as exact aggregates
+    over ONE whole-partition window on ``key_col`` — a single hash
+    exchange, no join, no driver state.  Adds ``out_col`` (default
+    ``<value_col>_w``) plus the per-key ``lo``/``hi`` bounds; original
+    columns pass through untouched.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < p < 0.5):
+        raise ValueError(f"p must be in (0, 0.5), got {p}")
+    out_col = out_col or f"{value_col}_w"
+    w = Window.partitionBy(key_col)
+    lo = F.percentile(F.col(value_col), F.lit(p)).over(w)
+    hi = F.percentile(F.col(value_col), F.lit(1.0 - p)).over(w)
+    return df.select(
+        "*", lo.alias("__lo"), hi.alias("__hi")
+    ).select(
+        *df.columns,
+        F.round("__lo", 6).alias("lo"),
+        F.round("__hi", 6).alias("hi"),
+        F.round(
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+            6,
+        ).alias(out_col),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cdc_redshift_spark.operators.quality import (
     heavy_hitters,
     robust_outliers,
+    winsorize,
     Check,
     accepted_values,
     check_suite,
@@ -244,15 +245,46 @@ ORDER BY event_id
 """
 
 
+def q_dq_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user winsorization of event values
+    (operators/quality.winsorize): clamp into the exact interpolated
+    [1%, 99%] percentile band per key — the repair complement of
+    `dq_value_outliers` (clip the tails instead of flagging them).
+    Both bounds evaluate over ONE whole-partition window on user_id
+    (single exchange).  The clamp compares UNROUNDED bounds; outputs
+    round at 6 dp per the hash discipline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    return winsorize(ev, "user_id", "value", p=0.01).orderBy("event_id")
+
+
+ORACLE_VALUE_WINSORIZED = """
+WITH b AS (
+  SELECT event_id, user_id, value,
+         quantile_cont(value, 0.01) OVER (PARTITION BY user_id) AS qlo,
+         quantile_cont(value, 0.99) OVER (PARTITION BY user_id) AS qhi
+  FROM events
+)
+SELECT event_id, user_id, value,
+       round(qlo, 6) AS lo, round(qhi, 6) AS hi,
+       round(least(greatest(value, qlo), qhi), 6) AS value_w
+FROM b
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": q_events_heavy_hitters,
     "dq_orders_suite": q_dq_orders_suite,
     "dq_events_skew": q_dq_events_skew,
     "dq_value_outliers": q_dq_value_outliers,
+    "dq_value_winsorized": q_dq_value_winsorized,
 }
 ORACLES = {
     "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "dq_orders_suite": ORACLE_DQ_ORDERS,
     "dq_events_skew": ORACLE_DQ_SKEW,
     "dq_value_outliers": ORACLE_VALUE_OUTLIERS,
+    "dq_value_winsorized": ORACLE_VALUE_WINSORIZED,
 }

@@ -232,3 +232,24 @@ def test_robust_outliers_guards(spark):
 
     with _pytest.raises(ValueError, match="min_group"):
         robust_outliers(const, "user_id", "value", min_group=0)
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from cdc_redshift_spark.operators.quality import winsorize
+
+    vals = list(range(1, 101))  # 1..100 per key
+    df = spark.createDataFrame(
+        [(i, 1, float(v)) for i, v in enumerate(vals)],
+        "event_id long, user_id int, value double",
+    )
+    out = {r.event_id: r for r in winsorize(df, "user_id", "value", p=0.05).collect()}
+    # interpolated 5%/95% of 1..100: 5.95 and 95.05
+    assert out[0].lo == 5.95 and out[0].hi == 95.05
+    # tails clamp, interior passes through
+    assert out[0].value_w == 5.95          # value 1
+    assert out[99].value_w == 95.05        # value 100
+    assert out[49].value_w == 50.0         # value 50 untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="p must be"):
+        winsorize(df, "user_id", "value", p=0.5)
