@@ -65,6 +65,15 @@ CALLOUTS = {
     "docs_hybrid_rrf": "both retrievers pool-sized before fusion; rank windows over <=50 rows; one full-outer join over <=100 rows",
     "docs_phrase_search": "ZERO Exchange: scan -> filter -> project only; positional element_at predicate, no shuffle, no UDF",
     "events_resample_interp": "two as-of passes (union + keyed window, no join nodes) + one equi-join on (user, grid) keys",
+    "dq_value_outliers": "ONE user_id Exchange shared by the median and MAD percentile windows; flag filter in codegen",
+    "dq_value_winsorized": "both percentile bounds over ONE whole-partition window; clamp projection in codegen",
+    "layout_range_bounds": "one exact-percentile aggregation (no sort, no window); bin = literal-array filter in codegen; k-group count",
+    "events_session_paths": "sessionize + lead windows share ONE user_id Exchange; transition agg on <=|types|^2 keys; TakeOrderedAndProject",
+    "events_pivot_types": "explicit pivot values -> ONE conditional-aggregation pass (no distinct scan)",
+    # cdc_stream_ivf_index's scale property (batch=<id>/cell=<c> probes
+    # prune DIRECTORIES; 87.5% files skipped at 2/16 cells) is pinned in
+    # tests/test_similarity_ops.py + SCALE.md — its gated form
+    # localCheckpoints, so a dumped plan would be an ExistingRDD scan.
 }
 
 
