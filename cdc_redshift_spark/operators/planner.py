@@ -46,14 +46,26 @@ _DTYPE_BYTES = {
 _DEFAULT_WIDTH = 24  # strings, decimals, anything unlisted
 
 
-def estimate_size_bytes(stats: dict) -> int:
-    """Conservative in-memory size estimate of an analyzed table:
-    rows × Σ per-column dtype width.  ``stats`` is the
+def estimate_size_bytes(stats: dict, row_bytes: int | None = None) -> int:
+    """In-memory size estimate of an analyzed table: rows ×
+    ``row_bytes`` when given, else rows × Σ per-column dtype width
+    over the columns PRESENT IN ``stats``.
+
+    CAVEAT — the width sum covers only analyzed columns: a table
+    analyzed on a column subset (e.g. just its join key) is
+    UNDER-estimated by the unanalyzed columns' width, which would turn
+    a broadcast decision into an OOM.  When the join carries more
+    columns than were analyzed, pass ``row_bytes`` (full-row width —
+    ``analyze()`` on all columns once, or the table's bytes/rows from
+    file metadata); :func:`join_plan` forwards its ``*_row_bytes``
+    params here for exactly this.  ``stats`` is the
     :meth:`ParquetSink.analyze` shape; row count is taken from any
     column's ``n`` (they are all the same scan)."""
     if not stats:
         raise ValueError("estimate_size_bytes: empty stats")
     rows = max(s["n"] for s in stats.values())
+    if row_bytes is not None:
+        return int(rows) * int(row_bytes)
     width = sum(
         _DTYPE_BYTES.get(s.get("dtype", ""), _DEFAULT_WIDTH)
         for s in stats.values()
@@ -67,6 +79,8 @@ def join_plan(
     key: str,
     broadcast_threshold: int = 64 * 1024 * 1024,
     multiplicity_warn: float = 100.0,
+    left_row_bytes: int | None = None,
+    right_row_bytes: int | None = None,
 ) -> dict:
     """Pick a join strategy from persisted stats.
 
@@ -76,6 +90,12 @@ def join_plan(
        is broadcast (smaller side preferred when both qualify) — the
        shuffle-free plan;
     2. otherwise shuffle (sort-merge) on ``key``.
+
+    Pass ``left_row_bytes``/``right_row_bytes`` (full-row widths)
+    whenever the stats were computed on a COLUMN SUBSET — the
+    dtype-width fallback only sees analyzed columns and would
+    under-estimate a wide table into a broadcast OOM (see
+    :func:`estimate_size_bytes`).
 
     Independently, ``skew_risk`` is set when either side's mean key
     multiplicity (rows / NDV of ``key``) exceeds
@@ -91,7 +111,8 @@ def join_plan(
     for side, st in (("left", left_stats), ("right", right_stats)):
         if key not in st:
             raise ValueError(f"join_plan: key {key!r} not in {side} stats")
-    lb, rb = estimate_size_bytes(left_stats), estimate_size_bytes(right_stats)
+    lb = estimate_size_bytes(left_stats, row_bytes=left_row_bytes)
+    rb = estimate_size_bytes(right_stats, row_bytes=right_row_bytes)
 
     def mult(st: dict) -> float:
         ks = st[key]

@@ -377,8 +377,18 @@ def winsorize(
         *df.columns,
         F.round("__lo", 6).alias("lo"),
         F.round("__hi", 6).alias("hi"),
-        F.round(
-            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
-            6,
-        ).alias(out_col),
+        # NULL passes through: Spark's greatest/least SKIP nulls, so an
+        # unguarded clamp would turn a missing metric into the lower
+        # bound — exactly the silent corruption this operator prevents
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.least(
+                    F.greatest(F.col(value_col), F.col("__lo")),
+                    F.col("__hi"),
+                ),
+                6,
+            )
+        )
+        .alias(out_col),
     )

@@ -1079,7 +1079,7 @@ def semantic_dedup(
     # pairs emit id_a < id_b, so id_b is exactly "has a smaller-id
     # >= tau partner in its cell" — the dropped set
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
-    return (
+    out = (
         assign.select("id", "cell")
         .join(dropped.withColumn("hit", F.lit(True)), "id", "left")
         .select(
@@ -1088,3 +1088,11 @@ def semantic_dedup(
             F.coalesce(~F.col("hit"), F.lit(True)).alias("kept"),
         )
     )
+    if max_cell_size is not None:
+        # the result is corpus-SMALL (id, cell, kept — no vectors):
+        # materialize it eagerly so the corpus-sized (id, vector, cell)
+        # cache the guard created can be released NOW instead of
+        # pinning executor storage until the caller's plan is GC'd
+        out = out.localCheckpoint(eager=True)
+        assign.unpersist()
+    return out

@@ -1983,8 +1983,8 @@ ORACLE_SINK_ANALYZE = (
 def q_sink_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimistic-concurrency commit protocol on the versioned sink
     (`ParquetSink(occ=True)`): writer A publishes orders as v1; a
-    concurrent writer's CLAIM of v2 is simulated (exclusive version-dir
-    creation, the mkdir-wins rule); A's next commit must CONFLICT
+    concurrent writer's CLAIM of v2 is simulated (the exclusive
+    `_CLAIM_v2` marker, O_CREAT|O_EXCL-wins); A's next commit must CONFLICT
     rather than silently losing the race (the lost-update guard);
     `clear_orphans` frees the crashed claim (the FSCK contract) and
     the retry lands as v2.  The returned aggregate is over the final
@@ -2019,7 +2019,8 @@ def q_sink_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sink = ParquetSink(spark, root, keys=("k",), occ=True)
         sink.apply_changeset("db", "t", base)
-        os.mkdir(os.path.join(root, "db", "t", "v2"))  # rival claim
+        # rival claim marker (what a concurrent writer's guard creates)
+        open(os.path.join(root, "db", "t", "_CLAIM_v2"), "w").close()
         try:
             sink.apply_changeset("db", "t", flip)
         except CommitConflictError:

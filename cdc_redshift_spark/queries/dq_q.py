@@ -268,7 +268,8 @@ WITH b AS (
 )
 SELECT event_id, user_id, value,
        round(qlo, 6) AS lo, round(qhi, 6) AS hi,
-       round(least(greatest(value, qlo), qhi), 6) AS value_w
+       CASE WHEN value IS NULL THEN NULL
+            ELSE round(least(greatest(value, qlo), qhi), 6) END AS value_w
 FROM b
 ORDER BY event_id
 """

@@ -360,7 +360,7 @@ def q_layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(li, "l_extendedprice", EDH_K)
 
 
-_EDH_PS = ", ".join(str(i / 8) for i in range(1, 8))
+_EDH_PS = ", ".join(str(i / EDH_K) for i in range(1, EDH_K))
 
 ORACLE_RANGE_BOUNDS = f"""
 WITH b AS (

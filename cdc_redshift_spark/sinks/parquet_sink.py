@@ -161,6 +161,9 @@ class ParquetSink(Sink):
         #: swap this seam for a lock service, the standard deployment
         #: answer (e.g. a DynamoDB mutex, as S3 Delta does).
         self.occ = bool(occ)
+        #: {(db, table): base version} recorded by _occ_begin, consumed
+        #: by _occ_guard — the OCC read-set check
+        self._occ_base: dict[tuple[str, str], int | None] = {}
         self._deferred_flips: list[tuple[str, str, int]] | None = None
         os.makedirs(root, exist_ok=True)
         # self-heal an interrupted multi-table transaction (roll the
@@ -497,7 +500,7 @@ class ParquetSink(Sink):
         changes carry and the target exists (see module docstring);
         full merge + rewrite otherwise.
         """
-        self._occ_claim(db, table)
+        self._occ_begin(db, table)
         changes = self._validate_batch(changes, f"changeset for {db}.{table}")
         if os.path.exists(self._dropped_path(db, table)):
             sch = self._read_schema(db, table)
@@ -605,6 +608,7 @@ class ParquetSink(Sink):
         untouched partition directory forward from v."""
         src = os.path.join(self._dir(db, table), f"v{v}")
         dst = os.path.join(self._dir(db, table), f"v{v + 1}")
+        self._occ_guard(db, table, v + 1)
         self._to_physical(
             db, table, self._layout(rewritten)
         ).write.mode("overwrite").partitionBy(
@@ -698,6 +702,7 @@ class ParquetSink(Sink):
             v = self._latest_version(db, table)
             src = os.path.join(self._dir(db, table), f"v{v}")
             dst = os.path.join(self._dir(db, table), f"v{v + 1}")
+            self._occ_guard(db, table, v + 1)
             old_seg = f"/{db}/{table}/v{v}/"
             new_seg = f"/{db}/{table}/v{v + 1}/"
 
@@ -898,6 +903,7 @@ class ParquetSink(Sink):
         the indexes rebuild without masked-row false positives.  Run
         when the masked fraction or sidecar size crosses the
         deployment's read-amplification budget."""
+        self._occ_begin(db, table)
         state = self.read_table(
             self.spark, db, table, include_tombstones=True
         )
@@ -941,6 +947,7 @@ class ParquetSink(Sink):
         are rewritten (a no-op — not even a new version — when there
         are none), the rest are hard-linked forward.
         """
+        self._occ_begin(db, table)
         cur = self.read_table(self.spark, db, table, include_tombstones=True)
         if cur is None or "op" not in cur.columns:
             return
@@ -977,47 +984,93 @@ class ParquetSink(Sink):
                 return
         self._commit(db, table, cur.where(~expired))
 
-    def _occ_claim(self, db: str, table: str) -> None:
-        """Reserve the next version number (occ mode only): atomic
-        ``os.mkdir`` of the version directory BEFORE any state read —
-        claiming first closes the read-modify-write window where a
-        competitor's commit between our read and our flip would be
-        silently overwritten.  Exactly one of N racing writers wins
-        the mkdir; losers raise :class:`CommitConflictError`."""
+    def _occ_begin(self, db: str, table: str) -> None:
+        """Record the base version this operation reads its state from
+        (occ mode only).  The matching :meth:`_occ_guard` at the commit
+        choke point verifies the base has not moved — the read-set
+        check of optimistic concurrency.  Runs BEFORE validation, so a
+        rejected batch claims nothing."""
+        if self.occ:
+            self._occ_base[(db, table)] = self._latest_version(db, table)
+
+    def _occ_guard(self, db: str, table: str, v: int) -> None:
+        """Commit-time OCC check (occ mode only), called by every
+        version-committing choke point (_commit, _commit_pruned,
+        _apply_dv, _metadata_only_commit) with the version it is about
+        to write:
+
+        1. the base recorded by :meth:`_occ_begin` must still be the
+           published latest (a competitor published meanwhile → this
+           operation's merge used a stale base → conflict);
+        2. atomically create the ``_CLAIM_v<N>`` marker FILE
+           (O_CREAT|O_EXCL — exactly one of N racing writers wins;
+           a marker file, not the version dir itself, because Spark's
+           overwrite write deletes and recreates the directory, which
+           would momentarily un-claim it).
+
+        The marker is removed by the flip; markers orphaned by a
+        writer crash are freed by :meth:`clear_orphans`."""
         if not self.occ:
             return
         d = self._dir(db, table)
         os.makedirs(d, exist_ok=True)
-        nxt = (self._latest_version(db, table) or 0) + 1
+        missing = object()
+        expected = self._occ_base.pop((db, table), missing)
+        cur = self._latest_version(db, table)
+        if expected is not missing and cur != expected:
+            raise CommitConflictError(
+                f"{db}.{table}: base version moved "
+                f"{expected} -> {cur} during this operation — a "
+                "concurrent writer published; re-read state and retry"
+            )
+        if cur is not None and cur >= v:
+            raise CommitConflictError(
+                f"{db}.{table}: v{v} is already published "
+                f"(latest={cur}) — re-read state and retry"
+            )
         try:
-            os.mkdir(os.path.join(d, f"v{nxt}"))
+            fd = os.open(
+                os.path.join(d, f"_CLAIM_v{v}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
         except FileExistsError:
             raise CommitConflictError(
-                f"{db}.{table}: version v{nxt} already claimed or "
-                "published by a concurrent writer — re-read state and "
-                "retry the operation (clear_orphans() if the claimant "
-                "crashed)"
+                f"{db}.{table}: version v{v} already claimed by a "
+                "concurrent writer — re-read state and retry "
+                "(clear_orphans() if the claimant crashed)"
             ) from None
 
     def clear_orphans(self, db: str, table: str) -> list[int]:
-        """Remove version directories ABOVE the published ``_LATEST``
-        pointer — claims abandoned by crashed writers (occ mode) or
-        partial commits interrupted before their flip.  The caller
-        guarantees no writer is live (the FSCK contract); published
-        state is untouched by construction, since orphans are exactly
-        the never-flipped versions no reader can reach."""
+        """Remove version directories AND claim markers above the
+        published ``_LATEST`` pointer — commits/claims abandoned by
+        crashed writers.  The caller guarantees no writer is live (the
+        FSCK contract); published state is untouched by construction,
+        since orphans are exactly the never-flipped versions no reader
+        can reach."""
         latest = self._latest_version(db, table) or 0
+        d = self._dir(db, table)
         orphans = sorted(
             v for v in self.versions(db, table) if v > latest
         )
-        d = self._dir(db, table)
         for v in orphans:
             shutil.rmtree(os.path.join(d, f"v{v}"), ignore_errors=True)
-        return orphans
+        stale = []
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("_CLAIM_v"):
+                    try:
+                        cv = int(name[len("_CLAIM_v"):])
+                    except ValueError:
+                        continue
+                    if cv > latest:
+                        os.remove(os.path.join(d, name))
+                        stale.append(cv)
+        return sorted(set(orphans) | set(stale))
 
     def overwrite(self, db: str, table: str, state: DataFrame) -> None:
         """Direct snapshot write (initial loads / oracle comparisons)."""
-        self._occ_claim(db, table)
+        self._occ_begin(db, table)
         state = self._validate_batch(state, f"overwrite of {db}.{table}")
         self._commit(db, table, state)
 
@@ -1059,6 +1112,7 @@ class ParquetSink(Sink):
         snapshot).  Refuses to run inside a :meth:`transaction` (the
         report would read deferred state).
         """
+        self._occ_begin(db, table)
         if self._deferred_flips is not None:
             # the report reads _LATEST, which a transaction defers —
             # and table maintenance has no business inside a batch txn
@@ -1230,6 +1284,7 @@ class ParquetSink(Sink):
         handful of commits.  The Bloom index (if configured) is
         rebuilt for the new snapshot; the empty column list reverts
         the table to unpartitioned."""
+        self._occ_begin(db, table)
         cur = self.read_table(self.spark, db, table, include_tombstones=True)
         if cur is None:
             raise ValueError(f"{db}.{table} does not exist")
@@ -1269,6 +1324,7 @@ class ParquetSink(Sink):
         into directory layouts, sidecar names and changeset contracts,
         where a metadata rename cannot reach.
         """
+        self._occ_begin(db, table)
         v = self._latest_version(db, table)
         if v is None:
             raise ValueError(f"{db}.{table} does not exist")
@@ -1338,6 +1394,7 @@ class ParquetSink(Sink):
         if src_v is None:
             src_v = cur
         new_v = cur + 1
+        self._occ_guard(db, table, new_v)
         src = os.path.join(self._dir(db, table), f"v{src_v}")
         dst = os.path.join(self._dir(db, table), f"v{new_v}")
         if os.path.isdir(dst):  # retry safety (see _apply_dv)
@@ -1411,6 +1468,7 @@ class ParquetSink(Sink):
         machinery), so re-adding a previously dropped name can never
         resurrect stale bytes from old files — the Delta column-mapping
         id story on plain parquet.  Returns the new version."""
+        self._occ_begin(db, table)
         from pyspark.sql.types import StructField, StructType
 
         v = self._latest_version(db, table)
@@ -1452,6 +1510,7 @@ class ParquetSink(Sink):
         wired into merge/layout contracts, CHECK constraints or
         generated-column expressions are refused.  Returns the new
         version."""
+        self._occ_begin(db, table)
         import re as _re
 
         from pyspark.sql.types import StructType
@@ -1507,6 +1566,7 @@ class ParquetSink(Sink):
         keep reporting the commit that actually wrote them.
         Restoring to the current version is a no-op (no new commit).
         Returns the current version after the call."""
+        self._occ_begin(db, table)
         cur = self._latest_version(db, table)
         if cur is None:
             raise ValueError(f"{db}.{table} does not exist")
@@ -1610,6 +1670,7 @@ class ParquetSink(Sink):
     def _commit(self, db: str, table: str, state: DataFrame) -> None:
         d = self._dir(db, table)
         v = (self._latest_version(db, table) or 0) + 1
+        self._occ_guard(db, table, v)
         path = os.path.join(d, f"v{v}")
         writer = (
             self._to_physical(db, table, self._layout(state))
@@ -2125,6 +2186,10 @@ class ParquetSink(Sink):
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(d, "_LATEST"))  # atomic pointer flip
+        # the published version's OCC claim marker is spent
+        claim = os.path.join(d, f"_CLAIM_v{v}")
+        if os.path.exists(claim):
+            os.remove(claim)
 
     # -- multi-table crash-atomic transactions ------------------------------
     def _txn_path(self) -> str:

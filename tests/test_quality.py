@@ -253,3 +253,18 @@ def test_winsorize_clamps_tails_only(spark):
 
     with _pytest.raises(ValueError, match="p must be"):
         winsorize(df, "user_id", "value", p=0.5)
+
+
+def test_winsorize_null_passthrough(spark):
+    """A NULL metric must stay NULL — Spark's greatest/least skip nulls,
+    so an unguarded clamp silently turns missing into the lower bound."""
+    from cdc_redshift_spark.operators.quality import winsorize
+
+    rows = [(i, 1, float(v)) for i, v in enumerate(range(1, 100))]
+    rows.append((1000, 1, None))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id int, value double"
+    )
+    out = {r.event_id: r for r in winsorize(df, "user_id", "value").collect()}
+    assert out[1000].value_w is None and out[1000].value is None
+    assert out[50].value_w is not None

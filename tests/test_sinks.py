@@ -1811,8 +1811,9 @@ def test_occ_conflict_retry_and_orphan_clear(spark, tmp_path):
     b = ParquetSink(spark, root, occ=True)
     a.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "x")]))
 
-    # writer B claimed v2 (simulated crash before flip) -> A conflicts
-    os.mkdir(os.path.join(root, "d", "t", "v2"))
+    # writer B claimed v2 (crashed before flip; claim MARKER survives)
+    # -> A conflicts instead of silently destroying B's claim
+    open(os.path.join(root, "d", "t", "_CLAIM_v2"), "w").close()
     with _pytest.raises(CommitConflictError, match="v2 already claimed"):
         a.apply_changeset("d", "t", chdf(spark, [("2", 100, 1, "insert", "y")]))
     # published state untouched, FSCK frees the number, retry lands
@@ -1820,6 +1821,27 @@ def test_occ_conflict_retry_and_orphan_clear(spark, tmp_path):
     assert a.clear_orphans("d", "t") == [2]
     a.apply_changeset("d", "t", chdf(spark, [("2", 100, 1, "insert", "y")]))
     assert a.read_table(spark, "d", "t").count() == 2
+
+    # stale-base detection: a competitor published between this op's
+    # state read and its commit -> guard raises instead of losing it
+    a._occ_base[("d", "t")] = 1  # op began when latest was 1
+    with _pytest.raises(CommitConflictError, match="base version moved"):
+        a._occ_guard("d", "t", 3)
+    assert ("d", "t") not in a._occ_base  # consumed either way
+
+    # a REJECTED batch must claim nothing: constraint violation, then
+    # the fixed batch commits without any clear_orphans
+    from cdc_redshift_spark.sinks.parquet_sink import ConstraintViolation
+
+    g = ParquetSink(
+        spark, str(tmp_path / "occg"), occ=True,
+        constraints={"ts_pos": "ts_ms > 0"},
+    )
+    g.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "x")]))
+    with _pytest.raises(ConstraintViolation):
+        g.apply_changeset("d", "t", chdf(spark, [("2", -5, 1, "insert", "y")]))
+    g.apply_changeset("d", "t", chdf(spark, [("2", 100, 1, "insert", "y")]))
+    assert g.read_table(spark, "d", "t").count() == 2
 
     # real race: both writers commit concurrently; conflicts retry from
     # fresh state — final table must hold BOTH updates, linear history
