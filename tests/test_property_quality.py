@@ -1,0 +1,143 @@
+"""Property-based invariants of the round-7 quality/layout operators.
+
+Each operator's CONTRACT is stated as a property over adversarial
+small inputs (ties, duplicates, constant groups, singleton groups)
+that example tests can't enumerate.  Spark round-trips are slow, so
+examples are capped and deadlines disabled — the value is the shapes.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small domains make ties/duplicates/constant groups common
+value_rows = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),                       # key
+        st.integers(min_value=-5, max_value=5),        # value (small: ties)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)],
+        "event_id long, user_id int, value double",
+    )
+
+
+@given(rows=value_rows)
+@_SETTINGS
+def test_winsorize_bounds_and_row_preservation(spark, rows):
+    """winsorize never drops/adds rows, every clamped value lies in
+    [lo, hi], and interior values are untouched."""
+    from cdc_redshift_spark.operators.quality import winsorize
+
+    out = winsorize(_df(spark, rows), "user_id", "value", p=0.1).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.lo <= r.value_w <= r.hi
+        if r.lo < r.value < r.hi:
+            assert r.value_w == round(r.value, 6)
+
+
+@given(rows=value_rows)
+@_SETTINGS
+def test_robust_outliers_subset_and_guards(spark, rows):
+    """Flagged rows are a subset of the input; groups under min_group
+    or with MAD=0 never flag; every flagged row truly violates the
+    Hampel bound recomputed in plain Python."""
+    import statistics
+
+    from cdc_redshift_spark.operators.quality import robust_outliers
+
+    flagged = robust_outliers(
+        _df(spark, rows), "user_id", "value", k=1.0, min_group=4
+    ).collect()
+    by_key: dict = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(float(v))
+    ids = {(r.event_id) for r in flagged}
+    assert len(ids) == len(flagged)  # no duplicated rows
+    for r in flagged:
+        vals = by_key[r.user_id]
+        assert len(vals) >= 4
+        med = statistics.median(vals)
+        mad = statistics.median(sorted(abs(x - med) for x in vals))
+        assert mad > 0
+        assert abs(float(r.value) - med) > 1.0 * 1.4826 * mad
+
+
+@given(rows=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=2, max_size=40),
+       k=st.sampled_from([2, 4]))
+@_SETTINGS
+def test_equi_depth_partition_property(spark, rows, k):
+    """The histogram partitions ALL rows (counts sum to n), bins are
+    contiguous (consecutive lo/hi chain), and no bin exceeds the
+    pigeonhole bound for duplicated data: count(bin) <= n/k + max
+    single-value multiplicity."""
+    from cdc_redshift_spark.operators.layout import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rows)], "id long, v double"
+    )
+    hist = equi_depth_histogram(df, "v", k).collect()
+    assert sum(r.n for r in hist) == len(rows)
+    # contiguity holds between ADJACENT bin ids (GROUP BY emits only
+    # observed bins; duplicated data can leave interior bins empty)
+    for a, b in zip(hist, hist[1:]):
+        if b.bin == a.bin + 1:
+            assert a.hi == b.lo
+    from collections import Counter
+
+    max_mult = max(Counter(rows).values())
+    for r in hist:
+        assert r.n <= len(rows) / k + max_mult
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from([1, 2]),
+              st.integers(min_value=0, max_value=8),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=16))
+@_SETTINGS
+def test_session_transitions_count_identity(spark, rows):
+    """Σ transitions == Σ (session length - 1): every in-session
+    consecutive pair appears exactly once, none cross sessions."""
+    from cdc_redshift_spark.operators.temporal import session_transitions
+
+    m = 60 * 1_000_000_000
+    df = spark.createDataFrame(
+        [(i, k, t * m, ty) for i, (k, t, ty) in enumerate(rows)],
+        "event_id long, user_id long, ts_ns long, event_type string",
+    )
+    gap = 3 * m
+    got = session_transitions(df, gap_ns=gap).count()
+    # python mirror: sessionize per user by the same gap rule
+    by_key: dict = {}
+    for i, (k, t, ty) in enumerate(rows):
+        by_key.setdefault(k, []).append((t * m, i))
+    want = 0
+    for vals in by_key.values():
+        vals.sort()
+        prev = None
+        run = 0
+        for ts, _ in vals:
+            if prev is not None and ts - prev <= gap:
+                run += 1
+            else:
+                want += max(run, 0)
+                run = 0
+            prev = ts
+        want += run
+    assert got == want
