@@ -105,7 +105,11 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, SF_DIR).count()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for wname in ("dedup_minhash_lsh", "sim_lsh_topk"):
+        # dedup_simjoin: the PPJoin prefix/verify codegen is the
+        # heaviest JIT in the suite — measured 20 s cold vs 6.5 s
+        # after one tiny-SF run of the same plan shape (C2 compiles
+        # the generated class once; the shape is SF-independent)
+        for wname in ("dedup_minhash_lsh", "sim_lsh_topk", "dedup_simjoin"):
             force(qs[wname](spark, warm_sf))
 
     def settle() -> None:
