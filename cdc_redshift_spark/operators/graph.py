@@ -102,3 +102,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", "rank")
+
+
+def tree_roots(
+    edges: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Resolve every node of a FOREST to its root ancestor and depth —
+    the ``WITH RECURSIVE`` hierarchy walk (org charts, category trees,
+    bill-of-materials, reply threads) Spark SQL does not ship.
+
+    Spark-first formulation: POINTER DOUBLING (path doubling), the
+    textbook parallel-closure trick — state ``(id, ptr, d, done)``
+    where ``ptr`` is a known ancestor at distance ``d``; each round
+    joins the unresolved states against the full state on
+    ``ptr = state.id``, so the known-ancestor distance DOUBLES per
+    round: **O(log depth) self-joins** instead of the recursive CTE's
+    O(depth) frontier walk — at 100 TB a depth-1M chain resolves in
+    ~20 rounds, every round one equi-join hash-partitioned on the
+    node key (pre-bucket by ``id`` for co-located rounds).  Lineage
+    truncates per round (``localCheckpoint``, the pagerank/CC
+    discipline); the only driver state is the unresolved count.
+
+    Input: one row per node; ``parent_col`` NULL marks a root.
+    Returns ``(id, root, depth)`` for every node.  Raises on a cycle
+    (or depth > 2^max_rounds): unresolved rows survive every round.
+    """
+    st = (
+        edges.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(parent_col), F.col(id_col)).alias("ptr"),
+            F.when(F.col(parent_col).isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("d"),
+            F.col(parent_col).isNull().alias("done"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        if st.where(~F.col("done")).limit(1).count() == 0:
+            break
+        pending = st.where(~F.col("done"))
+        resolved = st.where(F.col("done"))
+        hop = pending.alias("a").join(
+            st.select(
+                F.col("id").alias("ptr"),
+                F.col("ptr").alias("nxt"),
+                F.col("d").alias("d2"),
+                F.col("done").alias("done2"),
+            ).alias("b"),
+            "ptr",
+        ).select(
+            F.col("a.id").alias("id"),
+            F.col("nxt").alias("ptr"),
+            (F.col("a.d") + F.col("d2")).alias("d"),
+            F.col("done2").alias("done"),
+        )
+        st = resolved.unionByName(hop).localCheckpoint(eager=False)
+    n = st.where(~F.col("done")).count()
+    if n:
+        raise ValueError(
+            f"tree_roots: {n} node(s) unresolved after {max_rounds} "
+            "doubling rounds — cycle in the parent graph, or depth "
+            f"beyond 2^{max_rounds}"
+        )
+    return st.select("id", F.col("ptr").alias("root"), F.col("d").alias("depth"))

@@ -84,10 +84,48 @@ ORDER BY rank_6dp DESC, id
     return sql
 
 
+def q_graph_tree_roots(spark, sf_dir):
+    """Recursive hierarchy resolution (operators/graph.tree_roots):
+    every customer resolves to its root ancestor and depth in the
+    synthetic decimal forest parent(k) = floor(k/10) (k >= 10; k < 10
+    are roots) — the ``WITH RECURSIVE`` walk Spark SQL lacks,
+    implemented as POINTER DOUBLING: O(log depth) self-joins instead
+    of O(depth) frontier rounds (a depth-1M chain is ~20 rounds at
+    100 TB).  The oracle IS DuckDB's recursive CTE, so the green row
+    certifies the doubling algebra against the real recursion."""
+    from cdc_redshift_spark.operators.graph import tree_roots
+    from cdc_redshift_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") >= 10, F.floor(F.col("c_custkey") / 10)
+        ).alias("parent"),
+    )
+    return tree_roots(edges).orderBy("id")
+
+
+ORACLE_TREE_ROOTS = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS id, c_custkey AS node, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT id, node // 10, depth + 1 FROM walk WHERE node >= 10
+)
+SELECT id, CAST(node AS BIGINT) AS root, depth
+FROM walk WHERE node < 10
+ORDER BY id
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
+    "graph_tree_roots": q_graph_tree_roots,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
+    "graph_tree_roots": ORACLE_TREE_ROOTS,
 }

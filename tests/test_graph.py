@@ -66,3 +66,35 @@ def test_pagerank_guards(spark):
     )
     got = _ranks(pagerank(e2, iterations=1))
     assert set(got) == {"a", "b"}
+
+
+def test_tree_roots_forest_and_cycle(spark):
+    """Pointer doubling resolves mixed-depth chains in O(log d) rounds
+    and refuses cycles loudly."""
+    import pytest as _pytest
+
+    from cdc_redshift_spark.operators.graph import tree_roots
+
+    # forest: 1 and 2 are roots; chain 1<-10<-20<-30<-40; 2<-11
+    rows = [
+        (1, None), (2, None),
+        (10, 1), (20, 10), (30, 20), (40, 30),
+        (11, 2),
+    ]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {r.id: (r.root, r.depth) for r in tree_roots(df).collect()}
+    assert got == {
+        1: (1, 0), 2: (2, 0),
+        10: (1, 1), 20: (1, 2), 30: (1, 3), 40: (1, 4),
+        11: (2, 1),
+    }
+    # a 4-deep chain must resolve within 3 doubling rounds (log2 4 = 2,
+    # +1 for the resolve hop): max_rounds=3 succeeds where a frontier
+    # walk would need 4
+    assert tree_roots(df, max_rounds=3).count() == 7
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (9, None)], "id long, parent long"
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        tree_roots(cyc, max_rounds=6)
