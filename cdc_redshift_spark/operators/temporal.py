@@ -317,3 +317,69 @@ def session_transitions(
             "path"
         ),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_ns: int = 3_600 * 1_000_000_000,
+) -> DataFrame:
+    """Per-(key, time-bucket) TIME-WEIGHTED average of a step signal —
+    the TWAP/time_weight aggregate of market-data and metrics TSDBs,
+    where a plain AVG over irregular observations over-weights bursts:
+    each observation holds its value until the NEXT observation of the
+    same key, clipped at its bucket's end (observations are not
+    carried across buckets — the per-bucket step-TWAP convention).
+
+    Exactness: weights are integer MICROSECONDS and values integer
+    CENTS (``round(value*100)``), so the weighted sum is exact 64-bit
+    integer math on both engines (ns → µs keeps cents×duration×
+    events/bucket safely under 2^63) and the only float op is the
+    final division — IEEE-identical cross-engine, the PARITY.md
+    exact-integer-cents discipline.
+
+    Scale shape: ONE window exchange on ``key_col`` (the lead), then
+    one (key, bucket) aggregation with map-side combine.  Zero-weight
+    ties (same-timestamp observations) contribute nothing, matching
+    the step-function reading.
+
+    Returns (key, bucket_us — bucket start in epoch micros —
+    twap, n_obs).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    # ALL time math in 64-bit integer ops (`-`, `pmod`, `div`): a
+    # float division of epoch-nanos (~1.7e18) has 256 ns ULP error —
+    # enough to desync the microsecond mirror
+    bucket_start = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_ns)))
+    nxt = F.lead(ts_col).over(w)
+    end = F.least(
+        F.coalesce(nxt, bucket_start + F.lit(bucket_ns)),
+        bucket_start + F.lit(bucket_ns),
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rows = df.select(
+        F.col(key_col),
+        bucket_start.alias("__bs"),
+        (end - F.col(ts_col)).alias("__dur_ns"),
+        cents.alias("__c"),
+    ).select(
+        F.col(key_col),
+        F.expr("__bs div 1000").alias("bucket_us"),
+        (F.col("__c") * F.expr("__dur_ns div 1000")).alias("__wv"),
+        F.expr("__dur_ns div 1000").alias("__w"),
+    )
+    return (
+        rows.groupBy(key_col, "bucket_us")
+        .agg(
+            F.round(
+                F.sum("__wv") / F.sum("__w") / F.lit(100.0), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .where(F.col("twap").isNotNull())
+    )

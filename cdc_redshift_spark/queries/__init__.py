@@ -78,7 +78,8 @@ _GATE_WINDOW = [
     # cdc_stream_ivf_index, events_pivot_types,
     # corpus_pretrain_manifest, dq_value_outliers,
     # layout_range_bounds, events_session_paths, sink_analyze_stats,
-    # sink_occ_commit, dq_value_winsorized, graph_tree_roots)
+    # sink_occ_commit, dq_value_winsorized, graph_tree_roots,
+    # events_twap)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

@@ -609,6 +609,45 @@ LIMIT {PATH_TOPK}
 """
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, hour) time-weighted average of the event value
+    (operators/temporal.time_weighted_avg): each observation holds
+    until the next one of the same user, clipped at the hour boundary
+    — the TWAP/time_weight aggregate a plain AVG gets wrong on
+    irregular observations.  ONE window exchange (the lead) + one
+    bucket aggregation; weights in exact integer microseconds, values
+    in exact integer cents, so the only float op is the final division
+    (IEEE-identical cross-engine)."""
+    from cdc_redshift_spark.operators.temporal import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev).orderBy("user_id", "bucket_us")
+
+
+ORACLE_TWAP = """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+         epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bs,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS nxt
+  FROM events
+), d AS (
+  SELECT user_id, bs,
+         (least(coalesce(nxt, bs + 3600000000000),
+                bs + 3600000000000) - ts_ns) // 1000 AS w,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM t
+)
+SELECT user_id, CAST(bs // 1000 AS BIGINT) AS bucket_us,
+       round(CAST(sum(c * w) AS BIGINT) / CAST(sum(w) AS BIGINT)
+             / 100.0, 6) AS twap,
+       CAST(count(*) AS BIGINT) AS n_obs
+FROM d
+GROUP BY user_id, bs
+ORDER BY user_id, bucket_us
+"""
+
+
 QUERIES = {
     "events_golden_profile": q_events_golden_profile,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -619,6 +658,7 @@ QUERIES = {
     "events_resample_interp": q_events_resample_interp,
     "events_user_sequences": q_events_user_sequences,
     "events_session_paths": q_events_session_paths,
+    "events_twap": q_events_twap,
 }
 
 ORACLES = {
@@ -631,4 +671,5 @@ ORACLES = {
     "events_resample_interp": ORACLE_RESAMPLE_INTERP,
     "events_user_sequences": ORACLE_USER_SEQ,
     "events_session_paths": ORACLE_SESSION_PATHS,
+    "events_twap": ORACLE_TWAP,
 }

@@ -353,3 +353,32 @@ def test_session_transitions_gap_and_pairing(spark):
         for r in session_transitions(df).collect()
     )
     assert got == [(1, 1, "a>b"), (1, 1, "b>c"), (2, 1, "x>y")]
+
+
+def test_time_weighted_avg_step_semantics(spark):
+    """TWAP weights by holding time: a value held 59 minutes dominates
+    one held 1 minute regardless of observation count; the last value
+    clips at the bucket end; same-ts ties get zero weight."""
+    from cdc_redshift_spark.operators.temporal import time_weighted_avg
+
+    m = 60 * 1_000_000_000
+    h = 60 * m
+    rows = [
+        # user 1, hour 0: 10.0 held 0:00-0:54, then 100.0 held 0:54-1:00
+        (1, 1, 0 * m, 10.0),
+        (2, 1, 54 * m, 100.0),
+        # user 2, hour 0: tie at t=0 (first gets 0 weight), then clip
+        (3, 2, 0 * m, 500.0),
+        (4, 2, 0 * m, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    got = {
+        (r.user_id, r.bucket_us): (r.twap, r.n_obs)
+        for r in time_weighted_avg(df).collect()
+    }
+    # user 1: (10*54 + 100*6)/60 = 19.0 — a plain AVG would say 55.0
+    assert got[(1, 0)] == (19.0, 2)
+    # user 2: 500 has zero hold; 20 holds the whole hour
+    assert got[(2, 0)] == (20.0, 2)
