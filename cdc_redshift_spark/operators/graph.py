@@ -126,10 +126,26 @@ def tree_roots(
     truncates per round (``localCheckpoint``, the pagerank/CC
     discipline); the only driver state is the unresolved count.
 
-    Input: one row per node; ``parent_col`` NULL marks a root.
-    Returns ``(id, root, depth)`` for every node.  Raises on a cycle
-    (or depth > 2^max_rounds): unresolved rows survive every round.
+    Input: EXACTLY one row per node; ``parent_col`` NULL marks a
+    root.  Returns ``(id, root, depth)`` for every node.  Raises
+    loudly on a cycle (or depth > 2^max_rounds — unresolved rows
+    survive every round), on a parent id with no node row (a dangling
+    reference would otherwise vanish from the inner self-join), and
+    on duplicate node ids (each duplicate would fan the self-join
+    out multiplicatively).
     """
+    dup = (
+        edges.groupBy(id_col)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"tree_roots: duplicate node id {dup[0][0]!r} — input must "
+            "have exactly one row per node"
+        )
     st = (
         edges.select(
             F.col(id_col).alias("id"),
@@ -155,13 +171,24 @@ def tree_roots(
                 F.col("done").alias("done2"),
             ).alias("b"),
             "ptr",
+            "left",
         ).select(
             F.col("a.id").alias("id"),
             F.col("nxt").alias("ptr"),
             (F.col("a.d") + F.col("d2")).alias("d"),
             F.col("done2").alias("done"),
+            F.col("nxt").isNull().alias("__dangling"),
         )
-        st = resolved.unionByName(hop).localCheckpoint(eager=False)
+        bad = hop.where(F.col("__dangling")).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"tree_roots: node {bad[0]['id']!r} points at a parent "
+                "with no node row — dangling reference (an inner join "
+                "would silently drop the node)"
+            )
+        st = resolved.unionByName(hop.drop("__dangling")).localCheckpoint(
+            eager=False
+        )
     n = st.where(~F.col("done")).count()
     if n:
         raise ValueError(

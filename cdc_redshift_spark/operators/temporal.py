@@ -347,9 +347,19 @@ def time_weighted_avg(
     the step-function reading.
 
     Returns (key, bucket_us — bucket start in epoch micros —
-    twap, n_obs).
+    twap, n_obs).  A group whose TOTAL hold time rounds to zero
+    microseconds (every observation in the bucket's last microsecond)
+    has no defined time-weighted value: its row is KEPT with
+    ``twap = NULL`` — identically in the SQL mirror (0/0 division) —
+    rather than silently dropped.
     """
     from pyspark.sql import Window
+
+    if bucket_ns <= 0:
+        raise ValueError(
+            f"bucket_ns must be a positive integer, got {bucket_ns} — "
+            "pmod(ts, 0) is NULL and would silently null every bucket"
+        )
 
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     # ALL time math in 64-bit integer ops (`-`, `pmod`, `div`): a
@@ -373,13 +383,11 @@ def time_weighted_avg(
         (F.col("__c") * F.expr("__dur_ns div 1000")).alias("__wv"),
         F.expr("__dur_ns div 1000").alias("__w"),
     )
-    return (
-        rows.groupBy(key_col, "bucket_us")
-        .agg(
-            F.round(
-                F.sum("__wv") / F.sum("__w") / F.lit(100.0), 6
-            ).alias("twap"),
-            F.count(F.lit(1)).alias("n_obs"),
-        )
-        .where(F.col("twap").isNotNull())
+    return rows.groupBy(key_col, "bucket_us").agg(
+        F.round(
+            # try_divide: a zero-total-weight group is NULL, not an
+            # ANSI DIVIDE_BY_ZERO error (DuckDB's 0/0 is NULL too)
+            F.try_divide(F.sum("__wv"), F.sum("__w")) / F.lit(100.0), 6
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_obs"),
     )

@@ -98,3 +98,20 @@ def test_tree_roots_forest_and_cycle(spark):
     )
     with _pytest.raises(ValueError, match="cycle"):
         tree_roots(cyc, max_rounds=6)
+
+
+def test_tree_roots_rejects_dangling_and_duplicates(spark):
+    import pytest as _pytest
+
+    from cdc_redshift_spark.operators.graph import tree_roots
+
+    dangling = spark.createDataFrame(
+        [(1, 99), (2, None)], "id long, parent long"
+    )
+    with _pytest.raises(ValueError, match="dangling"):
+        tree_roots(dangling)
+    dup = spark.createDataFrame(
+        [(1, None), (1, None), (2, 1)], "id long, parent long"
+    )
+    with _pytest.raises(ValueError, match="duplicate node id"):
+        tree_roots(dup)

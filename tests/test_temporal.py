@@ -382,3 +382,20 @@ def test_time_weighted_avg_step_semantics(spark):
     assert got[(1, 0)] == (19.0, 2)
     # user 2: 500 has zero hold; 20 holds the whole hour
     assert got[(2, 0)] == (20.0, 2)
+
+
+def test_time_weighted_avg_guards_and_zero_weight(spark):
+    import pytest as _pytest
+
+    from cdc_redshift_spark.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, 1, 3_600_000_000_000 - 500, 7.0)],
+        "event_id long, user_id long, ts_ns long, value double",
+    )
+    with _pytest.raises(ValueError, match="bucket_ns must be"):
+        time_weighted_avg(df, bucket_ns=0)
+    # sole observation inside the bucket's last microsecond: total hold
+    # rounds to 0 us — row KEPT with twap NULL, never silently dropped
+    rows = time_weighted_avg(df).collect()
+    assert len(rows) == 1 and rows[0].twap is None and rows[0].n_obs == 1
