@@ -125,3 +125,80 @@ def fuzzy_name_join(
         .where(F.col("dist") <= max_dist)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    bits_per_key: int = 18,
+    k_hashes: int = 5,
+    max_filter_mb: int = 64,
+) -> DataFrame:
+    """Pre-filter ``big`` to rows whose ``key`` MIGHT appear in
+    ``small``'s key set, using ONE Bloom bitmap evaluated inside the
+    big side's scan — the semi-join runtime-filter pattern for the
+    regime where the small side's key SET is too large to broadcast
+    as a hash relation but its Bloom (~``bits_per_key``/8 bytes per
+    key, 2.25 B/key at the default) is not.
+
+    NO FALSE NEGATIVES by construction (every present key set its
+    bits — same Kirsch–Mitzenmacher double hashing as the sink's file
+    index, ``operators/layout._bloom_h1_h2``); false positives pass
+    through, so ALWAYS follow with the exact join — the prefilter
+    only shrinks what reaches the shuffle.  Probe cost: ``k_hashes``
+    codegen ``element_at``/bitwise ops per row, ZERO shuffle, ZERO
+    join — the bitmap rides the task binary as an array literal.
+
+    The bitmap is built with one distinct+aggregate over ``small``
+    and collected to the driver as m/64 longs — bounded by
+    ``max_filter_mb`` (a guard, not a knob to raise blindly: past
+    ~64 MB the task-binary broadcast wins you nothing over a plain
+    broadcast hash join of the keys themselves).
+    """
+    from cdc_redshift_spark.operators.layout import _bloom_h1_h2
+
+    keys = small.select(F.col(key).cast("string").alias("__k")).distinct()
+    n = keys.count()
+    if n == 0:
+        return big.where(F.lit(False))
+    m_bits = max(((n * bits_per_key + 63) // 64) * 64, 16384)
+    if m_bits > max_filter_mb * 8 * 1024 * 1024:
+        raise ValueError(
+            f"bloom_prefilter: {n} keys need a {m_bits // 8 // 1024 // 1024}"
+            f" MB filter (> max_filter_mb={max_filter_mb}) — at that size"
+            " broadcast the keys as a hash relation instead"
+        )
+    h1, h2 = _bloom_h1_h2(F.col("__k"))
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+    )
+    rows = (
+        keys.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("widx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["widx"]] = r["word"]
+    arr = F.lit(words)
+    bh1, bh2 = _bloom_h1_h2(F.col(key).cast("string"))
+    probed = big.where(F.col(key).isNotNull())
+    cond = F.lit(True)
+    pos_cols = []
+    for i in range(k_hashes):
+        c = f"__bloom_pos_{i}"
+        pos_cols.append(c)
+        probed = probed.withColumn(
+            c, F.pmod(bh1 + F.lit(i).cast("long") * bh2, F.lit(m_bits))
+        )
+        word = F.element_at(arr, (F.col(c) / 64).cast("int") + 1)
+        bit = F.expr(f"shiftleft(1L, cast({c} % 64 as int))")
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return probed.where(cond).drop(*pos_cols)

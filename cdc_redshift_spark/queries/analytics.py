@@ -1342,6 +1342,60 @@ ORDER BY user_id
 """
 
 
+def q_orders_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/joins.bloom_prefilter):
+    lineitem revenue restricted to URGENT 1996-H2 orders, where the
+    fact side is first shrunk by a broadcast Bloom BITMAP evaluated
+    inside its scan (k codegen probes per row, zero shuffle, zero
+    join) and only the survivors reach the exact semi join — the
+    runtime-filter pattern for a dimension whose key SET outgrows a
+    broadcast hash relation (~2.25 B/key as bits vs 8+ B/key as a
+    relation).  No false negatives by construction; false positives
+    die in the exact join — which is exactly what the plain semi-join
+    oracle certifies.  Money rides as exact integer cents."""
+    from cdc_redshift_spark.operators.joins import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    pre = bloom_prefilter(
+        li.withColumnRenamed("l_orderkey", "k"), orders.select(
+            F.col("o_orderkey").alias("k")
+        ), "k",
+    )
+    hits = pre.join(
+        orders.select(F.col("o_orderkey").alias("k")).distinct(),
+        "k",
+        "left_semi",
+    )
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("cents_revenue"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_BLOOM_SEMI = """
+WITH o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS cents_revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "events_pivot_types": q_events_pivot_types,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1359,6 +1413,7 @@ QUERIES = {
     "cube_sales": q_cube_sales,
     "events_props_extract": q_events_props_extract,
     "salted_join_orders": q_salted_join_orders,
+    "orders_bloom_semi_revenue": q_orders_bloom_semi_revenue,
     "events_funnel_ordered": q_events_funnel_ordered,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_revenue": q10_returned_revenue,
@@ -1394,6 +1449,7 @@ ORACLES = {
     "cube_sales": ORACLE_CUBE,
     "events_props_extract": ORACLE_PROPS,
     "salted_join_orders": ORACLE_SALTED,
+    "orders_bloom_semi_revenue": ORACLE_BLOOM_SEMI,
     "events_funnel_ordered": ORACLE_FUNNEL_ORDERED,
     "q7_nation_volume": ORACLE_Q7,
     "q10_returned_revenue": ORACLE_Q10,

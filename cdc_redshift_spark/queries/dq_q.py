@@ -275,12 +275,47 @@ ORDER BY event_id
 """
 
 
+def q_dq_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 per event type — the SLA report shape every
+    metrics pipeline ships.  ONE aggregation pass (exact interpolated
+    `percentile` with an array of ps — no window, no sort); the
+    DDSketch variant (`sketch_price_quantiles`) is the
+    unbounded-cardinality complement, this is the exact one the
+    certified percentile≡quantile_cont parity makes mirrorable."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile(
+        F.col("value"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.element_at(pct, 1), 6).alias("p50"),
+            F.round(F.element_at(pct, 2), 6).alias("p95"),
+            F.round(F.element_at(pct, 3), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_LATENCY_PCT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": q_events_heavy_hitters,
     "dq_orders_suite": q_dq_orders_suite,
     "dq_events_skew": q_dq_events_skew,
     "dq_value_outliers": q_dq_value_outliers,
     "dq_value_winsorized": q_dq_value_winsorized,
+    "dq_latency_percentiles": q_dq_latency_percentiles,
 }
 ORACLES = {
     "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
@@ -288,4 +323,5 @@ ORACLES = {
     "dq_events_skew": ORACLE_DQ_SKEW,
     "dq_value_outliers": ORACLE_VALUE_OUTLIERS,
     "dq_value_winsorized": ORACLE_VALUE_WINSORIZED,
+    "dq_latency_percentiles": ORACLE_LATENCY_PCT,
 }

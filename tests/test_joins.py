@@ -61,3 +61,31 @@ def test_salt_actually_spreads(spark, fact, dim):
     )
     n = f.filter(F.col("k") == 1).select("__salt").distinct().count()
     assert n > 1
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every big-side row whose key IS in the small set must survive
+    the prefilter (no false negatives); the survivor count is bounded
+    below by the true matches and the exact-join sandwich returns
+    exactly the true semi-join result."""
+    from cdc_redshift_spark.operators.joins import bloom_prefilter
+
+    big = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    small = spark.range(0, 20_000, 7).withColumnRenamed("id", "k")  # ~2.9k
+    pre = bloom_prefilter(big, small, "k")
+    n_true = 20_000 // 7 + 1
+    survivors = pre.count()
+    assert survivors >= n_true
+    exact = pre.join(small.distinct(), "k", "left_semi").count()
+    assert exact == n_true
+    # FP rate at 18 bits/key, k=5 should be well under 5%
+    assert survivors - n_true < 0.05 * 20_000
+
+    # empty small side -> empty prefilter, never a crash
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    assert bloom_prefilter(big, empty, "k").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_filter_mb"):
+        bloom_prefilter(big, small, "k", max_filter_mb=0)
