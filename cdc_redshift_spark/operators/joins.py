@@ -158,32 +158,54 @@ def bloom_prefilter(
     """
     from cdc_redshift_spark.operators.layout import _bloom_h1_h2
 
-    keys = small.select(F.col(key).cast("string").alias("__k")).distinct()
-    n = keys.count()
-    if n == 0:
-        return big.where(F.lit(False))
-    m_bits = max(((n * bits_per_key + 63) // 64) * 64, 16384)
-    if m_bits > max_filter_mb * 8 * 1024 * 1024:
+    if not (1 <= k_hashes <= 8):
+        # h1 + i*h2 with two 60-bit hashes exceeds Long.MAX from i=8
+        # (ANSI mode turns that into a data-dependent overflow error)
+        raise ValueError(f"k_hashes must be in [1, 8], got {k_hashes}")
+    bt, st_ = dict(big.dtypes).get(key), dict(small.dtypes).get(key)
+    if bt != st_:
+        # different types can string-cast differently (5 vs "5.00") —
+        # hashes then disagree and a TRUE match is silently dropped,
+        # breaking the no-false-negative contract
         raise ValueError(
-            f"bloom_prefilter: {n} keys need a {m_bits // 8 // 1024 // 1024}"
-            f" MB filter (> max_filter_mb={max_filter_mb}) — at that size"
-            " broadcast the keys as a hash relation instead"
+            f"bloom_prefilter: key {key!r} types differ — big={bt!r}, "
+            f"small={st_!r}; cast both sides to one type first"
         )
-    h1, h2 = _bloom_h1_h2(F.col("__k"))
-    positions = F.transform(
-        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
-        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+    keys = (
+        small.select(F.col(key).cast("string").alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+        .persist()  # count + bitmap build read it once, not twice
     )
-    rows = (
-        keys.select(F.explode(positions).alias("pos"))
-        .select(
-            (F.col("pos") / 64).cast("int").alias("widx"),
-            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+    try:
+        n = keys.count()
+        if n == 0:
+            return big.where(F.lit(False))
+        m_bits = max(((n * bits_per_key + 63) // 64) * 64, 16384)
+        if m_bits > max_filter_mb * 8 * 1024 * 1024:
+            raise ValueError(
+                f"bloom_prefilter: {n} keys need a "
+                f"{m_bits // 8 // 1024} KB filter "
+                f"(> max_filter_mb={max_filter_mb}) — at that size "
+                "broadcast the keys as a hash relation instead"
+            )
+        h1, h2 = _bloom_h1_h2(F.col("__k"))
+        positions = F.transform(
+            F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+            lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
         )
-        .groupBy("widx")
-        .agg(F.bit_or("bit").alias("word"))
-        .collect()
-    )
+        rows = (
+            keys.select(F.explode(positions).alias("pos"))
+            .select(
+                (F.col("pos") / 64).cast("int").alias("widx"),
+                F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+            )
+            .groupBy("widx")
+            .agg(F.bit_or("bit").alias("word"))
+            .collect()
+        )
+    finally:
+        keys.unpersist()
     words = [0] * (m_bits // 64)
     for r in rows:
         words[r["widx"]] = r["word"]

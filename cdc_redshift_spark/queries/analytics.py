@@ -1366,10 +1366,10 @@ def q_orders_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("k")
         ), "k",
     )
+    # no .distinct() on the build side: left_semi is insensitive to
+    # right-side duplicates, and the dedup would add an exchange
     hits = pre.join(
-        orders.select(F.col("o_orderkey").alias("k")).distinct(),
-        "k",
-        "left_semi",
+        orders.select(F.col("o_orderkey").alias("k")), "k", "left_semi"
     )
     return hits.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),

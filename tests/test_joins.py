@@ -85,7 +85,22 @@ def test_bloom_prefilter_no_false_negatives(spark):
     empty = spark.range(0).withColumnRenamed("id", "k")
     assert bloom_prefilter(big, empty, "k").count() == 0
 
-    import pytest as _pytest
+    # NULL keys on the build side are ignored (not a driver crash)
+    from pyspark.sql import functions as F
 
-    with _pytest.raises(ValueError, match="max_filter_mb"):
+    with_null = small.select(
+        F.when(F.col("k") == 0, None).otherwise(F.col("k")).alias("k")
+    )
+    pre2 = bloom_prefilter(big, with_null, "k")
+    assert pre2.where(F.col("k") % 7 == 0).count() >= n_true - 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_filter_mb"):
         bloom_prefilter(big, small, "k", max_filter_mb=0)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_prefilter(big, small, "k", k_hashes=9)
+    with pytest.raises(ValueError, match="types differ"):
+        bloom_prefilter(
+            big, small.select(F.col("k").cast("int").alias("k")), "k"
+        )
