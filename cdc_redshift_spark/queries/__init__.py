@@ -79,7 +79,8 @@ _GATE_WINDOW = [
     # corpus_pretrain_manifest, dq_value_outliers,
     # layout_range_bounds, events_session_paths, sink_analyze_stats,
     # sink_occ_commit, dq_value_winsorized, graph_tree_roots,
-    # events_twap, dq_latency_percentiles, orders_bloom_semi_revenue)
+    # events_twap, dq_latency_percentiles, orders_bloom_semi_revenue,
+    # cdc_bi_capstone)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

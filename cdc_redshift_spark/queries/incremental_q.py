@@ -744,26 +744,14 @@ ORDER BY user_id, valid_from_us
 """
 
 
-def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical SCD2 consumer: enrich a fact stream with the
-    dimension version ACTIVE AT EACH FACT'S EVENT TIME — history from
-    scd2_history, lookup via the zero-join-node as-of machinery
-    (operators/temporal.asof_join: union + ONE per-key window, no
-    join operator), then the containment check (facts after a delete
-    get NULLs, left-outer semantics).  The oracle is the literal
-    interval-containment LEFT JOIN, so a green row proves the
-    window-carry plan implements point-in-time join semantics
-    exactly.  Exact epoch-micros arithmetic throughout."""
+def _scd2_asof_enrich(hist_raw: DataFrame, facts: DataFrame) -> DataFrame:
+    """Shared SCD2 point-in-time enrichment: dimension history (raw
+    scd2_history output) looked up per fact via the zero-join-node
+    as-of machinery + containment check.  ONE definition used by both
+    the standalone gate and the capstone, so the two cannot drift."""
     from cdc_redshift_spark.operators.temporal import asof_join
 
-    ch = _events_change_stream(spark, sf_dir)
-    hist = scd2_history(
-        ch,
-        keys=["user_id"],
-        ts_col="ts",
-        attrs=["event_type", "value"],
-        tiebreak=["event_id"],
-    ).select(
+    hist = hist_raw.select(
         "user_id",
         F.col("event_type").alias("d_type"),
         F.col("value").alias("d_value"),
@@ -771,18 +759,9 @@ def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("valid_to").cast("timestamp")).alias("vt_us"),
     ).withColumn(
         # tiebreak among versions sharing (user_id, vf_us): only the
-        # ENDURING one (max valid_to, open = +inf) can contain ts —
-        # a zero-length sibling would null the enrichment while the
-        # oracle's interval join deterministically matches the
-        # enduring version
+        # ENDURING one (max valid_to, open = +inf) can contain ts
         "__tb",
         F.coalesce(F.col("vt_us"), F.lit(1 << 62).cast("long")),
-    )
-    ev = load_table(spark, sf_dir, "events")
-    facts = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
-        "event_id",
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
     j = asof_join(
         facts,
@@ -797,12 +776,37 @@ def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vt_us_m").isNull() | (F.col("ts_us") < F.col("vt_us_m"))
     )
     return j.select(
-        "event_id",
-        "user_id",
-        "ts_us",
+        *facts.columns,
         F.when(active, F.col("d_type_m")).alias("d_type"),
         F.when(active, F.col("d_value_m")).alias("d_value"),
-    ).orderBy("event_id")
+    )
+
+
+def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SCD2 consumer: enrich a fact stream with the
+    dimension version ACTIVE AT EACH FACT'S EVENT TIME — history from
+    scd2_history, lookup via the zero-join-node as-of machinery
+    (operators/temporal.asof_join: union + ONE per-key window, no
+    join operator), then the containment check (facts after a delete
+    get NULLs, left-outer semantics).  The oracle is the literal
+    interval-containment LEFT JOIN, so a green row proves the
+    window-carry plan implements point-in-time join semantics
+    exactly.  Exact epoch-micros arithmetic throughout."""
+    ch = _events_change_stream(spark, sf_dir)
+    hist = scd2_history(
+        ch,
+        keys=["user_id"],
+        ts_col="ts",
+        attrs=["event_type", "value"],
+        tiebreak=["event_id"],
+    )
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return _scd2_asof_enrich(hist, facts).orderBy("event_id")
 
 
 ORACLE_SCD2_ASOF = """
@@ -1171,7 +1175,97 @@ ORDER BY join_name
 """
 
 
+def q_cdc_bi_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANALYTICS capstone — the warehouse-side sibling of
+    `corpus_pretrain_manifest`: a CDC change stream drives the
+    STREAMING SCD2 maintainer in two batches (replay no-op exercised
+    in-query), the maintained on-disk history point-in-time-enriches
+    a fact slice via the shared zero-join-node as-of machinery
+    (`_scd2_asof_enrich` — the SAME code the standalone gate
+    certifies), and the enriched facts roll up to a per-dimension
+    report.  The oracle composes the SAME mirror fragments
+    (SCD2 CTE + interval LEFT JOIN + GROUP BY), so the green row
+    certifies CROSS-LAYER COMPOSITION: streaming maintenance x
+    temporal lookup x aggregation — what a BI deployment actually
+    runs.  Money rides as exact integer cents; facts landing after
+    their key's delete group under the NULL dimension."""
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.streaming.scd2 import Scd2Maintainer
+
+    ch = _events_change_stream(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="bi_capstone_")
+    try:
+        m = Scd2Maintainer(
+            spark,
+            root,
+            keys=["user_id"],
+            ts_col="ts",
+            attrs=["event_type", "value"],
+            tiebreak=["event_id"],
+        )
+        m.update(ch.where(F.col("ts") < cut), 0)
+        if m.update(ch.where(F.col("ts") < cut), 0):  # replay no-op
+            raise RuntimeError("replayed batch must not re-apply")
+        m.update(ch.where(F.col("ts") >= cut), 1)
+        hist = m.current()
+        ev = load_table(spark, sf_dir, "events")
+        facts = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        out = (
+            _scd2_asof_enrich(hist, facts)
+            .groupBy("d_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_facts"),
+                F.sum("cents").alias("cents_total"),
+            )
+            .orderBy("d_type")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_BI_CAPSTONE = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'update' END AS op
+  FROM events
+), w AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM ch
+), hist AS (
+  SELECT user_id, event_type AS d_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS vf_us,
+         epoch_us(CAST(vt AS TIMESTAMP)) AS vt_us
+  FROM w WHERE op <> 'delete'
+), facts AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_id % 3 = 1
+), e AS (
+  SELECT f.cents, h.d_type
+  FROM facts f
+  LEFT JOIN hist h
+    ON h.user_id = f.user_id
+   AND h.vf_us <= f.ts_us
+   AND (h.vt_us IS NULL OR f.ts_us < h.vt_us)
+)
+SELECT d_type, CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(sum(cents) AS BIGINT) AS cents_total
+FROM e GROUP BY d_type ORDER BY d_type
+"""
+
+
 QUERIES = {
+    "cdc_bi_capstone": q_cdc_bi_capstone,
     "sketch_join_size": q_sketch_join_size,
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_cm_tokens": q_sketch_cm_tokens,
@@ -1191,6 +1285,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_bi_capstone": ORACLE_BI_CAPSTONE,
     "sketch_join_size": _oracle_join_size(),
     "sketch_cm_tokens": _oracle_cm_tokens(),
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
