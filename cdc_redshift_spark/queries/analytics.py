@@ -1396,6 +1396,76 @@ ORDER BY l_returnflag
 """
 
 
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (Recency / Frequency / Monetary) customer segmentation —
+    the classic lifecycle-marketing report: per user, days since last
+    event (vs the corpus max ts, so the query is deterministic),
+    event count, and total value in exact cents; each metric then
+    quartile-scored with ntile(4) over a DETERMINISTIC total order
+    (metric + user_id tiebreak — ntile is only cross-engine-stable
+    under a total order) and concatenated into the familiar "RFM"
+    segment code.  Plan: one aggregation over events, then three
+    ntile windows over the per-user frame (users << events) sharing
+    one global sort each — the heavy table is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_ns").alias("last_ns"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    maxns = per_user.agg(F.max("last_ns").alias("m"))
+    base = per_user.crossJoin(F.broadcast(maxns)).select(
+        "user_id",
+        F.expr("(m - last_ns) div 86400000000000").alias("recency_days"),
+        "freq",
+        "cents",
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    )
+    f = F.ntile(4).over(
+        Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "cents",
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("rfm"),
+    ).orderBy("user_id")
+
+
+ORACLE_RFM = """
+WITH pu AS (
+  SELECT user_id, max(epoch_ns(ts)) AS last_ns,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY user_id
+), mx AS (SELECT max(last_ns) AS m FROM pu),
+base AS (
+  SELECT user_id, (m - last_ns) // 86400000000000 AS recency_days,
+         freq, cents
+  FROM pu, mx
+)
+SELECT user_id, recency_days, freq, cents,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+            AS VARCHAR)
+       || CAST(ntile(4) OVER (ORDER BY freq DESC, user_id ASC) AS VARCHAR)
+       || CAST(ntile(4) OVER (ORDER BY cents DESC, user_id ASC) AS VARCHAR)
+         AS rfm
+FROM base
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_pivot_types": q_events_pivot_types,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1414,6 +1484,7 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "salted_join_orders": q_salted_join_orders,
     "orders_bloom_semi_revenue": q_orders_bloom_semi_revenue,
+    "events_rfm_segments": q_events_rfm_segments,
     "events_funnel_ordered": q_events_funnel_ordered,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_revenue": q10_returned_revenue,
@@ -1450,6 +1521,7 @@ ORACLES = {
     "events_props_extract": ORACLE_PROPS,
     "salted_join_orders": ORACLE_SALTED,
     "orders_bloom_semi_revenue": ORACLE_BLOOM_SEMI,
+    "events_rfm_segments": ORACLE_RFM,
     "events_funnel_ordered": ORACLE_FUNNEL_ORDERED,
     "q7_nation_volume": ORACLE_Q7,
     "q10_returned_revenue": ORACLE_Q10,
