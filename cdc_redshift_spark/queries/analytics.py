@@ -1408,8 +1408,6 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile windows over the per-user frame (users << events) sharing
     one global sort each — the heavy table is touched once."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
     per_user = ev.groupBy("user_id").agg(
         F.max("ts_ns").alias("last_ns"),
         F.count(F.lit(1)).alias("freq"),

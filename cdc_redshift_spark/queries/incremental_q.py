@@ -591,13 +591,7 @@ def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`glue_pg_redshift_cdc.py:178-191` keeps just the latest image).
     ONE window shuffle; intervals surface as exact epoch micros."""
     ch = _events_change_stream(spark, sf_dir)
-    hist = scd2_history(
-        ch,
-        keys=["user_id"],
-        ts_col="ts",
-        attrs=["event_type", "value"],
-        tiebreak=["event_id"],
-    )
+    hist = scd2_history(ch, **SCD2_KW)
     return _scd2_out(hist)
 
 
@@ -611,13 +605,8 @@ def q_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     real data (the batch-split invariance a streaming dimension
     pipeline relies on)."""
     ch = _events_change_stream(spark, sf_dir)
-    cut = F.lit("2024-01-16").cast("timestamp_ntz")
-    kw = dict(
-        keys=["user_id"],
-        ts_col="ts",
-        attrs=["event_type", "value"],
-        tiebreak=["event_id"],
-    )
+    cut = F.lit(SCD2_CUT).cast("timestamp_ntz")
+    kw = SCD2_KW
     hist1 = scd2_history(ch.where(F.col("ts") < cut), **kw)
     hist = scd2_apply(hist1, ch.where(F.col("ts") >= cut), **kw)
     return _scd2_out(hist)
@@ -639,17 +628,10 @@ def q_scd2_stream_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_redshift_spark.streaming.scd2 import Scd2Maintainer
 
     ch = _events_change_stream(spark, sf_dir)
-    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    cut = F.lit(SCD2_CUT).cast("timestamp_ntz")
     root = tempfile.mkdtemp(prefix="scd2_stream_")
     try:
-        m = Scd2Maintainer(
-            spark,
-            root,
-            keys=["user_id"],
-            ts_col="ts",
-            attrs=["event_type", "value"],
-            tiebreak=["event_id"],
-        )
+        m = Scd2Maintainer(spark, root, **SCD2_KW)
         b0 = ch.where(F.col("ts") < cut)
         b1 = ch.where(F.col("ts") >= cut)
         applied0 = m.update(b0, 0)
@@ -695,12 +677,7 @@ def q_scd2_late_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ch = _events_change_stream(spark, sf_dir)
-    kw = dict(
-        keys=["user_id"],
-        ts_col="ts",
-        attrs=["event_type", "value"],
-        tiebreak=["event_id"],
-    )
+    kw = SCD2_KW
     delayed = F.pmod(F.col("event_id"), F.lit(5)) == 3
     hist0 = scd2_history(ch.where(~delayed), **kw)
     late_batch = ch.where(delayed)
@@ -742,6 +719,30 @@ FROM w
 WHERE op <> 'delete'
 ORDER BY user_id, valid_from_us
 """
+
+
+#: ONE definition of the SCD2 dimension config and the fact slice,
+#: shared by the standalone gates AND the capstone so the composition
+#: the capstone certifies cannot silently drift from the pieces.
+SCD2_KW = dict(
+    keys=["user_id"],
+    ts_col="ts",
+    attrs=["event_type", "value"],
+    tiebreak=["event_id"],
+)
+SCD2_CUT = "2024-01-16"
+
+
+def _fact_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared fact slice (every third event) with exact epoch-µs
+    and exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
 
 
 def _scd2_asof_enrich(hist_raw: DataFrame, facts: DataFrame) -> DataFrame:
@@ -793,19 +794,8 @@ def q_events_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-carry plan implements point-in-time join semantics
     exactly.  Exact epoch-micros arithmetic throughout."""
     ch = _events_change_stream(spark, sf_dir)
-    hist = scd2_history(
-        ch,
-        keys=["user_id"],
-        ts_col="ts",
-        attrs=["event_type", "value"],
-        tiebreak=["event_id"],
-    )
-    ev = load_table(spark, sf_dir, "events")
-    facts = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
-        "event_id",
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-    )
+    hist = scd2_history(ch, **SCD2_KW)
+    facts = _fact_slice(spark, sf_dir).drop("cents")
     return _scd2_asof_enrich(hist, facts).orderBy("event_id")
 
 
@@ -1195,29 +1185,18 @@ def q_cdc_bi_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_redshift_spark.streaming.scd2 import Scd2Maintainer
 
     ch = _events_change_stream(spark, sf_dir)
-    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    cut = F.lit(SCD2_CUT).cast("timestamp_ntz")
     root = tempfile.mkdtemp(prefix="bi_capstone_")
     try:
-        m = Scd2Maintainer(
-            spark,
-            root,
-            keys=["user_id"],
-            ts_col="ts",
-            attrs=["event_type", "value"],
-            tiebreak=["event_id"],
-        )
-        m.update(ch.where(F.col("ts") < cut), 0)
+        m = Scd2Maintainer(spark, root, **SCD2_KW)
+        if not m.update(ch.where(F.col("ts") < cut), 0):
+            raise RuntimeError("batch 0 must apply")
         if m.update(ch.where(F.col("ts") < cut), 0):  # replay no-op
             raise RuntimeError("replayed batch must not re-apply")
-        m.update(ch.where(F.col("ts") >= cut), 1)
+        if not m.update(ch.where(F.col("ts") >= cut), 1):
+            raise RuntimeError("batch 1 must apply")
         hist = m.current()
-        ev = load_table(spark, sf_dir, "events")
-        facts = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == 1).select(
-            "event_id",
-            "user_id",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
+        facts = _fact_slice(spark, sf_dir)
         out = (
             _scd2_asof_enrich(hist, facts)
             .groupBy("d_type")
