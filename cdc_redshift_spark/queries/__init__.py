@@ -80,7 +80,7 @@ _GATE_WINDOW = [
     # layout_range_bounds, events_session_paths, sink_analyze_stats,
     # sink_occ_commit, dq_value_winsorized, graph_tree_roots,
     # events_twap, dq_latency_percentiles, orders_bloom_semi_revenue,
-    # cdc_bi_capstone, events_rfm_segments)
+    # cdc_bi_capstone, events_rfm_segments, docs_tfidf_keywords)
     "graph_pagerank",
     # backfill: last driver row r4, longest-unrefreshed (27)
     "q1_pricing_summary",

@@ -1219,7 +1219,87 @@ LIMIT 30
 """
 
 
+TFIDF_TOPK = 3
+
+
+def q_docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword EXTRACTION by TF-IDF — the tagging/
+    faceting complement of BM25 (which scores documents against a
+    query; this scores terms against their document).  Smoothed
+    ``idf = ln((N+1)/(df+1)) + 1`` (the sklearn convention), top-k
+    terms per doc by (score desc, term asc).
+
+    Plan shape: one explode->(doc, term) count shuffle over the
+    shared `regex_words` tokenizer (terms of length >= 3), the
+    vocab-sized df table BROADCAST back (never a big-big join), and
+    one per-doc ranking window.  Scores round at 6 dp after ln — the
+    certified BM25 float discipline."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(TXQ.regex_words(F.col("text"))).alias("term"),
+    ).where(F.length("term") >= 3)
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar, reused as a literal
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (
+                F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
+                + F.lit(1.0)
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id", "rank", "term", F.round("score", 6).alias("score")
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest({_RW}) AS t(term)
+  WHERE length(t.term) >= 3
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+), dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) + 1 AS n1 FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         tf * (ln(n1 / (df + 1)) + 1.0) AS score
+  FROM tf JOIN dft USING (term), n
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
+    "docs_tfidf_keywords": q_docs_tfidf_keywords,
     "corpus_bpe_pairs": q_corpus_bpe_pairs,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "docs_phrase_search": q_docs_phrase_search,
@@ -1243,6 +1323,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_tfidf_keywords": ORACLE_TFIDF,
     "corpus_bpe_pairs": ORACLE_BPE_PAIRS,
     "docs_hybrid_rrf": ORACLE_HYBRID_RRF,
     "docs_phrase_search": ORACLE_PHRASE_SEARCH,
