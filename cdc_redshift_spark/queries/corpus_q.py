@@ -1245,16 +1245,20 @@ def q_docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # one scalar, reused as a literal
-    scored = tf.join(F.broadcast(df_t), "term").select(
+    # N as a lazy 1-row broadcast (the bm25_topk pattern) — an eager
+    # count() here would cost a separate full scan per call
+    stats = docs.agg((F.count(F.lit(1)) + 1).cast("double").alias("__n1"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(
+        F.broadcast(stats)
+    ).select(
         "doc_id",
         "term",
-        (
-            F.col("tf")
-            * (
-                F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
-                + F.lit(1.0)
-            )
+        # round BEFORE ranking (the certified BM25 discipline): ln()
+        # is only cross-engine-identical at 6 dp, and the term
+        # tiebreak must fire on the ROUNDED ties both engines agree on
+        F.round(
+            F.col("tf") * (F.log(F.col("__n1") / (F.col("df") + 1)) + F.lit(1.0)),
+            6,
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -1263,9 +1267,7 @@ def q_docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TFIDF_TOPK)
-        .select(
-            "doc_id", "rank", "term", F.round("score", 6).alias("score")
-        )
+        .select("doc_id", "rank", "term", "score")
         .orderBy("doc_id", "rank")
     )
 
@@ -1280,10 +1282,10 @@ WITH terms AS (
   FROM terms GROUP BY doc_id, term
 ), dft AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-), n AS (SELECT CAST(count(*) AS DOUBLE) + 1 AS n1 FROM documents),
+), n AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS n1 FROM documents),
 scored AS (
   SELECT doc_id, term,
-         tf * (ln(n1 / (df + 1)) + 1.0) AS score
+         round(tf * (ln(n1 / (df + 1)) + 1.0), 6) AS score
   FROM tf JOIN dft USING (term), n
 ), ranked AS (
   SELECT doc_id, term, score,
@@ -1291,8 +1293,7 @@ scored AS (
                             ORDER BY score DESC, term ASC) AS rank
   FROM scored
 )
-SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
-       round(score, 6) AS score
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
 FROM ranked WHERE rank <= {TFIDF_TOPK}
 ORDER BY doc_id, rank
 """
