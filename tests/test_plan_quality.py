@@ -578,3 +578,46 @@ def test_session_paths_single_window_exchange(spark):
     assert len(user_exchanges) == 1, plan
     assert plan.count("Window") == 3, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_broadcast_df_and_no_big_joins(spark):
+    """TF-IDF: the vocab-sized df table must BROADCAST back (never a
+    big-big SortMergeJoin), N rides a 1-row scalar broadcast, and no
+    cartesian anywhere."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["docs_tfidf_keywords"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_rfm_window_and_scan_shape(spark):
+    """RFM: three ntile windows over the per-user frame, the corpus max
+    as a 1-row broadcast, and no join machinery beyond it."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["events_rfm_segments"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 3, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row max
+
+
+def test_bloom_semi_prefilter_stays_joinless(spark):
+    """The Bloom prefilter must be pure scan-side filtering: exactly
+    the one exact semi join in the plan, no cartesian, no BNLJ — the
+    bitmap rides the task binary, not a join."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["orders_bloom_semi_revenue"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
