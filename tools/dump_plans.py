@@ -70,6 +70,12 @@ CALLOUTS = {
     "layout_range_bounds": "one exact-percentile aggregation (no sort, no window); bin = literal-array filter in codegen; k-group count",
     "events_session_paths": "sessionize + lead windows share ONE user_id Exchange; transition agg on <=|types|^2 keys; TakeOrderedAndProject",
     "events_pivot_types": "explicit pivot values -> ONE conditional-aggregation pass (no distinct scan)",
+    "docs_tfidf_keywords": "vocab df table BROADCAST back (no big-big join); 1-row N broadcast; round-then-rank window",
+    "events_rfm_segments": "events touched once into the per-user frame; three ntile windows; 1-row max broadcast is the only join",
+    "orders_bloom_semi_revenue": "bitmap prefilter entirely scan-side (codegen element_at probes); exactly ONE LeftSemi join",
+    "events_twap": "one lead window + one bucket agg; all epoch-ns math in integer div/pmod",
+    "graph_tree_roots": "pointer doubling: O(log depth) self-joins, lineage truncated per round",
+    "dq_latency_percentiles": "one exact percentile-array aggregation pass; no window, no sort",
     # cdc_stream_ivf_index's scale property (batch=<id>/cell=<c> probes
     # prune DIRECTORIES; 87.5% files skipped at 2/16 cells) is pinned in
     # tests/test_similarity_ops.py + SCALE.md — its gated form
