@@ -621,3 +621,30 @@ def test_bloom_semi_prefilter_stays_joinless(spark):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_segments_no_global_window(spark):
+    """The round-7 `weak` fix: RFM scoring must carry NO Window node
+    at all (the old shape ran three unpartitioned ntile(4) windows —
+    three global single-partition sorts over the per-user frame).
+    The quartile cut points ride a 1-row broadcast; bins are codegen
+    comparisons.  The only permitted exchanges: the per-user groupBy
+    and the final presentation sort."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["events_rfm_segments"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan  # (percentile is an agg, not ntile)
+    # the two 1-row frames (max ts, quartile bounds) ride broadcast
+    # nested-loop joins of a single row each -- bounded by construction
+    # 3 = max-ts join + bounds join + the max-ts join re-expanded
+    # inside the bounds branch; all build sides are single rows and
+    # every probe side is the checkpointed per-user frame
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    # per_user is localCheckpoint-ed: the heavy events table is
+    # scanned ONCE (inside the checkpoint job); the final plan reads
+    # only the materialized per-user frame
+    assert plan.count("FileScan") == 0, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
