@@ -154,3 +154,37 @@ def apply_join_plan(
     if strategy == "shuffle":
         return left.join(right, on, how)
     raise ValueError(f"apply_join_plan: unknown strategy {strategy!r}")
+
+
+def row_bytes_of(dtypes: list[tuple[str, str]]) -> int:
+    """Full-row width estimate from a ``df.dtypes`` list — the
+    ``row_bytes`` input :func:`estimate_size_bytes` wants whenever
+    stats cover a column subset (nested/string types fall back to the
+    conservative default width)."""
+    return sum(_DTYPE_BYTES.get(dt, _DEFAULT_WIDTH) for _, dt in dtypes)
+
+
+def df_key_stats(df: DataFrame, key: str) -> dict:
+    """One-job ``join_plan``-shaped statistics for a LIVE DataFrame —
+    the changeset side of a merge, which has no ``_ANALYZE`` sidecar
+    because it never touched disk.  Row count + null count exact,
+    NDV via ``approx_count_distinct`` (HLL++, one pass, no expand —
+    the planner only needs multiplicity to an order of magnitude).
+
+    Cost: ONE aggregation job over the frame; callers gate it on the
+    decision being worth making (the ParquetSink only runs it when
+    the target actually has persisted stats to plan against).
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(key)).alias("nn"),
+        F.approx_count_distinct(F.col(key)).alias("ndv"),
+    ).first()
+    return {
+        key: {
+            "n": row["n"],
+            "n_null": row["n"] - row["nn"],
+            "ndv": max(row["ndv"], 1),
+            "dtype": dict(df.dtypes)[key],
+        }
+    }

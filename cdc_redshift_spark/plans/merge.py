@@ -43,6 +43,7 @@ def apply_changeset(
     tiebreak_col: str = "offset",
     op_col: str = "op",
     keep_tombstones: bool = False,
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """Return the new table state after applying ``changes``.
 
@@ -63,7 +64,36 @@ def apply_changeset(
     sources and Kafka partitions both reorder).  Readers filter
     tombstones out; a compactor may expire them once the source's
     max-lateness horizon passes.
+
+    ``strategy`` picks the physical plan (same result either way):
+
+    - ``"shuffle"`` (default): union + keyed ``max_by`` reduce — ONE
+      hash shuffle of target ∪ changes.  Right when the two sides are
+      comparable, or no statistics exist to prove otherwise.
+    - ``"broadcast"``: the CBO plan for a micro-batch changeset
+      against a huge target — the target is NEVER shuffled.  The
+      changeset reduces to one winner per key (a shuffle of the small
+      side only), rides a broadcast left join against the target
+      (matched keys resolved map-side by a codegen ts/tiebreak
+      comparison), and brand-new keys come from a broadcast anti join
+      against the matched-key set.  Cost: two target scans (the
+      second pruned to key columns) instead of one target shuffle —
+      at 100 TB a column-pruned re-scan is far cheaper than
+      shuffling the table.  Tie rule: a change at exactly the stored
+      (ts, tiebreak) WINS (deterministic; the shuffle path's
+      ``max_by`` leaves equal-order ties unspecified, so the two
+      plans only differ on exact ties, which the offset total order
+      precludes in practice).  Pick automatically from persisted
+      statistics with :func:`cdc_redshift_spark.operators.planner.
+      join_plan` (the ParquetSink does — see ``_merge_strategy``).
+      Preconditions (both invariants of sink state): the target holds
+      at most ONE row per key (unmatched target rows pass through
+      un-grouped, they are never re-deduped) and stored rows carry
+      non-null (ts, tiebreak) (a NULL there would make the codegen
+      comparison NULL and silently keep the stored row).
     """
+    if strategy not in ("shuffle", "broadcast"):
+        raise ValueError(f"apply_changeset: unknown strategy {strategy!r}")
     if op_col not in changes.columns:
         raise ValueError(f"changes must carry an '{op_col}' column")
 
@@ -87,8 +117,20 @@ def apply_changeset(
             if name not in t_types:
                 t = t.withColumn(name, F.lit(None).cast(c_types[name]))
         cols = c.columns  # changes' order, then target-only extras
+        if strategy == "broadcast":
+            return _broadcast_apply(
+                t.select(*cols),
+                c.select(*cols),
+                cols,
+                keys,
+                ts_col,
+                tiebreak_col,
+                op_col,
+                keep_tombstones,
+            )
         pool = t.select(*cols).unionByName(c.select(*cols))
     else:
+        # first materialization: no target to shuffle, strategy moot
         cols = changes.columns
         pool = changes
 
@@ -102,6 +144,92 @@ def apply_changeset(
     if keep_tombstones:
         return winners
     return winners.where(F.col(op_col) != DELETE_OP)
+
+
+def _broadcast_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    cols: list[str],
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    op_col: str,
+    keep_tombstones: bool,
+) -> DataFrame:
+    """The no-target-shuffle merge plan (see :func:`apply_changeset`
+    ``strategy="broadcast"``).  Both inputs are already column-aligned
+    to ``cols``.  Three bounded pieces:
+
+    1. ``best``: one winner per key within the changeset (shuffles
+       only the small side), materialized once (it feeds three
+       consumers) with ``localCheckpoint`` — the repo's established
+       small-frame reuse discipline;
+    2. matched keys: target ⋉ broadcast(best) — a map-side,
+       column-pruned semi join over the target scan;
+    3. output: target ⟕ broadcast(best) with a codegen
+       (ts, tiebreak) comparison picking the winner per column, union
+       the anti-joined brand-new keys.
+
+    Null-safe key equality throughout so a NULL-keyed change competes
+    with a NULL-keyed stored row exactly as the shuffle plan's
+    ``groupBy`` (which groups NULL keys together) does.
+    """
+    ordered = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    row = F.struct(*[F.col(c) for c in cols])
+    best = (
+        changes.groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by(row, ordered).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+        .localCheckpoint(eager=False)
+    )
+
+    def null_safe_on(left_alias: str, right_alias: str):
+        on = None
+        for k in keys:
+            eq = F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+            on = eq if on is None else on & eq
+        return on
+
+    # §1: the matched-key set — a map-side, column-pruned semi join
+    # (the target scan reads ONLY the key columns here)
+    matched_keys = (
+        target.select(*keys)
+        .alias("t")
+        .join(F.broadcast(best.alias("s")), null_safe_on("t", "s"), "left_semi")
+    )
+
+    # §2: matched keys resolve map-side.  A change whose ordering
+    # tuple ties the stored row's exactly WINS (documented rule); a
+    # NULL tiebreak on the s side (no match, or a NULL-padded
+    # evolution row) loses, matching max_by's NULL-loses behaviour.
+    change_wins = F.col(f"s.{tiebreak_col}").isNotNull() & (
+        F.struct(F.col(f"s.{ts_col}"), F.col(f"s.{tiebreak_col}"))
+        >= F.struct(F.col(f"t.{ts_col}"), F.col(f"t.{tiebreak_col}"))
+    )
+    merged = (
+        target.alias("t")
+        .join(F.broadcast(best.alias("s")), null_safe_on("t", "s"), "left")
+        .select(
+            *[
+                F.when(change_wins, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+    )
+
+    # §3: brand-new keys — everything in the changeset the target has
+    # never seen (matched_keys is per-batch small: broadcast anti)
+    new_rows = best.alias("b").join(
+        F.broadcast(matched_keys.alias("m")),
+        null_safe_on("b", "m"),
+        "left_anti",
+    )
+    out = merged.unionByName(new_rows)
+    if keep_tombstones:
+        return out
+    return out.where(F.col(op_col) != DELETE_OP)
 
 
 def split_upserts_deletes(

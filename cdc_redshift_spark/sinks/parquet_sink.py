@@ -165,6 +165,9 @@ class ParquetSink(Sink):
         #: by _occ_guard — the OCC read-set check
         self._occ_base: dict[tuple[str, str], int | None] = {}
         self._deferred_flips: list[tuple[str, str, int]] | None = None
+        #: last _merge_strategy join_plan dict (None = no stats
+        #: consulted) — observability for tests and operators
+        self.last_merge_plan: dict | None = None
         os.makedirs(root, exist_ok=True)
         # self-heal an interrupted multi-table transaction (roll the
         # published intent forward — see transaction()/recover())
@@ -525,13 +528,14 @@ class ParquetSink(Sink):
         ):
             self._apply_dv(db, table, changes)
             return
+        strategy = self._merge_strategy(db, table, target, changes)
         pruned = (
             target is not None
             and len(self.partition_cols) == 1
             and self.partition_cols[0] in changes.columns
             and dict(target.dtypes) == dict(changes.dtypes)
         )
-        if pruned and self._apply_pruned(db, table, target, changes):
+        if pruned and self._apply_pruned(db, table, target, changes, strategy):
             return
         new_state = merge_apply(
             target,
@@ -540,11 +544,66 @@ class ParquetSink(Sink):
             ts_col=self.ts_col,
             tiebreak_col=self.tiebreak_col,
             keep_tombstones=True,
+            strategy=strategy,
         )
         self._commit(db, table, new_state)
 
+    def _merge_strategy(
+        self, db: str, table: str, target: DataFrame | None, changes: DataFrame
+    ) -> str:
+        """Stats-driven merge planning (the CBO seam): consult the
+        current snapshot's ``_ANALYZE`` sidecar and, when it proves the
+        changeset is the provably-small side, pick the
+        no-target-shuffle broadcast plan in
+        :func:`~cdc_redshift_spark.plans.merge.apply_changeset`.
+
+        Safe-fallback contract: no sidecar (the table was never
+        ``analyze``-d), stats missing the merge key, or any stats
+        error → ``"shuffle"``, the statistics-free default.  The
+        changeset side's stats come from one cheap aggregation job
+        (:func:`df_key_stats`) which only runs when target stats
+        exist — a table nobody analyzed pays nothing.  The decision
+        is recorded on ``self.last_merge_plan`` for observability.
+        """
+        self.last_merge_plan = None
+        if target is None:
+            return "shuffle"
+        key = self.keys[0]
+        try:
+            stats = self.column_stats(db, table)
+        except Exception:
+            return "shuffle"
+        if not stats or key not in stats:
+            return "shuffle"
+        from cdc_redshift_spark.operators.planner import (
+            df_key_stats,
+            join_plan,
+            row_bytes_of,
+        )
+
+        try:
+            plan = join_plan(
+                stats,
+                df_key_stats(changes, key),
+                key,
+                left_row_bytes=row_bytes_of(target.dtypes),
+                right_row_bytes=row_bytes_of(changes.dtypes),
+            )
+        except Exception:
+            return "shuffle"
+        self.last_merge_plan = plan
+        # only the changes-side broadcast avoids the target shuffle;
+        # "broadcast_left" (target itself is the smaller side) means
+        # the shuffle is cheap anyway -- keep the simpler plan
+        return "broadcast" if plan["strategy"] == "broadcast_right" else "shuffle"
+
     def _apply_pruned(
-        self, db: str, table: str, target: DataFrame, changes: DataFrame
+        self,
+        db: str,
+        table: str,
+        target: DataFrame,
+        changes: DataFrame,
+        strategy: str = "shuffle",
     ) -> bool:
         """Merge only the partitions a batch touches; hard-link the rest
         forward into the new version.  Returns False to signal the
@@ -585,6 +644,10 @@ class ParquetSink(Sink):
                 ts_col=self.ts_col,
                 tiebreak_col=self.tiebreak_col,
                 keep_tombstones=True,
+                # the stats decision transfers: it only asserts the
+                # CHANGES side is small, true a fortiori against the
+                # partition-pruned target subset
+                strategy=strategy,
             )
 
             self._commit_pruned(

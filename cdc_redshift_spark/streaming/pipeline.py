@@ -122,6 +122,21 @@ class CdcPipeline:
                 f"atomic_batches needs a transaction-capable sink, "
                 f"got {type(sink).__name__}"
             )
+        if getattr(sink, "occ", False):
+            # the two commit regimes are mutually exclusive BY DESIGN
+            # (parquet_sink.py OCC contract): exactly-once streaming
+            # recovery replays a crashed foreachBatch and must be free
+            # to overwrite the same version directory, which OCC's
+            # exclusive version claims reject (CommitConflictError) --
+            # a pipeline that "worked" until its first crash-recovery
+            # is a silent-corruption trap, so refuse at construction.
+            raise ValueError(
+                "CdcPipeline requires a single-writer sink (occ=False): "
+                "streaming replay re-commits the same version after a "
+                "foreachBatch retry, which OCC's exclusive claims would "
+                "reject mid-recovery. Reserve occ=True for independent "
+                "batch writers."
+            )
         self.stats = PipelineStats()
         self._max_ts_ms: int | None = None
         self._spark = None  # captured per-batch for compact_now()
@@ -295,6 +310,15 @@ def compact_routed(
     idempotent, because the merge is LWW.  Listing is a directory walk
     of db=/table= names, O(tables), no Spark job.
     """
+    if getattr(sink, "occ", False):
+        # same contract as CdcPipeline.__init__: the crash-then-
+        # re-apply idempotence this function's clean-up relies on IS a
+        # same-version replay, which OCC claims reject
+        raise ValueError(
+            "compact_routed requires a single-writer sink (occ=False): "
+            "its crash recovery re-applies landed slices, which OCC's "
+            "exclusive claims would reject mid-recovery."
+        )
     import glob
     import os
     import urllib.parse

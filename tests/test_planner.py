@@ -96,3 +96,142 @@ def test_join_plan_from_real_analyze_sidecar(spark, tmp_path):
     p = join_plan({"k": fs["fk"]}, ds, "k", broadcast_threshold=4096)
     assert p["strategy"] == "broadcast_right"
     assert p["mean_multiplicity_left"] == 100.0  # 5000 rows / 50 keys
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_broadcast_merge_equals_shuffle_merge(spark):
+    """apply_changeset(strategy='broadcast') must return exactly the
+    shuffle plan's state on the full semantic surface: updates that
+    win, late rows that lose, deletes, brand-new keys, NULL keys, and
+    asymmetric schemas (typed-null padding)."""
+    from cdc_redshift_spark.plans.merge import apply_changeset
+
+    target = spark.createDataFrame(
+        [
+            (1, "a", 100, 0, "load"),
+            (2, "b", 100, 1, "load"),
+            (3, "c", 100, 2, "load"),
+            (None, "n", 100, 3, "load"),
+            (9, "dead", 100, 4, "delete"),  # stored tombstone
+        ],
+        "k int, v string, ts_ms long, offset long, op string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "x", 200, 10, "update"),   # wins
+            (2, "late", "y", 50, 11, "update"),  # loses (older ts)
+            (3, None, None, 300, 12, "delete"),  # tombstones k=3
+            (None, "n2", "z", 300, 13, "update"),  # NULL key competes
+            (7, "new", "w", 300, 14, "insert"),  # brand-new key
+            (9, "back", "q", 300, 15, "insert"),  # resurrects past tombstone
+            (7, "newer", "w2", 400, 16, "update"),  # intra-batch LWW
+        ],
+        "k int, v string, extra string, ts_ms long, offset long, op string",
+    )
+    for keep in (False, True):
+        shuffle = apply_changeset(
+            target, changes, keys=("k",), keep_tombstones=keep
+        )
+        bcast = apply_changeset(
+            target, changes, keys=("k",), keep_tombstones=keep,
+            strategy="broadcast",
+        )
+        assert bcast.columns == shuffle.columns
+        assert _rows(bcast.select(*sorted(bcast.columns))) == _rows(
+            shuffle.select(*sorted(shuffle.columns))
+        ), f"keep_tombstones={keep}"
+    with pytest.raises(ValueError, match="unknown strategy"):
+        apply_changeset(target, changes, keys=("k",), strategy="nope")
+
+
+def test_broadcast_merge_plan_never_shuffles_target(spark):
+    """The point of the strategy: with autoBroadcastJoinThreshold OFF
+    (so only explicit hints can broadcast), the target side must reach
+    the merge via BroadcastHashJoins only — no Exchange hashpartitioning
+    anywhere on the target lineage, and no SortMergeJoin at all."""
+    from cdc_redshift_spark.plans.merge import apply_changeset
+    from pyspark.sql import functions as F
+
+    target = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("v"),
+        F.lit(100).cast("long").alias("ts_ms"),
+        F.col("id").alias("offset"),
+        F.lit("load").alias("op"),
+    )
+    changes = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        F.lit("upd").alias("v"),
+        F.lit(200).cast("long").alias("ts_ms"),
+        (F.col("id") + 100_000).alias("offset"),
+        F.lit("update").alias("op"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = apply_changeset(target, changes, keys=("k",), strategy="broadcast")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2, plan  # left + semi/anti
+        assert "SortMergeJoin" not in plan, plan
+        # the only hash exchange allowed is the small side's per-key
+        # reduce (inside the checkpoint job, not here); the target
+        # must never hash-partition
+        assert "Exchange hashpartitioning(k#" not in plan, plan
+        assert out.where(F.col("v") == "upd").count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sink_merge_flips_to_broadcast_from_analyze_stats(spark, tmp_path, monkeypatch):
+    """The VERDICT r7 #3 contract: a sink whose table carries an
+    _ANALYZE sidecar auto-plans the next merge's changes-side
+    broadcast; without stats it falls back to the shuffle plan."""
+    import cdc_redshift_spark.sinks.parquet_sink as ps
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+    from pyspark.sql import functions as F
+
+    captured = []
+    real = ps.merge_apply
+
+    def spy(*a, **kw):
+        captured.append(kw.get("strategy", "shuffle"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ps, "merge_apply", spy)
+
+    sink = ParquetSink(spark, str(tmp_path), keys=("k",))
+    base = spark.range(0, 8_000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("v"),
+        F.lit(100).cast("long").alias("ts_ms"),
+        F.col("id").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    batch = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.lit("u").alias("v"),
+        F.lit(200).cast("long").alias("ts_ms"),
+        (F.col("id") + 10_000).alias("offset"),
+        F.lit("update").alias("op"),
+    )
+    sink.apply_changeset("d", "t", base)     # no target -> strategy moot
+    sink.apply_changeset("d", "t", batch)    # NO stats yet -> shuffle
+    assert captured[-1] == "shuffle"
+    assert sink.last_merge_plan is None
+
+    sink.analyze("d", "t")                   # commit the stats sidecar
+    batch2 = batch.withColumn("offset", F.col("offset") + 1_000)
+    sink.apply_changeset("d", "t", batch2)   # stats present -> broadcast
+    assert captured[-1] == "broadcast"
+    assert sink.last_merge_plan["strategy"] == "broadcast_right"
+
+    # result is the correct LWW state either way
+    got = sink.read_table(spark, "d", "t")
+    assert got.where(F.col("v") == "u").count() == 40
+    assert got.count() == 8_000

@@ -650,3 +650,26 @@ def test_ivf_index_maintainer_from_live_stream(spark, tmp_path):
     # unchanged
     run()
     assert m.index().count() == 60
+
+
+def test_occ_sink_refused_by_streaming_regime(spark, tmp_path):
+    """OCC and exactly-once streaming replay are mutually exclusive
+    (parquet_sink.py OCC contract): recovery overwrites the same
+    version directory, which exclusive claims reject.  The pipeline
+    and the routed compactor must refuse an occ=True sink LOUDLY at
+    construction, not corrupt (or deadlock) at first crash-recovery."""
+    import pytest
+
+    from cdc_redshift_spark.streaming.pipeline import compact_routed
+
+    occ_sink = ParquetSink(spark, str(tmp_path / "s"), keys=KEYS, occ=True)
+    with pytest.raises(ValueError, match="single-writer sink"):
+        CdcPipeline(
+            lambda raw: pg_changeset(raw, offset_col="offset"),
+            occ_sink,
+            keys=KEYS,
+        )
+    with pytest.raises(ValueError, match="single-writer sink"):
+        compact_routed(spark, str(tmp_path / "routed"), occ_sink, keys=KEYS)
+    # the plain single-writer sink remains accepted
+    mk_pipeline(spark, tmp_path)
