@@ -196,14 +196,35 @@ def _capped_cand_cte(k: int, bands: int, cap: int) -> str:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs under BOTH standard shingle units,
+    labeled by ``mode``: character 5-gram shingles ('char', the
+    noise-sensitive config) and word trigram shingles ('word', the
+    large-corpus text-dedup standard — robust to char-level noise,
+    unbounded vocabulary handled by the dict probe).  Round-8 registry
+    fold of the former ``dedup_minhash_word_lsh`` entry: identical
+    function coverage (both ``minhash_lsh_pairs`` configs and both
+    oracle mirrors run verbatim), one registry slot."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
+    char_pairs = minhash_lsh_pairs(
         docs,
         k=32,
         bands=8,
         jaccard_threshold=0.6,
         max_bucket_size=MINHASH_BUCKET_CAP,
     )
+    word_pairs = minhash_lsh_pairs(
+        docs,
+        k=32,
+        bands=8,
+        n=WORD_N,
+        jaccard_threshold=WORD_THRESHOLD,
+        unit="word",
+        max_bucket_size=MINHASH_BUCKET_CAP,
+    )
+    lab = lambda df, m: df.select(  # noqa: E731
+        F.lit(m).alias("mode"), "id_a", "id_b", "jaccard"
+    )
+    return lab(char_pairs, "char").unionByName(lab(word_pairs, "word"))
 
 
 def _oracle_minhash(
@@ -241,22 +262,6 @@ def duck_word_shingle_hashes(c: str, n: int = 3) -> str:
 
 
 WORD_N, WORD_THRESHOLD = 3, 0.5
-
-
-def q_dedup_minhash_word_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH over WORD trigram shingles — the standard config for
-    large-corpus text dedup (word shingles are robust to char-level
-    noise; vocabulary is unbounded, handled by the dict probe)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs,
-        k=32,
-        bands=8,
-        n=WORD_N,
-        jaccard_threshold=WORD_THRESHOLD,
-        unit="word",
-        max_bucket_size=MINHASH_BUCKET_CAP,
-    )
 
 
 def _oracle_minhash_word(
@@ -325,7 +330,15 @@ WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution over MinHash-LSH near-dup pairs: connected
     components labeled by min doc id, one canonical doc per cluster —
-    the final step a training-data dedup pipeline actually acts on."""
+    the final step a training-data dedup pipeline actually acts on —
+    PLUS each cluster's representative (round-8 fold of the former
+    ``dedup_cluster_reps`` entry): instead of blindly keeping the
+    min-id doc, the highest-QUALITY member (6-dp-rounded score, min
+    doc id on ties) rides every member row alongside the member
+    count.  One max_by aggregate over the cluster assignment joined
+    back per member — identical function coverage
+    (``connected_components`` + rep selection), one registry slot."""
+    from cdc_redshift_spark.functions import text as TX
     from cdc_redshift_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -337,10 +350,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=MINHASH_BUCKET_CAP,
     )
     comp = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
-    return comp.select(
-        "id",
-        "cluster_id",
-        (F.col("id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    dq = docs.select(
+        F.col("doc_id").alias("id"), TX.quality_score(F.col("text")).alias("q")
+    )
+    best = F.max_by(
+        F.struct(F.col("id").alias("rid"), F.col("q").alias("rq")),
+        F.struct(F.col("q").alias("q"), (-F.col("id")).alias("neg_id")),
+    )
+    reps = (
+        comp.join(dq, "id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("b"))
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("b.rid").alias("rep_doc"),
+            F.col("b.rq").alias("rep_quality"),
+        )
+    )
+    return (
+        comp.select(
+            "id",
+            "cluster_id",
+            (F.col("id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+        )
+        .join(reps, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "is_canonical",
+            "n_members",
+            "rep_doc",
+            "rep_quality",
+        )
+        .orderBy("id")
     )
 
 
@@ -377,46 +420,7 @@ FROM reach GROUP BY id
 """
 
 
-def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Representative selection per near-dup cluster — the step after
-    cluster resolution in a real dedup pipeline: instead of blindly
-    keeping the min-id doc, each cluster keeps its highest-QUALITY
-    member (6-dp-rounded score, min doc id on ties).  One max_by
-    aggregate over the cluster assignment — no window, one shuffle."""
-    from cdc_redshift_spark.functions import text as TX
-    from cdc_redshift_spark.operators.dedup import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs,
-        k=32,
-        bands=8,
-        jaccard_threshold=0.6,
-        max_bucket_size=MINHASH_BUCKET_CAP,
-    )
-    comp = connected_components(docs.select(F.col("doc_id").alias("id")), pairs)
-    dq = docs.select(
-        F.col("doc_id").alias("id"), TX.quality_score(F.col("text")).alias("q")
-    )
-    best = F.max_by(
-        F.struct(F.col("id").alias("rid"), F.col("q").alias("rq")),
-        F.struct(F.col("q").alias("q"), (-F.col("id")).alias("neg_id")),
-    )
-    return (
-        comp.join(dq, "id")
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("b"))
-        .select(
-            "cluster_id",
-            "n_members",
-            F.col("b.rid").alias("rep_doc"),
-            F.col("b.rq").alias("rep_quality"),
-        )
-        .orderBy("cluster_id")
-    )
-
-
-def _oracle_cluster_reps() -> str:
+def _oracle_clusters_with_reps() -> str:
     from cdc_redshift_spark.functions import text as TX
 
     quality = (
@@ -441,10 +445,16 @@ cl AS (
                                ORDER BY q DESC, id ASC) AS rk,
          count(*) OVER (PARTITION BY cluster_id) AS n
   FROM j
+), reps AS (
+  SELECT cluster_id, CAST(n AS BIGINT) AS n_members,
+         id AS rep_doc, q AS rep_quality
+  FROM r WHERE rk = 1
 )
-SELECT cluster_id, CAST(n AS BIGINT) AS n_members,
-       id AS rep_doc, q AS rep_quality
-FROM r WHERE rk = 1 ORDER BY cluster_id
+SELECT cl.id, cl.cluster_id,
+       CAST(cl.id = cl.cluster_id AS INTEGER) AS is_canonical,
+       reps.n_members, reps.rep_doc, reps.rep_quality
+FROM cl JOIN reps USING (cluster_id)
+ORDER BY cl.id
 """
 
 
@@ -701,18 +711,48 @@ def q_docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal token span whose length-8 windows all occur in >= 2
     distinct documents — the partial-duplication complement to the
     doc-level dedups above (boilerplate/quote stripping, Lee et al.
-    2022).  The oracle replays tokenization, the engine-stable 60-bit
-    gram hash, the distinct-doc gram filter and the island merge in
-    DuckDB SQL, so a green row certifies the full span algebra."""
-    from cdc_redshift_spark.operators.spandedup import duplicated_spans
+    2022) — PLUS the end-to-end STRIP certification (round-8 fold of
+    the former ``docs_substring_strip`` entry): every document's
+    reconstructed text after span removal, certified by value (md5
+    over the single-space rejoined surviving tokens) riding each of
+    its span rows; span-free docs appear once with NULL bounds.  The
+    oracle replays tokenization, the engine-stable 60-bit gram hash,
+    the distinct-doc gram filter, the island merge AND the
+    surviving-token reconstruction in DuckDB SQL, so a green row
+    certifies the whole detect→merge→strip pipeline in one slot."""
+    from cdc_redshift_spark.functions.text import words
+    from cdc_redshift_spark.operators.spandedup import (
+        duplicated_spans,
+        strip_spans,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    spans = duplicated_spans(docs, n=SPAN_N)
-    return spans.select(
+    # spans feed two consumers (the strip and the output join) — the
+    # span detection is the heavy half, materialize it once
+    spans = duplicated_spans(docs, n=SPAN_N).localCheckpoint(eager=False)
+    cleaned = strip_spans(docs, spans)
+    perdoc = cleaned.select(
         "doc_id",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-    ).orderBy("doc_id", "span_start")
+        # split("") yields [''] — an emptied doc has 0 tokens, not 1
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(F.size(words(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+    return (
+        perdoc.join(
+            spans.select(
+                "doc_id",
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", "span_start", "span_end", "n_tokens", "clean_md5")
+        .orderBy("doc_id", "span_start")
+    )
 
 
 # Shared span-detection CTE chain (tokenize -> engine-stable gram
@@ -747,11 +787,39 @@ grouped AS (
 )"""
 
 ORACLE_SUBSTRING_DEDUP = f"""
-WITH {SPAN_CTES}
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {SPAN_N - 1} AS BIGINT) AS span_end
-FROM grouped GROUP BY doc_id, island
-ORDER BY doc_id, span_start
+WITH {SPAN_CTES},
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_N - 1} AS e
+  FROM grouped GROUP BY doc_id, island
+),
+kept AS (
+  SELECT tk.doc_id, u.i, tk.t[u.i] AS tok
+  FROM toks tk, UNNEST(range(1, len(tk.t) + 1)) AS u(i)
+  WHERE tk.t[u.i] <> ''
+    AND NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tk.doc_id
+      AND u.i - 1 BETWEEN sp.s AND sp.e
+  )
+),
+clean AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+  FROM kept GROUP BY doc_id
+),
+perdoc AS (
+  SELECT d.doc_id,
+         coalesce(c.n_tokens, 0) AS n_tokens,
+         coalesce(c.clean_md5, md5('')) AS clean_md5
+  FROM documents d LEFT JOIN clean c USING (doc_id)
+)
+SELECT p.doc_id,
+       CAST(sp.s AS BIGINT) AS span_start,
+       CAST(sp.e AS BIGINT) AS span_end,
+       p.n_tokens, p.clean_md5
+FROM perdoc p LEFT JOIN spans sp USING (doc_id)
+ORDER BY p.doc_id, span_start
 """
 
 
@@ -798,76 +866,18 @@ ORDER BY id_a, id_b
 """
 
 
-def q_docs_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end span STRIPPING (spandedup.strip_spans): rebuild every
-    document with its duplicated spans removed and certify the
-    reconstructed text itself by value (md5 over the single-space
-    rejoined surviving tokens).  The oracle recomputes spans AND the
-    surviving-token reconstruction in SQL, so a green row certifies
-    the whole detect→merge→strip pipeline, not just span coordinates."""
-    from cdc_redshift_spark.operators.spandedup import (
-        duplicated_spans,
-        strip_spans,
-    )
-    from cdc_redshift_spark.functions.text import words
-
-    docs = load_table(spark, sf_dir, "documents")
-    spans = duplicated_spans(docs, n=SPAN_N)
-    cleaned = strip_spans(docs, spans)
-    return cleaned.select(
-        "doc_id",
-        # split("") yields [''] — an emptied doc has 0 tokens, not 1
-        F.when(F.length("text") == 0, F.lit(0))
-        .otherwise(F.size(words(F.col("text"))))
-        .cast("long")
-        .alias("n_tokens"),
-        F.md5(F.col("text")).alias("clean_md5"),
-    ).orderBy("doc_id")
-
-
-ORACLE_SUBSTRING_STRIP = f"""
-WITH {SPAN_CTES},
-spans AS (
-  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_N - 1} AS e
-  FROM grouped GROUP BY doc_id, island
-),
-kept AS (
-  SELECT tk.doc_id, u.i, tk.t[u.i] AS tok
-  FROM toks tk, UNNEST(range(1, len(tk.t) + 1)) AS u(i)
-  WHERE tk.t[u.i] <> ''
-    AND NOT EXISTS (
-    SELECT 1 FROM spans sp
-    WHERE sp.doc_id = tk.doc_id
-      AND u.i - 1 BETWEEN sp.s AND sp.e
-  )
-),
-clean AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
-  FROM kept GROUP BY doc_id
-)
-SELECT d.doc_id,
-       coalesce(c.n_tokens, 0) AS n_tokens,
-       coalesce(c.clean_md5, md5('')) AS clean_md5
-FROM documents d LEFT JOIN clean c USING (doc_id)
-ORDER BY d.doc_id
-"""
 
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_containment": q_dedup_containment,
-    "docs_substring_strip": q_docs_substring_strip,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_word_lsh": q_dedup_minhash_word_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "dedup_clusters": q_dedup_clusters,
     "dedup_graph_triangles": q_dedup_graph_triangles,
-    "dedup_cluster_reps": q_dedup_cluster_reps,
     "dedup_simjoin": q_dedup_simjoin,
     "dedup_incremental_exact": q_dedup_incremental_exact,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
@@ -878,17 +888,17 @@ QUERIES = {
 ORACLES = {
     "docs_substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "dedup_containment": ORACLE_CONTAINMENT,
-    "docs_substring_strip": ORACLE_SUBSTRING_STRIP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    "dedup_minhash_lsh": _oracle_minhash(),
-    "dedup_minhash_word_lsh": _oracle_minhash_word(),
+    "dedup_minhash_lsh": (
+        f"SELECT 'char' AS mode, * FROM ({_oracle_minhash()})\n"
+        f"UNION ALL\nSELECT 'word' AS mode, * FROM ({_oracle_minhash_word()})"
+    ),
     "dedup_simhash": _oracle_simhash(),
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
     "dedup_embedding_clusters": _oracle_embedding_clusters(),
-    "dedup_clusters": _oracle_clusters(),
+    "dedup_clusters": _oracle_clusters_with_reps(),
     "dedup_graph_triangles": ORACLE_TRIANGLES,
-    "dedup_cluster_reps": _oracle_cluster_reps(),
     "dedup_simjoin": ORACLE_SIMJOIN,
     "dedup_incremental_exact": ORACLE_INC_EXACT,
     "dedup_incremental_minhash": _oracle_inc_minhash(),

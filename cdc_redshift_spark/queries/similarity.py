@@ -136,64 +136,52 @@ SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
 LSH_K, LSH_PLANES, LSH_TABLES = 3, 4, 8
 
 
-def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH buckets (full mirrored
-    oracle: same plane literals on both engines)."""
+def q_sim_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets, WITH its measured
+    quality: every neighbor row carries the index's global recall@3
+    vs the exact kNN baseline (round-8 fold of the former
+    ``sim_lsh_topk`` + ``sim_lsh_recall`` entries — identical function
+    coverage: the full bucketed top-k AND the recall audit, one
+    registry slot).  The 1-row recall frame rides a broadcast; the
+    oracle mirrors bucket generation (same plane literals), exact
+    ranking and the recall arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return rh_lsh_topk(emb, k=LSH_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=DIM)
-
-
-ORACLE_LSH_TOPK = f"""
-WITH {duck_lsh_cand_sql(LSH_PLANES, LSH_TABLES, symmetric=False)},
-scored AS (
-  SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
-  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
-), ranked AS (
-  SELECT id_a AS vec_id,
-         row_number() OVER (PARTITION BY id_a
-                            ORDER BY cosine DESC, id_b ASC) AS rank,
-         id_b AS neighbor_id, cosine
-  FROM scored
-)
-SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {LSH_K}
-"""
-
-
-def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the LSH ANN vs the exact kNN baseline, as one
-    (k, total, hits, recall) row — the driver-checkable quality
-    artifact for the approximate path."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # persisted: both the hits semi-join and the total read it, so the
-    # blocked-GEMM kNN runs once, not once per consumer
-    exact = knn_all_pairs(emb, k=LSH_K).persist()
+    # approx feeds the output rows AND the hits semi-join; exact feeds
+    # hits AND total -- materialize both once
     approx = rh_lsh_topk(
         emb, k=LSH_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=DIM
-    )
+    ).localCheckpoint(eager=True)
+    exact = knn_all_pairs(emb, k=LSH_K).persist()
     hits = (
         exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
         .agg(F.count("*").alias("hits"))
     )
     total = exact.agg(F.count("*").alias("total"))
-    out = hits.crossJoin(total).select(
-        F.lit(LSH_K).alias("k"),
-        "total",
-        "hits",
-        F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
+    rec = (
+        hits.crossJoin(total)
+        .select(
+            F.lit(LSH_K).alias("k"),
+            "total",
+            "hits",
+            F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
+        )
+        .localCheckpoint(eager=True)
     )
-    out = out.localCheckpoint(eager=True)
     exact.unpersist()
-    return out
+    return approx.crossJoin(F.broadcast(rec)).select(
+        "vec_id", "rank", "neighbor_id", "cosine",
+        "k", "total", "hits", "recall",
+    )
 
 
-ORACLE_LSH_RECALL = f"""
+ORACLE_LSH_EVAL = f"""
 WITH {duck_lsh_cand_sql(LSH_PLANES, LSH_TABLES, symmetric=False)},
 scored AS (
   SELECT c.id_a, c.id_b, {DUCK_COSINE} AS cosine
   FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
 ), approx AS (
   SELECT * FROM (
-    SELECT id_a AS vec_id, id_b AS neighbor_id,
+    SELECT id_a AS vec_id, id_b AS neighbor_id, cosine,
            row_number() OVER (PARTITION BY id_a
                               ORDER BY cosine DESC, id_b ASC) AS rank
     FROM scored
@@ -208,18 +196,18 @@ scored AS (
                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
     FROM all_pairs
   ) WHERE rank <= {LSH_K}
+), rec AS (
+  SELECT {LSH_K} AS k,
+         (SELECT count(*) FROM exact) AS total,
+         (SELECT count(*) FROM exact e
+          WHERE EXISTS (SELECT 1 FROM approx a
+                        WHERE a.vec_id = e.vec_id
+                          AND a.neighbor_id = e.neighbor_id)) AS hits
 )
-SELECT {LSH_K} AS k,
-       (SELECT count(*) FROM exact) AS total,
-       (SELECT count(*) FROM exact e
-        WHERE EXISTS (SELECT 1 FROM approx a
-                      WHERE a.vec_id = e.vec_id
-                        AND a.neighbor_id = e.neighbor_id)) AS hits,
-       round((SELECT count(*) FROM exact e
-              WHERE EXISTS (SELECT 1 FROM approx a
-                            WHERE a.vec_id = e.vec_id
-                              AND a.neighbor_id = e.neighbor_id))::DOUBLE
-             / (SELECT count(*) FROM exact), 6) AS recall
+SELECT a.vec_id, a.rank, a.neighbor_id, a.cosine,
+       rec.k, rec.total, rec.hits,
+       round(rec.hits::DOUBLE / rec.total, 6) AS recall
+FROM approx a, rec
 """
 
 
@@ -303,64 +291,50 @@ ranked{s} AS (
 )"""
 
 
-def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via multi-probe IVF (full mirrored oracle: centroid
-    seeds are the first n_cells vectors by id on both engines)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=IVF_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE)
-
-
-ORACLE_IVF_TOPK = f"""
-WITH v AS ({DUCK_V}),
-{_ivf_ctes(IVF_CELLS, IVF_PROBE, "", refined=False)}
-SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {IVF_K}
-"""
-
-
-def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k after one deterministic k-means (Lloyd) refinement of
-    the seed centroids — full mirrored oracle including the refined
-    centroid math (id-ordered left-to-right sums, 6-dp rounding)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, k=IVF_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE, refine_iters=1
-    )
-
-
-ORACLE_IVF_KMEANS_TOPK = f"""
-WITH v AS ({DUCK_V}),
-{_ivf_ctes(IVF_CELLS, IVF_PROBE, "", refined=True)}
-SELECT vec_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {IVF_K}
-"""
-
-
-def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k vs exact kNN for BOTH IVF variants (seed centroids and
-    one k-means refinement) as one row — makes the quality gain of the
-    refinement step a driver-checked artifact."""
+def q_sim_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via multi-probe IVF under BOTH centroid variants —
+    'seed' (first n_cells vectors by id) and 'kmeans' (one
+    deterministic Lloyd refinement, id-ordered left-to-right sums,
+    6-dp rounding) — labeled by ``variant``, with each row carrying
+    the per-variant recall@k audit vs exact kNN (round-8 fold of the
+    former ``sim_ivf_topk`` + ``sim_ivf_kmeans_topk`` +
+    ``sim_ivf_recall`` entries: identical function coverage — both
+    index builds, both probes, and the refinement's measured quality
+    gain — one registry slot)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exact = knn_all_pairs(emb, k=IVF_K).persist()
-    out_cols = [F.lit(IVF_K).alias("k"), F.col("total")]
     total = exact.agg(F.count("*").alias("total"))
-    row = total
+    parts = []
     for name, refine in (("seed", 0), ("kmeans", 1)):
         approx = ivf_topk(
             emb, k=IVF_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE, refine_iters=refine
-        )
+        ).localCheckpoint(eager=True)
         hits = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
-            F.count("*").alias(f"hits_{name}")
+            F.count("*").alias("hits")
         )
-        row = row.crossJoin(hits)
-        out_cols += [
-            F.col(f"hits_{name}"),
-            F.round(F.col(f"hits_{name}") / F.col("total"), 6).alias(f"recall_{name}"),
-        ]
-    result = row.select(*out_cols).localCheckpoint(eager=True)
+        rec = (
+            hits.crossJoin(total)
+            .select(
+                F.lit(IVF_K).alias("k"),
+                "total",
+                "hits",
+                F.round(F.col("hits") / F.col("total"), 6).alias("recall"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        parts.append(
+            approx.crossJoin(F.broadcast(rec)).select(
+                F.lit(name).alias("variant"),
+                "vec_id", "rank", "neighbor_id", "cosine",
+                "k", "total", "hits", "recall",
+            )
+        )
+    out = parts[0].unionByName(parts[1])
     exact.unpersist()
-    return result
+    return out
 
 
-ORACLE_IVF_RECALL = f"""
+ORACLE_IVF_EVAL = f"""
 WITH v AS ({DUCK_V}),
 {_ivf_ctes(IVF_CELLS, IVF_PROBE, "_s", refined=False)},
 {_ivf_ctes(IVF_CELLS, IVF_PROBE, "_k", refined=True)},
@@ -374,24 +348,31 @@ all_pairs AS (
                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
     FROM all_pairs
   ) WHERE rank <= {IVF_K}
-), a_s AS (SELECT vec_id, neighbor_id FROM ranked_s WHERE rank <= {IVF_K}),
-a_k AS (SELECT vec_id, neighbor_id FROM ranked_k WHERE rank <= {IVF_K})
-SELECT {IVF_K} AS k,
-       (SELECT count(*) FROM exact) AS total,
-       (SELECT count(*) FROM exact e WHERE EXISTS (
-          SELECT 1 FROM a_s a WHERE a.vec_id = e.vec_id
-            AND a.neighbor_id = e.neighbor_id)) AS hits_seed,
-       round((SELECT count(*) FROM exact e WHERE EXISTS (
-          SELECT 1 FROM a_s a WHERE a.vec_id = e.vec_id
-            AND a.neighbor_id = e.neighbor_id))::DOUBLE
-             / (SELECT count(*) FROM exact), 6) AS recall_seed,
-       (SELECT count(*) FROM exact e WHERE EXISTS (
-          SELECT 1 FROM a_k a WHERE a.vec_id = e.vec_id
-            AND a.neighbor_id = e.neighbor_id)) AS hits_kmeans,
-       round((SELECT count(*) FROM exact e WHERE EXISTS (
-          SELECT 1 FROM a_k a WHERE a.vec_id = e.vec_id
-            AND a.neighbor_id = e.neighbor_id))::DOUBLE
-             / (SELECT count(*) FROM exact), 6) AS recall_kmeans
+), a_s AS (SELECT vec_id, rank, neighbor_id, cosine
+           FROM ranked_s WHERE rank <= {IVF_K}),
+a_k AS (SELECT vec_id, rank, neighbor_id, cosine
+        FROM ranked_k WHERE rank <= {IVF_K}),
+rec_s AS (
+  SELECT {IVF_K} AS k,
+         (SELECT count(*) FROM exact) AS total,
+         (SELECT count(*) FROM exact e WHERE EXISTS (
+            SELECT 1 FROM a_s a WHERE a.vec_id = e.vec_id
+              AND a.neighbor_id = e.neighbor_id)) AS hits
+),
+rec_k AS (
+  SELECT {IVF_K} AS k,
+         (SELECT count(*) FROM exact) AS total,
+         (SELECT count(*) FROM exact e WHERE EXISTS (
+            SELECT 1 FROM a_k a WHERE a.vec_id = e.vec_id
+              AND a.neighbor_id = e.neighbor_id)) AS hits
+)
+SELECT 'seed' AS variant, a.vec_id, a.rank, a.neighbor_id, a.cosine,
+       r.k, r.total, r.hits, round(r.hits::DOUBLE / r.total, 6) AS recall
+FROM a_s a, rec_s r
+UNION ALL
+SELECT 'kmeans' AS variant, a.vec_id, a.rank, a.neighbor_id, a.cosine,
+       r.k, r.total, r.hits, round(r.hits::DOUBLE / r.total, 6) AS recall
+FROM a_k a, rec_k r
 """
 
 
@@ -399,17 +380,37 @@ PQ_SUB, PQ_KS, PQ_K = 8, 16, 20
 _PQ_SD = DIM // PQ_SUB  # sub-dim
 
 
-def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sim_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-20 for the min-id query point via product
-    quantization: codebooks are the sub-vectors of the first 16
+    quantization — codebooks are the sub-vectors of the first 16
     vectors by id (mirrored in SQL), codes are argmin of 6-dp-rounded
-    squared L2, scoring is LUT-sum asymmetric distance — the query
-    scan reads codes only, never raw vectors."""
-    from cdc_redshift_spark.operators.similarity import pq_topk_query
+    squared L2, scoring is LUT-sum asymmetric distance over codes
+    only, never raw vectors — with the recall@20 audit vs the exact
+    scan riding every row (round-8 fold of the former ``sim_pq_topk``
+    + ``sim_pq_recall`` entries: identical function coverage — encode,
+    ADC scan, and the 16× compression's measured quality — one
+    registry slot)."""
+    from cdc_redshift_spark.operators.similarity import (
+        cosine_topk_query,
+        pq_topk_query,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk_query(
-        emb, _query_vec(spark, sf_dir), k=PQ_K, n_sub=PQ_SUB, ks=PQ_KS
+    qv = _query_vec(spark, sf_dir)
+    approx = pq_topk_query(
+        emb, qv, k=PQ_K, n_sub=PQ_SUB, ks=PQ_KS
+    ).localCheckpoint(eager=True)
+    exact = cosine_topk_query(emb, qv, k=PQ_K).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    rec = hits.select(
+        F.lit(PQ_K).alias("k"),
+        "hits",
+        F.round(F.col("hits") / F.lit(PQ_K), 6).alias("recall"),
+    ).localCheckpoint(eager=True)
+    return approx.crossJoin(F.broadcast(rec)).select(
+        "vec_id", "approx_cosine", "k", "hits", "recall"
     )
 
 
