@@ -49,11 +49,11 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "sim_topk_query",
-        "sim_lsh_topk",
+        "sim_lsh_eval",
         # round-4 operator families
         "events_asof_attribution",
         "text_winnow",
-        "sim_pq_topk",
+        "sim_pq_eval",
         # round-5: the previously un-benched hot-path shapes — corpus
         # decontamination (n-gram inverted-index join), stream-stream
         # interval join, and the multimodal feature pipeline
@@ -109,7 +109,7 @@ def main() -> None:
         # heaviest JIT in the suite — measured 20 s cold vs 6.5 s
         # after one tiny-SF run of the same plan shape (C2 compiles
         # the generated class once; the shape is SF-independent)
-        for wname in ("dedup_minhash_lsh", "sim_lsh_topk", "dedup_simjoin"):
+        for wname in ("dedup_minhash_lsh", "sim_lsh_eval", "dedup_simjoin"):
             force(qs[wname](spark, warm_sf))
 
     def settle() -> None:

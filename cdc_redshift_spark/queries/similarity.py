@@ -452,43 +452,14 @@ sc AS (
 )"""
 
 
-ORACLE_PQ_TOPK = f"""
-WITH v AS ({DUCK_V}),
-{_pq_ctes()}
-SELECT sc.id AS vec_id,
-       round(sc.dotsum / (q.qn * sqrt(sc.n2sum)), 6) AS approx_cosine
-FROM sc, q
-ORDER BY approx_cosine DESC, vec_id ASC
-LIMIT {PQ_K}
-"""
-
-
-def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@20 of the PQ ADC scan vs the exact scan for the same
-    query point, as one (k, hits, recall) row — the PQ quality
-    artifact (compression is 16×: 64 floats → 8 codes)."""
-    from cdc_redshift_spark.operators.similarity import pq_topk_query
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir)
-    exact = cosine_topk_query(emb, qv, k=PQ_K).select("vec_id")
-    approx = pq_topk_query(emb, qv, k=PQ_K, n_sub=PQ_SUB, ks=PQ_KS).select("vec_id")
-    hits = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").alias("hits")
-    )
-    return hits.select(
-        F.lit(PQ_K).alias("k"),
-        "hits",
-        F.round(F.col("hits") / F.lit(PQ_K), 6).alias("recall"),
-    )
-
-
-ORACLE_PQ_RECALL = f"""
+ORACLE_PQ_EVAL = f"""
 WITH v AS ({DUCK_V}),
 {_pq_ctes()},
 approx AS (
-  SELECT sc.id FROM sc, q
-  ORDER BY round(sc.dotsum / (q.qn * sqrt(sc.n2sum)), 6) DESC, sc.id ASC
+  SELECT sc.id AS vec_id,
+         round(sc.dotsum / (q.qn * sqrt(sc.n2sum)), 6) AS approx_cosine
+  FROM sc, q
+  ORDER BY approx_cosine DESC, vec_id ASC
   LIMIT {PQ_K}
 ),
 exact AS (
@@ -497,13 +468,16 @@ exact AS (
                                          i -> va.e[i] * q.qe[i]))
                  / (va.n * q.qn), 6) DESC, va.id ASC
   LIMIT {PQ_K}
+),
+rec AS (
+  SELECT {PQ_K} AS k,
+         (SELECT count(*) FROM exact e WHERE EXISTS
+            (SELECT 1 FROM approx a WHERE a.vec_id = e.id)) AS hits
 )
-SELECT {PQ_K} AS k,
-       (SELECT count(*) FROM exact e WHERE EXISTS
-          (SELECT 1 FROM approx a WHERE a.id = e.id)) AS hits,
-       round((SELECT count(*) FROM exact e WHERE EXISTS
-                (SELECT 1 FROM approx a WHERE a.id = e.id))::DOUBLE
-             / {PQ_K}, 6) AS recall
+SELECT a.vec_id, a.approx_cosine,
+       rec.k, rec.hits,
+       round(rec.hits::DOUBLE / {PQ_K}, 6) AS recall
+FROM approx a, rec
 """
 
 
@@ -768,13 +742,9 @@ QUERIES = {
     "emb_pca_projection": q_emb_pca_projection,
     "sim_topk_query": q_sim_topk_query,
     "sim_knn_exact": q_sim_knn_exact,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_lsh_recall": q_sim_lsh_recall,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "sim_ivf_kmeans_topk": q_sim_ivf_kmeans_topk,
-    "sim_ivf_recall": q_sim_ivf_recall,
-    "sim_pq_topk": q_sim_pq_topk,
-    "sim_pq_recall": q_sim_pq_recall,
+    "sim_lsh_eval": q_sim_lsh_eval,
+    "sim_ivf_eval": q_sim_ivf_eval,
+    "sim_pq_eval": q_sim_pq_eval,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_contrastive_negatives": q_emb_contrastive_negatives,
 }
@@ -785,13 +755,9 @@ ORACLES = {
     "emb_pca_projection": ORACLE_PCA,
     "sim_topk_query": ORACLE_TOPK_QUERY,
     "sim_knn_exact": ORACLE_KNN,
-    "sim_lsh_topk": ORACLE_LSH_TOPK,
-    "sim_lsh_recall": ORACLE_LSH_RECALL,
-    "sim_ivf_topk": ORACLE_IVF_TOPK,
-    "sim_ivf_kmeans_topk": ORACLE_IVF_KMEANS_TOPK,
-    "sim_ivf_recall": ORACLE_IVF_RECALL,
-    "sim_pq_topk": ORACLE_PQ_TOPK,
-    "sim_pq_recall": ORACLE_PQ_RECALL,
+    "sim_lsh_eval": ORACLE_LSH_EVAL,
+    "sim_ivf_eval": ORACLE_IVF_EVAL,
+    "sim_pq_eval": ORACLE_PQ_EVAL,
     "emb_int8_quantize": ORACLE_INT8,
     "emb_contrastive_negatives": ORACLE_CONTRASTIVE,
 }
