@@ -30,86 +30,80 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-7 ROTATION (the r6 window's 50 names
-# all landed driver-green in CORRECTNESS_r06, so they rotate out and
-# stay certified via LOCALGATE + pytest): the 14 round-6 late
-# additions that have never carried a driver row (the SCD2 family,
-# join-view IVM, BM25, sink time-travel/CDF, Bloom/Z-order layout,
-# heavy hitters, corpus split, KMV intersection), the round-7 new
-# operators, the 5 end-to-end CDC pipelines re-gated every round, and
-# backfill from the longest-unrefreshed families (last driver row r4).
+# Exactly 50 names — the ROUND-9 ROTATION (the r7 window landed
+# driver-green in CORRECTNESS_r07 and rotates out; round 8's broken
+# registry produced no driver rows, so the round-8 rotation queue is
+# executed here unchanged): 42 of the 47 never-driver-gated round-7
+# components — the full 13-query sink table-format contract, both
+# capstones, the corpus layer (substring dedup, containment, SemDeDup,
+# DSIR, LM perplexity, BPE, temperature mix, leakage split, budget
+# select, hybrid RRF, phrase search), sketches/stream maintainers, the
+# temporal/quality/graph tail — plus the 3 round-8 folded ANN eval
+# entries (new names, never gated) and the 5 end-to-end CDC pipelines
+# re-gated every round.
+#
+# ROUND-10 ROTATION QUEUE (deferred this round; each one's operator
+# family already carries a gated sibling): docs_tfidf_keywords
+# (tf-idf core inside docs_hybrid_rrf), events_resample_interp
+# (temporal family: events_ohlc_bars + events_twap gated),
+# dq_latency_percentiles (dq family: dq_value_outliers +
+# dq_value_winsorized gated), events_pivot_types, layout_zonemap_scan
+# (layout family: layout_range_bounds gated) — plus any round-9
+# additions.  NOTE: docs_substring_strip from the old queue no longer
+# exists; it was folded into docs_substring_dedup (round 8).
 _GATE_WINDOW = [
-    # round-6 late additions, LOCALGATE-only until now (14)
-    "cdc_scd2_history",
-    "scd2_user_history",
-    "scd2_incremental_apply",
-    "scd2_stream_maintenance",
-    "events_scd2_asof_enrich",
-    "orders_join_view_maintenance",
-    "docs_bm25_topk",
-    "sink_time_travel",
-    "sink_table_changes",
-    "corpus_split_manifest",
-    "sketch_user_overlap",
-    "events_heavy_hitters",
-    "layout_bloom_lookup",
-    "layout_zorder_scan",
-    # round-7 new operators (3): SCD2 late-change repair, ingest
-    # compaction across the exactly-once boundary, streaming
-    # join-view maintenance
-    "scd2_late_repair",
-    "cdc_ingest_compaction",
-    "cdc_join_view_stream",
-    # round-7 graph-centrality addition riding the spare slot (1)
-    # (round-8 rotation queue — landed after the window filled,
-    # LOCALGATE + pytest this round, window next:
-    # sink_repartition_evolution, corpus_split_leakage_safe,
-    # corpus_budget_select, docs_substring_dedup, layout_zonemap_scan,
-    # sketch_cm_tokens, corpus_dsir_weights, cdc_stream_cm_sketch,
-    # dedup_containment, cdc_stream_kmv_rollup, sink_dv_merge,
-    # docs_substring_strip, corpus_lm_perplexity,
-    # events_golden_profile, corpus_temperature_mix,
-    # sink_column_rename, orders_merge_into, sink_constraints,
-    # sketch_join_size, sink_optimize, sink_generated_columns,
-    # events_ohlc_bars, sink_txn_batch, sink_row_provenance,
-    # emb_pca_projection, emb_semantic_dedup, sink_restore_clone,
-    # sink_schema_evolution, corpus_bpe_pairs, docs_hybrid_rrf,
-    # events_resample_interp, docs_phrase_search,
-    # cdc_stream_ivf_index, events_pivot_types,
-    # corpus_pretrain_manifest, dq_value_outliers,
-    # layout_range_bounds, events_session_paths, sink_analyze_stats,
-    # sink_occ_commit, dq_value_winsorized, graph_tree_roots,
-    # events_twap, dq_latency_percentiles, orders_bloom_semi_revenue,
-    # cdc_bi_capstone, events_rfm_segments, docs_tfidf_keywords)
-    "graph_pagerank",
-    # backfill: last driver row r4, longest-unrefreshed (27)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_returned_orders",
-    "q5_local_supplier_volume",
-    "q6_revenue_change",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "q14_promo_revenue",
-    "q18_big_orders",
-    "cdc_op_counts",
-    "emb_norm_stats",
-    "events_props_variant",
-    "events_retention",
-    "events_sessionize",
-    "events_weekday_heatmap",
-    "grouping_sets_sales",
-    "lineitem_unpivot",
-    "null_safe_join",
-    "orders_cheapest_per_cust",
-    "orders_yoy",
-    "salted_join_orders",
-    "supplier_balance_ranks",
-    "text_fingerprint",
-    "text_quality_by_source",
-    "text_top_words",
-    "text_winnow",
-    "top_customers_per_nation",
+    # sink table-format contract (13)
+    "sink_dv_merge",
+    "sink_optimize",
+    "sink_txn_batch",
+    "sink_constraints",
+    "sink_column_rename",
+    "sink_schema_evolution",
+    "sink_repartition_evolution",
+    "sink_generated_columns",
+    "sink_restore_clone",
+    "sink_row_provenance",
+    "sink_analyze_stats",
+    "sink_occ_commit",
+    "orders_merge_into",
+    # capstones (2)
+    "corpus_pretrain_manifest",
+    "cdc_bi_capstone",
+    # corpus / dedup layer (12)
+    "docs_substring_dedup",
+    "dedup_containment",
+    "emb_semantic_dedup",
+    "corpus_dsir_weights",
+    "corpus_lm_perplexity",
+    "corpus_bpe_pairs",
+    "corpus_temperature_mix",
+    "corpus_split_leakage_safe",
+    "corpus_budget_select",
+    "docs_hybrid_rrf",
+    "docs_phrase_search",
+    "emb_pca_projection",
+    # sketches + streaming maintainers (5)
+    "sketch_cm_tokens",
+    "sketch_join_size",
+    "cdc_stream_cm_sketch",
+    "cdc_stream_kmv_rollup",
+    "cdc_stream_ivf_index",
+    # temporal / quality / graph tail (7)
+    "events_ohlc_bars",
+    "events_twap",
+    "events_session_paths",
+    "events_golden_profile",
+    "events_rfm_segments",
+    "dq_value_outliers",
+    "dq_value_winsorized",
+    # remaining round-7 components (3)
+    "graph_tree_roots",
+    "orders_bloom_semi_revenue",
+    "layout_range_bounds",
+    # round-8 folded ANN eval entries — new names, never gated (3)
+    "sim_lsh_eval",
+    "sim_ivf_eval",
+    "sim_pq_eval",
     # end-to-end CDC pipelines, re-gated every round (5)
     "cdc_pg_replay",
     "cdc_lww_dedup",

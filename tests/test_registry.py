@@ -14,21 +14,24 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_is_the_round7_rotation():
-    """The r7 window must hold every query that had no driver row after
-    r6 — the 14 round-6 late additions (SCD2 family, join-view IVM,
-    BM25, sink time-travel/CDF, Bloom/Z-order layout, heavy hitters,
-    corpus split, KMV intersection) and the round-7 new operators —
-    plus the 5 CDC pipelines that are re-gated every round."""
+def test_gate_window_is_the_round9_rotation():
+    """The r9 window must hold the highest-priority never-driver-gated
+    components — the full 13-query sink table-format contract, both
+    capstones, and the 3 round-8 folded ANN eval entries (new names,
+    no driver row yet) — plus the 5 CDC pipelines re-gated every
+    round."""
     must_gate = {
-        # round-6 late additions, LOCALGATE-only before this rotation
-        "cdc_scd2_history", "scd2_user_history",
-        "scd2_incremental_apply", "scd2_stream_maintenance",
-        "events_scd2_asof_enrich", "orders_join_view_maintenance",
-        "docs_bm25_topk", "sink_time_travel", "sink_table_changes",
-        "corpus_split_manifest", "sketch_user_overlap",
-        "events_heavy_hitters", "layout_bloom_lookup",
-        "layout_zorder_scan",
+        # sink table-format contract, never driver-gated before r9
+        "sink_dv_merge", "sink_optimize", "sink_txn_batch",
+        "sink_constraints", "sink_column_rename",
+        "sink_schema_evolution", "sink_repartition_evolution",
+        "sink_generated_columns", "sink_restore_clone",
+        "sink_row_provenance", "sink_analyze_stats", "sink_occ_commit",
+        "orders_merge_into",
+        # capstones
+        "corpus_pretrain_manifest", "cdc_bi_capstone",
+        # round-8 ANN eval folds (new registry names)
+        "sim_lsh_eval", "sim_ivf_eval", "sim_pq_eval",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
