@@ -83,14 +83,15 @@ def apply_changeset(
       (ts, tiebreak) WINS (deterministic; the shuffle path's
       ``max_by`` leaves equal-order ties unspecified, so the two
       plans only differ on exact ties, which the offset total order
-      precludes in practice).  Pick automatically from persisted
+      precludes in practice).  NULL ts/tiebreak fields order smallest
+      on either side — the bare struct comparison uses the same
+      interpreted ordering as ``max_by``, so the two strategies agree
+      on NULL-field rows too.  Pick automatically from persisted
       statistics with :func:`cdc_redshift_spark.operators.planner.
       join_plan` (the ParquetSink does — see ``_merge_strategy``).
-      Preconditions (both invariants of sink state): the target holds
+      Precondition (an invariant of sink state): the target holds
       at most ONE row per key (unmatched target rows pass through
-      un-grouped, they are never re-deduped) and stored rows carry
-      non-null (ts, tiebreak) (a NULL there would make the codegen
-      comparison NULL and silently keep the stored row).
+      un-grouped, they are never re-deduped).
     """
     if strategy not in ("shuffle", "broadcast"):
         raise ValueError(f"apply_changeset: unknown strategy {strategy!r}")
@@ -176,10 +177,19 @@ def _broadcast_apply(
     """
     ordered = F.struct(F.col(ts_col), F.col(tiebreak_col))
     row = F.struct(*[F.col(c) for c in cols])
+    # __m marks "this key matched" after the left join — a dedicated
+    # marker, NOT a data column: gating no-match on s.<tiebreak>
+    # would make a matched change with a NULL tiebreak lose even when
+    # its ts is newer, diverging from the shuffle plan's max_by
+    # (struct ordering treats a NULL field as smallest but still
+    # compares the row).
     best = (
         changes.groupBy(*[F.col(k) for k in keys])
         .agg(F.max_by(row, ordered).alias("__row"))
-        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+        .select(
+            *[F.col(f"__row.{c}").alias(c) for c in cols],
+            F.lit(True).alias("__m"),
+        )
         .localCheckpoint(eager=False)
     )
 
@@ -199,10 +209,13 @@ def _broadcast_apply(
     )
 
     # §2: matched keys resolve map-side.  A change whose ordering
-    # tuple ties the stored row's exactly WINS (documented rule); a
-    # NULL tiebreak on the s side (no match, or a NULL-padded
-    # evolution row) loses, matching max_by's NULL-loses behaviour.
-    change_wins = F.col(f"s.{tiebreak_col}").isNotNull() & (
+    # tuple ties the stored row's exactly WINS (documented rule).  The
+    # bare struct comparison uses Spark's interpreted ordering — a
+    # NULL ts/tiebreak field orders smallest but the row still
+    # competes — which is exactly max_by's ordering, so the two
+    # strategies agree on NULL-field rows (verified empirically:
+    # struct(10, NULL) >= struct(5, 100) is TRUE, never NULL).
+    change_wins = F.col("s.__m").isNotNull() & (
         F.struct(F.col(f"s.{ts_col}"), F.col(f"s.{tiebreak_col}"))
         >= F.struct(F.col(f"t.{ts_col}"), F.col(f"t.{tiebreak_col}"))
     )
@@ -221,10 +234,14 @@ def _broadcast_apply(
 
     # §3: brand-new keys — everything in the changeset the target has
     # never seen (matched_keys is per-batch small: broadcast anti)
-    new_rows = best.alias("b").join(
-        F.broadcast(matched_keys.alias("m")),
-        null_safe_on("b", "m"),
-        "left_anti",
+    new_rows = (
+        best.alias("b")
+        .join(
+            F.broadcast(matched_keys.alias("m")),
+            null_safe_on("b", "m"),
+            "left_anti",
+        )
+        .select(*cols)
     )
     out = merged.unionByName(new_rows)
     if keep_tombstones:

@@ -568,6 +568,13 @@ class ParquetSink(Sink):
         self.last_merge_plan = None
         if target is None:
             return "shuffle"
+        # composite keys: _ANALYZE stats are per-column, so NDV/width
+        # of keys[0] alone can wildly under-state the composite key's
+        # multiplicity and flip to broadcast on a changeset that is
+        # only small when projected to the first key — keep the
+        # statistics-free default until composite stats exist
+        if len(self.keys) != 1:
+            return "shuffle"
         key = self.keys[0]
         try:
             stats = self.column_stats(db, table)

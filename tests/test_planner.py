@@ -150,6 +150,68 @@ def test_broadcast_merge_equals_shuffle_merge(spark):
         apply_changeset(target, changes, keys=("k",), strategy="nope")
 
 
+def test_broadcast_merge_null_tiebreak_matches_shuffle(spark):
+    """ADVICE r8: a MATCHED change with a NULL tiebreak but newer ts
+    must win under BOTH strategies (max_by's struct ordering ranks a
+    NULL field smallest but still compares the row; the broadcast
+    plan's no-match detection must not piggyback on the tiebreak
+    column being NULL).  Conversely a NULL-tiebreak change with an
+    OLDER ts loses under both."""
+    from cdc_redshift_spark.plans.merge import apply_changeset
+
+    target = spark.createDataFrame(
+        [
+            (1, "a", 100, 1, "load"),
+            (2, "b", 100, 2, "load"),
+            (3, "c", 100, None, "load"),  # stored NULL tiebreak
+        ],
+        "k int, v string, ts_ms long, offset long, op string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "win", 200, None, "update"),   # newer ts, NULL tb -> wins
+            (2, "lose", 50, None, "update"),   # older ts, NULL tb -> loses
+            (3, "win3", 100, 5, "update"),     # same ts, tb 5 > NULL -> wins
+        ],
+        "k int, v string, ts_ms long, offset long, op string",
+    )
+    shuffle = apply_changeset(target, changes, keys=("k",))
+    bcast = apply_changeset(target, changes, keys=("k",), strategy="broadcast")
+    exp = {(1, "win"), (2, "b"), (3, "win3")}
+    assert {(r.k, r.v) for r in shuffle.collect()} == exp
+    assert {(r.k, r.v) for r in bcast.collect()} == exp
+
+
+def test_sink_merge_strategy_stays_shuffle_for_composite_keys(spark, tmp_path):
+    """ADVICE r8 (low): _ANALYZE stats are per-column, so a composite-key
+    sink must not plan the broadcast flip from keys[0] stats alone —
+    the multiplicity of the composite key is unknowable from one
+    column's NDV.  Stats present, two keys -> still shuffle."""
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+    from pyspark.sql import functions as F
+
+    sink = ParquetSink(spark, str(tmp_path), keys=("k", "k2"))
+    base = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("k2"),
+        F.col("id").cast("string").alias("v"),
+        F.lit(100).cast("long").alias("ts_ms"),
+        F.col("id").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    sink.apply_changeset("d", "t", base)
+    sink.analyze("d", "t")
+    batch = base.limit(10).select(
+        "k", "k2", F.lit("u").alias("v"),
+        F.lit(200).cast("long").alias("ts_ms"),
+        (F.col("offset") + 10_000).alias("offset"),
+        F.lit("update").alias("op"),
+    )
+    target = sink.read_table(spark, "d", "t")
+    assert sink._merge_strategy("d", "t", target, batch) == "shuffle"
+    assert sink.last_merge_plan is None
+
+
 def test_broadcast_merge_plan_never_shuffles_target(spark):
     """The point of the strategy: with autoBroadcastJoinThreshold OFF
     (so only explicit hints can broadcast), the target side must reach
