@@ -594,20 +594,6 @@ def test_tfidf_broadcast_df_and_no_big_joins(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
-def test_rfm_window_and_scan_shape(spark):
-    """RFM: three ntile windows over the per-user frame, the corpus max
-    as a 1-row broadcast, and no join machinery beyond it."""
-    import __spark_entry__ as e
-
-    plan = (
-        e.queries()["events_rfm_segments"](spark, SF)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert plan.count("Window") >= 3, plan
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row max
-
-
 def test_bloom_semi_prefilter_stays_joinless(spark):
     """The Bloom prefilter must be pure scan-side filtering: exactly
     the one exact semi join in the plan, no cartesian, no BNLJ — the
