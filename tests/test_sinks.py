@@ -1794,6 +1794,53 @@ def test_analyze_column_stats_roundtrip_and_version_isolation(spark, tmp_path):
         sink.analyze("d", "missing")
 
 
+def test_occ_sink_fails_loudly_on_replay_recommit(spark, tmp_path):
+    """OCC × streaming-replay contract (carried r7 #7), sink side:
+    CdcPipeline refuses an occ=True sink at construction
+    (test_streaming.test_occ_sink_refused_by_streaming_regime), but a
+    hand-rolled foreachBatch can still drive one.  Pin what happens
+    then: a crash-recovery replay (claim marker + unpublished version
+    dir left by the dead attempt) must raise CommitConflictError on
+    the re-commit — never silently overwrite or corrupt — with the
+    published state byte-identical to the last flip, and the
+    documented FSCK (clear_orphans) must make the replay land."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from cdc_redshift_spark.sinks.parquet_sink import CommitConflictError
+
+    root = str(tmp_path / "occ_replay")
+    sink = ParquetSink(spark, root, occ=True)
+    sink.apply_changeset("d", "t", chdf(spark, [("1", 100, 0, "insert", "a")]))
+    sink.apply_changeset("d", "t", chdf(spark, [("2", 200, 1, "insert", "b")]))
+    batch2 = [("1", 300, 2, "update", "a2"), ("3", 300, 3, "insert", "c")]
+
+    # crashed attempt at batch 2: claim taken, data written, pointer
+    # NEVER flipped (death between the write and the flip)
+    tdir = os.path.join(root, "d", "t")
+    open(os.path.join(tdir, "_CLAIM_v3"), "w").close()
+    os.makedirs(os.path.join(tdir, "v3"), exist_ok=True)
+
+    before = {tuple(r) for r in sink.read_table(spark, "d", "t").collect()}
+    with _pytest.raises(CommitConflictError, match="claimed"):
+        sink.apply_changeset("d", "t", chdf(spark, batch2))
+    # loud, and lossless: the published snapshot did not move
+    assert sink._latest_version("d", "t") == 2
+    assert {tuple(r) for r in sink.read_table(spark, "d", "t").collect()} == before
+
+    # recovery protocol: FSCK frees the dead claim, the replay lands
+    assert sink.clear_orphans("d", "t") == [3]
+    sink.apply_changeset("d", "t", chdf(spark, batch2))
+    got = {
+        (r["key"], r["payload"])
+        for r in sink.read_table(spark, "d", "t").collect()
+    }
+    assert got == {("1", "a2"), ("2", "b"), ("3", "c")}
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_occ_conflict_retry_and_orphan_clear(spark, tmp_path):
     """Optimistic concurrency: a claimed-but-unpublished version makes a
     competing commit raise CommitConflictError instead of silently losing
