@@ -87,6 +87,13 @@ def main() -> None:
         # and BPE pair stats (corpus scan folds to vocab, pair explode)
         "emb_semantic_dedup",
         "corpus_bpe_pairs",
+        # round-9 (VERDICT r8 #7, carried r7 #4): the remaining
+        # un-benched r7 heavies — containment join (prefix-filtered
+        # n-gram overlap), pointer-doubling tree roots (log-depth
+        # iterative joins), and integer-exact TWAP windows
+        "dedup_containment",
+        "graph_tree_roots",
+        "events_twap",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
@@ -235,6 +242,128 @@ def main() -> None:
     big.unpersist()
     rec_per_s_4x = n_events_4x / cdc_secs_4x if cdc_secs_4x > 0 else 0.0
 
+    # sink DV-merge commit (VERDICT r8 #7): the deletion-vector merge
+    # path against a committed 150k-row base — winners computed, _DV
+    # sidecar written, every untouched data file hard-linked forward
+    # (no rewrite).  Fresh sink per iteration (the apply mutates
+    # versioned state); only the changeset apply is timed.
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, SF_DIR, "orders")
+    dv_base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    mo = F.pmod(F.col("k"), F.lit(10))
+    dv_ch = (
+        dv_base.where(mo == 2)
+        .withColumn("status", F.lit("U"))
+        .withColumn("op", F.lit("update"))
+        .unionByName(dv_base.where(mo == 3).withColumn("op", F.lit("delete")))
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+    )
+    best_dv = float("inf")
+    for _ in range(2):
+        root = tempfile.mkdtemp(prefix="bench_dv_")
+        try:
+            sink = ParquetSink(spark, root, keys=("k",), merge_mode="dv")
+            sink.apply_changeset("db", "t", dv_base)
+            settle()
+            t0 = time.perf_counter()
+            sink.apply_changeset("db", "t", dv_ch)
+            best_dv = min(best_dv, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    times["sink_dv_merge_commit"] = round(best_dv, 3)
+
+    # merge-strategy crossover (VERDICT r8 #5): shuffle vs broadcast
+    # apply_changeset at both extremes of the changeset:target ratio —
+    # "micro" = 0.5% of keys against a 16x-replicated target (the
+    # streaming steady state the broadcast plan exists for: avoid
+    # shuffling a huge table for a tiny batch) and "bulk" = 100% of
+    # keys against the plain target (the backfill shape, where both
+    # plans move everything and the shuffle's single pass wins).  The
+    # planner decision is the SAME seam ParquetSink consults
+    # (df_key_stats -> join_plan -> merge_strategy_from_plan) and must
+    # land on the faster side at each extreme; `extra` records the
+    # four walls, the picks, and whether each pick won.
+    from cdc_redshift_spark.operators.planner import (
+        df_key_stats,
+        join_plan,
+        merge_strategy_from_plan,
+        row_bytes_of,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    base_key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    mbase = li.select(
+        base_key.alias("k"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_returnflag").alias("v"),
+        F.lit(100).cast("long").alias("ts_ms"),
+        base_key.alias("offset"),
+        F.lit("load").alias("op"),
+    )
+    # disjoint 16x replication: the big-target regime at any SF
+    big_parts = [
+        mbase.select(
+            (F.col("k") + i * 1_000_000_000).alias("k"),
+            "qty", "v", "ts_ms",
+            (F.col("offset") + i * 1_000_000_000).alias("offset"),
+            "op",
+        )
+        for i in range(16)
+    ]
+    mbig = big_parts[0]
+    for p in big_parts[1:]:
+        mbig = mbig.unionByName(p)
+    mbig = mbig.persist()
+    msmall = mbase.persist()
+    merge_x: dict = {"big_target_rows": mbig.count(),
+                     "bulk_target_rows": msmall.count()}
+    for label, mtgt, pred in (
+        ("micro", mbig, F.pmod(F.col("k"), F.lit(200)) == 7),
+        ("bulk", msmall, F.lit(True)),
+    ):
+        mch = (
+            mtgt.where(pred)
+            .withColumn("v", F.lit("upd"))
+            .withColumn("ts_ms", F.lit(200).cast("long"))
+            .withColumn("offset", F.col("offset") + 100_000_000)
+            .withColumn("op", F.lit("update"))
+        ).persist()
+        merge_x[f"{label}_rows"] = mch.count()
+        for strat in ("shuffle", "broadcast"):
+            merge_x[f"{label}_{strat}_s"] = timed(
+                lambda: force(
+                    apply_changeset(mtgt, mch, keys=("k",), strategy=strat)
+                ),
+                keep_cache=True,
+            )
+        plan = join_plan(
+            df_key_stats(mtgt, "k"),
+            df_key_stats(mch, "k"),
+            "k",
+            left_row_bytes=row_bytes_of(mtgt.dtypes),
+            right_row_bytes=row_bytes_of(mch.dtypes),
+        )
+        pick = merge_strategy_from_plan(plan)
+        other = "shuffle" if pick == "broadcast" else "broadcast"
+        merge_x[f"{label}_planner_pick"] = pick
+        merge_x[f"{label}_pick_is_faster"] = bool(
+            merge_x[f"{label}_{pick}_s"] <= merge_x[f"{label}_{other}_s"]
+        )
+        mch.unpersist()
+    mbig.unpersist()
+    msmall.unpersist()
+
     # the streaming entry runs once (it is 15-25 s and its own harness
     # amortizes noise over many internal jobs)
     for name in tail_headline:
@@ -263,6 +392,7 @@ def main() -> None:
                     "cdc_scaleup_x": round(rec_per_s_4x / rec_per_s, 2)
                     if rec_per_s
                     else 0.0,
+                    "merge_crossover": merge_x,
                 },
             }
         )

@@ -133,6 +133,44 @@ def join_plan(
     }
 
 
+#: floor for the broadcast MERGE flip: below this estimated target
+#: size, shuffling the target is cheap and the broadcast plan's fixed
+#: overheads (a second column-pruned target scan + three bounded
+#: jobs) dominate — measured at sf0.01: 60k-row target, broadcast
+#: 0.38 s vs shuffle 0.28 s for a 364-row micro-batch.
+MERGE_BROADCAST_MIN_TARGET = 256 * 1024 * 1024
+#: and the target must dwarf the changeset — near-equal sides get
+#: nothing from avoiding the shuffle (both plans move ~everything).
+MERGE_BROADCAST_MIN_RATIO = 8.0
+
+
+def merge_strategy_from_plan(
+    plan: dict,
+    min_target_bytes: int = MERGE_BROADCAST_MIN_TARGET,
+    min_ratio: float = MERGE_BROADCAST_MIN_RATIO,
+) -> str:
+    """Map a :func:`join_plan` decision (left = merge target, right =
+    changeset) to an ``apply_changeset`` strategy.
+
+    ``join_plan`` answers "is a side broadcastable"; the merge flip
+    needs more — the broadcast merge only wins when the work it avoids
+    (shuffling the whole target) exceeds its own overheads, so require
+    ALL of: the changeset provably broadcastable (``broadcast_right``),
+    the target at least ``min_ratio`` × the changeset, and the target
+    over ``min_target_bytes`` in absolute terms.  Everything else —
+    including a broadcastable-target plan (``broadcast_left``: the
+    shuffle is cheap anyway) — keeps the statistics-free default.
+    Shared by ``ParquetSink._merge_strategy`` and the bench's
+    crossover probe so the decision can't drift between them."""
+    if plan["strategy"] != "broadcast_right":
+        return "shuffle"
+    if plan["est_left_bytes"] < min_target_bytes:
+        return "shuffle"
+    if plan["est_left_bytes"] < min_ratio * max(plan["est_right_bytes"], 1):
+        return "shuffle"
+    return "broadcast"
+
+
 def apply_join_plan(
     left: DataFrame,
     right: DataFrame,

@@ -73,6 +73,7 @@ class ParquetSink(Sink):
         constraints: dict[str, str] | None = None,
         generated_cols: dict[str, str] | None = None,
         occ: bool = False,
+        merge_broadcast_min_target: int | None = None,
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -129,6 +130,12 @@ class ParquetSink(Sink):
                 f"merge_mode must be 'rewrite' or 'dv', got {merge_mode!r}"
             )
         self.merge_mode = merge_mode
+        #: broadcast-merge flip floor (bytes of estimated target size,
+        #: None = planner default MERGE_BROADCAST_MIN_TARGET): below
+        #: it the target shuffle is cheap and the broadcast plan's
+        #: fixed overheads dominate.  Tests set 0 to exercise the seam
+        #: on small fixtures.
+        self.merge_broadcast_min_target = merge_broadcast_min_target
         #: {name: SQL boolean expr} CHECK constraints (Delta contract:
         #: a row violates only when the expr evaluates FALSE — null is
         #: a pass; spell NOT NULL as "x IS NOT NULL").  Enforced on
@@ -583,8 +590,10 @@ class ParquetSink(Sink):
         if not stats or key not in stats:
             return "shuffle"
         from cdc_redshift_spark.operators.planner import (
+            MERGE_BROADCAST_MIN_TARGET,
             df_key_stats,
             join_plan,
+            merge_strategy_from_plan,
             row_bytes_of,
         )
 
@@ -599,10 +608,13 @@ class ParquetSink(Sink):
         except Exception:
             return "shuffle"
         self.last_merge_plan = plan
-        # only the changes-side broadcast avoids the target shuffle;
-        # "broadcast_left" (target itself is the smaller side) means
-        # the shuffle is cheap anyway -- keep the simpler plan
-        return "broadcast" if plan["strategy"] == "broadcast_right" else "shuffle"
+        floor = self.merge_broadcast_min_target
+        return merge_strategy_from_plan(
+            plan,
+            min_target_bytes=MERGE_BROADCAST_MIN_TARGET
+            if floor is None
+            else floor,
+        )
 
     def _apply_pruned(
         self,

@@ -267,7 +267,13 @@ def test_sink_merge_flips_to_broadcast_from_analyze_stats(spark, tmp_path, monke
 
     monkeypatch.setattr(ps, "merge_apply", spy)
 
-    sink = ParquetSink(spark, str(tmp_path), keys=("k",))
+    # floor=0: this fixture's 8k-row target is far below the default
+    # MERGE_BROADCAST_MIN_TARGET (where the target shuffle is cheap
+    # and broadcast's fixed overheads lose — measured at sf0.01);
+    # zeroing it exercises the stats->flip seam itself
+    sink = ParquetSink(
+        spark, str(tmp_path), keys=("k",), merge_broadcast_min_target=0
+    )
     base = spark.range(0, 8_000).select(
         F.col("id").alias("k"),
         F.col("id").cast("string").alias("v"),
@@ -297,3 +303,41 @@ def test_sink_merge_flips_to_broadcast_from_analyze_stats(spark, tmp_path, monke
     got = sink.read_table(spark, "d", "t")
     assert got.where(F.col("v") == "u").count() == 40
     assert got.count() == 8_000
+
+    # under the DEFAULT floor the same stats keep the shuffle plan:
+    # an 8k-row target's shuffle is cheaper than broadcast's fixed
+    # overheads (second scan + bounded jobs)
+    defsink = ParquetSink(spark, str(tmp_path), keys=("k",))
+    tgt = defsink.read_table(spark, "d", "t")
+    assert defsink._merge_strategy("d", "t", tgt, batch2) == "shuffle"
+
+
+def test_merge_strategy_from_plan_thresholds():
+    """The pure decision rule: broadcast only when the changeset is
+    broadcastable AND the target is big in absolute terms AND the
+    target dwarfs the changeset."""
+    from cdc_redshift_spark.operators.planner import merge_strategy_from_plan
+
+    def plan(strategy, left, right):
+        return {
+            "strategy": strategy,
+            "est_left_bytes": left,
+            "est_right_bytes": right,
+        }
+
+    gib = 1 << 30
+    assert merge_strategy_from_plan(plan("broadcast_right", gib, 1 << 20)) == "broadcast"
+    # target under the absolute floor -> shuffle
+    assert merge_strategy_from_plan(plan("broadcast_right", 1 << 20, 1 << 10)) == "shuffle"
+    # near-equal sides -> shuffle even when both are huge
+    assert merge_strategy_from_plan(plan("broadcast_right", gib, gib // 2)) == "shuffle"
+    # target-side broadcastable or plain shuffle -> shuffle
+    assert merge_strategy_from_plan(plan("broadcast_left", 1 << 10, gib)) == "shuffle"
+    assert merge_strategy_from_plan(plan("shuffle", gib, gib)) == "shuffle"
+    # the floor is a knob (tests and small deployments)
+    assert (
+        merge_strategy_from_plan(
+            plan("broadcast_right", 1 << 20, 1 << 10), min_target_bytes=0
+        )
+        == "broadcast"
+    )
