@@ -22,8 +22,8 @@ CALLOUTS = {
     "events_asof_attribution": "NO join operator at all: union + one hashpartitioning Exchange + window carry-forward",
     "events_burst_windows": "range join planned as an equi-join on time cells (no BroadcastNestedLoopJoin)",
     "dedup_minhash_lsh": "one narrow Arrow pass, ONE shuffle on band slice-values, in-bucket verify",
-    "sim_lsh_eval": "tag -> (tbl,bucket) shuffle -> fused bucket GEMM emitting local top-k",
-    "sim_pq_eval": "exactly one ArrowEvalPython (the encode); ADC scoring is codegen element_at chains",
+    "sim_lsh_eval": "tag -> (tbl,bucket) shuffle -> fused bucket GEMM emitting local top-k; recall frame rides a 1-row broadcast BNLJ",
+    "sim_pq_eval": "exactly one ArrowEvalPython (the encode); ADC scoring is codegen element_at chains; recall frame a 1-row broadcast BNLJ",
     "text_winnow": "ONE mapInPandas (Arrow per-doc winnowing) and ZERO shuffles before the output projection",
     "cdc_pg_replay": "codegen parse/normalize; one LWW shuffle; one max_by merge shuffle",
     "corpus_source_cap": "salted two-phase cap: windows keyed (source,salt) then (source); no join, md5 priority in codegen",
