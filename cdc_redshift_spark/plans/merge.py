@@ -79,14 +79,19 @@ def apply_changeset(
       against the matched-key set.  Cost: two target scans (the
       second pruned to key columns) instead of one target shuffle —
       at 100 TB a column-pruned re-scan is far cheaper than
-      shuffling the table.  Tie rule: a change at exactly the stored
-      (ts, tiebreak) WINS (deterministic; the shuffle path's
-      ``max_by`` leaves equal-order ties unspecified, so the two
-      plans only differ on exact ties, which the offset total order
-      precludes in practice).  NULL ts/tiebreak fields order smallest
+      shuffling the table.  NULL ts/tiebreak fields order smallest
       on either side — the bare struct comparison uses the same
       interpreted ordering as ``max_by``, so the two strategies agree
-      on NULL-field rows too.  Pick automatically from persisted
+      whenever the orderings are UNEQUAL, NULLs included.  On an
+      EXACT (ts, tiebreak) tie they can diverge: broadcast
+      deterministically takes the change, while shuffle's ``max_by``
+      leaves equal-order ties unspecified.  A unique tiebreak (the
+      offset contract) precludes ties between distinct rows; rows
+      carrying NULL tiebreaks (e.g. NULL-padded schema-evolution
+      rows) are NOT unique, so a pipeline that can feed two
+      same-key rows with identical (ts, NULL) orderings must either
+      accept either row winning or keep one strategy.  Pick
+      automatically from persisted
       statistics with :func:`cdc_redshift_spark.operators.planner.
       join_plan` (the ParquetSink does — see ``_merge_strategy``).
       Precondition (an invariant of sink state): the target holds
@@ -177,18 +182,23 @@ def _broadcast_apply(
     """
     ordered = F.struct(F.col(ts_col), F.col(tiebreak_col))
     row = F.struct(*[F.col(c) for c in cols])
-    # __m marks "this key matched" after the left join — a dedicated
-    # marker, NOT a data column: gating no-match on s.<tiebreak>
-    # would make a matched change with a NULL tiebreak lose even when
-    # its ts is newer, diverging from the shuffle plan's max_by
-    # (struct ordering treats a NULL field as smallest but still
-    # compares the row).
+    # the match marker ("this key matched" after the left join) is a
+    # dedicated column, NOT a data column: gating no-match on
+    # s.<tiebreak> would make a matched change with a NULL tiebreak
+    # lose even when its ts is newer, diverging from the shuffle
+    # plan's max_by (struct ordering treats a NULL field as smallest
+    # but still compares the row).  Underscore-extend past any real
+    # column so a table that happens to carry "__m" can't make the
+    # qualified reference ambiguous.
+    marker = "__m"
+    while marker in cols:
+        marker += "_"
     best = (
         changes.groupBy(*[F.col(k) for k in keys])
         .agg(F.max_by(row, ordered).alias("__row"))
         .select(
             *[F.col(f"__row.{c}").alias(c) for c in cols],
-            F.lit(True).alias("__m"),
+            F.lit(True).alias(marker),
         )
         .localCheckpoint(eager=False)
     )
@@ -215,7 +225,7 @@ def _broadcast_apply(
     # competes — which is exactly max_by's ordering, so the two
     # strategies agree on NULL-field rows (verified empirically:
     # struct(10, NULL) >= struct(5, 100) is TRUE, never NULL).
-    change_wins = F.col("s.__m").isNotNull() & (
+    change_wins = F.col(f"s.{marker}").isNotNull() & (
         F.struct(F.col(f"s.{ts_col}"), F.col(f"s.{tiebreak_col}"))
         >= F.struct(F.col(f"t.{ts_col}"), F.col(f"t.{tiebreak_col}"))
     )

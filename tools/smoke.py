@@ -20,10 +20,11 @@ correctness gate (that is tools/check_oracle.py).
 """
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
-REPO = __file__.rsplit("/", 2)[0]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
@@ -54,10 +55,16 @@ def main() -> int:
     if bad_oracle_keys:
         problems.append(f"oracle_sql keys not in queries(): {sorted(bad_oracle_keys)}")
 
+    # cwd + PYTHONPATH pinned to the repo: `python -m pytest` only puts
+    # the CWD on sys.path, so collection from any other directory would
+    # falsely fail (tests import cdc_redshift_spark)
+    env = dict(os.environ, PYTHONPATH=REPO)
     collect = subprocess.run(
-        [sys.executable, "-m", "pytest", "--collect-only", "-q", f"{REPO}/tests"],
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests"],
         capture_output=True,
         text=True,
+        cwd=REPO,
+        env=env,
     )
     if collect.returncode != 0:
         tail = "\n".join(collect.stdout.splitlines()[-15:])
