@@ -107,3 +107,46 @@ def test_random_interleavings_match_reference(spark, events, splits):
     assert engine_state(replayed.where("op != 'delete'")) == reference_reducer(
         events
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, split=st.integers(min_value=1, max_value=13))
+def test_broadcast_strategy_matches_shuffle_on_random_logs(
+    spark, events, split
+):
+    """Strategy parity as a PROPERTY: for any random changelog split
+    into (base, changes) — arbitrary op interleavings, ts ties on
+    distinct offsets, delete/resurrect chains — the broadcast merge
+    plan must produce exactly the shuffle plan's state, tombstones
+    included.  (Offsets are unique by construction, the documented
+    precondition under which the two plans are result-identical.)"""
+    cut = min(split, len(events))
+    base_ev, chg_ev = events[:cut], events[cut:]
+    base_ch = latest_per_key(
+        pg_changeset(raw_frame(spark, base_ev), offset_col="offset")
+    )
+    target = apply_changeset(
+        None, base_ch, keys=KEYS, keep_tombstones=True
+    ).localCheckpoint(eager=True)
+    if not chg_ev:
+        return
+    ch = latest_per_key(
+        pg_changeset(
+            raw_frame(spark, chg_ev, offset_base=cut), offset_col="offset"
+        )
+    )
+    for keep in (True, False):
+        shuffle = apply_changeset(
+            target, ch, keys=KEYS, keep_tombstones=keep
+        )
+        bcast = apply_changeset(
+            target, ch, keys=KEYS, keep_tombstones=keep, strategy="broadcast"
+        )
+        key = lambda r: (r["db"], r["table"], r["key"])
+        s_rows = {key(r): (r["ts_ms"], r["offset"], r["op"]) for r in shuffle.collect()}
+        b_rows = {key(r): (r["ts_ms"], r["offset"], r["op"]) for r in bcast.collect()}
+        assert b_rows == s_rows, f"keep_tombstones={keep}"
