@@ -134,9 +134,9 @@ def main() -> None:
     # apply measurements deliberately persist their input changelog,
     # and clearing the cache inside the timed loop would silently
     # charge the input's regeneration to the apply pipeline.
-    def timed(fn, keep_cache: bool = False) -> float:
+    def timed(fn, keep_cache: bool = False, iters: int = 2) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(iters):
             if not keep_cache:
                 spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
@@ -145,9 +145,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # known JIT/host-noise-sensitive entries get min-of-3 (measured
+    # 6.7 s vs 11.0 s across two same-tree suite runs; the isolated
+    # steady state is ~5.5 s — SCALE.md)
+    extra_iters = {"dedup_simjoin": 3}
+
     times: dict[str, float] = {}
     for name in headline:
-        times[name] = timed(lambda: force(qs[name](spark, SF_DIR)))
+        times[name] = timed(
+            lambda: force(qs[name](spark, SF_DIR)),
+            iters=extra_iters.get(name, 2),
+        )
 
     # incremental-minhash split (r6 VERDICT #3): the old single entry
     # conflated the ONE-TIME index construction with the steady-state
