@@ -124,7 +124,11 @@ def test_broadcast_strategy_matches_shuffle_on_random_logs(
     plan must produce exactly the shuffle plan's state, tombstones
     included.  (Offsets are unique by construction, the documented
     precondition under which the two plans are result-identical.)"""
-    cut = min(split, len(events))
+    if len(events) < 2:
+        return  # need a non-empty changeset; cheap pre-Spark exit
+    # clamp the cut INSIDE the log so every surviving example
+    # exercises a real (base, changes) merge — no burned examples
+    cut = min(split, len(events) - 1)
     base_ev, chg_ev = events[:cut], events[cut:]
     base_ch = latest_per_key(
         pg_changeset(raw_frame(spark, base_ev), offset_col="offset")
@@ -132,8 +136,6 @@ def test_broadcast_strategy_matches_shuffle_on_random_logs(
     target = apply_changeset(
         None, base_ch, keys=KEYS, keep_tombstones=True
     ).localCheckpoint(eager=True)
-    if not chg_ev:
-        return
     ch = latest_per_key(
         pg_changeset(
             raw_frame(spark, chg_ev, offset_base=cut), offset_col="offset"
@@ -146,7 +148,11 @@ def test_broadcast_strategy_matches_shuffle_on_random_logs(
         bcast = apply_changeset(
             target, ch, keys=KEYS, keep_tombstones=keep, strategy="broadcast"
         )
-        key = lambda r: (r["db"], r["table"], r["key"])
-        s_rows = {key(r): (r["ts_ms"], r["offset"], r["op"]) for r in shuffle.collect()}
-        b_rows = {key(r): (r["ts_ms"], r["offset"], r["op"]) for r in bcast.collect()}
+        # full-row MULTISET equality: a dict keyed on the merge key
+        # would mask a duplicate-emission regression (the union of the
+        # merged and new-rows branches is exactly where a matched key
+        # could leak out twice)
+        row = lambda r: (r["db"], r["table"], r["key"], r["ts_ms"], r["offset"], r["op"])
+        s_rows = sorted(row(r) for r in shuffle.collect())
+        b_rows = sorted(row(r) for r in bcast.collect())
         assert b_rows == s_rows, f"keep_tombstones={keep}"
