@@ -74,6 +74,7 @@ class ParquetSink(Sink):
         generated_cols: dict[str, str] | None = None,
         occ: bool = False,
         merge_broadcast_min_target: int | None = None,
+        analyze_carry_limit: int = 64,
     ):
         """``cluster_keys`` range-clusters every committed snapshot
         (operators/layout.py): each written file covers a disjoint
@@ -136,6 +137,9 @@ class ParquetSink(Sink):
         #: fixed overheads dominate.  Tests set 0 to exercise the seam
         #: on small fixtures.
         self.merge_broadcast_min_target = merge_broadcast_min_target
+        #: commits an _ANALYZE sidecar may be carried forward before
+        #: it expires (see _carry_analyze); <=0 disables carrying
+        self.analyze_carry_limit = analyze_carry_limit
         #: {name: SQL boolean expr} CHECK constraints (Delta contract:
         #: a row violates only when the expr evaluates FALSE — null is
         #: a pass; spell NOT NULL as "x IS NOT NULL").  Enforced on
@@ -1935,6 +1939,11 @@ class ParquetSink(Sink):
         with open(path + ".tmp", "w") as f:
             _json.dump(stats, f)
         os.replace(path + ".tmp", path)
+        # fresh stats restart the carry chain (see _carry_analyze):
+        # a leftover age marker from a carried sidecar is now wrong
+        age = os.path.join(self._dir(db, table), f"v{v}", "_ANALYZE_AGE")
+        if os.path.exists(age):
+            os.remove(age)
         return stats
 
     def column_stats(
@@ -2207,11 +2216,45 @@ class ParquetSink(Sink):
         # files inherit provenance from (restore links from an OLDER
         # snapshot, not v-1)
         self._write_file_manifest(db, table, v, prev_v=manifest_prev)
+        self._carry_analyze(db, table, v)
         if self._deferred_flips is not None:
             # inside a transaction: record the intent, flip at commit
             self._deferred_flips.append((db, table, v))
             return
         self._flip_now(db, table, v)
+
+    def _carry_analyze(self, db: str, table: str, v: int) -> None:
+        """Carry the published snapshot's ``_ANALYZE`` sidecar into the
+        about-to-flip version ``v``, so stats-driven planning
+        (:meth:`_merge_strategy`) survives the commits BETWEEN
+        ``analyze()`` refreshes — without this, the first merge after
+        an ANALYZE orphans the stats (they are per-version) and every
+        later micro-batch silently reverts to the statistics-free
+        shuffle, exactly in the streaming regime the broadcast plan
+        exists for.  Warehouse semantics: stats are estimates and stay
+        usable until refreshed; staleness is bounded by an explicit
+        age counter (``_ANALYZE_AGE`` = commits since the stats were
+        computed) — past ``analyze_carry_limit`` the chain EXPIRES and
+        the planner reverts to the safe default rather than planning
+        on arbitrarily stale cardinalities."""
+        d = self._dir(db, table)
+        prev = self._latest_version(db, table)
+        if prev is None or prev >= v:
+            return
+        src = os.path.join(d, f"v{prev}", "_ANALYZE")
+        dst = os.path.join(d, f"v{v}", "_ANALYZE")
+        if not os.path.exists(src) or os.path.exists(dst):
+            return
+        age_path = os.path.join(d, f"v{prev}", "_ANALYZE_AGE")
+        age = 0
+        if os.path.exists(age_path):
+            with open(age_path) as f:
+                age = int(f.read().strip() or 0)
+        if age + 1 > self.analyze_carry_limit:
+            return
+        shutil.copyfile(src, dst)
+        with open(os.path.join(d, f"v{v}", "_ANALYZE_AGE"), "w") as f:
+            f.write(str(age + 1))
 
     # -- row-level commit provenance ---------------------------------------
     def _manifest_path(self, db: str, table: str, v: int) -> str:

@@ -312,6 +312,74 @@ def test_sink_merge_flips_to_broadcast_from_analyze_stats(spark, tmp_path, monke
     assert defsink._merge_strategy("d", "t", tgt, batch2) == "shuffle"
 
 
+def test_analyze_stats_carry_forward_and_expiry(spark, tmp_path):
+    """The CBO seam must survive the commits BETWEEN analyze()
+    refreshes: each merge commits a NEW version, and per-version stats
+    would otherwise orphan after the first merge — silently reverting
+    every later micro-batch to shuffle, exactly in the streaming
+    regime the broadcast plan exists for.  Pin: stats carry forward
+    across merges (with an age counter), keep driving the broadcast
+    flip, and EXPIRE past analyze_carry_limit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    def mk(path, limit):
+        return ParquetSink(
+            spark, str(path), keys=("k",),
+            merge_broadcast_min_target=0, analyze_carry_limit=limit,
+        )
+
+    base = spark.range(0, 4_000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("v"),
+        F.lit(100).cast("long").alias("ts_ms"),
+        F.col("id").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+
+    def batch(i):
+        return spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            F.lit(f"u{i}").alias("v"),
+            F.lit(100 + i).cast("long").alias("ts_ms"),
+            (F.col("id") + 10_000 * i).alias("offset"),
+            F.lit("update").alias("op"),
+        )
+
+    sink = mk(tmp_path / "carry", limit=64)
+    sink.apply_changeset("d", "t", base)
+    sink.analyze("d", "t")
+    for i in range(1, 4):  # three consecutive merges, ONE analyze
+        sink.apply_changeset("d", "t", batch(i))
+        assert sink.last_merge_plan is not None, f"merge {i} lost the stats"
+        assert sink.last_merge_plan["strategy"] == "broadcast_right"
+    assert sink.column_stats("d", "t") is not None
+    v = sink._latest_version("d", "t")
+    with open(os.path.join(str(tmp_path / "carry"), "d", "t", f"v{v}", "_ANALYZE_AGE")) as f:
+        assert int(f.read()) == 3  # commits since the stats were computed
+
+    # expiry: limit=1 -> the carried sidecar survives exactly one
+    # commit, so merge 1 and 2 plan from stats, merge 3 finds none
+    sink2 = mk(tmp_path / "exp", limit=1)
+    sink2.apply_changeset("d", "t", base)
+    sink2.analyze("d", "t")
+    sink2.apply_changeset("d", "t", batch(1))  # consults v1 stats (fresh)
+    assert sink2.last_merge_plan is not None
+    sink2.apply_changeset("d", "t", batch(2))  # consults carried age-1 stats
+    assert sink2.last_merge_plan is not None
+    sink2.apply_changeset("d", "t", batch(3))  # age-2 would exceed limit
+    assert sink2.last_merge_plan is None       # expired -> stats-free default
+    assert sink2.column_stats("d", "t") is None
+
+    # a fresh analyze() restarts the chain at age 0
+    sink2.analyze("d", "t")
+    sink2.apply_changeset("d", "t", batch(4))
+    assert sink2.last_merge_plan is not None
+
+
 def test_merge_strategy_from_plan_thresholds():
     """The pure decision rule: broadcast only when the changeset is
     broadcastable AND the target is big in absolute terms AND the

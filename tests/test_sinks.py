@@ -1762,8 +1762,11 @@ def test_dropped_guard_survives_readd_restore_and_clone(spark, tmp_path):
 
 def test_analyze_column_stats_roundtrip_and_version_isolation(spark, tmp_path):
     """analyze() persists exact one-pass stats per SNAPSHOT: the sidecar
-    reads back verbatim, a later commit starts stats-less (stats are
-    version-scoped, never inherited), and the old version keeps its own."""
+    reads back verbatim and the old version keeps its own.  A later
+    commit CARRIES the estimates forward (warehouse staleness
+    semantics, bounded by analyze_carry_limit — see
+    test_planner.test_analyze_stats_carry_forward_and_expiry);
+    analyze_carry_limit=0 opts back into strict version scoping."""
     import pytest as _pytest
 
     sink = ParquetSink(spark, str(tmp_path))
@@ -1783,10 +1786,19 @@ def test_analyze_column_stats_roundtrip_and_version_isolation(spark, tmp_path):
     # round-trip: reader returns exactly what analyze computed
     assert sink.column_stats("d", "t") == got
 
-    # a new commit's snapshot has no stats until analyzed; v1 keeps its own
+    # a new commit CARRIES the previous snapshot's estimates (they
+    # describe v1's data, verbatim); v1 keeps its own
     sink.apply_changeset("d", "t", chdf(spark, [("e", 200, 4, "insert", "z")]))
-    assert sink.column_stats("d", "t") is None
+    assert sink.column_stats("d", "t") == got
     assert sink.column_stats("d", "t", version=1) == got
+
+    # strict version scoping on demand: carry disabled -> a new
+    # commit's snapshot has no stats until analyzed
+    strict = ParquetSink(spark, str(tmp_path / "strict"), analyze_carry_limit=0)
+    strict.apply_changeset("d", "t", chdf(spark, rows))
+    strict.analyze("d", "t", ["key"])
+    strict.apply_changeset("d", "t", chdf(spark, [("e", 200, 4, "insert", "z")]))
+    assert strict.column_stats("d", "t") is None
 
     with _pytest.raises(ValueError, match="unknown columns"):
         sink.analyze("d", "t", ["nope"])
