@@ -202,27 +202,58 @@ def row_bytes_of(dtypes: list[tuple[str, str]]) -> int:
     return sum(_DTYPE_BYTES.get(dt, _DEFAULT_WIDTH) for _, dt in dtypes)
 
 
-def df_key_stats(df: DataFrame, key: str) -> dict:
+#: stats-dict entry name for a COMPOSITE key's statistics.  Kept out
+#: of the column namespace (no real column may start with "__") so
+#: per-column consumers can ignore it; its ``n`` matches every other
+#: column's, so :func:`estimate_size_bytes` (which callers feed
+#: ``row_bytes`` for subset stats anyway) is unaffected.
+COMPOSITE_KEY = "__key__"
+
+
+def df_key_stats(df: DataFrame, key) -> dict:
     """One-job ``join_plan``-shaped statistics for a LIVE DataFrame —
     the changeset side of a merge, which has no ``_ANALYZE`` sidecar
     because it never touched disk.  Row count + null count exact,
     NDV via ``approx_count_distinct`` (HLL++, one pass, no expand —
     the planner only needs multiplicity to an order of magnitude).
 
+    ``key``: a column name, or a sequence of names for a COMPOSITE
+    key — the NDV is then computed over ``struct(keys...)`` (the real
+    grouping grain; any single column's NDV can under-state composite
+    multiplicity arbitrarily) and stored under :data:`COMPOSITE_KEY`.
+
     Cost: ONE aggregation job over the frame; callers gate it on the
     decision being worth making (the ParquetSink only runs it when
     the target actually has persisted stats to plan against).
     """
+    if not isinstance(key, str) and len(key) == 1:
+        key = key[0]
+    if isinstance(key, str):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col(key)).alias("nn"),
+            F.approx_count_distinct(F.col(key)).alias("ndv"),
+        ).first()
+        return {
+            key: {
+                "n": row["n"],
+                "n_null": row["n"] - row["nn"],
+                "ndv": max(row["ndv"], 1),
+                "dtype": dict(df.dtypes)[key],
+            }
+        }
+    kc = F.struct(*[F.col(k) for k in key])
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count(F.col(key)).alias("nn"),
-        F.approx_count_distinct(F.col(key)).alias("ndv"),
+        F.approx_count_distinct(kc).alias("ndv"),
     ).first()
+    # a struct literal is never NULL row-wise (NULL fields group like
+    # groupBy's null buckets), so the composite has no null rows
     return {
-        key: {
+        COMPOSITE_KEY: {
             "n": row["n"],
-            "n_null": row["n"] - row["nn"],
+            "n_null": 0,
             "ndv": max(row["ndv"], 1),
-            "dtype": dict(df.dtypes)[key],
+            "dtype": "struct",
         }
     }

@@ -579,21 +579,8 @@ class ParquetSink(Sink):
         self.last_merge_plan = None
         if target is None:
             return "shuffle"
-        # composite keys: _ANALYZE stats are per-column, so NDV/width
-        # of keys[0] alone can wildly under-state the composite key's
-        # multiplicity and flip to broadcast on a changeset that is
-        # only small when projected to the first key — keep the
-        # statistics-free default until composite stats exist
-        if len(self.keys) != 1:
-            return "shuffle"
-        key = self.keys[0]
-        try:
-            stats = self.column_stats(db, table)
-        except Exception:
-            return "shuffle"
-        if not stats or key not in stats:
-            return "shuffle"
         from cdc_redshift_spark.operators.planner import (
+            COMPOSITE_KEY,
             MERGE_BROADCAST_MIN_TARGET,
             df_key_stats,
             join_plan,
@@ -601,10 +588,26 @@ class ParquetSink(Sink):
             row_bytes_of,
         )
 
+        # composite-key sinks plan from the COMPOSITE_KEY entry
+        # (analyze() records struct-NDV at the real grouping grain —
+        # keys[0] alone can under-state composite multiplicity
+        # arbitrarily, e.g. 'db' has NDV 1 on a ("db","table","key")
+        # sink); a sidecar written before composite stats existed
+        # lacks the entry and keeps the statistics-free default
+        single = len(self.keys) == 1
+        key = self.keys[0] if single else COMPOSITE_KEY
+        try:
+            stats = self.column_stats(db, table)
+        except Exception:
+            return "shuffle"
+        if not stats or key not in stats:
+            return "shuffle"
         try:
             plan = join_plan(
                 stats,
-                df_key_stats(changes, key),
+                df_key_stats(
+                    changes, self.keys[0] if single else list(self.keys)
+                ),
                 key,
                 left_row_bytes=row_bytes_of(target.dtypes),
                 right_row_bytes=row_bytes_of(changes.dtypes),
@@ -1916,6 +1919,19 @@ class ParquetSink(Sink):
                 F.min(F.col(c)).alias(f"__lo{i}"),
                 F.max(F.col(c)).alias(f"__hi{i}"),
             ]
+        # composite-key NDV in the SAME pass: any one column's NDV can
+        # under-state the composite grain's multiplicity arbitrarily
+        # (keys[0]='db' on a ("db","table","key") sink has NDV 1), and
+        # the merge planner needs the real grain (COMPOSITE_KEY entry)
+        composite = (
+            len(self.keys) > 1 and all(k in df.columns for k in self.keys)
+        )
+        if composite:
+            aggs.append(
+                F.count_distinct(
+                    F.struct(*[F.col(k) for k in self.keys])
+                ).alias("__dk")
+            )
         row = df.agg(*aggs).first()
         dts = dict(df.dtypes)
 
@@ -1933,6 +1949,17 @@ class ParquetSink(Sink):
             }
             for i, c in enumerate(cols)
         }
+        if composite:
+            from cdc_redshift_spark.operators.planner import COMPOSITE_KEY
+
+            stats[COMPOSITE_KEY] = {
+                "n": row["__n"],
+                "n_null": 0,
+                "ndv": max(row["__dk"], 1),
+                "min": None,
+                "max": None,
+                "dtype": "struct",
+            }
         import json as _json
 
         path = os.path.join(self._dir(db, table), f"v{v}", "_ANALYZE")

@@ -182,25 +182,35 @@ def test_broadcast_merge_null_tiebreak_matches_shuffle(spark):
     assert {(r.k, r.v) for r in bcast.collect()} == exp
 
 
-def test_sink_merge_strategy_stays_shuffle_for_composite_keys(spark, tmp_path):
-    """ADVICE r8 (low): _ANALYZE stats are per-column, so a composite-key
-    sink must not plan the broadcast flip from keys[0] stats alone —
-    the multiplicity of the composite key is unknowable from one
-    column's NDV.  Stats present, two keys -> still shuffle."""
-    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+def test_sink_merge_strategy_composite_keys_use_struct_ndv(spark, tmp_path):
+    """ADVICE r8 (low), resolved properly: a composite-key sink plans
+    from the COMPOSITE_KEY struct-NDV analyze() records at the real
+    grouping grain — keys[0] alone ('db'-like low-NDV leaders) can
+    under-state multiplicity arbitrarily.  With composite stats the
+    flip works; a legacy sidecar lacking the entry keeps the
+    statistics-free default."""
+    import json
+    import os
+
     from pyspark.sql import functions as F
 
-    sink = ParquetSink(spark, str(tmp_path), keys=("k", "k2"))
+    from cdc_redshift_spark.operators.planner import COMPOSITE_KEY
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path), keys=("k", "k2"), merge_broadcast_min_target=0
+    )
     base = spark.range(0, 2_000).select(
-        F.col("id").alias("k"),
-        (F.col("id") % 7).alias("k2"),
+        (F.col("id") % 3).alias("k"),  # low-NDV leading key: the trap
+        F.col("id").alias("k2"),
         F.col("id").cast("string").alias("v"),
         F.lit(100).cast("long").alias("ts_ms"),
         F.col("id").alias("offset"),
         F.lit("insert").alias("op"),
     )
     sink.apply_changeset("d", "t", base)
-    sink.analyze("d", "t")
+    stats = sink.analyze("d", "t")
+    assert stats[COMPOSITE_KEY]["ndv"] == 2_000  # struct grain, not keys[0]
     batch = base.limit(10).select(
         "k", "k2", F.lit("u").alias("v"),
         F.lit(200).cast("long").alias("ts_ms"),
@@ -208,6 +218,20 @@ def test_sink_merge_strategy_stays_shuffle_for_composite_keys(spark, tmp_path):
         F.lit("update").alias("op"),
     )
     target = sink.read_table(spark, "d", "t")
+    assert sink._merge_strategy("d", "t", target, batch) == "broadcast"
+    plan = sink.last_merge_plan
+    # multiplicity at the composite grain is ~1, NOT rows/3
+    assert plan["mean_multiplicity_left"] <= 2.0
+
+    # legacy sidecar (written before composite stats existed): strip
+    # the entry -> the planner keeps the statistics-free default
+    v = sink._latest_version("d", "t")
+    path = os.path.join(str(tmp_path), "d", "t", f"v{v}", "_ANALYZE")
+    with open(path) as f:
+        legacy = json.load(f)
+    legacy.pop(COMPOSITE_KEY)
+    with open(path, "w") as f:
+        json.dump(legacy, f)
     assert sink._merge_strategy("d", "t", target, batch) == "shuffle"
     assert sink.last_merge_plan is None
 
