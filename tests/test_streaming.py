@@ -652,6 +652,63 @@ def test_ivf_index_maintainer_from_live_stream(spark, tmp_path):
     assert m.index().count() == 60
 
 
+def test_pipeline_micro_batches_plan_broadcast_from_carried_stats(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end CBO in the streaming regime (the round-9 seam chain):
+    an analyzed composite-key sink drives every subsequent micro-batch
+    merge through the broadcast plan — composite struct-NDV stats
+    (COMPOSITE_KEY), carried forward across the commits BETWEEN
+    analyze() calls (_carry_analyze), consulted per batch by
+    _merge_strategy — while batch results stay exactly LWW-correct."""
+    import cdc_redshift_spark.sinks.parquet_sink as ps
+
+    captured = []
+    real = ps.merge_apply
+
+    def spy(*a, **kw):
+        captured.append(kw.get("strategy", "shuffle"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ps, "merge_apply", spy)
+
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    # floor=0: the fixture table is tiny; the seam is what's pinned
+    sink = ParquetSink(
+        spark, str(tmp_path / "sink"), keys=KEYS, merge_broadcast_min_target=0
+    )
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"), sink, keys=KEYS
+    )
+
+    # batch 0: first materialization (strategy moot), then ANALYZE once
+    write_batch_file(
+        indir, "b0.json",
+        [pg_line("c", k, 100, {"v": "a"}, offset=k) for k in range(200)],
+    )
+    drain(pipe, spark, indir, ckpt)
+    sink.analyze("d1", "t1")
+
+    # three more micro-batches, NO further analyze calls
+    for i in (1, 2, 3):
+        captured.clear()
+        write_batch_file(
+            indir, f"b{i}.json",
+            [pg_line("u", k, 100 + i, {"v": f"u{i}"}, offset=1000 * i + k)
+             for k in range(5)],
+        )
+        drain(pipe, spark, indir, ckpt)
+        assert captured == ["broadcast"], (
+            f"batch {i}: carried composite stats must drive the "
+            f"broadcast plan, got {captured}"
+        )
+    got = state(sink, spark)
+    assert sum(1 for v in got.values() if v.get("v") == "u3") == 5
+    assert len(got) == 200
+
+
 def test_occ_sink_refused_by_streaming_regime(spark, tmp_path):
     """OCC and exactly-once streaming replay are mutually exclusive
     (parquet_sink.py OCC contract): recovery overwrites the same
