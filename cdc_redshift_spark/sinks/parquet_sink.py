@@ -2243,14 +2243,19 @@ class ParquetSink(Sink):
         # files inherit provenance from (restore links from an OLDER
         # snapshot, not v-1)
         self._write_file_manifest(db, table, v, prev_v=manifest_prev)
-        self._carry_analyze(db, table, v)
+        # stats follow the DATA lineage: a restore commit links an
+        # older snapshot's files (manifest_prev), so its stats — not
+        # the replaced pointer's — describe the new current state
+        self._carry_analyze(db, table, v, src_v=manifest_prev)
         if self._deferred_flips is not None:
             # inside a transaction: record the intent, flip at commit
             self._deferred_flips.append((db, table, v))
             return
         self._flip_now(db, table, v)
 
-    def _carry_analyze(self, db: str, table: str, v: int) -> None:
+    def _carry_analyze(
+        self, db: str, table: str, v: int, src_v: int | None = None
+    ) -> None:
         """Carry the published snapshot's ``_ANALYZE`` sidecar into the
         about-to-flip version ``v``, so stats-driven planning
         (:meth:`_merge_strategy`) survives the commits BETWEEN
@@ -2263,9 +2268,11 @@ class ParquetSink(Sink):
         age counter (``_ANALYZE_AGE`` = commits since the stats were
         computed) — past ``analyze_carry_limit`` the chain EXPIRES and
         the planner reverts to the safe default rather than planning
-        on arbitrarily stale cardinalities."""
+        on arbitrarily stale cardinalities.  ``src_v`` overrides the
+        carry source (restore commits link an OLDER version's data, so
+        that version's stats are the ones that describe ``v``)."""
         d = self._dir(db, table)
-        prev = self._latest_version(db, table)
+        prev = src_v if src_v is not None else self._latest_version(db, table)
         if prev is None or prev >= v:
             return
         src = os.path.join(d, f"v{prev}", "_ANALYZE")

@@ -403,6 +403,18 @@ def test_analyze_stats_carry_forward_and_expiry(spark, tmp_path):
     sink2.apply_changeset("d", "t", batch(4))
     assert sink2.last_merge_plan is not None
 
+    # restore: stats follow the DATA lineage — the restored-to
+    # version's stats (not the replaced pointer's) describe the new
+    # current snapshot
+    sink3 = mk(tmp_path / "rst", limit=64)
+    sink3.apply_changeset("d", "t", base)
+    v_analyzed = sink3._latest_version("d", "t")
+    frozen = sink3.analyze("d", "t")
+    sink3.apply_changeset("d", "t", batch(1))
+    sink3.apply_changeset("d", "t", batch(2))
+    sink3.restore("d", "t", v_analyzed)
+    assert sink3.column_stats("d", "t") == frozen
+
 
 def test_merge_strategy_from_plan_thresholds():
     """The pure decision rule: broadcast only when the changeset is
