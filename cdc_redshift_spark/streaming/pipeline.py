@@ -74,8 +74,15 @@ class CdcPipeline:
         route_root: str | None = None,
         compact_every: int = 5,
         atomic_batches: bool = False,
+        analyze_every: int | None = None,
     ):
-        """``expire_after_ms`` enables periodic tombstone compaction:
+        """``analyze_every=N`` re-ANALYZEs each batch's touched tables
+        every N batches (sinks without ``analyze`` ignore it), keeping
+        the merge planner's statistics fresh forever — without it, the
+        carried stats expire after the sink's ``analyze_carry_limit``
+        commits and the broadcast flip silently reverts to shuffle.
+
+        ``expire_after_ms`` enables periodic tombstone compaction:
         every ``expire_every`` batches, tombstones older than
         (max event-time seen) - expire_after_ms are expired from every
         sink table.  The horizon is EVENT time, so a tombstone survives
@@ -112,6 +119,7 @@ class CdcPipeline:
         self.route_root = route_root
         self.compact_every = compact_every
         self.atomic_batches = atomic_batches
+        self.analyze_every = analyze_every
         if atomic_batches and route_root is not None:
             raise ValueError(
                 "atomic_batches is incompatible with route_root (routed "
@@ -212,6 +220,7 @@ class CdcPipeline:
             if self.on_batch is not None:
                 self.on_batch(batch_id, changes_f)
             self._maybe_expire()
+            self._maybe_analyze(tables)
             log.info("batch %d: %d tables applied", batch_id, len(tables))
         finally:
             changes.unpersist()
@@ -230,6 +239,25 @@ class CdcPipeline:
             keys=self.keys,
             max_workers=self.max_workers,
         )
+
+    def _maybe_analyze(self, tables: list[tuple[str, str]]) -> None:
+        """Periodic stats refresh (see __init__ ``analyze_every``):
+        re-ANALYZE the tables this batch touched, so the stats that
+        drive the merge planner's broadcast flip never expire out from
+        under a long-running pipeline (carried sidecars age out after
+        the sink's ``analyze_carry_limit`` commits — a stream that
+        merges forever on one manual ANALYZE would silently lose its
+        CBO at that horizon).  Cost: one aggregation pass per touched
+        table every N batches — the same bounded-maintenance contract
+        as ``expire_every``/``compact_every``."""
+        if (
+            self.analyze_every is None
+            or self.stats.batches % self.analyze_every != 0
+            or not hasattr(self.sink, "analyze")
+        ):
+            return
+        for db, table in tables:
+            self.sink.analyze(db, table)
 
     def _maybe_expire(self) -> None:
         """Periodic tombstone compaction (see __init__).  Expiring

@@ -709,6 +709,48 @@ def test_pipeline_micro_batches_plan_broadcast_from_carried_stats(
     assert len(got) == 200
 
 
+def test_pipeline_auto_analyze_keeps_stats_fresh(spark, tmp_path, monkeypatch):
+    """analyze_every: the pipeline refreshes its own statistics — no
+    manual ANALYZE anywhere — so the broadcast flip engages from the
+    first merge batch and can never age out of the carry limit."""
+    import cdc_redshift_spark.sinks.parquet_sink as ps
+
+    captured = []
+    real = ps.merge_apply
+
+    def spy(*a, **kw):
+        captured.append(kw.get("strategy", "shuffle"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ps, "merge_apply", spy)
+
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir, exist_ok=True)
+    sink = ParquetSink(
+        spark, str(tmp_path / "sink"), keys=KEYS,
+        merge_broadcast_min_target=0, analyze_carry_limit=1,
+    )
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"), sink, keys=KEYS,
+        analyze_every=1,
+    )
+    write_batch_file(
+        indir, "b0.json",
+        [pg_line("c", k, 100, {"v": "a"}, offset=k) for k in range(100)],
+    )
+    drain(pipe, spark, indir, ckpt)  # first materialization + auto-analyze
+    for i in (1, 2, 3):  # 3 > carry limit: only auto-refresh keeps stats
+        captured.clear()
+        write_batch_file(
+            indir, f"b{i}.json",
+            [pg_line("u", k, 100 + i, {"v": f"u{i}"}, offset=1000 * i + k)
+             for k in range(5)],
+        )
+        drain(pipe, spark, indir, ckpt)
+        assert captured == ["broadcast"], f"batch {i}: {captured}"
+
+
 def test_occ_sink_refused_by_streaming_regime(spark, tmp_path):
     """OCC and exactly-once streaming replay are mutually exclusive
     (parquet_sink.py OCC contract): recovery overwrites the same
