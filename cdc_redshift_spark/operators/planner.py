@@ -66,9 +66,14 @@ def estimate_size_bytes(stats: dict, row_bytes: int | None = None) -> int:
     rows = max(s["n"] for s in stats.values())
     if row_bytes is not None:
         return int(rows) * int(row_bytes)
+    # reserved entries ("__key__" etc.) are derived statistics, not
+    # physical columns — including them would inflate the width sum;
+    # a stats dict of ONLY reserved entries (df_key_stats composite
+    # output) falls back to counting them so the estimate is never 0
+    cols = {k: s for k, s in stats.items() if not k.startswith("__")} or stats
     width = sum(
         _DTYPE_BYTES.get(s.get("dtype", ""), _DEFAULT_WIDTH)
-        for s in stats.values()
+        for s in cols.values()
     )
     return int(rows) * int(width)
 

@@ -2270,25 +2270,40 @@ class ParquetSink(Sink):
         the planner reverts to the safe default rather than planning
         on arbitrarily stale cardinalities.  ``src_v`` overrides the
         carry source (restore commits link an OLDER version's data, so
-        that version's stats are the ones that describe ``v``)."""
-        d = self._dir(db, table)
-        prev = src_v if src_v is not None else self._latest_version(db, table)
-        if prev is None or prev >= v:
+        that version's stats are the ones that describe ``v``).
+
+        Runs ON the commit path, so it must never fail a commit:
+        stats are an optimization input, not a correctness dependency
+        (the :meth:`column_stats` contract) — any IO/parse error here
+        (corrupt age file from a crashed writer, ENOSPC) just skips
+        the carry and the planner falls back to the stats-free
+        default.  The age file writes tmp+rename so a crash can leave
+        it missing or old, never partial."""
+        try:
+            d = self._dir(db, table)
+            prev = (
+                src_v if src_v is not None else self._latest_version(db, table)
+            )
+            if prev is None or prev >= v:
+                return
+            src = os.path.join(d, f"v{prev}", "_ANALYZE")
+            dst = os.path.join(d, f"v{v}", "_ANALYZE")
+            if not os.path.exists(src) or os.path.exists(dst):
+                return
+            age_path = os.path.join(d, f"v{prev}", "_ANALYZE_AGE")
+            age = 0
+            if os.path.exists(age_path):
+                with open(age_path) as f:
+                    age = int(f.read().strip() or 0)
+            if age + 1 > self.analyze_carry_limit:
+                return
+            shutil.copyfile(src, dst)
+            tmp = os.path.join(d, f"v{v}", "_ANALYZE_AGE.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(age + 1))
+            os.replace(tmp, os.path.join(d, f"v{v}", "_ANALYZE_AGE"))
+        except Exception:
             return
-        src = os.path.join(d, f"v{prev}", "_ANALYZE")
-        dst = os.path.join(d, f"v{v}", "_ANALYZE")
-        if not os.path.exists(src) or os.path.exists(dst):
-            return
-        age_path = os.path.join(d, f"v{prev}", "_ANALYZE_AGE")
-        age = 0
-        if os.path.exists(age_path):
-            with open(age_path) as f:
-                age = int(f.read().strip() or 0)
-        if age + 1 > self.analyze_carry_limit:
-            return
-        shutil.copyfile(src, dst)
-        with open(os.path.join(d, f"v{v}", "_ANALYZE_AGE"), "w") as f:
-            f.write(str(age + 1))
 
     # -- row-level commit provenance ---------------------------------------
     def _manifest_path(self, db: str, table: str, v: int) -> str:

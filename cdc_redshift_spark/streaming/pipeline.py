@@ -76,8 +76,9 @@ class CdcPipeline:
         atomic_batches: bool = False,
         analyze_every: int | None = None,
     ):
-        """``analyze_every=N`` re-ANALYZEs each batch's touched tables
-        every N batches (sinks without ``analyze`` ignore it), keeping
+        """``analyze_every=N`` re-ANALYZEs each table every N batches
+        that TOUCH it (sinks without ``analyze`` ignore it; tables the
+        routed fan-out has not materialized yet are skipped), keeping
         the merge planner's statistics fresh forever — without it, the
         carried stats expire after the sink's ``analyze_carry_limit``
         commits and the broadcast flip silently reverts to shuffle.
@@ -120,6 +121,8 @@ class CdcPipeline:
         self.compact_every = compact_every
         self.atomic_batches = atomic_batches
         self.analyze_every = analyze_every
+        #: per-table touch counts driving the analyze_every schedule
+        self._analyze_touches: dict[tuple[str, str], int] = {}
         if atomic_batches and route_root is not None:
             raise ValueError(
                 "atomic_batches is incompatible with route_root (routed "
@@ -242,21 +245,31 @@ class CdcPipeline:
 
     def _maybe_analyze(self, tables: list[tuple[str, str]]) -> None:
         """Periodic stats refresh (see __init__ ``analyze_every``):
-        re-ANALYZE the tables this batch touched, so the stats that
-        drive the merge planner's broadcast flip never expire out from
-        under a long-running pipeline (carried sidecars age out after
-        the sink's ``analyze_carry_limit`` commits — a stream that
-        merges forever on one manual ANALYZE would silently lose its
-        CBO at that horizon).  Cost: one aggregation pass per touched
-        table every N batches — the same bounded-maintenance contract
-        as ``expire_every``/``compact_every``."""
-        if (
-            self.analyze_every is None
-            or self.stats.batches % self.analyze_every != 0
-            or not hasattr(self.sink, "analyze")
-        ):
+        every N batches that TOUCH a table, re-ANALYZE it, so the
+        stats that drive the merge planner's broadcast flip never
+        expire out from under a long-running pipeline (carried
+        sidecars age out after the sink's ``analyze_carry_limit``
+        commits — a stream that merges forever on one manual ANALYZE
+        would silently lose its CBO at that horizon).
+
+        The schedule is PER TABLE (touch count), not the global batch
+        counter: a table whose batches never aligned with a global
+        ``batches % N`` phase would otherwise never refresh and expire
+        anyway.  Tables the sink has not materialized yet (the routed
+        fan-out defers commits to compaction) are skipped until they
+        exist.  Cost: one aggregation pass per touched table every N
+        touches — the same bounded-maintenance contract as
+        ``expire_every``/``compact_every``."""
+        if self.analyze_every is None or not hasattr(self.sink, "analyze"):
             return
+        exists = getattr(self.sink, "table_exists", None)
         for db, table in tables:
+            n = self._analyze_touches.get((db, table), 0) + 1
+            self._analyze_touches[(db, table)] = n
+            if n % self.analyze_every != 0:
+                continue
+            if exists is not None and not exists(db, table):
+                continue
             self.sink.analyze(db, table)
 
     def _maybe_expire(self) -> None:

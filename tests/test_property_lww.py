@@ -148,11 +148,17 @@ def test_broadcast_strategy_matches_shuffle_on_random_logs(
         bcast = apply_changeset(
             target, ch, keys=KEYS, keep_tombstones=keep, strategy="broadcast"
         )
-        # full-row MULTISET equality: a dict keyed on the merge key
-        # would mask a duplicate-emission regression (the union of the
-        # merged and new-rows branches is exactly where a matched key
-        # could leak out twice)
-        row = lambda r: (r["db"], r["table"], r["key"], r["ts_ms"], r["offset"], r["op"])
-        s_rows = sorted(row(r) for r in shuffle.collect())
-        b_rows = sorted(row(r) for r in bcast.collect())
-        assert b_rows == s_rows, f"keep_tombstones={keep}"
+        # full-row MULTISET equality over EVERY output column
+        # (payload/ts_date included — a winner picked by the right
+        # (ts, offset) identity but projecting the wrong payload must
+        # fail): a dict keyed on the merge key would mask a
+        # duplicate-emission regression at the merged/new-rows union
+        cols = sorted(shuffle.columns)
+        assert sorted(bcast.columns) == cols
+
+        def rows(df):
+            return sorted(
+                tuple((c, r[c]) for c in cols) for r in df.collect()
+            )
+
+        assert rows(bcast) == rows(shuffle), f"keep_tombstones={keep}"

@@ -751,6 +751,28 @@ def test_pipeline_auto_analyze_keeps_stats_fresh(spark, tmp_path, monkeypatch):
         assert captured == ["broadcast"], f"batch {i}: {captured}"
 
 
+def test_maybe_analyze_per_table_schedule_and_unmaterialized_skip(
+    spark, tmp_path
+):
+    """The refresh schedule is PER TABLE (touch count): a table whose
+    batches never align with a global batch phase still refreshes on
+    its own Nth touch; tables the routed fan-out has not materialized
+    in the sink yet are skipped instead of crashing the batch."""
+    sink = ParquetSink(spark, str(tmp_path / "s"), keys=KEYS)
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"), sink, keys=KEYS,
+        analyze_every=2,
+    )
+    calls = []
+    sink.analyze = lambda db, t: calls.append((db, t))
+    sink.table_exists = lambda db, t: t != "never"
+    pipe._maybe_analyze([("d", "a")])                  # a:1
+    pipe._maybe_analyze([("d", "a"), ("d", "b")])      # a:2 -> refresh; b:1
+    pipe._maybe_analyze([("d", "b"), ("d", "never")])  # b:2 -> refresh
+    pipe._maybe_analyze([("d", "never")])              # never:2, not in sink
+    assert calls == [("d", "a"), ("d", "b")]
+
+
 def test_occ_sink_refused_by_streaming_regime(spark, tmp_path):
     """OCC and exactly-once streaming replay are mutually exclusive
     (parquet_sink.py OCC contract): recovery overwrites the same
