@@ -416,6 +416,49 @@ def test_analyze_stats_carry_forward_and_expiry(spark, tmp_path):
     assert sink3.column_stats("d", "t") == frozen
 
 
+def test_analyze_carry_covers_dv_and_pruned_commits(spark, tmp_path):
+    """Every commit path funnels through _flip, so the stats carry
+    must survive a deletion-vector commit and a partition-pruned
+    commit exactly like a full rewrite — pin the funnel assumption."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    def base(with_part):
+        df = spark.range(0, 500).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("v"),
+            F.lit(100).cast("long").alias("ts_ms"),
+            F.col("id").alias("offset"),
+            F.lit("insert").alias("op"),
+        )
+        return df.withColumn("p", (F.col("k") % 4).cast("int")) if with_part else df
+
+    def batch(with_part):
+        df = spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            F.lit("u").alias("v"),
+            F.lit(200).cast("long").alias("ts_ms"),
+            (F.col("id") + 10_000).alias("offset"),
+            F.lit("update").alias("op"),
+        )
+        return df.withColumn("p", (F.col("k") % 4).cast("int")) if with_part else df
+
+    dv = ParquetSink(spark, str(tmp_path / "dv"), keys=("k",), merge_mode="dv")
+    dv.apply_changeset("d", "t", base(False))
+    frozen = dv.analyze("d", "t")
+    dv.apply_changeset("d", "t", batch(False))  # _apply_dv commit
+    assert dv.column_stats("d", "t") == frozen
+
+    pp = ParquetSink(
+        spark, str(tmp_path / "pp"), keys=("k",), partition_cols=("p",)
+    )
+    pp.apply_changeset("d", "t", base(True))
+    frozen = pp.analyze("d", "t")
+    pp.apply_changeset("d", "t", batch(True))  # partition-pruned commit
+    assert pp.column_stats("d", "t") == frozen
+
+
 def test_merge_strategy_from_plan_thresholds():
     """The pure decision rule: broadcast only when the changeset is
     broadcastable AND the target is big in absolute terms AND the
