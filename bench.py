@@ -356,11 +356,16 @@ def main() -> None:
         ).persist()
         merge_x[f"{label}_rows"] = mch.count()
         for strat in ("shuffle", "broadcast"):
+            # min-of-3: the two plans are within ~1 s of each other at
+            # this SF and in-suite JVM state swings individual runs
+            # more than that (isolated probes: broadcast 2.1 s vs
+            # shuffle 3.1 s on the micro extreme)
             merge_x[f"{label}_{strat}_s"] = timed(
                 lambda: force(
                     apply_changeset(mtgt, mch, keys=("k",), strategy=strat)
                 ),
                 keep_cache=True,
+                iters=3,
             )
         plan = join_plan(
             df_key_stats(mtgt, "k"),
