@@ -5,9 +5,10 @@ products rounded to 6 dp).  The ANN variants (LSH / IVF) get FULL
 value oracles too: the hyperplanes / centroid seeds are deterministic
 (fixed LCG / first-k-by-id), so the DuckDB SQL embeds the same plane
 literals and mirrors bucket assignment, candidate generation, scoring
-and ranking bit-for-bit.  `sim_lsh_recall` additionally emits
-recall-vs-exact-kNN as a measured single-row artifact with the same
-mirrored oracle.
+and ranking bit-for-bit.  Each `sim_*_eval` entry additionally rides
+the measured recall-vs-exact-kNN audit on every output row, with the
+recall arithmetic mirrored in the same oracle (round-8 fold of the
+former separate topk/recall entries).
 
 Note on this corpus: the synthetic embeddings are near-uniform random
 vectors, LSH's theoretical worst case — true neighbors sit at
