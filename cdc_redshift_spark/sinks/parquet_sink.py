@@ -1880,7 +1880,11 @@ class ParquetSink(Sink):
         return report
 
     def analyze(
-        self, db: str, table: str, cols: list[str] | None = None
+        self,
+        db: str,
+        table: str,
+        cols: list[str] | None = None,
+        approx: bool = False,
     ) -> dict:
         """ANALYZE TABLE: per-column statistics — row count, null
         count, exact NDV, min, max — computed in ONE aggregation pass
@@ -1894,8 +1898,12 @@ class ParquetSink(Sink):
         shuffle (and detect key skew: rows/ndv is mean multiplicity)
         WITHOUT re-scanning the table per query.  Exact
         ``count_distinct`` is one expand over the scan (the honest
-        one-pass cost); swap in HLL (operators/sketches.py) at the
-        same seam when approximate NDV suffices.
+        one-pass cost); ``approx=True`` swaps every NDV to
+        ``approx_count_distinct`` (HLL++, no expand) — the right mode
+        when stats feed PLANNING only (the planner needs order of
+        magnitude, not exactness), and what the pipeline's periodic
+        ``analyze_every`` refresh uses so maintenance never pays the
+        expand at scale.
 
         Stats are per-version: readers of an older snapshot see that
         snapshot's own ``_ANALYZE`` (or none), never the future's.
@@ -1911,11 +1919,12 @@ class ParquetSink(Sink):
         missing = [c for c in cols if c not in df.columns]
         if missing:
             raise ValueError(f"analyze: unknown columns {missing}")
+        ndv = F.approx_count_distinct if approx else F.count_distinct
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, c in enumerate(cols):
             aggs += [
                 F.count(F.col(c)).alias(f"__c{i}"),
-                F.count_distinct(F.col(c)).alias(f"__d{i}"),
+                ndv(F.col(c)).alias(f"__d{i}"),
                 F.min(F.col(c)).alias(f"__lo{i}"),
                 F.max(F.col(c)).alias(f"__hi{i}"),
             ]
@@ -1928,9 +1937,7 @@ class ParquetSink(Sink):
         )
         if composite:
             aggs.append(
-                F.count_distinct(
-                    F.struct(*[F.col(k) for k in self.keys])
-                ).alias("__dk")
+                ndv(F.struct(*[F.col(k) for k in self.keys])).alias("__dk")
             )
         row = df.agg(*aggs).first()
         dts = dict(df.dtypes)

@@ -270,7 +270,12 @@ class CdcPipeline:
                 continue
             if exists is not None and not exists(db, table):
                 continue
-            self.sink.analyze(db, table)
+            try:
+                # approximate NDV (HLL++, no expand): maintenance-path
+                # stats feed planning only, never correctness
+                self.sink.analyze(db, table, approx=True)
+            except TypeError:  # a sink whose analyze() lacks the knob
+                self.sink.analyze(db, table)
 
     def _maybe_expire(self) -> None:
         """Periodic tombstone compaction (see __init__).  Expiring

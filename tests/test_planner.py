@@ -416,6 +416,40 @@ def test_analyze_stats_carry_forward_and_expiry(spark, tmp_path):
     assert sink3.column_stats("d", "t") == frozen
 
 
+def test_analyze_approx_mode_drives_the_same_flip(spark, tmp_path):
+    """approx=True (HLL++ NDV, no expand — the analyze_every
+    maintenance mode) must produce planner-usable stats: NDV within
+    HLL tolerance at the composite grain, and the same broadcast flip
+    as exact stats."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.planner import COMPOSITE_KEY
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(
+        spark, str(tmp_path), keys=("k", "k2"), merge_broadcast_min_target=0
+    )
+    base = spark.range(0, 2_000).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("k2"),
+        F.col("id").cast("string").alias("v"),
+        F.lit(100).cast("long").alias("ts_ms"),
+        F.col("id").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    sink.apply_changeset("d", "t", base)
+    stats = sink.analyze("d", "t", approx=True)
+    assert abs(stats[COMPOSITE_KEY]["ndv"] - 2_000) / 2_000 < 0.1
+    batch = base.limit(10).select(
+        "k", "k2", F.lit("u").alias("v"),
+        F.lit(200).cast("long").alias("ts_ms"),
+        (F.col("offset") + 10_000).alias("offset"),
+        F.lit("update").alias("op"),
+    )
+    target = sink.read_table(spark, "d", "t")
+    assert sink._merge_strategy("d", "t", target, batch) == "broadcast"
+
+
 def test_analyze_carry_covers_dv_and_pruned_commits(spark, tmp_path):
     """Every commit path funnels through _flip, so the stats carry
     must survive a deletion-vector commit and a partition-pruned
