@@ -1157,10 +1157,12 @@ x_ee AS (
 ),
 e_oc AS ({e_oc}),
 e_ee AS ({e_ee})
-SELECT 'events_self' AS join_name, x_ee.n AS n_exact, e_ee.n_est
+SELECT 'events_self' AS join_name, x_ee.n AS n_exact,
+       CAST(e_ee.n_est AS BIGINT) AS n_est
 FROM x_ee, e_ee
 UNION ALL
-SELECT 'orders_customer', x_oc.n, e_oc.n_est FROM x_oc, e_oc
+SELECT 'orders_customer', x_oc.n, CAST(e_oc.n_est AS BIGINT)
+FROM x_oc, e_oc
 ORDER BY join_name
 """
 

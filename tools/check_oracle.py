@@ -24,6 +24,7 @@ TABLES = [
 
 
 def norm_cell(v):
+    import decimal
     import math
 
     if isinstance(v, float):
@@ -34,6 +35,12 @@ def norm_cell(v):
         return str(int(v))
     if v is None:
         return "NULL"
+    # The driver's hasher is TYPE-SENSITIVE: Decimal("5") != 5 even
+    # though str() collides.  Tag decimals so the local gate catches
+    # the same mismatch (root cause of the r9 sketch_join_size red row:
+    # an uncast DECIMAL(38,0) oracle output vs Spark BIGINT).
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     return str(v)
 
 
