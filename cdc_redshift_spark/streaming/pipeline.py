@@ -121,6 +121,14 @@ class CdcPipeline:
         self.compact_every = compact_every
         self.atomic_batches = atomic_batches
         self.analyze_every = analyze_every
+        # every periodic schedule divides a counter — a zero would
+        # ZeroDivisionError on the first batch, deep inside foreachBatch
+        for knob in ("compact_every", "expire_every", "analyze_every"):
+            v = getattr(self, knob)
+            if v is not None and v < 1:
+                raise ValueError(
+                    f"{knob} must be >= 1 (or None to disable), got {v}"
+                )
         #: per-table touch counts driving the analyze_every schedule
         self._analyze_touches: dict[tuple[str, str], int] = {}
         if atomic_batches and route_root is not None:
@@ -262,6 +270,18 @@ class CdcPipeline:
         ``expire_every``/``compact_every``."""
         if self.analyze_every is None or not hasattr(self.sink, "analyze"):
             return
+        # probe the knob ONCE from the signature — catching TypeError
+        # around the call would misread a TypeError raised *inside* a
+        # knob-capable analyze() as "sink lacks approx" and re-run the
+        # expensive exact-NDV pass the approx mode exists to avoid
+        import inspect
+
+        try:
+            has_approx = "approx" in inspect.signature(
+                self.sink.analyze
+            ).parameters
+        except (TypeError, ValueError):  # builtins/C callables
+            has_approx = False
         exists = getattr(self.sink, "table_exists", None)
         for db, table in tables:
             n = self._analyze_touches.get((db, table), 0) + 1
@@ -273,9 +293,21 @@ class CdcPipeline:
             try:
                 # approximate NDV (HLL++, no expand): maintenance-path
                 # stats feed planning only, never correctness
-                self.sink.analyze(db, table, approx=True)
-            except TypeError:  # a sink whose analyze() lacks the knob
-                self.sink.analyze(db, table)
+                if has_approx:
+                    self.sink.analyze(db, table, approx=True)
+                else:
+                    self.sink.analyze(db, table)
+            except Exception:  # noqa: BLE001 — stats are planning-only
+                # input: a transient refresh failure (IO, ENOSPC, Spark
+                # error) must never fail the micro-batch — the same
+                # never-fail discipline as the sink's _carry_analyze
+                log.warning(
+                    "stats refresh failed for %s.%s; skipping "
+                    "(planner falls back to carried/default stats)",
+                    db,
+                    table,
+                    exc_info=True,
+                )
 
     def _maybe_expire(self) -> None:
         """Periodic tombstone compaction (see __init__).  Expiring

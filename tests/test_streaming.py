@@ -773,6 +773,57 @@ def test_maybe_analyze_per_table_schedule_and_unmaterialized_skip(
     assert calls == [("d", "a"), ("d", "b")]
 
 
+def test_maybe_analyze_never_fails_the_batch(spark, tmp_path):
+    """Stats are a planning-only input: a transient failure inside the
+    periodic refresh (IO, Spark error) must be logged and skipped, not
+    propagate and kill the micro-batch — the same never-fail discipline
+    as the sink's _carry_analyze.  And a TypeError raised INSIDE a
+    knob-capable analyze() must not be misread as 'sink lacks approx'
+    and trigger a second (expensive exact-NDV) call."""
+    sink = ParquetSink(spark, str(tmp_path / "s"), keys=KEYS)
+    pipe = CdcPipeline(
+        lambda raw: pg_changeset(raw, offset_col="offset"), sink, keys=KEYS,
+        analyze_every=1,
+    )
+    sink.table_exists = lambda db, t: True
+
+    def boom(db, table, approx=False):
+        calls.append((db, table, approx))
+        raise RuntimeError("transient IO")
+
+    calls = []
+    sink.analyze = boom
+    pipe._maybe_analyze([("d", "a")])  # must NOT raise
+    assert calls == [("d", "a", True)]
+
+    def boom_type(db, table, approx=False):
+        calls.append((db, table, approx))
+        raise TypeError("bug inside a knob-capable analyze")
+
+    calls = []
+    sink.analyze = boom_type
+    pipe._maybe_analyze([("d", "a")])  # a:2 with analyze_every=1
+    # exactly ONE call, with the knob — no exact-NDV retry
+    assert calls == [("d", "a", True)]
+
+
+def test_pipeline_periodic_knobs_validated_at_construction(spark, tmp_path):
+    """analyze_every / compact_every / expire_every divide counters —
+    a 0 would ZeroDivisionError on the first batch, deep inside
+    foreachBatch.  Refuse loudly at construction instead."""
+    import pytest
+
+    sink = ParquetSink(spark, str(tmp_path / "s"), keys=KEYS)
+    for knob in ("analyze_every", "compact_every", "expire_every"):
+        with pytest.raises(ValueError, match=knob):
+            CdcPipeline(
+                lambda raw: pg_changeset(raw, offset_col="offset"),
+                sink,
+                keys=KEYS,
+                **{knob: 0},
+            )
+
+
 def test_occ_sink_refused_by_streaming_regime(spark, tmp_path):
     """OCC and exactly-once streaming replay are mutually exclusive
     (parquet_sink.py OCC contract): recovery overwrites the same
