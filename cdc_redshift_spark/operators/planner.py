@@ -78,6 +78,32 @@ def estimate_size_bytes(stats: dict, row_bytes: int | None = None) -> int:
     return int(rows) * int(width)
 
 
+#: stats-dict entry name for a persisted Count-Min sketch of the key
+#: (``ParquetSink.analyze(key_sketch=True)``).  Reserved ("__" prefix)
+#: like :data:`COMPOSITE_KEY`; shape ``{n, d, w, key, cells, dtype}``
+#: with ``cells`` the :func:`~.sketches.cm_collect` serialization.
+CM_SKETCH = "__cm__"
+
+
+def _cm_output_estimate(left_stats: dict, right_stats: dict):
+    """Join-SIZE estimate from two sidecar CM sketches (the
+    Cormode-Muthukrishnan inner product, ``sketches.
+    cm_inner_product_cells``) — None when either side lacks a sketch
+    or the geometries differ (estimates across mismatched (d, w) are
+    meaningless).  Pure driver-side metadata math: <= d*w cells per
+    side, zero Spark jobs."""
+    a, b = left_stats.get(CM_SKETCH), right_stats.get(CM_SKETCH)
+    if not a or not b:
+        return None
+    if (a["d"], a["w"]) != (b["d"], b["w"]):
+        return None
+    from cdc_redshift_spark.operators.sketches import (
+        cm_inner_product_cells,
+    )
+
+    return cm_inner_product_cells(a["cells"], b["cells"], a["d"])
+
+
 def join_plan(
     left_stats: dict,
     right_stats: dict,
@@ -86,6 +112,7 @@ def join_plan(
     multiplicity_warn: float = 100.0,
     left_row_bytes: int | None = None,
     right_row_bytes: int | None = None,
+    blowup_warn: float = 8.0,
 ) -> dict:
     """Pick a join strategy from persisted stats.
 
@@ -110,8 +137,21 @@ def join_plan(
     planner WARNS and names the measurement instead of silently
     salting.
 
+    When BOTH stats carry a :data:`CM_SKETCH` entry of the same
+    geometry (``analyze(key_sketch=True)``), the plan additionally
+    prices the join's OUTPUT: ``est_output_rows`` is the
+    never-undershooting Cormode-Muthukrishnan inner-product estimate,
+    and ``blowup_risk`` fires when it exceeds ``blowup_warn`` × the
+    larger input — the metadata-visible signature of a quadratic
+    self-join / many-to-many key explosion that mean multiplicity
+    alone can miss.  Unlike ``skew_risk`` (a heuristic on means), the
+    sketch sees the actual frequency-vector product, so a fact⋈dim
+    join (output ≈ fact) never trips it.  Without sketches both
+    fields are ``None``/``False`` — strictly additive.
+
     Returns ``{strategy, est_left_bytes, est_right_bytes,
-    mean_multiplicity_left, mean_multiplicity_right, skew_risk}``.
+    mean_multiplicity_left, mean_multiplicity_right, skew_risk,
+    est_output_rows, blowup_risk}``.
     """
     for side, st in (("left", left_stats), ("right", right_stats)):
         if key not in st:
@@ -128,6 +168,8 @@ def join_plan(
         strategy = "broadcast_left" if lb <= rb else "broadcast_right"
     else:
         strategy = "shuffle"
+    est_out = _cm_output_estimate(left_stats, right_stats)
+    n_in = max(left_stats[key]["n"], right_stats[key]["n"])
     return {
         "strategy": strategy,
         "est_left_bytes": lb,
@@ -135,6 +177,10 @@ def join_plan(
         "mean_multiplicity_left": round(lm, 2),
         "mean_multiplicity_right": round(rm, 2),
         "skew_risk": max(lm, rm) > multiplicity_warn,
+        "est_output_rows": est_out,
+        "blowup_risk": (
+            est_out is not None and est_out > blowup_warn * n_in
+        ),
     }
 
 

@@ -468,6 +468,42 @@ def cm_inner_product(sk_a: DataFrame, sk_b: DataFrame, d: int) -> DataFrame:
     )
 
 
+def cm_collect(sketch: DataFrame) -> list[list[int]]:
+    """Materialize a sketch as plain ``[[j, bucket, cnt], ...]`` rows —
+    at most d*w of them BY CONSTRUCTION, so the collect is geometry-
+    bounded, never data-bounded.  This is the serialization the
+    ``_ANALYZE`` sidecar stores (planner.CM_SKETCH entry): a sketch
+    that lives in table metadata can price a join at plan time without
+    launching a single job."""
+    return [
+        [r["j"], r["bucket"], r["cnt"]]
+        for r in sketch.select("j", "bucket", "cnt").collect()
+    ]
+
+
+def cm_inner_product_cells(
+    cells_a: list[list[int]], cells_b: list[list[int]], d: int
+) -> int:
+    """Pure-Python :func:`cm_inner_product` over collected cells — the
+    planner-side estimator (operators/planner.join_plan): both inputs
+    are <= d*w entries, so the product is a bounded driver computation,
+    and Python integers are arbitrary-precision, so the same
+    no-wrap guarantee as the DECIMAL(38,0) DataFrame path holds.
+    Identical semantics: est = min_j sum_b A[j,b]*B[j,b]; a row j with
+    zero colliding cells bounds the estimate at exactly 0."""
+    b_idx: dict[tuple[int, int], int] = {
+        (j, b): c for j, b, c in cells_b
+    }
+    per_row: dict[int, int] = {}
+    for j, b, c in cells_a:
+        cb = b_idx.get((j, b))
+        if cb is not None:
+            per_row[j] = per_row.get(j, 0) + c * cb
+    if len(per_row) < d:
+        return 0
+    return min(per_row.values())
+
+
 def duck_cm_inner_product(cells_a: str, cells_b: str, d: int) -> str:
     """DuckDB mirror of :func:`cm_inner_product` over two
     :func:`duck_cm_cells` relations (DECIMAL(38,0) like the Spark

@@ -1885,6 +1885,9 @@ class ParquetSink(Sink):
         table: str,
         cols: list[str] | None = None,
         approx: bool = False,
+        key_sketch: bool | str = False,
+        sketch_d: int = 5,
+        sketch_w: int = 4096,
     ) -> dict:
         """ANALYZE TABLE: per-column statistics — row count, null
         count, exact NDV, min, max — computed in ONE aggregation pass
@@ -1910,6 +1913,20 @@ class ParquetSink(Sink):
         Returns the stats dict ``{col: {n, n_null, ndv, min, max,
         dtype}}``; min/max of non-JSON types (timestamps, decimals)
         are stored as their string form.
+
+        ``key_sketch``: additionally persist a Count-Min sketch of a
+        key column (a column name, or ``True`` for the sink's merge
+        key — composite keys sketch the unit-separator-joined string
+        form) under the reserved ``planner.CM_SKETCH`` entry.  The
+        sketch is geometry-bounded (<= sketch_d × sketch_w cells,
+        ~20k at the defaults, a few hundred KB of JSON) and rides the
+        same sidecar, so ``_carry_analyze`` carries it forward with
+        the column stats and the same age expiry.  Two analyzed
+        tables' sketches let :func:`~.planner.join_plan` price the
+        join's OUTPUT size (``est_output_rows`` / ``blowup_risk``)
+        from metadata alone — the pre-shuffle blowup probe
+        (``sketches.cm_inner_product``).  Cost: one extra
+        geometry-bounded aggregation pass.
         """
         v = self._latest_version(db, table)
         if v is None:
@@ -1966,6 +1983,49 @@ class ParquetSink(Sink):
                 "min": None,
                 "max": None,
                 "dtype": "struct",
+            }
+        if key_sketch:
+            from cdc_redshift_spark.operators.planner import CM_SKETCH
+            from cdc_redshift_spark.operators.sketches import (
+                cm_collect,
+                cm_sketch,
+            )
+
+            if key_sketch is True:
+                if len(self.keys) == 1:
+                    kdf = df.select(
+                        F.col(self.keys[0]).cast("string").alias("__k")
+                    )
+                    sk_key = list(self.keys)
+                else:
+                    # unit separator: unambiguous for the string forms
+                    # of real key values (mirrors DuckDB concat_ws)
+                    kdf = df.select(
+                        F.concat_ws(
+                            "\x1f",
+                            *[F.col(k).cast("string") for k in self.keys],
+                        ).alias("__k")
+                    )
+                    sk_key = list(self.keys)
+            else:
+                if key_sketch not in df.columns:
+                    raise ValueError(
+                        f"analyze: key_sketch column {key_sketch!r} "
+                        f"not in table"
+                    )
+                kdf = df.select(
+                    F.col(key_sketch).cast("string").alias("__k")
+                )
+                sk_key = [key_sketch]
+            stats[CM_SKETCH] = {
+                "n": row["__n"],
+                "d": sketch_d,
+                "w": sketch_w,
+                "key": sk_key,
+                "cells": cm_collect(
+                    cm_sketch(kdf, "__k", d=sketch_d, w=sketch_w)
+                ),
+                "dtype": "cm_sketch",
             }
         import json as _json
 

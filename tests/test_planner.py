@@ -522,3 +522,139 @@ def test_merge_strategy_from_plan_thresholds():
         )
         == "broadcast"
     )
+
+
+def test_cm_inner_product_cells_matches_dataframe_estimator(spark):
+    """The pure-Python planner-side estimator must agree EXACTLY with
+    the DataFrame cm_inner_product (same cells, same min-over-rows),
+    and both must never undershoot the true join size."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.sketches import (
+        cm_collect,
+        cm_inner_product,
+        cm_inner_product_cells,
+        cm_sketch,
+    )
+
+    d, w = 4, 256
+    a = spark.range(0, 3_000).select(
+        (F.col("id") % 40).cast("string").alias("k")
+    )
+    b = spark.range(0, 500).select(
+        (F.col("id") % 25).cast("string").alias("k")
+    )
+    ska, skb = cm_sketch(a, "k", d=d, w=w), cm_sketch(b, "k", d=d, w=w)
+    df_est = int(cm_inner_product(ska, skb, d).first()["n_est"])
+    py_est = cm_inner_product_cells(cm_collect(ska), cm_collect(skb), d)
+    assert py_est == df_est
+    exact = a.join(b, "k").count()
+    assert py_est >= exact
+    # disjoint sides: some sketch row has zero colliding cells at this
+    # width, so the estimate short-circuits to exactly 0
+    c = spark.range(0, 50).select(
+        (F.col("id") + 10_000).cast("string").alias("k")
+    )
+    skc = cm_sketch(c, "k", d=d, w=w)
+    assert (
+        cm_inner_product_cells(cm_collect(ska), cm_collect(skc), d)
+        == int(cm_inner_product(ska, skc, d).first()["n_est"])
+    )
+
+
+def test_join_plan_blowup_probe_from_analyze_sketches(spark, tmp_path):
+    """The CM blowup probe end-to-end, from persisted sidecars:
+    a fact⋈dim join (output = fact rows) must NOT trip blowup_risk;
+    a quadratic self-join on a heavy key MUST — the decision the
+    reference delegates to Redshift's planner, priced here from
+    metadata alone (zero jobs at plan time)."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.planner import (
+        CM_SKETCH,
+        join_plan,
+    )
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path), keys=("k",))
+    n_fact, n_dim = 20_000, 200
+    fact = spark.range(0, n_fact).select(
+        F.col("id").alias("k"), (F.col("id") % n_dim).alias("fk")
+    )
+    dim = spark.range(0, n_dim).select(
+        F.col("id").alias("k"), F.lit("d").alias("name")
+    )
+    # a pathological table: 20k rows over 4 keys -> self-join output
+    # = 4 * 5000^2 = 1e8 rows from 2e4 inputs
+    quad = spark.range(0, n_fact).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("hot")
+    )
+    sink.overwrite("d", "fact", fact)
+    sink.overwrite("d", "dim", dim)
+    sink.overwrite("d", "quad", quad)
+    fs = sink.analyze("d", "fact", key_sketch="fk")
+    ds = sink.analyze("d", "dim", key_sketch=True)  # merge key = k
+    qs = sink.analyze("d", "quad", key_sketch="hot")
+
+    assert fs[CM_SKETCH]["key"] == ["fk"]
+    assert ds[CM_SKETCH]["key"] == ["k"]
+    # the sidecar round-trips the sketch (JSON)
+    assert sink.column_stats("d", "fact")[CM_SKETCH] == fs[CM_SKETCH]
+
+    # fact.fk = dim.k: expose both sides' stats under the join key
+    p = join_plan(
+        {"k": fs["fk"], CM_SKETCH: fs[CM_SKETCH]},
+        {"k": ds["k"], CM_SKETCH: ds[CM_SKETCH]},
+        "k",
+    )
+    exact = fact.join(dim.withColumnRenamed("k", "fk"), "fk").count()
+    assert p["est_output_rows"] is not None
+    assert p["est_output_rows"] >= exact  # one-sided guarantee
+    assert not p["blowup_risk"], p  # output == fact rows: no blowup
+
+    pq = join_plan(
+        {"k": qs["hot"], CM_SKETCH: qs[CM_SKETCH]},
+        {"k": qs["hot"], CM_SKETCH: qs[CM_SKETCH]},
+        "k",
+    )
+    # true self-join size = 4 * (20000/4)^2 = 1e8 >> 8 * 20000
+    assert pq["est_output_rows"] >= 100_000_000
+    assert pq["blowup_risk"], pq
+
+    # no sketch on one side, or mismatched geometry -> additive no-op
+    p0 = join_plan(
+        {"k": fs["fk"]}, {"k": ds["k"], CM_SKETCH: ds[CM_SKETCH]}, "k"
+    )
+    assert p0["est_output_rows"] is None and not p0["blowup_risk"]
+    other = dict(ds[CM_SKETCH], w=ds[CM_SKETCH]["w"] * 2)
+    pm = join_plan(
+        {"k": fs["fk"], CM_SKETCH: fs[CM_SKETCH]},
+        {"k": ds["k"], CM_SKETCH: other},
+        "k",
+    )
+    assert pm["est_output_rows"] is None and not pm["blowup_risk"]
+
+
+def test_analyze_key_sketch_rides_the_carry_chain(spark, tmp_path):
+    """The sketch lives in the _ANALYZE sidecar, so _carry_analyze
+    carries it across commits with the column stats — a stream that
+    analyzed once keeps its blowup probe until the age expiry, for
+    free."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.planner import CM_SKETCH
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    sink = ParquetSink(spark, str(tmp_path), keys=("k",))
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    sink.overwrite("d", "t", df)
+    st = sink.analyze("d", "t", key_sketch=True)
+    assert CM_SKETCH in st
+    sink.overwrite(
+        "d", "t", df.withColumn("v", F.lit(2))
+    )  # new commit: sidecar carried forward, not regenerated
+    carried = sink.column_stats("d", "t")
+    assert carried is not None and CM_SKETCH in carried
+    assert carried[CM_SKETCH] == st[CM_SKETCH]
