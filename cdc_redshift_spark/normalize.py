@@ -79,27 +79,58 @@ def _with_ts_date(cs: DataFrame) -> DataFrame:
     return cs.withColumn("ts_date", F.to_date(F.timestamp_millis(F.col("ts_ms"))))
 
 
-def normalize_mongo(env: DataFrame, offset_col: str | None = None) -> DataFrame:
+def _with_payload_variant(cs: DataFrame, enabled: bool) -> DataFrame:
+    """Optionally append ``payload_v``: the payload parsed ONCE into a
+    Spark ``VariantType`` (SURVEY §1.1 — the closer analogue of the
+    reference's Redshift SUPER binding, available on Spark 4).  The
+    encoded variant stores each path pre-shredded, so repeated typed
+    access (``variant_get``) skips the per-call JSON re-parse that
+    ``get_json_object`` on the string column pays — the right shape
+    when downstream extracts many paths per row.  Malformed JSON
+    yields NULL (``try_parse_json``) while the raw string ``payload``
+    column stays untouched beside it, so nothing is lost and a
+    streaming job never dies on one bad document; consumers that want
+    loud failure can assert ``payload_v IS NOT NULL``.  Default OFF:
+    the string path is the certified, cross-engine-mirrored default.
+    """
+    if not enabled:
+        return cs
+    return cs.withColumn("payload_v", F.try_parse_json(F.col("payload")))
+
+
+def normalize_mongo(
+    env: DataFrame,
+    offset_col: str | None = None,
+    payload_variant: bool = False,
+) -> DataFrame:
     """Debezium-Mongo envelope → ChangeSet.
 
     Key = ``$._id`` of documentKey, payload = fullDocument (opaque JSON,
     SUPER-bound), routing = ns.db/ns.coll, ordering = ts_ms
     (reference glue_docdb_redshift_cdc.py:133-140).
     """
-    return _with_ts_date(
-        env.select(
-            F.col("ns.db").alias("db"),
-            F.col("ns.coll").alias("table"),
-            F.get_json_object("documentKey", "$._id").alias("key"),
-            F.col("ts_ms").cast("long").alias("ts_ms"),
-            _offset_col(env, offset_col).alias("offset"),
-            _map_op(F.col("operationType"), _MONGO_OPS).alias("op"),
-            F.col("fullDocument").alias("payload"),
-        )
+    return _with_payload_variant(
+        _with_ts_date(
+            env.select(
+                F.col("ns.db").alias("db"),
+                F.col("ns.coll").alias("table"),
+                F.get_json_object("documentKey", "$._id").alias("key"),
+                F.col("ts_ms").cast("long").alias("ts_ms"),
+                _offset_col(env, offset_col).alias("offset"),
+                _map_op(F.col("operationType"), _MONGO_OPS).alias("op"),
+                F.col("fullDocument").alias("payload"),
+            )
+        ),
+        payload_variant,
     )
 
 
-def normalize_pg(env: DataFrame, key_path: str = "$.id", offset_col: str | None = None) -> DataFrame:
+def normalize_pg(
+    env: DataFrame,
+    key_path: str = "$.id",
+    offset_col: str | None = None,
+    payload_variant: bool = False,
+) -> DataFrame:
     """Debezium-Postgres envelope → ChangeSet.
 
     Key from `after` else `before` (delete has no after image), payload
@@ -107,23 +138,31 @@ def normalize_pg(env: DataFrame, key_path: str = "$.id", offset_col: str | None 
     source.ts_ms (reference glue_pg_redshift_cdc.py:128-138).
     """
     after_ok = F.col("after").isNotNull()
-    return _with_ts_date(
-        env.select(
-            F.col("source.db").alias("db"),
-            F.col("source.table").alias("table"),
-            F.when(after_ok, F.get_json_object("after", key_path))
-            .otherwise(F.get_json_object("before", key_path))
-            .alias("key"),
-            F.col("source.ts_ms").cast("long").alias("ts_ms"),
-            _offset_col(env, offset_col).alias("offset"),
-            _map_op(F.col("op"), _PG_OPS).alias("op"),
-            F.when(after_ok, F.col("after")).otherwise(F.col("before")).alias("payload"),
-        )
+    return _with_payload_variant(
+        _with_ts_date(
+            env.select(
+                F.col("source.db").alias("db"),
+                F.col("source.table").alias("table"),
+                F.when(after_ok, F.get_json_object("after", key_path))
+                .otherwise(F.get_json_object("before", key_path))
+                .alias("key"),
+                F.col("source.ts_ms").cast("long").alias("ts_ms"),
+                _offset_col(env, offset_col).alias("offset"),
+                _map_op(F.col("op"), _PG_OPS).alias("op"),
+                F.when(after_ok, F.col("after"))
+                .otherwise(F.col("before"))
+                .alias("payload"),
+            )
+        ),
+        payload_variant,
     )
 
 
 def normalize_dms(
-    env: DataFrame, record_id_key: str = "id", offset_col: str | None = None
+    env: DataFrame,
+    record_id_key: str = "id",
+    offset_col: str | None = None,
+    payload_variant: bool = False,
 ) -> DataFrame:
     """AWS DMS envelope → ChangeSet.
 
@@ -133,22 +172,29 @@ def normalize_dms(
     (:139-141), ordering = metadata.timestamp parsed with microsecond
     format (:138).
     """
-    return _with_ts_date(
-        env.filter(F.col("metadata.`record-type`") == "data")
-        .select(
-            F.col("metadata.`schema-name`").alias("db"),
-            F.col("metadata.`table-name`").alias("table"),
-            F.get_json_object("data", f"$.{record_id_key}").alias("key"),
-            (
-                F.unix_micros(F.to_timestamp(F.col("metadata.timestamp"), DMS_TS_FORMAT))
-                / F.lit(1000)
+    return _with_payload_variant(
+        _with_ts_date(
+            env.filter(F.col("metadata.`record-type`") == "data")
+            .select(
+                F.col("metadata.`schema-name`").alias("db"),
+                F.col("metadata.`table-name`").alias("table"),
+                F.get_json_object("data", f"$.{record_id_key}").alias("key"),
+                (
+                    F.unix_micros(
+                        F.to_timestamp(
+                            F.col("metadata.timestamp"), DMS_TS_FORMAT
+                        )
+                    )
+                    / F.lit(1000)
+                )
+                .cast("long")
+                .alias("ts_ms"),
+                _offset_col(env, offset_col).alias("offset"),
+                _map_op(F.col("metadata.operation"), _DMS_OPS).alias("op"),
+                F.col("data").alias("payload"),
             )
-            .cast("long")
-            .alias("ts_ms"),
-            _offset_col(env, offset_col).alias("offset"),
-            _map_op(F.col("metadata.operation"), _DMS_OPS).alias("op"),
-            F.col("data").alias("payload"),
-        )
+        ),
+        payload_variant,
     )
 
 

@@ -175,6 +175,65 @@ WHERE o_orderkey % 7 <> 0
 """
 
 
+def q_cdc_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``VariantType`` payload path (SURVEY §1.1): the closer
+    analogue of the reference's Redshift SUPER binding
+    (glue_pg_redshift_cdc.py:141-145 casts payload to a SUPER-bound
+    string column; Redshift then does typed path access) — here the
+    normalizer parses the payload ONCE into an encoded variant
+    (``pg_changeset(payload_variant=True)`` → ``payload_v``) and every
+    typed extraction (``variant_get``: BIGINT id, STRING status,
+    DOUBLE total) reads the pre-shredded encoding instead of
+    re-parsing JSON per path per row, which is what
+    ``get_json_object`` on the string column costs.  The replay +
+    LWW + delete semantics are the certified pg_replay chain; the new
+    surface under test is the variant extraction, certified by
+    aggregating ONLY variant-derived values.  Money rides integer
+    cents (PARITY.md)."""
+    raw = synth_pg_changelog(spark, sf_dir)
+    changes = pg_changeset(raw, offset_col="offset", payload_variant=True)
+    deduped = latest_per_key(changes, keys=("db", "table", "key"))
+    state = deduped.where(F.col("op") != "delete")
+    typed = state.select(
+        F.variant_get("payload_v", "$.id", "bigint").alias("okey"),
+        F.variant_get("payload_v", "$.status", "string").alias("status"),
+        F.variant_get("payload_v", "$.total", "double").alias("total"),
+    )
+    return (
+        typed.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("total") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.min("okey").alias("min_okey"),
+            F.max("okey").alias("max_okey"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_CDC_VARIANT_PAYLOAD = """
+WITH survivors AS (
+  SELECT o_orderkey AS okey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+              ELSE o_orderstatus END AS status,
+         o_totalprice AS total
+  FROM orders
+  WHERE o_orderkey % 7 <> 0
+)
+SELECT status,
+       count(*) AS n,
+       CAST(sum(CAST(round(total * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       min(okey) AS min_okey,
+       max(okey) AS max_okey
+FROM survivors
+GROUP BY status
+ORDER BY status
+"""
+
+
 def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 in isolation: last event per user in the events table.
 
@@ -2088,6 +2147,7 @@ QUERIES = {
     "sink_dv_merge": q_sink_dv_merge,
     "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
     "cdc_lww_dedup": q_cdc_lww_dedup,
+    "cdc_variant_payload": q_cdc_variant_payload,
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_dms_relational": q_cdc_dms_relational,
     "cdc_dms_schema_drift": q_cdc_dms_schema_drift,
@@ -2114,6 +2174,7 @@ ORACLES = {
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
     "cdc_rollup_maintenance": ORACLE_CDC_ROLLUP,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,
+    "cdc_variant_payload": ORACLE_CDC_VARIANT_PAYLOAD,
     "cdc_op_counts": ORACLE_CDC_OP_COUNTS,
     "cdc_dms_relational": ORACLE_CDC_DMS_RELATIONAL,
     "cdc_dms_schema_drift": ORACLE_CDC_DMS_SCHEMA_DRIFT,

@@ -260,3 +260,107 @@ def test_merge_batch_split_invariance(spark):
             )
         got = {r["key"]: (r["ts_ms"], r["offset"], r["op"]) for r in state.collect()}
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_payload_variant_option(spark):
+    """payload_variant=True appends a VariantType ``payload_v`` beside
+    the untouched string payload: typed path access via variant_get,
+    malformed JSON -> NULL variant with the raw string preserved, and
+    the variant survives the LWW window as a passenger column."""
+    events = [
+        pg_event("c", 1, 100, {"v": 5, "s": "a"}, offset=1),
+        pg_event("u", 1, 200, {"v": 7, "s": "b"}, offset=2),
+        pg_event("c", 2, 100, {"v": 9, "s": "c"}, offset=3),
+    ]
+    # a hand-broken payload: valid envelope, invalid inner JSON
+    bad_after = '{"id": 3, "v": '  # truncated
+    events.append(
+        (
+            json.dumps(
+                {
+                    "before": None,
+                    "after": bad_after,
+                    "source": {"db": "d1", "table": "t1", "ts_ms": 100},
+                    "op": "c",
+                    "ts_ms": 100,
+                }
+            ),
+            4,
+        )
+    )
+    ch = pg_changeset(
+        mk_raw(spark, events), offset_col="offset", payload_variant=True
+    )
+    assert dict(ch.dtypes)["payload_v"] == "variant"
+    assert dict(ch.dtypes)["payload"] == "string"  # string path untouched
+    dd = latest_per_key(ch)
+    rows = {
+        r["key"]: r
+        for r in dd.select(
+            "key",
+            "payload",
+            F.variant_get("payload_v", "$.v", "bigint").alias("v"),
+            F.variant_get("payload_v", "$.s", "string").alias("s"),
+            F.col("payload_v").isNull().alias("v_null"),
+        ).collect()
+    }
+    assert (rows["1"]["v"], rows["1"]["s"]) == (7, "b")  # LWW winner's variant
+    assert (rows["2"]["v"], rows["2"]["s"]) == (9, "c")
+    # malformed: NULL variant, raw string preserved for quarantine
+    # (its key extraction also nulls, so it lands under key None)
+    bad = rows[None]
+    assert bad["v_null"] and bad["payload"] == bad_after
+    # default stays variant-free (the certified string-only schema)
+    assert "payload_v" not in pg_changeset(
+        mk_raw(spark, events), offset_col="offset"
+    ).columns
+
+
+def test_payload_variant_on_mongo_and_dms(spark):
+    """The knob exists on all three normalizers (same SUPER analogue)."""
+    mongo_raw = mk_raw(
+        spark,
+        [
+            (
+                json.dumps(
+                    {
+                        "operationType": "insert",
+                        "ns": {"db": "m", "coll": "c"},
+                        "documentKey": json.dumps({"_id": "k1"}),
+                        "fullDocument": json.dumps({"_id": "k1", "x": 3}),
+                        "ts_ms": 5,
+                    }
+                ),
+                1,
+            )
+        ],
+    )
+    mch = mongo_changeset(mongo_raw, payload_variant=True)
+    assert mch.select(
+        F.variant_get("payload_v", "$.x", "bigint")
+    ).first()[0] == 3
+    dms_raw = mk_raw(
+        spark,
+        [
+            (
+                json.dumps(
+                    {
+                        "data": json.dumps({"id": 1, "y": "z"}),
+                        "metadata": {
+                            "timestamp": "2024-01-01T00:00:00.000000Z",
+                            "record-type": "data",
+                            "operation": "insert",
+                            "partition-key-type": "schema-table",
+                            "schema-name": "s",
+                            "table-name": "t",
+                        },
+                    }
+                ),
+                1,
+            )
+        ],
+    )
+    dch = dms_changeset(dms_raw, payload_variant=True)
+    assert dch.select(
+        F.variant_get("payload_v", "$.y", "string")
+    ).first()[0] == "z"
