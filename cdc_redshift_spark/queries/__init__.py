@@ -30,80 +30,71 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-9 ROTATION (the r7 window landed
-# driver-green in CORRECTNESS_r07 and rotates out; round 8's broken
-# registry produced no driver rows, so the round-8 rotation queue is
-# executed here unchanged): 42 of the 47 never-driver-gated round-7
-# components — the full 13-query sink table-format contract, both
-# capstones, the corpus layer (substring dedup, containment, SemDeDup,
-# DSIR, LM perplexity, BPE, temperature mix, leakage split, budget
-# select, hybrid RRF, phrase search), sketches/stream maintainers, the
-# temporal/quality/graph tail — plus the 3 round-8 folded ANN eval
-# entries (new names, never gated) and the 5 end-to-end CDC pipelines
-# re-gated every round.
+# Exactly 50 names — the ROUND-10 ROTATION, the one that FINISHES
+# total driver coverage: after this round every registry entry has
+# carried a driver row at least once.
 #
-# ROUND-10 ROTATION QUEUE (deferred this round; each one's operator
-# family already carries a gated sibling): docs_tfidf_keywords
-# (tf-idf core inside docs_hybrid_rrf), events_resample_interp
-# (temporal family: events_ohlc_bars + events_twap gated),
-# dq_latency_percentiles (dq family: dq_value_outliers +
-# dq_value_winsorized gated), events_pivot_types, layout_zonemap_scan
-# (layout family: layout_range_bounds gated) — plus any round-9
-# additions.  NOTE: docs_substring_strip from the old queue no longer
-# exists; it was folded into docs_substring_dedup (round 8).
+# Composition: the 5 never-gated round-10-queue entries + the round-10
+# addition (cdc_variant_payload, never gated) + the sketch_join_size
+# RE-GATE (the r9 red row — oracle output dtype fixed this round,
+# value-verified green locally; the green driver row closes it) + the
+# 5 end-to-end CDC pipelines (re-gated every round) + the 38
+# longest-stale entries (all 34 last gated in r4/r5 — dedup family,
+# corpus sampling, multimodal, the stateful-streaming family,
+# temporal rollups — and the 4 oldest r6 entries).  The r9 window (50
+# green rows in CORRECTNESS_r09, sketch_join_size excepted) rotates
+# out; everything outside the window stays certified by the per-round
+# LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
-    # sink table-format contract (13)
-    "sink_dv_merge",
-    "sink_optimize",
-    "sink_txn_batch",
-    "sink_constraints",
-    "sink_column_rename",
-    "sink_schema_evolution",
-    "sink_repartition_evolution",
-    "sink_generated_columns",
-    "sink_restore_clone",
-    "sink_row_provenance",
-    "sink_analyze_stats",
-    "sink_occ_commit",
-    "orders_merge_into",
-    # capstones (2)
-    "corpus_pretrain_manifest",
-    "cdc_bi_capstone",
-    # corpus / dedup layer (12)
-    "docs_substring_dedup",
-    "dedup_containment",
-    "emb_semantic_dedup",
-    "corpus_dsir_weights",
-    "corpus_lm_perplexity",
-    "corpus_bpe_pairs",
-    "corpus_temperature_mix",
-    "corpus_split_leakage_safe",
-    "corpus_budget_select",
-    "docs_hybrid_rrf",
-    "docs_phrase_search",
-    "emb_pca_projection",
-    # sketches + streaming maintainers (5)
-    "sketch_cm_tokens",
+    # never driver-gated (6) — the round-10 queue + this round's addition
+    "docs_tfidf_keywords",
+    "events_resample_interp",
+    "dq_latency_percentiles",
+    "events_pivot_types",
+    "layout_zonemap_scan",
+    "cdc_variant_payload",
+    # the r9 red row, re-gated after the oracle dtype fix (1)
     "sketch_join_size",
-    "cdc_stream_cm_sketch",
-    "cdc_stream_kmv_rollup",
-    "cdc_stream_ivf_index",
-    # temporal / quality / graph tail (7)
-    "events_ohlc_bars",
-    "events_twap",
-    "events_session_paths",
-    "events_golden_profile",
-    "events_rfm_segments",
-    "dq_value_outliers",
-    "dq_value_winsorized",
-    # remaining round-7 components (3)
-    "graph_tree_roots",
-    "orders_bloom_semi_revenue",
-    "layout_range_bounds",
-    # round-8 folded ANN eval entries — new names, never gated (3)
-    "sim_lsh_eval",
-    "sim_ivf_eval",
-    "sim_pq_eval",
+    # longest-stale: last gated r4/r5 (34)
+    "events_props_extract",
+    "profile_orders",
+    "pii_redaction_report",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_graph_triangles",
+    "corpus_decontaminate",
+    "corpus_source_cap",
+    "corpus_stratified_sample",
+    "corpus_token_shards",
+    "corpus_clean_pipeline",
+    "sim_topk_query",
+    "sim_knn_exact",
+    "emb_int8_quantize",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_resize_roundtrip",
+    "mm_features_similarity",
+    "mm_audio_windows",
+    "cdc_stateful_lww_stream",
+    "cdc_stateful_lww_agg_stream",
+    "cdc_windowed_ops_stream",
+    "cdc_sessionize_stream",
+    "events_stream_join",
+    "cdc_first_seen_stream",
+    "cdc_enrich_stream",
+    "events_asof_attribution",
+    "events_burst_windows",
+    "events_hourly_rollup",
+    "events_resample_ffill",
+    # next-oldest: last gated r6 (4)
+    "cdc_rollup_maintenance",
+    "orders_running_windows",
+    "order_priority_profile",
+    "customer_activity_segments",
     # end-to-end CDC pipelines, re-gated every round (5)
     "cdc_pg_replay",
     "cdc_lww_dedup",
