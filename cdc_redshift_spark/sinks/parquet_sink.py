@@ -575,6 +575,16 @@ class ParquetSink(Sink):
         (:func:`df_key_stats`) which only runs when target stats
         exist — a table nobody analyzed pays nothing.  The decision
         is recorded on ``self.last_merge_plan`` for observability.
+
+        Under-floor fast path (round-10, measured): when the TARGET's
+        own estimated size — computable from the sidecar alone, zero
+        jobs — is below the broadcast floor, the flip rule can never
+        pick broadcast, so the changeset-pricing job is skipped
+        entirely.  Without this, carried stats on a small table taxed
+        EVERY micro-batch commit one fixed-latency aggregation job to
+        reach a foregone conclusion (measured 74% per-commit overhead
+        on a 1.5k-row micro-batch against a 150k-row table;
+        tools/probe_apply_steady.py).
         """
         self.last_merge_plan = None
         if target is None:
@@ -583,6 +593,7 @@ class ParquetSink(Sink):
             COMPOSITE_KEY,
             MERGE_BROADCAST_MIN_TARGET,
             df_key_stats,
+            estimate_size_bytes,
             join_plan,
             merge_strategy_from_plan,
             row_bytes_of,
@@ -602,7 +613,21 @@ class ParquetSink(Sink):
             return "shuffle"
         if not stats or key not in stats:
             return "shuffle"
+        floor = self.merge_broadcast_min_target
+        if floor is None:
+            floor = MERGE_BROADCAST_MIN_TARGET
         try:
+            # metadata-only pre-check (same estimate join_plan would
+            # compute for its left side): an under-floor target can
+            # never flip to broadcast, so skip the changeset-pricing
+            # aggregation job
+            if (
+                estimate_size_bytes(
+                    stats, row_bytes=row_bytes_of(target.dtypes)
+                )
+                < floor
+            ):
+                return "shuffle"
             plan = join_plan(
                 stats,
                 df_key_stats(
@@ -615,13 +640,7 @@ class ParquetSink(Sink):
         except Exception:
             return "shuffle"
         self.last_merge_plan = plan
-        floor = self.merge_broadcast_min_target
-        return merge_strategy_from_plan(
-            plan,
-            min_target_bytes=MERGE_BROADCAST_MIN_TARGET
-            if floor is None
-            else floor,
-        )
+        return merge_strategy_from_plan(plan, min_target_bytes=floor)
 
     def _apply_pruned(
         self,

@@ -658,3 +658,53 @@ def test_analyze_key_sketch_rides_the_carry_chain(spark, tmp_path):
     carried = sink.column_stats("d", "t")
     assert carried is not None and CM_SKETCH in carried
     assert carried[CM_SKETCH] == st[CM_SKETCH]
+
+
+def test_merge_strategy_under_floor_skips_changeset_pricing(
+    spark, tmp_path, monkeypatch
+):
+    """Under-floor fast path: when the sidecar already proves the
+    target below the broadcast floor, the flip can never engage, so
+    _merge_strategy must NOT pay the df_key_stats aggregation job —
+    measured at 74% per-commit overhead on micro-batches before this
+    (tools/probe_apply_steady.py).  With the floor lowered, the same
+    sink consults the changeset again (decision unchanged either way
+    for an under-8x-ratio batch: shuffle)."""
+    import cdc_redshift_spark.operators.planner as planner
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+    from pyspark.sql import functions as F
+
+    calls = []
+    real = planner.df_key_stats
+
+    def spy(df, key):
+        calls.append(key)
+        return real(df, key)
+
+    monkeypatch.setattr(planner, "df_key_stats", spy)
+
+    base = spark.range(0, 2_000).select(
+        F.col("id").alias("k"), F.lit("a").alias("v"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("id").alias("offset"), F.lit("insert").alias("op"),
+    )
+    ch = base.limit(50).withColumn("ts_ms", F.lit(2).cast("long"))
+
+    sink = ParquetSink(spark, str(tmp_path / "floor_def"), keys=("k",))
+    sink.overwrite("d", "t", base)
+    sink.analyze("d", "t", approx=True)
+    assert sink._merge_strategy(
+        "d", "t", sink.read_table(spark, "d", "t"), ch
+    ) == "shuffle"
+    assert calls == []  # 2k rows << 256MB floor: zero pricing jobs
+
+    sink0 = ParquetSink(
+        spark, str(tmp_path / "floor_0"), keys=("k",),
+        merge_broadcast_min_target=0,
+    )
+    sink0.overwrite("d", "t", base)
+    sink0.analyze("d", "t", approx=True)
+    assert sink0._merge_strategy(
+        "d", "t", sink0.read_table(spark, "d", "t"), ch
+    ) in ("shuffle", "broadcast")
+    assert calls, "floor=0 must still price the changeset"
