@@ -88,20 +88,33 @@ CM_SKETCH = "__cm__"
 def _cm_output_estimate(left_stats: dict, right_stats: dict):
     """Join-SIZE estimate from two sidecar CM sketches (the
     Cormode-Muthukrishnan inner product, ``sketches.
-    cm_inner_product_cells``) — None when either side lacks a sketch
-    or the geometries differ (estimates across mismatched (d, w) are
+    cm_inner_product_cells``) — ``(est, noise_floor)``, or
+    ``(None, None)`` when either side lacks a sketch or the
+    geometries differ (estimates across mismatched (d, w) are
     meaningless).  Pure driver-side metadata math: <= d*w cells per
-    side, zero Spark jobs."""
+    side, zero Spark jobs.
+
+    ``noise_floor`` is the estimator's expected additive collision
+    bias, ``n_left * n_right / w`` (each cross pair of stream
+    elements collides into a shared cell with probability 1/w; the
+    min-over-d rows trims the tail but not the expectation).  The
+    raw estimate of ANY join between tables larger than ~sqrt(w * k
+    * max(n)) is dominated by this term, so risk decisions must
+    subtract it — the raw value alone would flag every large benign
+    join."""
     a, b = left_stats.get(CM_SKETCH), right_stats.get(CM_SKETCH)
     if not a or not b:
-        return None
+        return None, None
     if (a["d"], a["w"]) != (b["d"], b["w"]):
-        return None
+        return None, None
     from cdc_redshift_spark.operators.sketches import (
         cm_inner_product_cells,
     )
 
-    return cm_inner_product_cells(a["cells"], b["cells"], a["d"])
+    est = cm_inner_product_cells(a["cells"], b["cells"], a["d"])
+    n_l = sum(c for _, _, c in a["cells"]) // a["d"]
+    n_r = sum(c for _, _, c in b["cells"]) // b["d"]
+    return est, (n_l * n_r) // a["w"]
 
 
 def join_plan(
@@ -140,18 +153,25 @@ def join_plan(
     When BOTH stats carry a :data:`CM_SKETCH` entry of the same
     geometry (``analyze(key_sketch=True)``), the plan additionally
     prices the join's OUTPUT: ``est_output_rows`` is the
-    never-undershooting Cormode-Muthukrishnan inner-product estimate,
-    and ``blowup_risk`` fires when it exceeds ``blowup_warn`` × the
-    larger input — the metadata-visible signature of a quadratic
-    self-join / many-to-many key explosion that mean multiplicity
-    alone can miss.  Unlike ``skew_risk`` (a heuristic on means), the
-    sketch sees the actual frequency-vector product, so a fact⋈dim
-    join (output ≈ fact) never trips it.  Without sketches both
-    fields are ``None``/``False`` — strictly additive.
+    never-undershooting Cormode-Muthukrishnan inner-product estimate
+    (RAW — it includes the estimator's expected collision bias
+    ``n_left*n_right/w``, reported as ``est_output_noise_floor``),
+    and ``blowup_risk`` fires when the NOISE-ADJUSTED estimate
+    exceeds ``blowup_warn`` × the larger input — the
+    metadata-visible signature of a quadratic self-join /
+    many-to-many key explosion that mean multiplicity alone can
+    miss.  Unlike ``skew_risk`` (a heuristic on means), the sketch
+    sees the actual frequency-vector product; with the noise floor
+    subtracted a fact⋈dim join (output ≈ fact) never trips the flag
+    regardless of table size (the raw estimate of any join between
+    ~100k+-row tables is collision-dominated at the default w=4096 —
+    measured: two 200k-row unique-key tables estimate ~10M raw,
+    ~200k adjusted).  Without sketches all three fields are
+    ``None``/``False`` — strictly additive.
 
     Returns ``{strategy, est_left_bytes, est_right_bytes,
     mean_multiplicity_left, mean_multiplicity_right, skew_risk,
-    est_output_rows, blowup_risk}``.
+    est_output_rows, est_output_noise_floor, blowup_risk}``.
     """
     for side, st in (("left", left_stats), ("right", right_stats)):
         if key not in st:
@@ -168,7 +188,7 @@ def join_plan(
         strategy = "broadcast_left" if lb <= rb else "broadcast_right"
     else:
         strategy = "shuffle"
-    est_out = _cm_output_estimate(left_stats, right_stats)
+    est_out, noise = _cm_output_estimate(left_stats, right_stats)
     n_in = max(left_stats[key]["n"], right_stats[key]["n"])
     return {
         "strategy": strategy,
@@ -178,8 +198,10 @@ def join_plan(
         "mean_multiplicity_right": round(rm, 2),
         "skew_risk": max(lm, rm) > multiplicity_warn,
         "est_output_rows": est_out,
+        "est_output_noise_floor": noise,
         "blowup_risk": (
-            est_out is not None and est_out > blowup_warn * n_in
+            est_out is not None
+            and (est_out - noise) > blowup_warn * n_in
         ),
     }
 

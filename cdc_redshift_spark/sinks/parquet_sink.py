@@ -620,13 +620,20 @@ class ParquetSink(Sink):
             # metadata-only pre-check (same estimate join_plan would
             # compute for its left side): an under-floor target can
             # never flip to broadcast, so skip the changeset-pricing
-            # aggregation job
-            if (
-                estimate_size_bytes(
-                    stats, row_bytes=row_bytes_of(target.dtypes)
-                )
-                < floor
-            ):
+            # aggregation job.  The decision is still RECORDED (the
+            # observability contract above): a set plan with
+            # under_floor distinguishes "stats consulted, foregone
+            # shuffle" from "no/expired stats" (last_merge_plan None)
+            est_target = estimate_size_bytes(
+                stats, row_bytes=row_bytes_of(target.dtypes)
+            )
+            if est_target < floor:
+                self.last_merge_plan = {
+                    "strategy": "shuffle",
+                    "est_left_bytes": est_target,
+                    "est_right_bytes": None,
+                    "under_floor": True,
+                }
                 return "shuffle"
             plan = join_plan(
                 stats,

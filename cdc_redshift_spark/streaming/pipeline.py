@@ -277,9 +277,14 @@ class CdcPipeline:
         import inspect
 
         try:
-            has_approx = "approx" in inspect.signature(
-                self.sink.analyze
-            ).parameters
+            params = inspect.signature(self.sink.analyze).parameters
+            # a **kwargs-accepting adapter (duck-typed wrapper around a
+            # knob-capable sink) must keep receiving approx=True — only
+            # an explicit positional-only signature lacks the knob
+            has_approx = "approx" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values()
+            )
         except (TypeError, ValueError):  # builtins/C callables
             has_approx = False
         exists = getattr(self.sink, "table_exists", None)

@@ -708,3 +708,38 @@ def test_merge_strategy_under_floor_skips_changeset_pricing(
         "d", "t", sink0.read_table(spark, "d", "t"), ch
     ) in ("shuffle", "broadcast")
     assert calls, "floor=0 must still price the changeset"
+
+
+def test_blowup_probe_noise_floor_spares_large_benign_joins(spark):
+    """The raw CM inner-product estimate of ANY join between large
+    tables is dominated by collision noise (~n_l*n_r/w): two 200k-row
+    unique-key tables joined 1:1 (true output 200k) estimate ~10M raw
+    at the default w=4096.  blowup_risk must judge the NOISE-ADJUSTED
+    estimate, or it is effectively always-on for benign joins at the
+    scale the module advertises."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.planner import (
+        CM_SKETCH,
+        join_plan,
+    )
+    from cdc_redshift_spark.operators.sketches import (
+        cm_collect,
+        cm_sketch,
+    )
+
+    d, w, n = 5, 4096, 200_000
+    df = spark.range(0, n).select(F.col("id").cast("string").alias("k"))
+    cells = cm_collect(cm_sketch(df, "k", d=d, w=w))
+    sk = {"n": n, "d": d, "w": w, "key": ["k"], "cells": cells,
+          "dtype": "cm_sketch"}
+    st = {"k": {"n": n, "n_null": 0, "ndv": n, "dtype": "string"},
+          CM_SKETCH: sk}
+    p = join_plan(st, st, "k")
+    assert p["est_output_rows"] > 5_000_000  # raw: collision-dominated
+    assert p["est_output_noise_floor"] == n * n // w
+    # adjusted ~ true output (200k) << 8 * 200k: benign, no flag
+    assert not p["blowup_risk"], p
+    # and the adjusted estimate is in the right ballpark of the truth
+    adj = p["est_output_rows"] - p["est_output_noise_floor"]
+    assert adj < 4 * n

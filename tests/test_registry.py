@@ -14,24 +14,18 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_is_the_round9_rotation():
-    """The r9 window must hold the highest-priority never-driver-gated
-    components — the full 13-query sink table-format contract, both
-    capstones, and the 3 round-8 folded ANN eval entries (new names,
-    no driver row yet) — plus the 5 CDC pipelines re-gated every
-    round."""
+def test_gate_window_is_the_round10_rotation():
+    """The r10 window finishes total driver coverage: every
+    never-driver-gated entry (the round-10 queue + this round's
+    addition), the sketch_join_size re-gate (the r9 red row, oracle
+    dtype fixed), and the 5 CDC pipelines re-gated every round."""
     must_gate = {
-        # sink table-format contract, never driver-gated before r9
-        "sink_dv_merge", "sink_optimize", "sink_txn_batch",
-        "sink_constraints", "sink_column_rename",
-        "sink_schema_evolution", "sink_repartition_evolution",
-        "sink_generated_columns", "sink_restore_clone",
-        "sink_row_provenance", "sink_analyze_stats", "sink_occ_commit",
-        "orders_merge_into",
-        # capstones
-        "corpus_pretrain_manifest", "cdc_bi_capstone",
-        # round-8 ANN eval folds (new registry names)
-        "sim_lsh_eval", "sim_ivf_eval", "sim_pq_eval",
+        # never driver-gated before r10
+        "docs_tfidf_keywords", "events_resample_interp",
+        "dq_latency_percentiles", "events_pivot_types",
+        "layout_zonemap_scan", "cdc_variant_payload",
+        # the r9 red row, re-gated after the oracle dtype fix
+        "sketch_join_size",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",

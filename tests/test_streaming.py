@@ -806,6 +806,17 @@ def test_maybe_analyze_never_fails_the_batch(spark, tmp_path):
     # exactly ONE call, with the knob — no exact-NDV retry
     assert calls == [("d", "a", True)]
 
+    # a **kwargs-accepting duck-typed adapter must keep receiving the
+    # knob (VAR_KEYWORD counts as approx-capable) — without it, every
+    # refresh through a wrapper silently downgrades to exact NDV
+    def adapter(db, table, **opts):
+        calls.append((db, table, opts.get("approx", False)))
+
+    calls = []
+    sink.analyze = adapter
+    pipe._maybe_analyze([("d", "a")])
+    assert calls == [("d", "a", True)]
+
 
 def test_pipeline_periodic_knobs_validated_at_construction(spark, tmp_path):
     """analyze_every / compact_every / expire_every divide counters —

@@ -19,26 +19,37 @@ Exits 1 if any oracle output column is flagged.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
 import duckdb
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+from check_oracle import TABLES  # noqa: E402 — one list, two tools
 
 FLAGGED = re.compile(
     r"DECIMAL|HUGEINT|UHUGEINT|UTINYINT|USMALLINT|UINTEGER|UBIGINT"
-    r"|\bTIME\b|INTERVAL",
+    r"|INTERVAL",
     re.IGNORECASE,
 )
 
 
+def _is_flagged(ty: str) -> bool:
+    # the bare TIME / TIMETZ types have no Spark collect() equivalent,
+    # but "TIMESTAMP WITH TIME ZONE" does — match TIME only as the
+    # leading type word, which TIMESTAMP* never is
+    t = ty.strip().upper()
+    if t == "TIME" or t.startswith(("TIME(", "TIME ")):
+        return True
+    return bool(FLAGGED.search(t))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
     con = duckdb.connect()
@@ -55,7 +66,7 @@ def main():
             hits = [
                 (c, str(ty))
                 for c, ty in zip(rel.columns, rel.types)
-                if FLAGGED.search(str(ty))
+                if _is_flagged(str(ty))
             ]
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             bad.append((name, [("<bind error>", str(exc)[:200])]))
