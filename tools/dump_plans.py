@@ -26,6 +26,7 @@ CALLOUTS = {
     "sim_pq_eval": "exactly one ArrowEvalPython (the encode); ADC scoring is codegen element_at chains; recall frame a 1-row broadcast BNLJ",
     "text_winnow": "ONE mapInPandas (Arrow per-doc winnowing) and ZERO shuffles before the output projection",
     "cdc_pg_replay": "codegen parse/normalize; one LWW shuffle; one max_by merge shuffle",
+    "cdc_variant_payload": "try_parse_json once per row inside codegen; variant_get typed extraction (no per-path JSON re-parse); one LWW shuffle + one agg shuffle",
     "corpus_source_cap": "salted two-phase cap: windows keyed (source,salt) then (source); no join, md5 priority in codegen",
     "corpus_decontaminate": "Arrow gram-row fast path each side; window DF filter; one gram-hash equi-join",
     "mm_features_similarity": "one mapInPandas (Arrow) for features; cosine in codegen; TakeOrdered top-k",
