@@ -24,8 +24,12 @@ rather than silently salting on a guess.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 #: dtype → estimated bytes per value (in-memory row estimate for the
 #: broadcast decision; strings/binary default wide to stay conservative)
@@ -256,7 +260,23 @@ def apply_join_plan(
     shuffle strategy (AQE still owns runtime re-optimization).  The
     hint OVERRIDES ``autoBroadcastJoinThreshold`` — that is the point:
     the decision came from committed statistics, not the scan-time
-    size guess."""
+    size guess.
+
+    A plan carrying ``blowup_risk`` (the CM sketches priced the
+    output above ``blowup_warn`` × the inputs, noise-adjusted) is
+    executed but LOGGED loudly first: the right fixes — a missing
+    join predicate, pre-aggregation, or ``salted_join`` for the hot
+    keys — are semantic choices the caller must make, so the planner
+    warns instead of silently rewriting the query."""
+    if plan.get("blowup_risk"):
+        log.warning(
+            "join_plan priced this join's output at ~%s rows "
+            "(noise floor %s) — a many-to-many key explosion; "
+            "check the join predicate, pre-aggregate a side, or use "
+            "salted_join for the hot keys",
+            plan.get("est_output_rows"),
+            plan.get("est_output_noise_floor"),
+        )
     strategy = plan["strategy"]
     if strategy == "broadcast_left":
         return F.broadcast(left).join(right, on, how)

@@ -743,3 +743,24 @@ def test_blowup_probe_noise_floor_spares_large_benign_joins(spark):
     # and the adjusted estimate is in the right ballpark of the truth
     adj = p["est_output_rows"] - p["est_output_noise_floor"]
     assert adj < 4 * n
+
+
+def test_apply_join_plan_warns_on_blowup_risk(spark, caplog):
+    """Executing a blowup-flagged plan logs the loud warning naming
+    the remedies (predicate / pre-aggregate / salted_join) — the
+    planner never silently rewrites a semantic choice."""
+    import logging
+
+    left = spark.range(0, 100).withColumnRenamed("id", "k")
+    right = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = {
+        "strategy": "shuffle",
+        "blowup_risk": True,
+        "est_output_rows": 10**9,
+        "est_output_noise_floor": 10**6,
+    }
+    with caplog.at_level(
+        logging.WARNING, logger="cdc_redshift_spark.operators.planner"
+    ):
+        apply_join_plan(left, right, "k", plan).count()
+    assert any("salted_join" in r.message for r in caplog.records)
