@@ -9,7 +9,10 @@ guard makes that class of failure impossible to commit unnoticed:
   2. the gate window is exactly 50 names and leads registry order,
   3. every oracle key has a query (no orphaned oracles),
   4. ``__spark_entry__`` exposes the driver contract,
-  5. pytest can collect the test suite with zero collection errors.
+  5. pytest can collect the test suite with zero collection errors,
+  6. every oracle binds on DuckDB with driver-safe output dtypes
+     (tools/check_dtypes.py — the round-9 red-row class: an uncast
+     DECIMAL output hash-mismatches the Spark BIGINT at the driver).
 
 Run it before EVERY commit (documented in SURVEY.md §8):
 
@@ -69,6 +72,20 @@ def main() -> int:
     if collect.returncode != 0:
         tail = "\n".join(collect.stdout.splitlines()[-15:])
         problems.append(f"pytest collection failed (rc={collect.returncode}):\n{tail}")
+
+    # oracle dtype sweep (schema-only DuckDB bind, a few seconds) —
+    # skipped gracefully when the testdata fixtures are absent
+    if os.path.isdir("/root/testdata/sf0.001"):
+        sweep = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "check_dtypes.py")],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+        )
+        if sweep.returncode != 0:
+            tail = "\n".join(sweep.stdout.splitlines()[-10:])
+            problems.append(f"oracle dtype sweep flagged outputs:\n{tail}")
 
     if problems:
         print("SMOKE FAIL")
