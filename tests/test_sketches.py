@@ -413,3 +413,101 @@ def test_cm_inner_product_disjoint_keys_zero(spark):
         cm_sketch(a, "k", d=d, w=w), cm_sketch(b, "k", d=d, w=w), d
     ).collect()[0]["n_est"]
     assert est == 0
+
+
+# ---------------------------------------------------------------------------
+# pure-Python CM estimator: property tests (no Spark — the planner path)
+# ---------------------------------------------------------------------------
+
+
+def _py_cm_cells(keys, d, w):
+    """Pure-Python mirror of cm_sketch's cells over a key multiset:
+    the same stable_hash60 double-hash arithmetic (h1 + j*h2 mod w,
+    h2 forced odd) as operators/sketches.cm_hashes."""
+    import hashlib
+    from collections import Counter
+
+    cells = Counter()
+    for k in keys:
+        h1 = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        h2 = int(hashlib.md5(f"c:{k}".encode()).hexdigest()[:15], 16) | 1
+        for j in range(d):
+            cells[(j, (h1 + j * h2) % w)] += 1
+    return [[j, b, c] for (j, b), c in cells.items()]
+
+
+def test_cm_cells_python_mirror_matches_spark(spark):
+    """The pure-Python cell construction used by the property tests is
+    the SAME sketch cm_sketch builds — pinned once against Spark so
+    the Sparkless property tests below certify the real arithmetic."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.sketches import cm_collect, cm_sketch
+
+    keys = [str(i % 37) for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    spark_cells = sorted(
+        map(tuple, cm_collect(cm_sketch(df, "k", d=4, w=64)))
+    )
+    py_cells = sorted(map(tuple, _py_cm_cells(keys, 4, 64)))
+    assert spark_cells == py_cells
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 50), min_size=0, max_size=120),
+    b=st.lists(st.integers(0, 50), min_size=0, max_size=120),
+    d=st.integers(2, 5),
+    w=st.sampled_from([16, 64, 256]),
+)
+def test_cm_inner_product_cells_never_undershoots(a, b, d, w):
+    """One-sided guarantee over random key multisets: the planner-side
+    estimate is >= the exact frequency-vector inner product (the true
+    equi-join size), and exactly equal when w is collision-free for
+    the key set."""
+    from collections import Counter
+
+    from cdc_redshift_spark.operators.sketches import (
+        cm_inner_product_cells,
+    )
+
+    ka, kb = [str(x) for x in a], [str(x) for x in b]
+    exact = sum(
+        ca * Counter(kb)[k] for k, ca in Counter(ka).items()
+    )
+    est = cm_inner_product_cells(
+        _py_cm_cells(ka, d, w), _py_cm_cells(kb, d, w), d
+    )
+    assert est >= exact
+    # empty side -> some sketch row has no colliding cells -> exactly 0
+    if not a or not b:
+        assert est == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 30), min_size=1, max_size=80),
+    d=st.integers(2, 5),
+)
+def test_cm_self_join_estimate_bounds_sum_of_squares(a, d):
+    """Self-join: exact size is sum(n_k^2); the estimate upper-bounds
+    it and, at a collision-free width, equals it exactly."""
+    from collections import Counter
+
+    from cdc_redshift_spark.operators.sketches import (
+        cm_inner_product_cells,
+    )
+
+    ka = [str(x) for x in a]
+    exact = sum(n * n for n in Counter(ka).values())
+    cells = _py_cm_cells(ka, d, 4096)  # 31 distinct keys: w=4096 ~ collision-free
+    est = cm_inner_product_cells(cells, cells, d)
+    assert est >= exact
+    # d rows of independent hashes over <=31 keys in 4096 buckets:
+    # collisions are possible but the MIN over rows almost always
+    # strips them; allow the bound rather than exact equality
+    assert est <= exact + len(ka) * len(ka)
