@@ -504,10 +504,24 @@ def test_cm_self_join_estimate_bounds_sum_of_squares(a, d):
 
     ka = [str(x) for x in a]
     exact = sum(n * n for n in Counter(ka).values())
-    cells = _py_cm_cells(ka, d, 4096)  # 31 distinct keys: w=4096 ~ collision-free
+    w = 4096
+    cells = _py_cm_cells(ka, d, w)
     est = cm_inner_product_cells(cells, cells, d)
     assert est >= exact
-    # d rows of independent hashes over <=31 keys in 4096 buckets:
-    # collisions are possible but the MIN over rows almost always
-    # strips them; allow the bound rather than exact equality
-    assert est <= exact + len(ka) * len(ka)
+    # the min-over-rows strips collisions whenever ANY row maps every
+    # distinct key to its own bucket — compute that directly and pin
+    # EXACT equality for it (the property the estimator's guarantee is
+    # built on), instead of a vacuous upper bound
+    import hashlib
+
+    row_free = []
+    distinct = set(ka)
+    for j in range(d):
+        buckets = set()
+        for k in distinct:
+            h1 = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+            h2 = int(hashlib.md5(f"c:{k}".encode()).hexdigest()[:15], 16) | 1
+            buckets.add((h1 + j * h2) % w)
+        row_free.append(len(buckets) == len(distinct))
+    if any(row_free):
+        assert est == exact, (d, sorted(distinct))

@@ -74,18 +74,28 @@ def main() -> int:
         problems.append(f"pytest collection failed (rc={collect.returncode}):\n{tail}")
 
     # oracle dtype sweep (schema-only DuckDB bind, a few seconds) —
-    # skipped gracefully when the testdata fixtures are absent
-    if os.path.isdir("/root/testdata/sf0.001"):
+    # skipped gracefully when the testdata fixtures are absent; the
+    # checked path is passed through so one constant is authoritative
+    sweep_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(sweep_sf):
         sweep = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "check_dtypes.py")],
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "check_dtypes.py"),
+                sweep_sf,
+            ],
             capture_output=True,
             text=True,
             cwd=REPO,
             env=env,
         )
         if sweep.returncode != 0:
-            tail = "\n".join(sweep.stdout.splitlines()[-10:])
-            problems.append(f"oracle dtype sweep flagged outputs:\n{tail}")
+            # stderr included: a crash (vs a flag) prints its traceback
+            # there and an empty tail would be unactionable
+            tail = "\n".join(
+                (sweep.stdout + "\n" + sweep.stderr).strip().splitlines()[-10:]
+            )
+            problems.append(f"oracle dtype sweep failed:\n{tail}")
 
     if problems:
         print("SMOKE FAIL")
