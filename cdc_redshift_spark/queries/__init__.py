@@ -34,6 +34,18 @@ from __future__ import annotations
 # total driver coverage: after this round every registry entry has
 # carried a driver row at least once.
 #
+# ROUND-11 ROTATION QUEUE: with total coverage reached, rotations
+# become pure staleness refresh — next window = the 5 CDC pipelines +
+# the 45 longest-stale entries by last-gated round (compute from the
+# CORRECTNESS_r*.json history; after r10 the oldest cohort is the r6
+# remainder, then r7).  Any NEW operator added in round 11 takes a
+# slot in the same commit that adds it (the standing rule).  Candidate
+# new entry if slots allow: a plan_blowup_probe query gating the
+# pure-Python CM inner-product planner path (cm_collect +
+# cm_inner_product_cells + noise floor) against duck_cm_inner_product
+# — the estimator is pytest-pinned equal to the driver-gated
+# DataFrame path today, so this is a nice-to-have, not a gap.
+#
 # Composition: the 5 never-gated round-10-queue entries + the round-10
 # addition (cdc_variant_payload, never gated) + the sketch_join_size
 # RE-GATE (the r9 red row — oracle output dtype fixed this round,
