@@ -569,13 +569,18 @@ def main() -> None:
         maint[f"ivf_sec_per_trigger_{label}"] = steady(walls)
         maint[f"ivf_last_trigger_s_{label}"] = walls[-1]
 
-    # the streaming entry runs once (it is 15-25 s and its own harness
-    # amortizes noise over many internal jobs)
+    # streaming entries: min-of-2 — the FIRST run pays a ~2x cold
+    # start (state-store init + streaming-harness JIT: isolated probe
+    # measured 16.2 s cold vs 8.4 s warm for events_stream_join), so a
+    # single run reports startup, not the operator
     for name in tail_headline:
-        settle()
-        t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            settle()
+            t0 = time.perf_counter()
+            force(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()) + cdc_secs, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
