@@ -89,7 +89,9 @@ def estimate_size_bytes(stats: dict, row_bytes: int | None = None) -> int:
 CM_SKETCH = "__cm__"
 
 
-def _cm_output_estimate(left_stats: dict, right_stats: dict):
+def _cm_output_estimate(
+    left_stats: dict, right_stats: dict, join_key: str | None = None
+):
     """Join-SIZE estimate from two sidecar CM sketches (the
     Cormode-Muthukrishnan inner product, ``sketches.
     cm_inner_product_cells``) — ``(est, noise_floor)``, or
@@ -105,12 +107,33 @@ def _cm_output_estimate(left_stats: dict, right_stats: dict):
     raw estimate of ANY join between tables larger than ~sqrt(w * k
     * max(n)) is dominated by this term, so risk decisions must
     subtract it — the raw value alone would flag every large benign
-    join."""
+    join.
+
+    Caller contract: BOTH sketches must have been built over the
+    JOIN columns — the inner product of frequency vectors on
+    unrelated columns is geometry-valid but semantically
+    meaningless.  Key names legitimately differ across sides
+    (``fact.fk = dim.k``), so this cannot be hard-checked; when
+    ``join_key`` is given and a side's recorded sketch column
+    differs from it, a ``log.debug`` breadcrumb makes a mispriced
+    plan diagnosable."""
     a, b = left_stats.get(CM_SKETCH), right_stats.get(CM_SKETCH)
     if not a or not b:
         return None, None
     if (a["d"], a["w"]) != (b["d"], b["w"]):
         return None, None
+    if join_key is not None:
+        for side, s in (("left", a), ("right", b)):
+            if s.get("key") is not None and s["key"] != join_key:
+                log.debug(
+                    "join_plan: %s CM sketch covers column %r but the "
+                    "join key is %r — est_output_rows is meaningful "
+                    "only if both sketches cover the join columns "
+                    "(names may differ legitimately: fact.fk = dim.k)",
+                    side,
+                    s["key"],
+                    join_key,
+                )
     from cdc_redshift_spark.operators.sketches import (
         cm_inner_product_cells,
     )
@@ -156,7 +179,12 @@ def join_plan(
 
     When BOTH stats carry a :data:`CM_SKETCH` entry of the same
     geometry (``analyze(key_sketch=True)``), the plan additionally
-    prices the join's OUTPUT: ``est_output_rows`` is the
+    prices the join's OUTPUT.  Contract: both sketches must have
+    been built over the JOIN columns — sketches of unrelated columns
+    produce a geometry-valid but meaningless estimate, and since key
+    names legitimately differ across sides this is the CALLER's
+    responsibility (a ``log.debug`` fires when a recorded sketch
+    column differs from ``key``, for diagnosis). ``est_output_rows`` is the
     never-undershooting Cormode-Muthukrishnan inner-product estimate
     (RAW — it includes the estimator's expected collision bias
     ``n_left*n_right/w``, reported as ``est_output_noise_floor``),
@@ -192,7 +220,7 @@ def join_plan(
         strategy = "broadcast_left" if lb <= rb else "broadcast_right"
     else:
         strategy = "shuffle"
-    est_out, noise = _cm_output_estimate(left_stats, right_stats)
+    est_out, noise = _cm_output_estimate(left_stats, right_stats, key)
     n_in = max(left_stats[key]["n"], right_stats[key]["n"])
     return {
         "strategy": strategy,

@@ -628,10 +628,21 @@ class ParquetSink(Sink):
                 stats, row_bytes=row_bytes_of(target.dtypes)
             )
             if est_target < floor:
+                # same key set as a real join_plan result (plus the
+                # under_floor discriminator) so observability
+                # consumers indexing e.g. plan["skew_risk"] never
+                # KeyError on an under-floor commit — the unpriced
+                # fields are None/False, not absent
                 self.last_merge_plan = {
                     "strategy": "shuffle",
                     "est_left_bytes": est_target,
                     "est_right_bytes": None,
+                    "mean_multiplicity_left": None,
+                    "mean_multiplicity_right": None,
+                    "skew_risk": False,
+                    "est_output_rows": None,
+                    "est_output_noise_floor": None,
+                    "blowup_risk": False,
                     "under_floor": True,
                 }
                 return "shuffle"

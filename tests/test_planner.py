@@ -697,6 +697,19 @@ def test_merge_strategy_under_floor_skips_changeset_pricing(
         "d", "t", sink.read_table(spark, "d", "t"), ch
     ) == "shuffle"
     assert calls == []  # 2k rows << 256MB floor: zero pricing jobs
+    # the fast-path record must carry the SAME schema as a real
+    # join_plan result (ADVICE r10): observability consumers index
+    # these keys unconditionally; under_floor is the discriminator
+    plan = sink.last_merge_plan
+    assert plan["under_floor"] is True
+    for k in (
+        "strategy", "est_left_bytes", "est_right_bytes",
+        "mean_multiplicity_left", "mean_multiplicity_right",
+        "skew_risk", "est_output_rows", "est_output_noise_floor",
+        "blowup_risk",
+    ):
+        assert k in plan, k
+    assert plan["skew_risk"] is False and plan["blowup_risk"] is False
 
     sink0 = ParquetSink(
         spark, str(tmp_path / "floor_0"), keys=("k",),

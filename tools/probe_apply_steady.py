@@ -114,7 +114,10 @@ def main():
                     f"v{sink._latest_version('d', 't')}", "_ANALYZE",
                 )
             )
-            out["analyze_sidecar_bytes"] = sz
+            # keyed per label like the other A/B outputs — a single
+            # key would silently report only the last run's size if
+            # the two configs ever diverge
+            out[f"ab_{label}_analyze_sidecar_bytes"] = sz
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             for i in range(N_COMMITS):

@@ -51,7 +51,10 @@ def main() -> None:
     import __spark_entry__ as e
 
     names = list(e.queries())
-    never = sorted(n for n in names if n not in last)
+    # ALWAYS pipelines are appended unconditionally below — exclude
+    # them here (like the stale comprehension does) so a hypothetical
+    # never-gated CDC pipeline isn't emitted twice
+    never = sorted(n for n in names if n not in last and n not in ALWAYS)
     stale = sorted(
         (n for n in names if n in last and n not in ALWAYS),
         key=lambda n: (last[n], n),
@@ -65,8 +68,11 @@ def main() -> None:
             window.append(n)
     window += ALWAYS
     if len(window) != WINDOW:
-        print(
-            f"WARNING: window has {len(window)} names "
+        # output is meant to be paste-ready: a wrong-sized window is
+        # a hard failure, not a warning (the downstream smoke guard
+        # would catch it too, but only after a paste)
+        sys.exit(
+            f"ERROR: window has {len(window)} names, want {WINDOW} "
             f"(registry {len(names)}, never {len(never)})"
         )
 
