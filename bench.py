@@ -541,6 +541,46 @@ def main() -> None:
         maint[f"scd2_sec_per_trigger_{label}"] = steady(walls)
         maint[f"scd2_last_trigger_s_{label}"] = walls[-1]
 
+    # history-DEPTH axis (VERDICT r10 #1): with the bucketed snapshot
+    # store, a trigger's IO is O(touched buckets + batch) — so the
+    # per-trigger wall must stay ~flat as the STORED history grows
+    # 10x, provided the batch touches few of the 64 key-hash buckets.
+    # Seed a 1x / 10x-deep history, then time 8 triggers that each
+    # update the SAME 5 keys (<=5 touched buckets; the other ~59 are
+    # hard-linked forward, never read or rewritten).
+    micro = scd_base.where(F.col("k") % 400 < 5).persist()
+    maint["scd2_depth_micro_rows"] = micro.count()
+    for label, seed_lim in (("1x", 40), ("10x", 400)):
+        seed = scd_base.where(
+            F.pmod(F.col("k"), F.lit(400)) < seed_lim
+        ).withColumn("ts", F.lit(1).cast("long"))
+        root = tempfile.mkdtemp(prefix="bench_scd2_depth_")
+        try:
+            m = Scd2Maintainer(
+                spark, root, keys=["k"], ts_col="ts",
+                attrs=["attr"], tiebreak=["seq"],
+            )
+            m.update(seed, 0)
+            maint[f"scd2_depth_{label}_hist_rows"] = m.current().count()
+            walls = []
+            for i in range(1, 9):
+                b = micro.withColumn(
+                    "ts", F.lit(100 + i).cast("long")
+                ).withColumn("attr", F.concat("attr", F.lit(str(i))))
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                m.update(b, i)
+                walls.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        maint[f"scd2_depth_{label}_s_per_trigger"] = steady(walls)
+    micro.unpersist()
+    maint["scd2_depth_flat_ratio"] = round(
+        maint["scd2_depth_10x_s_per_trigger"]
+        / max(maint["scd2_depth_1x_s_per_trigger"], 1e-9),
+        2,
+    )
+
     emb = load_table(spark, SF_DIR, "embeddings")
     cents = _centroids(emb, 16, "vec_id", "embedding")
     # 1x trigger = a quarter of the embeddings table, 4x = the whole

@@ -9,8 +9,14 @@ write-new-then-swap commit discipline of ``RollupMaintainer``:
       intervals + append the batch's versions → commit v<batch_id>
 
 Per batch this costs O(batch) shuffle work (the batch's own window)
-plus a broadcast-cut projection over the stored history — touched
-keys are never re-windowed, untouched keys never read twice.  The
+plus a broadcast-cut projection over the TOUCHED key-hash buckets of
+the stored history — touched keys are never re-windowed, untouched
+keys never read twice.  Since round 11 the store is bucket-partitioned
+on the dimension keys (``n_buckets``, default 64): a trigger reads
+only the buckets its batch touches (partition-pruned), rewrites those,
+and hard-links every untouched bucket's files into the new version —
+per-trigger IO is O(touched + batch) however deep the history grows,
+the same discipline as ``ParquetSink._apply_pruned``.  The
 reference's sinks keep only the LWW image (SCD1); this maintainer
 gives every dimension a full ``valid_from``/``valid_to`` history to
 as-of join facts against.
@@ -62,6 +68,7 @@ class Scd2Maintainer(VersionedSnapshotStore):
         tiebreak: list[str] | None = None,
         keep_versions: int = 2,
         late_policy: str = "raise",
+        n_buckets: int = 64,
     ):
         if late_policy not in ("raise", "ignore"):
             raise ValueError(
@@ -78,6 +85,14 @@ class Scd2Maintainer(VersionedSnapshotStore):
         self.tiebreak = list(tiebreak) if tiebreak else None
         self.keep_versions = keep_versions
         self.late_policy = late_policy
+        # bucketed snapshot layout (VersionedSnapshotStore): the
+        # history grows with EVERY change ever seen, so a full-state
+        # rewrite per trigger is the one O(history)-IO path in the
+        # streaming layer — hash-bucket it on the dimension keys and
+        # commit triggers as touched-bucket rewrites + hard links.
+        # n_buckets=0 restores the full-rewrite layout (tiny dims).
+        self.bucket_keys = list(keys) if n_buckets else None
+        self.n_buckets = int(n_buckets)
         os.makedirs(path, exist_ok=True)
 
     # snapshot plumbing: VersionedSnapshotStore (shared with
@@ -87,7 +102,17 @@ class Scd2Maintainer(VersionedSnapshotStore):
     def update(self, changes: DataFrame, batch_id: int) -> bool:
         """Fold one micro-batch of change images into the history.
         Returns False (no-op) when ``batch_id`` was already committed —
-        the replay-idempotence path."""
+        the replay-idempotence path.
+
+        IO discipline (bucketed stores): only the key-hash buckets the
+        batch touches are READ (partition-pruned scan), merged, and
+        REWRITTEN; every untouched bucket's files are hard-linked
+        forward into the new version.  A trigger therefore costs
+        O(touched buckets + batch) regardless of how deep the stored
+        history has grown — the frontier check, the interval close,
+        and the commit all operate on the pruned slice (a key outside
+        the batch can neither be late nor have its interval closed,
+        so the prune is semantics-free)."""
         last = self.committed_batch()
         if last is not None and batch_id <= last:
             return False
@@ -98,7 +123,9 @@ class Scd2Maintainer(VersionedSnapshotStore):
             op_col=self.op_col,
             tiebreak=self.tiebreak,
         )
-        stored = self.current()
+        pruned = self.bucket_keys and self._bucketed_on_disk()
+        touched = self.touched_buckets(changes) if pruned else None
+        stored = self.current(buckets=touched)
         if stored is None:
             hist = scd2_history(changes, **kw)
         else:
@@ -115,7 +142,10 @@ class Scd2Maintainer(VersionedSnapshotStore):
                         "(scd2_late_batch_rows lists them)"
                     )
             hist = scd2_apply(stored, changes, **kw)
-        self._commit(hist, batch_id)
+        if pruned:
+            self._commit_pruned(hist, batch_id, touched, last)
+        else:
+            self._commit(hist, batch_id)
         return True
 
     def repair_update(
@@ -141,7 +171,12 @@ class Scd2Maintainer(VersionedSnapshotStore):
             op_col=self.op_col,
             tiebreak=self.tiebreak,
         )
-        stored = self.current()
+        # late keys are by definition IN the batch, so the rebuild
+        # only ever touches the batch's buckets — the same pruned
+        # read/commit discipline as update() applies unchanged
+        pruned = self.bucket_keys and self._bucketed_on_disk()
+        touched = self.touched_buckets(changes) if pruned else None
+        stored = self.current(buckets=touched)
         if stored is None:
             hist = scd2_history(changes, **kw)
         else:
@@ -162,5 +197,8 @@ class Scd2Maintainer(VersionedSnapshotStore):
                 op_col=self.op_col,
                 tiebreak=self.tiebreak,
             )
-        self._commit(hist, batch_id)
+        if pruned:
+            self._commit_pruned(hist, batch_id, touched, last)
+        else:
+            self._commit(hist, batch_id)
         return True

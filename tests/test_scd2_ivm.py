@@ -349,6 +349,119 @@ def test_scd2_maintainer_ignore_policy_applies_anyway(spark, tmp_path):
     assert m.committed_batch() == 1
 
 
+def test_scd2_maintainer_untouched_buckets_hard_linked(spark, tmp_path):
+    """The bounded-IO certificate for the streaming SCD2 maintainer
+    (round-11): a trigger touching ONE key must rewrite only that
+    key's hash bucket — every other bucket's data files in the new
+    version must be the SAME INODES as the previous version's
+    (hard-linked forward, never re-read or re-written), exactly like
+    ParquetSink._apply_pruned.  Also pins that the pruned commit's
+    result still equals the full recompute."""
+    import os
+
+    from cdc_redshift_spark.streaming.snapshots import BUCKET_COL
+
+    keys = [f"k{i}" for i in range(40)]
+    rows0 = [(k, 10, i, "update", "v1") for i, k in enumerate(keys)]
+    ch0 = _ch(spark, rows0)
+    m = _maintainer(spark, tmp_path, n_buckets=8)
+    assert m.update(ch0, 0)
+
+    def inodes(v):
+        vdir = tmp_path / "scd2" / f"v{v}"
+        out = {}
+        for d in os.listdir(vdir):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            out[d] = {
+                fn: os.stat(vdir / d / fn).st_ino
+                for fn in os.listdir(vdir / d)
+                if not fn.startswith((".", "_"))
+            }
+        return out
+
+    v0 = inodes(0)
+    assert len(v0) > 1, "fixture must spread keys over several buckets"
+
+    ch1 = _ch(spark, [("k0", 20, 100, "update", "v2")])
+    assert m.update(ch1, 1)
+    v1 = inodes(1)
+    touched = m.touched_buckets(ch1)
+    assert len(touched) == 1
+    tdir = f"{BUCKET_COL}={touched[0]}"
+    # every untouched bucket: identical file set, identical inodes
+    for d, files in v0.items():
+        if d == tdir:
+            continue
+        assert v1[d] == files, f"untouched bucket {d} was rewritten"
+    # the touched bucket was rewritten: no inode carried over
+    assert set(v1[tdir].values()).isdisjoint(set(v0[tdir].values()))
+    # and the maintained history still equals the full recompute
+    full = scd2_history(
+        _ch(spark, rows0 + [("k0", 20, 100, "update", "v2")]), **KW
+    )
+    assert _hist_rows(m.current()) == _hist_rows(full)
+
+
+def test_scd2_maintainer_bucket_count_pinned_on_disk(spark, tmp_path):
+    """_BUCKETS pins the layout at first commit: a restarted
+    maintainer constructed with a DIFFERENT n_buckets must keep
+    routing reads/writes by the on-disk count, or pruned reads would
+    silently miss rows."""
+    ch0 = _ch(spark, [("a", 10, 0, "update", "v1"), ("b", 10, 1, "update", "w1")])
+    m = _maintainer(spark, tmp_path, n_buckets=8)
+    assert m.update(ch0, 0)
+    assert (tmp_path / "scd2" / "_BUCKETS").read_text() == "8"
+
+    m2 = _maintainer(spark, tmp_path, n_buckets=32)  # mis-configured restart
+    assert m2._bucket_count() == 8
+    ch1 = _ch(spark, [("a", 20, 2, "update", "v2")])
+    assert m2.update(ch1, 1)
+    want = scd2_history(
+        _ch(
+            spark,
+            [
+                ("a", 10, 0, "update", "v1"),
+                ("b", 10, 1, "update", "w1"),
+                ("a", 20, 2, "update", "v2"),
+            ],
+        ),
+        **KW,
+    )
+    assert _hist_rows(m2.current()) == _hist_rows(want)
+
+
+def test_scd2_maintainer_unbucketed_store_migrates(spark, tmp_path):
+    """A store committed by an unbucketed maintainer (n_buckets=0)
+    adopted by a bucketed one takes one FULL commit to migrate to the
+    partitioned layout, then prunes from the next trigger on — no
+    linking against a layout that has no buckets."""
+    ch0 = _ch(spark, [("a", 10, 0, "update", "v1"), ("b", 10, 1, "update", "w1")])
+    m0 = _maintainer(spark, tmp_path, n_buckets=0)
+    assert m0.update(ch0, 0)
+    assert not m0._bucketed_on_disk()
+
+    m1 = _maintainer(spark, tmp_path, n_buckets=8)
+    ch1 = _ch(spark, [("a", 20, 2, "update", "v2")])
+    assert m1.update(ch1, 1)  # full commit, writes bucketed layout
+    assert m1._bucketed_on_disk()
+    ch2 = _ch(spark, [("b", 30, 3, "update", "w2")])
+    assert m1.update(ch2, 2)  # pruned commit against the migrated v1
+    want = scd2_history(
+        _ch(
+            spark,
+            [
+                ("a", 10, 0, "update", "v1"),
+                ("b", 10, 1, "update", "w1"),
+                ("a", 20, 2, "update", "v2"),
+                ("b", 30, 3, "update", "w2"),
+            ],
+        ),
+        **KW,
+    )
+    assert _hist_rows(m1.current()) == _hist_rows(want)
+
+
 def test_scd2_late_rows_new_keys_are_not_late(spark):
     from cdc_redshift_spark.operators.incremental import (
         scd2_late_batch_rows,
