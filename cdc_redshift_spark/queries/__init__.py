@@ -30,89 +30,73 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-10 ROTATION, the one that FINISHES
-# total driver coverage: after this round every registry entry has
-# carried a driver row at least once.
-#
-# ROUND-11 ROTATION QUEUE: with total coverage reached, rotations
-# become pure staleness refresh — next window = the 5 CDC pipelines +
-# the 45 longest-stale entries by last-gated round (compute from the
-# CORRECTNESS_r*.json history; after r10 the oldest cohort is the r6
-# remainder, then r7).  Any NEW operator added in round 11 takes a
-# slot in the same commit that adds it (the standing rule).  Candidate
-# new entry if slots allow: a plan_blowup_probe query gating the
-# pure-Python CM inner-product planner path (cm_collect +
-# cm_inner_product_cells + noise floor) against duck_cm_inner_product
-# — the estimator is pytest-pinned equal to the driver-gated
-# DataFrame path today, so this is a nice-to-have, not a gap.
-#
-# Composition: the 5 never-gated round-10-queue entries + the round-10
-# addition (cdc_variant_payload, never gated) + the sketch_join_size
-# RE-GATE (the r9 red row — oracle output dtype fixed this round,
-# value-verified green locally; the green driver row closes it) + the
-# 5 end-to-end CDC pipelines (re-gated every round) + the 38
-# longest-stale entries (all 34 last gated in r4/r5 — dedup family,
-# corpus sampling, multimodal, the stateful-streaming family,
-# temporal rollups — and the 4 oldest r6 entries).  The r9 window (50
-# green rows in CORRECTNESS_r09, sketch_join_size excepted) rotates
-# out; everything outside the window stays certified by the per-round
-# LOCALGATE artifact over the FULL registry + pytest.
+# Exactly 50 names — the ROUND-11 ROTATION: with total driver
+# coverage reached in r10, rotations are pure staleness refresh
+# (tools/rotate_window.py computes the queue from the
+# CORRECTNESS_r*.json history).  Composition: the round-11 addition
+# plan_blowup_probe (never gated — certifies the pure-Python CM
+# planner path join_plan actually executes, VERDICT r10 #3), the 41
+# longest-stale entries (the full r6 cohort — TPC-H family,
+# dedup/corpus/streaming-ingest remainders, sketch_hll_users in its
+# new full-value register form), 3 of the 4 r7 entries —
+# cdc_scd2_history jumps ahead of cdc_op_counts (name-order would
+# pick the latter) because the SCD2 maintainer's commit path was
+# REWRITTEN this round (bucketed snapshot store) and modified code
+# outranks staleness; cdc_op_counts heads the r12 queue — plus the 5
+# end-to-end CDC pipelines (re-gated every round).  Everything
+# outside the window stays certified by the per-round LOCALGATE
+# artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
-    # never driver-gated (6) — the round-10 queue + this round's addition
-    "docs_tfidf_keywords",
-    "events_resample_interp",
-    "dq_latency_percentiles",
-    "events_pivot_types",
-    "layout_zonemap_scan",
-    "cdc_variant_payload",
-    # the r9 red row, re-gated after the oracle dtype fix (1)
-    "sketch_join_size",
-    # longest-stale: last gated r4/r5 (34)
-    "events_props_extract",
-    "profile_orders",
-    "pii_redaction_report",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_graph_triangles",
-    "corpus_decontaminate",
-    "corpus_source_cap",
-    "corpus_stratified_sample",
-    "corpus_token_shards",
-    "corpus_clean_pipeline",
-    "sim_topk_query",
-    "sim_knn_exact",
-    "emb_int8_quantize",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_resize_roundtrip",
-    "mm_features_similarity",
-    "mm_audio_windows",
-    "cdc_stateful_lww_stream",
-    "cdc_stateful_lww_agg_stream",
-    "cdc_windowed_ops_stream",
-    "cdc_sessionize_stream",
-    "events_stream_join",
-    "cdc_first_seen_stream",
-    "cdc_enrich_stream",
-    "events_asof_attribution",
-    "events_burst_windows",
-    "events_hourly_rollup",
-    "events_resample_ffill",
-    # next-oldest: last gated r6 (4)
-    "cdc_rollup_maintenance",
-    "orders_running_windows",
-    "order_priority_profile",
-    "customer_activity_segments",
-    # end-to-end CDC pipelines, re-gated every round (5)
-    "cdc_pg_replay",
-    "cdc_lww_dedup",
-    "cdc_dms_relational",
-    "cdc_dms_schema_drift",
-    "cdc_mongo_replay",
+    "plan_blowup_probe",  # never gated (new r11)
+    "cdc_ingest_dedup_stream",  # last r6
+    "cdc_ingest_neardup_probe",  # last r6
+    "cdc_stream_schema_drift",  # last r6
+    "corpus_chunk_docs",  # last r6
+    "corpus_doc_metrics",  # last r6
+    "corpus_pack_stream",  # last r6
+    "corpus_weighted_sample",  # last r6
+    "cube_sales",  # last r6
+    "customer_name_profile",  # last r6
+    "dedup_embedding_clusters",  # last r6
+    "dedup_incremental_exact",  # last r6
+    "dedup_incremental_minhash",  # last r6
+    "dedup_simjoin",  # last r6
+    "dq_events_skew",  # last r6
+    "dq_orders_suite",  # last r6
+    "emb_contrastive_negatives",  # last r6
+    "er_fuzzy_name_pairs",  # last r6
+    "events_funnel_ordered",  # last r6
+    "events_incremental_rollup",  # last r6
+    "events_type_stats",  # last r6
+    "events_user_sequences",  # last r6
+    "layout_pruned_scan",  # last r6
+    "orders_snapshot_changes",  # last r6
+    "q11_important_stock",  # last r6
+    "q12_ship_delay",  # last r6
+    "q13_order_count_dist",  # last r6
+    "q15_top_supplier",  # last r6
+    "q16_supplier_part_counts",  # last r6
+    "q17_small_qty_revenue",  # last r6
+    "q19_disjunctive_revenue",  # last r6
+    "q20_excess_shipments",  # last r6
+    "q21_late_supplier",  # last r6
+    "q22_inactive_customers",  # last r6
+    "q2_min_acctbal_supplier",  # last r6
+    "q8_market_share",  # last r6
+    "q9_product_profit",  # last r6
+    "sketch_distinct_users",  # last r6
+    "sketch_hll_users",  # last r6
+    "sketch_price_quantiles",  # last r6
+    "snapshot_partition_diff",  # last r6
+    "text_stats",  # last r6
+    "cdc_ingest_compaction",  # last r7
+    "cdc_join_view_stream",  # last r7
+    "cdc_scd2_history",  # last r7 (maintainer rewritten r11)
+    "cdc_pg_replay",  # every round
+    "cdc_lww_dedup",  # every round
+    "cdc_dms_relational",  # every round
+    "cdc_dms_schema_drift",  # every round
+    "cdc_mongo_replay",  # every round
 ]
 
 

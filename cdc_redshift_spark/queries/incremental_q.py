@@ -1167,6 +1167,125 @@ ORDER BY join_name
 """
 
 
+def q_plan_blowup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the PURE-PYTHON CM planner path — the exact
+    code ``operators/planner.join_plan`` executes on the merge path
+    (``cm_collect`` cells → ``cm_inner_product_cells`` →
+    ``n_l*n_r//w`` noise-floor adjustment → ``blowup_risk``), not its
+    DataFrame sibling (that one is ``sketch_join_size``, gated green
+    r10; the two are pytest-pinned equal, but the planner became
+    load-bearing on the sink merge path in r10, so the path it
+    actually runs earns its own driver row — VERDICT r10 #3).
+
+    Two join shapes through the REAL ``join_plan`` entry point with
+    sidecar-shaped stats dicts: the benign fact⋈dim (orders⋈customer
+    — output ~= fact, must NOT flag) and the events user self-join
+    (quadratic multiplicities — must flag).  The oracle recomputes
+    the estimate from ``duck_cm_cells``-mirrored sketches and the
+    floor/threshold arithmetic in plain SQL, so a green row certifies
+    the planner's integer math end to end."""
+    from cdc_redshift_spark.operators.planner import (
+        CM_SKETCH,
+        df_key_stats,
+        join_plan,
+    )
+    from cdc_redshift_spark.operators.sketches import cm_collect, cm_sketch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def stats(df):
+        st = df_key_stats(df, "k")
+        st[CM_SKETCH] = {
+            "n": st["k"]["n"],
+            "d": JS_D,
+            "w": JS_W,
+            "key": "k",
+            "cells": cm_collect(cm_sketch(df, "k", d=JS_D, w=JS_W)),
+            "dtype": "string",
+        }
+        return st
+
+    so, sc, se = stats(o), stats(c), stats(e)
+
+    def probe(name, sa, sb):
+        plan = join_plan(sa, sb, "k")
+        return (
+            name,
+            int(plan["est_output_rows"]),
+            int(plan["est_output_noise_floor"]),
+            bool(plan["blowup_risk"]),
+        )
+
+    rows = [probe("events_self", se, se), probe("orders_customer", so, sc)]
+    # the probe is only evidence if the two shapes land on OPPOSITE
+    # sides of the threshold — a fixture drift that flips either
+    # would silently gut the gate, so pin it in-query
+    verdicts = {n: b for n, _, _, b in rows}
+    if not verdicts["events_self"] or verdicts["orders_customer"]:
+        raise RuntimeError(
+            f"blowup probe fixture no longer discriminates: {verdicts}"
+        )
+    return spark.createDataFrame(
+        rows,
+        "join_name string, est_out long, noise_floor long, blowup boolean",
+    ).orderBy("join_name")
+
+
+def _oracle_plan_blowup() -> str:
+    from cdc_redshift_spark.operators.sketches import (
+        duck_cm_cells,
+        duck_cm_inner_product,
+    )
+
+    co = duck_cm_cells(
+        "SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders", "k", JS_D, JS_W
+    )
+    cc = duck_cm_cells(
+        "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer", "k", JS_D, JS_W
+    )
+    ce = duck_cm_cells(
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events", "k", JS_D, JS_W
+    )
+    e_oc = duck_cm_inner_product(co, cc, JS_D)
+    e_ee = duck_cm_inner_product(ce, ce, JS_D)
+    # noise floor = (n_l * n_r) // w with n from the CELLS (sum of
+    # counts / d — each element increments exactly one cell per row),
+    # blowup = (est - floor) > 8 * max(n_rows) — the same integer
+    # arithmetic join_plan runs on the driver
+    return f"""
+WITH co AS ({co}), cc AS ({cc}), ce AS ({ce}),
+n_o AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+n_c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+n_e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+e_oc AS ({e_oc}),
+e_ee AS ({e_ee}),
+probe AS (
+  SELECT 'events_self' AS join_name,
+         CAST(e_ee.n_est AS BIGINT) AS est_out,
+         (n_e.n * n_e.n) // {JS_W} AS noise_floor,
+         n_e.n AS n_in
+  FROM e_ee, n_e
+  UNION ALL
+  SELECT 'orders_customer',
+         CAST(e_oc.n_est AS BIGINT),
+         (n_o.n * n_c.n) // {JS_W},
+         greatest(n_o.n, n_c.n)
+  FROM e_oc, n_o, n_c
+)
+SELECT join_name, est_out, noise_floor,
+       (est_out - noise_floor) > 8 * n_in AS blowup
+FROM probe ORDER BY join_name
+"""
+
+
 def q_cdc_bi_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANALYTICS capstone — the warehouse-side sibling of
     `corpus_pretrain_manifest`: a CDC change stream drives the
@@ -1248,6 +1367,7 @@ FROM e GROUP BY d_type ORDER BY d_type
 QUERIES = {
     "cdc_bi_capstone": q_cdc_bi_capstone,
     "sketch_join_size": q_sketch_join_size,
+    "plan_blowup_probe": q_plan_blowup_probe,
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_cm_tokens": q_sketch_cm_tokens,
     "scd2_user_history": q_scd2_user_history,
@@ -1268,6 +1388,7 @@ QUERIES = {
 ORACLES = {
     "cdc_bi_capstone": ORACLE_BI_CAPSTONE,
     "sketch_join_size": _oracle_join_size(),
+    "plan_blowup_probe": _oracle_plan_blowup(),
     "sketch_cm_tokens": _oracle_cm_tokens(),
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
     "scd2_user_history": ORACLE_SCD2,

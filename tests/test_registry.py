@@ -20,12 +20,11 @@ def test_gate_window_is_the_round10_rotation():
     addition), the sketch_join_size re-gate (the r9 red row, oracle
     dtype fixed), and the 5 CDC pipelines re-gated every round."""
     must_gate = {
-        # never driver-gated before r10
-        "docs_tfidf_keywords", "events_resample_interp",
-        "dq_latency_percentiles", "events_pivot_types",
-        "layout_zonemap_scan", "cdc_variant_payload",
-        # the r9 red row, re-gated after the oracle dtype fix
-        "sketch_join_size",
+        # round-11 addition: the pure-Python CM planner path's gate
+        "plan_blowup_probe",
+        # code MODIFIED this round must re-gate: the SCD2 maintainer
+        # commit path was rewritten (bucketed snapshot store)
+        "cdc_scd2_history",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
