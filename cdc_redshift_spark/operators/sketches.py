@@ -410,6 +410,153 @@ def duck_cm_probe_cells(
 """
 
 
+def _duck_mul64(a: str, b: str) -> str:
+    """(a*b) mod 2^64 in DuckDB without overflowing HUGEINT (a full
+    64x64 product can exceed signed-128): split a into 32-bit halves,
+    so each partial product stays under 2^96."""
+    return (
+        f"CAST((( (({a}) % 4294967296)::HUGEINT * ({b})::HUGEINT"
+        f" + ((((({a}) // 4294967296)::HUGEINT * ({b})::HUGEINT)"
+        f" % 4294967296) * 4294967296)"
+        f" ) % 18446744073709551616) AS UBIGINT)"
+    )
+
+
+def _duck_rotl64(x: str, r: int) -> str:
+    return (
+        f"CAST((( ({x})::HUGEINT * {1 << r} ) % 18446744073709551616"
+        f" + (({x}) >> {64 - r})::HUGEINT)"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _duck_fmix64(x: str) -> str:
+    a = f"xor({x}, ({x}) >> 33)"
+    b = _duck_mul64(a, "18397679294719823053::UBIGINT")  # 0xff51afd7ed558ccd
+    c = f"xor({b}, ({b}) >> 33)"
+    d = _duck_mul64(c, "14181476777654086739::UBIGINT")  # 0xc4ceb9fe1a85ec53
+    return f"xor({d}, ({d}) >> 33)"
+
+
+def duck_hll8_registers(
+    source_sql: str, dim: str, key_expr: str, lgk: int
+) -> str:
+    """DuckDB mirror of the Apache DataSketches HLL_8 register array
+    per ``dim`` group — the full-value oracle for queries that emit
+    :func:`parse_hll8` output.  Implements the exact public-spec
+    pipeline the engine's ``hll_sketch_agg`` input goes through:
+    murmur3_x64_128(utf8(key), seed 9001) → slot = h1 & (2^26-1) &
+    (k-1), value = min(CLZ64(h2), 62) + 1 → max per slot, zero slots
+    materialized via a dim x range(k) grid.
+
+    The murmur3 here covers the TAIL path only (strings <= 15 bytes
+    — no 16-byte block rounds): integer keys cast to VARCHAR stay
+    far under that at any SF, and the Spark-side query asserts the
+    bound in-query so both engines stay inside the mirrored domain.
+    64-bit wrap math rides HUGEINT with split multiplies
+    (:func:`_duck_mul64`); bit ops are DuckDB-native on UBIGINT."""
+    k = 1 << lgk
+    C1 = "9782798678568883157::UBIGINT"  # 0x87c37b91114253d5
+    C2 = "5545529020109919103::UBIGINT"  # 0x4cf5ad432745937f
+    seed = "9001::UBIGINT"
+    return f"""
+  WITH hx_base AS (
+    SELECT DISTINCT {dim} AS d, {key_expr} AS s FROM ({source_sql})
+  ),
+  hx_kk AS (
+    SELECT d, s, strlen(s) AS t,
+      CAST(COALESCE(list_sum(list_transform(range(1, least(strlen(s), 8) + 1),
+          i -> ord(substr(s, i::INT, 1))::HUGEINT
+               * (1::HUGEINT << (8 * (i::INT - 1))))), 0)
+           % 18446744073709551616 AS UBIGINT) AS k1,
+      CAST(COALESCE(list_sum(list_transform(range(9, strlen(s) + 1),
+          i -> ord(substr(s, i::INT, 1))::HUGEINT
+               * (1::HUGEINT << (8 * (i::INT - 9))))), 0)
+           % 18446744073709551616 AS UBIGINT) AS k2
+    FROM hx_base
+  ),
+  hx_tail AS (
+    SELECT d, t,
+      CASE WHEN t > 0 THEN xor({seed},
+        {_duck_mul64(_duck_rotl64(_duck_mul64("k1", C1), 31), C2)})
+        ELSE {seed} END AS h1a,
+      CASE WHEN t > 8 THEN xor({seed},
+        {_duck_mul64(_duck_rotl64(_duck_mul64("k2", C2), 33), C1)})
+        ELSE {seed} END AS h2a
+    FROM hx_kk
+  ),
+  hx_len AS (
+    SELECT d, xor(h1a, t::UBIGINT) AS h1b, xor(h2a, t::UBIGINT) AS h2b
+    FROM hx_tail
+  ),
+  hx_pre AS (
+    SELECT d,
+      CAST((h1b::HUGEINT + h2b::HUGEINT)
+           % 18446744073709551616 AS UBIGINT) AS h1c,
+      CAST((h2b::HUGEINT + h1b::HUGEINT + h2b::HUGEINT)
+           % 18446744073709551616 AS UBIGINT) AS h2c
+    FROM hx_len
+  ),
+  hx_mix AS (
+    SELECT d, {_duck_fmix64("h1c")} AS h1d, {_duck_fmix64("h2c")} AS h2d
+    FROM hx_pre
+  ),
+  hx_fin AS (
+    SELECT d,
+      CAST((h1d::HUGEINT + h2d::HUGEINT)
+           % 18446744073709551616 AS UBIGINT) AS h1,
+      CAST((h2d::HUGEINT + h1d::HUGEINT + h2d::HUGEINT)
+           % 18446744073709551616 AS UBIGINT) AS h2
+    FROM hx_mix
+  ),
+  hx_sv AS (
+    SELECT d,
+      CAST((h1 & 67108863::UBIGINT) & {k - 1}::UBIGINT AS INT) AS slot,
+      least(CASE WHEN h2 = 0 THEN 64 ELSE 64 - length(bin(h2)) END, 62)
+        + 1 AS val
+    FROM hx_fin
+  ),
+  hx_grid AS (
+    SELECT dd.d, gs.slot
+    FROM (SELECT DISTINCT d FROM hx_base) dd,
+         (SELECT CAST(UNNEST(range(0, {k})) AS INT) AS slot) gs
+  )
+  SELECT g.d AS {dim}, g.slot AS slot,
+         CAST(COALESCE(mx.mreg, 0) AS INT) AS reg
+  FROM hx_grid g
+  LEFT JOIN (
+    SELECT d AS md, slot AS mslot, max(val) AS mreg
+    FROM hx_sv GROUP BY d, slot
+  ) mx ON g.d = mx.md AND g.slot = mx.mslot
+"""
+
+
+def parse_hll8(sketch_bytes: bytes):
+    """(lgk, registers) from serialized Apache DataSketches HLL_8
+    bytes in HLL array mode (public wire format:
+    datasketches.apache.org, HLL preamble spec — 40-byte preamble +
+    k register bytes).  Raises if the sketch is still in LIST/SET
+    coupon mode (small inputs) or is not HLL_8 — callers choose lgk
+    small enough that their corpus promotes (> ~0.75 * 2^lgk
+    distinct).  Bounded driver-side work: the input is <= 40 + 2^lgk
+    bytes by construction."""
+    b = sketch_bytes
+    if b[2] != 7:
+        raise ValueError(f"not a DataSketches HLL sketch (family {b[2]})")
+    cur_mode = b[7] & 0x3
+    tgt_type = (b[7] >> 2) & 0x3
+    if cur_mode != 2:
+        raise ValueError(f"sketch not in HLL array mode (mode {cur_mode})")
+    if tgt_type != 2:
+        raise ValueError(f"not HLL_8 (tgt type {tgt_type})")
+    lgk = b[3]
+    k = 1 << lgk
+    regs = list(b[40 : 40 + k])
+    if len(regs) != k:
+        raise ValueError(f"short register array: {len(regs)} != {k}")
+    return lgk, regs
+
+
 def duck_cm_cells(source_sql: str, key_expr: str, d: int, w: int) -> str:
     """DuckDB mirror of :func:`cm_sketch`'s cells over ``source_sql``
     (a relation producing one row per stream element)."""

@@ -280,39 +280,76 @@ ORDER BY event_type
 
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-form distinct rollup: per-day Apache DataSketches HLL
-    sketches per event_type, unioned across days (``hll_union_agg``)
-    and estimated.  The sketch bytes are the cross-system DataSketches
-    wire format (Redshift/Trino/Druid can merge them).  Certification
-    is register-level, not value-level: the ESTIMATE is DataSketches-
-    implementation-defined (composite/HIP refinements DuckDB cannot
-    mirror), but every serialized REGISTER byte is checked bit-for-bit
-    against a pure-Python public-spec mirror — murmur3-128(seed 9001)
-    → slot/CLZ → max, union == elementwise max —
-    (tests/test_sketches.py + tests/hll_register_mirror.py), plus
-    estimate tolerance and merge-equality gates; rows-only here."""
+    sketches per event_type, unioned across days (``hll_union_agg``).
+    The sketch bytes are the cross-system DataSketches wire format
+    (Redshift/Trino/Druid can merge them).
+
+    FULL-VALUE since round 11 (VERDICT r10 #6, the last rows-only
+    entry): the query OUTPUT is the merged sketches' HLL_8 register
+    array — (event_type, slot, reg), zero slots included — parsed
+    from the real serialized bytes (``parse_hll8``), and the DuckDB
+    oracle recomputes every register from scratch via the public
+    spec (murmur3_x64_128 seed 9001 → slot/CLZ64 → max per slot,
+    ``duck_hll8_registers``), so the hash gate now certifies the
+    sketch bytes value-by-value.  The register leg runs at lgk=4 so
+    the fixture promotes to HLL array mode at every SF (> ~0.75*k=12
+    distinct needed; sf0.001 has 15/type).  The production lgk=12
+    leg keeps its ESTIMATE certification in-query: the DataSketches
+    composite/HIP estimate is implementation-defined (no SQL
+    mirror), so a >5% miss vs the exact distinct count RAISES
+    instead of hashing.  Key strings are asserted <= 15 bytes — the
+    oracle's murmur3 mirrors the tail path only (no 16-byte block
+    rounds), which any integer id satisfies."""
+    from cdc_redshift_spark.operators.sketches import parse_hll8
+
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
-    daily = hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=12)
-    merged = hll_merge_estimate(daily, dims=["event_type"], lgk=12)
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    return (
-        merged.join(exact, "event_type")
-        .select(
-            "event_type",
-            F.col("n_parts").cast("long").alias("n_days"),
-            "n_exact",
-            F.col("n_est").cast("long").alias("n_est"),
-            (
-                F.abs(F.col("n_est") - F.col("n_exact"))
-                / F.col("n_exact")
-                < 0.05
-            ).alias("within_5pct"),
+    exact = {
+        r["event_type"]: (r["n_exact"], r["max_len"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.max(F.length(F.col("user_id").cast("string"))).alias(
+                "max_len"
+            ),
         )
-        .orderBy("event_type")
+        .collect()
+    }
+    if max(ml for _, ml in exact.values()) > 15:
+        raise RuntimeError(
+            "user_id strings exceed 15 bytes — outside the oracle "
+            "murmur3 tail-path domain"
+        )
+    # production leg (lgk=12): estimate must hold its error bound
+    est12 = hll_merge_estimate(
+        hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=12),
+        dims=["event_type"],
+        lgk=12,
     )
+    for r in est12.collect():
+        n_exact = exact[r["event_type"]][0]
+        if abs(r["n_est"] - n_exact) / n_exact >= 0.05:
+            raise RuntimeError(
+                f"lgk=12 HLL estimate off >5% for {r['event_type']}: "
+                f"{r['n_est']} vs exact {n_exact}"
+            )
+    # register leg (lgk=4, promotes at every SF): emit the merged
+    # sketch's register bytes as the hash-gated output.  Bounded
+    # collect: n_types x (40 + 16) bytes.
+    daily4 = hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=4)
+    merged4 = daily4.groupBy("event_type").agg(
+        F.hll_union_agg(F.col("hll"), F.lit(False)).alias("hll")
+    )
+    rows = []
+    for r in merged4.collect():
+        lgk, regs = parse_hll8(bytes(r["hll"]))
+        rows.extend(
+            (r["event_type"], slot, reg) for slot, reg in enumerate(regs)
+        )
+    return spark.createDataFrame(
+        rows, "event_type string, slot int, reg int"
+    ).orderBy("event_type", "slot")
 
 
 # ---- mergeable quantile sketch --------------------------------------------
@@ -1286,6 +1323,21 @@ FROM probe ORDER BY join_name
 """
 
 
+def _oracle_hll_registers() -> str:
+    from cdc_redshift_spark.operators.sketches import duck_hll8_registers
+
+    body = duck_hll8_registers(
+        "SELECT event_type, user_id FROM events",
+        "event_type",
+        "CAST(user_id AS VARCHAR)",
+        lgk=4,
+    )
+    return body + "\nORDER BY event_type, slot"
+
+
+_ORACLE_HLL_REGISTERS = _oracle_hll_registers()
+
+
 def q_cdc_bi_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANALYTICS capstone — the warehouse-side sibling of
     `corpus_pretrain_manifest`: a CDC change stream drives the
@@ -1400,8 +1452,10 @@ ORACLES = {
     "cdc_join_view_stream": ORACLE_JOIN_VIEW,
     "sketch_distinct_users": ORACLE_SKETCH_KMV,
     "sketch_user_overlap": _oracle_sketch_overlap(),
-    # sketch_hll_users: DataSketches estimate is implementation-defined
-    # — rows-only here, value-gated by tests/test_sketches.py.
+    # sketch_hll_users emits the HLL_8 REGISTERS (full-value since
+    # r11); the implementation-defined lgk=12 estimate is certified
+    # in-query by a raise-on-miss tolerance gate instead of a hash
+    "sketch_hll_users": _ORACLE_HLL_REGISTERS,
     "sketch_price_quantiles": ORACLE_SKETCH_QUANTILES,
     "snapshot_partition_diff": ORACLE_SNAPSHOT_DIFF,
     "orders_snapshot_changes": ORACLE_SNAPSHOT_CHANGES,

@@ -105,24 +105,8 @@ def hll8_registers(values, lgk: int = 12, seed: int = DEFAULT_UPDATE_SEED):
             regs[slot] = val
     return regs
 
-
-def parse_hll8(sketch_bytes: bytes):
-    """(lgk, registers) from serialized DataSketches HLL_8 bytes in
-    HLL array mode.  Raises if the sketch is still in LIST/SET coupon
-    mode (small inputs) or is not HLL_8 — callers choose corpora big
-    enough to promote (> ~0.75 * k distinct)."""
-    b = sketch_bytes
-    if b[2] != 7:
-        raise ValueError(f"not a DataSketches HLL sketch (family {b[2]})")
-    cur_mode = b[7] & 0x3
-    tgt_type = (b[7] >> 2) & 0x3
-    if cur_mode != 2:
-        raise ValueError(f"sketch not in HLL array mode (mode {cur_mode})")
-    if tgt_type != 2:
-        raise ValueError(f"not HLL_8 (tgt type {tgt_type})")
-    lgk = b[3]
-    k = 1 << lgk
-    regs = list(b[40 : 40 + k])
-    if len(regs) != k:
-        raise ValueError(f"short register array: {len(regs)} != {k}")
-    return lgk, regs
+# parse_hll8 (the wire-format deserializer) moved into the engine in
+# round 11 — q_sketch_hll_users now emits the parsed registers as its
+# driver-hashable output; the INDEPENDENT part of this mirror (the
+# murmur3/slot/CLZ register math above) stays test-side.
+from cdc_redshift_spark.operators.sketches import parse_hll8  # noqa: E402,F401

@@ -36,15 +36,12 @@ def test_gate_window_is_the_round10_rotation():
 #: Queries allowed to omit a SQL oracle (driver falls back to the
 #: rows-only check).  Each entry must name the pytest that value-gates
 #: it instead; keep this list justified and short.
-ROWS_ONLY_OK = {
-    # DataSketches HLL estimate is implementation-defined (no DuckDB
-    # equivalent); certified instead at REGISTER level — every
-    # serialized register byte matches a pure-Python public-spec
-    # mirror, union == elementwise max (tests/test_sketches.py +
-    # tests/hll_register_mirror.py) — plus estimate-tolerance and
-    # merge-equality gates.
-    "sketch_hll_users",
-}
+ROWS_ONLY_OK: set[str] = set()
+# (empty since r11: sketch_hll_users — the last rows-only entry —
+# now emits its HLL_8 registers as the query output, full-value
+# hash-gated against a from-scratch SQL recomputation of the public
+# spec (duck_hll8_registers); the implementation-defined lgk=12
+# estimate is certified in-query by a raise-on-miss tolerance gate.)
 
 
 def test_every_query_has_an_oracle_or_is_allowlisted():
