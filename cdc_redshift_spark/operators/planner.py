@@ -276,12 +276,46 @@ def merge_strategy_from_plan(
     return "broadcast"
 
 
+def confirm_hot_keys(
+    stats: dict,
+    candidates: list[str],
+    min_rows: int,
+) -> dict[str, int]:
+    """Name the hot keys behind a ``blowup_risk`` flag from sidecar
+    metadata alone: CM POINT-query each candidate against the side's
+    persisted :data:`CM_SKETCH` (``sketches.cm_point_cells`` — the
+    same md5 double-hash the sketch was built with) and keep those
+    whose estimated count exceeds ``min_rows`` (pick it near your
+    rows-per-task target).  Returns ``{key: est_rows}``; empty when
+    no candidate is hot or the stats carry no sketch.
+
+    The sketch cannot ENUMERATE keys — candidates come from the
+    caller (the live side's top keys are one bounded ``groupBy
+    ... limit`` away; domain defaults like NULL/'' /0 are free
+    guesses).  Point estimates never undershoot, so a returned key
+    really does carry at least ~``min_rows - n/w`` rows; zero Spark
+    jobs either way."""
+    sk = stats.get(CM_SKETCH)
+    if not sk:
+        return {}
+    from cdc_redshift_spark.operators.sketches import cm_point_cells
+
+    out = {}
+    for k in candidates:
+        est = cm_point_cells(sk["cells"], sk["d"], sk["w"], str(k))
+        if est > min_rows:
+            out[str(k)] = est
+    return out
+
+
 def apply_join_plan(
     left: DataFrame,
     right: DataFrame,
     on: str | list[str],
     plan: dict,
     how: str = "inner",
+    salt_factor: int | None = None,
+    discriminator=None,
 ) -> DataFrame:
     """Execute a :func:`join_plan` decision: attach the broadcast hint
     to the side the stats proved small, or plain equi-join for the
@@ -292,11 +326,46 @@ def apply_join_plan(
 
     A plan carrying ``blowup_risk`` (the CM sketches priced the
     output above ``blowup_warn`` × the inputs, noise-adjusted) is
-    executed but LOGGED loudly first: the right fixes — a missing
-    join predicate, pre-aggregation, or ``salted_join`` for the hot
-    keys — are semantic choices the caller must make, so the planner
-    warns instead of silently rewriting the query."""
+    LOGGED loudly; whether it is also MITIGATED is the caller's
+    choice via ``salt_factor``: a shuffle-strategy inner/left join
+    executes as :func:`operators.joins.salted_join` (``left`` as the
+    skewed fact side spread over ``salt_factor`` sub-partitions per
+    key, ``right`` replicated ``salt_factor``×) — row-identical
+    output by construction, but no single hot key can exceed
+    ~1/``salt_factor`` of its rows in one task.  Confirm the hot key
+    first with :func:`confirm_hot_keys` (CM point queries on
+    candidate keys): salting a join whose blowup is semantic (a
+    missing predicate) just distributes the explosion evenly.
+    Broadcast strategies never shuffle on the key, so skew cannot
+    concentrate a task there and the salt is skipped.  Salting is
+    opt-in (``salt_factor=None`` keeps the warn-only behavior)
+    because the right fix may instead be a predicate or
+    pre-aggregation — semantic choices the planner must not make."""
     if plan.get("blowup_risk"):
+        keys = [on] if isinstance(on, str) else list(on)
+        if (
+            salt_factor
+            and plan["strategy"] == "shuffle"
+            and how in ("inner", "left")
+        ):
+            from cdc_redshift_spark.operators.joins import salted_join
+
+            log.warning(
+                "join_plan priced this join's output at ~%s rows "
+                "(noise floor %s) — executing the salted-skew form "
+                "(factor %d) so no hot key exceeds one task",
+                plan.get("est_output_rows"),
+                plan.get("est_output_noise_floor"),
+                salt_factor,
+            )
+            return salted_join(
+                left,
+                right,
+                keys,
+                factor=salt_factor,
+                discriminator=discriminator,
+                how=how,
+            )
         log.warning(
             "join_plan priced this join's output at ~%s rows "
             "(noise floor %s) — a many-to-many key explosion; "

@@ -438,6 +438,27 @@ def _duck_fmix64(x: str) -> str:
     return f"xor({d}, ({d}) >> 33)"
 
 
+def cm_point_cells(
+    cells: list[list[int]], d: int, w: int, key: str
+) -> int:
+    """Pure-Python CM POINT query over collected cells — the driver-
+    side frequency estimate of one key, mirroring :func:`cm_estimate`
+    exactly (same ``stable_hash60`` md5 bases, same Kirsch-
+    Mitzenmacher ``(h1 + j*h2) % w`` probe, min over d rows).  Never
+    undershoots the true count; overshoots by collision mass ~n/w.
+    Used by ``planner.confirm_hot_keys`` to turn a blowup flag into a
+    named hot key from sidecar metadata alone — zero Spark jobs."""
+    import hashlib
+
+    h1 = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16)
+    h2 = (
+        int(hashlib.md5(("c:" + key).encode("utf-8")).hexdigest()[:15], 16)
+        | 1
+    )
+    idx = {(j, b): c for j, b, c in cells}
+    return min(idx.get((j, (h1 + j * h2) % w), 0) for j in range(d))
+
+
 def duck_hll8_registers(
     source_sql: str, dim: str, key_expr: str, lgk: int
 ) -> str:

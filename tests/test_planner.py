@@ -777,3 +777,98 @@ def test_apply_join_plan_warns_on_blowup_risk(spark, caplog):
     ):
         apply_join_plan(left, right, "k", plan).count()
     assert any("salted_join" in r.message for r in caplog.records)
+
+
+def test_blowup_mitigation_salted_join_row_identical_and_bounded(spark):
+    """VERDICT r10 #5: acting on blowup_risk.  A hot-key fixture (one
+    celebrity key carrying 40% of the fact) must (a) trip the CM
+    blowup flag, (b) be NAMEABLE via confirm_hot_keys' sidecar point
+    queries (zero jobs), and (c) execute row-identically under
+    apply_join_plan(salt_factor=...) with the hot key's rows spread
+    across salt sub-partitions so no single task holds more than
+    ~1/factor of them (the property streaming/stateful.py's salted
+    LWW form relies on, applied to the planner's join path)."""
+    from cdc_redshift_spark.operators.planner import (
+        CM_SKETCH,
+        apply_join_plan,
+        confirm_hot_keys,
+        df_key_stats,
+        join_plan,
+    )
+    from cdc_redshift_spark.operators.sketches import cm_collect, cm_sketch
+    from pyspark.sql import functions as F
+
+    D, W = 5, 4096
+    fact = spark.range(50_000).select(
+        F.when(F.col("id") < 20_000, F.lit("hot"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("k"),
+        F.col("id").alias("fid"),
+    )
+    dim = (
+        spark.range(40)
+        .select(F.lit("hot").alias("k"), F.col("id").alias("did"))
+        .unionByName(
+            spark.range(20_000, 20_100).select(
+                F.col("id").cast("string").alias("k"),
+                F.col("id").alias("did"),
+            )
+        )
+    )
+
+    def stats(df):
+        st = df_key_stats(df, "k")
+        st[CM_SKETCH] = {
+            "n": st["k"]["n"], "d": D, "w": W, "key": "k",
+            "cells": cm_collect(cm_sketch(df, "k", d=D, w=W)),
+            "dtype": "string",
+        }
+        return st
+
+    sf, sd = stats(fact), stats(dim)
+    plan = join_plan(sf, sd, "k", broadcast_threshold=0)
+    assert plan["strategy"] == "shuffle"
+    assert plan["blowup_risk"], "hot-key fixture must trip the flag"
+
+    # (b) the hot key is nameable from metadata alone; a cold
+    # candidate stays out (CM never undershoots, overshoot ~n/w)
+    hot = confirm_hot_keys(sf, ["hot", "31337", "no-such-key"], 5_000)
+    assert set(hot) == {"hot"} and hot["hot"] >= 20_000
+
+    # (c) mitigated == plain, row for row (checksum equality: count +
+    # bounded per-row hash sum, overflow-safe under ANSI)
+    mitigated = apply_join_plan(
+        fact, dim, "k", plan, salt_factor=8, discriminator="fid"
+    )
+    plain = fact.join(dim, "k")
+
+    def checksum(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64("k", "fid", "did"), F.lit(1_000_000_007)
+                )
+            ).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    assert checksum(mitigated) == checksum(plain)
+    assert checksum(plain)[0] == 20_000 * 40 + 100
+
+    # the salted path was actually taken (join keys include the salt)
+    pstr = mitigated._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in pstr
+
+    # max task input bounded: the hot key's fact rows spread over the
+    # 8 salt buckets (same deterministic salt expr salted_join uses);
+    # uniform expectation 2500/bucket — allow wide slack, but far
+    # below the unsalted 20k concentration
+    spread = (
+        fact.where(F.col("k") == "hot")
+        .groupBy(F.pmod(F.xxhash64(F.col("fid")), F.lit(8)))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert spread < 4_000, f"hot key not spread: max bucket {spread}"
