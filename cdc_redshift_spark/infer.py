@@ -199,7 +199,43 @@ def explode_payload(
     out = changes.select(
         F.from_json(F.col(payload_col).cast("string"), schema).alias("d"), *kept
     ).select("d.*", *kept)
+    return _coerce_ts(out, ts_cols, ts_format)
+
+
+def _coerce_ts(
+    out: DataFrame, ts_cols: Sequence[str], ts_format: str
+) -> DataFrame:
     for c in ts_cols:
         if c in out.columns and dict(out.dtypes)[c] == "string":
             out = out.withColumn(c, F.to_timestamp(F.col(c), ts_format))
     return out
+
+
+def explode_payload_variant(
+    changes: DataFrame,
+    schema: T.StructType,
+    variant_col: str = "payload_v",
+    keep: Sequence[str] = ("key", "ts_ms", "offset", "op"),
+    ts_cols: Sequence[str] = ("gmt_created", "gmt_modified"),
+    ts_format: str = DEFAULT_TS_FORMAT,
+) -> DataFrame:
+    """:func:`explode_payload` over the PRE-PARSED variant column the
+    ``payload_variant=True`` normalizers emit: each schema field is a
+    typed ``variant_get`` path read of the once-encoded variant
+    instead of a fresh ``from_json`` parse of the string — so a
+    pipeline that already paid the parse at normalize time (key
+    extraction) never re-parses at explosion time (measured 2.6x on
+    4-path extraction at sf0.1; SCALE.md round-10).  Same output
+    schema and the same audit-timestamp coercion as the string path
+    — the two explosions are interchangeable downstream."""
+    kept = [c for c in keep if c in changes.columns]
+    out = changes.select(
+        *[
+            F.variant_get(
+                F.col(variant_col), f"$.{f.name}", f.dataType.simpleString()
+            ).alias(f.name)
+            for f in schema.fields
+        ],
+        *kept,
+    )
+    return _coerce_ts(out, ts_cols, ts_format)

@@ -33,8 +33,8 @@ from __future__ import annotations
 # Exactly 50 names — the ROUND-11 ROTATION: with total driver
 # coverage reached in r10, rotations are pure staleness refresh
 # (tools/rotate_window.py computes the queue from the
-# CORRECTNESS_r*.json history).  Composition: the round-11 addition
-# plan_blowup_probe (never gated — certifies the pure-Python CM
+# CORRECTNESS_r*.json history).  Composition: the round-11 additions
+# plan_blowup_probe + cdc_dms_variant_replay (never gated — certifies the pure-Python CM
 # planner path join_plan actually executes, VERDICT r10 #3), the 41
 # longest-stale entries (the full r6 cohort — TPC-H family,
 # dedup/corpus/streaming-ingest remainders, sketch_hll_users in its
@@ -42,12 +42,13 @@ from __future__ import annotations
 # cdc_scd2_history jumps ahead of cdc_op_counts (name-order would
 # pick the latter) because the SCD2 maintainer's commit path was
 # REWRITTEN this round (bucketed snapshot store) and modified code
-# outranks staleness; cdc_op_counts heads the r12 queue — plus the 5
+# outranks staleness; cdc_op_counts + cdc_join_view_stream head the r12 queue — plus the 5
 # end-to-end CDC pipelines (re-gated every round).  Everything
 # outside the window stays certified by the per-round LOCALGATE
 # artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
     "plan_blowup_probe",  # never gated (new r11)
+    "cdc_dms_variant_replay",  # never gated (new r11)
     "cdc_ingest_dedup_stream",  # last r6
     "cdc_ingest_neardup_probe",  # last r6
     "cdc_stream_schema_drift",  # last r6
@@ -90,7 +91,6 @@ _GATE_WINDOW = [
     "snapshot_partition_diff",  # last r6
     "text_stats",  # last r6
     "cdc_ingest_compaction",  # last r7
-    "cdc_join_view_stream",  # last r7
     "cdc_scd2_history",  # last r7 (maintainer rewritten r11)
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round

@@ -385,6 +385,41 @@ def q_cdc_dms_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dms_variant_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL DMS relational replay with ``payload_variant=True``
+    actually CONSUMED (VERDICT r10 #7): the normalizer parses the
+    payload once into an encoded variant, and the relational
+    explosion reads every inferred-schema field as a typed
+    ``variant_get`` path (:func:`infer.explode_payload_variant`)
+    instead of re-parsing the JSON string with ``from_json`` — the
+    knob the r10 round certified in isolation (2.6x on 4-path
+    extraction, SCALE.md) wired through the real envelope → ChangeSet
+    → LWW → explode → merge chain.  Same oracle as
+    ``cdc_dms_relational``: the two explosions must be
+    indistinguishable downstream.  In-query plan pin: the optimized
+    plan must contain ``variant_get`` and must NOT contain a
+    ``from_json`` of the payload (the string re-parse the variant
+    path exists to delete)."""
+    from cdc_redshift_spark.infer import SchemaCache, explode_payload_variant
+    from cdc_redshift_spark.normalize import dms_changeset
+
+    raw = synth_dms_changelog(spark, sf_dir)
+    changes = latest_per_key(
+        dms_changeset(raw, offset_col="offset", payload_variant=True),
+        keys=("db", "table", "key"),
+    )
+    schema = SchemaCache().get("tpch", "customer_cdc", changes)
+    rel = explode_payload_variant(changes, schema)
+    state = apply_changeset(None, rel, keys=("key",))
+    out = state.select("id", "name", "segment", "balance", "gmt_created")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    if "variant_get" not in plan:
+        raise RuntimeError("variant path not in plan — knob not consumed")
+    if "from_json(payload" in plan:
+        raise RuntimeError("explosion still re-parses the payload string")
+    return out
+
+
 ORACLE_CDC_DMS_RELATIONAL = """
 SELECT c_custkey AS id,
        c_name AS name,
@@ -2150,6 +2185,7 @@ QUERIES = {
     "cdc_variant_payload": q_cdc_variant_payload,
     "cdc_op_counts": q_cdc_op_counts,
     "cdc_dms_relational": q_cdc_dms_relational,
+    "cdc_dms_variant_replay": q_cdc_dms_variant_replay,
     "cdc_dms_schema_drift": q_cdc_dms_schema_drift,
     "cdc_mongo_replay": q_cdc_mongo_replay,
 }
@@ -2177,6 +2213,9 @@ ORACLES = {
     "cdc_variant_payload": ORACLE_CDC_VARIANT_PAYLOAD,
     "cdc_op_counts": ORACLE_CDC_OP_COUNTS,
     "cdc_dms_relational": ORACLE_CDC_DMS_RELATIONAL,
+    # same oracle by design: the variant explosion must be
+    # indistinguishable from the string explosion downstream
+    "cdc_dms_variant_replay": ORACLE_CDC_DMS_RELATIONAL,
     "cdc_dms_schema_drift": ORACLE_CDC_DMS_SCHEMA_DRIFT,
     "cdc_mongo_replay": ORACLE_CDC_MONGO_REPLAY,
 }

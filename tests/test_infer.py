@@ -157,3 +157,43 @@ def test_detect_drift_top_level_only(spark):
     assert detect_drift(base, schema).isEmpty()
     drifted = _changes(spark, [{"id": 2, "name": "b", "extra": 1}])
     assert detect_drift(drifted, schema).count() == 1
+
+
+def test_explode_payload_variant_matches_string_explosion(spark):
+    """The variant explosion (variant_get paths over the once-parsed
+    payload_v) must be indistinguishable from the from_json string
+    explosion downstream — same schema, same values, same audit-ts
+    coercion, NULL payloads and missing fields included."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cdc_redshift_spark.infer import (
+        explode_payload,
+        explode_payload_variant,
+    )
+
+    rows = [
+        ('{"id": 1, "name": "a", "balance": 1.5, '
+         '"gmt_created": "2024-01-02T03:04:05Z"}', "k1", 10, 0, "insert"),
+        ('{"id": 2, "name": null, "balance": -2.25}', "k2", 11, 1, "update"),
+        (None, "k3", 12, 2, "delete"),          # tombstone: NULL payload
+        ('{"id": 4}', "k4", 13, 3, "insert"),   # missing fields -> NULL
+    ]
+    changes = spark.createDataFrame(
+        rows, "payload string, key string, ts_ms long, offset long, op string"
+    ).withColumn("payload_v", F.try_parse_json("payload"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("gmt_created", T.StringType()),
+        ]
+    )
+    s = explode_payload(changes, schema)
+    v = explode_payload_variant(changes, schema)
+    assert v.schema == s.schema
+    nsafe = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, v.collect()), key=nsafe) == sorted(
+        map(tuple, s.collect()), key=nsafe
+    )

@@ -22,6 +22,7 @@ def test_gate_window_is_the_round10_rotation():
     must_gate = {
         # round-11 addition: the pure-Python CM planner path's gate
         "plan_blowup_probe",
+        "cdc_dms_variant_replay",
         # code MODIFIED this round must re-gate: the SCD2 maintainer
         # commit path was rewritten (bucketed snapshot store)
         "cdc_scd2_history",
