@@ -42,7 +42,10 @@ from __future__ import annotations
 # cdc_scd2_history jumps ahead of cdc_op_counts (name-order would
 # pick the latter) because the SCD2 maintainer's commit path was
 # REWRITTEN this round (bucketed snapshot store) and modified code
-# outranks staleness; cdc_op_counts + cdc_join_view_stream head the r12 queue — plus the 5
+# outranks staleness; cdc_op_counts + q12_ship_delay head the r12 queue (the latter a
+# stable-since-r6 TPC-H entry bumped for cdc_join_view_stream, whose
+# maintainer was ALSO rewritten this round — modified code outranks
+# staleness) — plus the 5
 # end-to-end CDC pipelines (re-gated every round).  Everything
 # outside the window stays certified by the per-round LOCALGATE
 # artifact over the FULL registry + pytest.
@@ -73,7 +76,6 @@ _GATE_WINDOW = [
     "layout_pruned_scan",  # last r6
     "orders_snapshot_changes",  # last r6
     "q11_important_stock",  # last r6
-    "q12_ship_delay",  # last r6
     "q13_order_count_dist",  # last r6
     "q15_top_supplier",  # last r6
     "q16_supplier_part_counts",  # last r6
@@ -92,6 +94,7 @@ _GATE_WINDOW = [
     "text_stats",  # last r6
     "cdc_ingest_compaction",  # last r7
     "cdc_scd2_history",  # last r7 (maintainer rewritten r11)
+    "cdc_join_view_stream",  # last r7 (maintainer rewritten r11)
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

@@ -5,9 +5,15 @@ wired to the same versioned write-new-then-swap commit discipline as
 ``RollupMaintainer`` / ``Scd2Maintainer``.
 
 Per batch this costs two delta-broadcast joins (``dL ⋈ R_old`` and
-``L_new ⋈ dR`` — neither shuffles the big tables) plus one
-view-sized groupBy merge; the view is NEVER recomputed from the base
-tables.  Bootstrap needs no special case: starting from the empty
+``L_new ⋈ dR`` — neither shuffles the big tables) plus one groupBy
+merge over the TOUCHED key-hash buckets of the stored view; the view
+is NEVER recomputed from the base tables.  Since round 11 the store
+is bucket-partitioned on the join keys (when they appear in the view
+projection): a trigger partition-prune-reads only the buckets the
+delta's keys hash into, merges, rewrites those, and hard-links every
+untouched bucket forward — per-trigger compute AND IO are
+O(touched + delta) however large the view grows, the same discipline
+as ``Scd2Maintainer``.  Bootstrap needs no special case: starting from the empty
 view, a first batch of ``dL = L(+1), dR = R(+1), R_old = ∅`` makes
 ``L_new ⋈ dR`` the full join — initial load IS the algebra.
 
@@ -49,6 +55,7 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         cols: list[str],
         cnt_col: str = "cnt",
         keep_versions: int = 2,
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.path = path
@@ -56,6 +63,19 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         self.cols = list(cols)
         self.cnt_col = cnt_col
         self.keep_versions = keep_versions
+        # bucketed snapshot layout (VersionedSnapshotStore), keyed on
+        # the JOIN columns: a delta can only change view images whose
+        # join keys it carries, so a trigger reads/rewrites only the
+        # delta's key-hash buckets and hard-links the rest — the same
+        # bounded-IO discipline as Scd2Maintainer (round 11).  Needs
+        # the join keys IN the view projection (they identify the
+        # image's bucket on both the read and the write side);
+        # otherwise, or with n_buckets=0, every commit is a full
+        # rewrite as before.
+        self.bucket_keys = (
+            list(on) if n_buckets and set(on) <= set(cols) else None
+        )
+        self.n_buckets = int(n_buckets)
         os.makedirs(path, exist_ok=True)
 
     def update(
@@ -79,7 +99,14 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         delta = join_view_delta(
             d_left, left_new, d_right, right_old, on=self.on, cols=self.cols
         )
-        view = self.current()
+        # bucketed stores read only the buckets the delta's join keys
+        # touch: a view image's count changes only when the delta
+        # carries that exact image, whose keys land in a touched
+        # bucket — so the prune is semantics-free, and the negative-
+        # count drift guard still sees every row it could fire on
+        pruned = self.bucket_keys and self._bucketed_on_disk()
+        touched = self.touched_buckets(delta) if pruned else None
+        view = self.current(buckets=touched)
         if view is None:  # empty view: bootstrap via the algebra itself
             view = (
                 delta.select(*self.cols)
@@ -89,5 +116,8 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         new_view = apply_view_delta(
             view, delta, self.cols, cnt_col=self.cnt_col
         )
-        self._commit(new_view, batch_id)
+        if pruned:
+            self._commit_pruned(new_view, batch_id, touched, last)
+        else:
+            self._commit(new_view, batch_id)
         return True

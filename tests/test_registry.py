@@ -26,6 +26,7 @@ def test_gate_window_is_the_round10_rotation():
         # code MODIFIED this round must re-gate: the SCD2 maintainer
         # commit path was rewritten (bucketed snapshot store)
         "cdc_scd2_history",
+        "cdc_join_view_stream",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",

@@ -858,3 +858,71 @@ def test_join_view_maintainer_via_cdc_pipeline(spark, tmp_path):
     )
     want = {(r.grp, r.region, r.cnt) for r in want_df.collect()}
     assert got == want == {("g1", "east", 1), ("g2", "west", 1)}
+
+
+def test_join_view_maintainer_untouched_buckets_hard_linked(spark, tmp_path):
+    """Round-11 bounded-IO certificate for the join-view maintainer,
+    mirroring the SCD2 one: a delta touching ONE join key rewrites
+    only that key's hash bucket; every other bucket's files carry the
+    SAME INODES as the previous version (hard-linked, never re-read
+    or rewritten), and the maintained view still equals the plain
+    recomputed join."""
+    import os
+
+    from cdc_redshift_spark.streaming.joinview import JoinViewMaintainer
+    from cdc_redshift_spark.streaming.snapshots import BUCKET_COL
+
+    L = spark.createDataFrame(
+        [(k, f"l{k}") for k in range(40)], "k int, lv string"
+    )
+    R = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(40)], "k int, rv string"
+    )
+    cols = ["k", "lv", "rv"]
+    m = JoinViewMaintainer(
+        spark, str(tmp_path / "jv"), on=["k"], cols=cols, n_buckets=8
+    )
+    one = F.lit(1).alias("sign")
+    assert m.update(
+        L.select("k", "lv", one), L, R.select("k", "rv", one), R.limit(0), 0
+    )
+
+    def inodes(v):
+        vdir = tmp_path / "jv" / f"v{v}"
+        return {
+            d: {
+                fn: os.stat(vdir / d / fn).st_ino
+                for fn in os.listdir(vdir / d)
+                if not fn.startswith((".", "_"))
+            }
+            for d in os.listdir(vdir)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+
+    v0 = inodes(0)
+    assert len(v0) > 1, "fixture must spread keys over several buckets"
+
+    # batch 1: replace key 7's left row (delete image + insert image)
+    dL = spark.createDataFrame(
+        [(7, "l7", -1), (7, "L7", 1)], "k int, lv string, sign int"
+    )
+    L1 = L.where(F.col("k") != 7).unionByName(
+        spark.createDataFrame([(7, "L7")], "k int, lv string")
+    )
+    dR = spark.createDataFrame([], "k int, rv string, sign int")
+    assert m.update(dL, L1, dR, R, 1)
+    v1 = inodes(1)
+    touched = m.touched_buckets(dL)
+    assert len(touched) == 1
+    tdir = f"{BUCKET_COL}={touched[0]}"
+    for d, files in v0.items():
+        if d == tdir:
+            continue
+        assert v1[d] == files, f"untouched bucket {d} was rewritten"
+    assert set(v1[tdir].values()).isdisjoint(set(v0[tdir].values()))
+    # final view == plain recomputed join (bag counts all 1)
+    want = {
+        (r.k, r.lv, r.rv, 1) for r in L1.join(R, "k").collect()
+    }
+    got = {(r.k, r.lv, r.rv, r.cnt) for r in m.current().collect()}
+    assert got == want
