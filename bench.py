@@ -563,9 +563,17 @@ def main() -> None:
     # per-trigger wall must stay ~flat as the STORED history grows
     # 10x, provided the batch touches few of the 64 key-hash buckets.
     # Seed a 1x / 10x-deep history, then time 8 triggers that each
-    # update the SAME 5 keys (<=5 touched buckets; the other ~59 are
-    # hard-linked forward, never read or rewritten).
-    micro = scd_base.where(F.col("k") % 400 < 5).persist()
+    # update the SAME 5 LITERAL keys (review r11: a mod-class filter
+    # here selects ~0.5% of ALL keys — hundreds of distinct values
+    # touching ~every bucket, which silently stops exercising the
+    # prune).  scd2_depth_touched_buckets pins how many of the 64
+    # buckets a trigger actually rewrites; the rest are hard-linked,
+    # never read.
+    keys5 = [
+        r[0]
+        for r in scd_base.select("k").distinct().orderBy("k").limit(5).collect()
+    ]
+    micro = scd_base.where(F.col("k").isin(keys5)).persist()
     maint["scd2_depth_micro_rows"] = micro.count()
     for label, seed_lim in (("1x", 40), ("10x", 400)):
         seed = scd_base.where(
@@ -579,6 +587,9 @@ def main() -> None:
             )
             m.update(seed, 0)
             maint[f"scd2_depth_{label}_hist_rows"] = m.current().count()
+            maint["scd2_depth_touched_buckets"] = len(
+                m.touched_buckets(micro)
+            )
             walls = []
             for i in range(1, 9):
                 b = micro.withColumn(

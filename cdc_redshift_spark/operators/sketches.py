@@ -474,6 +474,9 @@ def duck_hll8_registers(
     — no 16-byte block rounds): integer keys cast to VARCHAR stay
     far under that at any SF, and the Spark-side query asserts the
     bound in-query so both engines stay inside the mirrored domain.
+    Byte extraction rides ``ord(substr(...))`` (code points), so the
+    domain is ASCII keys — exactly what numeric ids cast to VARCHAR
+    produce; a non-ASCII key would need a byte-level decode instead.
     64-bit wrap math rides HUGEINT with split multiplies
     (:func:`_duck_mul64`); bit ops are DuckDB-native on UBIGINT."""
     k = 1 << lgk

@@ -35,8 +35,9 @@ from __future__ import annotations
 # (tools/rotate_window.py computes the queue from the
 # CORRECTNESS_r*.json history).  Composition: the round-11 additions
 # plan_blowup_probe + cdc_dms_variant_replay (never gated — certifies the pure-Python CM
-# planner path join_plan actually executes, VERDICT r10 #3), the 41
-# longest-stale entries (the full r6 cohort — TPC-H family,
+# planner path join_plan actually executes, VERDICT r10 #3), the 40
+# longest-stale r6 entries (the full r6 cohort minus q12_ship_delay,
+# bumped below — TPC-H family,
 # dedup/corpus/streaming-ingest remainders, sketch_hll_users in its
 # new full-value register form), 3 of the 4 r7 entries —
 # cdc_scd2_history jumps ahead of cdc_op_counts (name-order would

@@ -397,9 +397,9 @@ def q_cdc_dms_variant_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     → LWW → explode → merge chain.  Same oracle as
     ``cdc_dms_relational``: the two explosions must be
     indistinguishable downstream.  In-query plan pin: the optimized
-    plan must contain ``variant_get`` and must NOT contain a
-    ``from_json`` of the payload (the string re-parse the variant
-    path exists to delete)."""
+    plan must contain ``variant_get`` and must NOT contain any
+    ``from_json`` (the string re-parse the variant path exists to
+    delete)."""
     from cdc_redshift_spark.infer import SchemaCache, explode_payload_variant
     from cdc_redshift_spark.normalize import dms_changeset
 
@@ -415,8 +415,25 @@ def q_cdc_dms_variant_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     if "variant_get" not in plan:
         raise RuntimeError("variant path not in plan — knob not consumed")
-    if "from_json(payload" in plan:
-        raise RuntimeError("explosion still re-parses the payload string")
+    # Catalyst prints JsonToStructs schema-first, so a bare
+    # "from_json(payload" can never match (review r11).  The ONE
+    # legitimate from_json here is the normalizer's ENVELOPE parse
+    # (schema fields data/control/metadata); any from_json whose
+    # leading schema field is something else is a payload re-parse —
+    # the exact node the variant path exists to delete (the inferred
+    # relational schema is alphabetical, so the string path prints
+    # from_json(StructField(balance,... — verified empirically)
+    import re
+
+    reparse = [
+        m
+        for m in re.findall(r"from_json\(StructField\(([\w-]+),", plan)
+        if m not in ("data", "control", "metadata")
+    ]
+    if reparse:
+        raise RuntimeError(
+            f"explosion still re-parses the payload string: {reparse}"
+        )
     return out
 
 

@@ -103,9 +103,24 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         # touch: a view image's count changes only when the delta
         # carries that exact image, whose keys land in a touched
         # bucket — so the prune is semantics-free, and the negative-
-        # count drift guard still sees every row it could fire on
+        # count drift guard still sees every row it could fire on.
+        # Touched buckets come from the RAW delta inputs' key
+        # projections (micro-batch-small), NOT from `delta`:
+        # evaluating the joined delta here and again at commit time
+        # would run both IVM joins — including the fact-side scan —
+        # twice per trigger (review r11).  Every `delta` row's keys
+        # appear in d_left or d_right by construction (part1 keys
+        # come from dL, part2 keys from dR), so the cover is exact.
         pruned = self.bucket_keys and self._bucketed_on_disk()
-        touched = self.touched_buckets(delta) if pruned else None
+        touched = (
+            self.touched_buckets(
+                d_left.select(*self.on).unionByName(
+                    d_right.select(*self.on)
+                )
+            )
+            if pruned
+            else None
+        )
         view = self.current(buckets=touched)
         if view is None:  # empty view: bootstrap via the algebra itself
             view = (

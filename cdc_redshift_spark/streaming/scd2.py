@@ -124,6 +124,10 @@ class Scd2Maintainer(VersionedSnapshotStore):
             tiebreak=self.tiebreak,
         )
         pruned = self.bucket_keys and self._bucketed_on_disk()
+        # one extra evaluation of the batch's key projection (column-
+        # pruned; the batch is micro by contract).  Callers with an
+        # expensive `changes` lineage should persist it — CdcPipeline
+        # already persists each raw batch before fan-out.
         touched = self.touched_buckets(changes) if pruned else None
         stored = self.current(buckets=touched)
         if stored is None:

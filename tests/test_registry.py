@@ -14,11 +14,13 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_is_the_round10_rotation():
-    """The r10 window finishes total driver coverage: every
-    never-driver-gated entry (the round-10 queue + this round's
-    addition), the sketch_join_size re-gate (the r9 red row, oracle
-    dtype fixed), and the 5 CDC pipelines re-gated every round."""
+def test_gate_window_pins_the_round11_rotation():
+    """The r11 window is a staleness refresh plus the entries that
+    MUST gate this round: the two new r11 queries, the two queries
+    whose maintainer code was rewritten this round, and the 5 CDC
+    pipelines re-gated every round.  (The bulk of the window — the
+    longest-stale r6 cohort — is policy, not correctness, so it is
+    not pinned here; tools/rotate_window.py recomputes it.)"""
     must_gate = {
         # round-11 addition: the pure-Python CM planner path's gate
         "plan_blowup_probe",
