@@ -640,10 +640,13 @@ def main() -> None:
     # string-vs-variant payload on the FULL DMS replay (VERDICT r10
     # #7): the same envelope → ChangeSet → LWW → explode → merge
     # chain, explosion via from_json on the string payload vs typed
-    # variant_get on the once-parsed variant.  min-of-2 each; the
-    # isolated 4-path extraction delta is 2.6x (SCALE.md r10) — the
-    # full-replay delta is smaller because the merge/shuffle stages
-    # are shared, which is exactly what this entry pins.
+    # variant_get on the once-parsed variant.  min-of-2 each.
+    # Expected reading: ~par (measured 0.97x at sf0.1) — the string
+    # explosion is ONE from_json into a struct, so a single-
+    # extraction replay has no redundant parsing to delete; the 2.6x
+    # isolated win (SCALE.md r10) is vs per-path get_json_object /
+    # repeated typed access.  The entry pins that the variant path
+    # costs nothing on the plain replay while enabling those reads.
     variant_x = {}
     for key, qname in (
         ("replay_string_s", "cdc_dms_relational"),

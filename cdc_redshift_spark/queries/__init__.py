@@ -30,26 +30,30 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-11 ROTATION: with total driver
-# coverage reached in r10, rotations are pure staleness refresh
-# (tools/rotate_window.py computes the queue from the
-# CORRECTNESS_r*.json history).  Composition: the round-11 additions
-# plan_blowup_probe + cdc_dms_variant_replay (never gated — certifies the pure-Python CM
-# planner path join_plan actually executes, VERDICT r10 #3), the 40
-# longest-stale r6 entries (the full r6 cohort minus q12_ship_delay,
-# bumped below — TPC-H family,
+# Exactly 50 names — the ROUND-11 ROTATION.  With total driver
+# coverage reached in r10, rotations are pure staleness refresh;
+# tools/rotate_window.py computes the queue from the
+# CORRECTNESS_r*.json history, and two overrides apply this round:
+#
+#   1. NEW queries gate in the round that adds them (standing rule):
+#      plan_blowup_probe (the pure-Python CM planner path join_plan
+#      actually executes, VERDICT r10 #3) and cdc_dms_variant_replay
+#      (payload_variant consumed on the full DMS replay, #7).
+#   2. MODIFIED code outranks staleness: the bucketed snapshot store
+#      rewrote the Scd2Maintainer and JoinViewMaintainer commit
+#      paths, so cdc_scd2_history and cdc_join_view_stream re-gate
+#      ahead of the name-order picks.
+#
+# Composition: the 2 new entries, the 40 longest-stale r6 entries
+# (the full r6 cohort minus q12_ship_delay — TPC-H family,
 # dedup/corpus/streaming-ingest remainders, sketch_hll_users in its
-# new full-value register form), 3 of the 4 r7 entries —
-# cdc_scd2_history jumps ahead of cdc_op_counts (name-order would
-# pick the latter) because the SCD2 maintainer's commit path was
-# REWRITTEN this round (bucketed snapshot store) and modified code
-# outranks staleness; cdc_op_counts + q12_ship_delay head the r12 queue (the latter a
-# stable-since-r6 TPC-H entry bumped for cdc_join_view_stream, whose
-# maintainer was ALSO rewritten this round — modified code outranks
-# staleness) — plus the 5
-# end-to-end CDC pipelines (re-gated every round).  Everything
-# outside the window stays certified by the per-round LOCALGATE
-# artifact over the FULL registry + pytest.
+# new full-value register form), 3 r7 entries (cdc_ingest_compaction
+# plus the two modified-code re-gates), and the 5 end-to-end CDC
+# pipelines (re-gated every round).  Displaced to the head of the
+# r12 queue: cdc_op_counts (r7, name-order casualty of override 1)
+# and q12_ship_delay (stable-since-r6 TPC-H, casualty of override
+# 2).  Everything outside the window stays certified by the
+# per-round LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
     "plan_blowup_probe",  # never gated (new r11)
     "cdc_dms_variant_replay",  # never gated (new r11)

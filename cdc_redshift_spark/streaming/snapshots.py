@@ -141,7 +141,9 @@ class VersionedSnapshotStore:
         and hands the result back); rows are re-bucketed here from
         the key columns, so placement cannot drift from pruning."""
         vdir = os.path.join(self.path, f"v{batch_id}")
-        self._write_bucketed(touched_state, vdir)
+        self._write_bucketed(
+            touched_state, vdir, n_parts=max(len(touched), 1)
+        )
         prev = os.path.join(self.path, f"v{prev_batch}")
         touched_dirs = {f"{BUCKET_COL}={int(b)}" for b in touched}
         for d in os.listdir(prev):
@@ -155,17 +157,24 @@ class VersionedSnapshotStore:
                 os.link(os.path.join(src, fn), os.path.join(dst, fn))
         self._flip(batch_id)
 
-    def _write_bucketed(self, state: DataFrame, vdir: str) -> None:
+    def _write_bucketed(
+        self, state: DataFrame, vdir: str, n_parts: int | None = None
+    ) -> None:
         """Bucket-partitioned snapshot write, repartitioned ON the
         bucket id first so each bucket directory holds ~one file —
         without this every upstream shuffle task writes a file per
         bucket it happens to hold (O(tasks x buckets) small files,
         which at scale bloats both the link pass and every pruned
         read's listing).  The repartition shuffles only the state
-        being written (touched buckets on the pruned path)."""
+        being written; pruned commits pass ``n_parts`` ~= the touched
+        bucket count so a 4096-bucket store doesn't launch 4096
+        near-empty write tasks for a 3-bucket trigger (bucket-id hash
+        collisions just mean one task writes two directories)."""
         df = state.withColumn(BUCKET_COL, self._bucket_expr())
         (
-            df.repartition(self._bucket_count(), F.col(BUCKET_COL))
+            df.repartition(
+                n_parts or self._bucket_count(), F.col(BUCKET_COL)
+            )
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(vdir)
