@@ -58,6 +58,7 @@ class RollupMaintainer(VersionedSnapshotStore):
         measures: dict[str, str],
         n_col: str = "n",
         keep_versions: int = 2,
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.path = path
@@ -68,6 +69,18 @@ class RollupMaintainer(VersionedSnapshotStore):
         self.measures = dict(measures)
         self.n_col = n_col
         self.keep_versions = keep_versions
+        # bucketed snapshot layout (VersionedSnapshotStore), keyed on
+        # the GROUP grain (time bucket + dims): a delta can only
+        # change groups it contains, so a trigger reads/rewrites only
+        # the delta's key-hash buckets and hard-links the rest — the
+        # round-11 bounded-IO discipline shared with Scd2Maintainer /
+        # JoinViewMaintainer.  Matters once the rollup grain is
+        # high-cardinality (per-user, per-key): the state then grows
+        # with data, and an unbucketed commit is O(state) per
+        # trigger.  n_buckets=0 restores the full-rewrite layout.
+        grain = (["bucket_ts"] if time_col is not None else []) + list(dims)
+        self.bucket_keys = grain if (n_buckets and grain) else None
+        self.n_buckets = int(n_buckets)
         os.makedirs(path, exist_ok=True)
 
     # snapshot plumbing: VersionedSnapshotStore (shared with
@@ -89,7 +102,14 @@ class RollupMaintainer(VersionedSnapshotStore):
             measures=self.measures,
             n_col=self.n_col,
         )
-        stored = self.current()
+        # bucketed stores read only the buckets the delta's groups
+        # hash into — a stored group can only change if the delta
+        # contains it, so the prune is semantics-free (the delta is
+        # one cheap groupBy over the micro-batch; its extra
+        # evaluation here is O(batch))
+        pruned = self.bucket_keys and self._bucketed_on_disk()
+        touched = self.touched_buckets(delta) if pruned else None
+        stored = self.current(buckets=touched)
         if stored is None:
             # same cleanup rule as apply_rollup_delta: negative groups
             # (retractions ahead of their inserts) must survive
@@ -104,5 +124,8 @@ class RollupMaintainer(VersionedSnapshotStore):
                 measures=list(self.measures),
                 n_col=self.n_col,
             )
-        self._commit(merged, batch_id)
+        if pruned:
+            self._commit_pruned(merged, batch_id, touched, last)
+        else:
+            self._commit(merged, batch_id)
         return True

@@ -231,3 +231,55 @@ def test_maintainer_version_retention_bounded(spark, tmp_path):
     assert m.committed_batch() == 11
     # latest state intact after pruning
     assert len(_state(m)) == 12
+
+
+def test_rollup_maintainer_untouched_buckets_hard_linked(spark, tmp_path):
+    """Round-11 bounded-IO certificate for the rollup maintainer: a
+    batch touching ONE group rewrites only that group's hash bucket;
+    every other bucket's files carry the SAME INODES forward
+    (hard-linked, never re-read) — matters once the rollup grain is
+    high-cardinality and the state grows with data."""
+    import os
+
+    from cdc_redshift_spark.streaming.snapshots import BUCKET_COL
+
+    seed = [
+        _env("c", None, {"k": f"k{i}", "v": i}, off=i) for i in range(40)
+    ]
+    m = RollupMaintainer(
+        spark, str(tmp_path / "ru"), _prepare, time_col=None, bucket=None,
+        dims=["k"], measures={"sv": "v"}, n_buckets=8,
+    )
+    assert m.update(pg_retraction_stream(_raw(spark, seed), offset_col="offset"), 0)
+
+    def inodes(v):
+        vdir = tmp_path / "ru" / f"v{v}"
+        return {
+            d: {
+                fn: os.stat(vdir / d / fn).st_ino
+                for fn in os.listdir(vdir / d)
+                if not fn.startswith((".", "_"))
+            }
+            for d in os.listdir(vdir)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+
+    v0 = inodes(0)
+    assert len(v0) > 1
+    b1 = [_env("c", None, {"k": "k0", "v": 100}, off=100)]
+    d1 = pg_retraction_stream(_raw(spark, b1), offset_col="offset")
+    assert m.update(d1, 1)
+    v1 = inodes(1)
+    from cdc_redshift_spark.operators.incremental import rollup_delta_signed
+    touched = m.touched_buckets(
+        rollup_delta_signed(_prepare(d1), time_col=None, bucket=None,
+                            dims=["k"], measures={"sv": "v"})
+    )
+    assert len(touched) == 1
+    tdir = f"{BUCKET_COL}={touched[0]}"
+    for d, files in v0.items():
+        if d == tdir:
+            continue
+        assert v1[d] == files, f"untouched bucket {d} was rewritten"
+    got = {(r.k, str(r.sv)) for r in m.current().collect()}
+    assert ("k0", "100.0000") in got and len(got) == 40
