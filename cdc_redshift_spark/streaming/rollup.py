@@ -19,8 +19,12 @@ for the rollup).  Wire into :class:`CdcPipeline` via ``on_raw_batch``:
     CdcPipeline(..., on_raw_batch=lambda bid, raw:
         maintainer.update(pg_retraction_stream(raw), bid))
 
-Layout (mirrors ParquetSink):  path/v<batch_id>/part-*.parquet and
-path/_LATEST containing the committed batch id.
+Layout (``VersionedSnapshotStore``, bucketed by the group grain since
+round 11):  ``path/v<batch_id>/__bucket=<N>/part-*.parquet`` +
+``path/_LATEST`` (committed batch id) + ``path/_BUCKETS`` (pinned
+bucket count).  Read through :meth:`current` — it prunes on and then
+strips the internal ``__bucket`` partition column; don't glob the
+version dirs directly.
 """
 
 from __future__ import annotations

@@ -119,6 +119,7 @@ class VersionedSnapshotStore:
         if self.bucket_keys and self.n_buckets:
             self._pin_buckets()
             self._write_bucketed(state, vdir)
+            self._ensure_readable(vdir, state)
         else:
             state.write.mode("overwrite").parquet(vdir)
         self._flip(batch_id)
@@ -155,6 +156,7 @@ class VersionedSnapshotStore:
                 if fn.startswith((".", "_")):
                     continue
                 os.link(os.path.join(src, fn), os.path.join(dst, fn))
+        self._ensure_readable(vdir, touched_state)
         self._flip(batch_id)
 
     def _write_bucketed(
@@ -179,6 +181,23 @@ class VersionedSnapshotStore:
             .partitionBy(BUCKET_COL)
             .parquet(vdir)
         )
+
+    def _ensure_readable(self, vdir: str, state: DataFrame) -> None:
+        """A ``partitionBy`` write of an EMPTY frame emits no
+        schema-bearing file (only ``_SUCCESS``), unlike a plain
+        parquet write — so a batch that empties the whole state (all
+        groups retracted) would leave a version ``spark.read`` cannot
+        infer a schema from, permanently wedging the store (review
+        r11, reproduced).  If the new version holds no data file at
+        all (empty write AND nothing hard-linked), fall back to a
+        plain empty write: it carries the schema in a metadata-only
+        part file, reads back as zero rows, and — being UNBUCKETED —
+        makes the next commit take the full (bootstrap-style) path,
+        which re-buckets.  Self-healing by construction."""
+        for root, _dirs, files in os.walk(vdir):
+            if any(not f.startswith((".", "_")) for f in files):
+                return
+        state.limit(0).drop(BUCKET_COL).write.mode("overwrite").parquet(vdir)
 
     def _pin_buckets(self) -> None:
         pin = os.path.join(self.path, "_BUCKETS")

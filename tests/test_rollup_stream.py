@@ -283,3 +283,32 @@ def test_rollup_maintainer_untouched_buckets_hard_linked(spark, tmp_path):
         assert v1[d] == files, f"untouched bucket {d} was rewritten"
     got = {(r.k, str(r.sv)) for r in m.current().collect()}
     assert ("k0", "100.0000") in got and len(got) == 40
+
+
+def test_rollup_maintainer_survives_state_emptying_batch(spark, tmp_path):
+    """Review r11 regression: a batch retracting EVERY group produced
+    a bucketed version holding only _SUCCESS (a partitionBy write of
+    an empty frame emits no schema file), wedging current() and every
+    later update() with UNABLE_TO_INFER_SCHEMA.  The store must
+    survive the empty state — and keep accepting batches after it."""
+    seed = [
+        _env("c", None, {"k": f"k{i}", "v": i + 1}, off=i) for i in range(6)
+    ]
+    m = RollupMaintainer(
+        spark, str(tmp_path / "ru"), _prepare, time_col=None, bucket=None,
+        dims=["k"], measures={"sv": "v"}, n_buckets=8,
+    )
+    assert m.update(pg_retraction_stream(_raw(spark, seed), offset_col="offset"), 0)
+    wipe = [
+        _env("d", {"k": f"k{i}", "v": i + 1}, None, off=100 + i)
+        for i in range(6)
+    ]
+    assert m.update(pg_retraction_stream(_raw(spark, wipe), offset_col="offset"), 1)
+    assert m.current().count() == 0  # readable, not wedged
+    back = [_env("c", None, {"k": "x", "v": 7}, off=200)]
+    assert m.update(pg_retraction_stream(_raw(spark, back), offset_col="offset"), 2)
+    got = {(r.k, str(r.sv)) for r in m.current().collect()}
+    assert got == {("x", "7.0000")}
+    # and the store re-bucketed itself after the empty (unbucketed)
+    # fallback version — the bound is back for the next triggers
+    assert m._bucketed_on_disk()
