@@ -37,26 +37,30 @@ from __future__ import annotations
 #
 #   1. NEW queries gate in the round that adds them (standing rule):
 #      plan_blowup_probe (the pure-Python CM planner path join_plan
-#      actually executes, VERDICT r10 #3) and cdc_dms_variant_replay
-#      (payload_variant consumed on the full DMS replay, #7).
+#      actually executes, VERDICT r10 #3), cdc_dms_variant_replay
+#      (payload_variant consumed on the full DMS replay, #7), and
+#      plan_hot_key_probe (the CM POINT-query path behind the new
+#      hot-key mitigation, certified bit-for-bit vs SQL).
 #   2. MODIFIED code outranks staleness: the bucketed snapshot store
 #      rewrote the Scd2Maintainer and JoinViewMaintainer commit
 #      paths, so cdc_scd2_history and cdc_join_view_stream re-gate
 #      ahead of the name-order picks.
 #
-# Composition: the 2 new entries, the 40 longest-stale r6 entries
-# (the full r6 cohort minus q12_ship_delay — TPC-H family,
+# Composition: the 3 new entries, the 39 longest-stale r6 entries
+# (the full r6 cohort minus q12_ship_delay/q13_order_count_dist —
+# TPC-H family,
 # dedup/corpus/streaming-ingest remainders, sketch_hll_users in its
 # new full-value register form), 3 r7 entries (cdc_ingest_compaction
 # plus the two modified-code re-gates), and the 5 end-to-end CDC
 # pipelines (re-gated every round).  Displaced to the head of the
 # r12 queue: cdc_op_counts (r7, name-order casualty of override 1)
-# and q12_ship_delay (stable-since-r6 TPC-H, casualty of override
-# 2).  Everything outside the window stays certified by the
+# and q12_ship_delay + q13_order_count_dist (stable-since-r6 TPC-H,
+# casualties of override 2 / the third new entry).  Everything outside the window stays certified by the
 # per-round LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
     "plan_blowup_probe",  # never gated (new r11)
     "cdc_dms_variant_replay",  # never gated (new r11)
+    "plan_hot_key_probe",  # never gated (new r11)
     "cdc_ingest_dedup_stream",  # last r6
     "cdc_ingest_neardup_probe",  # last r6
     "cdc_stream_schema_drift",  # last r6
@@ -81,7 +85,6 @@ _GATE_WINDOW = [
     "layout_pruned_scan",  # last r6
     "orders_snapshot_changes",  # last r6
     "q11_important_stock",  # last r6
-    "q13_order_count_dist",  # last r6
     "q15_top_supplier",  # last r6
     "q16_supplier_part_counts",  # last r6
     "q17_small_qty_revenue",  # last r6

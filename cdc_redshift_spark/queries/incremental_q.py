@@ -1115,6 +1115,11 @@ ORDER BY token
 
 JS_D = 5
 JS_W = 4096
+#: fixed hot-key threshold for plan_hot_key_probe: the fixture's
+#: per-user mass is SF-invariant (~60 rows) and an absent key's
+#: point estimate is 0 while distinct keys << w, so 20 discriminates
+#: at every SF (a stream-scaled threshold would not)
+HOT_KEY_MIN_ROWS = 20
 
 
 def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,6 +1281,92 @@ def q_plan_blowup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("join_name")
 
 
+def q_plan_hot_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the planner's CM POINT-query path
+    (``sketches.cm_point_cells`` via ``planner.confirm_hot_keys``) —
+    the pure-Python md5 double-hash probe that names hot keys from
+    sidecar metadata on the mitigation path (``apply_join_plan``
+    salting, round 11).  Two candidates through the REAL entry
+    points: the smallest events user (present — its estimate must
+    clear the threshold and never undershoot its true count) and a
+    key absent from the table (its estimate is 0 while distinct keys
+    << w: each sketch row occupies <= NDV of its w buckets, so an
+    absent key's min-over-d probe almost surely hits an empty cell —
+    the collision floor that dominates the INNER-PRODUCT estimator
+    does not apply to sparse-key point queries).  The fixture's
+    per-user mass is SF-invariant (~60 rows at sf0.001/0.01/0.1,
+    measured), so the threshold is the FIXED ``HOT_KEY_MIN_ROWS`` —
+    a stream-scaled threshold would stop discriminating as user
+    count (not per-user mass) grows with SF.  The oracle recomputes the probe from
+    ``duck_cm_cells`` with the same ``(h1 + j*h2) % w`` arithmetic —
+    a green row certifies the driver-side point query bit-for-bit."""
+    from cdc_redshift_spark.operators.planner import (
+        CM_SKETCH,
+        confirm_hot_keys,
+        df_key_stats,
+    )
+    from cdc_redshift_spark.operators.sketches import (
+        cm_collect,
+        cm_point_cells,
+        cm_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    st = df_key_stats(e, "k")
+    cells = cm_collect(cm_sketch(e, "k", d=JS_D, w=JS_W))
+    st[CM_SKETCH] = {
+        "n": st["k"]["n"], "d": JS_D, "w": JS_W, "key": "k",
+        "cells": cells, "dtype": "string",
+    }
+    kmin = e.agg(F.min(F.col("k").cast("long"))).first()[0]
+    cands = [str(kmin), "no-such-user"]
+    hot = confirm_hot_keys(st, cands, HOT_KEY_MIN_ROWS)
+    if set(hot) != {str(kmin)}:
+        raise RuntimeError(
+            f"hot-key probe fixture no longer discriminates: {hot}"
+        )
+    rows = [
+        (c, cm_point_cells(cells, JS_D, JS_W, c), c in hot) for c in cands
+    ]
+    return spark.createDataFrame(
+        rows, "candidate string, est_rows long, is_hot boolean"
+    ).orderBy("candidate")
+
+
+_H1 = "('0x' || substr(md5(c.k), 1, 15))::BIGINT"
+_H2 = "((('0x' || substr(md5('c:' || c.k), 1, 15))::BIGINT) | 1)"
+
+def _oracle_plan_hot_key() -> str:
+    from cdc_redshift_spark.operators.sketches import duck_cm_cells
+
+    ce = duck_cm_cells(
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events", "k", JS_D, JS_W
+    )
+    return f"""
+WITH ce AS ({ce}),
+cand AS (
+  SELECT CAST(min(user_id) AS VARCHAR) AS k FROM events
+  UNION ALL SELECT 'no-such-user'
+),
+probe AS (
+  SELECT c.k AS candidate, u.j,
+         ({_H1} + u.j * {_H2}) % {JS_W} AS bucket
+  FROM cand c, UNNEST(range(0, {JS_D})) AS u(j)
+),
+est AS (
+  SELECT p.candidate,
+         CAST(min(COALESCE(ce.cnt, 0)) AS BIGINT) AS est_rows
+  FROM probe p
+  LEFT JOIN ce ON ce.j = p.j AND ce.bucket = p.bucket
+  GROUP BY p.candidate
+)
+SELECT candidate, est_rows, est_rows > {HOT_KEY_MIN_ROWS} AS is_hot
+FROM est ORDER BY candidate
+"""
+
+
 def _oracle_plan_blowup() -> str:
     from cdc_redshift_spark.operators.sketches import (
         duck_cm_cells,
@@ -1420,6 +1511,7 @@ QUERIES = {
     "cdc_bi_capstone": q_cdc_bi_capstone,
     "sketch_join_size": q_sketch_join_size,
     "plan_blowup_probe": q_plan_blowup_probe,
+    "plan_hot_key_probe": q_plan_hot_key_probe,
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_cm_tokens": q_sketch_cm_tokens,
     "scd2_user_history": q_scd2_user_history,
@@ -1441,6 +1533,7 @@ ORACLES = {
     "cdc_bi_capstone": ORACLE_BI_CAPSTONE,
     "sketch_join_size": _oracle_join_size(),
     "plan_blowup_probe": _oracle_plan_blowup(),
+    "plan_hot_key_probe": _oracle_plan_hot_key(),
     "sketch_cm_tokens": _oracle_cm_tokens(),
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
     "scd2_user_history": ORACLE_SCD2,

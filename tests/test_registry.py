@@ -25,6 +25,7 @@ def test_gate_window_pins_the_round11_rotation():
         # round-11 addition: the pure-Python CM planner path's gate
         "plan_blowup_probe",
         "cdc_dms_variant_replay",
+        "plan_hot_key_probe",
         # code MODIFIED this round must re-gate: the SCD2 maintainer
         # commit path was rewritten (bucketed snapshot store)
         "cdc_scd2_history",
