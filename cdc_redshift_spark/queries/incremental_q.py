@@ -1303,7 +1303,6 @@ def q_plan_hot_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_redshift_spark.operators.planner import (
         CM_SKETCH,
         confirm_hot_keys,
-        df_key_stats,
     )
     from cdc_redshift_spark.operators.sketches import (
         cm_collect,
@@ -1314,11 +1313,16 @@ def q_plan_hot_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
     )
-    st = df_key_stats(e, "k")
     cells = cm_collect(cm_sketch(e, "k", d=JS_D, w=JS_W))
-    st[CM_SKETCH] = {
-        "n": st["k"]["n"], "d": JS_D, "w": JS_W, "key": "k",
-        "cells": cells, "dtype": "string",
+    # confirm_hot_keys reads only the sketch entry, so no df_key_stats
+    # aggregation job is needed; n comes free from the cells (every
+    # element increments exactly one cell per row j)
+    st = {
+        CM_SKETCH: {
+            "n": sum(c for _, _, c in cells) // JS_D,
+            "d": JS_D, "w": JS_W, "key": "k",
+            "cells": cells, "dtype": "string",
+        }
     }
     kmin = e.agg(F.min(F.col("k").cast("long"))).first()[0]
     cands = [str(kmin), "no-such-user"]
