@@ -525,3 +525,35 @@ def test_cm_self_join_estimate_bounds_sum_of_squares(a, d):
         row_free.append(len(buckets) == len(distinct))
     if any(row_free):
         assert est == exact, (d, sorted(distinct))
+
+
+def test_duck_murmur3_register_mirror_boundary_strings():
+    """The DuckDB murmur3_x64_128 mirror inside duck_hll8_registers
+    must agree with the pure-Python public-spec mirror across its
+    whole supported domain — ASCII strings of 0..15 bytes (the tail
+    path; 16+ hits the block rounds and is OUT of domain, which the
+    Spark query guards in-query).  Pure-DuckDB test: build registers
+    over adversarial keys (empty string excluded — the fixture needs
+    one row per key and '' hashes fine but can't survive the VARCHAR
+    round-trip distinctly from NULL in a VALUES list) and compare to
+    hll8_registers at the byte level."""
+    import duckdb
+
+    from cdc_redshift_spark.operators.sketches import duck_hll8_registers
+    from hll_register_mirror import hll8_registers
+
+    keys = [
+        "0", "7", "12345", "abcdefg",          # < 8 bytes
+        "abcdefgh", "12345678",                # exactly 8 (k1 full)
+        "abcdefghi", "987654321012345",        # 9..15 (k2 path)
+        "had", "HAD", "~~~~~~~~~~~~~~~",       # case + punct, 15 bytes
+    ]
+    assert all(len(k) <= 15 for k in keys)
+    lgk = 4
+    vals = ", ".join(f"('g', '{k}')" for k in keys)
+    sql = duck_hll8_registers(
+        f"SELECT d, s FROM (VALUES {vals}) v(d, s)", "d", "s", lgk
+    ) + "\nORDER BY slot"
+    got = [r[2] for r in duckdb.sql(sql).fetchall()]
+    want = hll8_registers(keys, lgk=lgk)
+    assert got == want
