@@ -292,9 +292,13 @@ def confirm_hot_keys(
     The sketch cannot ENUMERATE keys — candidates come from the
     caller (the live side's top keys are one bounded ``groupBy
     ... limit`` away; domain defaults like NULL/'' /0 are free
-    guesses).  Point estimates never undershoot, so a returned key
-    really does carry at least ~``min_rows - n/w`` rows; zero Spark
-    jobs either way."""
+    guesses).  Candidates must be the STRING FORM the sketch was
+    built over: single keys are ``cast("string")``; a composite-key
+    sidecar (``analyze(key_sketch=True)`` on a multi-key sink)
+    sketches the ``"\\x1f"``-joined string of the key columns, so
+    candidates must be joined the same way.  Point estimates never
+    undershoot, so a returned key really does carry at least
+    ~``min_rows - n/w`` rows; zero Spark jobs either way."""
     sk = stats.get(CM_SKETCH)
     if not sk:
         return {}
