@@ -609,6 +609,119 @@ def main() -> None:
         2,
     )
 
+    # join-view / rollup history-DEPTH axes (round-11 close-note
+    # candidate): the same bounded-IO claim as the SCD2 probe, for
+    # the other two bucketed maintainers.  Previously only isolated
+    # session probes existed (SCALE.md round-11: join view 0.87);
+    # putting them here makes the flat line a per-round artifact.
+    # Each probe seeds a 1x / 10x stored state, then times 8 triggers
+    # whose delta touches the SAME 5 literal keys — so a trigger
+    # rewrites O(5) of the 64 buckets and hard-links the rest, and
+    # s/trigger must stay flat as the stored state grows 10x.
+    from cdc_redshift_spark.streaming.joinview import JoinViewMaintainer
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    customer = load_table(spark, SF_DIR, "customer")
+    jv_right = customer.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    ).persist()
+    jv_right.count()
+    jv_cols = ["custkey", "o_orderstatus", "c_mktsegment"]
+    jv_keys5 = [
+        r[0]
+        for r in jv_right.select("custkey").orderBy("custkey").limit(5).collect()
+    ]
+    d_right_empty = jv_right.withColumn("sign", F.lit(1)).limit(0)
+    for label, mod in (("1x", 10), ("10x", 1)):
+        seed_left = orders.where(
+            F.pmod(F.col("o_orderkey"), F.lit(mod)) == 0
+        ).select(F.col("o_custkey").alias("custkey"), "o_orderstatus")
+        root = tempfile.mkdtemp(prefix="bench_jv_depth_")
+        try:
+            m = JoinViewMaintainer(spark, root, on=["custkey"], cols=jv_cols)
+            m.update(
+                seed_left.withColumn("sign", F.lit(1)),
+                seed_left,
+                jv_right.withColumn("sign", F.lit(1)),
+                jv_right.limit(0),
+                0,
+            )
+            maint[f"jv_depth_{label}_view_rows"] = m.current().count()
+            maint["jv_depth_touched_buckets"] = len(
+                m.touched_buckets(
+                    jv_right.where(F.col("custkey").isin(jv_keys5)).select(
+                        "custkey"
+                    )
+                )
+            )
+            walls = []
+            for i in range(1, 9):
+                # 5 brand-new left rows on the 5 pinned keys: the
+                # delta is dL ⋈ R_old (dR empty), 5 new view images
+                d_left = (
+                    jv_right.where(F.col("custkey").isin(jv_keys5))
+                    .select(
+                        "custkey",
+                        F.lit(f"S{i}").alias("o_orderstatus"),
+                        F.lit(1).alias("sign"),
+                    )
+                )
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                m.update(d_left, seed_left, d_right_empty, jv_right, i)
+                walls.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        maint[f"jv_depth_{label}_s_per_trigger"] = steady(walls)
+    jv_right.unpersist()
+    maint["jv_depth_flat_ratio"] = round(
+        maint["jv_depth_10x_s_per_trigger"]
+        / max(maint["jv_depth_1x_s_per_trigger"], 1e-9),
+        2,
+    )
+
+    # rollup: a PER-KEY grain (dims=[k]) so the stored state grows
+    # with the seeded key space — the regime where the round-11
+    # bucketed store matters (a low-cardinality grain never did)
+    ru_base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("total"),
+        F.lit(1).alias("sign"),
+    )
+    ru_keys5 = [
+        r[0] for r in ru_base.select("k").orderBy("k").limit(5).collect()
+    ]
+    ru_micro = ru_base.where(F.col("k").isin(ru_keys5)).persist()
+    ru_micro.count()
+    for label, mod in (("1x", 10), ("10x", 1)):
+        seed = ru_base.where(F.pmod(F.col("k"), F.lit(mod)) == 0)
+        root = tempfile.mkdtemp(prefix="bench_ru_depth_")
+        try:
+            m = RollupMaintainer(
+                spark, root, lambda r: r, time_col=None, bucket=None,
+                dims=["k"], measures={"sum_total": "total"},
+            )
+            m.update(seed, 0)
+            maint[f"rollup_depth_{label}_group_rows"] = m.current().count()
+            maint["rollup_depth_touched_buckets"] = len(
+                m.touched_buckets(ru_micro.select("k"))
+            )
+            walls = []
+            for i in range(1, 9):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                m.update(ru_micro, i)
+                walls.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        maint[f"rollup_depth_{label}_s_per_trigger"] = steady(walls)
+    ru_micro.unpersist()
+    maint["rollup_depth_flat_ratio"] = round(
+        maint["rollup_depth_10x_s_per_trigger"]
+        / max(maint["rollup_depth_1x_s_per_trigger"], 1e-9),
+        2,
+    )
+
     emb = load_table(spark, SF_DIR, "embeddings")
     cents = _centroids(emb, 16, "vec_id", "embedding")
     # 1x trigger = a quarter of the embeddings table, 4x = the whole

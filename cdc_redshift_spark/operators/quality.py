@@ -392,3 +392,171 @@ def winsorize(
         )
         .alias(out_col),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    epoch_col: str,
+    bins: int = 10,
+    smooth: float = 0.5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-key Population Stability Index between the EARLY and LATE
+    half of a metric stream — the standard drift monitor a training-
+    data / feature pipeline runs before promoting a window of data
+    (PSI < 0.1 stable, 0.1-0.2 watch, > 0.2 act; the banking-scorecard
+    convention the ML-monitoring literature inherited).
+
+    The stream splits at the midpoint of its exact integer epoch range
+    (``epoch_col``; rows at or before ``(min+max) div 2`` are the
+    reference half).  Each key's reference half fixes ``bins`` equal-
+    width value bins over its [min, max]; both halves histogram into
+    that shared grid (current-half values outside the reference range
+    clamp into the edge bins, the standard treatment).  Proportions
+    are Laplace-smoothed — ``(count + smooth) / (n + bins·smooth)`` —
+    so empty cells contribute finitely, and EVERY cell of the
+    key × bin grid enters the sum (an absent bin still contributes
+    when the two halves' totals differ).
+
+        PSI(key) = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+
+    Scale shape: one global 2-long aggregate (broadcast back), one
+    per-key min/max/count aggregate over the reference half
+    (|keys| rows — broadcast to the bin assignment, no big-side
+    shuffle), then ONE hash aggregation to (key, bin) cells and a
+    |keys|·bins-sized reduction to the per-key PSI.  No window, no
+    sort, no driver loop; the wide input never shuffles on anything
+    finer than the aggregate grids.
+
+    Determinism: the split runs on exact integer epochs (``div``, no
+    float); bin edges and widths are double arithmetic on identical
+    inputs (IEEE-identical cross-engine); ``ln`` of identical doubles
+    agrees to the last ulp across libm implementations far below the
+    6-dp output rounding.
+
+    Returns one row per key: (key, n_ref, n_cur, psi, drift) with
+    counts as BIGINT, psi rounded to 6 dp, and ``drift`` the
+    ``psi > threshold`` boolean.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    ev = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).alias("__v"),
+        F.col(epoch_col).alias("__e"),
+    ).where(F.col(value_col).isNotNull())
+    bounds = ev.agg(F.min("__e").alias("__mn"), F.max("__e").alias("__mx"))
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "__k", "__v", F.expr("__e <= (__mn + __mx) div 2").alias("__is_ref")
+    )
+    ref = (
+        halves.where("__is_ref")
+        .groupBy("__k")
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    cells = (
+        halves.join(F.broadcast(ref), "__k")
+        .select(
+            "__k",
+            "__is_ref",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("__v") - F.col("__lo")) / width),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(int(bins) - 1).cast("long"),
+                )
+            )
+            .alias("__b"),
+        )
+        .groupBy("__k", "__b")
+        .agg(
+            F.sum(F.when(F.col("__is_ref"), 1).otherwise(0)).alias("__c_ref"),
+            F.sum(F.when(~F.col("__is_ref"), 1).otherwise(0)).alias("__c_cur"),
+        )
+    )
+    grid = ref.select(
+        "__k",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(bins) - 1).cast("long"))
+        ).alias("__b"),
+    )
+    full = grid.join(cells, ["__k", "__b"], "left").select(
+        "__k",
+        "__b",
+        F.coalesce("__c_ref", F.lit(0)).alias("__c_ref"),
+        F.coalesce("__c_cur", F.lit(0)).alias("__c_cur"),
+    )
+    totals = full.groupBy("__k").agg(
+        F.sum("__c_ref").alias("__n_ref"), F.sum("__c_cur").alias("__n_cur")
+    )
+    s = F.lit(float(smooth))
+    denom_pad = F.lit(float(bins) * float(smooth))
+    scored = full.join(F.broadcast(totals), "__k").select(
+        "__k",
+        "__n_ref",
+        "__n_cur",
+        (
+            (
+                (F.col("__c_cur") + s) / (F.col("__n_cur") + denom_pad)
+                - (F.col("__c_ref") + s) / (F.col("__n_ref") + denom_pad)
+            )
+            * F.log(
+                ((F.col("__c_cur") + s) / (F.col("__n_cur") + denom_pad))
+                / ((F.col("__c_ref") + s) / (F.col("__n_ref") + denom_pad))
+            )
+        ).alias("__term"),
+    )
+    return (
+        scored.groupBy("__k")
+        .agg(
+            F.first("__n_ref").alias("__nr"),
+            F.first("__n_cur").alias("__nc"),
+            F.round(F.sum("__term"), 6).alias("psi"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__nr").cast("long").alias("n_ref"),
+            F.col("__nc").cast("long").alias("n_cur"),
+            "psi",
+            (F.col("psi") > F.lit(float(threshold))).alias("drift"),
+        )
+    )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Quasi-identifier classes smaller than ``k`` — the k-anonymity
+    audit a privacy gate runs before releasing or training on a table
+    (Sweeney 2002: a release is k-anonymous when every combination of
+    quasi-identifier values is shared by at least k rows; smaller
+    classes re-identify individuals by linkage).
+
+    The caller picks the quasi-identifier projection — typically
+    coarsened columns (bands, prefixes, truncated geo) rather than raw
+    values, since k-anonymity is a property OF a generalization.
+
+    Scale shape: ONE hash aggregation on the QI tuple (map-side
+    combined), then a count filter — the violating classes are by
+    definition the small ones, so the output is bounded by
+    |violators| · k rows' worth of classes regardless of table size.
+    NULL QI values group as their own class (Spark and ANSI GROUP BY
+    agree on null grouping), which is the conservative reading: an
+    all-null band is still a linkable signature.
+
+    Returns (quasi_cols..., n) for classes with ``n < k``, counts as
+    BIGINT.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < F.lit(int(k)))
+    )

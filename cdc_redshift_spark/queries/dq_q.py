@@ -309,8 +309,75 @@ ORDER BY event_type
 """
 
 
+def q_dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Population Stability Index between the early and
+    late half of the events stream (operators/quality.psi_drift) — the
+    drift monitor a feature/training pipeline runs before promoting a
+    data window.  The split is exact integer epoch-nanos midpoint; the
+    reference half fixes 10 equal-width value bins per type; both
+    halves histogram into the shared grid with Laplace smoothing so
+    empty cells contribute finitely.  Two broadcast-sized stat frames
+    + ONE (type, bin) hash aggregation — the wide input never shuffles
+    on anything finer; no window, no sort.  The oracle mirrors the
+    grid enumeration (all 10 bins per type, absent cells at count 0),
+    the smoothing constants, and the 6-dp rounding."""
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(ev, "event_type", "value", "ts_ns").orderBy(
+        "event_type"
+    )
+
+
+ORACLE_DRIFT_PSI = """
+WITH ev AS (
+  SELECT event_type AS k, value AS v, epoch_ns(ts) AS e
+  FROM events WHERE value IS NOT NULL
+), bounds AS (
+  SELECT min(e) AS mn, max(e) AS mx FROM ev
+), halves AS (
+  SELECT k, v, e <= (mn + mx) // 2 AS is_ref FROM ev, bounds
+), ref AS (
+  SELECT k, min(v) AS lo, max(v) AS hi FROM halves WHERE is_ref GROUP BY k
+), cells AS (
+  SELECT h.k,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(least(greatest(
+                     floor((v - lo) / ((hi - lo) / 10.0)), 0), 9) AS BIGINT)
+         END AS b,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_cur
+  FROM halves h JOIN ref ON h.k = ref.k
+  GROUP BY 1, 2
+), grid AS (
+  SELECT ref.k, g.range AS b FROM ref, range(10) AS g
+), filled AS (
+  SELECT grid.k, grid.b,
+         coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+  FROM grid LEFT JOIN cells ON grid.k = cells.k AND grid.b = cells.b
+), tot AS (
+  SELECT k, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM filled GROUP BY k
+), scored AS (
+  SELECT filled.k, n_ref, n_cur,
+         ((c_cur + 0.5) / (n_cur + 5.0) - (c_ref + 0.5) / (n_ref + 5.0))
+           * ln(((c_cur + 0.5) / (n_cur + 5.0))
+                / ((c_ref + 0.5) / (n_ref + 5.0))) AS term
+  FROM filled JOIN tot ON filled.k = tot.k
+)
+SELECT k AS event_type,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(sum(term), 6) AS psi,
+       round(sum(term), 6) > 0.2 AS drift
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_heavy_hitters": q_events_heavy_hitters,
+    "dq_drift_psi": q_dq_drift_psi,
     "dq_orders_suite": q_dq_orders_suite,
     "dq_events_skew": q_dq_events_skew,
     "dq_value_outliers": q_dq_value_outliers,
@@ -319,6 +386,7 @@ QUERIES = {
 }
 ORACLES = {
     "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "dq_drift_psi": ORACLE_DRIFT_PSI,
     "dq_orders_suite": ORACLE_DQ_ORDERS,
     "dq_events_skew": ORACLE_DQ_SKEW,
     "dq_value_outliers": ORACLE_VALUE_OUTLIERS,

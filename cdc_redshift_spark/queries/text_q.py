@@ -238,12 +238,46 @@ FROM r
 ORACLE_PII = _oracle_pii()
 
 
+def q_pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality.k_anonymity_violations):
+    quasi-identifier classes of (nation, market segment, account-
+    balance band) shared by fewer than k=5 customers — the privacy
+    gate's re-identification report (Sweeney 2002).  The band is the
+    floor-1000 coarsening of c_acctbal (k-anonymity is a property OF a
+    generalization, so the QI projection is explicit here).  ONE hash
+    aggregation on the QI tuple, map-side combined; output bounded by
+    the violator count regardless of table size."""
+    from cdc_redshift_spark.operators.quality import k_anonymity_violations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    )
+    return k_anonymity_violations(
+        cust, ["nation", "segment", "bal_band"], k=5
+    ).orderBy("nation", "segment", "bal_band")
+
+
+ORACLE_K_ANONYMITY = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       c_mktsegment AS segment,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       count(*) AS n
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+ORDER BY nation, segment, bal_band
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_by_source": q_text_quality_by_source,
     "text_fingerprint": q_text_fingerprint,
     "text_winnow": q_text_winnow,
     "pii_redaction_report": q_pii_redaction_report,
+    "pii_k_anonymity": q_pii_k_anonymity,
 }
 
 ORACLES = {
@@ -252,4 +286,5 @@ ORACLES = {
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_winnow": ORACLE_WINNOW,
     "pii_redaction_report": ORACLE_PII,
+    "pii_k_anonymity": ORACLE_K_ANONYMITY,
 }

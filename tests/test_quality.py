@@ -268,3 +268,146 @@ def test_winsorize_null_passthrough(spark):
     out = {r.event_id: r for r in winsorize(df, "user_id", "value").collect()}
     assert out[1000].value_w is None and out[1000].value is None
     assert out[50].value_w is not None
+
+
+# -- psi_drift -----------------------------------------------------------
+
+
+def _psi_rows(spark, ref_vals, cur_vals, key="k"):
+    """Build a frame whose early half (e=0) holds ref_vals and late
+    half (e=100) holds cur_vals; midpoint split lands at e=50."""
+    rows = [(key, float(v), 0) for v in ref_vals] + [
+        (key, float(v), 100) for v in cur_vals
+    ]
+    return spark.createDataFrame(rows, "k string, v double, e long")
+
+
+def test_psi_identical_halves_near_zero(spark):
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    vals = [float(x) for x in range(100)]
+    out = psi_drift(
+        _psi_rows(spark, vals, vals), "k", "v", "e"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_ref"] == 100 and r["n_cur"] == 100
+    # identical histograms: every term is exactly 0 (p_cur == p_ref)
+    assert r["psi"] == 0.0
+    assert r["drift"] is False
+
+
+def test_psi_shifted_distribution_flags(spark):
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    ref = [float(x) for x in range(100)]          # uniform 0..99
+    cur = [90.0 + x / 10.0 for x in range(100)]   # collapsed to top decile
+    r = psi_drift(_psi_rows(spark, ref, cur), "k", "v", "e").collect()[0]
+    assert r["psi"] > 0.2
+    assert r["drift"] is True
+
+
+def test_psi_hand_computed_two_bins(spark):
+    """Pin the exact smoothed formula on a case small enough to do by
+    hand: bins=2, ref = [0,0,0,1] (3:1), cur = [0,1,1,1] (1:3)."""
+    import math
+
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    r = psi_drift(
+        _psi_rows(spark, [0, 0, 0, 1], [0, 1, 1, 1]), "k", "v", "e", bins=2
+    ).collect()[0]
+    # smoothing: p = (c + 0.5) / (4 + 1.0)
+    expect = 0.0
+    for c_ref, c_cur in ((3, 1), (1, 3)):
+        p_r = (c_ref + 0.5) / 5.0
+        p_c = (c_cur + 0.5) / 5.0
+        expect += (p_c - p_r) * math.log(p_c / p_r)
+    assert r["psi"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_psi_constant_ref_and_outside_values_clamp(spark):
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    # constant reference (hi == lo): everything bins to 0, including
+    # current values far outside the reference range
+    r = psi_drift(
+        _psi_rows(spark, [5, 5, 5, 5], [999, -999, 5, 5]), "k", "v", "e"
+    ).collect()[0]
+    assert r["n_ref"] == 4 and r["n_cur"] == 4
+    # same bin-0 mass on both sides -> identical histograms -> psi 0
+    assert r["psi"] == 0.0
+
+
+def test_psi_keys_missing_from_one_half_and_grid(spark):
+    """A key with rows ONLY in the current half has no reference stats
+    row and drops out (no bins exist for it); a key with rows only in
+    the reference half scores against an empty current half via the
+    smoothed grid instead of dividing by zero."""
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    rows = (
+        [("both", float(v), 0) for v in range(10)]
+        + [("both", float(v), 100) for v in range(10)]
+        + [("cur_only", 1.0, 100), ("cur_only", 2.0, 100)]
+        + [("ref_only", 1.0, 0), ("ref_only", 2.0, 0)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double, e long")
+    out = {r["k"]: r for r in psi_drift(df, "k", "v", "e").collect()}
+    assert set(out) == {"both", "ref_only"}
+    assert out["ref_only"]["n_cur"] == 0
+    assert out["ref_only"]["psi"] is not None
+
+
+def test_psi_null_values_excluded_and_validation(spark):
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    df = spark.createDataFrame(
+        [("k", 1.0, 0), ("k", None, 0), ("k", 1.0, 100)],
+        "k string, v double, e long",
+    )
+    r = psi_drift(df, "k", "v", "e").collect()[0]
+    assert r["n_ref"] == 1 and r["n_cur"] == 1
+    with pytest.raises(ValueError, match="bins"):
+        psi_drift(df, "k", "v", "e", bins=1)
+
+
+# -- k_anonymity_violations ----------------------------------------------
+
+
+def test_k_anonymity_threshold_boundary(spark):
+    from cdc_redshift_spark.operators.quality import k_anonymity_violations
+
+    rows = (
+        [("US", "A")] * 5     # exactly k: not a violation
+        + [("US", "B")] * 4   # k-1: violation
+        + [("DE", "A")] * 1   # singleton: violation
+    )
+    df = spark.createDataFrame(rows, "geo string, seg string")
+    out = {
+        (r["geo"], r["seg"]): r["n"]
+        for r in k_anonymity_violations(df, ["geo", "seg"], k=5).collect()
+    }
+    assert out == {("US", "B"): 4, ("DE", "A"): 1}
+
+
+def test_k_anonymity_null_class_counts(spark):
+    from cdc_redshift_spark.operators.quality import k_anonymity_violations
+
+    df = spark.createDataFrame(
+        [("US",), (None,), (None,)], "geo string"
+    )
+    out = {
+        r["geo"]: r["n"]
+        for r in k_anonymity_violations(df, ["geo"], k=5).collect()
+    }
+    # nulls form their own (violating) class, not silently dropped
+    assert out == {"US": 1, None: 2}
+
+
+def test_k_anonymity_validation(spark):
+    from cdc_redshift_spark.operators.quality import k_anonymity_violations
+
+    df = spark.createDataFrame([("x",)], "geo string")
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_violations(df, ["geo"], k=1)
