@@ -394,6 +394,86 @@ def winsorize(
     )
 
 
+def psi_bin_expr(v: Column, lo: Column, hi: Column, bins: int) -> Column:
+    """The shared PSI bin assignment: equal-width bins over the
+    reference [lo, hi], out-of-range values clamped into the edge
+    bins, a degenerate (hi == lo) reference collapsing to bin 0.
+    Factored out so the batch monitor (:func:`psi_drift`) and the
+    streaming histogram maintainer certify the IDENTICAL expression."""
+    width = (hi - lo) / F.lit(float(bins))
+    return (
+        F.when(hi == lo, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.greatest(F.floor((v - lo) / width), F.lit(0).cast("long")),
+                F.lit(int(bins) - 1).cast("long"),
+            )
+        )
+    )
+
+
+def psi_score(
+    full: DataFrame,
+    key_col: str,
+    bins: int = 10,
+    smooth: float = 0.5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Score a fully-enumerated (``__k``, ``__b``, ``__c_ref``,
+    ``__c_cur``) histogram grid into per-key PSI rows — the shared
+    back half of :func:`psi_drift`, reused by the streaming monitor
+    so streamed state and batch recompute run the same scoring code.
+    Output: (key, n_ref, n_cur, psi, drift)."""
+    totals = full.groupBy("__k").agg(
+        F.sum("__c_ref").alias("__n_ref"), F.sum("__c_cur").alias("__n_cur")
+    )
+    s = F.lit(float(smooth))
+    denom_pad = F.lit(float(bins) * float(smooth))
+    scored = full.join(F.broadcast(totals), "__k").select(
+        "__k",
+        "__n_ref",
+        "__n_cur",
+        (
+            (
+                (F.col("__c_cur") + s) / (F.col("__n_cur") + denom_pad)
+                - (F.col("__c_ref") + s) / (F.col("__n_ref") + denom_pad)
+            )
+            * F.log(
+                ((F.col("__c_cur") + s) / (F.col("__n_cur") + denom_pad))
+                / ((F.col("__c_ref") + s) / (F.col("__n_ref") + denom_pad))
+            )
+        ).alias("__term"),
+    )
+    return (
+        scored.groupBy("__k")
+        .agg(
+            F.first("__n_ref").alias("__nr"),
+            F.first("__n_cur").alias("__nc"),
+            F.round(F.sum("__term"), 6).alias("psi"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__nr").cast("long").alias("n_ref"),
+            F.col("__nc").cast("long").alias("n_cur"),
+            "psi",
+            (F.col("psi") > F.lit(float(threshold))).alias("drift"),
+        )
+    )
+
+
+def psi_grid(ref_keys: DataFrame, bins: int) -> DataFrame:
+    """Enumerate the full key × bin grid (``__k``, ``__b``) from a
+    one-column ``__k`` frame of reference keys — absent cells must
+    enter the PSI sum, so both monitor faces left-join their counts
+    onto this grid."""
+    return ref_keys.select(
+        "__k",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(bins) - 1).cast("long"))
+        ).alias("__b"),
+    )
+
+
 def psi_drift(
     df: DataFrame,
     key_col: str,
@@ -456,23 +536,14 @@ def psi_drift(
         .groupBy("__k")
         .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
     cells = (
         halves.join(F.broadcast(ref), "__k")
         .select(
             "__k",
             "__is_ref",
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
-            .otherwise(
-                F.least(
-                    F.greatest(
-                        F.floor((F.col("__v") - F.col("__lo")) / width),
-                        F.lit(0).cast("long"),
-                    ),
-                    F.lit(int(bins) - 1).cast("long"),
-                )
-            )
-            .alias("__b"),
+            psi_bin_expr(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), bins
+            ).alias("__b"),
         )
         .groupBy("__k", "__b")
         .agg(
@@ -480,53 +551,15 @@ def psi_drift(
             F.sum(F.when(~F.col("__is_ref"), 1).otherwise(0)).alias("__c_cur"),
         )
     )
-    grid = ref.select(
-        "__k",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(int(bins) - 1).cast("long"))
-        ).alias("__b"),
-    )
-    full = grid.join(cells, ["__k", "__b"], "left").select(
+    full = psi_grid(ref.select("__k"), bins).join(
+        cells, ["__k", "__b"], "left"
+    ).select(
         "__k",
         "__b",
         F.coalesce("__c_ref", F.lit(0)).alias("__c_ref"),
         F.coalesce("__c_cur", F.lit(0)).alias("__c_cur"),
     )
-    totals = full.groupBy("__k").agg(
-        F.sum("__c_ref").alias("__n_ref"), F.sum("__c_cur").alias("__n_cur")
-    )
-    s = F.lit(float(smooth))
-    denom_pad = F.lit(float(bins) * float(smooth))
-    scored = full.join(F.broadcast(totals), "__k").select(
-        "__k",
-        "__n_ref",
-        "__n_cur",
-        (
-            (
-                (F.col("__c_cur") + s) / (F.col("__n_cur") + denom_pad)
-                - (F.col("__c_ref") + s) / (F.col("__n_ref") + denom_pad)
-            )
-            * F.log(
-                ((F.col("__c_cur") + s) / (F.col("__n_cur") + denom_pad))
-                / ((F.col("__c_ref") + s) / (F.col("__n_ref") + denom_pad))
-            )
-        ).alias("__term"),
-    )
-    return (
-        scored.groupBy("__k")
-        .agg(
-            F.first("__n_ref").alias("__nr"),
-            F.first("__n_cur").alias("__nc"),
-            F.round(F.sum("__term"), 6).alias("psi"),
-        )
-        .select(
-            F.col("__k").alias(key_col),
-            F.col("__nr").cast("long").alias("n_ref"),
-            F.col("__nc").cast("long").alias("n_cur"),
-            "psi",
-            (F.col("psi") > F.lit(float(threshold))).alias("drift"),
-        )
-    )
+    return psi_score(full, key_col, bins=bins, smooth=smooth, threshold=threshold)
 
 
 def k_anonymity_violations(

@@ -1021,8 +1021,110 @@ ORDER BY e.event_type
 """
 
 
+def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the per-event-type PSI histogram state
+    maintained INCREMENTALLY across micro-batches (streaming/rollup.
+    RollupMaintainer on the (key, bin, half) grain — O(batch) deltas
+    merged into the bucketed snapshot store, never a rescan), then
+    scored with the IDENTICAL shared expressions the batch monitor
+    uses (operators/quality.psi_bin_expr / psi_grid / psi_score).
+
+    The monitoring config — epoch midpoint and per-key reference bin
+    edges — is fixed up front (in production it ships from the
+    promoted reference window).  The early half streams as batch 0;
+    the late half splits by event-id parity into batches 1 and 2;
+    batch 2 replays once (the foreachBatch retry contract must no-op
+    it).  The oracle is ORACLE_DRIFT_PSI itself — the batch monitor's
+    full recompute — so a green row proves maintained-state drift
+    scoring ≡ batch recompute across batch splits AND replay."""
+    from cdc_redshift_spark.operators.quality import (
+        psi_bin_expr,
+        psi_grid,
+        psi_score,
+    )
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min("ts_ns").alias("__mn"), F.max("ts_ns").alias("__mx")
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        F.col("event_type").alias("__k"),
+        F.col("value").alias("__v"),
+        "event_id",
+        F.expr("ts_ns <= (__mn + __mx) div 2").alias("__is_ref"),
+    )
+    ref = (
+        halves.where("__is_ref")
+        .groupBy("__k")
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+        .localCheckpoint(eager=True)  # pin the config: one scan, reused by every batch
+    )
+
+    def shape(batch: DataFrame, half: str) -> DataFrame:
+        return batch.join(F.broadcast(ref), "__k").select(
+            F.lit(1).alias("sign"),
+            "__k",
+            psi_bin_expr(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), 10
+            ).alias("__b"),
+            F.lit(half).alias("__half"),
+        )
+
+    early = halves.where("__is_ref")
+    late = halves.where(~F.col("__is_ref"))
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_psi_")
+    try:
+        m = RollupMaintainer(
+            spark,
+            tmp,
+            prepare=lambda r: r,
+            time_col=None,
+            bucket=None,
+            dims=["__k", "__b", "__half"],
+            measures={},
+        )
+        seq = [
+            m.update(shape(early, "ref"), 0),
+            m.update(shape(late.where(F.col("event_id") % 2 == 0), "cur"), 1),
+            m.update(shape(late.where(F.col("event_id") % 2 == 1), "cur"), 2),
+            m.update(shape(late.where(F.col("event_id") % 2 == 1), "cur"), 2),
+        ]
+        if seq != [True, True, True, False]:
+            raise RuntimeError(f"PSI maintainer sequence broken: {seq}")
+        state = m.current()
+        cells = state.groupBy("__k", "__b").agg(
+            F.sum(F.when(F.col("__half") == "ref", F.col("n"))).alias(
+                "__cr"
+            ),
+            F.sum(F.when(F.col("__half") == "cur", F.col("n"))).alias(
+                "__cc"
+            ),
+        )
+        full = psi_grid(ref.select("__k"), 10).join(
+            cells, ["__k", "__b"], "left"
+        ).select(
+            "__k",
+            "__b",
+            F.coalesce("__cr", F.lit(0)).alias("__c_ref"),
+            F.coalesce("__cc", F.lit(0)).alias("__c_cur"),
+        )
+        out = (
+            psi_score(full, "event_type")
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
+    "cdc_stream_psi_drift": q_cdc_stream_psi_drift,
     "cdc_stream_cm_sketch": q_cdc_stream_cm_sketch,
     "cdc_stream_kmv_rollup": q_cdc_stream_kmv_rollup,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
@@ -1036,8 +1138,17 @@ QUERIES = {
     "cdc_ingest_neardup_probe": q_cdc_ingest_neardup_probe,
     "cdc_stream_schema_drift": q_cdc_stream_schema_drift,
 }
+def _oracle_stream_psi() -> str:
+    # the batch monitor's oracle IS the streaming oracle: maintained
+    # histogram state must score identically to full recompute
+    from cdc_redshift_spark.queries.dq_q import ORACLE_DRIFT_PSI
+
+    return ORACLE_DRIFT_PSI
+
+
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
+    "cdc_stream_psi_drift": _oracle_stream_psi(),
     "cdc_stream_cm_sketch": _oracle_stream_cm(),
     "cdc_stream_kmv_rollup": _oracle_stream_kmv(),
     "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,

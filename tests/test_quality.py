@@ -411,3 +411,92 @@ def test_k_anonymity_validation(spark):
     df = spark.createDataFrame([("x",)], "geo string")
     with pytest.raises(ValueError, match="k must be"):
         k_anonymity_violations(df, ["geo"], k=1)
+
+
+def test_psi_streamed_state_equals_batch(spark, tmp_path):
+    """The streaming face (RollupMaintainer over the (key, bin, half)
+    histogram grain, count-only measures) must score identically to
+    the batch psi_drift — same shared bin/grid/score expressions,
+    including across a batch split and a replayed batch id."""
+    from cdc_redshift_spark.operators.quality import (
+        psi_bin_expr,
+        psi_drift,
+        psi_grid,
+        psi_score,
+    )
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    ref = [float(x) for x in range(40)]
+    cur = [20.0 + x for x in range(40)]  # half the mass shifted right
+    df = _psi_rows(spark, ref, cur)
+    batch = {r["k"]: r for r in psi_drift(df, "k", "v", "e").collect()}
+
+    stats = (
+        df.where(F.col("e") <= 50)
+        .groupBy(F.col("k").alias("__k"))
+        .agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    )
+
+    def shape(rows, half):
+        return rows.join(
+            F.broadcast(stats), rows["k"] == stats["__k"]
+        ).select(
+            F.lit(1).alias("sign"),
+            "__k",
+            psi_bin_expr(F.col("v"), F.col("__lo"), F.col("__hi"), 10).alias(
+                "__b"
+            ),
+            F.lit(half).alias("__half"),
+        )
+
+    m = RollupMaintainer(
+        spark, str(tmp_path / "psi"), lambda r: r, time_col=None,
+        bucket=None, dims=["__k", "__b", "__half"], measures={},
+    )
+    early = df.where(F.col("e") <= 50)
+    late = df.where(F.col("e") > 50)
+    assert m.update(shape(early, "ref"), 0)
+    assert m.update(shape(late.limit(15), "cur"), 1)
+    # replay of batch 1 must no-op, split remainder lands in batch 2
+    assert not m.update(shape(late.limit(15), "cur"), 1)
+    assert m.update(
+        shape(late.subtract(late.limit(15)), "cur"), 2
+    )
+    cells = m.current().groupBy("__k", "__b").agg(
+        F.sum(F.when(F.col("__half") == "ref", F.col("n"))).alias("__cr"),
+        F.sum(F.when(F.col("__half") == "cur", F.col("n"))).alias("__cc"),
+    )
+    full = psi_grid(stats.select("__k"), 10).join(
+        cells, ["__k", "__b"], "left"
+    ).select(
+        "__k",
+        "__b",
+        F.coalesce("__cr", F.lit(0)).alias("__c_ref"),
+        F.coalesce("__cc", F.lit(0)).alias("__c_cur"),
+    )
+    streamed = {r["k"]: r for r in psi_score(full, "k").collect()}
+    assert set(streamed) == set(batch)
+    for k in batch:
+        assert streamed[k]["psi"] == batch[k]["psi"]
+        assert streamed[k]["n_ref"] == batch[k]["n_ref"]
+        assert streamed[k]["n_cur"] == batch[k]["n_cur"]
+
+
+def test_rollup_count_only_grain_with_retraction(spark, tmp_path):
+    """RollupMaintainer with measures={} (pure count grain): inserts
+    accumulate n, a retraction decrements it, and a group reaching
+    net zero vanishes from the stored state."""
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    m = RollupMaintainer(
+        spark, str(tmp_path / "cnt"), lambda r: r, time_col=None,
+        bucket=None, dims=["g"], measures={},
+    )
+    ins = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b")], "sign int, g string"
+    )
+    assert m.update(ins, 0)
+    ret = spark.createDataFrame([(-1, "b")], "sign int, g string")
+    assert m.update(ret, 1)
+    state = {r["g"]: r["n"] for r in m.current().collect()}
+    assert state == {"a": 2}
