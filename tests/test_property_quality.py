@@ -141,3 +141,84 @@ def test_session_transitions_count_identity(spark, rows):
             prev = ts
         want += run
     assert got == want
+
+
+# -- psi_drift properties --------------------------------------------------
+
+psi_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                   # key
+        st.integers(min_value=-5, max_value=5),        # value (small: ties)
+        st.sampled_from([0, 100]),                     # epoch: 0=ref, 100=cur
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _psi_mirror(rows, bins=10, smooth=0.5):
+    """Pure-Python recompute of psi_drift's contract: reference-half
+    equal-width bins, edge clamping, Laplace smoothing, full grid."""
+    import math
+    from collections import defaultdict
+
+    out = {}
+    ref_vals = defaultdict(list)
+    for k, v, e in rows:
+        if e <= 50:
+            ref_vals[k].append(v)
+    for k, rv in ref_vals.items():
+        lo, hi = min(rv), max(rv)
+        cells = {b: [0, 0] for b in range(bins)}
+        for k2, v, e in rows:
+            if k2 != k:
+                continue
+            if hi == lo:
+                b = 0
+            else:
+                b = int(
+                    min(
+                        max(math.floor((v - lo) / ((hi - lo) / bins)), 0),
+                        bins - 1,
+                    )
+                )
+            cells[b][0 if e <= 50 else 1] += 1
+        n_ref = sum(c[0] for c in cells.values())
+        n_cur = sum(c[1] for c in cells.values())
+        psi = 0.0
+        for c_ref, c_cur in cells.values():
+            p_r = (c_ref + smooth) / (n_ref + bins * smooth)
+            p_c = (c_cur + smooth) / (n_cur + bins * smooth)
+            psi += (p_c - p_r) * math.log(p_c / p_r)
+        out[k] = (n_ref, n_cur, round(psi, 6))
+    return out
+
+
+@given(rows=psi_rows)
+@_SETTINGS
+def test_psi_nonnegative_and_matches_python_mirror(spark, rows):
+    """PSI is a sum of (p_c - p_r)·ln(p_c/p_r) terms — each term is
+    non-negative because both factors share a sign — and the Spark
+    plan must reproduce the pure-Python recompute exactly at the 6-dp
+    rounding (keys with no reference rows drop; a key's current half
+    may be empty)."""
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    df = spark.createDataFrame(
+        [(k, float(v), e) for k, v, e in rows],
+        "k string, v double, e long",
+    )
+    got = {
+        r["k"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in psi_drift(df, "k", "v", "e").collect()
+    }
+    # epoch domain {0, 100} pins the midpoint split at 50 when both
+    # epochs occur; a single-epoch input's midpoint equals that epoch,
+    # so EVERY row is reference (e <= mid) whichever epoch it is
+    if len({e for _, _, e in rows}) == 1:
+        expect = _psi_mirror([(k, v, 0) for k, v, _ in rows])
+    else:
+        expect = _psi_mirror(rows)
+    assert got == expect
+    for _, _, psi in got.values():
+        assert psi >= 0.0
