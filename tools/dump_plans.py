@@ -77,6 +77,12 @@ CALLOUTS = {
     "events_twap": "one lead window + one bucket agg; all epoch-ns math in integer div/pmod",
     "graph_tree_roots": "pointer doubling: O(log depth) self-joins, lineage truncated per round",
     "dq_latency_percentiles": "one exact percentile-array aggregation pass; no window, no sort",
+    "dq_drift_psi": "epoch bounds a 1-row broadcast; per-key ref stats a BroadcastHashJoin; ONE (key,bin) cell shuffle; no window, no sort",
+    "pii_k_anonymity": "ONE map-side-combined hash aggregation on the QI tuple; violator filter on the aggregate",
+    # cdc_stream_psi_drift localCheckpoints its maintained-state read
+    # (like cdc_stream_ivf_index below), so a dumped plan is an
+    # ExistingRDD scan; its scale properties ride RollupMaintainer's
+    # bucketed store (SCALE.md round-11 second session).
     # cdc_stream_ivf_index's scale property (batch=<id>/cell=<c> probes
     # prune DIRECTORIES; 87.5% files skipped at 2/16 cells) is pinned in
     # tests/test_similarity_ops.py + SCALE.md — its gated form
