@@ -1051,11 +1051,18 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min("ts_ns").alias("__mn"), F.max("ts_ns").alias("__mx")
     )
-    halves = ev.crossJoin(F.broadcast(bounds)).select(
-        F.col("event_type").alias("__k"),
-        F.col("value").alias("__v"),
-        "event_id",
-        F.expr("ts_ns <= (__mn + __mx) div 2").alias("__is_ref"),
+    halves = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("event_type").alias("__k"),
+            F.col("value").alias("__v"),
+            "event_id",
+            F.expr("ts_ns <= (__mn + __mx) div 2").alias("__is_ref"),
+        )
+        # pin the split once: each maintainer update is its own action,
+        # and without this every batch re-runs the events scan + the
+        # bounds aggregate + the crossJoin just to rebuild its input
+        .localCheckpoint(eager=True)
     )
     ref = (
         halves.where("__is_ref")

@@ -455,13 +455,15 @@ def test_psi_streamed_state_equals_batch(spark, tmp_path):
     )
     early = df.where(F.col("e") <= 50)
     late = df.where(F.col("e") > 50)
+    # deterministic value-parity split (limit() without orderBy could
+    # pick different rows across the three separate plans)
+    late_a = late.where(F.col("v") % 2 == 0)
+    late_b = late.where(F.col("v") % 2 != 0)
     assert m.update(shape(early, "ref"), 0)
-    assert m.update(shape(late.limit(15), "cur"), 1)
+    assert m.update(shape(late_a, "cur"), 1)
     # replay of batch 1 must no-op, split remainder lands in batch 2
-    assert not m.update(shape(late.limit(15), "cur"), 1)
-    assert m.update(
-        shape(late.subtract(late.limit(15)), "cur"), 2
-    )
+    assert not m.update(shape(late_a, "cur"), 1)
+    assert m.update(shape(late_b, "cur"), 2)
     cells = m.current().groupBy("__k", "__b").agg(
         F.sum(F.when(F.col("__half") == "ref", F.col("n"))).alias("__cr"),
         F.sum(F.when(F.col("__half") == "cur", F.col("n"))).alias("__cc"),
