@@ -97,6 +97,11 @@ def main() -> None:
         "dedup_containment",
         "graph_tree_roots",
         "events_twap",
+        # round-11 second session: the drift monitor both ways — the
+        # batch three-aggregate-pass form and the maintained-histogram
+        # streaming form (RollupMaintainer state + shared scoring)
+        "dq_drift_psi",
+        "cdc_stream_psi_drift",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key
