@@ -1035,6 +1035,113 @@ FROM v GROUP BY label ORDER BY label
 """
 
 
+def q_emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: per label, the cosine between the MEAN
+    VECTORS of the early and late half of the id range — the
+    modality counterpart of `dq_drift_psi` (a representation shift a
+    value-space histogram can't see: the centroid moves while every
+    marginal stays put).  The split is the exact integer vec_id
+    midpoint, same discipline as the PSI epoch split.
+
+    Scale shape: posexplode fans each vector into dim rows, but the
+    (label, half, pos) partial aggregation combines map-side, so the
+    shuffle carries |labels|·2·dim rows regardless of input size;
+    the pivot and the cosine reduce |labels|·dim → |labels| rows.
+    No window, no join against the wide input.
+
+    Cross-engine float discipline: per-dimension means are double
+    aggregations over identical inputs (same class as
+    emb_norm_stats's avg_norm, driver-green r6); the cosine compounds
+    ~1e-15 reassociation differences, 9 orders below the 6-dp
+    rounding.  A label empty on either half yields NULL cosine in
+    both engines (null propagation, no special case)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = emb.agg(
+        F.min("vec_id").alias("__mn"), F.max("vec_id").alias("__mx")
+    )
+    split = emb.crossJoin(F.broadcast(bounds)).select(
+        "label",
+        "embedding",
+        F.expr("vec_id <= (__mn + __mx) div 2").alias("__is_ref"),
+    )
+    per_dim = (
+        split.select(
+            "label",
+            "__is_ref",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.avg(F.when(F.col("__is_ref"), F.col("x"))).alias("m_ref"),
+            F.avg(F.when(~F.col("__is_ref"), F.col("x"))).alias("m_cur"),
+        )
+    )
+    counts = split.groupBy("label").agg(
+        F.sum(F.when(F.col("__is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("__is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    cos = (
+        per_dim.groupBy("label")
+        .agg(
+            F.sum(F.col("m_ref") * F.col("m_cur")).alias("dot"),
+            F.sqrt(F.sum(F.col("m_ref") * F.col("m_ref"))).alias("nr"),
+            F.sqrt(F.sum(F.col("m_cur") * F.col("m_cur"))).alias("nc"),
+        )
+        .select(
+            "label",
+            F.round(
+                F.col("dot") / (F.col("nr") * F.col("nc")), 6
+            ).alias("mean_cosine"),
+        )
+    )
+    return (
+        counts.join(cos, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            "mean_cosine",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_DRIFT = """
+WITH bounds AS (
+  SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings
+), split AS (
+  SELECT label, embedding, vec_id <= (mn + mx) // 2 AS is_ref
+  FROM embeddings, bounds
+), per_dim AS (
+  SELECT label, g.pos,
+         avg(CASE WHEN is_ref THEN embedding[g.pos]::DOUBLE END) AS m_ref,
+         avg(CASE WHEN NOT is_ref THEN embedding[g.pos]::DOUBLE END) AS m_cur
+  FROM split
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g
+  GROUP BY 1, 2
+), counts AS (
+  SELECT label,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+  FROM split GROUP BY label
+), cos AS (
+  SELECT label,
+         round(sum(m_ref * m_cur)
+               / (sqrt(sum(m_ref * m_ref)) * sqrt(sum(m_cur * m_cur))),
+               6) AS mean_cosine
+  FROM per_dim GROUP BY label
+)
+SELECT CAST(counts.label AS BIGINT) AS label,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       mean_cosine
+FROM counts JOIN cos ON counts.label = cos.label
+ORDER BY label
+"""
+
+
 def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style: orders whose total line quantity clears a
     threshold (aggregate → HAVING-style filter → join back) — the
@@ -1538,6 +1645,7 @@ QUERIES = {
     "lineitem_unpivot": q_lineitem_unpivot,
     "text_top_words": q_text_top_words,
     "emb_norm_stats": q_emb_norm_stats,
+    "emb_drift_report": q_emb_drift_report,
     "q18_big_orders": q18_big_orders,
     "grouping_sets_sales": q_grouping_sets_sales,
     "events_retention": q_events_retention,
@@ -1576,6 +1684,7 @@ ORACLES = {
     "events_pivot_types": ORACLE_PIVOT,
     "text_top_words": ORACLE_TOP_WORDS,
     "emb_norm_stats": ORACLE_EMB_NORM,
+    "emb_drift_report": ORACLE_EMB_DRIFT,
     "q18_big_orders": ORACLE_Q18,
     "grouping_sets_sales": ORACLE_GROUPING_SETS,
     "events_retention": ORACLE_RETENTION,

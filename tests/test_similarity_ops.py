@@ -174,3 +174,38 @@ def test_semantic_dedup_cell_size_guard(spark):
     # generous bound passes and output is complete
     out = semantic_dedup(df, n_cells=2, tau=0.5, max_cell_size=1000)
     assert out.count() == 50
+
+
+def test_emb_drift_report_invariants(spark, tmp_path):
+    """emb_drift_report: a label whose late half repeats the early
+    half exactly scores mean_cosine 1.0; a label whose late half is
+    the NEGATED early half scores -1.0; a label with rows in only one
+    half reports a NULL cosine (null propagation, not a dropped row).
+    vec_id 0..3 -> midpoint 1: ids {0,1} are the reference half."""
+    from cdc_redshift_spark.queries.analytics import q_emb_drift_report
+
+    rows = [
+        # label 1: identical halves
+        (0, [1.0, 2.0, 3.0, 0.0], 1),
+        (1, [0.0, 1.0, 0.0, 1.0], 1),
+        (2, [1.0, 2.0, 3.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0, 1.0], 1),
+        # label 2: late half is the negation
+        (0, [1.0, 0.0, 2.0, 0.0], 2),
+        (3, [-1.0, 0.0, -2.0, 0.0], 2),
+        # label 3: reference-only
+        (1, [5.0, 5.0, 5.0, 5.0], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["label"]: r
+        for r in q_emb_drift_report(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["mean_cosine"] == 1.0
+    assert out[1]["n_ref"] == 2 and out[1]["n_cur"] == 2
+    assert out[2]["mean_cosine"] == -1.0
+    assert out[3]["mean_cosine"] is None
+    assert out[3]["n_ref"] == 1 and out[3]["n_cur"] == 0
