@@ -46,10 +46,11 @@ from __future__ import annotations
 #      paths, so cdc_scd2_history and cdc_join_view_stream re-gate
 #      ahead of the name-order picks.
 #
-# Composition: the 7 new entries (3 from the first r11 session,
-# dq_drift_psi + pii_k_anonymity + cdc_stream_psi_drift +
-# emb_drift_report from the second), the 35
-# longest-stale r6 entries (the r6 cohort minus q2/q8/q9/q12/q13/q22 —
+# Composition: the 8 new entries (3 from the first r11 session, the
+# drift family — dq_drift_psi, cdc_stream_psi_drift,
+# emb_drift_report, corpus_token_drift — plus pii_k_anonymity from
+# the second), the 34 longest-stale r6 entries (the r6 cohort minus
+# q2/q8/q9/q12/q13/q21/q22 —
 # TPC-H family,
 # dedup/corpus/streaming-ingest remainders, sketch_hll_users in its
 # new full-value register form), 3 r7 entries (cdc_ingest_compaction
@@ -59,8 +60,8 @@ from __future__ import annotations
 # q12_ship_delay + q13_order_count_dist (stable-since-r6 TPC-H,
 # casualties of override 2 / the third new entry), and
 # q8_market_share + q9_product_profit + q2_min_acctbal_supplier +
-# q22_inactive_customers (stable-since-r6 TPC-H,
-# casualties of the four second-session entries).  Everything outside
+# q22_inactive_customers + q21_late_supplier (stable-since-r6 TPC-H,
+# casualties of the five second-session entries).  Everything outside
 # the window stays certified by the
 # per-round LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
@@ -71,6 +72,7 @@ _GATE_WINDOW = [
     "pii_k_anonymity",  # never gated (new r11, second session)
     "cdc_stream_psi_drift",  # never gated (new r11, second session)
     "emb_drift_report",  # never gated (new r11, second session)
+    "corpus_token_drift",  # never gated (new r11, second session)
     "cdc_ingest_dedup_stream",  # last r6
     "cdc_ingest_neardup_probe",  # last r6
     "cdc_stream_schema_drift",  # last r6
@@ -100,7 +102,6 @@ _GATE_WINDOW = [
     "q17_small_qty_revenue",  # last r6
     "q19_disjunctive_revenue",  # last r6
     "q20_excess_shipments",  # last r6
-    "q21_late_supplier",  # last r6
     "sketch_distinct_users",  # last r6
     "sketch_hll_users",  # last r6
     "sketch_price_quantiles",  # last r6

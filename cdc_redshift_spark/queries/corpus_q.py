@@ -1299,8 +1299,154 @@ ORDER BY doc_id, rank
 """
 
 
+TOKEN_DRIFT_V = 50  # reference vocabulary size per source
+TOKEN_DRIFT_CELLS = TOKEN_DRIFT_V + 1  # + the OOV bucket
+
+
+def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per source: smoothed PSI between the
+    early and late half of the corpus over each source's reference
+    unigram vocabulary — the text-modality member of the drift triad
+    (`dq_drift_psi` values, `emb_drift_report` embeddings).  The
+    reference half (doc_id at or below the exact integer midpoint)
+    fixes a top-V vocabulary per source (count desc, token asc
+    tie-break — deterministic both engines); every other token maps
+    to one OOV cell; both halves histogram into the shared V+1 grid
+    and score through the SAME psi_score expressions as the value
+    monitor (operators/quality.py), with the Laplace pad fixed at
+    (V+1)·0.5 on both sides.
+
+    Scale shape: the token explode is corpus-sized but folds
+    map-side into (source, token, half) counts; the per-source
+    vocabulary is a window over those counts (|sources|·|vocab|
+    rows); the OOV remap joins counts against the tiny vocab
+    (broadcast) and the PSI reduction runs over |sources|·(V+1)
+    cells.  The wide input shuffles once, as token counts."""
+    from cdc_redshift_spark.operators.quality import psi_score
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx")
+    )
+    toks = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            "source",
+            F.expr("doc_id <= (__mn + __mx) div 2").alias("__is_ref"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.sum(F.when(F.col("__is_ref"), 1).otherwise(0)).alias("__c_ref"),
+        F.sum(F.when(~F.col("__is_ref"), 1).otherwise(0)).alias("__c_cur"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("__c_ref"), F.asc("tok")
+    )
+    vocab = (
+        counts.where(F.col("__c_ref") > 0)
+        .select("source", "tok", F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") <= TOKEN_DRIFT_V)
+        .select("source", "tok")
+    )
+    mapped = (
+        counts.join(
+            F.broadcast(vocab.withColumn("__in_v", F.lit(True))),
+            ["source", "tok"],
+            "left",
+        )
+        .select(
+            "source",
+            F.when(F.col("__in_v"), F.col("tok"))
+            .otherwise(F.lit("__oov__"))
+            .alias("cell"),
+            "__c_ref",
+            "__c_cur",
+        )
+        .groupBy("source", "cell")
+        .agg(
+            F.sum("__c_ref").alias("__c_ref"),
+            F.sum("__c_cur").alias("__c_cur"),
+        )
+    )
+    grid = vocab.select("source", F.col("tok").alias("cell")).unionByName(
+        vocab.select("source").distinct().select(
+            "source", F.lit("__oov__").alias("cell")
+        )
+    )
+    full = grid.join(mapped, ["source", "cell"], "left").select(
+        F.col("source").alias("__k"),
+        F.col("cell").alias("__b"),
+        F.coalesce("__c_ref", F.lit(0)).alias("__c_ref"),
+        F.coalesce("__c_cur", F.lit(0)).alias("__c_cur"),
+    )
+    return psi_score(full, "source", bins=TOKEN_DRIFT_CELLS).orderBy(
+        "source"
+    )
+
+
+ORACLE_TOKEN_DRIFT = rf"""
+WITH toks AS (
+  SELECT source,
+         doc_id <= ((SELECT min(doc_id) FROM documents)
+                    + (SELECT max(doc_id) FROM documents)) // 2 AS is_ref,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT source, tok,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c_cur
+  FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT source, tok FROM (
+    SELECT source, tok,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c_ref DESC, tok ASC) AS rn
+    FROM counts WHERE c_ref > 0
+  ) WHERE rn <= {TOKEN_DRIFT_V}
+), mapped AS (
+  SELECT counts.source,
+         CASE WHEN vocab.tok IS NULL THEN '__oov__'
+              ELSE counts.tok END AS cell,
+         sum(c_ref) AS c_ref, sum(c_cur) AS c_cur
+  FROM counts LEFT JOIN vocab
+    ON counts.source = vocab.source AND counts.tok = vocab.tok
+  GROUP BY 1, 2
+), grid AS (
+  SELECT source, tok AS cell FROM vocab
+  UNION ALL
+  SELECT DISTINCT source, '__oov__' FROM vocab
+), filled AS (
+  SELECT grid.source, grid.cell,
+         coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+  FROM grid LEFT JOIN mapped
+    ON grid.source = mapped.source AND grid.cell = mapped.cell
+), tot AS (
+  SELECT source, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+  FROM filled GROUP BY 1
+), scored AS (
+  SELECT filled.source, n_ref, n_cur,
+         ((c_cur + 0.5) / (n_cur + {TOKEN_DRIFT_CELLS} * 0.5)
+            - (c_ref + 0.5) / (n_ref + {TOKEN_DRIFT_CELLS} * 0.5))
+           * ln(((c_cur + 0.5) / (n_cur + {TOKEN_DRIFT_CELLS} * 0.5))
+                / ((c_ref + 0.5) / (n_ref + {TOKEN_DRIFT_CELLS} * 0.5))) AS term
+  FROM filled JOIN tot ON filled.source = tot.source
+)
+SELECT source,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(sum(term), 6) AS psi,
+       round(sum(term), 6) > 0.2 AS drift
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY source
+"""
+
+
 QUERIES = {
     "docs_tfidf_keywords": q_docs_tfidf_keywords,
+    "corpus_token_drift": q_corpus_token_drift,
     "corpus_bpe_pairs": q_corpus_bpe_pairs,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "docs_phrase_search": q_docs_phrase_search,
@@ -1325,6 +1471,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_tfidf_keywords": ORACLE_TFIDF,
+    "corpus_token_drift": ORACLE_TOKEN_DRIFT,
     "corpus_bpe_pairs": ORACLE_BPE_PAIRS,
     "docs_hybrid_rrf": ORACLE_HYBRID_RRF,
     "docs_phrase_search": ORACLE_PHRASE_SEARCH,

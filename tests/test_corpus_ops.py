@@ -534,3 +534,32 @@ def test_bpe_encode_matches_reference(spark):
     for i, t in enumerate(texts):
         want = [s for w in t.split() for s in encode_word(w)]
         assert got[i] == (len(t.split()), len(want), want), i
+
+
+def test_corpus_token_drift_oov_and_identity(spark, tmp_path):
+    """corpus_token_drift: identical halves score psi 0 (every cell's
+    p_ref == p_cur); a current-only token lands in the OOV cell and
+    moves psi off zero; tokens absent from the reference half never
+    enter the vocabulary.  doc_id 0..3 -> midpoint 1: ids {0,1} ref."""
+    from cdc_redshift_spark.queries.corpus_q import q_corpus_token_drift
+
+    rows = [
+        # source "same": late half repeats the early half exactly
+        (0, "alpha alpha beta", "en", "same", 15),
+        (2, "alpha alpha beta", "en", "same", 15),
+        # source "shift": "zeta" appears only in the late half -> OOV
+        (1, "alpha alpha beta", "en", "shift", 15),
+        (3, "alpha zeta zeta", "en", "shift", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in q_corpus_token_drift(spark, str(tmp_path)).collect()
+    }
+    assert out["same"]["psi"] == 0.0 and out["same"]["drift"] is False
+    assert out["same"]["n_ref"] == 3 and out["same"]["n_cur"] == 3
+    assert out["shift"]["psi"] > 0.0
+    assert out["shift"]["n_ref"] == 3 and out["shift"]["n_cur"] == 3
