@@ -1091,8 +1091,16 @@ def q_emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "label",
+            # NULL (not a crash) when either mean vector has zero
+            # norm: Spark 4's default ANSI mode raises on x/0 while
+            # the DuckDB oracle yields NULL — guard to the oracle's
+            # semantics (an all-cancelling half has no direction)
             F.round(
-                F.col("dot") / (F.col("nr") * F.col("nc")), 6
+                F.when(
+                    F.col("nr") * F.col("nc") != 0.0,
+                    F.col("dot") / (F.col("nr") * F.col("nc")),
+                ),
+                6,
             ).alias("mean_cosine"),
         )
     )
@@ -1108,7 +1116,14 @@ def q_emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EMB_DRIFT = """
+def _oracle_emb_drift() -> str:
+    # one source of truth for the fixture dimension (TESTDATA.md)
+    from cdc_redshift_spark.queries.similarity import DIM
+
+    return ORACLE_EMB_DRIFT_TMPL.format(dim=DIM)
+
+
+ORACLE_EMB_DRIFT_TMPL = """
 WITH bounds AS (
   SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings
 ), split AS (
@@ -1119,7 +1134,7 @@ WITH bounds AS (
          avg(CASE WHEN is_ref THEN embedding[g.pos]::DOUBLE END) AS m_ref,
          avg(CASE WHEN NOT is_ref THEN embedding[g.pos]::DOUBLE END) AS m_cur
   FROM split
-  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) g
   GROUP BY 1, 2
 ), counts AS (
   SELECT label,
@@ -1684,7 +1699,7 @@ ORACLES = {
     "events_pivot_types": ORACLE_PIVOT,
     "text_top_words": ORACLE_TOP_WORDS,
     "emb_norm_stats": ORACLE_EMB_NORM,
-    "emb_drift_report": ORACLE_EMB_DRIFT,
+    "emb_drift_report": _oracle_emb_drift(),
     "q18_big_orders": ORACLE_Q18,
     "grouping_sets_sales": ORACLE_GROUPING_SETS,
     "events_retention": ORACLE_RETENTION,

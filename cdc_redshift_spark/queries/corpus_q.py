@@ -1301,6 +1301,10 @@ ORDER BY doc_id, rank
 
 TOKEN_DRIFT_V = 50  # reference vocabulary size per source
 TOKEN_DRIFT_CELLS = TOKEN_DRIFT_V + 1  # + the OOV bucket
+# tokens come from a \s+ split, so no token can contain a space —
+# a spaced sentinel can never collide with a real corpus token
+# (a bare "__oov__" can, which would double-count that grid cell)
+TOKEN_DRIFT_OOV = " oov "
 
 
 def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,8 +1315,11 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference half (doc_id at or below the exact integer midpoint)
     fixes a top-V vocabulary per source (count desc, token asc
     tie-break — deterministic both engines); every other token maps
-    to one OOV cell; both halves histogram into the shared V+1 grid
-    and score through the SAME psi_score expressions as the value
+    to one OOV cell (a spaced sentinel no \\s+-split token can
+    collide with); both halves histogram into the shared V+1 grid.
+    A source first seen in the late half — a brand-new source —
+    surfaces as an all-OOV row with n_ref=0 (maximal drift), it is
+    NOT dropped.  Cells score through the SAME psi_score expressions as the value
     monitor (operators/quality.py), with the Laplace pad fixed at
     (V+1)·0.5 on both sides.
 
@@ -1359,7 +1366,7 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.when(F.col("__in_v"), F.col("tok"))
-            .otherwise(F.lit("__oov__"))
+            .otherwise(F.lit(TOKEN_DRIFT_OOV))
             .alias("cell"),
             "__c_ref",
             "__c_cur",
@@ -1370,9 +1377,13 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__c_cur").alias("__c_cur"),
         )
     )
+    # the OOV leg enumerates EVERY source seen anywhere (not just
+    # vocab sources): a source whose documents all fall in the late
+    # half — a brand-new source, the strongest drift there is — must
+    # surface as an all-OOV row, not silently vanish
     grid = vocab.select("source", F.col("tok").alias("cell")).unionByName(
-        vocab.select("source").distinct().select(
-            "source", F.lit("__oov__").alias("cell")
+        counts.select("source").distinct().select(
+            "source", F.lit(TOKEN_DRIFT_OOV).alias("cell")
         )
     )
     full = grid.join(mapped, ["source", "cell"], "left").select(
@@ -1407,7 +1418,7 @@ WITH toks AS (
   ) WHERE rn <= {TOKEN_DRIFT_V}
 ), mapped AS (
   SELECT counts.source,
-         CASE WHEN vocab.tok IS NULL THEN '__oov__'
+         CASE WHEN vocab.tok IS NULL THEN ' oov '
               ELSE counts.tok END AS cell,
          sum(c_ref) AS c_ref, sum(c_cur) AS c_cur
   FROM counts LEFT JOIN vocab
@@ -1416,7 +1427,7 @@ WITH toks AS (
 ), grid AS (
   SELECT source, tok AS cell FROM vocab
   UNION ALL
-  SELECT DISTINCT source, '__oov__' FROM vocab
+  SELECT DISTINCT source, ' oov ' FROM counts
 ), filled AS (
   SELECT grid.source, grid.cell,
          coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur

@@ -550,6 +550,13 @@ def test_corpus_token_drift_oov_and_identity(spark, tmp_path):
         # source "shift": "zeta" appears only in the late half -> OOV
         (1, "alpha alpha beta", "en", "shift", 15),
         (3, "alpha zeta zeta", "en", "shift", 14),
+        # source "new": first seen in the late half -- must surface as
+        # an all-OOV maximal-drift row, not vanish
+        (3, "omega omega", "en", "new", 11),
+        # a literal __oov__ corpus token must not collide with the
+        # OOV bucket (spaced sentinel) or double-count its grid cell
+        (0, "__oov__ alpha", "en", "lit", 13),
+        (2, "__oov__ alpha", "en", "lit", 13),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars int"
@@ -563,3 +570,8 @@ def test_corpus_token_drift_oov_and_identity(spark, tmp_path):
     assert out["same"]["n_ref"] == 3 and out["same"]["n_cur"] == 3
     assert out["shift"]["psi"] > 0.0
     assert out["shift"]["n_ref"] == 3 and out["shift"]["n_cur"] == 3
+    assert out["new"]["n_ref"] == 0 and out["new"]["n_cur"] == 2
+    assert out["new"]["psi"] > 0.0
+    # exact token totals prove the literal __oov__ cell counted once
+    assert out["lit"]["n_ref"] == 2 and out["lit"]["n_cur"] == 2
+    assert out["lit"]["psi"] == 0.0

@@ -195,6 +195,12 @@ def test_emb_drift_report_invariants(spark, tmp_path):
         (3, [-1.0, 0.0, -2.0, 0.0], 2),
         # label 3: reference-only
         (1, [5.0, 5.0, 5.0, 5.0], 3),
+        # label 4: reference mean is the ZERO vector (the two vectors
+        # cancel) -- cosine undefined, must be NULL not a crash
+        # (Spark 4 ANSI mode raises on unguarded x/0)
+        (0, [1.0, 0.0, 0.0, 0.0], 4),
+        (1, [-1.0, 0.0, 0.0, 0.0], 4),
+        (2, [1.0, 1.0, 1.0, 1.0], 4),
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -209,3 +215,5 @@ def test_emb_drift_report_invariants(spark, tmp_path):
     assert out[2]["mean_cosine"] == -1.0
     assert out[3]["mean_cosine"] is None
     assert out[3]["n_ref"] == 1 and out[3]["n_cur"] == 0
+    assert out[4]["mean_cosine"] is None
+    assert out[4]["n_ref"] == 2 and out[4]["n_cur"] == 1
