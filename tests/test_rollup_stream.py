@@ -312,3 +312,61 @@ def test_rollup_maintainer_survives_state_emptying_batch(spark, tmp_path):
     # and the store re-bucketed itself after the empty (unbucketed)
     # fallback version — the bound is back for the next triggers
     assert m._bucketed_on_disk()
+
+
+# -- pruned-commit equivalence property ------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# random signed rows over a small key domain: retraction-ahead-of-
+# insert transients, groups crossing zero, and keys confined to a few
+# of the 8 buckets all occur naturally
+signed_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1, -1]),                   # sign
+            st.sampled_from(["a", "b", "c", "d"]),      # group key
+            st.integers(min_value=1, max_value=3),      # measure
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=signed_batches)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rollup_pruned_commits_equal_unbucketed(spark, tmp_path_factory, batches):
+    """The bucketed store's pruned commit path is semantics-free: for
+    ANY signed batch sequence, a maintainer committing through pruned
+    bucket reads + hard-links (n_buckets=8) ends with the identical
+    stored state to one doing full rewrites (n_buckets=0) — including
+    negative transient groups and groups that cancel to zero."""
+    states = []
+    for n_buckets in (0, 8):
+        tmp = tmp_path_factory.mktemp(f"ru_eq_{n_buckets}")
+        m = RollupMaintainer(
+            spark, str(tmp), lambda r: r, time_col=None, bucket=None,
+            dims=["k"], measures={"sum_v": "v"}, n_buckets=n_buckets,
+        )
+        for i, b in enumerate(batches):
+            df = spark.createDataFrame(
+                [(s, k, float(v)) for s, k, v in b],
+                "sign int, k string, v double",
+            )
+            m.update(df, i)
+        cur = m.current()
+        states.append(
+            sorted(
+                (r["k"], r["n"], float(r["sum_v"]))
+                for r in (cur.collect() if cur is not None else [])
+            )
+        )
+    assert states[0] == states[1]
