@@ -926,3 +926,77 @@ def test_join_view_maintainer_untouched_buckets_hard_linked(spark, tmp_path):
     }
     got = {(r.k, r.lv, r.rv, r.cnt) for r in m.current().collect()}
     assert got == want
+
+
+# -- join-view pruned-commit equivalence property ---------------------------
+
+jv_eq_batches = st.lists(
+    st.tuples(
+        st.lists(  # inserts: (key, attr) left rows
+            st.tuples(
+                st.sampled_from([1, 2, 3]),
+                st.sampled_from(["p", "q"]),
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        st.integers(min_value=0, max_value=3),  # delete count (prefix)
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=jv_eq_batches)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_view_pruned_commits_equal_unbucketed(
+    spark, tmp_path_factory, batches
+):
+    """The join-view store's pruned commit path is semantics-free: for
+    ANY valid signed left-delta sequence (random inserts plus deletes
+    of previously-live rows) against a fixed right side, the bucketed
+    maintainer (n_buckets=8, pruned reads + hard-links) ends with the
+    identical stored view to the full-rewrite one (n_buckets=0)."""
+    from cdc_redshift_spark.streaming.joinview import JoinViewMaintainer
+
+    right = spark.createDataFrame(
+        [(1, "R1"), (2, "R2"), (3, "R3")], "k int, r string"
+    )
+    cols = ["k", "attr", "r"]
+    d_right_empty = right.withColumn("sign", F.lit(1)).limit(0)
+
+    states = []
+    for n_buckets in (0, 8):
+        tmp = tmp_path_factory.mktemp(f"jv_eq_{n_buckets}")
+        m = JoinViewMaintainer(
+            spark, str(tmp), on=["k"], cols=cols, n_buckets=n_buckets
+        )
+        live: list[tuple[int, str]] = []
+        for i, (ins, n_del) in enumerate(batches):
+            dels = live[: min(n_del, len(live))]
+            live = live[len(dels):] + list(ins)
+            rows = [(k, a, 1) for k, a in ins] + [
+                (k, a, -1) for k, a in dels
+            ]
+            d_left = (
+                spark.createDataFrame(rows, "k int, attr string, sign int")
+                if rows
+                else spark.createDataFrame([], "k int, attr string, sign int")
+            )
+            left_new = spark.createDataFrame(
+                live or [], "k int, attr string"
+            )
+            m.update(d_left, left_new, d_right_empty, right, i)
+        cur = m.current()
+        states.append(
+            sorted(
+                (r["k"], r["attr"], r["r"], r["cnt"]) for r in cur.collect()
+            )
+            if cur is not None
+            else None
+        )
+    assert states[0] == states[1]
