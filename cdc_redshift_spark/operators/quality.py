@@ -423,6 +423,10 @@ def psi_score(
     ``__c_cur``) histogram grid into per-key PSI rows — the shared
     back half of :func:`psi_drift`, reused by the streaming monitor
     so streamed state and batch recompute run the same scoring code.
+    A key with ``n_ref = 0`` (first seen in the current half) is
+    FORCED to ``drift = true`` regardless of its smoothed PSI — a
+    brand-new key is maximal drift by definition, mirroring
+    ``corpus_token_drift``'s all-OOV stance on new sources.
     Output: (key, n_ref, n_cur, psi, drift)."""
     totals = full.groupBy("__k").agg(
         F.sum("__c_ref").alias("__n_ref"), F.sum("__c_cur").alias("__n_cur")
@@ -456,7 +460,10 @@ def psi_score(
             F.col("__nr").cast("long").alias("n_ref"),
             F.col("__nc").cast("long").alias("n_cur"),
             "psi",
-            (F.col("psi") > F.lit(float(threshold))).alias("drift"),
+            (
+                (F.col("psi") > F.lit(float(threshold)))
+                | (F.col("__nr") == 0)
+            ).alias("drift"),
         )
     )
 
@@ -500,15 +507,26 @@ def psi_drift(
     key × bin grid enters the sum (an absent bin still contributes
     when the two halves' totals differ).
 
+    Keys FIRST SEEN in the current half do not vanish (a monitoring
+    consumer must see a brand-new event type): with no reference rows
+    to fix bin edges, such a key takes the degenerate grid (every
+    value in bin 0), scores against the uniform smoothed reference,
+    and is FORCED to ``drift = true`` regardless of the resulting
+    PSI — the same maximal-drift stance ``corpus_token_drift`` takes
+    on a source with an unseen vocabulary.  NULL and NaN values are
+    excluded up front (NaN would poison a key's reference min/max and
+    every downstream bin assignment, and Spark and ANSI engines
+    disagree on NaN ordering/equality).
+
         PSI(key) = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
 
     Scale shape: one global 2-long aggregate (broadcast back), one
-    per-key min/max/count aggregate over the reference half
-    (|keys| rows — broadcast to the bin assignment, no big-side
-    shuffle), then ONE hash aggregation to (key, bin) cells and a
-    |keys|·bins-sized reduction to the per-key PSI.  No window, no
-    sort, no driver loop; the wide input never shuffles on anything
-    finer than the aggregate grids.
+    per-key min/max aggregate over both halves (|keys| rows —
+    broadcast to the bin assignment, no big-side shuffle), then ONE
+    hash aggregation to (key, bin) cells and a |keys|·bins-sized
+    reduction to the per-key PSI.  No window, no sort, no driver
+    loop; the wide input never shuffles on anything finer than the
+    aggregate grids.
 
     Determinism: the split runs on exact integer epochs (``div``, no
     float); bin edges and widths are double arithmetic on identical
@@ -518,7 +536,7 @@ def psi_drift(
 
     Returns one row per key: (key, n_ref, n_cur, psi, drift) with
     counts as BIGINT, psi rounded to 6 dp, and ``drift`` the
-    ``psi > threshold`` boolean.
+    ``psi > threshold OR n_ref = 0`` boolean.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
@@ -526,15 +544,25 @@ def psi_drift(
         F.col(key_col).alias("__k"),
         F.col(value_col).alias("__v"),
         F.col(epoch_col).alias("__e"),
-    ).where(F.col(value_col).isNotNull())
+    ).where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     bounds = ev.agg(F.min("__e").alias("__mn"), F.max("__e").alias("__mx"))
     halves = ev.crossJoin(F.broadcast(bounds)).select(
         "__k", "__v", F.expr("__e <= (__mn + __mx) div 2").alias("__is_ref")
     )
-    ref = (
-        halves.where("__is_ref")
-        .groupBy("__k")
-        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    # one aggregate over BOTH halves: reference-half min/max where the
+    # key has reference rows, the degenerate lo = hi = 0 grid (every
+    # value bins to 0) where it is current-only — so new keys keep a
+    # row instead of dropping at the stats join
+    ref = halves.groupBy("__k").agg(
+        F.coalesce(
+            F.min(F.when(F.col("__is_ref"), F.col("__v"))), F.lit(0.0)
+        ).alias("__lo"),
+        F.coalesce(
+            F.max(F.when(F.col("__is_ref"), F.col("__v"))), F.lit(0.0)
+        ).alias("__hi"),
     )
     cells = (
         halves.join(F.broadcast(ref), "__k")

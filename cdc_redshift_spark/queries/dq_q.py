@@ -320,7 +320,10 @@ def q_dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ONE (type, bin) hash aggregation — the wide input never shuffles
     on anything finer; no window, no sort.  The oracle mirrors the
     grid enumeration (all 10 bins per type, absent cells at count 0),
-    the smoothing constants, and the 6-dp rounding."""
+    the smoothing constants, the 6-dp rounding, the NaN exclusion,
+    and the forced-drift surfacing of types first seen in the
+    current half (ADVICE r11: a monitor must not silently drop a
+    brand-new event type)."""
     from cdc_redshift_spark.operators.quality import psi_drift
 
     ev = load_table(spark, sf_dir, "events")
@@ -332,13 +335,19 @@ def q_dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DRIFT_PSI = """
 WITH ev AS (
   SELECT event_type AS k, value AS v, epoch_ns(ts) AS e
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), bounds AS (
   SELECT min(e) AS mn, max(e) AS mx FROM ev
 ), halves AS (
   SELECT k, v, e <= (mn + mx) // 2 AS is_ref FROM ev, bounds
 ), ref AS (
-  SELECT k, min(v) AS lo, max(v) AS hi FROM halves WHERE is_ref GROUP BY k
+  -- reference-half bin edges where the key has reference rows; the
+  -- degenerate lo = hi = 0 grid (everything in bin 0) for keys first
+  -- seen in the current half, which must surface, not vanish
+  SELECT k,
+         coalesce(min(CASE WHEN is_ref THEN v END), 0.0) AS lo,
+         coalesce(max(CASE WHEN is_ref THEN v END), 0.0) AS hi
+  FROM halves GROUP BY k
 ), cells AS (
   SELECT h.k,
          CASE WHEN hi = lo THEN 0
@@ -368,7 +377,7 @@ SELECT k AS event_type,
        CAST(n_ref AS BIGINT) AS n_ref,
        CAST(n_cur AS BIGINT) AS n_cur,
        round(sum(term), 6) AS psi,
-       round(sum(term), 6) > 0.2 AS drift
+       round(sum(term), 6) > 0.2 OR CAST(n_ref AS BIGINT) = 0 AS drift
 FROM scored
 GROUP BY 1, 2, 3
 ORDER BY event_type

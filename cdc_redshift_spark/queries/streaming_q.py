@@ -399,8 +399,10 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drive_phases(
         spark,
         [
-            (ev.where(F.col("event_id") % 2 == 0), 4),
-            (ev.where(F.col("event_id") % 2 == 1), 4),
+            # pmod, not %: a negative odd event_id under Spark's
+            # sign-keeping % would match neither phase and vanish
+            (ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0), 4),
+            (ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1), 4),
         ],
         build,
         prefix="stream_join_",
@@ -1031,7 +1033,10 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The monitoring config — epoch midpoint and per-key reference bin
     edges — is fixed up front (in production it ships from the
-    promoted reference window).  The early half streams as batch 0;
+    promoted reference window); keys ABSENT from the config still
+    route (degenerate bin-0 grid via a left config join) and score as
+    forced-drift n_ref = 0 rows, so a brand-new key appearing
+    mid-stream surfaces instead of vanishing.  The early half streams as batch 0;
     the late half splits by event-id parity into batches 1 and 2;
     batch 2 replays once (the foreachBatch retry contract must no-op
     it).  The oracle is ORACLE_DRIFT_PSI itself — the batch monitor's
@@ -1046,7 +1051,7 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_redshift_spark.streaming.rollup import RollupMaintainer
 
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
     )
     bounds = ev.agg(
         F.min("ts_ns").alias("__mn"), F.max("ts_ns").alias("__mx")
@@ -1072,11 +1077,18 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def shape(batch: DataFrame, half: str) -> DataFrame:
-        return batch.join(F.broadcast(ref), "__k").select(
+        # LEFT join: a key absent from the reference config (first
+        # seen mid-stream) must still route — it takes the degenerate
+        # lo = hi = 0 grid (bin 0) and later scores as a forced-drift
+        # n_ref = 0 row, exactly like the batch monitor
+        return batch.join(F.broadcast(ref), "__k", "left").select(
             F.lit(1).alias("sign"),
             "__k",
             psi_bin_expr(
-                F.col("__v"), F.col("__lo"), F.col("__hi"), 10
+                F.col("__v"),
+                F.coalesce(F.col("__lo"), F.lit(0.0)),
+                F.coalesce(F.col("__hi"), F.lit(0.0)),
+                10,
             ).alias("__b"),
             F.lit(half).alias("__half"),
         )
@@ -1094,11 +1106,15 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims=["__k", "__b", "__half"],
             measures={},
         )
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative odd event_id would match neither parity predicate
+        # and silently vanish from the maintained state
+        par = F.pmod(F.col("event_id"), F.lit(2))
         seq = [
             m.update(shape(early, "ref"), 0),
-            m.update(shape(late.where(F.col("event_id") % 2 == 0), "cur"), 1),
-            m.update(shape(late.where(F.col("event_id") % 2 == 1), "cur"), 2),
-            m.update(shape(late.where(F.col("event_id") % 2 == 1), "cur"), 2),
+            m.update(shape(late.where(par == 0), "cur"), 1),
+            m.update(shape(late.where(par == 1), "cur"), 2),
+            m.update(shape(late.where(par == 1), "cur"), 2),
         ]
         if seq != [True, True, True, False]:
             raise RuntimeError(f"PSI maintainer sequence broken: {seq}")
@@ -1111,7 +1127,11 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__cc"
             ),
         )
-        full = psi_grid(ref.select("__k"), 10).join(
+        # grid over the STATE's keys, not just the reference config's:
+        # ref keys are a subset (batch 0 streams the reference half),
+        # and mid-stream new keys must enter the scored grid to
+        # surface as forced-drift n_ref = 0 rows
+        full = psi_grid(state.select("__k").distinct(), 10).join(
             cells, ["__k", "__b"], "left"
         ).select(
             "__k",

@@ -158,17 +158,20 @@ psi_rows = st.lists(
 
 def _psi_mirror(rows, bins=10, smooth=0.5):
     """Pure-Python recompute of psi_drift's contract: reference-half
-    equal-width bins, edge clamping, Laplace smoothing, full grid."""
+    equal-width bins, edge clamping, Laplace smoothing, full grid;
+    current-only keys take the degenerate lo = hi = 0 grid and are
+    forced to drift."""
     import math
     from collections import defaultdict
 
     out = {}
     ref_vals = defaultdict(list)
     for k, v, e in rows:
+        ref_vals[k]  # touch: EVERY key gets a row, current-only too
         if e <= 50:
             ref_vals[k].append(v)
     for k, rv in ref_vals.items():
-        lo, hi = min(rv), max(rv)
+        lo, hi = (min(rv), max(rv)) if rv else (0, 0)
         cells = {b: [0, 0] for b in range(bins)}
         for k2, v, e in rows:
             if k2 != k:
@@ -190,7 +193,12 @@ def _psi_mirror(rows, bins=10, smooth=0.5):
             p_r = (c_ref + smooth) / (n_ref + bins * smooth)
             p_c = (c_cur + smooth) / (n_cur + bins * smooth)
             psi += (p_c - p_r) * math.log(p_c / p_r)
-        out[k] = (n_ref, n_cur, round(psi, 6))
+        out[k] = (
+            n_ref,
+            n_cur,
+            round(psi, 6),
+            round(psi, 6) > 0.2 or n_ref == 0,
+        )
     return out
 
 
@@ -200,8 +208,8 @@ def test_psi_nonnegative_and_matches_python_mirror(spark, rows):
     """PSI is a sum of (p_c - p_r)·ln(p_c/p_r) terms — each term is
     non-negative because both factors share a sign — and the Spark
     plan must reproduce the pure-Python recompute exactly at the 6-dp
-    rounding (keys with no reference rows drop; a key's current half
-    may be empty)."""
+    rounding (keys with no reference rows surface on the degenerate
+    grid with drift forced; a key's current half may be empty)."""
     from cdc_redshift_spark.operators.quality import psi_drift
 
     df = spark.createDataFrame(
@@ -209,7 +217,7 @@ def test_psi_nonnegative_and_matches_python_mirror(spark, rows):
         "k string, v double, e long",
     )
     got = {
-        r["k"]: (r["n_ref"], r["n_cur"], r["psi"])
+        r["k"]: (r["n_ref"], r["n_cur"], r["psi"], r["drift"])
         for r in psi_drift(df, "k", "v", "e").collect()
     }
     # epoch domain {0, 100} pins the midpoint split at 50 when both
@@ -220,5 +228,5 @@ def test_psi_nonnegative_and_matches_python_mirror(spark, rows):
     else:
         expect = _psi_mirror(rows)
     assert got == expect
-    for _, _, psi in got.values():
+    for _, _, psi, _drift in got.values():
         assert psi >= 0.0

@@ -340,10 +340,13 @@ def test_psi_constant_ref_and_outside_values_clamp(spark):
 
 
 def test_psi_keys_missing_from_one_half_and_grid(spark):
-    """A key with rows ONLY in the current half has no reference stats
-    row and drops out (no bins exist for it); a key with rows only in
-    the reference half scores against an empty current half via the
-    smoothed grid instead of dividing by zero."""
+    """A key with rows ONLY in the current half must SURFACE — no
+    reference rows means no bin edges, so it takes the degenerate
+    grid (bin 0), scores against the uniform smoothed reference, and
+    is forced to drift = true (a monitoring consumer must see a
+    brand-new key); a key with rows only in the reference half scores
+    against an empty current half via the smoothed grid instead of
+    dividing by zero."""
     from cdc_redshift_spark.operators.quality import psi_drift
 
     rows = (
@@ -354,9 +357,52 @@ def test_psi_keys_missing_from_one_half_and_grid(spark):
     )
     df = spark.createDataFrame(rows, "k string, v double, e long")
     out = {r["k"]: r for r in psi_drift(df, "k", "v", "e").collect()}
-    assert set(out) == {"both", "ref_only"}
+    assert set(out) == {"both", "cur_only", "ref_only"}
     assert out["ref_only"]["n_cur"] == 0
     assert out["ref_only"]["psi"] is not None
+    co = out["cur_only"]
+    assert co["n_ref"] == 0 and co["n_cur"] == 2
+    # degenerate grid: both rows in bin 0; hand-compute the smoothed
+    # score — p_ref uniform 0.5/5, p_cur = 2.5/7 at bin 0, 0.5/7 else
+    import math
+
+    expect = (2.5 / 7 - 0.1) * math.log((2.5 / 7) / 0.1) + 9 * (
+        0.5 / 7 - 0.1
+    ) * math.log((0.5 / 7) / 0.1)
+    assert co["psi"] == pytest.approx(expect, abs=1e-6)
+    assert co["drift"] is True
+
+
+def test_psi_new_key_small_count_still_forced_drift(spark):
+    """The n_ref = 0 forcing matters exactly when the smoothed PSI is
+    SMALL: one current-only row scores ~0.165 < 0.2, so without the
+    forcing a brand-new key with few rows would read as 'stable'."""
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    rows = [("old", float(v), 0) for v in range(10)] + [
+        ("old", float(v), 100) for v in range(10)
+    ] + [("new", 7.0, 100)]
+    df = spark.createDataFrame(rows, "k string, v double, e long")
+    r = {x["k"]: x for x in psi_drift(df, "k", "v", "e").collect()}["new"]
+    assert r["n_ref"] == 0
+    assert r["psi"] < 0.2
+    assert r["drift"] is True
+
+
+def test_psi_nan_values_excluded(spark):
+    """A NaN value must not poison a key's reference min/max (NaN
+    edges make every bin assignment NaN, and Spark and ANSI engines
+    disagree on NaN ordering/equality): NaN rows are excluded up
+    front, like NULLs."""
+    from cdc_redshift_spark.operators.quality import psi_drift
+
+    nan = float("nan")
+    rows = [("k", 1.0, 0), ("k", nan, 0), ("k", 2.0, 0),
+            ("k", 1.5, 100), ("k", nan, 100)]
+    df = spark.createDataFrame(rows, "k string, v double, e long")
+    r = psi_drift(df, "k", "v", "e").collect()[0]
+    assert r["n_ref"] == 2 and r["n_cur"] == 1
+    assert r["psi"] is not None and r["psi"] >= 0.0
 
 
 def test_psi_null_values_excluded_and_validation(spark):
