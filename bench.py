@@ -798,8 +798,7 @@ def main() -> None:
 
     total = round(sum(times.values()) + cdc_secs, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
+    result = (
             {
                 "metric": "suite_wall_seconds",
                 "value": total,
@@ -821,8 +820,36 @@ def main() -> None:
                     "dms_payload_variant": variant_x,
                 },
             }
-        )
     )
+    # The driver records only the LAST 2000 chars of stdout, which
+    # truncates the per-query dict (VERDICT r11 "What's missing" #2:
+    # r10<->r11 per-query regression diffing degraded into prose
+    # archaeology).  ALSO persist the complete result as a committed
+    # repo artifact, round-stamped so each round's file survives:
+    # BENCH_FULL_r{N}.json, N = this round = 1 + the newest round
+    # artifact the driver has written (env SPARK_GRAFT_ROUND wins).
+    try:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import glob as _glob
+
+            seen = [
+                int(p.rsplit("_r", 1)[1].split(".")[0])
+                for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
+                for p in _glob.glob(
+                    os.path.join(os.path.dirname(__file__), pat)
+                )
+            ]
+            rnd = str(max(seen) + 1 if seen else 0)
+        full = os.path.join(
+            os.path.dirname(__file__), f"BENCH_FULL_r{int(rnd):02d}.json"
+        )
+        with open(full, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as exc:  # artifact write must never fail the bench
+        print(f"BENCH_FULL write skipped: {exc}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -30,86 +30,78 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-11 ROTATION.  With total driver
+# Exactly 50 names — the ROUND-12 ROTATION.  With total driver
 # coverage reached in r10, rotations are pure staleness refresh;
 # tools/rotate_window.py computes the queue from the
 # CORRECTNESS_r*.json history, and two overrides apply this round:
 #
 #   1. NEW queries gate in the round that adds them (standing rule):
-#      plan_blowup_probe (the pure-Python CM planner path join_plan
-#      actually executes, VERDICT r10 #3), cdc_dms_variant_replay
-#      (payload_variant consumed on the full DMS replay, #7), and
-#      plan_hot_key_probe (the CM POINT-query path behind the new
-#      hot-key mitigation, certified bit-for-bit vs SQL).
-#   2. MODIFIED code outranks staleness: the bucketed snapshot store
-#      rewrote the Scd2Maintainer and JoinViewMaintainer commit
-#      paths, so cdc_scd2_history and cdc_join_view_stream re-gate
-#      ahead of the name-order picks.
+#      cdc_rollup_rebucket_stream — maintained state surviving a
+#      live bucket-geometry migration (streaming/snapshots rebucket,
+#      VERDICT r11 #3), oracled by the full recompute.
+#   2. MODIFIED code outranks staleness: the psi contract changed
+#      (ADVICE r11 — current-only keys surface as forced-drift rows,
+#      NaN exclusion), so dq_drift_psi and cdc_stream_psi_drift
+#      re-gate; the snapshot store was rewritten again (token
+#      versions + per-version _NBUCKETS + rebucket), so
+#      cdc_scd2_history and cdc_join_view_stream re-gate too.
 #
-# Composition: the 8 new entries (3 from the first r11 session, the
-# drift family — dq_drift_psi, cdc_stream_psi_drift,
-# emb_drift_report, corpus_token_drift — plus pii_k_anonymity from
-# the second), the 34 longest-stale r6 entries (the r6 cohort minus
-# q2/q8/q9/q12/q13/q21/q22 —
-# TPC-H family,
-# dedup/corpus/streaming-ingest remainders, sketch_hll_users in its
-# new full-value register form), 3 r7 entries (cdc_ingest_compaction
-# plus the two modified-code re-gates), and the 5 end-to-end CDC
-# pipelines (re-gated every round).  Displaced to the head of the
-# r12 queue: cdc_op_counts (r7, name-order casualty of override 1),
-# q12_ship_delay + q13_order_count_dist (stable-since-r6 TPC-H,
-# casualties of override 2 / the third new entry), and
-# q8_market_share + q9_product_profit + q2_min_acctbal_supplier +
-# q22_inactive_customers + q21_late_supplier (stable-since-r6 TPC-H,
-# casualties of the five second-session entries).  Everything outside
-# the window stays certified by the
-# per-round LOCALGATE artifact over the FULL registry + pytest.
+# Composition: those 5, the 40 longest-stale entries from
+# tools/rotate_window.py's r12 queue (the 7 r6 TPC-H heads displaced
+# last round — q2/q8/q9/q12/q13/q21/q22 — plus the r7 cohort in name
+# order), and the 5 end-to-end CDC pipelines (re-gated every round).
+# Displaced to the head of the r13 queue (the tool's 5 least-stale
+# picks, casualties of the overrides): sink_table_changes,
+# sink_time_travel, sketch_user_overlap, supplier_balance_ranks,
+# text_fingerprint (all r7, LOCALGATE-green, code-stable).
+# Everything outside the window stays certified by the per-round
+# LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
-    "plan_blowup_probe",  # never gated (new r11)
-    "cdc_dms_variant_replay",  # never gated (new r11)
-    "plan_hot_key_probe",  # never gated (new r11)
-    "dq_drift_psi",  # never gated (new r11, second session)
-    "pii_k_anonymity",  # never gated (new r11, second session)
-    "cdc_stream_psi_drift",  # never gated (new r11, second session)
-    "emb_drift_report",  # never gated (new r11, second session)
-    "corpus_token_drift",  # never gated (new r11, second session)
-    "cdc_ingest_dedup_stream",  # last r6
-    "cdc_ingest_neardup_probe",  # last r6
-    "cdc_stream_schema_drift",  # last r6
-    "corpus_chunk_docs",  # last r6
-    "corpus_doc_metrics",  # last r6
-    "corpus_pack_stream",  # last r6
-    "corpus_weighted_sample",  # last r6
-    "cube_sales",  # last r6
-    "customer_name_profile",  # last r6
-    "dedup_embedding_clusters",  # last r6
-    "dedup_incremental_exact",  # last r6
-    "dedup_incremental_minhash",  # last r6
-    "dedup_simjoin",  # last r6
-    "dq_events_skew",  # last r6
-    "dq_orders_suite",  # last r6
-    "emb_contrastive_negatives",  # last r6
-    "er_fuzzy_name_pairs",  # last r6
-    "events_funnel_ordered",  # last r6
-    "events_incremental_rollup",  # last r6
-    "events_type_stats",  # last r6
-    "events_user_sequences",  # last r6
-    "layout_pruned_scan",  # last r6
-    "orders_snapshot_changes",  # last r6
-    "q11_important_stock",  # last r6
-    "q15_top_supplier",  # last r6
-    "q16_supplier_part_counts",  # last r6
-    "q17_small_qty_revenue",  # last r6
-    "q19_disjunctive_revenue",  # last r6
-    "q20_excess_shipments",  # last r6
-    "sketch_distinct_users",  # last r6
-    "sketch_hll_users",  # last r6
-    "sketch_price_quantiles",  # last r6
-    "snapshot_partition_diff",  # last r6
-    "text_stats",  # last r6
-    "cdc_ingest_compaction",  # last r7
-    "cdc_scd2_history",  # last r7 (maintainer rewritten r11)
-    "cdc_join_view_stream",  # last r7 (maintainer rewritten r11)
+    "cdc_rollup_rebucket_stream",  # never gated (new r12)
+    "dq_drift_psi",  # re-gate: psi contract changed r12 (ADVICE)
+    "cdc_stream_psi_drift",  # re-gate: psi contract changed r12
+    "cdc_scd2_history",  # re-gate: snapshot store rewritten r12
+    "cdc_join_view_stream",  # re-gate: snapshot store rewritten r12
+    "q12_ship_delay",  # last r6
+    "q13_order_count_dist",  # last r6
+    "q21_late_supplier",  # last r6
+    "q22_inactive_customers",  # last r6
+    "q2_min_acctbal_supplier",  # last r6
+    "q8_market_share",  # last r6
+    "q9_product_profit",  # last r6
+    "cdc_op_counts",  # last r7
+    "corpus_split_manifest",  # last r7
+    "docs_bm25_topk",  # last r7
+    "emb_norm_stats",  # last r7
+    "events_heavy_hitters",  # last r7
+    "events_props_variant",  # last r7
+    "events_retention",  # last r7
+    "events_scd2_asof_enrich",  # last r7
+    "events_sessionize",  # last r7
+    "events_weekday_heatmap",  # last r7
+    "graph_pagerank",  # last r7
+    "grouping_sets_sales",  # last r7
+    "layout_bloom_lookup",  # last r7
+    "layout_zorder_scan",  # last r7
+    "lineitem_unpivot",  # last r7
+    "null_safe_join",  # last r7
+    "orders_cheapest_per_cust",  # last r7
+    "orders_join_view_maintenance",  # last r7
+    "orders_yoy",  # last r7
+    "q10_returned_revenue",  # last r7
+    "q14_promo_revenue",  # last r7
+    "q18_big_orders",  # last r7
+    "q1_pricing_summary",  # last r7
+    "q3_shipping_priority",  # last r7
+    "q4_returned_orders",  # last r7
+    "q5_local_supplier_volume",  # last r7
+    "q6_revenue_change",  # last r7
+    "q7_nation_volume",  # last r7
+    "salted_join_orders",  # last r7
+    "scd2_incremental_apply",  # last r7
+    "scd2_late_repair",  # last r7
+    "scd2_stream_maintenance",  # last r7
+    "scd2_user_history",  # last r7
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

@@ -1149,8 +1149,98 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_rollup_rebucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream bucket-geometry migration under maintenance: a
+    (event_type, user_id) rollup maintained incrementally across three
+    micro-batches with an explicit ``rebucket()`` (8 -> 32 buckets)
+    BETWEEN batches — the store migration a 100 TB deployment performs
+    when its state outgrows the grid it was first sized for
+    (streaming/snapshots round 12; auto-sizing + geometric growth are
+    pytest-pinned in tests/test_snapshot_rebucket.py, this entry
+    driver-gates the migration's SEMANTICS).
+
+    In-query pins: the migration commits as a sub-versioned token
+    (``1_r1``) so ``committed_batch`` is unchanged and a replayed
+    batch id still no-ops AFTER the migration; batch 2 commits pruned
+    against the migrated 32-bucket layout.  The oracle is the full
+    recompute — a green row proves maintained state survives a live
+    re-bucket bit-for-bit."""
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        # pin once: each maintainer update is its own action, and the
+        # three batch plans would otherwise re-run the events scan
+        .localCheckpoint(eager=True)
+    )
+
+    def batch(i: int) -> DataFrame:
+        # pmod: a negative event_id must land in exactly one batch
+        return ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i).select(
+            F.lit(1).alias("sign"), "event_type", "user_id", "v"
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_rebucket_")
+    try:
+        m = RollupMaintainer(
+            spark,
+            tmp,
+            prepare=lambda r: r,
+            time_col=None,
+            bucket=None,
+            dims=["event_type", "user_id"],
+            measures={"sum_v": "v"},
+            n_buckets=8,
+        )
+        seq = [m.update(batch(0), 0), m.update(batch(1), 1)]
+        n_new = m.rebucket(32)
+        migrated = (
+            n_new == 32
+            and m._committed_token() == "1_r1"
+            and m.committed_batch() == 1
+            and m._bucketed_on_disk()
+        )
+        seq += [m.update(batch(2), 2), m.update(batch(2), 2)]
+        if seq != [True, True, True, False] or not migrated:
+            raise RuntimeError(
+                f"rebucket sequence broken: seq={seq} migrated={migrated}"
+            )
+        out = (
+            m.current()
+            .select(
+                "event_type",
+                "user_id",
+                F.col("n").cast("long").alias("n_events"),
+                F.col("sum_v").cast("double").alias("sum_v"),
+            )
+            .orderBy("event_type", "user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_ROLLUP_REBUCKET = """
+SELECT event_type, user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, user_id
+"""
+
+
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
+    "cdc_rollup_rebucket_stream": q_cdc_rollup_rebucket_stream,
     "cdc_stream_psi_drift": q_cdc_stream_psi_drift,
     "cdc_stream_cm_sketch": q_cdc_stream_cm_sketch,
     "cdc_stream_kmv_rollup": q_cdc_stream_kmv_rollup,
@@ -1175,6 +1265,7 @@ def _oracle_stream_psi() -> str:
 
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
+    "cdc_rollup_rebucket_stream": ORACLE_ROLLUP_REBUCKET,
     "cdc_stream_psi_drift": _oracle_stream_psi(),
     "cdc_stream_cm_sketch": _oracle_stream_cm(),
     "cdc_stream_kmv_rollup": _oracle_stream_kmv(),

@@ -43,7 +43,7 @@ from cdc_redshift_spark.operators.incremental import (
     apply_view_delta,
     join_view_delta,
 )
-from cdc_redshift_spark.streaming.snapshots import VersionedSnapshotStore
+from cdc_redshift_spark.streaming.snapshots import AUTO, VersionedSnapshotStore
 
 
 class JoinViewMaintainer(VersionedSnapshotStore):
@@ -55,7 +55,8 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         cols: list[str],
         cnt_col: str = "cnt",
         keep_versions: int = 2,
-        n_buckets: int = 64,
+        n_buckets: int | str = 64,
+        target_bucket_bytes: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -71,11 +72,14 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         # the join keys IN the view projection (they identify the
         # image's bucket on both the read and the write side);
         # otherwise, or with n_buckets=0, every commit is a full
-        # rewrite as before.
+        # rewrite as before.  n_buckets="auto" sizes the count from
+        # state bytes at first commit and grows it geometrically via
+        # maybe_rebucket().
         self.bucket_keys = (
             list(on) if n_buckets and set(on) <= set(cols) else None
         )
-        self.n_buckets = int(n_buckets)
+        self.n_buckets = n_buckets if n_buckets == AUTO else int(n_buckets)
+        self._set_target_bucket_bytes(target_bucket_bytes)
         os.makedirs(path, exist_ok=True)
 
     def update(

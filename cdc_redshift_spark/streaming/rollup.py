@@ -39,7 +39,7 @@ from cdc_redshift_spark.operators.incremental import (
     apply_rollup_delta,
     rollup_delta_signed,
 )
-from cdc_redshift_spark.streaming.snapshots import VersionedSnapshotStore
+from cdc_redshift_spark.streaming.snapshots import AUTO, VersionedSnapshotStore
 
 
 class RollupMaintainer(VersionedSnapshotStore):
@@ -62,7 +62,8 @@ class RollupMaintainer(VersionedSnapshotStore):
         measures: dict[str, str],
         n_col: str = "n",
         keep_versions: int = 2,
-        n_buckets: int = 64,
+        n_buckets: int | str = 64,
+        target_bucket_bytes: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -81,10 +82,13 @@ class RollupMaintainer(VersionedSnapshotStore):
         # JoinViewMaintainer.  Matters once the rollup grain is
         # high-cardinality (per-user, per-key): the state then grows
         # with data, and an unbucketed commit is O(state) per
-        # trigger.  n_buckets=0 restores the full-rewrite layout.
+        # trigger.  n_buckets=0 restores the full-rewrite layout;
+        # n_buckets="auto" sizes the count from state bytes at first
+        # commit and grows it geometrically via maybe_rebucket().
         grain = (["bucket_ts"] if time_col is not None else []) + list(dims)
         self.bucket_keys = grain if (n_buckets and grain) else None
-        self.n_buckets = int(n_buckets)
+        self.n_buckets = n_buckets if n_buckets == AUTO else int(n_buckets)
+        self._set_target_bucket_bytes(target_bucket_bytes)
         os.makedirs(path, exist_ok=True)
 
     # snapshot plumbing: VersionedSnapshotStore (shared with

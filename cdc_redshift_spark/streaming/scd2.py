@@ -53,7 +53,7 @@ from cdc_redshift_spark.operators.incremental import (
     scd2_late_batch_rows,
     scd2_rebuild_keys,
 )
-from cdc_redshift_spark.streaming.snapshots import VersionedSnapshotStore
+from cdc_redshift_spark.streaming.snapshots import AUTO, VersionedSnapshotStore
 
 
 class Scd2Maintainer(VersionedSnapshotStore):
@@ -68,7 +68,8 @@ class Scd2Maintainer(VersionedSnapshotStore):
         tiebreak: list[str] | None = None,
         keep_versions: int = 2,
         late_policy: str = "raise",
-        n_buckets: int = 64,
+        n_buckets: int | str = 64,
+        target_bucket_bytes: int | None = None,
     ):
         if late_policy not in ("raise", "ignore"):
             raise ValueError(
@@ -90,9 +91,12 @@ class Scd2Maintainer(VersionedSnapshotStore):
         # rewrite per trigger is the one O(history)-IO path in the
         # streaming layer — hash-bucket it on the dimension keys and
         # commit triggers as touched-bucket rewrites + hard links.
-        # n_buckets=0 restores the full-rewrite layout (tiny dims).
+        # n_buckets=0 restores the full-rewrite layout (tiny dims);
+        # n_buckets="auto" sizes the count from state bytes at first
+        # commit and grows it geometrically via maybe_rebucket().
         self.bucket_keys = list(keys) if n_buckets else None
-        self.n_buckets = int(n_buckets)
+        self.n_buckets = n_buckets if n_buckets == AUTO else int(n_buckets)
+        self._set_target_bucket_bytes(target_bucket_bytes)
         os.makedirs(path, exist_ok=True)
 
     # snapshot plumbing: VersionedSnapshotStore (shared with

@@ -14,20 +14,22 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_pins_the_round11_rotation():
-    """The r11 window is a staleness refresh plus the entries that
-    MUST gate this round: the two new r11 queries, the two queries
-    whose maintainer code was rewritten this round, and the 5 CDC
+def test_gate_window_pins_the_round12_rotation():
+    """The r12 window is a staleness refresh plus the entries that
+    MUST gate this round: the new r12 query, the queries whose
+    semantics or maintainer code changed this round, and the 5 CDC
     pipelines re-gated every round.  (The bulk of the window — the
-    longest-stale r6 cohort — is policy, not correctness, so it is
+    longest-stale r6/r7 cohort — is policy, not correctness, so it is
     not pinned here; tools/rotate_window.py recomputes it.)"""
     must_gate = {
-        # round-11 addition: the pure-Python CM planner path's gate
-        "plan_blowup_probe",
-        "cdc_dms_variant_replay",
-        "plan_hot_key_probe",
-        # code MODIFIED this round must re-gate: the SCD2 maintainer
-        # commit path was rewritten (bucketed snapshot store)
+        # round-12 addition: live bucket-geometry migration under
+        # maintenance, oracled by the full recompute
+        "cdc_rollup_rebucket_stream",
+        # code MODIFIED this round must re-gate: the psi contract
+        # changed (current-only keys surface, NaN exclusion) and the
+        # snapshot store was rewritten (tokens + rebucket)
+        "dq_drift_psi",
+        "cdc_stream_psi_drift",
         "cdc_scd2_history",
         "cdc_join_view_stream",
         # CDC pipelines, every round

@@ -1,0 +1,251 @@
+"""Round-12 bucket-geometry tests for VersionedSnapshotStore:
+byte-budget sizing (n_buckets="auto"), the explicit rebucket()
+migration (read all -> rewrite at n' -> new sub-versioned token), the
+geometric maybe_rebucket() growth trigger, and the invariants that
+make a migration safe mid-stream — replay idempotency untouched,
+pruned reads routed by the committed version's own recorded count,
+and store equivalence to a full-rewrite maintainer across any delta
+sequence with rebuckets interleaved."""
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+from cdc_redshift_spark.streaming.snapshots import (
+    BUCKET_COL,
+    size_buckets_for_bytes,
+)
+
+
+def _m(spark, path, **kw):
+    kw.setdefault("n_buckets", 8)
+    return RollupMaintainer(
+        spark, str(path), lambda r: r, time_col=None, bucket=None,
+        dims=["k"], measures={"sum_v": "v"}, **kw,
+    )
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(
+        [(s, k, float(v)) for s, k, v in rows],
+        "sign int, k string, v double",
+    )
+
+
+def _state(m):
+    cur = m.current()
+    return sorted(
+        (r["k"], r["n"], float(r["sum_v"]))
+        for r in (cur.collect() if cur is not None else [])
+    )
+
+
+# -- sizing --------------------------------------------------------------
+
+
+def test_size_buckets_for_bytes_ladder():
+    """The byte-budget count is the smallest power of two whose
+    per-bucket share fits the target — exact at the boundaries."""
+    assert size_buckets_for_bytes(0, 100) == 1
+    assert size_buckets_for_bytes(100, 100) == 1
+    assert size_buckets_for_bytes(101, 100) == 2
+    assert size_buckets_for_bytes(200, 100) == 2
+    assert size_buckets_for_bytes(201, 100) == 4
+    assert size_buckets_for_bytes(100 * 1024, 100) == 1024
+    with pytest.raises(ValueError, match="target_bytes"):
+        size_buckets_for_bytes(1, 0)
+
+
+def _hexkey(i, salt=""):
+    """Deterministic incompressible-ish key: parquet can't dictionary-
+    or RLE-collapse distinct digests, so N of them carry real bytes
+    (tiny targets are floored, see MIN_TARGET_BUCKET_BYTES — these
+    tests must move real data to move the sizing signal)."""
+    import hashlib
+
+    return hashlib.sha256(f"{salt}{i}".encode()).hexdigest()
+
+
+def test_auto_sizes_from_first_commit_bytes(spark, tmp_path):
+    """n_buckets='auto': the first commit writes plain, measures its
+    bytes, and records the byte-budget count in the version dir; the
+    SECOND commit lays the state out bucketed at that count."""
+    m = _m(spark, tmp_path / "ru", n_buckets="auto",
+           target_bucket_bytes=16 << 10)
+    assert m.update(
+        _delta(spark, [(1, _hexkey(i), 1) for i in range(1500)]), 0
+    )
+    v0 = tmp_path / "ru" / "v0"
+    assert not any(
+        d.startswith(BUCKET_COL) for d in os.listdir(v0)
+    ), "first auto commit must be plain (bytes unknown before writing)"
+    sized = int((v0 / "_NBUCKETS").read_text())
+    assert sized == size_buckets_for_bytes(
+        sum(
+            f.stat().st_size
+            for f in v0.iterdir()
+            if not f.name.startswith((".", "_"))
+        ),
+        16 << 10,
+    )
+    assert sized >= 2  # 1500 x 64-hex keys >> 16 KiB target
+    k0 = _hexkey(0)
+    assert m.update(_delta(spark, [(1, k0, 1)]), 1)
+    v1 = tmp_path / "ru" / "v1"
+    got = {
+        int(d.split("=")[1])
+        for d in os.listdir(v1)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    assert got and max(got) < int((v1 / "_NBUCKETS").read_text())
+    assert (k0, 2, 2.0) in _state(m)
+
+
+def test_target_bucket_bytes_floor_enforced(spark, tmp_path):
+    """A target at or below the per-file parquet overhead would let
+    layout overhead feed the sizing signal (each migration adds files
+    -> more measured bytes -> another migration, forever) — the
+    constructor rejects targets under the documented floor."""
+    with pytest.raises(ValueError, match="target_bucket_bytes"):
+        _m(spark, tmp_path / "ru", n_buckets="auto",
+           target_bucket_bytes=1024)
+
+
+def test_explicit_rebucket_preserves_state_and_batch_id(spark, tmp_path):
+    """rebucket(n') migrates as a sub-versioned token: identical
+    state, committed_batch unchanged (replay of an old id still
+    no-ops, the next real id still commits), and subsequent pruned
+    commits read/route/link on the MIGRATED layout."""
+    m = _m(spark, tmp_path / "ru", n_buckets=4)
+    assert m.update(
+        _delta(spark, [(1, f"k{i}", i + 1) for i in range(30)]), 0
+    )
+    before = _state(m)
+    assert m.rebucket(16) == 16
+    assert m._committed_token() == "0_r1"
+    assert m.committed_batch() == 0
+    assert m._bucket_count() == 16
+    vdir = tmp_path / "ru" / "v0_r1"
+    assert (vdir / "_NBUCKETS").read_text() == "16"
+    assert _state(m) == before
+    # replay of the already-committed batch must still no-op
+    assert not m.update(_delta(spark, [(1, "k0", 9)]), 0)
+    assert _state(m) == before
+    # next real batch commits PRUNED against the migrated layout:
+    # untouched buckets hard-link forward from v0_r1's inodes
+    def inodes(tok):
+        vd = tmp_path / "ru" / f"v{tok}"
+        return {
+            d: {
+                fn: os.stat(vd / d / fn).st_ino
+                for fn in os.listdir(vd / d)
+                if not fn.startswith((".", "_"))
+            }
+            for d in os.listdir(vd)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+
+    old = inodes("0_r1")
+    assert len(old) > 2
+    d1 = _delta(spark, [(1, "k0", 100)])
+    touched = m.touched_buckets(d1)
+    assert m.update(d1, 1)
+    new = inodes("1")
+    assert len(touched) == 1
+    tdir = f"{BUCKET_COL}={touched[0]}"
+    for d, files in old.items():
+        if d != tdir:
+            assert new[d] == files, f"untouched {d} rewritten post-migration"
+    assert ("k0", 2, 101.0) in _state(m)
+
+
+def test_rebucket_validation(spark, tmp_path):
+    m = _m(spark, tmp_path / "ru", n_buckets=4)
+    with pytest.raises(ValueError, match="first commit"):
+        m.rebucket(8)
+    assert m.update(_delta(spark, [(1, "a", 1)]), 0)
+    with pytest.raises(ValueError, match="n_new"):
+        m.rebucket(0)
+    # same count on an already-bucketed layout: no new version
+    assert m.rebucket(4) == 4
+    assert m._committed_token() == "0"
+    un = _m(spark, tmp_path / "un", n_buckets=0)
+    assert un.update(_delta(spark, [(1, "a", 1)]), 0)
+    with pytest.raises(ValueError, match="bucketed"):
+        un.rebucket(8)
+
+
+def test_maybe_rebucket_grows_geometrically(spark, tmp_path):
+    """Auto mode grows only on >= 2x outgrowth: a small delta leaves
+    the grid alone; piling on state until the byte-budget size
+    doubles triggers exactly one migration to the doubled count."""
+    m = _m(spark, tmp_path / "ru", n_buckets="auto",
+           target_bucket_bytes=16 << 10)
+    assert m.update(
+        _delta(spark, [(1, _hexkey(i), 1) for i in range(1200)]), 0
+    )
+    n0 = m._bucket_count()
+    assert n0 >= 1
+    # small growth: no migration
+    k0 = _hexkey(0)
+    assert m.update(_delta(spark, [(1, k0, 1)]), 1)
+    tok_before = m._committed_token()
+    assert "_r" not in tok_before
+    # bulk growth: keys explode the stored bytes well past 2x
+    assert m.update(
+        _delta(spark, [(1, _hexkey(i, "big"), 1) for i in range(6000)]), 2
+    )
+    n2 = m._bucket_count()
+    assert n2 >= n0 * 2
+    assert m._committed_token().startswith("2_r")
+    got = _state(m)
+    assert (k0, 2, 2.0) in got and len(got) == 7200
+
+
+@given(
+    plan=st.lists(
+        st.one_of(
+            st.lists(  # a signed delta batch
+                st.tuples(
+                    st.sampled_from([1, -1]),
+                    st.sampled_from(["a", "b", "c", "d", "e"]),
+                    st.integers(min_value=1, max_value=3),
+                ),
+                min_size=0,
+                max_size=5,
+            ),
+            st.sampled_from(["re2", "re8", "re16"]),  # interleaved rebucket
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rebucket_interleaved_equals_full_rewrite(
+    spark, tmp_path_factory, plan
+):
+    """Store equivalence across migrations: ANY interleaving of signed
+    delta batches and rebucket() calls ends with the identical stored
+    state to a full-rewrite (n_buckets=0) maintainer fed the same
+    deltas — migrations are invisible to semantics."""
+    tmp_a = tmp_path_factory.mktemp("ru_re")
+    tmp_b = tmp_path_factory.mktemp("ru_full")
+    ma = _m(spark, tmp_a, n_buckets=4)
+    mb = _m(spark, tmp_b, n_buckets=0)
+    bid = 0
+    for step in plan:
+        if isinstance(step, str):
+            if ma.committed_batch() is not None:
+                ma.rebucket(int(step[2:]))
+            continue
+        ma.update(_delta(spark, step), bid)
+        mb.update(_delta(spark, step), bid)
+        bid += 1
+    assert _state(ma) == _state(mb)
