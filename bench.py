@@ -614,6 +614,57 @@ def main() -> None:
         2,
     )
 
+    # re-bucket axis (round 12): the depth flat-line must HOLD ACROSS
+    # a live bucket-geometry migration.  Same deep-history shape as
+    # the 10x depth probe: steady per-trigger walls before and after
+    # rebucket(64 -> 128), plus the migration's own one-off wall (a
+    # full read -> rewrite, amortized O(1)/byte by the geometric
+    # growth rule in streaming/snapshots.maybe_rebucket).
+    micro_rb = scd_base.where(F.col("k").isin(keys5)).persist()
+    micro_rb.count()
+    seed = scd_base.where(
+        F.pmod(F.col("k"), F.lit(400)) < 400
+    ).withColumn("ts", F.lit(1).cast("long"))
+    root = tempfile.mkdtemp(prefix="bench_scd2_rebucket_")
+    try:
+        m = Scd2Maintainer(
+            spark, root, keys=["k"], ts_col="ts",
+            attrs=["attr"], tiebreak=["seq"],
+        )
+        m.update(seed, 0)
+
+        def rb_walls(n_triggers: int, start: int) -> list[float]:
+            walls = []
+            for i in range(start, start + n_triggers):
+                b = micro_rb.withColumn(
+                    "ts", F.lit(100 + i).cast("long")
+                ).withColumn("attr", F.concat("attr", F.lit(str(i))))
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                m.update(b, i)
+                walls.append(round(time.perf_counter() - t0, 3))
+            return walls
+
+        pre = rb_walls(6, 1)
+        t0 = time.perf_counter()
+        m.rebucket(128)
+        maint["rebucket_migration_s"] = round(time.perf_counter() - t0, 3)
+        post = rb_walls(6, 7)
+        maint["rebucket_pre_s_per_trigger"] = steady(pre)
+        maint["rebucket_post_s_per_trigger"] = steady(post)
+        maint["rebucket_touched_buckets_post"] = len(
+            m.touched_buckets(micro_rb)
+        )
+        maint["rebucket_hist_rows"] = m.current().count()
+        maint["rebucket_flat_ratio"] = round(
+            maint["rebucket_post_s_per_trigger"]
+            / max(maint["rebucket_pre_s_per_trigger"], 1e-9),
+            2,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        micro_rb.unpersist()
+
     # join-view / rollup history-DEPTH axes (round-11 close-note
     # candidate): the same bounded-IO claim as the SCD2 probe, for
     # the other two bucketed maintainers.  Previously only isolated

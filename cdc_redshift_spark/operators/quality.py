@@ -621,3 +621,43 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") < F.lit(int(k)))
     )
+
+
+def l_diversity_violations(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """Quasi-identifier classes whose sensitive attribute takes fewer
+    than ``l`` DISTINCT values — the homogeneity gap k-anonymity
+    leaves open (Machanavajjhala et al. 2007: a class can be
+    k-anonymous yet reveal every member's sensitive value when the
+    class is homogeneous; distinct l-diversity is the baseline
+    remedy a privacy gate checks alongside
+    :func:`k_anonymity_violations`).
+
+    A NULL sensitive value counts as ONE value of its own — a class
+    where everyone's diagnosis is missing is still homogeneous, and
+    ANSI GROUP BY (both engines) groups NULLs together, which the
+    two-level aggregation below inherits for free.
+
+    Scale shape: ONE hash aggregation on (QI..., sensitive) — the
+    distinct collapse, map-side combined so duplicate values fold
+    before the shuffle — then ONE |distinct-tuples|-sized aggregation
+    to (QI, n, l_vals).  Output bounded by the violating classes.
+
+    Returns (quasi_cols..., n, l_vals) for classes with
+    ``l_vals < l``; counts as BIGINT (``n`` = class size, ``l_vals``
+    = distinct sensitive values seen in the class).
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    per_value = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        per_value.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("l_vals"),
+        )
+        .where(F.col("l_vals") < F.lit(int(l)))
+    )

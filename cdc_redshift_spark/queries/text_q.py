@@ -271,6 +271,47 @@ ORDER BY nation, segment, bal_band
 """
 
 
+def q_pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (operators/quality.
+    l_diversity_violations): (nation, account-balance band) classes
+    where fewer than l=3 distinct market segments occur — the
+    homogeneity report k-anonymity misses (Machanavajjhala 2007: a
+    5-anonymous class whose members all share one segment still
+    discloses it; the privacy gate runs BOTH audits).  Same explicit
+    QI generalization stance as pii_k_anonymity; two map-side-combined
+    hash aggregations — (QI, segment) then QI — output bounded by the
+    violating classes."""
+    from cdc_redshift_spark.operators.quality import l_diversity_violations
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return l_diversity_violations(
+        cust, ["nation", "bal_band"], "segment", l=3
+    ).orderBy("nation", "bal_band")
+
+
+ORACLE_L_DIVERSITY = """
+WITH g AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment AS segment,
+         count(*) AS c
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT nation, bal_band,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS l_vals
+FROM g
+GROUP BY 1, 2
+HAVING count(*) < 3
+ORDER BY nation, bal_band
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_by_source": q_text_quality_by_source,
@@ -278,6 +319,7 @@ QUERIES = {
     "text_winnow": q_text_winnow,
     "pii_redaction_report": q_pii_redaction_report,
     "pii_k_anonymity": q_pii_k_anonymity,
+    "pii_l_diversity": q_pii_l_diversity,
 }
 
 ORACLES = {
@@ -287,4 +329,5 @@ ORACLES = {
     "text_winnow": ORACLE_WINNOW,
     "pii_redaction_report": ORACLE_PII,
     "pii_k_anonymity": ORACLE_K_ANONYMITY,
+    "pii_l_diversity": ORACLE_L_DIVERSITY,
 }

@@ -20,11 +20,13 @@ for the rollup).  Wire into :class:`CdcPipeline` via ``on_raw_batch``:
         maintainer.update(pg_retraction_stream(raw), bid))
 
 Layout (``VersionedSnapshotStore``, bucketed by the group grain since
-round 11):  ``path/v<batch_id>/__bucket=<N>/part-*.parquet`` +
-``path/_LATEST`` (committed batch id) + ``path/_BUCKETS`` (pinned
-bucket count).  Read through :meth:`current` — it prunes on and then
-strips the internal ``__bucket`` partition column; don't glob the
-version dirs directly.
+round 11):  ``path/v<token>/__bucket=<N>/part-*.parquet`` +
+``path/_LATEST`` (committed version token) + a per-version
+``_NBUCKETS`` count (since round 12 — survives ``rebucket()``
+migrations; the legacy top-level ``_BUCKETS`` pin is still honored).
+Read through :meth:`current` — it prunes on and then strips the
+internal ``__bucket`` partition column; don't glob the version dirs
+directly.
 """
 
 from __future__ import annotations

@@ -12,7 +12,9 @@ Per batch this costs O(batch) shuffle work (the batch's own window)
 plus a broadcast-cut projection over the TOUCHED key-hash buckets of
 the stored history — touched keys are never re-windowed, untouched
 keys never read twice.  Since round 11 the store is bucket-partitioned
-on the dimension keys (``n_buckets``, default 64): a trigger reads
+on the dimension keys (``n_buckets``, default 64; ``"auto"`` sizes
+from state bytes and grows geometrically — see
+``streaming/snapshots``): a trigger reads
 only the buckets its batch touches (partition-pruned), rewrites those,
 and hard-links every untouched bucket's files into the new version —
 per-trigger IO is O(touched + batch) however deep the history grows,

@@ -418,6 +418,48 @@ def test_psi_null_values_excluded_and_validation(spark):
         psi_drift(df, "k", "v", "e", bins=1)
 
 
+# -- l_diversity_violations ----------------------------------------------
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    """A class whose sensitive attribute is homogeneous must surface
+    even when it is large enough to pass k-anonymity — that is the
+    whole point of the second audit; a class at exactly l distinct
+    values passes (strict < threshold)."""
+    from cdc_redshift_spark.operators.quality import l_diversity_violations
+
+    rows = (
+        [("g1", f"p{i}", "flu") for i in range(6)]          # 6 rows, 1 value
+        + [("g2", f"p{i}", ["flu", "cold", "none"][i % 3]) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "qi string, pid string, diag string")
+    out = {r["qi"]: r for r in l_diversity_violations(
+        df, ["qi"], "diag", l=3
+    ).collect()}
+    assert set(out) == {"g1"}
+    assert out["g1"]["n"] == 6 and out["g1"]["l_vals"] == 1
+
+
+def test_l_diversity_null_sensitive_is_own_value(spark):
+    """NULL sensitive values form one value of their own: an all-NULL
+    class is homogeneous (flagged), and NULL + one real value counts
+    as 2 distinct."""
+    from cdc_redshift_spark.operators.quality import l_diversity_violations
+
+    rows = [
+        ("allnull", None), ("allnull", None),
+        ("mixed", None), ("mixed", "flu"),
+    ]
+    df = spark.createDataFrame(rows, "qi string, diag string")
+    out = {r["qi"]: r for r in l_diversity_violations(
+        df, ["qi"], "diag", l=2
+    ).collect()}
+    assert set(out) == {"allnull"}
+    assert out["allnull"]["l_vals"] == 1
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversity_violations(df, ["qi"], "diag", l=1)
+
+
 # -- k_anonymity_violations ----------------------------------------------
 
 

@@ -22,9 +22,10 @@ def test_gate_window_pins_the_round12_rotation():
     longest-stale r6/r7 cohort — is policy, not correctness, so it is
     not pinned here; tools/rotate_window.py recomputes it.)"""
     must_gate = {
-        # round-12 addition: live bucket-geometry migration under
-        # maintenance, oracled by the full recompute
+        # round-12 additions: live bucket-geometry migration under
+        # maintenance, and the l-diversity privacy audit
         "cdc_rollup_rebucket_stream",
+        "pii_l_diversity",
         # code MODIFIED this round must re-gate: the psi contract
         # changed (current-only keys surface, NaN exclusion) and the
         # snapshot store was rewritten (tokens + rebucket)

@@ -205,6 +205,44 @@ def test_maybe_rebucket_grows_geometrically(spark, tmp_path):
     assert (k0, 2, 2.0) in got and len(got) == 7200
 
 
+def test_restart_routes_by_migrated_count(spark, tmp_path):
+    """A maintainer RESTARTED after a migration (fresh instance, the
+    original pre-migration constructor value) must route reads and
+    writes by the committed version's recorded count — the _NBUCKETS
+    resolution order, which outranks both the legacy top-level
+    _BUCKETS pin (still 4 here) and the constructor."""
+    m = _m(spark, tmp_path / "ru", n_buckets=4)
+    assert m.update(_delta(spark, [(1, f"k{i}", 1) for i in range(20)]), 0)
+    assert (tmp_path / "ru" / "_BUCKETS").read_text() == "4"
+    m.rebucket(16)
+    m2 = _m(spark, tmp_path / "ru", n_buckets=4)  # restart
+    assert m2._bucket_count() == 16
+    assert m2.update(_delta(spark, [(1, "k0", 1)]), 1)
+    assert ("k0", 2, 2.0) in _state(m2)
+    # and the new commit's layout carries the migrated count forward
+    assert (tmp_path / "ru" / "v1" / "_NBUCKETS").read_text() == "16"
+
+
+def test_explicit_count_never_auto_migrates(spark, tmp_path):
+    """Pinned-n stores keep their geometry no matter how the state
+    grows — maybe_rebucket is the AUTO loop's trigger only, so an
+    operator who pinned n_buckets gets no surprise full rewrites."""
+    m = _m(spark, tmp_path / "ru", n_buckets=2,
+           target_bucket_bytes=16 << 10)
+    assert m.update(
+        _delta(spark, [(1, _hexkey(i), 1) for i in range(3000)]), 0
+    )
+    assert m.update(
+        _delta(spark, [(1, _hexkey(i, "x"), 1) for i in range(3000)]), 1
+    )
+    assert m._bucket_count() == 2
+    assert "_r" not in m._committed_token()
+    # the trigger is still available explicitly, and sizes from bytes
+    n = m.maybe_rebucket()
+    assert n is not None and n >= 4  # 6000 hex keys >> 2 x 16 KiB
+    assert m._bucket_count() == n
+
+
 @given(
     plan=st.lists(
         st.one_of(
