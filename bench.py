@@ -131,7 +131,19 @@ def main() -> None:
         """Between-measurement cleanup (outside every timed window):
         release leaked cache blocks and force a JVM GC so one query's
         heap churn (checkpoint blocks, shuffle buffers) doesn't bleed
-        into the next query's wall time."""
+        into the next query's wall time.
+
+        PYTHON gc runs FIRST (round-12 watch-item diagnosis): eager
+        localCheckpoint blocks — the drift monitors and streaming
+        maintainers pin their inputs with them — are freed by
+        ContextCleaner only after the py4j handle drops, and CPython
+        reference cycles keep those handles alive until a collect; a
+        JVM System.gc() alone cannot reclaim them.  Measured: a
+        checkpoint pileup costs the apply path ~10-13%, and
+        python-gc-then-jvm-gc recovers it fully (SCALE.md round-12)."""
+        import gc as _gc
+
+        _gc.collect()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
@@ -143,8 +155,11 @@ def main() -> None:
     # and clearing the cache inside the timed loop would silently
     # charge the input's regeneration to the apply pipeline.
     def timed(fn, keep_cache: bool = False, iters: int = 2) -> float:
+        import gc as _gc
+
         best = float("inf")
         for _ in range(iters):
+            _gc.collect()  # drop py4j handles so ContextCleaner can act
             if not keep_cache:
                 spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
