@@ -661,3 +661,85 @@ def l_diversity_violations(
         )
         .where(F.col("l_vals") < F.lit(int(l)))
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.3,
+) -> DataFrame:
+    """Per-QI-class t-closeness for a NOMINAL sensitive attribute —
+    the third privacy audit (Li, Li, Venkatasubramanian 2007): a
+    class can be k-anonymous AND l-diverse yet still leak when its
+    sensitive distribution differs sharply from the table's (the
+    skewness attack — 2 distinct diagnoses where one is 'cancer' at
+    50% against a 1% base rate).  For categorical attributes under
+    the uniform ground distance, the paper's Earth Mover's Distance
+    is EXACTLY the total variation distance
+    ``0.5 * sum_s |p(s|class) - p(s)|``, which is what this computes.
+
+    No class x value grid is materialized: values absent from a class
+    contribute their full global mass, and
+
+        sum_s |p_c - p_g|  =  1 + sum_{s in class} (|p_c - p_g| - p_g)
+
+    (the absent values' sum_s p_g folds into the constant), so the
+    report needs only the OBSERVED (QI, sensitive) cells.  NULL
+    sensitive values are one value of their own, as in
+    :func:`l_diversity_violations`.
+
+    Scale shape: ONE hash aggregation to the observed (QI, sensitive)
+    cells (map-side combined), a |classes|-sized and a |values|-sized
+    re-aggregation, one broadcast join of the |values| global table
+    and one 1-row total attach; the input is never shuffled on
+    anything finer than the cell grid.
+
+    Returns one row per class: (quasi_cols..., n, tvd, leaks) with
+    n BIGINT, tvd rounded to 6 dp, ``leaks = tvd > t``.  Every class
+    is reported (the monitor wants the whole distribution-distance
+    landscape, thresholded like psi_drift's ``drift`` flag).
+    """
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    class_tot = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("__n")
+    )
+    global_tot = cells.groupBy("__sv").agg(F.sum("__c").alias("__g"))
+    # "__tot", not "__N": Spark resolves columns case-insensitively by
+    # default, so "__N" would collide with the per-class "__n"
+    big_n = cells.agg(F.sum("__c").alias("__tot"))
+    scored = (
+        cells.join(F.broadcast(global_tot), "__sv")
+        .join(F.broadcast(class_tot), quasi_cols)
+        .crossJoin(F.broadcast(big_n))
+        .select(
+            *quasi_cols,
+            "__n",
+            (
+                F.abs(
+                    F.col("__c") / F.col("__n")
+                    - F.col("__g") / F.col("__tot")
+                )
+                - F.col("__g") / F.col("__tot")
+            ).alias("__term"),
+        )
+    )
+    return (
+        scored.groupBy(*quasi_cols)
+        .agg(
+            F.first("__n").cast("long").alias("n"),
+            F.round(
+                F.lit(0.5) * (F.lit(1.0) + F.sum("__term")), 6
+            ).alias("tvd"),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "tvd",
+            (F.col("tvd") > F.lit(float(t))).alias("leaks"),
+        )
+    )

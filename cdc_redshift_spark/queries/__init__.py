@@ -38,9 +38,10 @@ from __future__ import annotations
 #   1. NEW queries gate in the round that adds them (standing rule):
 #      cdc_rollup_rebucket_stream — maintained state surviving a
 #      live bucket-geometry migration (streaming/snapshots rebucket,
-#      VERDICT r11 #3), oracled by the full recompute — and
-#      pii_l_diversity (the homogeneity audit completing the privacy
-#      pair with pii_k_anonymity).
+#      VERDICT r11 #3), oracled by the full recompute — plus
+#      pii_l_diversity and pii_t_closeness (the homogeneity and
+#      skewness audits completing the privacy triad with
+#      pii_k_anonymity).
 #   2. MODIFIED code outranks staleness: the psi contract changed
 #      (ADVICE r11 — current-only keys surface as forced-drift rows,
 #      NaN exclusion), so dq_drift_psi and cdc_stream_psi_drift
@@ -52,16 +53,17 @@ from __future__ import annotations
 # tools/rotate_window.py's r12 queue (the 7 r6 TPC-H heads displaced
 # last round — q2/q8/q9/q12/q13/q21/q22 — plus the r7 cohort in name
 # order), and the 5 end-to-end CDC pipelines (re-gated every round).
-# Displaced to the head of the r13 queue (the tool's 6 least-stale
-# picks, casualties of the overrides): scd2_user_history,
-# sink_table_changes, sink_time_travel, sketch_user_overlap,
-# supplier_balance_ranks, text_fingerprint (all r7, LOCALGATE-green,
-# code-stable).
+# Displaced to the head of the r13 queue (the tool's 7 least-stale
+# picks, casualties of the overrides): scd2_stream_maintenance,
+# scd2_user_history, sink_table_changes, sink_time_travel,
+# sketch_user_overlap, supplier_balance_ranks, text_fingerprint
+# (all r7, LOCALGATE-green, code-stable).
 # Everything outside the window stays certified by the per-round
 # LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
     "cdc_rollup_rebucket_stream",  # never gated (new r12)
     "pii_l_diversity",  # never gated (new r12)
+    "pii_t_closeness",  # never gated (new r12)
     "dq_drift_psi",  # re-gate: psi contract changed r12 (ADVICE)
     "cdc_stream_psi_drift",  # re-gate: psi contract changed r12
     "cdc_scd2_history",  # re-gate: snapshot store rewritten r12
@@ -104,7 +106,6 @@ _GATE_WINDOW = [
     "salted_join_orders",  # last r7
     "scd2_incremental_apply",  # last r7
     "scd2_late_repair",  # last r7
-    "scd2_stream_maintenance",  # last r7
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

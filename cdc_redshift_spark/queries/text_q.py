@@ -312,6 +312,63 @@ ORDER BY nation, bal_band
 """
 
 
+def q_pii_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness report (operators/quality.t_closeness_report):
+    per-(nation, balance-band) total-variation distance between the
+    class's market-segment distribution and the whole table's — the
+    skewness-attack audit completing the privacy triad with
+    pii_k_anonymity and pii_l_diversity (Li et al. 2007; EMD ==
+    variational distance for nominal attributes).  One (QI, segment)
+    cell aggregation + two broadcast-sized re-aggregations; the
+    absent-value algebra keeps the class x value grid virtual.  The
+    oracle recomputes the same identity in SQL."""
+    from cdc_redshift_spark.operators.quality import t_closeness_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return t_closeness_report(
+        cust, ["nation", "bal_band"], "segment", t=0.3
+    ).orderBy("nation", "bal_band")
+
+
+ORACLE_T_CLOSENESS = """
+WITH cells AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment AS sv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer
+  GROUP BY 1, 2, 3
+), class_tot AS (
+  SELECT nation, bal_band, CAST(sum(c) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2
+), global_tot AS (
+  SELECT sv, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1
+), big_n AS (
+  SELECT CAST(sum(c) AS BIGINT) AS tot FROM cells
+), scored AS (
+  SELECT cells.nation, cells.bal_band, n,
+         abs(c / CAST(n AS DOUBLE) - g / CAST(tot AS DOUBLE))
+           - g / CAST(tot AS DOUBLE) AS term
+  FROM cells
+  JOIN global_tot USING (sv)
+  JOIN class_tot ON cells.nation = class_tot.nation
+               AND cells.bal_band = class_tot.bal_band
+  CROSS JOIN big_n
+)
+SELECT nation, bal_band,
+       CAST(max(n) AS BIGINT) AS n,
+       round(0.5 * (1.0 + sum(term)), 6) AS tvd,
+       round(0.5 * (1.0 + sum(term)), 6) > 0.3 AS leaks
+FROM scored
+GROUP BY 1, 2
+ORDER BY nation, bal_band
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_by_source": q_text_quality_by_source,
@@ -320,6 +377,7 @@ QUERIES = {
     "pii_redaction_report": q_pii_redaction_report,
     "pii_k_anonymity": q_pii_k_anonymity,
     "pii_l_diversity": q_pii_l_diversity,
+    "pii_t_closeness": q_pii_t_closeness,
 }
 
 ORACLES = {
@@ -330,4 +388,5 @@ ORACLES = {
     "pii_redaction_report": ORACLE_PII,
     "pii_k_anonymity": ORACLE_K_ANONYMITY,
     "pii_l_diversity": ORACLE_L_DIVERSITY,
+    "pii_t_closeness": ORACLE_T_CLOSENESS,
 }

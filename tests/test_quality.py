@@ -460,6 +460,54 @@ def test_l_diversity_null_sensitive_is_own_value(spark):
         l_diversity_violations(df, ["qi"], "diag", l=1)
 
 
+# -- t_closeness_report --------------------------------------------------
+
+
+def test_t_closeness_hand_computed_and_absent_values(spark):
+    """Hand-pinned TVD on a 2-value domain — global 8:2 over classes
+    X = (5a) and Y = (3a, 2b): both sit at TVD 0.2.  X has NO b cell,
+    so a correct result requires the absent-value algebra
+    (sum_s |p_c - p_g| = 1 + sum_present(|p_c - p_g| - p_g)); a naive
+    present-cells-only sum would report X at 0.1."""
+    from cdc_redshift_spark.operators.quality import t_closeness_report
+
+    rows = [("X", "a")] * 5 + [("Y", "a")] * 3 + [("Y", "b")] * 2
+    df = spark.createDataFrame(rows, "qi string, diag string")
+    out = {r["qi"]: r for r in t_closeness_report(
+        df, ["qi"], "diag", t=0.15
+    ).collect()}
+    assert out["X"]["n"] == 5 and out["X"]["tvd"] == pytest.approx(0.2)
+    assert out["Y"]["n"] == 5 and out["Y"]["tvd"] == pytest.approx(0.2)
+    assert out["X"]["leaks"] is True and out["Y"]["leaks"] is True
+
+
+def test_t_closeness_matching_class_is_zero_and_point_mass(spark):
+    """A class distributed exactly like the table scores 0; a point
+    mass on value s scores 1 - p_global(s) (the TV distance to the
+    global mixture)."""
+    from cdc_redshift_spark.operators.quality import t_closeness_report
+
+    # global: 10 a, 10 b; M matches it exactly; P is all-a
+    rows = (
+        [("M", "a")] * 8 + [("M", "b")] * 8
+        + [("P", "a")] * 2 + [("P", "b")] * 2
+    )
+    df = spark.createDataFrame(rows, "qi string, diag string")
+    out = {r["qi"]: r for r in t_closeness_report(
+        df, ["qi"], "diag"
+    ).collect()}
+    assert out["M"]["tvd"] == 0.0 and out["M"]["leaks"] is False
+    rows2 = [("G", "a")] * 6 + [("G", "b")] * 2 + [("P", "a")] * 2
+    df2 = spark.createDataFrame(rows2, "qi string, diag string")
+    out2 = {r["qi"]: r for r in t_closeness_report(
+        df2, ["qi"], "diag"
+    ).collect()}
+    # global p(a) = 8/10: point mass on a scores 1 - 0.8 = 0.2
+    assert out2["P"]["tvd"] == pytest.approx(0.2)
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness_report(df2, ["qi"], "diag", t=1.0)
+
+
 # -- k_anonymity_violations ----------------------------------------------
 
 

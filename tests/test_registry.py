@@ -23,9 +23,10 @@ def test_gate_window_pins_the_round12_rotation():
     not pinned here; tools/rotate_window.py recomputes it.)"""
     must_gate = {
         # round-12 additions: live bucket-geometry migration under
-        # maintenance, and the l-diversity privacy audit
+        # maintenance, and the privacy-triad completion
         "cdc_rollup_rebucket_stream",
         "pii_l_diversity",
+        "pii_t_closeness",
         # code MODIFIED this round must re-gate: the psi contract
         # changed (current-only keys surface, NaN exclusion) and the
         # snapshot store was rewritten (tokens + rebucket)

@@ -80,6 +80,7 @@ CALLOUTS = {
     "dq_drift_psi": "epoch bounds a 1-row broadcast; per-key ref stats a BroadcastHashJoin; ONE (key,bin) cell shuffle; no window, no sort",
     "pii_k_anonymity": "ONE map-side-combined hash aggregation on the QI tuple; violator filter on the aggregate",
     "pii_l_diversity": "two map-side-combined hash aggregations ((QI, sensitive) distinct-collapse, then QI); no join, no window; output bounded by violators",
+    "pii_t_closeness": "ONE (QI, sensitive) cell aggregation; global-value and 1-row total attaches broadcast; absent-value algebra keeps the class x value grid virtual",
     "emb_drift_report": "posexplode folds map-side into (label,pos) means -> shuffle carries |labels|*dim rows; cosine a |labels|-row aggregate; id bounds a 1-row broadcast",
     "corpus_token_drift": "token explode folds map-side into (source,token) counts (ONE wide shuffle); vocab window + OOV remap on the tiny count table; PSI over |sources|*51 cells",
     # cdc_stream_psi_drift localCheckpoints its maintained-state read
