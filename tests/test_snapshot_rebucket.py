@@ -243,6 +243,40 @@ def test_explicit_count_never_auto_migrates(spark, tmp_path):
     assert m._bucket_count() == n
 
 
+def test_crash_mid_rebucket_leaves_store_consistent(spark, tmp_path):
+    """The crash-safety claim in rebucket()'s docstring, pinned: all
+    migration mutation lands in the NEW version dir before the atomic
+    _LATEST flip, so a crash mid-migration (simulated: a partial
+    sub-version dir exists, pointer never flipped) leaves the store
+    reading the OLD version, routing by the OLD count, accepting the
+    next batch normally — and version pruning eventually removes the
+    orphan."""
+    m = _m(spark, tmp_path / "ru", n_buckets=4)
+    assert m.update(_delta(spark, [(1, f"k{i}", 1) for i in range(20)]), 0)
+    before = _state(m)
+    # simulate a torn migration: partial new-version dir, no flip
+    orphan = tmp_path / "ru" / "v0_r1"
+    (orphan / f"{BUCKET_COL}=0").mkdir(parents=True)
+    (orphan / f"{BUCKET_COL}=0" / "part-00000.parquet").write_bytes(
+        b"torn write"
+    )
+    (orphan / "_NBUCKETS").write_text("16")
+    assert m._committed_token() == "0"
+    assert m._bucket_count() == 4  # orphan's _NBUCKETS must NOT route
+    assert _state(m) == before
+    # next commits proceed normally; keep_versions=2 pruning removes
+    # the orphan once enough newer versions exist (sorted token order)
+    assert m.update(_delta(spark, [(1, "k0", 1)]), 1)
+    assert m.update(_delta(spark, [(1, "k1", 1)]), 2)
+    assert not orphan.exists(), "orphan dir must be pruned"
+    got = _state(m)
+    assert ("k0", 2, 2.0) in got and ("k1", 2, 2.0) in got
+    # and a LATER real migration still works over the healed store
+    assert m.rebucket(8) == 8
+    assert m._committed_token() == "2_r1"
+    assert _state(m) == got
+
+
 @given(
     plan=st.lists(
         st.one_of(
