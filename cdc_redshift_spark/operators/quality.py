@@ -590,6 +590,47 @@ def psi_drift(
     return psi_score(full, key_col, bins=bins, smooth=smooth, threshold=threshold)
 
 
+def emb_drift_score(per_dim: DataFrame, counts: DataFrame) -> DataFrame:
+    """Score per-dimension half-means into the embedding-drift report
+    — the shared back half of the ``emb_drift_report`` monitor,
+    factored out (round 13) so the batch face and the streaming
+    maintainer certify the IDENTICAL cosine expressions, mirroring
+    :func:`psi_score`'s role for the value monitor.
+
+    ``per_dim``: (label, pos, m_ref, m_cur) — the mean of embedding
+    component ``pos`` over each half (NULL when the half is empty for
+    the label).  ``counts``: (label, n_ref, n_cur) vector counts per
+    half.  Output: (label BIGINT, n_ref BIGINT, n_cur BIGINT,
+    mean_cosine DOUBLE rounded to 6 dp) — NULL cosine when either
+    half's mean vector has zero norm or no rows (an all-cancelling or
+    absent half has no direction; the guard keeps Spark 4's ANSI x/0
+    at the oracle's NULL semantics)."""
+    cos = (
+        per_dim.groupBy("label")
+        .agg(
+            F.sum(F.col("m_ref") * F.col("m_cur")).alias("dot"),
+            F.sqrt(F.sum(F.col("m_ref") * F.col("m_ref"))).alias("nr"),
+            F.sqrt(F.sum(F.col("m_cur") * F.col("m_cur"))).alias("nc"),
+        )
+        .select(
+            "label",
+            F.round(
+                F.when(
+                    F.col("nr") * F.col("nc") != 0.0,
+                    F.col("dot") / (F.col("nr") * F.col("nc")),
+                ),
+                6,
+            ).alias("mean_cosine"),
+        )
+    )
+    return counts.join(cos, "label").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        "mean_cosine",
+    )
+
+
 def k_anonymity_violations(
     df: DataFrame, quasi_cols: list[str], k: int = 5
 ) -> DataFrame:
@@ -693,7 +734,11 @@ def t_closeness_report(
     cells (map-side combined), a |classes|-sized and a |values|-sized
     re-aggregation, one broadcast join of the |values| global table
     and one 1-row total attach; the input is never shuffled on
-    anything finer than the cell grid.
+    anything finer than the cell grid.  Both re-attach joins are
+    NULL-SAFE (``eqNullSafe`` / ``IS NOT DISTINCT FROM``): a NULL
+    sensitive value is one value of its own and a NULL quasi-
+    identifier is a real class, so neither may drop from the term sum
+    the way a null-rejecting equi-join would silently do.
 
     Returns one row per class: (quasi_cols..., n, tvd, leaks) with
     n BIGINT, tvd rounded to 6 dp, ``leaks = tvd > t``.  Every class
@@ -712,12 +757,28 @@ def t_closeness_report(
     # "__tot", not "__N": Spark resolves columns case-insensitively by
     # default, so "__N" would collide with the per-class "__n"
     big_n = cells.agg(F.sum("__c").alias("__tot"))
+    # eqNullSafe keys keep NULL sensitive values and NULL QI classes
+    # in the report (plain equi-joins would drop them: the value's
+    # term would vanish from the sum while still counted in __n, and
+    # an all-NULL class would vanish entirely).  EqualNullSafe is a
+    # legal hash-join key, so both stay broadcast hash joins.
+    c, g, k = cells.alias("__cells"), global_tot.alias("__gt"), (
+        class_tot.alias("__ct")
+    )
+    qi_cond = F.lit(True)
+    for q in quasi_cols:
+        qi_cond = qi_cond & F.col(f"__cells.{q}").eqNullSafe(
+            F.col(f"__ct.{q}")
+        )
     scored = (
-        cells.join(F.broadcast(global_tot), "__sv")
-        .join(F.broadcast(class_tot), quasi_cols)
+        c.join(
+            F.broadcast(g),
+            F.col("__cells.__sv").eqNullSafe(F.col("__gt.__sv")),
+        )
+        .join(F.broadcast(k), qi_cond)
         .crossJoin(F.broadcast(big_n))
         .select(
-            *quasi_cols,
+            *[F.col(f"__cells.{q}").alias(q) for q in quasi_cols],
             "__n",
             (
                 F.abs(

@@ -1082,38 +1082,12 @@ def q_emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__is_ref"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(~F.col("__is_ref"), 1).otherwise(0)).alias("n_cur"),
     )
-    cos = (
-        per_dim.groupBy("label")
-        .agg(
-            F.sum(F.col("m_ref") * F.col("m_cur")).alias("dot"),
-            F.sqrt(F.sum(F.col("m_ref") * F.col("m_ref"))).alias("nr"),
-            F.sqrt(F.sum(F.col("m_cur") * F.col("m_cur"))).alias("nc"),
-        )
-        .select(
-            "label",
-            # NULL (not a crash) when either mean vector has zero
-            # norm: Spark 4's default ANSI mode raises on x/0 while
-            # the DuckDB oracle yields NULL — guard to the oracle's
-            # semantics (an all-cancelling half has no direction)
-            F.round(
-                F.when(
-                    F.col("nr") * F.col("nc") != 0.0,
-                    F.col("dot") / (F.col("nr") * F.col("nc")),
-                ),
-                6,
-            ).alias("mean_cosine"),
-        )
-    )
-    return (
-        counts.join(cos, "label")
-        .select(
-            F.col("label").cast("long").alias("label"),
-            F.col("n_ref").cast("long").alias("n_ref"),
-            F.col("n_cur").cast("long").alias("n_cur"),
-            "mean_cosine",
-        )
-        .orderBy("label")
-    )
+    # shared back half (operators/quality.emb_drift_score): the
+    # streaming face (cdc_stream_emb_drift) scores its maintained
+    # state through the IDENTICAL expressions
+    from cdc_redshift_spark.operators.quality import emb_drift_score
+
+    return emb_drift_score(per_dim, counts).orderBy("label")
 
 
 def _oracle_emb_drift() -> str:

@@ -354,9 +354,9 @@ WITH cells AS (
          abs(c / CAST(n AS DOUBLE) - g / CAST(tot AS DOUBLE))
            - g / CAST(tot AS DOUBLE) AS term
   FROM cells
-  JOIN global_tot USING (sv)
-  JOIN class_tot ON cells.nation = class_tot.nation
-               AND cells.bal_band = class_tot.bal_band
+  JOIN global_tot ON cells.sv IS NOT DISTINCT FROM global_tot.sv
+  JOIN class_tot ON cells.nation IS NOT DISTINCT FROM class_tot.nation
+               AND cells.bal_band IS NOT DISTINCT FROM class_tot.bal_band
   CROSS JOIN big_n
 )
 SELECT nation, bal_band,

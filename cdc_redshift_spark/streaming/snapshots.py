@@ -389,11 +389,27 @@ class VersionedSnapshotStore:
         plain empty write: it carries the schema in a metadata-only
         part file, reads back as zero rows, and — being UNBUCKETED —
         makes the next commit take the full (bootstrap-style) path,
-        which re-buckets.  Self-healing by construction."""
+        which re-buckets.  Self-healing by construction.
+
+        The fallback's ``mode("overwrite")`` clears the version dir —
+        including a ``_NBUCKETS`` recorded before this call — so the
+        pin is saved and re-written afterwards: without it an AUTO
+        store whose state empties would resolve its count from the
+        stale first-sized top-level ``_BUCKETS`` pin, silently
+        resetting a geometrically grown grid and re-paying the
+        migration cost as state regrows."""
         for root, _dirs, files in os.walk(vdir):
             if any(not f.startswith((".", "_")) for f in files):
                 return
+        npin = os.path.join(vdir, "_NBUCKETS")
+        pinned = None
+        if os.path.exists(npin):
+            with open(npin) as f:
+                pinned = f.read().strip()
         state.limit(0).drop(BUCKET_COL).write.mode("overwrite").parquet(vdir)
+        if pinned is not None:
+            with open(npin, "w") as f:
+                f.write(pinned)
 
     def _record_nbuckets(self, vdir: str, n: int) -> None:
         """Record the count a version's layout was hashed with INSIDE
@@ -424,20 +440,38 @@ class VersionedSnapshotStore:
         )
 
     def _flip(self, token: int | str) -> None:
+        prev_tok = self._committed_token()
+        prev_key = None if prev_tok is None else _parse_token(prev_tok)
         tmp = os.path.join(self.path, "_LATEST.tmp")
         with open(tmp, "w") as f:
             f.write(str(token))
         os.replace(tmp, os.path.join(self.path, "_LATEST"))
         # prune old snapshots beyond keep_versions (the previous one is
         # kept so a reader holding the old pointer still resolves;
-        # hard-linked files survive — rmtree only unlinks names)
+        # hard-linked files survive — rmtree only unlinks names).
+        # Any dir newer than the PREVIOUSLY committed token, other than
+        # the one just flipped, was never committed (a crash-aborted
+        # rebucket / write): delete it outright rather than counting it
+        # toward keep_versions — counted, it would push the genuinely
+        # previous version out one flip early and break the
+        # reader-holding-the-old-pointer guarantee.
+        new_key = _parse_token(str(token))
         versions = []
         for d in os.listdir(self.path):
             if not d.startswith("v"):
                 continue
             try:
-                versions.append((_parse_token(d[1:]), d))
+                key = _parse_token(d[1:])
             except ValueError:
                 continue
+            if key == new_key:
+                continue
+            if prev_key is None or key > prev_key:
+                shutil.rmtree(
+                    os.path.join(self.path, d), ignore_errors=True
+                )
+                continue
+            versions.append((key, d))
+        versions.append((new_key, f"v{token}"))
         for _key, d in sorted(versions)[: -self.keep_versions]:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

@@ -508,6 +508,43 @@ def test_t_closeness_matching_class_is_zero_and_point_mass(spark):
         t_closeness_report(df2, ["qi"], "diag", t=1.0)
 
 
+def test_t_closeness_null_sensitive_is_own_value(spark):
+    """NULL sensitive values are one value of their own — they must
+    survive the global-distribution join (eqNullSafe), not silently
+    drop from the term sum.  Global: NULL 3/4, a 1/4.  Class X
+    (all-NULL, would VANISH under a null-rejecting join) and class Y
+    (a + NULL) both sit at TVD 0.25 by hand; the old equi-join bug
+    would have dropped X and scored Y at 0.5."""
+    from cdc_redshift_spark.operators.quality import t_closeness_report
+
+    rows = [("X", None), ("X", None), ("Y", "a"), ("Y", None)]
+    df = spark.createDataFrame(rows, "qi string, diag string")
+    out = {r["qi"]: r for r in t_closeness_report(
+        df, ["qi"], "diag", t=0.2
+    ).collect()}
+    assert set(out) == {"X", "Y"}
+    assert out["X"]["n"] == 2 and out["X"]["tvd"] == pytest.approx(0.25)
+    assert out["Y"]["n"] == 2 and out["Y"]["tvd"] == pytest.approx(0.25)
+    assert out["X"]["leaks"] is True
+
+
+def test_t_closeness_null_quasi_identifier_is_a_class(spark):
+    """A NULL quasi-identifier is a real (linkable) class and must
+    appear in the report — the class-total join is null-safe on every
+    QI column.  Global: a 3/4, b 1/4; the NULL-QI class is a point
+    mass on a (TVD 1 - 0.75 = 0.25), class Z splits evenly (0.25)."""
+    from cdc_redshift_spark.operators.quality import t_closeness_report
+
+    rows = [(None, "a"), (None, "a"), ("Z", "a"), ("Z", "b")]
+    df = spark.createDataFrame(rows, "qi string, diag string")
+    out = {r["qi"]: r for r in t_closeness_report(
+        df, ["qi"], "diag", t=0.2
+    ).collect()}
+    assert set(out) == {None, "Z"}
+    assert out[None]["n"] == 2 and out[None]["tvd"] == pytest.approx(0.25)
+    assert out["Z"]["tvd"] == pytest.approx(0.25)
+
+
 # -- k_anonymity_violations ----------------------------------------------
 
 

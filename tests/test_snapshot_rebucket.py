@@ -321,3 +321,56 @@ def test_rebucket_interleaved_equals_full_rewrite(
         mb.update(_delta(spark, step), bid)
         bid += 1
     assert _state(ma) == _state(mb)
+
+
+def test_orphan_never_displaces_previous_committed_version(
+    spark, tmp_path
+):
+    """ADVICE r12: a crash-aborted rebucket orphan (v0_r1, never
+    committed) must not count toward keep_versions — with
+    keep_versions=2 the flip to v1 must keep the genuinely previous
+    committed v0 (a reader holding the old pointer still resolves)
+    and delete the orphan outright, not the other way around."""
+    m = _m(spark, tmp_path / "ru", n_buckets=4)
+    assert m.update(_delta(spark, [(1, f"k{i}", 1) for i in range(8)]), 0)
+    orphan = tmp_path / "ru" / "v0_r1"
+    (orphan / f"{BUCKET_COL}=0").mkdir(parents=True)
+    (orphan / f"{BUCKET_COL}=0" / "part-00000.parquet").write_bytes(
+        b"torn write"
+    )
+    (orphan / "_NBUCKETS").write_text("16")
+    assert m.update(_delta(spark, [(1, "k0", 1)]), 1)
+    assert not orphan.exists(), "never-committed orphan must be deleted"
+    assert (tmp_path / "ru" / "v0").exists(), (
+        "previous committed version displaced by the orphan"
+    )
+    assert (tmp_path / "ru" / "v1").exists()
+
+
+def test_empty_state_fallback_preserves_grown_bucket_count(
+    spark, tmp_path
+):
+    """ADVICE r12: the _ensure_readable empty-state fallback rewrites
+    the version dir with mode('overwrite'), which used to delete the
+    just-recorded _NBUCKETS — an AUTO store whose state emptied then
+    resolved its count from the stale first-sized _BUCKETS pin,
+    silently resetting a geometrically grown grid.  The pin must
+    survive the fallback."""
+    m = _m(spark, tmp_path / "ru", n_buckets="auto",
+           target_bucket_bytes=16 << 10)
+    rows = [(1, _hexkey(i), 1) for i in range(400)]
+    assert m.update(_delta(spark, rows), 0)
+    assert m.update(_delta(spark, [(1, _hexkey(0), 1)]), 1)
+    stale_pin = int((tmp_path / "ru" / "_BUCKETS").read_text())
+    grown = m.rebucket(max(8, stale_pin * 4))
+    assert grown > stale_pin
+    # retract EVERYTHING (batch 0's rows plus batch 1's duplicate of
+    # key 0): the committed state empties, the bucketed write emits no
+    # data file, and the fallback plain write fires
+    retract = [(-1, k, v) for _s, k, v in rows] + [(-1, _hexkey(0), 1)]
+    assert m.update(_delta(spark, retract), 2)
+    cur = m.current()
+    assert cur is None or cur.count() == 0
+    assert m._bucket_count() == grown, (
+        "grown bucket count must survive the empty-state fallback"
+    )
