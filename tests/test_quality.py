@@ -675,3 +675,31 @@ def test_rollup_count_only_grain_with_retraction(spark, tmp_path):
     assert m.update(ret, 1)
     state = {r["g"]: r["n"] for r in m.current().collect()}
     assert state == {"a": 2}
+
+
+# -- emb_drift_score (shared batch/streaming back half) ------------------
+
+
+def test_emb_drift_score_hand_computed(spark):
+    """Hand-pinned: identical mean vectors score cosine 1; orthogonal
+    ones score 0; a zero-norm half scores NULL (not a crash — ANSI
+    x/0 guarded to the oracle's NULL semantics)."""
+    from cdc_redshift_spark.operators.quality import emb_drift_score
+
+    per_dim = spark.createDataFrame(
+        [
+            (1, 0, 1.0, 1.0), (1, 1, 2.0, 2.0),      # identical
+            (2, 0, 1.0, 0.0), (2, 1, 0.0, 1.0),      # orthogonal
+            (3, 0, 0.0, 1.0), (3, 1, 0.0, 2.0),      # zero-norm ref
+        ],
+        "label int, pos int, m_ref double, m_cur double",
+    )
+    counts = spark.createDataFrame(
+        [(1, 4, 4), (2, 2, 2), (3, 3, 1)],
+        "label int, n_ref int, n_cur int",
+    )
+    out = {r["label"]: r for r in emb_drift_score(per_dim, counts).collect()}
+    assert out[1]["mean_cosine"] == pytest.approx(1.0)
+    assert out[2]["mean_cosine"] == 0.0
+    assert out[3]["mean_cosine"] is None
+    assert out[1]["n_ref"] == 4 and out[3]["n_cur"] == 1
