@@ -1339,6 +1339,115 @@ def q_plan_hot_key_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("candidate")
 
 
+def q_plan_salted_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED skew-mitigation path end to end (VERDICT r11 #5):
+    flag → confirm → salted execution, the chain a skewed 100 TB join
+    actually runs.  The pieces are individually driver-certified
+    (``plan_blowup_probe`` prices the blowup, ``plan_hot_key_probe``
+    names hot keys, pytest pins ``apply_join_plan(salt_factor=…)``
+    row identity); this entry certifies the composition.
+
+    The fixture is the events user self-join (quadratic per-user
+    multiplicities — the shape ``plan_blowup_probe`` flags):
+
+    1. ``join_plan`` over sidecar-shaped stats with CM sketches,
+       ``broadcast_threshold=0`` emulating the at-scale regime where
+       neither side broadcasts — the plan must land on ``shuffle``
+       with ``blowup_risk`` set (pinned in-query);
+    2. ``confirm_hot_keys`` CM-point-queries the live side's top-2
+       keys plus an absent control against :data:`HOT_KEY_MIN_ROWS`
+       — the top keys must confirm, the control must not (pinned);
+    3. ``apply_join_plan(salt_factor=8)`` executes the join as
+       ``salted_join`` (fact spread over 8 sub-partitions per key,
+       dim replicated 8×; ``event_id`` as the deterministic
+       discriminator so placement is reproducible) — the analyzed
+       plan must carry the ``__salt`` key (pinned: the mitigation
+       actually engaged, not silently skipped).
+
+    Output: per-user joined-pair count and an id-sum over the pairs
+    (certifies the PAIRING, not just cardinality), oracled by the
+    UNSALTED join's SQL — green = the mitigated execution is
+    row-identical to the plain join."""
+    from cdc_redshift_spark.operators.planner import (
+        CM_SKETCH,
+        apply_join_plan,
+        confirm_hot_keys,
+        df_key_stats,
+        join_plan,
+    )
+    from cdc_redshift_spark.operators.sketches import cm_collect, cm_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(F.col("user_id").cast("string").alias("k"))
+    st = df_key_stats(k, "k")
+    st[CM_SKETCH] = {
+        "n": st["k"]["n"],
+        "d": JS_D,
+        "w": JS_W,
+        "key": "k",
+        "cells": cm_collect(cm_sketch(k, "k", d=JS_D, w=JS_W)),
+        "dtype": "string",
+    }
+    # threshold 0: at the scale this path exists for, neither side of
+    # the join fits a broadcast — the fixture's plan must take the
+    # shuffle strategy or the salted branch never runs
+    plan = join_plan(st, st, "k", broadcast_threshold=0)
+    if plan["strategy"] != "shuffle" or not plan["blowup_risk"]:
+        raise RuntimeError(f"salted-exec fixture plan broken: {plan}")
+    top = [
+        r["k"]
+        for r in k.groupBy("k")
+        .count()
+        .orderBy(F.desc("count"), F.asc("k"))
+        .limit(2)
+        .collect()
+    ]
+    hot = confirm_hot_keys(st, [*top, "no-such-user"], HOT_KEY_MIN_ROWS)
+    if set(hot) != set(top):
+        raise RuntimeError(
+            f"hot-key confirmation no longer discriminates: {hot}"
+        )
+    left = ev.select("user_id", F.col("event_id").alias("a_id"))
+    right = ev.select("user_id", F.col("event_id").alias("b_id"))
+    joined = apply_join_plan(
+        left,
+        right,
+        "user_id",
+        plan,
+        salt_factor=8,
+        discriminator="a_id",
+    )
+    if "__salt" not in joined._jdf.queryExecution().analyzed().toString():
+        raise RuntimeError(
+            "salted mitigation did not engage (no __salt in plan)"
+        )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("a_id") + F.col("b_id")).cast("long").alias(
+                "sum_ids"
+            ),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_pairs",
+            "sum_ids",
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_PLAN_SALTED = """
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(a.event_id + b.event_id) AS BIGINT) AS sum_ids
+FROM events a JOIN events b ON a.user_id = b.user_id
+GROUP BY 1
+ORDER BY user_id
+"""
+
+
 _H1 = "('0x' || substr(md5(c.k), 1, 15))::BIGINT"
 _H2 = "((('0x' || substr(md5('c:' || c.k), 1, 15))::BIGINT) | 1)"
 
@@ -1516,6 +1625,7 @@ QUERIES = {
     "sketch_join_size": q_sketch_join_size,
     "plan_blowup_probe": q_plan_blowup_probe,
     "plan_hot_key_probe": q_plan_hot_key_probe,
+    "plan_salted_exec": q_plan_salted_exec,
     "events_incremental_rollup": q_events_incremental_rollup,
     "sketch_cm_tokens": q_sketch_cm_tokens,
     "scd2_user_history": q_scd2_user_history,
@@ -1538,6 +1648,7 @@ ORACLES = {
     "sketch_join_size": _oracle_join_size(),
     "plan_blowup_probe": _oracle_plan_blowup(),
     "plan_hot_key_probe": _oracle_plan_hot_key(),
+    "plan_salted_exec": ORACLE_PLAN_SALTED,
     "sketch_cm_tokens": _oracle_cm_tokens(),
     "events_incremental_rollup": ORACLE_INCR_ROLLUP,
     "scd2_user_history": ORACLE_SCD2,
