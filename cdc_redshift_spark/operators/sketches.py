@@ -470,43 +470,98 @@ def duck_hll8_registers(
     (k-1), value = min(CLZ64(h2), 62) + 1 → max per slot, zero slots
     materialized via a dim x range(k) grid.
 
-    The murmur3 here covers the TAIL path only (strings <= 15 bytes
-    — no 16-byte block rounds): integer keys cast to VARCHAR stay
-    far under that at any SF, and the Spark-side query asserts the
-    bound in-query so both engines stay inside the mirrored domain.
+    The murmur3 covers the FULL algorithm (round 13): the 16-byte
+    block rounds run as a recursive CTE carrying (h1, h2) across
+    ``strlen // 16`` iterations, then the 0–15-byte tail and the
+    length-xor/fmix finalization — so keys of ANY length mirror,
+    not just the <= 15-byte tail-only domain of rounds 10–12.
     Byte extraction rides ``ord(substr(...))`` (code points), so the
-    domain is ASCII keys — exactly what numeric ids cast to VARCHAR
-    produce; a non-ASCII key would need a byte-level decode instead.
-    64-bit wrap math rides HUGEINT with split multiplies
+    domain is ASCII keys — what ids and ASCII composites produce; a
+    non-ASCII key would need a byte-level decode instead.  64-bit
+    wrap math rides HUGEINT with split multiplies
     (:func:`_duck_mul64`); bit ops are DuckDB-native on UBIGINT."""
     k = 1 << lgk
     C1 = "9782798678568883157::UBIGINT"  # 0x87c37b91114253d5
     C2 = "5545529020109919103::UBIGINT"  # 0x4cf5ad432745937f
     seed = "9001::UBIGINT"
+    M = "18446744073709551616"
+
+    def le64(off_expr: str, lo: int, hi_expr: str, base: int) -> str:
+        # little-endian uint64 of bytes s[off_expr + lo .. off_expr +
+        # hi_expr], weighted from byte index `base` (sum < 2^67, fits
+        # HUGEINT before the wrap)
+        return (
+            f"CAST(COALESCE(list_sum(list_transform("
+            f"range({lo}, {hi_expr} + 1), "
+            f"bi -> ord(substr(s, ({off_expr} + bi)::INT, 1))::HUGEINT"
+            f" * (1::HUGEINT << (8 * (bi - {base}))))), 0) % {M}"
+            f" AS UBIGINT)"
+        )
+
     return f"""
-  WITH hx_base AS (
+  WITH RECURSIVE hx_base AS (
     SELECT DISTINCT {dim} AS d, {key_expr} AS s FROM ({source_sql})
   ),
+  hx_meta AS (
+    SELECT d, s, strlen(s) AS t, strlen(s) // 16 AS nb FROM hx_base
+  ),
+  hx_blk AS (
+    SELECT d, s, t, nb, 0 AS i, {seed} AS h1, {seed} AS h2 FROM hx_meta
+    UNION ALL
+    SELECT d, s, t, nb, i + 1 AS i,
+           h1n AS h1,
+           CAST((h2z::HUGEINT * 5 + 944331445) % {M} AS UBIGINT) AS h2
+    FROM (
+      SELECT d, s, t, nb, i, h1n,
+             CAST((({_duck_rotl64("h2x", 31)})::HUGEINT
+                   + h1n::HUGEINT) % {M} AS UBIGINT) AS h2z
+      FROM (
+        SELECT d, s, t, nb, i, h1n, xor(h2, k2m) AS h2x
+        FROM (
+          SELECT d, s, t, nb, i, h2, k2m,
+                 CAST((h1z::HUGEINT * 5 + 1390208809) % {M}
+                      AS UBIGINT) AS h1n
+          FROM (
+            SELECT d, s, t, nb, i, h2, k2m,
+                   CAST((({_duck_rotl64("h1x", 27)})::HUGEINT
+                         + h2::HUGEINT) % {M} AS UBIGINT) AS h1z
+            FROM (
+              SELECT d, s, t, nb, i, h2, k2m, xor(h1, k1m) AS h1x
+              FROM (
+                SELECT d, s, t, nb, i, h1, h2,
+                  {_duck_mul64(_duck_rotl64(_duck_mul64("k1", C1), 31), C2)} AS k1m,
+                  {_duck_mul64(_duck_rotl64(_duck_mul64("k2", C2), 33), C1)} AS k2m
+                FROM (
+                  SELECT d, s, t, nb, i, h1, h2,
+                    {le64("16 * i", 1, "8", 1)} AS k1,
+                    {le64("16 * i", 9, "16", 9)} AS k2
+                  FROM hx_blk WHERE i < nb
+                )
+              )
+            )
+          )
+        )
+      )
+    )
+  ),
+  hx_done AS (
+    SELECT d, s, t, nb, h1, h2, t - 16 * nb AS rem
+    FROM hx_blk WHERE i = nb
+  ),
   hx_kk AS (
-    SELECT d, s, strlen(s) AS t,
-      CAST(COALESCE(list_sum(list_transform(range(1, least(strlen(s), 8) + 1),
-          i -> ord(substr(s, i::INT, 1))::HUGEINT
-               * (1::HUGEINT << (8 * (i::INT - 1))))), 0)
-           % 18446744073709551616 AS UBIGINT) AS k1,
-      CAST(COALESCE(list_sum(list_transform(range(9, strlen(s) + 1),
-          i -> ord(substr(s, i::INT, 1))::HUGEINT
-               * (1::HUGEINT << (8 * (i::INT - 9))))), 0)
-           % 18446744073709551616 AS UBIGINT) AS k2
-    FROM hx_base
+    SELECT d, t, h1, h2, rem,
+      {le64("16 * nb", 1, "least(rem, 8)", 1)} AS k1,
+      {le64("16 * nb", 9, "rem", 9)} AS k2
+    FROM hx_done
   ),
   hx_tail AS (
     SELECT d, t,
-      CASE WHEN t > 0 THEN xor({seed},
+      CASE WHEN rem > 0 THEN xor(h1,
         {_duck_mul64(_duck_rotl64(_duck_mul64("k1", C1), 31), C2)})
-        ELSE {seed} END AS h1a,
-      CASE WHEN t > 8 THEN xor({seed},
+        ELSE h1 END AS h1a,
+      CASE WHEN rem > 8 THEN xor(h2,
         {_duck_mul64(_duck_rotl64(_duck_mul64("k2", C2), 33), C1)})
-        ELSE {seed} END AS h2a
+        ELSE h2 END AS h2a
     FROM hx_kk
   ),
   hx_len AS (

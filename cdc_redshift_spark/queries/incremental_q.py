@@ -297,30 +297,52 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg keeps its ESTIMATE certification in-query: the DataSketches
     composite/HIP estimate is implementation-defined (no SQL
     mirror), so a >5% miss vs the exact distinct count RAISES
-    instead of hashing.  Key strings are asserted <= 15 bytes — the
-    oracle's murmur3 mirrors the tail path only (no 16-byte block
-    rounds), which any integer id satisfies."""
+    instead of hashing.
+
+    LONG-KEY fixture since round 13 (VERDICT r11 #7): the register
+    leg's key is an injective user_id composite spanning THREE
+    murmur3 length classes — 16 bytes (one block, empty tail), 25
+    bytes (block + 9-byte tail, both tail legs), and a short <= 8-
+    byte form — so the oracle's recursive-CTE block rounds are
+    exercised alongside the tail path; the class coverage is pinned
+    in-query (the old <= 15-byte domain assert is gone with the
+    domain restriction itself)."""
     from cdc_redshift_spark.operators.sketches import parse_hll8
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.to_date("ts")
-    )
-    exact = {
-        r["event_type"]: (r["n_exact"], r["max_len"])
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_exact"),
-            F.max(F.length(F.col("user_id").cast("string"))).alias(
-                "max_len"
-            ),
+    s = F.col("user_id").cast("string")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn(
+            "hll_key",
+            F.when(
+                F.pmod(F.col("user_id"), F.lit(3)) == 0,
+                F.concat(F.lit("user-"), F.lpad(s, 11, "0")),
+            )
+            .when(
+                F.pmod(F.col("user_id"), F.lit(3)) == 1,
+                F.concat(F.lit("user-"), F.lpad(s, 20, "0")),
+            )
+            .otherwise(F.concat(F.lit("u"), s)),
         )
+    )
+    lens = {
+        r["L"]
+        for r in ev.select(F.length("hll_key").alias("L"))
+        .distinct()
         .collect()
     }
-    if max(ml for _, ml in exact.values()) > 15:
+    if not (16 in lens and 25 in lens and any(x <= 15 for x in lens)):
         raise RuntimeError(
-            "user_id strings exceed 15 bytes — outside the oracle "
-            "murmur3 tail-path domain"
+            f"long-key fixture no longer spans the murmur3 length "
+            f"classes (block-only / block+tail / tail-only): {lens}"
         )
+    exact = {
+        r["event_type"]: (r["n_exact"], None)
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .collect()
+    }
     # production leg (lgk=12): estimate must hold its error bound
     est12 = hll_merge_estimate(
         hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=12),
@@ -335,9 +357,9 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{r['n_est']} vs exact {n_exact}"
             )
     # register leg (lgk=4, promotes at every SF): emit the merged
-    # sketch's register bytes as the hash-gated output.  Bounded
-    # collect: n_types x (40 + 16) bytes.
-    daily4 = hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=4)
+    # sketch's register bytes as the hash-gated output, keyed on the
+    # long-key composite.  Bounded collect: n_types x (40 + 16) bytes.
+    daily4 = hll_rollup(ev, dims=["event_type", "day"], col="hll_key", lgk=4)
     merged4 = daily4.groupBy("event_type").agg(
         F.hll_union_agg(F.col("hll"), F.lit(False)).alias("hll")
     )
@@ -1530,10 +1552,16 @@ FROM probe ORDER BY join_name
 def _oracle_hll_registers() -> str:
     from cdc_redshift_spark.operators.sketches import duck_hll8_registers
 
+    # the long-key composite (round 13): three murmur3 length classes
+    # — 16 B (pure block), 25 B (block + 9-byte tail), short tail-only
     body = duck_hll8_registers(
         "SELECT event_type, user_id FROM events",
         "event_type",
-        "CAST(user_id AS VARCHAR)",
+        "CASE WHEN user_id % 3 = 0"
+        " THEN 'user-' || lpad(CAST(user_id AS VARCHAR), 11, '0')"
+        " WHEN user_id % 3 = 1"
+        " THEN 'user-' || lpad(CAST(user_id AS VARCHAR), 20, '0')"
+        " ELSE 'u' || CAST(user_id AS VARCHAR) END",
         lgk=4,
     )
     return body + "\nORDER BY event_type, slot"

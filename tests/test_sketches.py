@@ -529,14 +529,16 @@ def test_cm_self_join_estimate_bounds_sum_of_squares(a, d):
 
 def test_duck_murmur3_register_mirror_boundary_strings():
     """The DuckDB murmur3_x64_128 mirror inside duck_hll8_registers
-    must agree with the pure-Python public-spec mirror across its
-    whole supported domain — ASCII strings of 0..15 bytes (the tail
-    path; 16+ hits the block rounds and is OUT of domain, which the
-    Spark query guards in-query).  Pure-DuckDB test: build registers
-    over adversarial keys (empty string excluded — the fixture needs
-    one row per key and '' hashes fine but can't survive the VARCHAR
-    round-trip distinctly from NULL in a VALUES list) and compare to
-    hll8_registers at the byte level."""
+    must agree with the pure-Python public-spec mirror across ASCII
+    strings of ANY length (round 13, VERDICT r11 #7: the 16-byte
+    block rounds now run as a recursive CTE, so 16+-byte keys are IN
+    domain).  Pure-DuckDB test: adversarial keys across every
+    boundary — sub-8 (k1-only tail), exactly 8, 9..15 (k2 tail),
+    exactly 16 (one block, empty tail), 16+1 / 16+8 / 16+9 (block
+    plus each tail leg), 2 and 3 blocks, 100 bytes — compared to
+    hll8_registers at the byte level.  (Empty string excluded — it
+    hashes fine but can't survive the VALUES-list VARCHAR round-trip
+    distinctly from NULL.)"""
     import duckdb
 
     from cdc_redshift_spark.operators.sketches import duck_hll8_registers
@@ -547,8 +549,13 @@ def test_duck_murmur3_register_mirror_boundary_strings():
         "abcdefgh", "12345678",                # exactly 8 (k1 full)
         "abcdefghi", "987654321012345",        # 9..15 (k2 path)
         "had", "HAD", "~~~~~~~~~~~~~~~",       # case + punct, 15 bytes
+        "0123456789abcdef",                    # 16: 1 block, no tail
+        "0123456789abcdefX",                   # block + 1-byte tail
+        "0123456789abcdefABCDEFGH",            # block + 8-byte tail
+        "0123456789abcdefABCDEFGHI",           # block + 9 (k2 tail)
+        "0123456789abcdef0123456789abcdef",    # 2 blocks, no tail
+        "u" * 47, "u" * 48, "x" * 100,         # multi-block + tails
     ]
-    assert all(len(k) <= 15 for k in keys)
     lgk = 4
     vals = ", ".join(f"('g', '{k}')" for k in keys)
     sql = duck_hll8_registers(
