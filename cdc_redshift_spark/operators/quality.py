@@ -590,6 +590,123 @@ def psi_drift(
     return psi_score(full, key_col, bins=bins, smooth=smooth, threshold=threshold)
 
 
+def t_closeness_ordered_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """Per-QI-class t-closeness for an ORDERED (numeric/ordinal)
+    sensitive attribute — the paper's second distance (Li, Li,
+    Venkatasubramanian 2007): with ground distance |i-j|/(m-1) over
+    the m-value order, the Earth Mover's Distance has the closed
+    form
+
+        EMD = (1/(m-1)) * sum_i | sum_{j<=i} (p_j - q_j) |
+
+    — the running prefix sum of the class-vs-global probability gap,
+    accumulated along the value order.  This is what distinguishes a
+    class skewed into an ADJACENT band from one skewed into a FAR
+    band; the nominal form (:func:`t_closeness_report`) scores both
+    identically.
+
+    Unlike the nominal monitor, the grid here is MATERIALIZED at
+    |classes| x m cells: the prefix sum changes at every global
+    value an absent class value passes through, so observed cells
+    alone cannot carry it.  That stays input-size-independent — the
+    Exchange moves cells, never rows — and m is small by the same
+    generalization stance as the QI projection: an ordered audit
+    runs on BANDED values (the paper's own setup), so pick the band
+    projection explicitly, as with the quasi-identifiers.
+
+    NULL sensitive values are EXCLUDED here (a missing value has no
+    position in the order, so it cannot participate in a transport
+    distance) — the opposite of the nominal monitor's NULL-as-own-
+    value stance, deliberate and documented: audit missingness with
+    :func:`t_closeness_report` / :func:`l_diversity_violations`, and
+    order-distance the values that exist.  A class that is all-NULL
+    therefore does not appear.  NULL quasi-identifiers remain real
+    classes (null-safe grid join).
+
+    Scale shape: one hash aggregation to observed (QI, value) cells,
+    an m-row global value table (broadcast; its rank window runs on
+    those m rows only), one |classes| x m grid via broadcast cross
+    join, one window Exchange partitioned BY CLASS over the grid.
+
+    Returns one row per class: (quasi_cols..., n, emd, leaks) with
+    n BIGINT (non-NULL rows), emd rounded to 6 dp, ``leaks = emd >
+    t``; a single-value order (m == 1) scores 0 for every class."""
+    from pyspark.sql import Window
+
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    cells = (
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*quasi_cols, F.col(sensitive_col).alias("__sv"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # global value order: m rows, ranked by the attribute's own order
+    # (single-partition window — bounded by m, never by input rows)
+    vals = (
+        cells.groupBy("__sv")
+        .agg(F.sum("__c").alias("__g"))
+        .select(
+            "__sv",
+            "__g",
+            F.row_number().over(Window.orderBy("__sv")).alias("__i"),
+        )
+    )
+    class_tot = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("__n")
+    )
+    big = vals.agg(
+        F.sum("__g").alias("__tot"), F.count(F.lit(1)).alias("__m")
+    )
+    grid = class_tot.alias("__ct").crossJoin(
+        F.broadcast(vals.alias("__vals"))
+    )
+    cell_cond = F.col("__vals.__sv") == F.col("__cells.__sv")
+    for q in quasi_cols:
+        cell_cond = cell_cond & F.col(f"__ct.{q}").eqNullSafe(
+            F.col(f"__cells.{q}")
+        )
+    joined = grid.join(cells.alias("__cells"), cell_cond, "left")
+    wc = Window.partitionBy(
+        *[F.col(f"__ct.{q}") for q in quasi_cols]
+    ).orderBy("__i")
+    cum = joined.crossJoin(F.broadcast(big)).select(
+        *[F.col(f"__ct.{q}").alias(q) for q in quasi_cols],
+        "__n",
+        "__m",
+        F.sum(
+            F.coalesce(F.col("__cells.__c"), F.lit(0)) / F.col("__n")
+            - F.col("__g") / F.col("__tot")
+        )
+        .over(wc)
+        .alias("__cum"),
+    )
+    return (
+        cum.groupBy(*quasi_cols)
+        .agg(
+            F.first("__n").cast("long").alias("n"),
+            F.round(
+                F.when(
+                    F.first("__m") > 1,
+                    F.sum(F.abs(F.col("__cum")))
+                    / (F.first("__m") - F.lit(1)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("emd"),
+        )
+        .select(
+            *quasi_cols,
+            "n",
+            "emd",
+            (F.col("emd") > F.lit(float(t))).alias("leaks"),
+        )
+    )
+
+
 def emb_drift_score(per_dim: DataFrame, counts: DataFrame) -> DataFrame:
     """Score per-dimension half-means into the embedding-drift report
     — the shared back half of the ``emb_drift_report`` monitor,

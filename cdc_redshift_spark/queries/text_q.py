@@ -369,6 +369,72 @@ ORDER BY nation, bal_band
 """
 
 
+def q_pii_t_closeness_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered t-closeness (operators/quality.
+    t_closeness_ordered_report): per-nation EMD between the nation's
+    ACCOUNT-BALANCE BAND distribution and the table's, under the
+    ordered ground distance |i-j|/(m-1) — the paper's second
+    distance, completing pii_t_closeness (Li et al. 2007: a nation
+    skewed one band up is NOT the same leak as one skewed into the
+    far tail, which the nominal TVD cannot see).  The sensitive
+    attribute is the explicit floor-1000 banding — ordered audits
+    run on banded values, the same generalization stance as the QI
+    projection.  One cell aggregation, an m-row broadcast value
+    table, a |classes| x m grid and one per-class prefix-sum window
+    over it; the oracle recomputes the identical prefix-sum identity
+    in SQL."""
+    from cdc_redshift_spark.operators.quality import (
+        t_closeness_ordered_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    )
+    return t_closeness_ordered_report(
+        cust, ["nation"], "bal_band", t=0.05
+    ).orderBy("nation")
+
+
+ORACLE_T_CLOSENESS_ORDERED = """
+WITH cells AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer
+  GROUP BY 1, 2
+), vals AS (
+  SELECT sv, CAST(sum(c) AS BIGINT) AS g,
+         row_number() OVER (ORDER BY sv) AS i
+  FROM cells GROUP BY sv
+), classes AS (
+  SELECT nation, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+), big AS (
+  SELECT CAST(sum(g) AS BIGINT) AS tot, count(*) AS m FROM vals
+), cum AS (
+  SELECT cl.nation, cl.n, v.i, big.m,
+         sum(coalesce(ce.c, 0) / CAST(cl.n AS DOUBLE)
+             - v.g / CAST(big.tot AS DOUBLE))
+           OVER (PARTITION BY cl.nation ORDER BY v.i) AS pcum
+  FROM classes cl
+  CROSS JOIN vals v
+  LEFT JOIN cells ce ON cl.nation = ce.nation AND v.sv = ce.sv
+  CROSS JOIN big
+)
+SELECT nation,
+       CAST(max(n) AS BIGINT) AS n,
+       round(CASE WHEN max(m) > 1
+                  THEN sum(abs(pcum)) / (max(m) - 1)
+                  ELSE 0.0 END, 6) AS emd,
+       round(CASE WHEN max(m) > 1
+                  THEN sum(abs(pcum)) / (max(m) - 1)
+                  ELSE 0.0 END, 6) > 0.05 AS leaks
+FROM cum
+GROUP BY 1
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality_by_source": q_text_quality_by_source,
@@ -378,6 +444,7 @@ QUERIES = {
     "pii_k_anonymity": q_pii_k_anonymity,
     "pii_l_diversity": q_pii_l_diversity,
     "pii_t_closeness": q_pii_t_closeness,
+    "pii_t_closeness_ordered": q_pii_t_closeness_ordered,
 }
 
 ORACLES = {
@@ -389,4 +456,5 @@ ORACLES = {
     "pii_k_anonymity": ORACLE_K_ANONYMITY,
     "pii_l_diversity": ORACLE_L_DIVERSITY,
     "pii_t_closeness": ORACLE_T_CLOSENESS,
+    "pii_t_closeness_ordered": ORACLE_T_CLOSENESS_ORDERED,
 }

@@ -703,3 +703,86 @@ def test_emb_drift_score_hand_computed(spark):
     assert out[2]["mean_cosine"] == 0.0
     assert out[3]["mean_cosine"] is None
     assert out[1]["n_ref"] == 4 and out[3]["n_cur"] == 1
+
+
+# -- t_closeness_ordered_report -------------------------------------------
+
+
+def test_t_closeness_ordered_hand_computed(spark):
+    """Hand-pinned prefix-sum EMD on a 3-value order.  Global counts
+    (5, 3, 2) over values (1, 2, 3).  Class A = 4 rows at value 1:
+    d = (.5, -.3, -.2), cum = (.5, .2, 0), EMD = .7/2 = 0.35 — the
+    absent values 2 and 3 still move the prefix sum, which is why
+    the grid must enumerate them.  Class B = (1, 3, 2) rows:
+    cum = (-1/3, -2/15, 0), EMD = (7/15)/2 = 7/30."""
+    from cdc_redshift_spark.operators.quality import (
+        t_closeness_ordered_report,
+    )
+
+    rows = [("A", 1)] * 4 + (
+        [("B", 1)] * 1 + [("B", 2)] * 3 + [("B", 3)] * 2
+    )
+    df = spark.createDataFrame(rows, "qi string, band int")
+    out = {r["qi"]: r for r in t_closeness_ordered_report(
+        df, ["qi"], "band", t=0.3
+    ).collect()}
+    assert out["A"]["n"] == 4 and out["A"]["emd"] == pytest.approx(0.35)
+    assert out["B"]["n"] == 6 and out["B"]["emd"] == pytest.approx(
+        7 / 30, abs=1e-6
+    )
+    assert out["A"]["leaks"] is True and out["B"]["leaks"] is False
+
+
+def test_t_closeness_ordered_distinguishes_near_from_far(spark):
+    """The reason the ordered form exists: against a uniform global
+    over (1, 2, 3), a point mass on the EDGE value (far transport)
+    must score higher than a point mass on the MIDDLE value (near
+    transport) — the nominal TVD scores both 2/3 * 0.5 identically."""
+    from cdc_redshift_spark.operators.quality import (
+        t_closeness_ordered_report,
+        t_closeness_report,
+    )
+
+    rows = (
+        [("P1", 1)] * 2 + [("P2", 2)] * 2
+        + [("R", 1)] * 2 + [("R", 2)] * 2 + [("R", 3)] * 4
+    )
+    df = spark.createDataFrame(rows, "qi string, band int")
+    out = {r["qi"]: r for r in t_closeness_ordered_report(
+        df, ["qi"], "band", t=0.4
+    ).collect()}
+    assert out["P1"]["emd"] == pytest.approx(0.5)       # edge mass
+    assert out["P2"]["emd"] == pytest.approx(1 / 3, abs=1e-6)  # middle
+    nom = {r["qi"]: r for r in t_closeness_report(
+        df, ["qi"], "band"
+    ).collect()}
+    assert nom["P1"]["tvd"] == nom["P2"]["tvd"]  # nominal can't see it
+
+
+def test_t_closeness_ordered_null_handling_and_edges(spark):
+    """NULL sensitive values are EXCLUDED (no order position) — the
+    documented opposite of the nominal stance; an all-NULL class
+    does not appear; a NULL QI is still a real class; m == 1 scores
+    zero for every class."""
+    from cdc_redshift_spark.operators.quality import (
+        t_closeness_ordered_report,
+    )
+
+    rows = [
+        ("A", 1), ("A", None), ("allnull", None),
+        (None, 1), (None, 3), ("A", 3),
+    ]
+    df = spark.createDataFrame(rows, "qi string, band int")
+    out = {r["qi"]: r for r in t_closeness_ordered_report(
+        df, ["qi"], "band", t=0.2
+    ).collect()}
+    assert set(out) == {"A", None}
+    assert out["A"]["n"] == 2  # the NULL row is not counted
+    assert out["A"]["emd"] == 0.0 and out[None]["emd"] == 0.0
+    one = spark.createDataFrame([("X", 5), ("Y", 5)], "qi string, band int")
+    res = {r["qi"]: r for r in t_closeness_ordered_report(
+        one, ["qi"], "band", t=0.2
+    ).collect()}
+    assert res["X"]["emd"] == 0.0 and res["Y"]["emd"] == 0.0
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness_ordered_report(one, ["qi"], "band", t=0.0)
