@@ -1228,6 +1228,117 @@ def q_cdc_rollup_rebucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_rollup_autogrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-sizing bucket geometry under live streaming (VERDICT r12
+    #8): an AUTO-mode maintainer whose state OUTGROWS its grid
+    mid-stream, so the geometric ``maybe_rebucket()`` growth wired
+    into every commit fires on its own — no explicit ``rebucket()``
+    call anywhere in this query (the sibling
+    ``cdc_rollup_rebucket_stream`` gates the EXPLICIT migration; this
+    entry gates the trigger).
+
+    The state grain is event-level — (event_type, user_id, event_id,
+    fp) with an md5 fingerprint dim so state bytes grow
+    incompressibly with rows seen (the running-ledger shape whose
+    state really does scale with data; a low-cardinality rollup never
+    outgrows its first sizing).  Three micro-batches by event_id
+    residue each add ~a third of the corpus to the state; with
+    ``target_bucket_bytes`` at the 16 KiB floor the byte-budget ideal
+    crosses 2x the committed count mid-stream and growth fires at
+    every SF.  In-query pins: the final count is >= 2x the count the
+    FIRST commit auto-sized (growth happened while streaming, not at
+    bootstrap), the final layout is bucketed on disk, and a replayed
+    batch id still no-ops after the self-migration.  The oracle is
+    the full recompute — maintained state across auto-migrations must
+    stay bit-identical to batch."""
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.md5(F.col("event_id").cast("string")).alias("fp"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .localCheckpoint(eager=True)  # pin once (see rebucket entry)
+    )
+
+    def batch(i: int) -> DataFrame:
+        return ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i).select(
+            F.lit(1).alias("sign"),
+            "event_type",
+            "user_id",
+            "event_id",
+            "fp",
+            "v",
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_autogrow_")
+    try:
+        m = RollupMaintainer(
+            spark,
+            tmp,
+            prepare=lambda r: r,
+            time_col=None,
+            bucket=None,
+            dims=["event_type", "user_id", "event_id", "fp"],
+            measures={"sum_v": "v"},
+            n_buckets="auto",
+            target_bucket_bytes=16 << 10,
+        )
+        seq = [m.update(batch(0), 0)]
+        n0 = m._bucket_count()  # what the first commit auto-sized
+        seq += [
+            m.update(batch(1), 1),
+            m.update(batch(2), 2),
+            m.update(batch(2), 2),
+        ]
+        n_final = m._bucket_count()
+        ok = (
+            seq == [True, True, True, False]
+            and n0 >= 1
+            and n_final >= 2 * n0
+            and m.committed_batch() == 2
+            and m._bucketed_on_disk()
+        )
+        if not ok:
+            raise RuntimeError(
+                f"auto-grow sequence broken: seq={seq} n0={n0} "
+                f"n_final={n_final}"
+            )
+        out = (
+            m.current()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("sum_v").alias("__sv"),
+            )
+            .select(
+                "event_type",
+                "n_keys",
+                F.col("__sv").cast("double").alias("sum_v"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+ORACLE_ROLLUP_AUTOGROW = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 def q_cdc_stream_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of the embedding-space drift monitor (VERDICT
     r11 #4): the per-(label, dim, half) component-sum + vector-count
@@ -1513,6 +1624,7 @@ ORDER BY event_type, user_id
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
     "cdc_rollup_rebucket_stream": q_cdc_rollup_rebucket_stream,
+    "cdc_rollup_autogrow_stream": q_cdc_rollup_autogrow_stream,
     "cdc_stream_psi_drift": q_cdc_stream_psi_drift,
     "cdc_stream_emb_drift": q_cdc_stream_emb_drift,
     "cdc_stream_token_drift": q_cdc_stream_token_drift,
@@ -1557,6 +1669,7 @@ def _oracle_stream_token() -> str:
 ORACLES = {
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
     "cdc_rollup_rebucket_stream": ORACLE_ROLLUP_REBUCKET,
+    "cdc_rollup_autogrow_stream": ORACLE_ROLLUP_AUTOGROW,
     "cdc_stream_psi_drift": _oracle_stream_psi(),
     "cdc_stream_emb_drift": _oracle_stream_emb(),
     "cdc_stream_token_drift": _oracle_stream_token(),
