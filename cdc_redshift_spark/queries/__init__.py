@@ -30,82 +30,85 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-12 ROTATION.  With total driver
+# Exactly 50 names — the ROUND-13 ROTATION.  With total driver
 # coverage reached in r10, rotations are pure staleness refresh;
 # tools/rotate_window.py computes the queue from the
 # CORRECTNESS_r*.json history, and two overrides apply this round:
 #
 #   1. NEW queries gate in the round that adds them (standing rule):
-#      cdc_rollup_rebucket_stream — maintained state surviving a
-#      live bucket-geometry migration (streaming/snapshots rebucket,
-#      VERDICT r11 #3), oracled by the full recompute — plus
-#      pii_l_diversity and pii_t_closeness (the homogeneity and
-#      skewness audits completing the privacy triad with
-#      pii_k_anonymity).
-#   2. MODIFIED code outranks staleness: the psi contract changed
-#      (ADVICE r11 — current-only keys surface as forced-drift rows,
-#      NaN exclusion), so dq_drift_psi and cdc_stream_psi_drift
-#      re-gate; the snapshot store was rewritten again (token
-#      versions + per-version _NBUCKETS + rebucket), so
-#      cdc_scd2_history and cdc_join_view_stream re-gate too.
+#      cdc_stream_emb_drift and cdc_stream_token_drift (the
+#      streaming faces of the drift-monitor triad, VERDICT r11 #4),
+#      plan_salted_exec (the composed flag→confirm→salted-exec skew
+#      path, r11 #5), pii_t_closeness_ordered (the paper's ordered
+#      EMD, r12 #6), and cdc_rollup_autogrow_stream (byte-outgrowth-
+#      triggered self-migration, r12 #8).
+#   2. MODIFIED code outranks staleness: t_closeness_report's joins
+#      went null-safe with the oracle mirrored (ADVICE r12 high) →
+#      pii_t_closeness re-gates; emb_drift_report now routes through
+#      the shared emb_drift_score → re-gates; the HLL oracle mirror
+#      gained the murmur3 block rounds and sketch_hll_users a
+#      long-key fixture → re-gates; the snapshot store's _flip
+#      pruning and empty-state fallback changed (ADVICE r12 lows) →
+#      the store-backed cdc_scd2_history, cdc_join_view_stream,
+#      cdc_rollup_rebucket_stream, cdc_stream_psi_drift re-gate.
 #
-# Composition: those 5, the 40 longest-stale entries from
-# tools/rotate_window.py's r12 queue (the 7 r6 TPC-H heads displaced
-# last round — q2/q8/q9/q12/q13/q21/q22 — plus the r7 cohort in name
+# Composition: those 12, the r12 queue heads displaced last round
+# (the 7 r7 entries named in the r12 header) plus the rest of the
+# tool's staleness order (r7 tail, then the r9 cohort in name
 # order), and the 5 end-to-end CDC pipelines (re-gated every round).
-# Displaced to the head of the r13 queue (the tool's 7 least-stale
-# picks, casualties of the overrides): scd2_stream_maintenance,
-# scd2_user_history, sink_table_changes, sink_time_travel,
-# sketch_user_overlap, supplier_balance_ranks, text_fingerprint
-# (all r7, LOCALGATE-green, code-stable).
+# Displaced to the head of the r14 queue (the tool's 7 least-stale
+# picks, casualties of the overrides): events_session_paths,
+# events_twap, graph_tree_roots, layout_range_bounds,
+# orders_bloom_semi_revenue, orders_merge_into, sim_ivf_eval
+# (all r9, LOCALGATE-green, code-stable).
 # Everything outside the window stays certified by the per-round
 # LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
-    "cdc_rollup_rebucket_stream",  # never gated (new r12)
-    "pii_l_diversity",  # never gated (new r12)
-    "pii_t_closeness",  # never gated (new r12)
-    "dq_drift_psi",  # re-gate: psi contract changed r12 (ADVICE)
-    "cdc_stream_psi_drift",  # re-gate: psi contract changed r12
-    "cdc_scd2_history",  # re-gate: snapshot store rewritten r12
-    "cdc_join_view_stream",  # re-gate: snapshot store rewritten r12
-    "q12_ship_delay",  # last r6
-    "q13_order_count_dist",  # last r6
-    "q21_late_supplier",  # last r6
-    "q22_inactive_customers",  # last r6
-    "q2_min_acctbal_supplier",  # last r6
-    "q8_market_share",  # last r6
-    "q9_product_profit",  # last r6
-    "cdc_op_counts",  # last r7
-    "corpus_split_manifest",  # last r7
-    "docs_bm25_topk",  # last r7
-    "emb_norm_stats",  # last r7
-    "events_heavy_hitters",  # last r7
-    "events_props_variant",  # last r7
-    "events_retention",  # last r7
-    "events_scd2_asof_enrich",  # last r7
-    "events_sessionize",  # last r7
-    "events_weekday_heatmap",  # last r7
-    "graph_pagerank",  # last r7
-    "grouping_sets_sales",  # last r7
-    "layout_bloom_lookup",  # last r7
-    "layout_zorder_scan",  # last r7
-    "lineitem_unpivot",  # last r7
-    "null_safe_join",  # last r7
-    "orders_cheapest_per_cust",  # last r7
-    "orders_join_view_maintenance",  # last r7
-    "orders_yoy",  # last r7
-    "q10_returned_revenue",  # last r7
-    "q14_promo_revenue",  # last r7
-    "q18_big_orders",  # last r7
-    "q1_pricing_summary",  # last r7
-    "q3_shipping_priority",  # last r7
-    "q4_returned_orders",  # last r7
-    "q5_local_supplier_volume",  # last r7
-    "q6_revenue_change",  # last r7
-    "q7_nation_volume",  # last r7
-    "salted_join_orders",  # last r7
-    "scd2_incremental_apply",  # last r7
-    "scd2_late_repair",  # last r7
+    "cdc_rollup_autogrow_stream",  # never gated (new r13)
+    "cdc_stream_emb_drift",  # never gated (new r13)
+    "cdc_stream_token_drift",  # never gated (new r13)
+    "pii_t_closeness_ordered",  # never gated (new r13)
+    "plan_salted_exec",  # never gated (new r13)
+    "pii_t_closeness",  # re-gate: null-safe joins r13 (ADVICE)
+    "emb_drift_report",  # re-gate: shared-scorer refactor r13
+    "sketch_hll_users",  # re-gate: murmur3 block rounds r13
+    "cdc_scd2_history",  # re-gate: snapshot _flip/fallback r13
+    "cdc_join_view_stream",  # re-gate: snapshot _flip/fallback r13
+    "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r13
+    "cdc_stream_psi_drift",  # re-gate: snapshot changes r13
+    "scd2_stream_maintenance",  # last r7
+    "scd2_user_history",  # last r7
+    "sink_table_changes",  # last r7
+    "sink_time_travel",  # last r7
+    "sketch_user_overlap",  # last r7
+    "supplier_balance_ranks",  # last r7
+    "text_fingerprint",  # last r7
+    "text_quality_by_source",  # last r7
+    "text_top_words",  # last r7
+    "text_winnow",  # last r7
+    "top_customers_per_nation",  # last r7
+    "cdc_bi_capstone",  # last r9
+    "cdc_stream_cm_sketch",  # last r9
+    "cdc_stream_ivf_index",  # last r9
+    "cdc_stream_kmv_rollup",  # last r9
+    "corpus_bpe_pairs",  # last r9
+    "corpus_budget_select",  # last r9
+    "corpus_dsir_weights",  # last r9
+    "corpus_lm_perplexity",  # last r9
+    "corpus_pretrain_manifest",  # last r9
+    "corpus_split_leakage_safe",  # last r9
+    "corpus_temperature_mix",  # last r9
+    "dedup_containment",  # last r9
+    "docs_hybrid_rrf",  # last r9
+    "docs_phrase_search",  # last r9
+    "docs_substring_dedup",  # last r9
+    "dq_value_outliers",  # last r9
+    "dq_value_winsorized",  # last r9
+    "emb_pca_projection",  # last r9
+    "emb_semantic_dedup",  # last r9
+    "events_golden_profile",  # last r9
+    "events_ohlc_bars",  # last r9
+    "events_rfm_segments",  # last r9
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

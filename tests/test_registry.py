@@ -14,26 +14,33 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_pins_the_round12_rotation():
-    """The r12 window is a staleness refresh plus the entries that
-    MUST gate this round: the new r12 query, the queries whose
+def test_gate_window_pins_the_round13_rotation():
+    """The r13 window is a staleness refresh plus the entries that
+    MUST gate this round: the new r13 queries, the queries whose
     semantics or maintainer code changed this round, and the 5 CDC
     pipelines re-gated every round.  (The bulk of the window — the
-    longest-stale r6/r7 cohort — is policy, not correctness, so it is
+    longest-stale r7/r9 cohort — is policy, not correctness, so it is
     not pinned here; tools/rotate_window.py recomputes it.)"""
     must_gate = {
-        # round-12 additions: live bucket-geometry migration under
-        # maintenance, and the privacy-triad completion
-        "cdc_rollup_rebucket_stream",
-        "pii_l_diversity",
+        # round-13 additions: the drift monitors' streaming faces,
+        # the composed salted-exec path, ordered t-closeness, and the
+        # auto-triggered rebucket
+        "cdc_stream_emb_drift",
+        "cdc_stream_token_drift",
+        "plan_salted_exec",
+        "pii_t_closeness_ordered",
+        "cdc_rollup_autogrow_stream",
+        # code MODIFIED this round must re-gate: null-safe t-closeness
+        # joins (ADVICE), the shared emb scorer refactor, the HLL
+        # murmur3 block rounds, and the snapshot store's _flip /
+        # empty-state-fallback fixes (ADVICE) -> store-backed entries
         "pii_t_closeness",
-        # code MODIFIED this round must re-gate: the psi contract
-        # changed (current-only keys surface, NaN exclusion) and the
-        # snapshot store was rewritten (tokens + rebucket)
-        "dq_drift_psi",
-        "cdc_stream_psi_drift",
+        "emb_drift_report",
+        "sketch_hll_users",
         "cdc_scd2_history",
         "cdc_join_view_stream",
+        "cdc_rollup_rebucket_stream",
+        "cdc_stream_psi_drift",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
