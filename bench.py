@@ -102,6 +102,13 @@ def main() -> None:
         # streaming form (RollupMaintainer state + shared scoring)
         "dq_drift_psi",
         "cdc_stream_psi_drift",
+        # round-13: the drift triad's other two streaming faces
+        # (maintained state + shared scoring, VERDICT r11 #4) and the
+        # composed salted-skew execution path (flag -> confirm ->
+        # salted_join, VERDICT r11 #5)
+        "cdc_stream_emb_drift",
+        "cdc_stream_token_drift",
+        "plan_salted_exec",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

@@ -82,11 +82,17 @@ CALLOUTS = {
     "pii_l_diversity": "two map-side-combined hash aggregations ((QI, sensitive) distinct-collapse, then QI); no join, no window; output bounded by violators",
     "pii_t_closeness": "ONE (QI, sensitive) cell aggregation; global-value and 1-row total attaches broadcast; absent-value algebra keeps the class x value grid virtual",
     "emb_drift_report": "posexplode folds map-side into (label,pos) means -> shuffle carries |labels|*dim rows; cosine a |labels|-row aggregate; id bounds a 1-row broadcast",
+    "pii_t_closeness_ordered": "grid = |classes| x m via broadcast of the m-row ranked value table (bounded BNLJ on aggregate output); ONE per-class window Exchange carries grid cells, never input rows; prefix-sum + |cum| fold in codegen",
+    "plan_salted_exec": "the flagged shuffle join executes SALTED: fact side pmod(xxhash64(event_id), 8) salt in codegen, dim side Generate-replicated 8x, join keys (user_id, __salt) — no hot-key task (the fixture-scale dump broadcasts the tiny replicated side; in the no-broadcast regime the plan targets, the same salted keys shuffle); per-user agg map-side combines after the join",
     "corpus_token_drift": "token explode folds map-side into (source,token) counts (ONE wide shuffle); vocab window + OOV remap on the tiny count table; PSI over |sources|*51 cells",
     # cdc_stream_psi_drift localCheckpoints its maintained-state read
     # (like cdc_stream_ivf_index below), so a dumped plan is an
     # ExistingRDD scan; its scale properties ride RollupMaintainer's
-    # bucketed store (SCALE.md round-11 second session).
+    # bucketed store (SCALE.md round-11 second session).  The same
+    # holds for the round-13 streaming faces cdc_stream_emb_drift /
+    # cdc_stream_token_drift / cdc_rollup_autogrow_stream (history
+    # independence probed by tools/probe_stream_drift_scale.py,
+    # SCALE.md round-13).
     # cdc_stream_ivf_index's scale property (batch=<id>/cell=<c> probes
     # prune DIRECTORIES; 87.5% files skipped at 2/16 cells) is pinned in
     # tests/test_similarity_ops.py + SCALE.md — its gated form
