@@ -44,6 +44,19 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
+SETTLE = os.environ.get("PROBE_SETTLE", "0") == "1"
+
+
+def settle(spark):
+    # the round-12 bench diagnosis: CPython reference cycles hold
+    # py4j handles on finished job state, deferring ContextCleaner;
+    # collect Python first, then ask the JVM
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def timed(fn):
     t0 = time.perf_counter()
     fn()
@@ -76,6 +89,8 @@ def probe_emb(spark):
         )
         walls = []
         for i in range(N_TRIGGERS):
+            if SETTLE:
+                settle(spark)
             walls.append(timed(lambda i=i: m.update(shape(i), i)))
             if i in (0, 1, N_TRIGGERS // 2, N_TRIGGERS - 1):
                 emit(op="emb_drift_stream", axis="trigger_wall_s",
@@ -129,6 +144,8 @@ def probe_token(spark):
         )
         walls = []
         for i in range(N_TRIGGERS):
+            if SETTLE:
+                settle(spark)
             walls.append(timed(lambda i=i: m.update(shape(i), i)))
             if i in (0, 1, N_TRIGGERS // 2, N_TRIGGERS - 1):
                 emit(op="token_drift_stream", axis="trigger_wall_s",
@@ -153,8 +170,11 @@ def probe_token(spark):
 
 def main():
     spark = get_spark()
-    probe_emb(spark)
-    probe_token(spark)
+    which = os.environ.get("PROBE_OPS", "emb,token")
+    if "emb" in which:
+        probe_emb(spark)
+    if "token" in which:
+        probe_token(spark)
 
 
 if __name__ == "__main__":
