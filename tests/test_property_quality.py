@@ -230,3 +230,64 @@ def test_psi_nonnegative_and_matches_python_mirror(spark, rows):
     assert got == expect
     for _, _, psi, _drift in got.values():
         assert psi >= 0.0
+
+
+# -- ordered t-closeness: prefix-sum EMD vs a reference mirror -----------
+
+pii_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", None]),            # quasi-identifier
+        st.sampled_from([1, 2, 3, None]),             # ordered sensitive
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _ref_ordered_emd(rows):
+    """Pure-Python mirror of the paper formula: per class, EMD =
+    sum_i |prefix_i(p - q)| / (m - 1) over the global value order,
+    NULL sensitive values excluded, NULL QI a real class."""
+    vals = sorted({v for _, v in rows if v is not None})
+    m = len(vals)
+    if m == 0:
+        return {}
+    tot = sum(1 for _, v in rows if v is not None)
+    g = {v: sum(1 for _, x in rows if x == v) for v in vals}
+    out = {}
+    for q in {qi for qi, v in rows if v is not None}:
+        cls = [v for qi, v in rows if qi == q and v is not None]
+        n = len(cls)
+        emd, cum = 0.0, 0.0
+        for v in vals:
+            cum += cls.count(v) / n - g[v] / tot
+            emd += abs(cum)
+        out[q] = (n, 0.0 if m == 1 else emd / (m - 1))
+    return out
+
+
+@given(rows=pii_rows)
+@_SETTINGS
+def test_t_closeness_ordered_matches_reference_mirror(spark, rows):
+    """The operator's virtualized grid + window form must equal the
+    literal paper formula on every adversarial shape — all-NULL
+    classes absent, NULL-QI classes present, single-value orders
+    scoring zero, classes missing interior values."""
+    import pytest as _pt
+
+    from cdc_redshift_spark.operators.quality import (
+        t_closeness_ordered_report,
+    )
+
+    df = spark.createDataFrame(rows, "qi string, band int")
+    got = {
+        r["qi"]: (r["n"], r["emd"])
+        for r in t_closeness_ordered_report(
+            df, ["qi"], "band", t=0.2
+        ).collect()
+    }
+    want = _ref_ordered_emd(rows)
+    assert set(got) == set(want)
+    for q, (n, emd) in want.items():
+        assert got[q][0] == n
+        assert got[q][1] == _pt.approx(round(emd, 6), abs=2e-6)
