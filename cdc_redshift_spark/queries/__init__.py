@@ -56,11 +56,11 @@ from __future__ import annotations
 # (the 7 r7 entries named in the r12 header) plus the rest of the
 # tool's staleness order (r7 tail, then the r9 cohort in name
 # order), and the 5 end-to-end CDC pipelines (re-gated every round).
-# Displaced to the head of the r14 queue (the tool's 7 least-stale
-# picks, casualties of the overrides): events_session_paths,
-# events_twap, graph_tree_roots, layout_range_bounds,
-# orders_bloom_semi_revenue, orders_merge_into, sim_ivf_eval
-# (all r9, LOCALGATE-green, code-stable).
+# Displaced to the head of the r14 queue (the tool's 8 least-stale
+# picks, casualties of the overrides): events_rfm_segments,
+# events_session_paths, events_twap, graph_tree_roots,
+# layout_range_bounds, orders_bloom_semi_revenue, orders_merge_into,
+# sim_ivf_eval (all r9, LOCALGATE-green, code-stable).
 # Everything outside the window stays certified by the per-round
 # LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
@@ -76,6 +76,7 @@ _GATE_WINDOW = [
     "cdc_join_view_stream",  # re-gate: snapshot _flip/fallback r13
     "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r13
     "cdc_stream_psi_drift",  # re-gate: snapshot changes r13
+    "corpus_token_drift",  # re-gate: shared vocab/grid helpers r13
     "scd2_stream_maintenance",  # last r7
     "scd2_user_history",  # last r7
     "sink_table_changes",  # last r7
@@ -108,7 +109,6 @@ _GATE_WINDOW = [
     "emb_semantic_dedup",  # last r9
     "events_golden_profile",  # last r9
     "events_ohlc_bars",  # last r9
-    "events_rfm_segments",  # last r9
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

@@ -1307,6 +1307,56 @@ TOKEN_DRIFT_CELLS = TOKEN_DRIFT_V + 1  # + the OOV bucket
 TOKEN_DRIFT_OOV = " oov "
 
 
+def token_drift_vocab(ref_counts: DataFrame) -> DataFrame:
+    """Top-V reference vocabulary per source from ``(source, tok,
+    __c)`` reference-half counts — count desc, token asc tie-break.
+    Factored out (round 13) so the batch monitor and the streaming
+    face (``cdc_stream_token_drift``) certify the IDENTICAL ranking,
+    mirroring ``psi_bin_expr``'s role for the value monitor: a
+    tie-break change here changes both faces together or not at
+    all."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("__c"), F.asc("tok")
+    )
+    return (
+        ref_counts.select(
+            "source", "tok", F.row_number().over(w).alias("__rn")
+        )
+        .where(F.col("__rn") <= TOKEN_DRIFT_V)
+        .select("source", "tok")
+    )
+
+
+def token_drift_grid_score(
+    cells: DataFrame, vocab: DataFrame, sources: DataFrame
+) -> DataFrame:
+    """Score observed ``(source, cell, __cr, __cc)`` cells over the
+    vocab ∪ OOV grid with the shared :func:`psi_score` — the back
+    half both token-drift faces run.  ``sources`` supplies every
+    source SEEN ANYWHERE (not just vocab sources): a source whose
+    documents all fall in the current half — a brand-new source, the
+    strongest drift there is — must surface as an all-OOV
+    forced-drift row, not silently vanish."""
+    from cdc_redshift_spark.operators.quality import psi_score
+
+    grid = vocab.select(
+        "source", F.col("tok").alias("cell")
+    ).unionByName(
+        sources.select("source")
+        .distinct()
+        .select("source", F.lit(TOKEN_DRIFT_OOV).alias("cell"))
+    )
+    full = grid.join(cells, ["source", "cell"], "left").select(
+        F.col("source").alias("__k"),
+        F.col("cell").alias("__b"),
+        F.coalesce("__cr", F.lit(0)).alias("__c_ref"),
+        F.coalesce("__cc", F.lit(0)).alias("__c_cur"),
+    )
+    return psi_score(full, "source", bins=TOKEN_DRIFT_CELLS)
+
+
 def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift per source: smoothed PSI between the
     early and late half of the corpus over each source's reference
@@ -1329,9 +1379,6 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); the OOV remap joins counts against the tiny vocab
     (broadcast) and the PSI reduction runs over |sources|·(V+1)
     cells.  The wide input shuffles once, as token counts."""
-    from cdc_redshift_spark.operators.quality import psi_score
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     bounds = docs.agg(
         F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx")
@@ -1348,16 +1395,15 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__is_ref"), 1).otherwise(0)).alias("__c_ref"),
         F.sum(F.when(~F.col("__is_ref"), 1).otherwise(0)).alias("__c_cur"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.desc("__c_ref"), F.asc("tok")
+    # ranking, OOV grid, and scoring are the SHARED helpers the
+    # streaming face also runs (token_drift_vocab /
+    # token_drift_grid_score) — the two faces cannot drift apart
+    vocab = token_drift_vocab(
+        counts.where(F.col("__c_ref") > 0).select(
+            "source", "tok", F.col("__c_ref").alias("__c")
+        )
     )
-    vocab = (
-        counts.where(F.col("__c_ref") > 0)
-        .select("source", "tok", F.row_number().over(w).alias("__rn"))
-        .where(F.col("__rn") <= TOKEN_DRIFT_V)
-        .select("source", "tok")
-    )
-    mapped = (
+    cells = (
         counts.join(
             F.broadcast(vocab.withColumn("__in_v", F.lit(True))),
             ["source", "tok"],
@@ -1373,26 +1419,11 @@ def q_corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "cell")
         .agg(
-            F.sum("__c_ref").alias("__c_ref"),
-            F.sum("__c_cur").alias("__c_cur"),
+            F.sum("__c_ref").alias("__cr"),
+            F.sum("__c_cur").alias("__cc"),
         )
     )
-    # the OOV leg enumerates EVERY source seen anywhere (not just
-    # vocab sources): a source whose documents all fall in the late
-    # half — a brand-new source, the strongest drift there is — must
-    # surface as an all-OOV row, not silently vanish
-    grid = vocab.select("source", F.col("tok").alias("cell")).unionByName(
-        counts.select("source").distinct().select(
-            "source", F.lit(TOKEN_DRIFT_OOV).alias("cell")
-        )
-    )
-    full = grid.join(mapped, ["source", "cell"], "left").select(
-        F.col("source").alias("__k"),
-        F.col("cell").alias("__b"),
-        F.coalesce("__c_ref", F.lit(0)).alias("__c_ref"),
-        F.coalesce("__c_cur", F.lit(0)).alias("__c_cur"),
-    )
-    return psi_score(full, "source", bins=TOKEN_DRIFT_CELLS).orderBy(
+    return token_drift_grid_score(cells, vocab, counts).orderBy(
         "source"
     )
 

@@ -326,23 +326,19 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.concat(F.lit("u"), s)),
         )
     )
-    lens = {
-        r["L"]
-        for r in ev.select(F.length("hll_key").alias("L"))
-        .distinct()
-        .collect()
-    }
+    # ONE scan: the exact distinct counts and the length-class pin
+    # ride the same aggregation (the pin set is <= 3 values/type)
+    stats = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.collect_set(F.length("hll_key")).alias("lens"),
+    ).collect()
+    exact = {r["event_type"]: r["n_exact"] for r in stats}
+    lens = {x for r in stats for x in r["lens"]}
     if not (16 in lens and 25 in lens and any(x <= 15 for x in lens)):
         raise RuntimeError(
             f"long-key fixture no longer spans the murmur3 length "
             f"classes (block-only / block+tail / tail-only): {lens}"
         )
-    exact = {
-        r["event_type"]: (r["n_exact"], None)
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_exact"))
-        .collect()
-    }
     # production leg (lgk=12): estimate must hold its error bound
     est12 = hll_merge_estimate(
         hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=12),
@@ -350,7 +346,7 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         lgk=12,
     )
     for r in est12.collect():
-        n_exact = exact[r["event_type"]][0]
+        n_exact = exact[r["event_type"]]
         if abs(r["n_est"] - n_exact) / n_exact >= 0.05:
             raise RuntimeError(
                 f"lgk=12 HLL estimate off >5% for {r['event_type']}: "
@@ -1554,12 +1550,15 @@ def _oracle_hll_registers() -> str:
 
     # the long-key composite (round 13): three murmur3 length classes
     # — 16 B (pure block), 25 B (block + 9-byte tail), short tail-only
+    # ((x % 3) + 3) % 3 mirrors Spark's pmod for negative ids — plain
+    # DuckDB % keeps the dividend's sign and would route a negative
+    # id to a different length class than the Spark side
     body = duck_hll8_registers(
         "SELECT event_type, user_id FROM events",
         "event_type",
-        "CASE WHEN user_id % 3 = 0"
+        "CASE WHEN ((user_id % 3) + 3) % 3 = 0"
         " THEN 'user-' || lpad(CAST(user_id AS VARCHAR), 11, '0')"
-        " WHEN user_id % 3 = 1"
+        " WHEN ((user_id % 3) + 3) % 3 = 1"
         " THEN 'user-' || lpad(CAST(user_id AS VARCHAR), 20, '0')"
         " ELSE 'u' || CAST(user_id AS VARCHAR) END",
         lgk=4,

@@ -1486,15 +1486,13 @@ def q_cdc_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op).  The oracle is the batch monitor's full-recompute SQL
     (ORACLE_TOKEN_DRIFT), so a green row proves maintained-state
     scoring ≡ batch recompute across splits AND replay."""
-    from cdc_redshift_spark.operators.quality import psi_score
     from cdc_redshift_spark.queries.corpus_q import (
-        TOKEN_DRIFT_CELLS,
         TOKEN_DRIFT_OOV,
-        TOKEN_DRIFT_V,
+        token_drift_grid_score,
+        token_drift_vocab,
     )
     from cdc_redshift_spark.sources.tables import load_table
     from cdc_redshift_spark.streaming.rollup import RollupMaintainer
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     bounds = docs.agg(
@@ -1518,21 +1516,15 @@ def q_cdc_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    # monitoring config: per-source top-V reference vocabulary (count
-    # desc, token asc tie-break — the batch monitor's deterministic
-    # ranking), pinned so every batch reuses one computed table
-    w = Window.partitionBy("source").orderBy(
-        F.desc("__c"), F.asc("tok")
-    )
-    vocab = (
+    # monitoring config: per-source top-V reference vocabulary via
+    # the SHARED ranking helper (corpus_q.token_drift_vocab — the
+    # batch monitor runs the identical expression), pinned so every
+    # batch reuses one computed table
+    vocab = token_drift_vocab(
         toks.where("__is_ref")
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .select("source", "tok", F.row_number().over(w).alias("__rn"))
-        .where(F.col("__rn") <= TOKEN_DRIFT_V)
-        .select("source", "tok")
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
 
     def shape(batch: DataFrame, half: str) -> DataFrame:
         # LEFT join against the broadcast config: out-of-vocabulary
@@ -1585,24 +1577,12 @@ def q_cdc_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("__half") == "cur", F.col("n"))
             ).alias("__cc"),
         )
-        # vocab cells ∪ one OOV cell per source SEEN IN THE STATE —
-        # a brand-new source (strongest drift there is) must enter
-        # the scored grid, not vanish with the config
-        grid = vocab.select(
-            "source", F.col("tok").alias("cell")
-        ).unionByName(
-            state.select("source")
-            .distinct()
-            .select("source", F.lit(TOKEN_DRIFT_OOV).alias("cell"))
-        )
-        full = grid.join(cells, ["source", "cell"], "left").select(
-            F.col("source").alias("__k"),
-            F.col("cell").alias("__b"),
-            F.coalesce("__cr", F.lit(0)).alias("__c_ref"),
-            F.coalesce("__cc", F.lit(0)).alias("__c_cur"),
-        )
+        # SHARED grid + scoring (corpus_q.token_drift_grid_score):
+        # sources come from the STATE, so a brand-new source
+        # (strongest drift there is) enters the grid as an all-OOV
+        # forced-drift row instead of vanishing with the config
         out = (
-            psi_score(full, "source", bins=TOKEN_DRIFT_CELLS)
+            token_drift_grid_score(cells, vocab, state)
             .orderBy("source")
             .localCheckpoint(eager=True)
         )

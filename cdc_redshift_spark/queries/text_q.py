@@ -402,6 +402,8 @@ WITH cells AS (
          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sv,
          CAST(count(*) AS BIGINT) AS c
   FROM customer
+  WHERE c_acctbal IS NOT NULL  -- mirror the operator's NULL-sensitive
+                               -- exclusion (no order position)
   GROUP BY 1, 2
 ), vals AS (
   SELECT sv, CAST(sum(c) AS BIGINT) AS g,

@@ -41,6 +41,7 @@ def test_gate_window_pins_the_round13_rotation():
         "cdc_join_view_stream",
         "cdc_rollup_rebucket_stream",
         "cdc_stream_psi_drift",
+        "corpus_token_drift",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
