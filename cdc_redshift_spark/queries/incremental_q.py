@@ -300,7 +300,9 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of hashing.
 
     LONG-KEY fixture since round 13 (VERDICT r11 #7): the register
-    leg's key is an injective user_id composite spanning THREE
+    leg's key is an injective user_id composite (injective ONLY
+    while ids fit the narrowest lpad width — lpad truncates, so the
+    <= 11-char domain is pinned in-query) spanning THREE
     murmur3 length classes — 16 bytes (one block, empty tail), 25
     bytes (block + 9-byte tail, both tail legs), and a short <= 8-
     byte form — so the oracle's recursive-CTE block rounds are
@@ -326,11 +328,12 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.concat(F.lit("u"), s)),
         )
     )
-    # ONE scan: the exact distinct counts and the length-class pin
-    # ride the same aggregation (the pin set is <= 3 values/type)
+    # ONE scan: the exact distinct counts, the length-class pin, and
+    # the injectivity domain pin ride the same aggregation
     stats = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"),
         F.collect_set(F.length("hll_key")).alias("lens"),
+        F.max(F.length(s)).alias("max_digits"),
     ).collect()
     exact = {r["event_type"]: r["n_exact"] for r in stats}
     lens = {x for r in stats for x in r["lens"]}
@@ -338,6 +341,14 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"long-key fixture no longer spans the murmur3 length "
             f"classes (block-only / block+tail / tail-only): {lens}"
+        )
+    # lpad TRUNCATES strings longer than the pad width, so the
+    # composite is injective only while ids fit the narrowest padded
+    # form (11 chars) — pin the domain instead of trusting it
+    if max(r["max_digits"] for r in stats) > 11:
+        raise RuntimeError(
+            "user_id string exceeds 11 chars — lpad truncation would "
+            "break the hll_key injectivity contract"
         )
     # production leg (lgk=12): estimate must hold its error bound
     est12 = hll_merge_estimate(

@@ -1356,12 +1356,18 @@ def q_cdc_stream_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-dimension means come out of the maintained state as
     sum_x / n — a mean is exactly the maintainable form of an
     average, which is why the state grain is (label, pos, half) sums,
-    bounded at |labels|·dim·2 rows regardless of corpus size.  The
-    oracle is the batch monitor's own full-recompute SQL, so a green
-    row proves maintained-state scoring ≡ batch recompute across
-    batch splits AND replay — the economics a 100 TB drift monitor
-    needs (a monitor that rescans history every trigger dies there).
-    """
+    bounded at |labels|·(dim+1)·2 rows regardless of corpus size.
+
+    Degenerate-input contract matches the batch face exactly (round-
+    13 review): vector counts ride a per-ROW marker cell (pos = -1),
+    so a NULL/empty embedding still counts toward n_ref/n_cur; NULL
+    elements are dropped before the maintainer, so each (label, pos)
+    state n is the NON-NULL element count — the same denominator the
+    batch face's ``avg`` uses.  The oracle is the batch monitor's own
+    full-recompute SQL, so a green row proves maintained-state
+    scoring ≡ batch recompute across batch splits AND replay — the
+    economics a 100 TB drift monitor needs (a monitor that rescans
+    history every trigger dies there)."""
     from cdc_redshift_spark.operators.quality import emb_drift_score
     from cdc_redshift_spark.sources.tables import load_table
     from cdc_redshift_spark.streaming.rollup import RollupMaintainer
@@ -1385,13 +1391,27 @@ def q_cdc_stream_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def shape(batch: DataFrame, half: str) -> DataFrame:
-        return batch.select(
+        # element cells: NULL elements dropped so state n = non-null
+        # count per (label, pos) — the batch avg's denominator
+        exploded = batch.select(
             F.lit(1).alias("sign"),
             "label",
             F.posexplode(
                 F.transform("embedding", lambda x: x.cast("double"))
             ).alias("pos", "x"),
-        ).withColumn("__half", F.lit(half))
+        ).where(F.col("x").isNotNull())
+        # one marker cell per input ROW (pos = -1): vector counts
+        # must include NULL/empty embeddings, which emit no element
+        # rows — exactly the batch face's unconditional row count
+        marker = batch.select(
+            F.lit(1).alias("sign"),
+            "label",
+            F.lit(-1).alias("pos"),
+            F.lit(None).cast("double").alias("x"),
+        )
+        return exploded.unionByName(marker).withColumn(
+            "__half", F.lit(half)
+        )
 
     ref = split.where("__is_ref")
     cur = split.where(~F.col("__is_ref"))
@@ -1418,7 +1438,7 @@ def q_cdc_stream_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         if seq != [True, True, True, False]:
             raise RuntimeError(f"emb maintainer sequence broken: {seq}")
         state = m.current()  # (label, pos, __half, n, sum_x)
-        per_dim = state.groupBy("label", "pos").agg(
+        per_dim = state.where(F.col("pos") >= 0).groupBy("label", "pos").agg(
             F.max(
                 F.when(
                     F.col("__half") == "ref",
@@ -1432,12 +1452,12 @@ def q_cdc_stream_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("m_cur"),
         )
-        # vector counts: every vector contributes exactly one row at
-        # pos 0, so that cell's n IS the half's vector count; a label
-        # absent from a half has no state row -> 0, matching the
-        # batch face's conditional-sum zeros
+        # vector counts from the marker cells: every input row — NULL
+        # and empty embeddings included — contributes exactly one
+        # pos = -1 row; a label absent from a half has no state row
+        # -> 0, matching the batch face's conditional-sum zeros
         counts = (
-            state.where(F.col("pos") == 0)
+            state.where(F.col("pos") == -1)
             .groupBy("label")
             .agg(
                 F.coalesce(

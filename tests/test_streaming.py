@@ -856,3 +856,45 @@ def test_occ_sink_refused_by_streaming_regime(spark, tmp_path):
         compact_routed(spark, str(tmp_path / "routed"), occ_sink, keys=KEYS)
     # the plain single-writer sink remains accepted
     mk_pipeline(spark, tmp_path)
+
+
+def test_stream_emb_drift_matches_batch_face_on_degenerate_vectors(
+    spark, tmp_path
+):
+    """Round-13 review: the streaming face's maintained-state scoring
+    must equal the batch monitor on ADVERSARIAL embeddings — NULL
+    vectors, empty vectors, NULL elements, ragged lengths — not just
+    the clean fixture.  Counts ride per-row marker cells (a NULL
+    embedding still counts toward n_ref/n_cur); means drop NULL
+    elements pre-maintainer (the batch avg's denominator)."""
+    from cdc_redshift_spark.queries.analytics import q_emb_drift_report
+    from cdc_redshift_spark.queries.streaming_q import (
+        q_cdc_stream_emb_drift,
+    )
+
+    rows = [
+        (0, [1.0, 2.0], 1),
+        (1, None, 1),              # NULL vector: counts, no elements
+        (2, [], 1),                # empty vector: counts, no elements
+        (3, [3.0, None], 1),       # NULL element at pos 1
+        (4, [5.0], 2),             # ragged: shorter vector
+        (5, [1.0, 1.0], 2),
+        (6, [2.0, 4.0], 2),
+        (7, None, 3),              # label 3: NULL on both halves
+        (8, None, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+    batch = {
+        r["label"]: tuple(r) for r in q_emb_drift_report(spark, sf).collect()
+    }
+    stream = {
+        r["label"]: tuple(r)
+        for r in q_cdc_stream_emb_drift(spark, sf).collect()
+    }
+    assert stream == batch
+    # and the degenerate rows really did exercise the contract
+    assert batch[1][1] + batch[1][2] == 4  # all four label-1 vectors counted

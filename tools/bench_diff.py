@@ -50,6 +50,10 @@ def _flatten(prefix: str, obj, out: dict) -> dict:
     if isinstance(obj, dict):
         for k, v in sorted(obj.items()):
             _flatten(f"{prefix}.{k}" if prefix else k, v, out)
+    elif isinstance(obj, list):
+        # list axes must not vanish silently — index them in
+        for i, v in enumerate(obj):
+            _flatten(f"{prefix}[{i}]", v, out)
     elif isinstance(obj, (int, float)) and not isinstance(obj, bool):
         out[prefix] = float(obj)
     return out

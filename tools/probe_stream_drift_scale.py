@@ -37,7 +37,7 @@ from cdc_redshift_spark.sources.tables import load_table
 from cdc_redshift_spark.streaming.rollup import RollupMaintainer
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_TRIGGERS = int(os.environ.get("PROBE_TRIGGERS", "12"))
+N_TRIGGERS = max(1, int(os.environ.get("PROBE_TRIGGERS", "12")))
 
 
 def emit(**kw):
@@ -105,11 +105,11 @@ def probe_emb(spark):
         ).groupBy("label").agg(
             F.sum(F.col("m_ref") * F.col("m_cur")).alias("dot")
         ).write.format("noop").mode("overwrite").save())
+        early = min(walls[1:3]) if len(walls) > 1 else walls[0]
         emit(op="emb_drift_stream", axis="summary",
-             early_wall_s=round(min(walls[1:3]), 3),
+             early_wall_s=round(early, 3),
              late_wall_s=round(walls[-1], 3),
-             late_over_early=round(
-                 walls[-1] / max(min(walls[1:3]), 1e-9), 2),
+             late_over_early=round(walls[-1] / max(early, 1e-9), 2),
              state_cells=cells, score_wall_s=score)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -158,11 +158,11 @@ def probe_token(spark):
         ).groupBy("source").agg(
             F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
         ).write.format("noop").mode("overwrite").save())
+        early = min(walls[1:3]) if len(walls) > 1 else walls[0]
         emit(op="token_drift_stream", axis="summary",
-             early_wall_s=round(min(walls[1:3]), 3),
+             early_wall_s=round(early, 3),
              late_wall_s=round(walls[-1], 3),
-             late_over_early=round(
-                 walls[-1] / max(min(walls[1:3]), 1e-9), 2),
+             late_over_early=round(walls[-1] / max(early, 1e-9), 2),
              state_cells=cells, score_wall_s=score)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
