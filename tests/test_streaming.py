@@ -898,3 +898,41 @@ def test_stream_emb_drift_matches_batch_face_on_degenerate_vectors(
     assert stream == batch
     # and the degenerate rows really did exercise the contract
     assert batch[1][1] + batch[1][2] == 4  # all four label-1 vectors counted
+
+
+def test_stream_token_drift_matches_batch_face_on_adversarial_corpus(
+    spark, tmp_path
+):
+    """Two-face parity on an adversarial documents fixture: a source
+    that exists ONLY in the late half (all-OOV forced-drift row, the
+    new-source case), whitespace-only and empty texts (the \\s+ split
+    yields a single empty-string token — both faces must treat it as
+    a vocabulary token like any other), and a vocabulary tie (count
+    ties broken by token order — the shared ranking helper decides
+    for both faces)."""
+    from cdc_redshift_spark.queries.corpus_q import q_corpus_token_drift
+    from cdc_redshift_spark.queries.streaming_q import (
+        q_cdc_stream_token_drift,
+    )
+
+    rows = [
+        (0, "alpha", "a b b c"),
+        (1, "alpha", "a a c"),         # tie: a=3, b=2, c=2 in ref
+        (2, "alpha", "   "),           # whitespace-only
+        (3, "alpha", ""),              # empty
+        (4, "alpha", "z z q"),         # late half: drift mass
+        (5, "alpha", "q q q"),
+        (6, "newsrc", "x y z"),        # source seen ONLY late: all-OOV
+        (7, "newsrc", "x x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    batch = {r["source"]: tuple(r) for r in q_corpus_token_drift(spark, sf).collect()}
+    stream = {
+        r["source"]: tuple(r)
+        for r in q_cdc_stream_token_drift(spark, sf).collect()
+    }
+    assert stream == batch
+    assert batch["newsrc"][1] == 0          # n_ref = 0: brand-new source
+    assert batch["newsrc"][4] is True       # forced drift
