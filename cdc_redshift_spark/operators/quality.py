@@ -740,7 +740,14 @@ def emb_drift_score(per_dim: DataFrame, counts: DataFrame) -> DataFrame:
             ).alias("mean_cosine"),
         )
     )
-    return counts.join(cos, "label").select(
+    # LEFT join (ADVICE r13): a label whose embeddings are all
+    # NULL/empty in BOTH halves contributes zero per_dim rows on the
+    # Spark side (posexplode / maintained cells emit nothing), while
+    # the oracle's CROSS JOIN generate_series grid keeps the label
+    # with NULL means — so cos must attach as optional, keeping the
+    # label with NULL mean_cosine on both faces to match the oracle's
+    # row set on degenerate data.
+    return counts.join(cos, "label", "left").select(
         F.col("label").cast("long").alias("label"),
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cur").cast("long").alias("n_cur"),

@@ -337,10 +337,18 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     exact = {r["event_type"]: r["n_exact"] for r in stats}
     lens = {x for r in stats for x in r["lens"]}
-    if not (16 in lens and 25 in lens and any(x <= 15 for x in lens)):
+    # ADVICE r13: requiring ALL THREE residue classes made the query
+    # brittle on small/filtered fixtures where a pmod class can be
+    # absent.  The property the gate needs is that the oracle's
+    # recursive-CTE BLOCK rounds run (some key >= 16 B) alongside a
+    # second length class (so block and tail legs are distinguished) —
+    # >= 2 classes with one >= 16 B keeps that exercised without
+    # depending on residue coverage.
+    if not (any(x >= 16 for x in lens) and len(lens) >= 2):
         raise RuntimeError(
-            f"long-key fixture no longer spans the murmur3 length "
-            f"classes (block-only / block+tail / tail-only): {lens}"
+            f"long-key fixture no longer exercises the murmur3 block "
+            f"rounds (need >= 2 key-length classes incl. one >= 16 B): "
+            f"{lens}"
         )
     # lpad TRUNCATES strings longer than the pad width, so the
     # composite is injective only while ids fit the narrowest padded

@@ -466,7 +466,15 @@ class VersionedSnapshotStore:
                 continue
             if key == new_key:
                 continue
-            if prev_key is None or key > prev_key:
+            # prev_key None means no committed pointer EXISTED — either
+            # a first-ever commit (no version dirs yet) or a store whose
+            # _LATEST was lost (partial restore, manual copy).  The
+            # > prev_key "never committed, delete outright" rule is only
+            # sound when a committed pointer actually existed; with the
+            # pointer lost, every surviving dir is potentially a real
+            # committed snapshot, so count it toward keep_versions
+            # instead of deleting it (ADVICE r13).
+            if prev_key is not None and key > prev_key:
                 shutil.rmtree(
                     os.path.join(self.path, d), ignore_errors=True
                 )

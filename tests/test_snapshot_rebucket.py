@@ -347,6 +347,37 @@ def test_orphan_never_displaces_previous_committed_version(
     assert (tmp_path / "ru" / "v1").exists()
 
 
+def test_lost_latest_pointer_keeps_survivors_under_keep_versions(
+    spark, tmp_path
+):
+    """ADVICE r13: prev_key=None in _flip means no committed pointer
+    EXISTED — which is ALSO the state of a store whose _LATEST was
+    lost (partial restore, manual copy), where every surviving version
+    dir is a real committed snapshot.  The next commit must count the
+    survivors toward keep_versions (here: keep the newest, prune the
+    oldest), not rmtree them all as crash orphans."""
+    m = _m(spark, tmp_path / "ru", n_buckets=4, keep_versions=2)
+    assert m.update(_delta(spark, [(1, "a", 1)]), 0)
+    assert m.update(_delta(spark, [(1, "b", 2)]), 1)
+    assert (tmp_path / "ru" / "v0").exists()
+    assert (tmp_path / "ru" / "v1").exists()
+    os.remove(tmp_path / "ru" / "_LATEST")
+    # pointer lost: the maintainer sees a fresh store and rebuilds
+    # from the next delta — but the commit's pruning must treat the
+    # surviving v0/v1 as committed history, keeping keep_versions=2
+    # worth of dirs (v1 + the new v2), not deleting both outright
+    assert m.update(_delta(spark, [(1, "c", 3)]), 2)
+    assert not (tmp_path / "ru" / "v0").exists()  # pruned by policy
+    assert (tmp_path / "ru" / "v1").exists(), (
+        "lost-pointer survivor deleted outright instead of kept "
+        "under keep_versions"
+    )
+    assert (tmp_path / "ru" / "v2").exists()
+    # the recoverable snapshot really is readable after the flip
+    v1 = spark.read.parquet(str(tmp_path / "ru" / "v1"))
+    assert sorted(r["k"] for r in v1.collect()) == ["a", "b"]
+
+
 def test_empty_state_fallback_preserves_grown_bucket_count(
     spark, tmp_path
 ):

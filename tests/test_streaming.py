@@ -867,6 +867,8 @@ def test_stream_emb_drift_matches_batch_face_on_degenerate_vectors(
     the clean fixture.  Counts ride per-row marker cells (a NULL
     embedding still counts toward n_ref/n_cur); means drop NULL
     elements pre-maintainer (the batch avg's denominator)."""
+    import pytest
+
     from cdc_redshift_spark.queries.analytics import q_emb_drift_report
     from cdc_redshift_spark.queries.streaming_q import (
         q_cdc_stream_emb_drift,
@@ -898,6 +900,35 @@ def test_stream_emb_drift_matches_batch_face_on_degenerate_vectors(
     assert stream == batch
     # and the degenerate rows really did exercise the contract
     assert batch[1][1] + batch[1][2] == 4  # all four label-1 vectors counted
+    # ADVICE r13: label 3 (all-NULL embeddings in BOTH halves) must be
+    # KEPT with NULL cosine — the oracle's generate_series grid keeps
+    # it, so the faces' left-joined score must too, on both faces
+    assert batch[3] == (3, 0, 2, None)
+    # oracle-backed: the DuckDB mirror's full row set on this exact
+    # degenerate fixture (not just face-vs-face parity)
+    import duckdb
+
+    from cdc_redshift_spark.queries.analytics import ORACLE_EMB_DRIFT_TMPL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(
+            ORACLE_EMB_DRIFT_TMPL.format(dim=2)
+        ).fetchall()
+    }
+    con.close()
+    assert set(oracle) == set(batch)
+    for lbl, row in oracle.items():
+        assert batch[lbl][:3] == row[:3]
+        if row[3] is None:
+            assert batch[lbl][3] is None
+        else:
+            assert batch[lbl][3] == pytest.approx(row[3], abs=1e-6)
 
 
 def test_stream_token_drift_matches_batch_face_on_adversarial_corpus(
