@@ -779,12 +779,30 @@ def k_anonymity_violations(
     Returns (quasi_cols..., n) for classes with ``n < k``, counts as
     BIGINT.
     """
+    return k_anonymity_score(
+        df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n")), k
+    )
+
+
+def k_anonymity_score(counts: DataFrame, k: int, n_col: str = "n") -> DataFrame:
+    """The k-anonymity VERDICT over already-aggregated QI-class counts
+    — the shared back half of the audit, factored out (round 14) so
+    the batch face (:func:`k_anonymity_violations`) and the streaming
+    face (maintained RollupMaintainer counts) certify the IDENTICAL
+    threshold expression, mirroring :func:`psi_score` /
+    :func:`emb_drift_score` for the drift monitors.
+
+    ``counts``: (QI cols..., ``n_col``).  A class is a violation when
+    ``0 < n < k`` — the lower bound is free on the batch face (a
+    GROUP BY count is >= 1) and makes the expression safe on a
+    MID-REPLAY maintained state, where a retraction arriving ahead of
+    its insert legitimately leaves a negative in-flight group
+    (operators/incremental.apply_rollup_delta's documented contract:
+    readers tolerate mid-replay reads by filtering n > 0)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    return (
-        df.groupBy(*quasi_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") < F.lit(int(k)))
+    return counts.where(
+        (F.col(n_col) > 0) & (F.col(n_col) < F.lit(int(k)))
     )
 
 
@@ -813,15 +831,37 @@ def l_diversity_violations(
     ``l_vals < l``; counts as BIGINT (``n`` = class size, ``l_vals``
     = distinct sensitive values seen in the class).
     """
-    if l < 2:
-        raise ValueError(f"l must be >= 2, got {l}")
     per_value = df.groupBy(
         *quasi_cols, F.col(sensitive_col).alias("__sv")
     ).agg(F.count(F.lit(1)).alias("__c"))
+    return l_diversity_score(per_value, quasi_cols, l)
+
+
+def l_diversity_score(
+    per_value: DataFrame,
+    quasi_cols: list[str],
+    l: int,
+    count_col: str = "__c",
+) -> DataFrame:
+    """The distinct-l-diversity verdict over already-aggregated
+    (QI..., sensitive-value, count) cells — the shared back half of
+    the audit (round 14), so the batch face
+    (:func:`l_diversity_violations`) and a streaming face scoring a
+    maintained (QI, value) count state certify the IDENTICAL
+    expressions, the :func:`k_anonymity_score` pattern.
+
+    Cells with ``count <= 0`` are dropped first: a maintained state
+    mid-replay can carry a negative in-flight cell (retraction ahead
+    of its insert), and a retracted-to-then-pruned value must not be
+    counted toward diversity either way.  On the batch face the
+    filter is free (GROUP BY counts are >= 1)."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
     return (
-        per_value.groupBy(*quasi_cols)
+        per_value.where(F.col(count_col) > 0)
+        .groupBy(*quasi_cols)
         .agg(
-            F.sum("__c").cast("long").alias("n"),
+            F.sum(count_col).cast("long").alias("n"),
             F.count(F.lit(1)).cast("long").alias("l_vals"),
         )
         .where(F.col("l_vals") < F.lit(int(l)))

@@ -1621,6 +1621,212 @@ ORDER BY event_type, user_id
 """
 
 
+def q_cdc_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous l-diversity audit on a CDC stream — the homogeneity
+    gap k-anonymity leaves open, as a MAINTAINED aggregate: (QI...,
+    sensitive-value) cell counts kept by a RollupMaintainer and scored
+    through the IDENTICAL shared expressions the batch audit uses
+    (operators/quality.l_diversity_score).  State is one row per
+    OCCUPIED (nation, bal_band, segment) cell — bounded by the QI ×
+    value grid, not the table.
+
+    The stream exercises a correction wave on the SENSITIVE attribute
+    itself: batch 0 inserts the even-custkey half correctly; batch 1
+    inserts the odd half with segment mis-keyed to the literal
+    'MISKEYED' (a bad upstream mapping); batch 2 retracts every
+    mis-keyed cell and inserts the corrected image, then REPLAYS once
+    (no-op asserted).  In-query pins: the mis-keyed mass is exactly
+    n_odd mid-stream and exactly 0 after the correction (its cells
+    must VANISH from state, not linger at zero — the identically-zero
+    cleanup rule), so the retraction provably both happened and
+    converged.  Oracle: ORACLE_L_DIVERSITY, the batch audit's full
+    recompute over the final table."""
+    from cdc_redshift_spark.operators.quality import l_diversity_score
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grain = ["nation", "bal_band", "segment"]
+
+    def ins(df: DataFrame) -> DataFrame:
+        return df.select(F.lit(1).alias("sign"), *grain)
+
+    par = F.pmod(F.col("ck"), F.lit(2))
+    even, odd = cust.where(par == 0), cust.where(par == 1)
+    wrong = odd.select(
+        F.lit(1).alias("sign"),
+        "nation",
+        "bal_band",
+        F.lit("MISKEYED").alias("segment"),
+    )
+    correction = wrong.withColumn("sign", F.lit(-1)).unionByName(ins(odd))
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_ldiv_")
+    try:
+        m = RollupMaintainer(
+            spark,
+            tmp,
+            prepare=lambda r: r,
+            time_col=None,
+            bucket=None,
+            dims=grain,
+            measures={},
+        )
+        seq = [m.update(ins(even), 0), m.update(wrong, 1)]
+
+        def miskeyed(df) -> int:
+            return (
+                df.where(F.col("segment") == "MISKEYED")
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .collect()[0][0]
+            )
+
+        mid = miskeyed(m.current())
+        seq += [m.update(correction, 2), m.update(correction, 2)]
+        if seq != [True, True, True, False]:
+            raise RuntimeError(f"l-diversity maintainer replay broken: {seq}")
+        state = m.current()
+        n_odd = odd.count()
+        fin = miskeyed(state)
+        if mid != n_odd or fin != 0:
+            raise RuntimeError(
+                f"sensitive-attribute correction did not converge: "
+                f"mis-keyed mass mid={mid} (want {n_odd}), final={fin}"
+            )
+        out = (
+            l_diversity_score(state, ["nation", "bal_band"], l=3,
+                              count_col="n")
+            .orderBy("nation", "bal_band")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_cdc_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous k-anonymity audit on a CDC stream (VERDICT r13 #4):
+    the privacy gate as a MAINTAINED aggregate — QI-class counts kept
+    incrementally by a RollupMaintainer over signed retraction
+    batches, scored with the IDENTICAL shared threshold expression
+    the batch audit uses (operators/quality.k_anonymity_score, the
+    pattern proven by all three drift faces).  A 100 TB CDC pipeline
+    runs its re-identification audit per micro-batch, not as a
+    nightly rescan: state is ONE row per occupied (nation, segment,
+    bal_band) class — grid-bounded, not data-bounded — and a trigger
+    folds only its batch's class deltas.
+
+    Unlike the insert-only drift faces, this stream exercises GENUINE
+    UPDATE retractions: batch 0 inserts the even-custkey half with
+    correct QI values; batch 1 inserts the odd half with a WRONG
+    balance band (band + 1, a mis-binned first write); batch 2 is the
+    correcting UPDATE — a signed retraction of every wrong row plus
+    the insert of its corrected image — and then REPLAYS once (the
+    foreachBatch retry contract must no-op it, asserted in-query).
+    An arithmetic pin proves the retraction really moved state: the
+    band-weighted state mass drops by exactly one band per corrected
+    customer across batch 2.  The oracle is ORACLE_K_ANONYMITY itself
+    — the batch audit's full recompute over the final table — so a
+    green row proves maintained-count scoring ≡ batch recompute
+    across batch splits, a real correction wave, AND replay.
+
+    Reference point: the continuous analogue of the batch privacy
+    gate a warehouse runs before exposing a table (reference
+    readme.md:27,33 micro-batch economics)."""
+    from cdc_redshift_spark.operators.quality import k_anonymity_score
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+        )
+        # pin the QI projection once: each maintainer update is its
+        # own action, and every batch slices this same frame
+        .localCheckpoint(eager=True)
+    )
+    qi = ["nation", "segment", "bal_band"]
+
+    def ins(df: DataFrame) -> DataFrame:
+        return df.select(F.lit(1).alias("sign"), *qi)
+
+    par = F.pmod(F.col("ck"), F.lit(2))
+    even, odd = cust.where(par == 0), cust.where(par == 1)
+    wrong = odd.select(
+        F.lit(1).alias("sign"),
+        "nation",
+        "segment",
+        (F.col("bal_band") + 1).alias("bal_band"),
+    )
+    correction = wrong.withColumn("sign", F.lit(-1)).unionByName(ins(odd))
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_kanon_")
+    try:
+        m = RollupMaintainer(
+            spark,
+            tmp,
+            prepare=lambda r: r,
+            time_col=None,
+            bucket=None,
+            dims=qi,
+            measures={},
+        )
+        seq = [m.update(ins(even), 0), m.update(wrong, 1)]
+
+        def mass(df, n_expr):
+            r = df.agg(
+                F.sum(n_expr).alias("__n"),
+                F.sum(n_expr * F.col("bal_band")).alias("__w"),
+            ).collect()[0]
+            return r["__n"], r["__w"]
+
+        mid = mass(m.current(), F.col("n"))
+        seq += [m.update(correction, 2), m.update(correction, 2)]
+        if seq != [True, True, True, False]:
+            raise RuntimeError(f"k-anonymity maintainer replay broken: {seq}")
+        state = m.current()
+        # the correction wave really engaged: total count is conserved
+        # across batch 2 while the band-weighted state mass drops by
+        # EXACTLY one band per corrected (odd) customer — pinned
+        # against the mid-stream (mis-binned) state, so the wrong
+        # batch was provably wrong and the retraction provably moved
+        # it.  NULL bands stay NULL under +1 and carry no weight in
+        # either sum, so only non-NULL-band odd customers move mass.
+        n_odd = odd.where(F.col("bal_band").isNotNull()).count()
+        fin = mass(state, F.col("n"))
+        exp = mass(cust, F.lit(1))
+        if fin != exp or mid != (exp[0], exp[1] + n_odd):
+            raise RuntimeError(
+                f"retraction did not converge: mid {mid}, final {fin}, "
+                f"table {exp}, n_odd={n_odd}"
+            )
+        out = (
+            k_anonymity_score(state, k=5)
+            .select(
+                "nation",
+                "segment",
+                "bal_band",
+                F.col("n").cast("long").alias("n"),
+            )
+            .orderBy("nation", "segment", "bal_band")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
     "cdc_rollup_rebucket_stream": q_cdc_rollup_rebucket_stream,
@@ -1630,6 +1836,8 @@ QUERIES = {
     "cdc_stream_token_drift": q_cdc_stream_token_drift,
     "cdc_stream_cm_sketch": q_cdc_stream_cm_sketch,
     "cdc_stream_kmv_rollup": q_cdc_stream_kmv_rollup,
+    "cdc_stream_k_anonymity": q_cdc_stream_k_anonymity,
+    "cdc_stream_l_diversity": q_cdc_stream_l_diversity,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
     "cdc_windowed_ops_stream": q_cdc_windowed_ops_stream,
     "cdc_sessionize_stream": q_cdc_sessionize_stream,
@@ -1658,6 +1866,22 @@ def _oracle_stream_emb() -> str:
     return _oracle_emb_drift()
 
 
+def _oracle_stream_ldiv() -> str:
+    # same stance for the homogeneity audit
+    from cdc_redshift_spark.queries.text_q import ORACLE_L_DIVERSITY
+
+    return ORACLE_L_DIVERSITY
+
+
+def _oracle_stream_kanon() -> str:
+    # the batch audit's oracle IS the streaming oracle: maintained
+    # QI-class counts scored through the shared k_anonymity_score
+    # must equal the full-table recompute
+    from cdc_redshift_spark.queries.text_q import ORACLE_K_ANONYMITY
+
+    return ORACLE_K_ANONYMITY
+
+
 def _oracle_stream_token() -> str:
     # same stance: maintained (source, cell, half) counts scored
     # through the shared psi_score must equal the batch monitor
@@ -1675,6 +1899,8 @@ ORACLES = {
     "cdc_stream_token_drift": _oracle_stream_token(),
     "cdc_stream_cm_sketch": _oracle_stream_cm(),
     "cdc_stream_kmv_rollup": _oracle_stream_kmv(),
+    "cdc_stream_k_anonymity": _oracle_stream_kanon(),
+    "cdc_stream_l_diversity": _oracle_stream_ldiv(),
     "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,
     "cdc_windowed_ops_stream": ORACLE_WINDOWED_OPS,
     "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,

@@ -586,6 +586,175 @@ def test_k_anonymity_validation(spark):
         k_anonymity_violations(df, ["geo"], k=1)
 
 
+def test_k_anonymity_score_shared_and_mid_replay_safe(spark):
+    """Round-14: the factored threshold scorer (shared by the batch
+    audit and the streaming face) flags 0 < n < k only — a NEGATIVE
+    in-flight group (a retraction applied ahead of its insert on a
+    mid-replay maintained state) is NOT a violation, and n >= k
+    passes."""
+    from cdc_redshift_spark.operators.quality import k_anonymity_score
+
+    counts = spark.createDataFrame(
+        [("a", 1), ("b", 4), ("c", 5), ("d", -2), ("e", 0)],
+        "geo string, n int",
+    )
+    got = sorted(
+        r["geo"] for r in k_anonymity_score(counts, k=5).collect()
+    )
+    assert got == ["a", "b"]
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_score(counts, k=1)
+
+
+def test_stream_k_anonymity_matches_batch_face_on_null_qi(
+    spark, tmp_path
+):
+    """Two-face parity for the streaming privacy audit on an
+    adversarial customer fixture: NULL nation / segment / acctbal QI
+    values (each its own class, the conservative reading), tiny
+    classes straddling the k=5 boundary, and the correction-wave
+    arithmetic pin surviving NULL bands (a NULL band moves no
+    weighted mass).  Oracle-backed: the DuckDB mirror's row set on
+    the same fixture."""
+    from cdc_redshift_spark.queries.streaming_q import (
+        q_cdc_stream_k_anonymity,
+    )
+    from cdc_redshift_spark.queries.text_q import (
+        ORACLE_K_ANONYMITY,
+        q_pii_k_anonymity,
+    )
+
+    rows = []
+    # class (0, 'A', 0): 6 members -> passes k=5
+    rows += [(i, 0, "A", 100.0) for i in range(6)]
+    # class (0, 'A', 1): 4 members -> violation
+    rows += [(10 + i, 0, "A", 1100.0) for i in range(4)]
+    # NULL-QI classes, each small -> violations
+    rows += [(20, None, "A", 100.0), (21, None, "A", 100.0)]
+    rows += [(30, 1, None, 200.0)]
+    rows += [(40, 1, "B", None), (41, 1, "B", None), (42, 1, "B", None)]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_nationkey int, c_mktsegment string, "
+        "c_acctbal double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    sf = str(tmp_path)
+    # repr key: tuples with NULLs don't order under plain <
+    batch = sorted(
+        (tuple(r) for r in q_pii_k_anonymity(spark, sf).collect()),
+        key=repr,
+    )
+    stream = sorted(
+        (tuple(r) for r in q_cdc_stream_k_anonymity(spark, sf).collect()),
+        key=repr,
+    )
+    assert stream == batch
+    # the fixture really exercised the shapes
+    assert (0, "A", 0, 6) not in batch  # the passing class is absent
+    assert (0, "A", 1, 4) in batch
+    assert any(r[0] is None for r in batch)  # NULL nation class
+    assert any(r[1] is None for r in batch)  # NULL segment class
+    assert any(r[2] is None for r in batch)  # NULL band class
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/customer.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (tuple(r) for r in con.execute(ORACLE_K_ANONYMITY).fetchall()),
+        key=repr,
+    )
+    con.close()
+    assert oracle == batch
+
+
+def test_l_diversity_score_shared_and_mid_replay_safe(spark):
+    """Round-14: the factored diversity scorer drops cells with
+    count <= 0 before counting distinct values — a negative in-flight
+    cell (mid-replay retraction) or an identically-zero residue must
+    not count toward (or against) a class's diversity."""
+    from cdc_redshift_spark.operators.quality import l_diversity_score
+
+    cells = spark.createDataFrame(
+        [
+            ("a", "x", 3), ("a", "y", -1),  # y is in-flight: a is homogeneous
+            ("b", "x", 2), ("b", "y", 1),   # genuinely diverse
+            ("c", "x", 1), ("c", "y", 0),   # zero residue: c is homogeneous
+        ],
+        "geo string, sv string, c int",
+    )
+    got = {
+        r["geo"]: (r["n"], r["l_vals"])
+        for r in l_diversity_score(cells, ["geo"], l=2, count_col="c").collect()
+    }
+    assert got == {"a": (3, 1), "c": (1, 1)}
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversity_score(cells, ["geo"], l=1, count_col="c")
+
+
+def test_stream_l_diversity_matches_batch_face_on_null_sensitive(
+    spark, tmp_path
+):
+    """Two-face parity for the streaming homogeneity audit on an
+    adversarial fixture: NULL sensitive values (one value of their
+    own — an all-missing class is still homogeneous), NULL QI values,
+    and classes straddling l=3.  Oracle-backed via the DuckDB
+    mirror."""
+    from cdc_redshift_spark.queries.streaming_q import (
+        q_cdc_stream_l_diversity,
+    )
+    from cdc_redshift_spark.queries.text_q import (
+        ORACLE_L_DIVERSITY,
+        q_pii_l_diversity,
+    )
+
+    rows = []
+    # class (0, 0): 3 distinct segments -> passes l=3
+    rows += [(1, 0, "A", 100.0), (2, 0, "B", 100.0), (3, 0, "C", 100.0)]
+    # class (0, 1): homogeneous, 4 members -> violation
+    rows += [(10 + i, 0, "A", 1100.0) for i in range(4)]
+    # class (1, 0): everyone's segment missing -> 1 value, violation
+    rows += [(20, 1, None, 100.0), (21, 1, None, 100.0)]
+    # NULL QI class with 2 distinct values -> violation (l=3)
+    rows += [(30, None, "A", 100.0), (31, None, "B", 100.0)]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_nationkey int, c_mktsegment string, "
+        "c_acctbal double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    sf = str(tmp_path)
+    batch = sorted(
+        (tuple(r) for r in q_pii_l_diversity(spark, sf).collect()),
+        key=repr,
+    )
+    stream = sorted(
+        (tuple(r) for r in q_cdc_stream_l_diversity(spark, sf).collect()),
+        key=repr,
+    )
+    assert stream == batch
+    assert (0, 0, 3, 3) not in batch        # the diverse class is absent
+    assert (0, 1, 4, 1) in batch            # homogeneous class flagged
+    assert (1, 0, 2, 1) in batch            # all-NULL sensitive is 1 value
+    assert any(r[0] is None for r in batch)  # NULL QI class present
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/customer.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (tuple(r) for r in con.execute(ORACLE_L_DIVERSITY).fetchall()),
+        key=repr,
+    )
+    con.close()
+    assert oracle == batch
+
+
 def test_psi_streamed_state_equals_batch(spark, tmp_path):
     """The streaming face (RollupMaintainer over the (key, bin, half)
     histogram grain, count-only measures) must score identically to
