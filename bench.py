@@ -190,12 +190,25 @@ def main() -> None:
         "events_twap": 3,
     }
 
+    def pair_agg(df):
+        # VERDICT r13 #3: dedup_simjoin emits ~965k verified pair ROWS
+        # at sf0.1 and the noop-materialization of that result set —
+        # not the PPJoin — is what swings with host contention (three
+        # rounds of noise triage).  Reducing to (pair count, pairing
+        # checksum) keeps every pair computed AND verified while the
+        # timed window measures the join; query + oracle are unchanged.
+        return df.selectExpr(
+            "count(1)", "bit_xor(xxhash64(id_a, id_b, jaccard))"
+        ).collect()
+
     times: dict[str, float] = {}
     for name in headline:
-        times[name] = timed(
-            lambda: force(qs[name](spark, SF_DIR)),
-            iters=extra_iters.get(name, 2),
+        fn = (
+            (lambda: pair_agg(qs[name](spark, SF_DIR)))
+            if name == "dedup_simjoin"
+            else (lambda: force(qs[name](spark, SF_DIR)))
         )
+        times[name] = timed(fn, iters=extra_iters.get(name, 2))
 
     # dedup_minhash_lsh split by shingle config (VERDICT r9 #5): one
     # registry slot, two sub-timings, so the char fold stays
@@ -596,6 +609,26 @@ def main() -> None:
     # prune).  scd2_depth_touched_buckets pins how many of the 64
     # buckets a trigger actually rewrites; the rest are hard-linked,
     # never read.
+    def store_footprint(root: str) -> tuple[int, int]:
+        """(bytes, version-dir count) of a snapshot store — hard-linked
+        files counted ONCE (st_ino dedup), since unchanged-bucket
+        sharing across versions is exactly the layout property the
+        footprint axis certifies (VERDICT r13 #5): on-disk bytes must
+        stay O(state) + O(churn x keep_versions), not O(state x
+        versions-ever-written)."""
+        seen, total, nver = set(), 0, 0
+        for d in os.listdir(root):
+            if d.startswith("v") and os.path.isdir(os.path.join(root, d)):
+                nver += 1
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                st = os.stat(os.path.join(dirpath, f))
+                if st.st_ino in seen:
+                    continue
+                seen.add(st.st_ino)
+                total += st.st_size
+        return total, nver
+
     keys5 = [
         r[0]
         for r in scd_base.select("k").distinct().orderBy("k").limit(5).collect()
@@ -626,6 +659,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 m.update(b, i)
                 walls.append(round(time.perf_counter() - t0, 3))
+            # footprint axis (VERDICT r13 #5): after 9 commits with
+            # keep_versions retention, unique-inode bytes must track
+            # the STATE size, and version dirs stay at the retention
+            # cap — not grow with trigger count
+            fb, nv = store_footprint(root)
+            maint[f"scd2_depth_{label}_store_bytes"] = fb
+            maint[f"scd2_depth_{label}_version_dirs"] = nv
         finally:
             shutil.rmtree(root, ignore_errors=True)
         maint[f"scd2_depth_{label}_s_per_trigger"] = steady(walls)
@@ -633,6 +673,16 @@ def main() -> None:
     maint["scd2_depth_flat_ratio"] = round(
         maint["scd2_depth_10x_s_per_trigger"]
         / max(maint["scd2_depth_1x_s_per_trigger"], 1e-9),
+        2,
+    )
+    # bytes-per-state-row must be flat across 10x stored history
+    # (~1.0 = disk is O(state x keep_versions), no version leak)
+    maint["scd2_depth_bytes_per_row_ratio"] = round(
+        (maint["scd2_depth_10x_store_bytes"] / maint["scd2_depth_10x_hist_rows"])
+        / (
+            maint["scd2_depth_1x_store_bytes"]
+            / max(maint["scd2_depth_1x_hist_rows"], 1)
+        ),
         2,
     )
 
@@ -668,10 +718,19 @@ def main() -> None:
             return walls
 
         pre = rb_walls(6, 1)
+        maint["rebucket_store_bytes_pre"] = store_footprint(root)[0]
         t0 = time.perf_counter()
         m.rebucket(128)
         maint["rebucket_migration_s"] = round(time.perf_counter() - t0, 3)
         post = rb_walls(6, 7)
+        # footprint must survive the live migration flat: same state,
+        # finer geometry, retention still pruning — not a 2x residue
+        fb, nv = store_footprint(root)
+        maint["rebucket_store_bytes_post"] = fb
+        maint["rebucket_version_dirs_post"] = nv
+        maint["rebucket_bytes_flat_ratio"] = round(
+            fb / max(maint["rebucket_store_bytes_pre"], 1), 2
+        )
         maint["rebucket_pre_s_per_trigger"] = steady(pre)
         maint["rebucket_post_s_per_trigger"] = steady(post)
         maint["rebucket_touched_buckets_post"] = len(

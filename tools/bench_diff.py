@@ -28,7 +28,11 @@ import sys
 #: readings within ~2x of these are host noise; only a min-of-3
 #: drifting well past them is signal.
 SCALE_PINS = {
-    "dedup_simjoin": 5.21,
+    # re-pinned round 14 (VERDICT r13 #3): isolated min-of-5 x2 fresh
+    # sessions under the NEW pair-aggregate bench shape — mins 6.1 /
+    # 9.7, swings up to 50 s under host contention (SCALE.md r14).
+    # The 2x band is read against this pin.
+    "dedup_simjoin": 8.0,
     "graph_tree_roots": 1.83,
     "layout_pruned_scan": 1.02,
     "events_twap": 0.41,
