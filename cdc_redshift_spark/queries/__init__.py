@@ -30,85 +30,90 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-13 ROTATION.  With total driver
-# coverage reached in r10, rotations are pure staleness refresh;
+# Exactly 50 names — the ROUND-14 ROTATION.  Rotations are pure
+# staleness refresh (total driver coverage since r10);
 # tools/rotate_window.py computes the queue from the
-# CORRECTNESS_r*.json history, and two overrides apply this round:
+# CORRECTNESS_r*.json history, with the standing overrides:
 #
-#   1. NEW queries gate in the round that adds them (standing rule):
-#      cdc_stream_emb_drift and cdc_stream_token_drift (the
-#      streaming faces of the drift-monitor triad, VERDICT r11 #4),
-#      plan_salted_exec (the composed flag→confirm→salted-exec skew
-#      path, r11 #5), pii_t_closeness_ordered (the paper's ordered
-#      EMD, r12 #6), and cdc_rollup_autogrow_stream (byte-outgrowth-
-#      triggered self-migration, r12 #8).
-#   2. MODIFIED code outranks staleness: t_closeness_report's joins
-#      went null-safe with the oracle mirrored (ADVICE r12 high) →
-#      pii_t_closeness re-gates; emb_drift_report now routes through
-#      the shared emb_drift_score → re-gates; the HLL oracle mirror
-#      gained the murmur3 block rounds and sketch_hll_users a
-#      long-key fixture → re-gates; the snapshot store's _flip
-#      pruning and empty-state fallback changed (ADVICE r12 lows) →
-#      the store-backed cdc_scd2_history, cdc_join_view_stream,
-#      cdc_rollup_rebucket_stream, cdc_stream_psi_drift re-gate.
+#   1. NEW queries gate in the round that adds them:
+#      cdc_stream_k_anonymity and cdc_stream_l_diversity — the
+#      streaming faces of the privacy triad's count audits
+#      (maintained QI-class / QI×value counts scored by the shared
+#      k_anonymity_score / l_diversity_score, VERDICT r13 #4).
+#   2. MODIFIED code outranks staleness: emb_drift_score's left-join
+#      row-set fix (ADVICE r13) → emb_drift_report,
+#      cdc_stream_emb_drift re-gate; the k-anonymity / l-diversity
+#      scorer factoring → pii_k_anonymity, pii_l_diversity re-gate;
+#      the snapshot store's _flip lost-pointer pruning changed
+#      (ADVICE r13) → the store-backed cdc_scd2_history,
+#      cdc_join_view_stream, cdc_rollup_rebucket_stream,
+#      cdc_rollup_autogrow_stream, cdc_stream_psi_drift,
+#      cdc_stream_token_drift re-gate; the long-key fixture
+#      assertion relaxed (ADVICE r13) → sketch_hll_users re-gates.
 #
-# Composition: those 12, the r12 queue heads displaced last round
-# (the 7 r7 entries named in the r12 header) plus the rest of the
-# tool's staleness order (r7 tail, then the r9 cohort in name
-# order), and the 5 end-to-end CDC pipelines (re-gated every round).
-# Displaced to the head of the r14 queue (the tool's 8 least-stale
-# picks, casualties of the overrides): events_rfm_segments,
-# events_session_paths, events_twap, graph_tree_roots,
-# layout_range_bounds, orders_bloom_semi_revenue, orders_merge_into,
-# sim_ivf_eval (all r9, LOCALGATE-green, code-stable).
+# Composition: those 13, the 8 r14 queue heads displaced last round
+# (events_rfm_segments, events_session_paths, events_twap,
+# graph_tree_roots, layout_range_bounds, orders_bloom_semi_revenue,
+# orders_merge_into, sim_ivf_eval — all r9), the remaining 15 of the
+# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), the 9
+# oldest r10 entries in the tool's order (cdc_enrich_stream …
+# corpus_clean_pipeline), and the 5 end-to-end CDC pipelines
+# (re-gated every round).  After this window NOTHING in the registry
+# is staler than r10 (the r13 #2 done-bar).  Displaced to the head
+# of the r15 queue: the rest of the r10 cohort in rotate_window
+# order (corpus_decontaminate, corpus_source_cap,
+# corpus_stratified_sample, corpus_token_shards,
+# customer_activity_segments, dedup_clusters, dedup_embedding_cosine,
+# dedup_exact, dedup_graph_triangles, dedup_minhash_lsh,
+# dedup_ngram_jaccard, dedup_simhash, docs_tfidf_keywords, …).
 # Everything outside the window stays certified by the per-round
 # LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
-    "cdc_rollup_autogrow_stream",  # never gated (new r13)
-    "cdc_stream_emb_drift",  # never gated (new r13)
-    "cdc_stream_token_drift",  # never gated (new r13)
-    "pii_t_closeness_ordered",  # never gated (new r13)
-    "plan_salted_exec",  # never gated (new r13)
-    "pii_t_closeness",  # re-gate: null-safe joins r13 (ADVICE)
-    "emb_drift_report",  # re-gate: shared-scorer refactor r13
-    "sketch_hll_users",  # re-gate: murmur3 block rounds r13
-    "cdc_scd2_history",  # re-gate: snapshot _flip/fallback r13
-    "cdc_join_view_stream",  # re-gate: snapshot _flip/fallback r13
-    "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r13
-    "cdc_stream_psi_drift",  # re-gate: snapshot changes r13
-    "corpus_token_drift",  # re-gate: shared vocab/grid helpers r13
-    "scd2_stream_maintenance",  # last r7
-    "scd2_user_history",  # last r7
-    "sink_table_changes",  # last r7
-    "sink_time_travel",  # last r7
-    "sketch_user_overlap",  # last r7
-    "supplier_balance_ranks",  # last r7
-    "text_fingerprint",  # last r7
-    "text_quality_by_source",  # last r7
-    "text_top_words",  # last r7
-    "text_winnow",  # last r7
-    "top_customers_per_nation",  # last r7
-    "cdc_bi_capstone",  # last r9
-    "cdc_stream_cm_sketch",  # last r9
-    "cdc_stream_ivf_index",  # last r9
-    "cdc_stream_kmv_rollup",  # last r9
-    "corpus_bpe_pairs",  # last r9
-    "corpus_budget_select",  # last r9
-    "corpus_dsir_weights",  # last r9
-    "corpus_lm_perplexity",  # last r9
-    "corpus_pretrain_manifest",  # last r9
-    "corpus_split_leakage_safe",  # last r9
-    "corpus_temperature_mix",  # last r9
-    "dedup_containment",  # last r9
-    "docs_hybrid_rrf",  # last r9
-    "docs_phrase_search",  # last r9
-    "docs_substring_dedup",  # last r9
-    "dq_value_outliers",  # last r9
-    "dq_value_winsorized",  # last r9
-    "emb_pca_projection",  # last r9
-    "emb_semantic_dedup",  # last r9
-    "events_golden_profile",  # last r9
-    "events_ohlc_bars",  # last r9
+    "cdc_stream_k_anonymity",  # never gated (new r14)
+    "cdc_stream_l_diversity",  # never gated (new r14)
+    "emb_drift_report",  # re-gate: left-join row-set fix r14
+    "cdc_stream_emb_drift",  # re-gate: left-join row-set fix r14
+    "pii_k_anonymity",  # re-gate: shared-scorer factoring r14
+    "pii_l_diversity",  # re-gate: shared-scorer factoring r14
+    "cdc_scd2_history",  # re-gate: snapshot _flip pruning r14
+    "cdc_join_view_stream",  # re-gate: snapshot _flip pruning r14
+    "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r14
+    "cdc_rollup_autogrow_stream",  # re-gate: snapshot changes r14
+    "cdc_stream_psi_drift",  # re-gate: snapshot changes r14
+    "cdc_stream_token_drift",  # re-gate: snapshot changes r14
+    "sketch_hll_users",  # re-gate: fixture assertion relaxed r14
+    "events_rfm_segments",  # r14 queue head (last r9)
+    "events_session_paths",  # r14 queue head (last r9)
+    "events_twap",  # r14 queue head (last r9)
+    "graph_tree_roots",  # r14 queue head (last r9)
+    "layout_range_bounds",  # r14 queue head (last r9)
+    "orders_bloom_semi_revenue",  # r14 queue head (last r9)
+    "orders_merge_into",  # r14 queue head (last r9)
+    "sim_ivf_eval",  # r14 queue head (last r9)
+    "sim_lsh_eval",  # last r9
+    "sim_pq_eval",  # last r9
+    "sink_analyze_stats",  # last r9
+    "sink_column_rename",  # last r9
+    "sink_constraints",  # last r9
+    "sink_dv_merge",  # last r9
+    "sink_generated_columns",  # last r9
+    "sink_occ_commit",  # last r9
+    "sink_optimize",  # last r9
+    "sink_repartition_evolution",  # last r9
+    "sink_restore_clone",  # last r9
+    "sink_row_provenance",  # last r9
+    "sink_schema_evolution",  # last r9
+    "sink_txn_batch",  # last r9
+    "sketch_cm_tokens",  # last r9
+    "cdc_enrich_stream",  # last r10
+    "cdc_first_seen_stream",  # last r10
+    "cdc_rollup_maintenance",  # last r10 (store-backed, also re-gate)
+    "cdc_sessionize_stream",  # last r10
+    "cdc_stateful_lww_agg_stream",  # last r10
+    "cdc_stateful_lww_stream",  # last r10
+    "cdc_variant_payload",  # last r10
+    "cdc_windowed_ops_stream",  # last r10
+    "corpus_clean_pipeline",  # last r10
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

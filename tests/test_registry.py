@@ -14,34 +14,33 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_pins_the_round13_rotation():
-    """The r13 window is a staleness refresh plus the entries that
-    MUST gate this round: the new r13 queries, the queries whose
+def test_gate_window_pins_the_round14_rotation():
+    """The r14 window is a staleness refresh plus the entries that
+    MUST gate this round: the new r14 queries, the queries whose
     semantics or maintainer code changed this round, and the 5 CDC
     pipelines re-gated every round.  (The bulk of the window — the
-    longest-stale r7/r9 cohort — is policy, not correctness, so it is
+    r9/r10 staleness cohort — is policy, not correctness, so it is
     not pinned here; tools/rotate_window.py recomputes it.)"""
     must_gate = {
-        # round-13 additions: the drift monitors' streaming faces,
-        # the composed salted-exec path, ordered t-closeness, and the
-        # auto-triggered rebucket
-        "cdc_stream_emb_drift",
-        "cdc_stream_token_drift",
-        "plan_salted_exec",
-        "pii_t_closeness_ordered",
-        "cdc_rollup_autogrow_stream",
-        # code MODIFIED this round must re-gate: null-safe t-closeness
-        # joins (ADVICE), the shared emb scorer refactor, the HLL
-        # murmur3 block rounds, and the snapshot store's _flip /
-        # empty-state-fallback fixes (ADVICE) -> store-backed entries
-        "pii_t_closeness",
+        # round-14 additions: the privacy triad's streaming faces
+        "cdc_stream_k_anonymity",
+        "cdc_stream_l_diversity",
+        # code MODIFIED this round must re-gate: the emb-drift
+        # left-join row-set fix (ADVICE r13), the shared k/l scorer
+        # factoring, the snapshot store's _flip lost-pointer pruning
+        # (ADVICE r13) -> store-backed entries, and the relaxed
+        # long-key fixture assertion
         "emb_drift_report",
-        "sketch_hll_users",
+        "cdc_stream_emb_drift",
+        "pii_k_anonymity",
+        "pii_l_diversity",
         "cdc_scd2_history",
         "cdc_join_view_stream",
         "cdc_rollup_rebucket_stream",
+        "cdc_rollup_autogrow_stream",
         "cdc_stream_psi_drift",
-        "corpus_token_drift",
+        "cdc_stream_token_drift",
+        "sketch_hll_users",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
