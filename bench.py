@@ -109,6 +109,12 @@ def main() -> None:
         "cdc_stream_emb_drift",
         "cdc_stream_token_drift",
         "plan_salted_exec",
+        # round-14: the privacy triad's streaming faces (maintained
+        # QI-class / QI x value cell counts + shared threshold/EMD
+        # scoring, one per CDC op: update / correction / delete)
+        "cdc_stream_k_anonymity",
+        "cdc_stream_l_diversity",
+        "cdc_stream_t_closeness",
     ]
     # the JVM-aggregation stateful variant: measures the streaming
     # LWW operator itself, not applyInPandasWithState's ~0.2 ms/key

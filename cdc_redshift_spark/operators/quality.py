@@ -909,11 +909,36 @@ def t_closeness_report(
     is reported (the monitor wants the whole distribution-distance
     landscape, thresholded like psi_drift's ``drift`` flag).
     """
-    if not 0.0 < t < 1.0:
-        raise ValueError(f"t must be in (0, 1), got {t}")
     cells = df.groupBy(
         *quasi_cols, F.col(sensitive_col).alias("__sv")
     ).agg(F.count(F.lit(1)).alias("__c"))
+    return t_closeness_score(cells, quasi_cols, t)
+
+
+def t_closeness_score(
+    cells: DataFrame,
+    quasi_cols: list[str],
+    t: float,
+    count_col: str = "__c",
+    value_col: str = "__sv",
+) -> DataFrame:
+    """The t-closeness verdict over already-aggregated (QI...,
+    sensitive-value, count) cells — the shared back half (round 14),
+    so the batch face (:func:`t_closeness_report`) and a streaming
+    face scoring a maintained cell state certify the IDENTICAL
+    absent-value EMD algebra, completing the privacy triad's shared-
+    scorer set with :func:`k_anonymity_score` /
+    :func:`l_diversity_score`.
+
+    Cells with ``count <= 0`` are dropped first (mid-replay safety,
+    free on the batch face where GROUP BY counts are >= 1)."""
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    cells = cells.where(F.col(count_col) > 0).select(
+        *quasi_cols,
+        F.col(value_col).alias("__sv"),
+        F.col(count_col).alias("__c"),
+    )
     class_tot = cells.groupBy(*quasi_cols).agg(
         F.sum("__c").alias("__n")
     )

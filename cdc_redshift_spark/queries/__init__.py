@@ -36,10 +36,12 @@ from __future__ import annotations
 # CORRECTNESS_r*.json history, with the standing overrides:
 #
 #   1. NEW queries gate in the round that adds them:
-#      cdc_stream_k_anonymity and cdc_stream_l_diversity — the
-#      streaming faces of the privacy triad's count audits
-#      (maintained QI-class / QI×value counts scored by the shared
-#      k_anonymity_score / l_diversity_score, VERDICT r13 #4).
+#      cdc_stream_k_anonymity, cdc_stream_l_diversity and
+#      cdc_stream_t_closeness — the streaming faces of the FULL
+#      privacy triad (maintained QI-class / QI×value counts scored
+#      by the shared k_anonymity_score / l_diversity_score /
+#      t_closeness_score, VERDICT r13 #4), each exercising a
+#      different CDC op (update / sensitive-correction / delete).
 #   2. MODIFIED code outranks staleness: emb_drift_score's left-join
 #      row-set fix (ADVICE r13) → emb_drift_report,
 #      cdc_stream_emb_drift re-gate; the k-anonymity / l-diversity
@@ -51,17 +53,18 @@ from __future__ import annotations
 #      cdc_stream_token_drift re-gate; the long-key fixture
 #      assertion relaxed (ADVICE r13) → sketch_hll_users re-gates.
 #
-# Composition: those 13, the 8 r14 queue heads displaced last round
+# Composition: those 16, the 8 r14 queue heads displaced last round
 # (events_rfm_segments, events_session_paths, events_twap,
 # graph_tree_roots, layout_range_bounds, orders_bloom_semi_revenue,
 # orders_merge_into, sim_ivf_eval — all r9), the remaining 15 of the
-# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), the 9
+# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), the 7
 # oldest r10 entries in the tool's order (cdc_enrich_stream …
-# corpus_clean_pipeline), and the 5 end-to-end CDC pipelines
+# cdc_variant_payload), and the 5 end-to-end CDC pipelines
 # (re-gated every round).  After this window NOTHING in the registry
 # is staler than r10 (the r13 #2 done-bar).  Displaced to the head
 # of the r15 queue: the rest of the r10 cohort in rotate_window
-# order (corpus_decontaminate, corpus_source_cap,
+# order (cdc_windowed_ops_stream, corpus_clean_pipeline,
+# corpus_decontaminate, corpus_source_cap,
 # corpus_stratified_sample, corpus_token_shards,
 # customer_activity_segments, dedup_clusters, dedup_embedding_cosine,
 # dedup_exact, dedup_graph_triangles, dedup_minhash_lsh,
@@ -71,10 +74,12 @@ from __future__ import annotations
 _GATE_WINDOW = [
     "cdc_stream_k_anonymity",  # never gated (new r14)
     "cdc_stream_l_diversity",  # never gated (new r14)
+    "cdc_stream_t_closeness",  # never gated (new r14)
     "emb_drift_report",  # re-gate: left-join row-set fix r14
     "cdc_stream_emb_drift",  # re-gate: left-join row-set fix r14
     "pii_k_anonymity",  # re-gate: shared-scorer factoring r14
     "pii_l_diversity",  # re-gate: shared-scorer factoring r14
+    "pii_t_closeness",  # re-gate: shared-scorer factoring r14
     "cdc_scd2_history",  # re-gate: snapshot _flip pruning r14
     "cdc_join_view_stream",  # re-gate: snapshot _flip pruning r14
     "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r14
@@ -112,8 +117,6 @@ _GATE_WINDOW = [
     "cdc_stateful_lww_agg_stream",  # last r10
     "cdc_stateful_lww_stream",  # last r10
     "cdc_variant_payload",  # last r10
-    "cdc_windowed_ops_stream",  # last r10
-    "corpus_clean_pipeline",  # last r10
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

@@ -1712,6 +1712,106 @@ def q_cdc_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous t-closeness audit on a CDC stream — the skewness-
+    attack monitor as a MAINTAINED aggregate, completing the privacy
+    triad's streaming story (k-anonymity and l-diversity faces above;
+    same RollupMaintainer state pattern, same batch-SQL oracle
+    stance).  State: one row per occupied (nation, bal_band, segment)
+    cell; scoring reads ONLY state cells through the IDENTICAL
+    absent-value EMD algebra the batch audit uses
+    (operators/quality.t_closeness_score) — both the per-class and
+    the GLOBAL segment distribution come out of the same maintained
+    cells, so no second pass over the table exists anywhere.
+
+    Where the k-face exercises an UPDATE wave and the l-face a
+    sensitive-value correction, this stream exercises a pure DELETE
+    wave (the third CDC op): batch 0 inserts the even half PLUS a
+    phantom cohort (every even customer duplicated with segment
+    'PHANTOM' — a test-data leak into prod, the shape a privacy gate
+    must catch and purge); batch 1 inserts the odd half; batch 2
+    DELETES the phantom cohort (sign -1 only, no re-insert) and then
+    REPLAYS once (no-op asserted).  Pins: phantom mass == n_even
+    mid-stream and 0 after the purge (its cells must VANISH from
+    state, not linger at zero), so the delete provably happened and
+    converged.  Oracle: ORACLE_T_CLOSENESS, the batch audit's full
+    recompute over the final table."""
+    from cdc_redshift_spark.operators.quality import t_closeness_score
+    from cdc_redshift_spark.sources.tables import load_table
+    from cdc_redshift_spark.streaming.rollup import RollupMaintainer
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grain = ["nation", "bal_band", "segment"]
+
+    def ins(df: DataFrame) -> DataFrame:
+        return df.select(F.lit(1).alias("sign"), *grain)
+
+    par = F.pmod(F.col("ck"), F.lit(2))
+    even, odd = cust.where(par == 0), cust.where(par == 1)
+    phantom = even.select(
+        F.lit(1).alias("sign"),
+        "nation",
+        "bal_band",
+        F.lit("PHANTOM").alias("segment"),
+    )
+    purge = phantom.withColumn("sign", F.lit(-1))
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_tclose_")
+    try:
+        m = RollupMaintainer(
+            spark,
+            tmp,
+            prepare=lambda r: r,
+            time_col=None,
+            bucket=None,
+            dims=grain,
+            measures={},
+        )
+        seq = [
+            m.update(ins(even).unionByName(phantom), 0),
+            m.update(ins(odd), 1),
+        ]
+
+        def phantom_mass(df) -> int:
+            return (
+                df.where(F.col("segment") == "PHANTOM")
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .collect()[0][0]
+            )
+
+        mid = phantom_mass(m.current())
+        seq += [m.update(purge, 2), m.update(purge, 2)]
+        if seq != [True, True, True, False]:
+            raise RuntimeError(f"t-closeness maintainer replay broken: {seq}")
+        state = m.current()
+        n_even = even.count()
+        fin = phantom_mass(state)
+        if mid != n_even or fin != 0:
+            raise RuntimeError(
+                f"phantom-cohort purge did not converge: mass mid={mid} "
+                f"(want {n_even}), final={fin}"
+            )
+        out = (
+            t_closeness_score(
+                state, ["nation", "bal_band"], t=0.3, count_col="n",
+                value_col="segment",
+            )
+            .orderBy("nation", "bal_band")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_cdc_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous k-anonymity audit on a CDC stream (VERDICT r13 #4):
     the privacy gate as a MAINTAINED aggregate — QI-class counts kept
@@ -1838,6 +1938,7 @@ QUERIES = {
     "cdc_stream_kmv_rollup": q_cdc_stream_kmv_rollup,
     "cdc_stream_k_anonymity": q_cdc_stream_k_anonymity,
     "cdc_stream_l_diversity": q_cdc_stream_l_diversity,
+    "cdc_stream_t_closeness": q_cdc_stream_t_closeness,
     "cdc_stateful_lww_agg_stream": q_cdc_stateful_lww_agg_stream,
     "cdc_windowed_ops_stream": q_cdc_windowed_ops_stream,
     "cdc_sessionize_stream": q_cdc_sessionize_stream,
@@ -1864,6 +1965,13 @@ def _oracle_stream_emb() -> str:
     from cdc_redshift_spark.queries.analytics import _oracle_emb_drift
 
     return _oracle_emb_drift()
+
+
+def _oracle_stream_tclose() -> str:
+    # same stance for the skewness-attack audit
+    from cdc_redshift_spark.queries.text_q import ORACLE_T_CLOSENESS
+
+    return ORACLE_T_CLOSENESS
 
 
 def _oracle_stream_ldiv() -> str:
@@ -1901,6 +2009,7 @@ ORACLES = {
     "cdc_stream_kmv_rollup": _oracle_stream_kmv(),
     "cdc_stream_k_anonymity": _oracle_stream_kanon(),
     "cdc_stream_l_diversity": _oracle_stream_ldiv(),
+    "cdc_stream_t_closeness": _oracle_stream_tclose(),
     "cdc_stateful_lww_agg_stream": ORACLE_STATEFUL_LWW,
     "cdc_windowed_ops_stream": ORACLE_WINDOWED_OPS,
     "cdc_sessionize_stream": ORACLE_SESSIONIZE_STREAM,

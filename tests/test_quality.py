@@ -755,6 +755,102 @@ def test_stream_l_diversity_matches_batch_face_on_null_sensitive(
     assert oracle == batch
 
 
+def test_t_closeness_score_shared_and_mid_replay_safe(spark):
+    """Round-14: the factored EMD scorer drops cells with count <= 0
+    before any distribution math — a negative in-flight cell
+    (mid-replay) or a zero residue must neither shift the global
+    distribution nor create a phantom class."""
+    from cdc_redshift_spark.operators.quality import (
+        t_closeness_report,
+        t_closeness_score,
+    )
+
+    rows = [(1, "g", "x"), (2, "g", "x"), (3, "g", "y"), (4, "h", "y")]
+    df = spark.createDataFrame(rows, "id int, geo string, sv string")
+    batch = sorted(
+        tuple(r)
+        for r in t_closeness_report(df, ["geo"], "sv", t=0.3).collect()
+    )
+    # the same distribution as maintained cells, plus junk that the
+    # scorer must ignore: a negative in-flight cell and a zero residue
+    cells = spark.createDataFrame(
+        [
+            ("g", "x", 2), ("g", "y", 1), ("h", "y", 1),
+            ("i", "x", -1),  # in-flight retraction: no phantom class
+            ("g", "z", 0),   # identically-zero residue: no term
+        ],
+        "geo string, sv string, c int",
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in t_closeness_score(
+            cells, ["geo"], t=0.3, count_col="c", value_col="sv"
+        ).collect()
+    )
+    assert streamed == batch
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness_score(cells, ["geo"], t=1.5, count_col="c", value_col="sv")
+
+
+def test_stream_t_closeness_matches_batch_face_on_null_qi(
+    spark, tmp_path
+):
+    """Two-face parity for the streaming skewness audit on an
+    adversarial fixture: NULL sensitive values and NULL QI classes
+    (both kept by the null-safe joins), point-mass classes, and the
+    phantom-cohort delete wave running over them.  Oracle-backed via
+    the DuckDB mirror."""
+    from cdc_redshift_spark.queries.streaming_q import (
+        q_cdc_stream_t_closeness,
+    )
+    from cdc_redshift_spark.queries.text_q import (
+        ORACLE_T_CLOSENESS,
+        q_pii_t_closeness,
+    )
+
+    rows = []
+    rows += [(1, 0, "A", 100.0), (2, 0, "B", 100.0), (3, 0, "A", 100.0)]
+    rows += [(10, 0, "A", 1100.0)]            # point-mass class
+    rows += [(20, 1, None, 100.0), (21, 1, "A", 100.0)]  # NULL sensitive
+    rows += [(30, None, "B", 100.0)]          # NULL QI class
+    rows += [(40, 1, "B", None)]              # NULL band class
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_nationkey int, c_mktsegment string, "
+        "c_acctbal double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    sf = str(tmp_path)
+    batch = sorted(
+        (tuple(r) for r in q_pii_t_closeness(spark, sf).collect()),
+        key=repr,
+    )
+    stream = sorted(
+        (tuple(r) for r in q_cdc_stream_t_closeness(spark, sf).collect()),
+        key=repr,
+    )
+    assert stream == batch
+    assert any(r[0] is None for r in batch)   # NULL QI class reported
+    assert any(r[1] is None for r in batch)   # NULL band class reported
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/customer.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        (tuple(r) for r in con.execute(ORACLE_T_CLOSENESS).fetchall()),
+        key=repr,
+    )
+    con.close()
+    assert len(oracle) == len(batch)
+    for o, b in zip(oracle, batch):
+        assert o[:3] == b[:3]
+        assert b[3] == pytest.approx(o[3], abs=1e-6)
+        assert o[4] == b[4]
+
+
 def test_psi_streamed_state_equals_batch(spark, tmp_path):
     """The streaming face (RollupMaintainer over the (key, bin, half)
     histogram grain, count-only measures) must score identically to

@@ -25,6 +25,7 @@ def test_gate_window_pins_the_round14_rotation():
         # round-14 additions: the privacy triad's streaming faces
         "cdc_stream_k_anonymity",
         "cdc_stream_l_diversity",
+        "cdc_stream_t_closeness",
         # code MODIFIED this round must re-gate: the emb-drift
         # left-join row-set fix (ADVICE r13), the shared k/l scorer
         # factoring, the snapshot store's _flip lost-pointer pruning
@@ -34,6 +35,7 @@ def test_gate_window_pins_the_round14_rotation():
         "cdc_stream_emb_drift",
         "pii_k_anonymity",
         "pii_l_diversity",
+        "pii_t_closeness",
         "cdc_scd2_history",
         "cdc_join_view_stream",
         "cdc_rollup_rebucket_stream",
