@@ -684,7 +684,10 @@ def main() -> None:
     # bytes-per-state-row must be flat across 10x stored history
     # (~1.0 = disk is O(state x keep_versions), no version leak)
     maint["scd2_depth_bytes_per_row_ratio"] = round(
-        (maint["scd2_depth_10x_store_bytes"] / maint["scd2_depth_10x_hist_rows"])
+        (
+            maint["scd2_depth_10x_store_bytes"]
+            / max(maint["scd2_depth_10x_hist_rows"], 1)
+        )
         / (
             maint["scd2_depth_1x_store_bytes"]
             / max(maint["scd2_depth_1x_hist_rows"], 1)

@@ -344,11 +344,15 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second length class (so block and tail legs are distinguished) —
     # >= 2 classes with one >= 16 B keeps that exercised without
     # depending on residue coverage.
-    if not (any(x >= 16 for x in lens) and len(lens) >= 2):
+    if not (
+        any(x >= 16 for x in lens)
+        and any(x % 16 != 0 for x in lens)
+        and len(lens) >= 2
+    ):
         raise RuntimeError(
             f"long-key fixture no longer exercises the murmur3 block "
-            f"rounds (need >= 2 key-length classes incl. one >= 16 B): "
-            f"{lens}"
+            f"rounds AND the tail leg (need >= 2 key-length classes, "
+            f"one >= 16 B and one not a multiple of 16): {lens}"
         )
     # lpad TRUNCATES strings longer than the pad width, so the
     # composite is injective only while ids fit the narrowest padded

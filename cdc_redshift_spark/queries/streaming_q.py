@@ -1682,24 +1682,32 @@ def q_cdc_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         seq = [m.update(ins(even), 0), m.update(wrong, 1)]
 
-        def miskeyed(df) -> int:
-            return (
-                df.where(F.col("segment") == "MISKEYED")
-                .agg(F.coalesce(F.sum("n"), F.lit(0)))
-                .collect()[0][0]
-            )
+        def miskeyed(df) -> tuple[int, int]:
+            # (mass, CELL count): the cell count is what pins the
+            # "cells must VANISH from state, not linger at zero"
+            # claim — a lingering n=0 residue has mass 0 but rows > 0
+            r = df.where(F.col("segment") == "MISKEYED").agg(
+                F.coalesce(F.sum("n"), F.lit(0)).alias("__m"),
+                F.count(F.lit(1)).alias("__cells"),
+            ).collect()[0]
+            return r["__m"], r["__cells"]
 
-        mid = miskeyed(m.current())
+        mid, mid_cells = miskeyed(m.current())
         seq += [m.update(correction, 2), m.update(correction, 2)]
         if seq != [True, True, True, False]:
             raise RuntimeError(f"l-diversity maintainer replay broken: {seq}")
         state = m.current()
         n_odd = odd.count()
-        fin = miskeyed(state)
-        if mid != n_odd or fin != 0:
+        fin, fin_cells = miskeyed(state)
+        if mid != n_odd or fin != 0 or (n_odd > 0 and mid_cells == 0):
             raise RuntimeError(
                 f"sensitive-attribute correction did not converge: "
                 f"mis-keyed mass mid={mid} (want {n_odd}), final={fin}"
+            )
+        if fin_cells != 0:
+            raise RuntimeError(
+                f"{fin_cells} mis-keyed cells linger at zero instead of "
+                f"vanishing from state"
             )
         out = (
             l_diversity_score(state, ["nation", "bal_band"], l=3,
@@ -1780,24 +1788,31 @@ def q_cdc_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.update(ins(odd), 1),
         ]
 
-        def phantom_mass(df) -> int:
-            return (
-                df.where(F.col("segment") == "PHANTOM")
-                .agg(F.coalesce(F.sum("n"), F.lit(0)))
-                .collect()[0][0]
-            )
+        def phantom(df) -> tuple[int, int]:
+            # (mass, CELL count) — see the l-diversity face: the cell
+            # count pins the vanish-not-linger claim
+            r = df.where(F.col("segment") == "PHANTOM").agg(
+                F.coalesce(F.sum("n"), F.lit(0)).alias("__m"),
+                F.count(F.lit(1)).alias("__cells"),
+            ).collect()[0]
+            return r["__m"], r["__cells"]
 
-        mid = phantom_mass(m.current())
+        mid, mid_cells = phantom(m.current())
         seq += [m.update(purge, 2), m.update(purge, 2)]
         if seq != [True, True, True, False]:
             raise RuntimeError(f"t-closeness maintainer replay broken: {seq}")
         state = m.current()
         n_even = even.count()
-        fin = phantom_mass(state)
-        if mid != n_even or fin != 0:
+        fin, fin_cells = phantom(state)
+        if mid != n_even or fin != 0 or (n_even > 0 and mid_cells == 0):
             raise RuntimeError(
                 f"phantom-cohort purge did not converge: mass mid={mid} "
                 f"(want {n_even}), final={fin}"
+            )
+        if fin_cells != 0:
+            raise RuntimeError(
+                f"{fin_cells} phantom cells linger at zero instead of "
+                f"vanishing from state"
             )
         out = (
             t_closeness_score(

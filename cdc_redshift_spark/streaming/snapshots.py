@@ -482,4 +482,11 @@ class VersionedSnapshotStore:
             versions.append((key, d))
         versions.append((new_key, f"v{token}"))
         for _key, d in sorted(versions)[: -self.keep_versions]:
+            # the just-flipped dir must ALWAYS survive, whatever its
+            # token order: after a lost-pointer restore the stream
+            # replays from batch 0, so survivors can carry HIGHER
+            # tokens than the new commit — pruning by sort order alone
+            # would delete the dir _LATEST was just flipped to
+            if _key == new_key:
+                continue
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

@@ -378,6 +378,40 @@ def test_lost_latest_pointer_keeps_survivors_under_keep_versions(
     assert sorted(r["k"] for r in v1.collect()) == ["a", "b"]
 
 
+def test_lost_pointer_replay_from_zero_keeps_flipped_dir(
+    spark, tmp_path
+):
+    """Review r14: after a lost-pointer restore the stream replays
+    from batch 0, so the surviving dirs carry HIGHER tokens than the
+    new commit — the keep_versions prune (lowest keys first) must
+    never select the dir _LATEST was just flipped to, or the store
+    reads a deleted directory on the next access."""
+    m = _m(spark, tmp_path / "ru", n_buckets=4, keep_versions=2)
+    assert m.update(_delta(spark, [(1, "a", 1)]), 5)
+    assert m.update(_delta(spark, [(1, "b", 2)]), 6)
+    os.remove(tmp_path / "ru" / "_LATEST")
+    # replay from batch 0: the new commit's token (0) sorts BELOW the
+    # survivors (5, 6)
+    assert m.update(_delta(spark, [(1, "c", 3)]), 0)
+    assert (tmp_path / "ru" / "v0").exists(), (
+        "prune deleted the just-committed version dir"
+    )
+    assert _state(m) == [("c", 1, 3.0)]  # _LATEST resolves and reads
+    # the flipped dir is EXEMPT from the retention count, so this one
+    # flip may keep keep_versions + 1 dirs (safety over thrift)
+    assert (tmp_path / "ru" / "v5").exists()
+    assert (tmp_path / "ru" / "v6").exists()
+    # ...and the NEXT commit converges: with a committed pointer (0)
+    # back in place, the higher-token survivors fall under the
+    # never-committed-orphan rule and retention returns to 2 dirs
+    assert m.update(_delta(spark, [(1, "d", 4)]), 1)
+    left = sorted(
+        d for d in os.listdir(tmp_path / "ru") if d.startswith("v")
+    )
+    assert left == ["v0", "v1"]
+    assert _state(m) == [("c", 1, 3.0), ("d", 1, 4.0)]
+
+
 def test_empty_state_fallback_preserves_grown_bucket_count(
     spark, tmp_path
 ):
