@@ -672,6 +672,10 @@ def main() -> None:
             fb, nv = store_footprint(root)
             maint[f"scd2_depth_{label}_store_bytes"] = fb
             maint[f"scd2_depth_{label}_version_dirs"] = nv
+            # rows AT footprint time (the 8 triggers appended history
+            # since the seed count), so the bytes/row ratio compares
+            # numerator and denominator of the SAME state
+            maint[f"scd2_depth_{label}_rows_at_du"] = m.current().count()
         finally:
             shutil.rmtree(root, ignore_errors=True)
         maint[f"scd2_depth_{label}_s_per_trigger"] = steady(walls)
@@ -686,11 +690,11 @@ def main() -> None:
     maint["scd2_depth_bytes_per_row_ratio"] = round(
         (
             maint["scd2_depth_10x_store_bytes"]
-            / max(maint["scd2_depth_10x_hist_rows"], 1)
+            / max(maint["scd2_depth_10x_rows_at_du"], 1)
         )
         / (
             maint["scd2_depth_1x_store_bytes"]
-            / max(maint["scd2_depth_1x_hist_rows"], 1)
+            / max(maint["scd2_depth_1x_rows_at_du"], 1)
         ),
         2,
     )

@@ -1682,23 +1682,13 @@ def q_cdc_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         seq = [m.update(ins(even), 0), m.update(wrong, 1)]
 
-        def miskeyed(df) -> tuple[int, int]:
-            # (mass, CELL count): the cell count is what pins the
-            # "cells must VANISH from state, not linger at zero"
-            # claim — a lingering n=0 residue has mass 0 but rows > 0
-            r = df.where(F.col("segment") == "MISKEYED").agg(
-                F.coalesce(F.sum("n"), F.lit(0)).alias("__m"),
-                F.count(F.lit(1)).alias("__cells"),
-            ).collect()[0]
-            return r["__m"], r["__cells"]
-
-        mid, mid_cells = miskeyed(m.current())
+        mid, mid_cells = _marker_cell_stats(m.current(), "MISKEYED")
         seq += [m.update(correction, 2), m.update(correction, 2)]
         if seq != [True, True, True, False]:
             raise RuntimeError(f"l-diversity maintainer replay broken: {seq}")
         state = m.current()
         n_odd = odd.count()
-        fin, fin_cells = miskeyed(state)
+        fin, fin_cells = _marker_cell_stats(state, "MISKEYED")
         if mid != n_odd or fin != 0 or (n_odd > 0 and mid_cells == 0):
             raise RuntimeError(
                 f"sensitive-attribute correction did not converge: "
@@ -1718,6 +1708,19 @@ def q_cdc_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _marker_cell_stats(state: DataFrame, segment_value: str) -> tuple:
+    """(mass, cell count) of a marker segment in a maintained privacy
+    state — shared by the l-diversity and t-closeness faces' in-query
+    pins.  The CELL count is what pins the "cells must VANISH from
+    state, not linger at zero" claim: a lingering n=0 residue has
+    mass 0 but rows > 0."""
+    r = state.where(F.col("segment") == segment_value).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("__m"),
+        F.count(F.lit(1)).alias("__cells"),
+    ).collect()[0]
+    return r["__m"], r["__cells"]
 
 
 def q_cdc_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1788,22 +1791,13 @@ def q_cdc_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.update(ins(odd), 1),
         ]
 
-        def phantom(df) -> tuple[int, int]:
-            # (mass, CELL count) — see the l-diversity face: the cell
-            # count pins the vanish-not-linger claim
-            r = df.where(F.col("segment") == "PHANTOM").agg(
-                F.coalesce(F.sum("n"), F.lit(0)).alias("__m"),
-                F.count(F.lit(1)).alias("__cells"),
-            ).collect()[0]
-            return r["__m"], r["__cells"]
-
-        mid, mid_cells = phantom(m.current())
+        mid, mid_cells = _marker_cell_stats(m.current(), "PHANTOM")
         seq += [m.update(purge, 2), m.update(purge, 2)]
         if seq != [True, True, True, False]:
             raise RuntimeError(f"t-closeness maintainer replay broken: {seq}")
         state = m.current()
         n_even = even.count()
-        fin, fin_cells = phantom(state)
+        fin, fin_cells = _marker_cell_stats(state, "PHANTOM")
         if mid != n_even or fin != 0 or (n_even > 0 and mid_cells == 0):
             raise RuntimeError(
                 f"phantom-cohort purge did not converge: mass mid={mid} "
