@@ -312,6 +312,44 @@ def confirm_hot_keys(
     return out
 
 
+def suggest_salt_factor(
+    hot_rows: int,
+    target_rows_per_task: int = 1_000_000,
+    max_factor: int = 256,
+) -> int:
+    """Derive the salt factor from a CONFIRMED hot key's mass — the
+    sizing step between :func:`confirm_hot_keys` and
+    :func:`apply_join_plan`, so a caller need not guess.
+
+    ``hot_rows``: the largest confirmed hot key's row estimate (the
+    max value of :func:`confirm_hot_keys`'s dict — CM point queries
+    only overshoot, so sizing from them errs toward MORE spread,
+    never an under-split straggler).  ``target_rows_per_task``: the
+    per-task row budget the deployment tolerates — the same quantity
+    ``spark.sql.files.maxPartitionBytes`` expresses in bytes for
+    scans.  The factor is the smallest power of two whose per-salt
+    share fits the budget (power of two keeps shares exactly even
+    under ``pmod``), clamped to ``max_factor`` because the dim side
+    replicates ``factor``× (past the clamp, replication cost
+    dominates what further spreading saves; see salted_join's
+    Generate-replicated build side).
+
+    Returns 1 when no salting is needed (hot key already fits one
+    task) — callers treat ``factor <= 1`` as "skip the salt".
+    Measured effect at factor 32 on a 50%-hot 8M-row join:
+    max-task/median 70.8 → 1.83 (SCALE.md round-14)."""
+    if hot_rows < 0:
+        raise ValueError(f"hot_rows must be >= 0, got {hot_rows}")
+    if target_rows_per_task < 1:
+        raise ValueError(
+            f"target_rows_per_task must be >= 1, got {target_rows_per_task}"
+        )
+    factor = 1
+    while factor * target_rows_per_task < hot_rows and factor < max_factor:
+        factor *= 2
+    return factor
+
+
 def apply_join_plan(
     left: DataFrame,
     right: DataFrame,

@@ -53,18 +53,18 @@ from __future__ import annotations
 #      cdc_stream_token_drift re-gate; the long-key fixture
 #      assertion relaxed (ADVICE r13) → sketch_hll_users re-gates.
 #
-# Composition: those 16, the 8 r14 queue heads displaced last round
+# Composition: those 17, the 8 r14 queue heads displaced last round
 # (events_rfm_segments, events_session_paths, events_twap,
 # graph_tree_roots, layout_range_bounds, orders_bloom_semi_revenue,
 # orders_merge_into, sim_ivf_eval — all r9), the remaining 15 of the
-# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), the 7
+# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), the 6
 # oldest r10 entries in the tool's order (cdc_enrich_stream …
-# cdc_variant_payload), and the 5 end-to-end CDC pipelines
+# cdc_stateful_lww_stream), and the 5 end-to-end CDC pipelines
 # (re-gated every round).  After this window NOTHING in the registry
 # is staler than r10 (the r13 #2 done-bar).  Displaced to the head
 # of the r15 queue: the rest of the r10 cohort in rotate_window
-# order (cdc_windowed_ops_stream, corpus_clean_pipeline,
-# corpus_decontaminate, corpus_source_cap,
+# order (cdc_variant_payload, cdc_windowed_ops_stream,
+# corpus_clean_pipeline, corpus_decontaminate, corpus_source_cap,
 # corpus_stratified_sample, corpus_token_shards,
 # customer_activity_segments, dedup_clusters, dedup_embedding_cosine,
 # dedup_exact, dedup_graph_triangles, dedup_minhash_lsh,
@@ -80,6 +80,7 @@ _GATE_WINDOW = [
     "pii_k_anonymity",  # re-gate: shared-scorer factoring r14
     "pii_l_diversity",  # re-gate: shared-scorer factoring r14
     "pii_t_closeness",  # re-gate: shared-scorer factoring r14
+    "plan_salted_exec",  # re-gate: derived salt factor r14
     "cdc_scd2_history",  # re-gate: snapshot _flip pruning r14
     "cdc_join_view_stream",  # re-gate: snapshot _flip pruning r14
     "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r14
@@ -116,7 +117,6 @@ _GATE_WINDOW = [
     "cdc_sessionize_stream",  # last r10
     "cdc_stateful_lww_agg_stream",  # last r10
     "cdc_stateful_lww_stream",  # last r10
-    "cdc_variant_payload",  # last r10
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

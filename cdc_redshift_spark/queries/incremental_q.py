@@ -1398,12 +1398,15 @@ def q_plan_salted_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. ``confirm_hot_keys`` CM-point-queries the live side's top-2
        keys plus an absent control against :data:`HOT_KEY_MIN_ROWS`
        — the top keys must confirm, the control must not (pinned);
-    3. ``apply_join_plan(salt_factor=8)`` executes the join as
-       ``salted_join`` (fact spread over 8 sub-partitions per key,
-       dim replicated 8×; ``event_id`` as the deterministic
-       discriminator so placement is reproducible) — the analyzed
-       plan must carry the ``__salt`` key (pinned: the mitigation
-       actually engaged, not silently skipped).
+    3. ``suggest_salt_factor`` SIZES the mitigation from the largest
+       confirmed hot mass against a per-task row budget (the derived
+       factor must land >= 2, pinned — no guessed constant);
+    4. ``apply_join_plan(salt_factor=<derived>)`` executes the join
+       as ``salted_join`` (fact spread over factor sub-partitions
+       per key, dim replicated factor×; ``event_id`` as the
+       deterministic discriminator so placement is reproducible) —
+       the analyzed plan must carry the ``__salt`` key (pinned: the
+       mitigation actually engaged, not silently skipped).
 
     Output: per-user joined-pair count and an id-sum over the pairs
     (certifies the PAIRING, not just cardinality), oracled by the
@@ -1415,6 +1418,7 @@ def q_plan_salted_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         confirm_hot_keys,
         df_key_stats,
         join_plan,
+        suggest_salt_factor,
     )
     from cdc_redshift_spark.operators.sketches import cm_collect, cm_sketch
 
@@ -1448,6 +1452,20 @@ def q_plan_salted_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"hot-key confirmation no longer discriminates: {hot}"
         )
+    # SIZE the mitigation from the confirmed mass (round 14: the
+    # composition is flag → confirm → size → salted exec, no guessed
+    # factor).  The per-task budget is a deployment knob; at fixture
+    # scale we budget one confirm-threshold's worth of rows per task
+    # so the derivation lands on a real factor (>= 2, pinned) — at
+    # 100 TB the same call takes the cluster's actual row budget.
+    factor = suggest_salt_factor(
+        max(hot.values()), target_rows_per_task=HOT_KEY_MIN_ROWS
+    )
+    if factor < 2:
+        raise RuntimeError(
+            f"derived salt factor {factor} would skip the mitigation "
+            f"(confirmed hot mass {max(hot.values())})"
+        )
     left = ev.select("user_id", F.col("event_id").alias("a_id"))
     right = ev.select("user_id", F.col("event_id").alias("b_id"))
     joined = apply_join_plan(
@@ -1455,7 +1473,7 @@ def q_plan_salted_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         right,
         "user_id",
         plan,
-        salt_factor=8,
+        salt_factor=factor,
         discriminator="a_id",
     )
     if "__salt" not in joined._jdf.queryExecution().analyzed().toString():

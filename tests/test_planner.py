@@ -872,3 +872,26 @@ def test_blowup_mitigation_salted_join_row_identical_and_bounded(spark):
         .first()[0]
     )
     assert spread < 4_000, f"hot key not spread: max bucket {spread}"
+
+
+def test_suggest_salt_factor_sizing_and_clamp():
+    """Round-14: factor = smallest power of two whose per-salt share
+    fits the per-task budget; 1 = no salt needed; clamped so dim
+    replication cost stays bounded."""
+    import pytest
+
+    from cdc_redshift_spark.operators.planner import suggest_salt_factor
+
+    assert suggest_salt_factor(0) == 1
+    assert suggest_salt_factor(1_000_000) == 1          # exactly fits
+    assert suggest_salt_factor(1_000_001) == 2
+    assert suggest_salt_factor(4_000_000) == 4
+    assert suggest_salt_factor(4_000_001) == 8
+    # the measured probe shape: 4M hot rows at a 128k budget -> 32
+    assert suggest_salt_factor(4_000_000, 128_000) == 32
+    # clamp: replication cost dominates past max_factor
+    assert suggest_salt_factor(10**12, 1_000_000, max_factor=256) == 256
+    with pytest.raises(ValueError, match="hot_rows"):
+        suggest_salt_factor(-1)
+    with pytest.raises(ValueError, match="target_rows_per_task"):
+        suggest_salt_factor(5, 0)

@@ -43,6 +43,7 @@ def test_gate_window_pins_the_round14_rotation():
         "cdc_stream_psi_drift",
         "cdc_stream_token_drift",
         "sketch_hll_users",
+        "plan_salted_exec",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
