@@ -83,7 +83,7 @@ CALLOUTS = {
     "pii_t_closeness": "ONE (QI, sensitive) cell aggregation; global-value and 1-row total attaches broadcast; absent-value algebra keeps the class x value grid virtual",
     "emb_drift_report": "posexplode folds map-side into (label,pos) means -> shuffle carries |labels|*dim rows; cosine a |labels|-row aggregate; id bounds a 1-row broadcast",
     "pii_t_closeness_ordered": "grid = |classes| x m via broadcast of the m-row ranked value table (bounded BNLJ on aggregate output); ONE per-class window Exchange carries grid cells, never input rows; prefix-sum + |cum| fold in codegen",
-    "plan_salted_exec": "the flagged shuffle join executes SALTED: fact side pmod(xxhash64(event_id), 8) salt in codegen, dim side Generate-replicated 8x, join keys (user_id, __salt) — no hot-key task (the fixture-scale dump broadcasts the tiny replicated side; in the no-broadcast regime the plan targets, the same salted keys shuffle); per-user agg map-side combines after the join",
+    "plan_salted_exec": "the flagged shuffle join executes SALTED with a factor DERIVED from the confirmed hot mass (suggest_salt_factor, r14 — no guessed constant): fact side pmod(xxhash64(event_id), factor) salt in codegen, dim side Generate-replicated factor x, join keys (user_id, __salt) — no hot-key task (the fixture-scale dump broadcasts the tiny replicated side; in the no-broadcast regime the plan targets, the same salted keys shuffle — straggler ratio 70.8 -> 1.83 measured, SCALE.md r14); per-user agg map-side combines after the join",
     "corpus_token_drift": "token explode folds map-side into (source,token) counts (ONE wide shuffle); vocab window + OOV remap on the tiny count table; PSI over |sources|*51 cells",
     # cdc_stream_psi_drift localCheckpoints its maintained-state read
     # (like cdc_stream_ivf_index below), so a dumped plan is an
