@@ -634,3 +634,51 @@ def test_rfm_segments_no_global_window(spark):
     # only the materialized per-user frame
     assert plan.count("FileScan") == 0, plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_privacy_batch_scorer_plans_bounded(spark):
+    """Round-14: the privacy audits' 100 TB shapes, pinned.
+    k-anonymity: ONE hash-partition exchange (the QI aggregate) with
+    map-side partial counts, violator + mid-replay guard fused into a
+    single codegen Filter on the aggregate output — no join, no
+    window, no sort.  l-diversity: exactly TWO exchanges (the
+    (QI, sensitive) distinct-collapse, then the QI re-aggregate),
+    both map-side combined, nothing else."""
+    from cdc_redshift_spark.queries.text_q import (
+        q_pii_k_anonymity,
+        q_pii_l_diversity,
+    )
+
+    plan = plan_of(q_pii_k_anonymity(spark, SF))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # one aggregate exchange (+ the final orderBy's range exchange)
+    assert body.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in body
+    # the 0 < n < k guard is ONE fused filter, after the aggregate
+    assert "Filter ((n#" in body or "Filter (((n#" in body
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in body, f"unexpected {bad} in k-anonymity plan"
+
+    plan = plan_of(q_pii_l_diversity(spark, SF))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in body
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in body, f"unexpected {bad} in l-diversity plan"
+
+
+def test_t_closeness_scorer_broadcasts_all_reattaches(spark):
+    """t-closeness re-attaches the class totals, the global value
+    distribution and the 1-row table total onto the observed cells —
+    ALL THREE must be broadcast joins (the attach tables are
+    aggregate outputs, orders of magnitude smaller than the cells);
+    a shuffle join on any of them would re-shuffle the cell grid
+    three times at 100 TB."""
+    from cdc_redshift_spark.queries.text_q import q_pii_t_closeness
+
+    plan = plan_of(q_pii_t_closeness(spark, SF))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("BroadcastHashJoin") == 2  # class + global (null-safe keys)
+    assert "BroadcastNestedLoopJoin" in body     # the 1-row total attach
+    assert "SortMergeJoin" not in body
+    assert "ShuffledHashJoin" not in body
