@@ -122,9 +122,18 @@ def jaccard_similarity_join(
         .withColumn("sz", F.size("toks"))
         .withColumn(
             "p",
+            # the -1e-9 slack mirrors alpha's (review r14): float
+            # noise rounding an exact tau*sz integer boundary UP
+            # would SHORTEN the prefix by one and silently drop
+            # qualifying pairs from an exact join; erring low only
+            # lengthens the prefix by one at exact boundaries
             F.greatest(
                 F.lit(1),
-                (F.col("sz") - F.ceil(tau * F.col("sz")) + 1).cast("int"),
+                (
+                    F.col("sz")
+                    - F.ceil(F.lit(tau) * F.col("sz") - 1e-9)
+                    + 1
+                ).cast("int"),
             ),
         )
     )
@@ -132,8 +141,8 @@ def jaccard_similarity_join(
         ordered = ordered.persist()
 
     # candidate generation: ONLY (id, sz, pos, tok) rides the prefix
-    # join — pos (1-based rank in the rarest-first order) feeds the
-    # positional filter below
+    # join — pos (0-based rank in the rarest-first order, from
+    # posexplode) feeds the positional filter below
     pre = ordered.select(
         "id",
         "sz",
@@ -161,8 +170,14 @@ def jaccard_similarity_join(
     cand = (
         a.join(b, "tok")
         .where(F.col("id_a") < F.col("id_b"))
-        # length filter: Jaccard >= tau forces min/max size >= tau
-        .where(F.least("sa", "sb") >= tau * F.greatest("sa", "sb"))
+        # length filter: Jaccard >= tau forces min/max size >= tau.
+        # Same -1e-9 slack: an exact-boundary pair (min = tau * max
+        # exactly, e.g. 56/100 at tau=0.56) must survive the prune
+        # even when the float product rounds a hair above the integer
+        .where(
+            F.least("sa", "sb")
+            >= F.lit(tau) * F.greatest("sa", "sb") - 1e-9
+        )
         # PPJoin positional filter, applied PER JOIN ROW so pruned
         # rows never reach the dedup shuffle.  Valid because for the
         # pair's FIRST shared prefix token t* (both lists share one
@@ -209,7 +224,10 @@ def jaccard_similarity_join(
 def prefix_length(sz: int, tau: float) -> int:
     """Prefix length for a set of ``sz`` tokens at threshold ``tau``
     (exposed for the completeness property test)."""
-    return max(1, sz - math.ceil(tau * sz) + 1)
+    # the same -1e-9 slack as the Column expression: the helper IS the
+    # property-test oracle, so it must make the identical rounding
+    # choice at exact tau*sz integer boundaries
+    return max(1, sz - math.ceil(tau * sz - 1e-9) + 1)
 
 
 def _shingle_sets(
@@ -221,6 +239,11 @@ def _shingle_sets(
     slice-inside-transform would re-slice per position, the measured
     O(len^2) trap) — then ``array_distinct``.  Docs with fewer than
     ``n`` tokens yield an empty array (callers filter them)."""
+    if n < 2:
+        # n=1 would silently degenerate: the unconditional first
+        # bigram zip_with leaves only each doc's LAST token surviving
+        # the completeness filter — wrong results, not an error
+        raise ValueError(f"shingle n must be >= 2, got {n}")
     toks = F.split(normalize_text(F.col(text_col)), " ")
 
     def tail(k: int):

@@ -44,6 +44,8 @@ def test_gate_window_pins_the_round14_rotation():
         "cdc_stream_token_drift",
         "sketch_hll_users",
         "plan_salted_exec",
+        "dedup_simjoin",
+        "dedup_containment",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",

@@ -235,3 +235,59 @@ def test_containment_short_docs_excluded(spark):
     # <3-token docs have no shingles and never pair; identical 5-token
     # docs contain each other in BOTH directions
     assert got == {(3, 4), (4, 3)}
+
+
+def test_simjoin_exact_at_float_boundary_tau(spark):
+    """Review r14: tau * sz can round a hair ABOVE the exact integer
+    in doubles (0.55*100 == 55.00000000000001), which used to shorten
+    the prefix by one and mis-prune the length filter — dropping
+    qualifying pairs from a join documented as exact.  Adversarial
+    construction: y ⊂ x with jaccard EXACTLY tau, and x's unshared
+    tokens all globally rarer than the shared ones, so the pair is
+    found only if the prefix really extends to the required length."""
+    # prefix-length boundary: tau=0.55, x: 45 unique + 55 shared
+    # tokens (sz=100), y: the 55 shared (J = 55/100 = 0.55 exactly).
+    # x-only tokens have df=1 (rarest) and fill the first 45 prefix
+    # slots; the required 46th slot is the first shared token.
+    x = " ".join([f"x{i:02d}" for i in range(45)]
+                 + [f"s{i:02d}" for i in range(55)])
+    y = " ".join(f"s{i:02d}" for i in range(55))
+    docs = spark.createDataFrame(
+        [(1, x), (2, y)], "doc_id long, text string"
+    )
+    got = jaccard_similarity_join(docs, tau=0.55).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.55)]
+
+    # length-filter boundary: tau=0.56, A = 56 shared ⊂ B (sz=100):
+    # least/greatest = 56/100 = tau exactly; 0.56*100 rounds above 56
+    a = " ".join(f"s{i:02d}" for i in range(56))
+    b = " ".join([f"b{i:02d}" for i in range(44)]
+                 + [f"s{i:02d}" for i in range(56)])
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    got = jaccard_similarity_join(docs, tau=0.56).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.56)]
+
+
+def test_prefix_length_float_boundary():
+    """prefix_length must not lose a slot when tau*sz rounds above
+    the exact integer (the helper is the property-test oracle, so it
+    must make the same rounding choice as the Column expression)."""
+    assert prefix_length(100, 0.55) == 46  # 0.55*100 -> 55.000...01
+    assert prefix_length(100, 0.56) == 45
+    assert prefix_length(10, 0.9) == 2     # unchanged where exact
+    assert prefix_length(200, 0.07) == 187  # 0.07*200 -> 14.000...002
+
+
+def test_containment_rejects_degenerate_shingle_n(spark):
+    """n=1 used to silently degenerate each doc's shingle set to its
+    LAST token (the unconditional bigram zip_with); it must raise."""
+    from cdc_redshift_spark.operators.simjoin import containment_join
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    for bad in (1, 0, -3):
+        with pytest.raises(ValueError, match="shingle n"):
+            containment_join(docs, tau=0.5, n=bad)
