@@ -60,7 +60,17 @@ def kmv_sketch(
     ``collect_list`` of at most k longs).
     """
     h = stable_hash60(F.col(col).cast("string"))
-    pairs = df.select(*dims, h.alias("_h")).distinct()
+    # COUNT(DISTINCT) semantics: NULL values are not counted — and a
+    # NULL hash must not CONSUME a k-slot either (review r14: NULLS
+    # FIRST gave the NULL rank 1, collect_list then dropped it, so
+    # the sketch shrank to k-1 entries and kmv_estimate fell into its
+    # "exact" branch — a silent, unbounded underestimate on any
+    # NULL-bearing column)
+    pairs = (
+        df.select(*dims, h.alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*dims).orderBy("_h")
     return (
         pairs.withColumn("_rn", F.row_number().over(w))
@@ -162,9 +172,11 @@ def hll_rollup(
 def hll_merge_estimate(
     sketches: DataFrame,
     dims: list[str] | tuple[str, ...],
-    lgk: int = 12,
 ) -> DataFrame:
-    """Union HLL sketch bytes down to coarser ``dims`` and estimate."""
+    """Union HLL sketch bytes down to coarser ``dims`` and estimate.
+    The union geometry comes from the sketch BYTES themselves
+    (``hll_union_agg``), not a parameter — the former ``lgk``
+    argument was dead and silently ignored (review r14)."""
     merged = sketches.groupBy(*dims).agg(
         F.hll_union_agg(F.col("hll"), F.lit(False)).alias("hll"),
         F.count(F.lit(1)).alias("n_parts"),
@@ -233,6 +245,11 @@ def hist_sketch(
     16 octaves × 16 sub-bins, independent of row count."""
     return (
         df.select(*dims, value.alias("__v"))
+        # a NULL value cannot be binned: counting it as a NULL bin_id
+        # inflated hist_quantiles' n/cumsums and shifted every
+        # quantile (review r14); the contract is positive integers,
+        # so NULLs drop — mirroring COUNT(col)'s NULL exclusion
+        .where(F.col("__v").isNotNull())
         .select(*dims, hist_bin("__v").alias("bin_id"))
         .groupBy(*dims, "bin_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -324,6 +341,12 @@ def _cm_cells(
     definition of the CM hash/bucket arithmetic (build, estimate and
     the DuckDB mirrors all derive from it; see ``duck_cm_cells`` /
     ``duck_cm_probe_cells``).  ``keep`` columns ride along."""
+    if not 1 <= d <= 8:
+        # the h1 + j*h2 progression stays inside BIGINT only for
+        # j <= 7 (j*h2 < 8 * 2^60 < 2^63): past that Spark (non-ANSI)
+        # would wrap while the DuckDB mirror raises — three
+        # "identical" implementations silently disagreeing (review r14)
+        raise ValueError(f"CM depth d must be in [1, 8], got {d}")
     h1, h2 = cm_hashes(F.col(key_col).cast("string"))
     return df.select(
         *keep,
@@ -500,7 +523,11 @@ def duck_hll8_registers(
 
     return f"""
   WITH RECURSIVE hx_base AS (
+    -- DataSketches treats update(null) and update("") as NO-OPS
+    -- (no hash, no register): mirror that, or the mirror would emit
+    -- a register the engine never wrote (review r14)
     SELECT DISTINCT {dim} AS d, {key_expr} AS s FROM ({source_sql})
+    WHERE {key_expr} IS NOT NULL AND {key_expr} <> ''
   ),
   hx_meta AS (
     SELECT d, s, strlen(s) AS t, strlen(s) // 16 AS nb FROM hx_base

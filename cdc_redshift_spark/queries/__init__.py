@@ -53,17 +53,17 @@ from __future__ import annotations
 #      cdc_stream_token_drift re-gate; the long-key fixture
 #      assertion relaxed (ADVICE r13) → sketch_hll_users re-gates.
 #
-# Composition: those 19, the 8 r14 queue heads displaced last round
+# Composition: those 23, the 8 r14 queue heads displaced last round
 # (events_rfm_segments, events_session_paths, events_twap,
 # graph_tree_roots, layout_range_bounds, orders_bloom_semi_revenue,
 # orders_merge_into, sim_ivf_eval — all r9), the remaining 15 of the
-# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), the 4
-# oldest r10 entries in the tool's order (cdc_enrich_stream …
-# cdc_sessionize_stream), and the 5 end-to-end CDC pipelines
+# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), and the 5 end-to-end CDC pipelines
 # (re-gated every round).  After this window NOTHING in the registry
 # is staler than r10 (the r13 #2 done-bar).  Displaced to the head
 # of the r15 queue: the rest of the r10 cohort in rotate_window
-# order (cdc_stateful_lww_agg_stream, cdc_stateful_lww_stream,
+# order (cdc_enrich_stream, cdc_first_seen_stream,
+# cdc_rollup_maintenance, cdc_sessionize_stream,
+# cdc_stateful_lww_agg_stream, cdc_stateful_lww_stream,
 # cdc_variant_payload, cdc_windowed_ops_stream,
 # corpus_clean_pipeline, corpus_decontaminate, corpus_source_cap,
 # corpus_stratified_sample, corpus_token_shards,
@@ -84,6 +84,10 @@ _GATE_WINDOW = [
     "plan_salted_exec",  # re-gate: derived salt factor r14
     "dedup_simjoin",  # re-gate: float-boundary exactness fix r14
     "dedup_containment",  # re-gate: float-boundary/shingle-n fix r14
+    "sketch_user_overlap",  # re-gate: KMV NULL-slot fix r14
+    "cdc_stream_kmv_rollup",  # re-gate: KMV NULL-slot fix r14
+    "sketch_price_quantiles",  # re-gate: hist NULL-bin fix r14
+    "cdc_stream_cm_sketch",  # re-gate: CM depth-bound guard r14
     "cdc_scd2_history",  # re-gate: snapshot _flip pruning r14
     "cdc_join_view_stream",  # re-gate: snapshot _flip pruning r14
     "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r14
@@ -114,10 +118,6 @@ _GATE_WINDOW = [
     "sink_schema_evolution",  # last r9
     "sink_txn_batch",  # last r9
     "sketch_cm_tokens",  # last r9
-    "cdc_enrich_stream",  # last r10
-    "cdc_first_seen_stream",  # last r10
-    "cdc_rollup_maintenance",  # last r10 (store-backed, also re-gate)
-    "cdc_sessionize_stream",  # last r10
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

@@ -366,7 +366,6 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est12 = hll_merge_estimate(
         hll_rollup(ev, dims=["event_type", "day"], col="user_id", lgk=12),
         dims=["event_type"],
-        lgk=12,
     )
     for r in est12.collect():
         n_exact = exact[r["event_type"]]

@@ -46,6 +46,10 @@ def test_gate_window_pins_the_round14_rotation():
         "plan_salted_exec",
         "dedup_simjoin",
         "dedup_containment",
+        "sketch_user_overlap",
+        "cdc_stream_kmv_rollup",
+        "sketch_price_quantiles",
+        "cdc_stream_cm_sketch",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",

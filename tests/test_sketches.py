@@ -80,7 +80,7 @@ def test_kmv_estimate_within_bounds(spark, ids):
 
 def test_hll_merge_equals_whole(spark, ids):
     per_part = hll_rollup(ids, dims=["g", "part"], col="v", lgk=12)
-    merged = hll_merge_estimate(per_part, dims=["g"], lgk=12)
+    merged = hll_merge_estimate(per_part, dims=["g"])
     whole = hll_rollup(ids, dims=["g"], col="v", lgk=12).withColumn(
         "n_est", F.hll_sketch_estimate("hll")
     )
@@ -564,3 +564,88 @@ def test_duck_murmur3_register_mirror_boundary_strings():
     got = [r[2] for r in duckdb.sql(sql).fetchall()]
     want = hll8_registers(keys, lgk=lgk)
     assert got == want
+
+
+def test_kmv_null_values_do_not_consume_slots(spark):
+    """Review r14: a NULL value's NULL hash used to take rank 1 in
+    the k-window (NULLS FIRST) and then vanish from collect_list —
+    the sketch shrank to k-1 entries and kmv_estimate fell into its
+    'exact' branch, a silent unbounded underestimate.  NULLs must be
+    excluded outright (COUNT DISTINCT semantics)."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("g", str(i)) for i in range(10)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_sketch(df, ["g"], "v", k=4).collect()[0]
+    assert len(sk["kmv"]) == 4, "NULL consumed a k-slot"
+    est = (
+        kmv_sketch(df, ["g"], "v", k=4)
+        .select(kmv_estimate(F.col("kmv"), k=4).alias("e"))
+        .collect()[0]["e"]
+    )
+    # 10 distinct values, k=4: the estimator branch must fire (not
+    # the 'exact size' branch reporting 3.0)
+    assert est > 4.0
+    # and a NULL-free frame of the same values gives the SAME sketch
+    clean = kmv_sketch(
+        spark.createDataFrame(rows[:10], "g string, v string"),
+        ["g"], "v", k=4,
+    ).collect()[0]
+    assert clean["kmv"] == sk["kmv"]
+
+
+def test_hist_sketch_drops_null_values(spark):
+    """Review r14: a NULL value used to count as a NULL bin_id bin,
+    inflating hist_quantiles' n and shifting every quantile.  NULLs
+    drop (COUNT(col) semantics); the sketch and quantiles over a
+    NULL-bearing column equal those over its non-null subset."""
+    from pyspark.sql import functions as F
+
+    from cdc_redshift_spark.operators.sketches import (
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    vals = [100, 200, 300, 400, 500, 600, 700, 800, 900, 1000]
+    rows = [("g", v) for v in vals] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = hist_sketch(df, ["g"], F.col("v"))
+    assert sk.where(F.col("bin_id").isNull()).count() == 0
+    with_null = {
+        (r["q"], r["est"])
+        for r in hist_quantiles(sk, ["g"]).collect()
+    }
+    clean = {
+        (r["q"], r["est"])
+        for r in hist_quantiles(
+            hist_sketch(
+                spark.createDataFrame(
+                    [("g", v) for v in vals], "g string, v long"
+                ),
+                ["g"],
+                F.col("v"),
+            ),
+            ["g"],
+        ).collect()
+    }
+    assert with_null == clean
+
+
+def test_cm_depth_bound_enforced(spark):
+    """Review r14: d > 8 would overflow h1 + j*h2 past BIGINT on the
+    Spark side (silent wrap) while the DuckDB mirror raises — the
+    shared cell definition must reject it for both."""
+    import pytest
+
+    from cdc_redshift_spark.operators.sketches import cm_sketch
+
+    df = spark.createDataFrame([("k1",)], "k string")
+    with pytest.raises(ValueError, match=r"CM depth"):
+        cm_sketch(df, "k", d=9, w=64)
+    with pytest.raises(ValueError, match=r"CM depth"):
+        cm_sketch(df, "k", d=0, w=64)
