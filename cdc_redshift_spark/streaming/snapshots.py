@@ -174,7 +174,17 @@ class VersionedSnapshotStore:
         tok = self._committed_token()
         if tok is None:
             return None
-        df = self.spark.read.parquet(os.path.join(self.path, f"v{tok}"))
+        vdir = os.path.join(self.path, f"v{tok}")
+        if not os.path.isdir(vdir):
+            # the converse of the lost-pointer restore: pointer
+            # present, version dir missing — fail with a diagnosis
+            # instead of an opaque reader/listdir error (review r14)
+            raise RuntimeError(
+                f"snapshot store corrupted: _LATEST points at "
+                f"{vdir!r} but the directory does not exist "
+                f"(partial restore?)"
+            )
+        df = self.spark.read.parquet(vdir)
         if BUCKET_COL in df.columns:
             if buckets is not None:
                 # filter on the partition column BEFORE dropping it:
@@ -374,6 +384,13 @@ class VersionedSnapshotStore:
         (
             df.repartition(n_parts or n, F.col(BUCKET_COL))
             .write.mode("overwrite")
+            # STATIC per-write, whatever the session sets: crash
+            # recovery of a pruned commit depends on the retry
+            # clearing the crashed attempt's whole version dir —
+            # under session-wide dynamic partitionOverwriteMode the
+            # stale hard-linked bucket dirs would survive and the
+            # link pass would FileExistsError forever (review r14)
+            .option("partitionOverwriteMode", "static")
             .partitionBy(BUCKET_COL)
             .parquet(vdir)
         )
@@ -435,13 +452,43 @@ class VersionedSnapshotStore:
         if tok is None:
             return False
         vdir = os.path.join(self.path, f"v{tok}")
+        if not os.path.isdir(vdir):
+            raise RuntimeError(
+                f"snapshot store corrupted: _LATEST points at "
+                f"{vdir!r} but the directory does not exist "
+                f"(partial restore?)"
+            )
         return any(
             d.startswith(f"{BUCKET_COL}=") for d in os.listdir(vdir)
         )
 
     def _flip(self, token: int | str) -> None:
+        if self.keep_versions < 2:
+            # keep_versions=1 would prune the previous version at the
+            # flip, breaking the documented reader-holding-the-old-
+            # pointer guarantee; 0 would make the prune slice [:0]
+            # and retain EVERY version forever (review r14)
+            raise ValueError(
+                f"keep_versions must be >= 2 (the previous committed "
+                f"version must survive each flip), got "
+                f"{self.keep_versions}"
+            )
         prev_tok = self._committed_token()
         prev_key = None if prev_tok is None else _parse_token(prev_tok)
+        # commit marker BEFORE the pointer flip: a dir carrying it was
+        # (or was about to be) a real committed version, so a LATER
+        # flip must count it toward keep_versions instead of deleting
+        # it as a crash orphan — this is what lets the lost-pointer
+        # survivors adopted by a replay-from-zero flip KEEP surviving
+        # subsequent flips (review r14: the r13 protection lasted one
+        # flip; the next `key > prev_key` pass destroyed them).  A
+        # crash between marker and pointer leaves a marked-but-never-
+        # pointed dir, which is merely retained until keep_versions
+        # ages it out — safe in both directions.
+        with open(
+            os.path.join(self.path, f"v{token}", "_COMMITTED"), "w"
+        ) as f:
+            f.write("1")
         tmp = os.path.join(self.path, "_LATEST.tmp")
         with open(tmp, "w") as f:
             f.write(str(token))
@@ -474,7 +521,13 @@ class VersionedSnapshotStore:
             # pointer lost, every surviving dir is potentially a real
             # committed snapshot, so count it toward keep_versions
             # instead of deleting it (ADVICE r13).
-            if prev_key is not None and key > prev_key:
+            if (
+                prev_key is not None
+                and key > prev_key
+                and not os.path.exists(
+                    os.path.join(self.path, d, "_COMMITTED")
+                )
+            ):
                 shutil.rmtree(
                     os.path.join(self.path, d), ignore_errors=True
                 )

@@ -401,15 +401,50 @@ def test_lost_pointer_replay_from_zero_keeps_flipped_dir(
     # flip may keep keep_versions + 1 dirs (safety over thrift)
     assert (tmp_path / "ru" / "v5").exists()
     assert (tmp_path / "ru" / "v6").exists()
-    # ...and the NEXT commit converges: with a committed pointer (0)
-    # back in place, the higher-token survivors fall under the
-    # never-committed-orphan rule and retention returns to 2 dirs
+    # ...and the survivors KEEP surviving subsequent flips (review
+    # r14: their _COMMITTED markers distinguish them from crash
+    # orphans, so the `key > prev_key` outright-delete rule no longer
+    # destroys the only copies of the pre-loss state one flip later);
+    # the oldest replay version ages out under keep_versions instead
     assert m.update(_delta(spark, [(1, "d", 4)]), 1)
     left = sorted(
         d for d in os.listdir(tmp_path / "ru") if d.startswith("v")
     )
-    assert left == ["v0", "v1"]
+    assert left == ["v1", "v5", "v6"], (
+        "pre-loss committed survivors destroyed as crash orphans"
+    )
     assert _state(m) == [("c", 1, 3.0), ("d", 1, 4.0)]
+    # the recoverable pre-loss snapshot is still readable
+    v6 = spark.read.parquet(str(tmp_path / "ru" / "v6"))
+    assert sorted(r["k"] for r in v6.collect()) == ["a", "b"]
+
+
+def test_keep_versions_below_two_rejected(spark, tmp_path):
+    """Review r14: keep_versions=1 would prune the previous version
+    at each flip (breaking the reader-holding-the-old-pointer
+    guarantee) and 0 would make the prune slice [:0] and retain
+    everything forever — both must be rejected loudly at the first
+    commit, not corrupt silently."""
+    for bad in (1, 0):
+        m = _m(spark, tmp_path / f"ru{bad}", n_buckets=4,
+               keep_versions=bad)
+        with pytest.raises(ValueError, match="keep_versions"):
+            m.update(_delta(spark, [(1, "a", 1)]), 0)
+
+
+def test_dangling_pointer_fails_with_diagnosis(spark, tmp_path):
+    """Review r14: the converse of the lost-pointer restore — pointer
+    present, version dir missing — must fail with a message naming
+    the corruption, not an opaque listdir/reader error."""
+    import shutil as _sh
+
+    m = _m(spark, tmp_path / "ru", n_buckets=4)
+    assert m.update(_delta(spark, [(1, "a", 1)]), 0)
+    _sh.rmtree(tmp_path / "ru" / "v0")
+    with pytest.raises(RuntimeError, match="_LATEST points at"):
+        m.current()
+    with pytest.raises(RuntimeError, match="_LATEST points at"):
+        m.update(_delta(spark, [(1, "b", 2)]), 1)
 
 
 def test_empty_state_fallback_preserves_grown_bucket_count(
