@@ -35,7 +35,7 @@ import shutil
 import urllib.parse
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.plans.merge import apply_changeset as merge_apply
