@@ -296,10 +296,18 @@ class ParquetSink(Sink):
         if v is None:
             return None
         if version is not None:
-            if version not in self.versions(db, table):
+            # validate against FLIPPED history, not the raw directory
+            # listing (the same guard restore() has): a crashed or
+            # aborted commit leaves an orphaned, never-published
+            # version dir above the pointer — possibly PARTIAL — that
+            # time travel must not serve as if it were history
+            retained = [
+                x for x in self.versions(db, table) if x <= v
+            ]
+            if version > v or version not in retained:
                 raise ValueError(
                     f"{db}.{table} has no retained snapshot v{version}; "
-                    f"available: {self.versions(db, table)}"
+                    f"available: {retained}"
                 )
             v = version
         reader = spark.read
@@ -331,23 +339,7 @@ class ParquetSink(Sink):
                     F.split(F.col("_metadata.file_path"), "/"), -1
                 ),
             )
-        dvdir = self._dv_dir(db, table, v)
-        if os.path.isdir(dvdir):
-            # deletion vectors: mask superseded (file, pos) rows at
-            # scan time.  The sidecar is per-batch small and broadcast;
-            # compact() folds it away when the masked fraction grows.
-            dv = spark.read.parquet(dvdir)
-            df = (
-                df.withColumn("__f", F.col("_metadata.file_path"))
-                .withColumn("__r", F.col("_metadata.row_index"))
-                .join(
-                    F.broadcast(dv),
-                    (F.col("__f") == dv["file"])
-                    & (F.col("__r") == dv["pos"]),
-                    "left_anti",
-                )
-                .drop("__f", "__r")
-            )
+        df = self._apply_dv_mask(spark, df, db, table, v)
         if with_commit_version:
             # row provenance: which commit WROTE each row's file (the
             # Delta _commit_version story) — hard-linked rows keep
@@ -380,21 +372,39 @@ class ParquetSink(Sink):
         )
 
     def _read_schema(self, db: str, table: str, v: int | None = None):
-        """Committed schema — table-level (latest) by default; with
-        ``v`` the schema persisted WITH that snapshot, so time travel
-        reproduces the schema as of that version (a column added since
-        doesn't read as NULL into history, a dropped one doesn't
-        vanish from it — the Delta/Iceberg ``VERSION AS OF`` schema
-        contract).  Pre-versioned-schema snapshots return None and the
-        reader falls back to parquet inference rather than imposing
-        the latest schema on old data."""
+        """Committed schema — the CURRENT (latest flipped) snapshot's
+        by default; with ``v`` the schema persisted WITH that snapshot,
+        so time travel reproduces the schema as of that version (a
+        column added since doesn't read as NULL into history, a
+        dropped one doesn't vanish from it — the Delta/Iceberg
+        ``VERSION AS OF`` schema contract).  Pre-versioned-schema
+        snapshots return None and the reader falls back to parquet
+        inference rather than imposing the latest schema on old data.
+
+        The default (current) read resolves through the published
+        ``_LATEST`` pointer to that version's OWN ``_SCHEMA`` copy —
+        NOT the table-level file — because schema writes happen at
+        operation time while pointer flips can be deferred (sink
+        transactions) or pre-empted (crash before flip): trusting the
+        table-level file let an ABORTED ``drop_column`` make the
+        column vanish from reads of the still-published old snapshot.
+        The version dir is the atomic unit; its schema travels with
+        it.  The table-level file remains as the fallback for
+        pre-upgrade tables whose version dirs carry no schema copy."""
         from pyspark.sql.types import StructType
 
+        import json as _json
+
+        if v is None:
+            cur = self._latest_version(db, table)
+            if cur is not None:
+                pv = self._schema_path(db, table, cur)
+                if os.path.exists(pv):
+                    with open(pv) as f:
+                        return StructType.fromJson(_json.load(f))
         p = self._schema_path(db, table, v)
         if not os.path.exists(p):
             return None  # pre-catalog snapshot: fall back to inference
-        import json as _json
-
         with open(p) as f:
             return StructType.fromJson(_json.load(f))
 
@@ -675,7 +685,7 @@ class ParquetSink(Sink):
         pcol = self.partition_cols[0]
         v = self._latest_version(db, table)
         src = os.path.join(self._dir(db, table), f"v{v}")
-        existing = self._partition_dirs(src)
+        existing = self._partition_dirs(src, pcol)
         if existing is None:
             return False
 
@@ -694,7 +704,9 @@ class ParquetSink(Sink):
             touched_rows = old_parts.union(new_parts).distinct().collect()
             touched = {r[0] for r in touched_rows}
             null_touched = None in touched
-            touched_strs = {str(x) for x in touched if x is not None}
+            touched_strs = {
+                self._part_value_str(x) for x in touched if x is not None
+            }
 
             non_null = [x for x in touched if x is not None]
             cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
@@ -1039,20 +1051,62 @@ class ParquetSink(Sink):
         self._commit(db, table, state.localCheckpoint(eager=True))
 
     @staticmethod
-    def _partition_dirs(src: str) -> dict[str, str] | None:
+    def _partition_dirs(src: str, pcol: str) -> dict[str, str] | None:
         """{dirname: decoded partition value-string} for one snapshot
-        version, or None if any entry doesn't follow col=value layout."""
+        version, or None if the snapshot's ACTUAL layout is not a pure
+        ``pcol=value`` hive tree.
+
+        The None cases route the caller to the full-rewrite path, and
+        every one of them is a real data-loss/duplication hazard for a
+        pruned commit, not a formality:
+
+        - a top-level DATA file (unpartitioned snapshot — written
+          before ``partition_cols`` was configured, or by a
+          ``repartition_table([])`` revert): a pruned commit against
+          it would link NO directories forward and silently LOSE every
+          row in those files;
+        - a directory partitioned by a DIFFERENT column (snapshot
+          pre-dating a partition-spec evolution, or plain config
+          drift): value-strings of the wrong column would be compared
+          against the touched set, linking old-layout dirs forward
+          next to the rewrite — resurrected/duplicated keys;
+        - a directory that isn't ``col=value`` at all.
+        """
         out: dict[str, str] = {}
+        if not os.path.isdir(src):
+            return None
         for name in os.listdir(src):
             p = os.path.join(src, name)
             if not os.path.isdir(p):
-                continue  # _SUCCESS etc.
+                # a bare DATA file means unpartitioned layout; sidecars
+                # (_SUCCESS, .crc) are fine
+                if not name.startswith(("_", ".")):
+                    return None
+                continue
             if name.startswith(("_", ".")):
                 continue  # _BLOOM_<col> index dirs etc. — not partitions
             if "=" not in name:
                 return None
-            out[name] = urllib.parse.unquote(name.split("=", 1)[1])
+            col, val = name.split("=", 1)
+            if col != pcol:
+                return None  # partitioned by a different column
+            out[name] = urllib.parse.unquote(val)
         return out
+
+    @staticmethod
+    def _part_value_str(x) -> str:
+        """A collected partition value rendered the way Spark renders
+        it into a hive partition DIRECTORY name.  The one divergence
+        from Python ``str()`` that bites in practice is boolean:
+        Spark writes ``flag=true`` while ``str(True)`` is ``'True'`` —
+        an unnormalized compare treats the touched partition as
+        untouched, hard-links it forward NEXT TO its rewrite, and
+        every row in it duplicates."""
+        if x is True:
+            return "true"
+        if x is False:
+            return "false"
+        return str(x)
 
     @staticmethod
     def _link_tree(src: str, dst: str) -> None:
@@ -1077,7 +1131,18 @@ class ParquetSink(Sink):
         cur = self.read_table(self.spark, db, table, include_tombstones=True)
         if cur is None or "op" not in cur.columns:
             return
-        expired = (F.col("op") == "delete") & (F.col(self.ts_col) < F.lit(before_ts_ms))
+        # null-safe: a NULL-ts tombstone is UNEXPIRABLE (its age is
+        # unknown), not expirable-by-three-valued-logic.  Without the
+        # isNotNull guard the full-rewrite filter `~expired` evaluates
+        # to NULL on such rows and DROPS them — while the pruned path
+        # (whose touched set only sees rows `where(expired)` matches)
+        # links their partitions forward and keeps them: the two paths
+        # disagreed, and an expired tombstone's key could resurrect.
+        expired = (
+            (F.col("op") == "delete")
+            & F.col(self.ts_col).isNotNull()
+            & (F.col(self.ts_col) < F.lit(before_ts_ms))
+        )
         # no-op fast path on EVERY layout: nothing expirable → the
         # current version stands, no rewrite, no new snapshot (early-
         # exit scan of op + ts only)
@@ -1087,7 +1152,7 @@ class ParquetSink(Sink):
             pcol = self.partition_cols[0]
             v = self._latest_version(db, table)
             src = os.path.join(self._dir(db, table), f"v{v}")
-            existing = self._partition_dirs(src)
+            existing = self._partition_dirs(src, pcol)
             if existing is not None and pcol in cur.columns:
                 touched = {r[0] for r in cur.where(expired).select(pcol).distinct().collect()}
                 if not touched:
@@ -1104,7 +1169,7 @@ class ParquetSink(Sink):
                     rewritten,
                     v,
                     existing,
-                    {str(x) for x in non_null},
+                    {self._part_value_str(x) for x in non_null},
                     null_touched,
                 )
                 return
@@ -1258,11 +1323,11 @@ class ParquetSink(Sink):
         cur = self.read_table(self.spark, db, table, include_tombstones=True)
         pruned_layout = (
             len(self.partition_cols) == 1
-            and self._partition_dirs(src) is not None
+            and self._partition_dirs(src, self.partition_cols[0]) is not None
         )
         if pruned_layout:
             pcol = self.partition_cols[0]
-            existing = self._partition_dirs(src)
+            existing = self._partition_dirs(src, pcol)
             plan: dict[str, int] = {}  # value-string -> target k
             for name, val_str in existing.items():
                 n, size = part_stats(os.path.join(src, name))
@@ -1428,8 +1493,20 @@ class ParquetSink(Sink):
                 "partition directories use physical names, which "
                 "column mapping cannot reach"
             )
+        # adopt-then-commit with rollback: _commit writes under
+        # whatever self.partition_cols says, so the spec must be
+        # swapped in before it runs — but an OCC conflict or write
+        # error must NOT leave the sink believing the new spec while
+        # the published snapshot still has the old layout (every later
+        # pruned merge would then hit the layout-vs-spec mismatch and
+        # pay a full rewrite; pre-validation, it silently lost rows)
+        old_spec = self.partition_cols
         self.partition_cols = list(new_partition_cols)
-        self._commit(db, table, cur)
+        try:
+            self._commit(db, table, cur)
+        except BaseException:
+            self.partition_cols = old_spec
+            raise
 
     def rename_column(self, db: str, table: str, old: str, new: str) -> None:
         """METADATA-ONLY column rename (the Delta/Iceberg column-
@@ -2106,8 +2183,17 @@ class ParquetSink(Sink):
         current pointer target.
         """
         keep_last = max(1, int(keep_last))
-        vs = self.versions(db, table)
         latest = self._latest_version(db, table)
+        if latest is None:
+            return []
+        # retention counts COMMITTED versions only.  Dirs above the
+        # pointer are crashed/aborted commit orphans: counting them
+        # toward keep_last would silently drop that many real history
+        # versions while retaining junk — and a concurrent writer may
+        # be mid-commit on the highest one, so vacuum must not touch
+        # them either way (clear_orphans owns that cleanup, under its
+        # explicit no-live-writer contract).
+        vs = [v for v in self.versions(db, table) if v <= latest]
         drop = [v for v in vs[:-keep_last] if v != latest]
         d = self._dir(db, table)
         for v in drop:
@@ -2213,17 +2299,35 @@ class ParquetSink(Sink):
     ) -> DataFrame:
         """Index rows of hard-linked (byte-identical) partition dirs,
         carried to the new snapshot with a path rewrite — shared by
-        the Bloom and zone-map incremental maintainers."""
+        the Bloom and zone-map incremental maintainers and the DV
+        sidecar carry.
+
+        ``linked_dirs`` are raw ``os.listdir`` names, but the ``file``
+        column holds URIs (``input_file_name`` /
+        ``_metadata.file_path``), where reserved characters are
+        percent-encoded: a partition value ``'a b'`` is the directory
+        ``p=a b`` on disk but ``.../p=a%20b/...`` in the URI.
+        Matching the raw name alone silently drops the carried
+        Bloom/zone-map/DV rows of any such partition — deleted rows
+        resurrect and the index serves false negatives.  Each dir is
+        therefore matched under BOTH spellings: the raw name and its
+        percent-encoded form (``quote(d, safe="=")`` reproduces the
+        URI rendering of the on-disk name, including the double-encode
+        of hive-escaped dirs like ``p=%3A`` → ``p=%253A``)."""
         from functools import reduce
 
         if not linked_dirs:
             return old_idx.limit(0)
+        alts = sorted(
+            {
+                a
+                for d in linked_dirs
+                for a in (d, urllib.parse.quote(d, safe="="))
+            }
+        )
         in_linked = reduce(
             lambda a, b: a | b,
-            [
-                F.col("file").contains(old_seg + d + "/")
-                for d in linked_dirs
-            ],
+            [F.col("file").contains(old_seg + d + "/") for d in alts],
         )
         return old_idx.where(in_linked).withColumn(
             "file",
@@ -2302,7 +2406,10 @@ class ParquetSink(Sink):
         """Candidate data files whose zones intersect every
         ``col: (lo, hi)`` bound, in the CURRENT snapshot (no false
         negatives; ``None`` = unbounded).  Read them with
-        ``spark.read.parquet(*files)`` instead of scanning."""
+        :meth:`read_files` instead of scanning — a raw
+        ``spark.read.parquet(*files)`` loses partition-directory
+        columns and, in dv merge mode, serves DV-masked (deleted /
+        superseded) rows."""
         from cdc_redshift_spark.operators.layout import zonemap_prune_files
 
         missing = [c for c in bounds if c not in self.zonemap_index_cols]
@@ -2322,8 +2429,10 @@ class ParquetSink(Sink):
     ) -> list[str]:
         """Candidate data files for ``col == value`` in the CURRENT
         snapshot, via the committed Bloom index (no false negatives).
-        Read them with ``spark.read.parquet(*files)`` instead of
-        scanning the snapshot."""
+        Read them with :meth:`read_files` instead of scanning the
+        snapshot — a raw ``spark.read.parquet(*files)`` loses
+        partition-directory columns and, in dv merge mode, serves
+        DV-masked (deleted / superseded) rows."""
         from cdc_redshift_spark.operators.layout import bloom_lookup_files
 
         if col not in self.bloom_index_cols:
@@ -2336,6 +2445,78 @@ class ParquetSink(Sink):
             return []
         idx = self.spark.read.parquet(self._bloom_dir(db, table, v, col))
         return bloom_lookup_files(idx, value)
+
+    def _apply_dv_mask(
+        self, spark: SparkSession, df: DataFrame, db: str, table: str, v: int
+    ) -> DataFrame:
+        """Mask deletion-vector (file, pos) rows at scan time.  The
+        sidecar is per-batch small and broadcast; compact() folds it
+        away when the masked fraction grows.  No-op when snapshot
+        ``v`` carries no DV sidecar."""
+        dvdir = self._dv_dir(db, table, v)
+        if not os.path.isdir(dvdir):
+            return df
+        dv = spark.read.parquet(dvdir)
+        return (
+            df.withColumn("__f", F.col("_metadata.file_path"))
+            .withColumn("__r", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dv),
+                (F.col("__f") == dv["file"]) & (F.col("__r") == dv["pos"]),
+                "left_anti",
+            )
+            .drop("__f", "__r")
+        )
+
+    def read_files(
+        self,
+        db: str,
+        table: str,
+        files: Sequence[str],
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Read an index-pruned candidate-file list (from
+        :meth:`lookup_files` / :meth:`lookup_range_files`) with FULL
+        table read semantics — the point-lookup fast path that stays
+        correct in every sink mode.  A raw
+        ``spark.read.parquet(*files)`` is wrong twice over:
+
+        - without ``basePath`` anchored at the snapshot root, Spark
+          does not derive the hive partition column from the file
+          paths — the imposed schema then reads it as all-NULL;
+        - in dv merge mode the listed files still CONTAIN their
+          DV-masked rows (deletes/updates mask rather than rewrite),
+          so deleted and superseded row versions come back.
+
+        Applies the committed schema (physical names), the current
+        DV mask, logical renames and the tombstone filter — exactly
+        :meth:`read_table`, restricted to ``files``.  The returned
+        plan still scans only the listed files (index pruning is
+        preserved; the mask is a broadcast anti-join on top)."""
+        v = self._latest_version(db, table)
+        if v is None:
+            raise ValueError(f"{db}.{table} does not exist")
+        if not files:
+            empty = self.read_table(
+                self.spark, db, table, include_tombstones=include_tombstones
+            )
+            return empty.limit(0)
+        reader = self.spark.read.option(
+            "basePath", os.path.join(self._dir(db, table), f"v{v}")
+        )
+        schema = self._read_schema(db, table)
+        if schema is not None:
+            reader = reader.schema(self._phys_read_schema(schema))
+        # index file columns are URIs (percent-encoded: 'p=a b' is
+        # .../p=a%20b/...); the reader wants on-disk paths — unquote
+        # exactly inverts the URI rendering
+        df = reader.parquet(*[urllib.parse.unquote(f) for f in files])
+        df = self._apply_dv_mask(self.spark, df, db, table, v)
+        if schema is not None:
+            df = self._to_logical(df, schema)
+        if not include_tombstones and "op" in df.columns:
+            df = df.where(F.col("op") != "delete")
+        return df
 
     def _flip(
         self, db: str, table: str, v: int, manifest_prev: int | None = None
