@@ -347,7 +347,10 @@ def suggest_salt_factor(
     factor = 1
     while factor * target_rows_per_task < hot_rows and factor < max_factor:
         factor *= 2
-    return factor
+    # the loop doubles, so a non-power-of-two max_factor (e.g. 100)
+    # could otherwise return an overshoot (128) past the caller's
+    # stated replication-cost ceiling
+    return min(factor, max_factor)
 
 
 def apply_join_plan(

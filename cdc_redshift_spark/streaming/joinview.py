@@ -63,7 +63,7 @@ class JoinViewMaintainer(VersionedSnapshotStore):
         self.on = list(on)
         self.cols = list(cols)
         self.cnt_col = cnt_col
-        self.keep_versions = keep_versions
+        self._set_keep_versions(keep_versions)
         # bucketed snapshot layout (VersionedSnapshotStore), keyed on
         # the JOIN columns: a delta can only change view images whose
         # join keys it carries, so a trigger reads/rewrites only the

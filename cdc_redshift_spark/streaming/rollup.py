@@ -75,7 +75,7 @@ class RollupMaintainer(VersionedSnapshotStore):
         self.dims = list(dims)
         self.measures = dict(measures)
         self.n_col = n_col
-        self.keep_versions = keep_versions
+        self._set_keep_versions(keep_versions)
         # bucketed snapshot layout (VersionedSnapshotStore), keyed on
         # the GROUP grain (time bucket + dims): a delta can only
         # change groups it contains, so a trigger reads/rewrites only

@@ -86,7 +86,7 @@ class Scd2Maintainer(VersionedSnapshotStore):
         self.attrs = list(attrs)
         self.op_col = op_col
         self.tiebreak = list(tiebreak) if tiebreak else None
-        self.keep_versions = keep_versions
+        self._set_keep_versions(keep_versions)
         self.late_policy = late_policy
         # bucketed snapshot layout (VersionedSnapshotStore): the
         # history grows with EVERY change ever seen, so a full-state

@@ -61,7 +61,7 @@ class CmSketchMaintainer(VersionedSnapshotStore):
         self.prepare = prepare
         self.d = d
         self.w = w
-        self.keep_versions = keep_versions
+        self._set_keep_versions(keep_versions)
         os.makedirs(path, exist_ok=True)
 
     def update(self, batch: DataFrame, batch_id: int) -> bool:
@@ -108,7 +108,7 @@ class KmvSketchMaintainer(VersionedSnapshotStore):
         self.dims = list(dims)
         self.col = col
         self.k = k
-        self.keep_versions = keep_versions
+        self._set_keep_versions(keep_versions)
         os.makedirs(path, exist_ok=True)
 
     def update(self, batch: DataFrame, batch_id: int) -> bool:

@@ -153,6 +153,19 @@ class VersionedSnapshotStore:
             )
         self.target_bucket_bytes = target
 
+    def _set_keep_versions(self, keep_versions: int) -> None:
+        """Constructor helper for subclasses: validate + set the
+        retention depth at CONSTRUCTION time, so a misconfigured
+        store fails before any version dir is written rather than at
+        its first commit (the _flip check remains as a backstop)."""
+        keep_versions = int(keep_versions)
+        if keep_versions < 2:
+            raise ValueError(
+                f"keep_versions must be >= 2 (the previous committed "
+                f"version must survive each flip), got {keep_versions}"
+            )
+        self.keep_versions = keep_versions
+
     def committed_batch(self) -> int | None:
         tok = self._committed_token()
         return None if tok is None else _parse_token(tok)[0]
@@ -256,9 +269,10 @@ class VersionedSnapshotStore:
                     _dir_bytes(vdir), self.target_bucket_bytes
                 )
                 self._record_nbuckets(vdir, sized)
+        pre_tok = self._committed_token()
         self._flip(batch_id)
         if self.bucket_keys and self.n_buckets == AUTO:
-            self.maybe_rebucket()
+            self.maybe_rebucket(keep_extra=pre_tok)
 
     def _commit_pruned(
         self,
@@ -301,13 +315,16 @@ class VersionedSnapshotStore:
                 os.link(os.path.join(src, fn), os.path.join(dst, fn))
         self._record_nbuckets(vdir, n)
         self._ensure_readable(vdir, touched_state)
+        pre_tok = prev_tok
         self._flip(batch_id)
         if self.n_buckets == AUTO:
-            self.maybe_rebucket()
+            self.maybe_rebucket(keep_extra=pre_tok)
 
     # -- re-bucket migration ------------------------------------------------
 
-    def rebucket(self, n_new: int | None = None) -> int:
+    def rebucket(
+        self, n_new: int | None = None, keep_extra: str | None = None
+    ) -> int:
         """Migrate the committed snapshot to ``n_new`` buckets (default:
         the byte-budget size of the committed state) as a NEW
         sub-versioned token — read all, rewrite at n', atomic pointer
@@ -339,10 +356,12 @@ class VersionedSnapshotStore:
         self._write_bucketed(state, vdir, n_new)
         self._record_nbuckets(vdir, n_new)
         self._ensure_readable(vdir, state)
-        self._flip(new_tok)
+        self._flip(new_tok, keep_extra=keep_extra)
         return n_new
 
-    def maybe_rebucket(self, grow_factor: int = 2) -> int | None:
+    def maybe_rebucket(
+        self, grow_factor: int = 2, keep_extra: str | None = None
+    ) -> int | None:
         """Grow the grid when the committed state has outgrown it:
         re-bucket to the byte-budget size iff that is >= grow_factor
         x the current count (so migrations are geometric — amortized
@@ -360,7 +379,7 @@ class VersionedSnapshotStore:
             self.target_bucket_bytes,
         )
         if ideal >= n * grow_factor:
-            return self.rebucket(ideal)
+            return self.rebucket(ideal, keep_extra=keep_extra)
         return None
 
     def _write_bucketed(
@@ -462,7 +481,16 @@ class VersionedSnapshotStore:
             d.startswith(f"{BUCKET_COL}=") for d in os.listdir(vdir)
         )
 
-    def _flip(self, token: int | str) -> None:
+    def _flip(
+        self, token: int | str, keep_extra: str | None = None
+    ) -> None:
+        # ``keep_extra``: one additional version TOKEN exempted from
+        # this flip's keep_versions prune — the growth-migration flip
+        # passes the version that was committed when its enclosing
+        # update() began, because two flips inside one commit would
+        # otherwise age the pre-commit version out in a single call
+        # and strand a concurrent reader holding that pointer (the
+        # r14 known limitation).
         if self.keep_versions < 2:
             # keep_versions=1 would prune the previous version at the
             # flip, breaking the documented reader-holding-the-old-
@@ -534,6 +562,12 @@ class VersionedSnapshotStore:
                 continue
             versions.append((key, d))
         versions.append((new_key, f"v{token}"))
+        extra_key = None
+        if keep_extra is not None:
+            try:
+                extra_key = _parse_token(str(keep_extra))
+            except ValueError:
+                extra_key = None
         for _key, d in sorted(versions)[: -self.keep_versions]:
             # the just-flipped dir must ALWAYS survive, whatever its
             # token order: after a lost-pointer restore the stream
@@ -541,5 +575,16 @@ class VersionedSnapshotStore:
             # tokens than the new commit — pruning by sort order alone
             # would delete the dir _LATEST was just flipped to
             if _key == new_key:
+                continue
+            # the immediately-previous committed version is likewise
+            # exempt, whatever its token order: after a lost-pointer
+            # restore, _COMMITTED survivors with HIGHER tokens would
+            # otherwise fill the keep_versions slice and push the
+            # genuinely previous version out — transiently breaking
+            # the reader-holding-the-old-pointer guarantee the
+            # keep_versions >= 2 guard exists for (ADVICE r14)
+            if prev_key is not None and _key == prev_key:
+                continue
+            if extra_key is not None and _key == extra_key:
                 continue
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

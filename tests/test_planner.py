@@ -891,6 +891,10 @@ def test_suggest_salt_factor_sizing_and_clamp():
     assert suggest_salt_factor(4_000_000, 128_000) == 32
     # clamp: replication cost dominates past max_factor
     assert suggest_salt_factor(10**12, 1_000_000, max_factor=256) == 256
+    # a NON-power-of-two ceiling clamps exactly, not to the next
+    # doubling above it (ADVICE r14: 100 must not return 128 — the
+    # dim side replicates factor×, past the caller's stated budget)
+    assert suggest_salt_factor(10**12, 1_000_000, max_factor=100) == 100
     with pytest.raises(ValueError, match="hot_rows"):
         suggest_salt_factor(-1)
     with pytest.raises(ValueError, match="target_rows_per_task"):

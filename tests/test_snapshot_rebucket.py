@@ -205,6 +205,46 @@ def test_maybe_rebucket_grows_geometrically(spark, tmp_path):
     assert (k0, 2, 2.0) in got and len(got) == 7200
 
 
+def test_growth_double_flip_keeps_pre_commit_version(spark, tmp_path):
+    """r14 known limitation, closed: an AUTO growth migration runs
+    TWO flips inside one update() (the data commit, then the
+    rebucket's sub-versioned commit).  At keep_versions=2 the second
+    flip's prune used to delete the version that was committed when
+    the update() began — stranding a concurrent reader that resolved
+    the pointer just before the call.  The migration flip now exempts
+    that version (keep_extra), and it ages out on the NEXT update
+    instead."""
+    m = _m(spark, tmp_path / "ru", n_buckets="auto",
+           target_bucket_bytes=16 << 10, keep_versions=2)
+    assert m.update(
+        _delta(spark, [(1, _hexkey(i), 1) for i in range(1200)]), 0
+    )
+    assert m.update(_delta(spark, [(1, _hexkey(0), 1)]), 1)
+    pre = m._committed_token()
+    assert pre == "1"
+    # growth batch: commit flips v2, then the migration flips v2_r1
+    assert m.update(
+        _delta(spark, [(1, _hexkey(i, "big"), 1) for i in range(6000)]), 2
+    )
+    assert m._committed_token().startswith("2_r")
+    assert (tmp_path / "ru" / "v1").exists(), (
+        "double-flip pruned the pre-commit version within one update()"
+    )
+    # the reader-visible pre-commit snapshot is genuinely readable
+    assert spark.read.parquet(str(tmp_path / "ru" / "v1")).count() > 0
+    # convergence: the next update ages v1 out normally (it is no
+    # longer prev nor the keep_extra of that flip)
+    assert m.update(_delta(spark, [(1, _hexkey(1), 1)]), 3)
+    assert not (tmp_path / "ru" / "v1").exists()
+    left = sorted(
+        d for d in os.listdir(tmp_path / "ru") if d.startswith("v")
+    )
+    # only batch-2/3 era versions remain, whether or not batch 3
+    # itself migrated again
+    assert left and all(d.startswith(("v2_r", "v3")) for d in left)
+    assert _state(m)  # pointer resolves and reads
+
+
 def test_restart_routes_by_migrated_count(spark, tmp_path):
     """A maintainer RESTARTED after a migration (fresh instance, the
     original pre-migration constructor value) must route reads and
@@ -410,10 +450,23 @@ def test_lost_pointer_replay_from_zero_keeps_flipped_dir(
     left = sorted(
         d for d in os.listdir(tmp_path / "ru") if d.startswith("v")
     )
-    assert left == ["v1", "v5", "v6"], (
-        "pre-loss committed survivors destroyed as crash orphans"
+    # v0 survives this flip too: it is the immediately-previous
+    # committed version, exempt from the keep_versions prune whatever
+    # its sort order (ADVICE r14 — the high-token survivors must not
+    # fill the retention slice and push out the version a reader
+    # holding the old pointer still resolves)
+    assert left == ["v0", "v1", "v5", "v6"], (
+        "pre-loss committed survivors destroyed as crash orphans, or "
+        "the immediately-previous version pruned under them"
     )
     assert _state(m) == [("c", 1, 3.0), ("d", 1, 4.0)]
+    # one more flip: v0 is no longer prev and now ages out normally,
+    # so the transient over-retention converges
+    assert m.update(_delta(spark, [(1, "e", 5)]), 2)
+    left = sorted(
+        d for d in os.listdir(tmp_path / "ru") if d.startswith("v")
+    )
+    assert left == ["v1", "v2", "v5", "v6"]
     # the recoverable pre-loss snapshot is still readable
     v6 = spark.read.parquet(str(tmp_path / "ru" / "v6"))
     assert sorted(r["k"] for r in v6.collect()) == ["a", "b"]
@@ -423,13 +476,14 @@ def test_keep_versions_below_two_rejected(spark, tmp_path):
     """Review r14: keep_versions=1 would prune the previous version
     at each flip (breaking the reader-holding-the-old-pointer
     guarantee) and 0 would make the prune slice [:0] and retain
-    everything forever — both must be rejected loudly at the first
-    commit, not corrupt silently."""
+    everything forever — both must be rejected loudly at
+    CONSTRUCTION (ADVICE r14: failing only at first commit means the
+    version dir is already written), with the _flip check kept as a
+    backstop."""
     for bad in (1, 0):
-        m = _m(spark, tmp_path / f"ru{bad}", n_buckets=4,
-               keep_versions=bad)
         with pytest.raises(ValueError, match="keep_versions"):
-            m.update(_delta(spark, [(1, "a", 1)]), 0)
+            _m(spark, tmp_path / f"ru{bad}", n_buckets=4,
+               keep_versions=bad)
 
 
 def test_dangling_pointer_fails_with_diagnosis(spark, tmp_path):
