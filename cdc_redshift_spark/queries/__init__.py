@@ -30,94 +30,100 @@ merge evidence, not demos.
 
 from __future__ import annotations
 
-# Exactly 50 names — the ROUND-14 ROTATION.  Rotations are pure
+# Exactly 50 names — the ROUND-15 ROTATION.  Rotations are pure
 # staleness refresh (total driver coverage since r10);
 # tools/rotate_window.py computes the queue from the
-# CORRECTNESS_r*.json history, with the standing overrides:
+# CORRECTNESS_r*.json history, with the standing override that
+# MODIFIED code outranks staleness:
 #
-#   1. NEW queries gate in the round that adds them:
-#      cdc_stream_k_anonymity, cdc_stream_l_diversity and
-#      cdc_stream_t_closeness — the streaming faces of the FULL
-#      privacy triad (maintained QI-class / QI×value counts scored
-#      by the shared k_anonymity_score / l_diversity_score /
-#      t_closeness_score, VERDICT r13 #4), each exercising a
-#      different CDC op (update / sensitive-correction / delete).
-#   2. MODIFIED code outranks staleness: emb_drift_score's left-join
-#      row-set fix (ADVICE r13) → emb_drift_report,
-#      cdc_stream_emb_drift re-gate; the k-anonymity / l-diversity
-#      scorer factoring → pii_k_anonymity, pii_l_diversity re-gate;
-#      the snapshot store's _flip lost-pointer pruning changed
-#      (ADVICE r13) → the store-backed cdc_scd2_history,
-#      cdc_join_view_stream, cdc_rollup_rebucket_stream,
-#      cdc_rollup_autogrow_stream, cdc_stream_psi_drift,
-#      cdc_stream_token_drift re-gate; the long-key fixture
-#      assertion relaxed (ADVICE r13) → sketch_hll_users re-gates.
+#   - sinks/parquet_sink.py took nine edge fixes this round (the
+#     recorded r14 review queue: pruned-commit layout-vs-spec
+#     validation, abort-safe current-schema resolution through the
+#     _LATEST pointer, URI-encoded carried-index matching, orphan
+#     version-dir guards in time travel/vacuum, NULL-ts tombstone
+#     expiry, boolean partition-dir normalization, repartition spec
+#     rollback, the read_files masked-read helper) — ALL 14 sink_*
+#     entries re-gate;
+#   - streaming/snapshots.py's _flip pruning changed (ADVICE r14
+#     prev-version exemption + the growth double-flip keep_extra) and
+#     keep_versions moved to construction-time validation — the six
+#     store-backed entries cdc_scd2_history, cdc_join_view_stream,
+#     cdc_rollup_rebucket_stream, cdc_rollup_autogrow_stream,
+#     cdc_stream_kmv_rollup, cdc_stream_cm_sketch re-gate;
+#   - operators/planner.py suggest_salt_factor clamp (ADVICE r14) →
+#     plan_salted_exec re-gates.
 #
-# Composition: those 23, the 8 r14 queue heads displaced last round
-# (events_rfm_segments, events_session_paths, events_twap,
-# graph_tree_roots, layout_range_bounds, orders_bloom_semi_revenue,
-# orders_merge_into, sim_ivf_eval — all r9), the remaining 15 of the
-# r9 staleness cohort (sim_*, sink_*, sketch_cm_tokens), and the 5 end-to-end CDC pipelines
-# (re-gated every round).  After this window NOTHING in the registry
-# is staler than r10 (the r13 #2 done-bar).  Displaced to the head
-# of the r15 queue: the rest of the r10 cohort in rotate_window
-# order (cdc_enrich_stream, cdc_first_seen_stream,
-# cdc_rollup_maintenance, cdc_sessionize_stream,
-# cdc_stateful_lww_agg_stream, cdc_stateful_lww_stream,
-# cdc_variant_payload, cdc_windowed_ops_stream,
-# corpus_clean_pipeline, corpus_decontaminate, corpus_source_cap,
-# corpus_stratified_sample, corpus_token_shards,
-# customer_activity_segments, dedup_clusters, dedup_embedding_cosine,
-# dedup_exact, dedup_graph_triangles, dedup_minhash_lsh,
-# dedup_ngram_jaccard, dedup_simhash, docs_tfidf_keywords, …).
+# Composition: those 21, the first 24 of the r10 staleness cohort in
+# rotate_window order (including the recorded r15 queue heads
+# cdc_windowed_ops_stream, corpus_clean_pipeline and the displaced
+# cdc_variant_payload), and the 5 end-to-end CDC pipelines (re-gated
+# every round).  After this window nothing is staler than r10, with
+# the REMAINING 21 of the r10 cohort displaced to the r16 queue
+# head: events_asof_attribution, events_burst_windows,
+# events_hourly_rollup, events_pivot_types, events_props_extract,
+# events_resample_ffill, events_resample_interp, events_stream_join,
+# layout_zonemap_scan, mm_audio_windows, mm_decode_meta,
+# mm_features_similarity, mm_frame_sample, mm_resize_roundtrip,
+# order_priority_profile, orders_running_windows,
+# pii_redaction_report, profile_orders, sim_knn_exact,
+# sim_topk_query, sketch_join_size.
 # Everything outside the window stays certified by the per-round
 # LOCALGATE artifact over the FULL registry + pytest.
 _GATE_WINDOW = [
-    "cdc_stream_k_anonymity",  # never gated (new r14)
-    "cdc_stream_l_diversity",  # never gated (new r14)
-    "cdc_stream_t_closeness",  # never gated (new r14)
-    "emb_drift_report",  # re-gate: left-join row-set fix r14
-    "cdc_stream_emb_drift",  # re-gate: left-join row-set fix r14
-    "pii_k_anonymity",  # re-gate: shared-scorer factoring r14
-    "pii_l_diversity",  # re-gate: shared-scorer factoring r14
-    "pii_t_closeness",  # re-gate: shared-scorer factoring r14
-    "plan_salted_exec",  # re-gate: derived salt factor r14
-    "dedup_simjoin",  # re-gate: float-boundary exactness fix r14
-    "dedup_containment",  # re-gate: float-boundary/shingle-n fix r14
-    "sketch_user_overlap",  # re-gate: KMV NULL-slot fix r14
-    "cdc_stream_kmv_rollup",  # re-gate: KMV NULL-slot fix r14
-    "sketch_price_quantiles",  # re-gate: hist NULL-bin fix r14
-    "cdc_stream_cm_sketch",  # re-gate: CM depth-bound guard r14
-    "cdc_scd2_history",  # re-gate: snapshot _flip pruning r14
-    "cdc_join_view_stream",  # re-gate: snapshot _flip pruning r14
-    "cdc_rollup_rebucket_stream",  # re-gate: snapshot changes r14
-    "cdc_rollup_autogrow_stream",  # re-gate: snapshot changes r14
-    "cdc_stream_psi_drift",  # re-gate: snapshot changes r14
-    "cdc_stream_token_drift",  # re-gate: snapshot changes r14
-    "sketch_hll_users",  # re-gate: fixture assertion relaxed r14
-    "events_rfm_segments",  # r14 queue head (last r9)
-    "events_session_paths",  # r14 queue head (last r9)
-    "events_twap",  # r14 queue head (last r9)
-    "graph_tree_roots",  # r14 queue head (last r9)
-    "layout_range_bounds",  # r14 queue head (last r9)
-    "orders_bloom_semi_revenue",  # r14 queue head (last r9)
-    "orders_merge_into",  # r14 queue head (last r9)
-    "sim_ivf_eval",  # r14 queue head (last r9)
-    "sim_lsh_eval",  # last r9
-    "sim_pq_eval",  # last r9
-    "sink_analyze_stats",  # last r9
-    "sink_column_rename",  # last r9
-    "sink_constraints",  # last r9
-    "sink_dv_merge",  # last r9
-    "sink_generated_columns",  # last r9
-    "sink_occ_commit",  # last r9
-    "sink_optimize",  # last r9
-    "sink_repartition_evolution",  # last r9
-    "sink_restore_clone",  # last r9
-    "sink_row_provenance",  # last r9
-    "sink_schema_evolution",  # last r9
-    "sink_txn_batch",  # last r9
-    "sketch_cm_tokens",  # last r9
+    # modified code outranks staleness — parquet_sink.py's nine
+    # edge fixes (r15: layout-vs-spec validation, abort-safe schema
+    # resolution, URI-encoded index carry, orphan guards, NULL-ts
+    # expiry, boolean partition dirs, read_files) re-gate every
+    # sink_* entry:
+    "sink_analyze_stats",  # re-gate: parquet_sink edge fixes r15
+    "sink_column_rename",  # re-gate: parquet_sink edge fixes r15
+    "sink_constraints",  # re-gate: parquet_sink edge fixes r15
+    "sink_dv_merge",  # re-gate: parquet_sink edge fixes r15
+    "sink_generated_columns",  # re-gate: parquet_sink edge fixes r15
+    "sink_occ_commit",  # re-gate: parquet_sink edge fixes r15
+    "sink_optimize",  # re-gate: parquet_sink edge fixes r15
+    "sink_repartition_evolution",  # re-gate: spec rollback r15
+    "sink_restore_clone",  # re-gate: parquet_sink edge fixes r15
+    "sink_row_provenance",  # re-gate: parquet_sink edge fixes r15
+    "sink_schema_evolution",  # re-gate: schema-resolution fix r15
+    "sink_table_changes",  # re-gate: orphan-version guard r15
+    "sink_time_travel",  # re-gate: orphan-version guard r15
+    "sink_txn_batch",  # re-gate: abort metadata staging r15
+    # snapshots.py flip/pruning changed (ADVICE r14 + the growth
+    # double-flip keep_extra) -> store-backed entries re-gate:
+    "cdc_scd2_history",  # re-gate: snapshot flip pruning r15
+    "cdc_join_view_stream",  # re-gate: snapshot flip pruning r15
+    "cdc_rollup_rebucket_stream",  # re-gate: snapshot pruning r15
+    "cdc_rollup_autogrow_stream",  # re-gate: growth keep_extra r15
+    "cdc_stream_kmv_rollup",  # re-gate: keep_versions validator r15
+    "cdc_stream_cm_sketch",  # re-gate: keep_versions validator r15
+    "plan_salted_exec",  # re-gate: suggest_salt_factor clamp r15
+    # r15 queue heads: the r10 staleness cohort in rotate_window
+    # order (the three displaced r14 fills first among them)
+    "cdc_enrich_stream",  # last r10
+    "cdc_first_seen_stream",  # last r10
+    "cdc_rollup_maintenance",  # last r10
+    "cdc_sessionize_stream",  # last r10
+    "cdc_stateful_lww_agg_stream",  # last r10
+    "cdc_stateful_lww_stream",  # last r10
+    "cdc_variant_payload",  # last r10 (displaced from r14 window)
+    "cdc_windowed_ops_stream",  # last r10 (r15 queue head)
+    "corpus_clean_pipeline",  # last r10 (r15 queue head)
+    "corpus_decontaminate",  # last r10
+    "corpus_source_cap",  # last r10
+    "corpus_stratified_sample",  # last r10
+    "corpus_token_shards",  # last r10
+    "customer_activity_segments",  # last r10
+    "dedup_clusters",  # last r10
+    "dedup_embedding_cosine",  # last r10
+    "dedup_exact",  # last r10
+    "dedup_graph_triangles",  # last r10
+    "dedup_minhash_lsh",  # last r10
+    "dedup_ngram_jaccard",  # last r10
+    "dedup_simhash",  # last r10
+    "docs_tfidf_keywords",  # last r10
+    "dq_latency_percentiles",  # last r10
+    "emb_int8_quantize",  # last r10
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

@@ -14,42 +14,33 @@ def test_gate_window_is_exactly_50_and_leads_registry():
     assert len(names) == len(set(names))
 
 
-def test_gate_window_pins_the_round14_rotation():
-    """The r14 window is a staleness refresh plus the entries that
-    MUST gate this round: the new r14 queries, the queries whose
-    semantics or maintainer code changed this round, and the 5 CDC
-    pipelines re-gated every round.  (The bulk of the window — the
-    r9/r10 staleness cohort — is policy, not correctness, so it is
-    not pinned here; tools/rotate_window.py recomputes it.)"""
+def test_gate_window_pins_the_round15_rotation():
+    """The r15 window is a staleness refresh plus the entries that
+    MUST gate this round: every query whose semantics or machinery
+    code changed (the parquet_sink nine-fix cluster -> all sink_*
+    entries; the snapshots.py flip-pruning/keep_extra changes -> the
+    store-backed streams; the suggest_salt_factor clamp ->
+    plan_salted_exec) and the 5 CDC pipelines re-gated every round.
+    (The bulk of the window — the r10 staleness cohort — is policy,
+    not correctness, so it is not pinned here;
+    tools/rotate_window.py recomputes it.)"""
     must_gate = {
-        # round-14 additions: the privacy triad's streaming faces
-        "cdc_stream_k_anonymity",
-        "cdc_stream_l_diversity",
-        "cdc_stream_t_closeness",
-        # code MODIFIED this round must re-gate: the emb-drift
-        # left-join row-set fix (ADVICE r13), the shared k/l scorer
-        # factoring, the snapshot store's _flip lost-pointer pruning
-        # (ADVICE r13) -> store-backed entries, and the relaxed
-        # long-key fixture assertion
-        "emb_drift_report",
-        "cdc_stream_emb_drift",
-        "pii_k_anonymity",
-        "pii_l_diversity",
-        "pii_t_closeness",
-        "cdc_scd2_history",
-        "cdc_join_view_stream",
-        "cdc_rollup_rebucket_stream",
-        "cdc_rollup_autogrow_stream",
-        "cdc_stream_psi_drift",
-        "cdc_stream_token_drift",
-        "sketch_hll_users",
+        # parquet_sink.py edge-fix cluster (r15)
+        "sink_analyze_stats", "sink_column_rename", "sink_constraints",
+        "sink_dv_merge", "sink_generated_columns", "sink_occ_commit",
+        "sink_optimize", "sink_repartition_evolution",
+        "sink_restore_clone", "sink_row_provenance",
+        "sink_schema_evolution", "sink_table_changes",
+        "sink_time_travel", "sink_txn_batch",
+        # snapshots.py flip pruning / keep_versions validation (r15)
+        "cdc_scd2_history", "cdc_join_view_stream",
+        "cdc_rollup_rebucket_stream", "cdc_rollup_autogrow_stream",
+        "cdc_stream_kmv_rollup", "cdc_stream_cm_sketch",
+        # planner clamp (ADVICE r14)
         "plan_salted_exec",
-        "dedup_simjoin",
-        "dedup_containment",
-        "sketch_user_overlap",
-        "cdc_stream_kmv_rollup",
-        "sketch_price_quantiles",
-        "cdc_stream_cm_sketch",
+        # recorded r15 queue heads from the r14 close notes
+        "cdc_windowed_ops_stream", "corpus_clean_pipeline",
+        "cdc_variant_payload",
         # CDC pipelines, every round
         "cdc_pg_replay", "cdc_lww_dedup", "cdc_dms_relational",
         "cdc_dms_schema_drift", "cdc_mongo_replay",
