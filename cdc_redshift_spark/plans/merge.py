@@ -56,6 +56,12 @@ def apply_changeset(
     ``MERGE`` with a ``WHEN MATCHED AND s.ts >= t.ts`` guard — the
     guard the reference lacks (SURVEY §7.3).
 
+    A row is a delete iff its op equals ``'delete'`` NULL-SAFELY: a
+    NULL op (a malformed envelope that _map_op passes through) is
+    data, not a tombstone — the three-valued ``!=`` filter would
+    otherwise silently drop the winning row from the state (and from
+    BOTH halves of :func:`split_upserts_deletes`).
+
     ``keep_tombstones=True`` retains winning delete rows (op='delete')
     in the output instead of dropping them.  Sinks that store state
     across batches need this: without the tombstone, an older event for
@@ -149,7 +155,7 @@ def apply_changeset(
     )
     if keep_tombstones:
         return winners
-    return winners.where(F.col(op_col) != DELETE_OP)
+    return winners.where(~F.col(op_col).eqNullSafe(F.lit(DELETE_OP)))
 
 
 def _broadcast_apply(
@@ -256,7 +262,7 @@ def _broadcast_apply(
     out = merged.unionByName(new_rows)
     if keep_tombstones:
         return out
-    return out.where(F.col(op_col) != DELETE_OP)
+    return out.where(~F.col(op_col).eqNullSafe(F.lit(DELETE_OP)))
 
 
 def split_upserts_deletes(
@@ -269,8 +275,8 @@ def split_upserts_deletes(
     glue_dms_redshift_cdc.py:175-193).  Used by SQL-pushing sinks;
     the native path uses :func:`apply_changeset` directly.
     """
-    upserts = changes.where(F.col(op_col) != DELETE_OP)
-    deletes = changes.where(F.col(op_col) == DELETE_OP)
+    upserts = changes.where(~F.col(op_col).eqNullSafe(F.lit(DELETE_OP)))
+    deletes = changes.where(F.col(op_col).eqNullSafe(F.lit(DELETE_OP)))
     return upserts, deletes
 
 
@@ -366,8 +372,22 @@ class MergeIntoBuilder:
                     "merge, the Delta contract); dedup the source first or "
                     "pass check_duplicate_source=False after doing so"
                 )
-        t = self._t.withColumn("__t", F.lit(True)).alias("t")
-        s = self._s.withColumn("__s", F.lit(True)).alias("s")
+        # marker/action column names underscore-extend past any real
+        # column (the _broadcast_apply "__m" discipline): withColumn
+        # on a clashing name would OVERWRITE that data column, and the
+        # existence test below would read the constant marker instead
+        # of the join result
+        taken = set(self._t.columns) | set(self._s.columns)
+
+        def fresh(name: str) -> str:
+            while name in taken:
+                name += "_"
+            taken.add(name)
+            return name
+
+        tm, sm, actm = fresh("__t"), fresh("__s"), fresh("__act")
+        t = self._t.withColumn(tm, F.lit(True)).alias("t")
+        s = self._s.withColumn(sm, F.lit(True)).alias("s")
         cond = None
         for k in self._keys:
             eq = F.col(f"t.{k}") == F.col(f"s.{k}")
@@ -391,14 +411,14 @@ class MergeIntoBuilder:
             f"v{i}" if kind == "update" else "d"
             for i, (kind, _, _) in enumerate(self._by_source)
         ]
-        matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
-        not_matched = F.col("s.__s").isNotNull() & F.col("t.__t").isNull()
+        matched = F.col(f"t.{tm}").isNotNull() & F.col(f"s.{sm}").isNotNull()
+        not_matched = F.col(f"s.{sm}").isNotNull() & F.col(f"t.{tm}").isNull()
         act = (
             F.when(matched, chain([c for _, c, _ in self._matched], m_tags, "keep"))
             .when(not_matched, chain([c for c, _ in self._not_matched], n_tags, "drop"))
             .otherwise(chain([c for _, c, _ in self._by_source], b_tags, "keep"))
         )
-        j = j.withColumn("__act", act)
+        j = j.withColumn(actm, act)
 
         t_types = dict(self._t.dtypes)
         s_cols = set(self._s.columns)
@@ -408,7 +428,7 @@ class MergeIntoBuilder:
             for i, (kind, _, aset) in enumerate(self._matched):
                 if kind == "update" and c in aset:
                     col = F.when(
-                        F.col("__act") == m_tags[i], self._as_col(aset[c])
+                        F.col(actm) == m_tags[i], self._as_col(aset[c])
                     ).otherwise(col)
             for i, (_, values) in enumerate(self._not_matched):
                 if values is None:  # insertAll: match by name
@@ -421,11 +441,11 @@ class MergeIntoBuilder:
                     v = self._as_col(values[c])
                 else:  # explicit insert: unspecified columns are NULL
                     v = F.lit(None).cast(t_types[c])
-                col = F.when(F.col("__act") == n_tags[i], v).otherwise(col)
+                col = F.when(F.col(actm) == n_tags[i], v).otherwise(col)
             for i, (kind, _, aset) in enumerate(self._by_source):
                 if kind == "update" and c in aset:
                     col = F.when(
-                        F.col("__act") == b_tags[i], self._as_col(aset[c])
+                        F.col(actm) == b_tags[i], self._as_col(aset[c])
                     ).otherwise(col)
             out_cols.append(col.alias(c))
-        return j.where(~F.col("__act").isin("d", "drop")).select(*out_cols)
+        return j.where(~F.col(actm).isin("d", "drop")).select(*out_cols)

@@ -215,7 +215,10 @@ class ParquetSink(Sink):
         if checks:
             rows = df
             if "op" in df.columns:
-                rows = rows.where(F.col("op") != "delete")
+                # null-safe: a NULL op is NOT a tombstone — it must
+                # still pass validation (three-valued != would exempt
+                # it from every CHECK constraint)
+                rows = rows.where(~F.col("op").eqNullSafe(F.lit("delete")))
             aggs = [
                 F.sum(F.when(cond, 1).otherwise(0)).alias(f"__c{i}")
                 for i, (_, _, cond) in enumerate(checks)
@@ -360,7 +363,10 @@ class ParquetSink(Sink):
         if schema is not None:
             df = self._to_logical(df, schema)
         if not include_tombstones and "op" in df.columns:
-            df = df.where(F.col("op") != "delete")
+            # null-safe: only true tombstones are hidden — a NULL op
+            # (malformed envelope normalized through) is data, and
+            # three-valued != would silently hide the row forever
+            df = df.where(~F.col("op").eqNullSafe(F.lit("delete")))
         return df
 
     def _schema_path(self, db: str, table: str, v: int | None = None) -> str:
@@ -2515,7 +2521,7 @@ class ParquetSink(Sink):
         if schema is not None:
             df = self._to_logical(df, schema)
         if not include_tombstones and "op" in df.columns:
-            df = df.where(F.col("op") != "delete")
+            df = df.where(~F.col("op").eqNullSafe(F.lit("delete")))
         return df
 
     def _flip(

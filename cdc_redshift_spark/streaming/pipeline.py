@@ -177,7 +177,7 @@ class CdcPipeline:
         changes = latest_per_key(self.changeset_fn(raw), keys=self.keys).persist()
         try:
             if not self.apply_delete:
-                changes_f = changes.where(F.col("op") != "delete")
+                changes_f = changes.where(~F.col("op").eqNullSafe(F.lit("delete")))
             else:
                 changes_f = changes
             # A2: plain distinct beats the reference's window-rank-1

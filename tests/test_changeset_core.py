@@ -364,3 +364,71 @@ def test_payload_variant_on_mongo_and_dms(spark):
     assert dch.select(
         F.variant_get("payload_v", "$.y", "string")
     ).first()[0] == "z"
+
+
+def test_null_op_row_is_data_not_tombstone(spark):
+    """r15 review hunt: a NULL op (malformed envelope passed through
+    _map_op's otherwise) must behave as data everywhere — the
+    three-valued `op != 'delete'` filters silently dropped the
+    winning row from merged state and from BOTH halves of
+    split_upserts_deletes."""
+    cs = spark.createDataFrame(
+        [
+            ("1", 100, 0, None, "a"),   # NULL op: data
+            ("2", 100, 1, "insert", "b"),
+            ("3", 100, 2, "delete", None),
+        ],
+        "key string, ts_ms long, offset long, op string, payload string",
+    )
+    for strategy in ("shuffle", "broadcast"):
+        target = spark.createDataFrame(
+            [("3", 50, 0, "insert", "old")],
+            "key string, ts_ms long, offset long, op string, payload string",
+        )
+        out = apply_changeset(
+            target, cs, keys=("key",), keep_tombstones=False,
+            strategy=strategy,
+        )
+        got = {r.key for r in out.collect()}
+        assert got == {"1", "2"}, (
+            f"{strategy}: NULL-op row dropped as a pseudo-tombstone"
+        )
+    ups, dels = split_upserts_deletes(cs)
+    assert {r.key for r in ups.collect()} == {"1", "2"}
+    assert {r.key for r in dels.collect()} == {"3"}
+
+
+def test_null_op_row_survives_sink_round_trip(spark, tmp_path):
+    """The stored NULL-op row stays reader-visible through the sink
+    (read_table's tombstone filter is null-safe), and is not exempt
+    from CHECK constraints the way true tombstones are."""
+    from cdc_redshift_spark.sinks.parquet_sink import (
+        ConstraintViolation,
+        ParquetSink,
+    )
+
+    sink = ParquetSink(spark, str(tmp_path))
+    sink.apply_changeset(
+        "d",
+        "t",
+        spark.createDataFrame(
+            [("1", 100, 0, None, "x"), ("2", 100, 1, "insert", "y")],
+            "key string, ts_ms long, offset long, op string, payload string",
+        ),
+    )
+    got = {r.key for r in sink.read_table(spark, "d", "t").collect()}
+    assert got == {"1", "2"}, "NULL-op row hidden from readers"
+
+    guarded = ParquetSink(
+        spark, str(tmp_path / "g"), constraints={"pay": "payload is not null"}
+    )
+    with pytest.raises(ConstraintViolation):
+        guarded.apply_changeset(
+            "d",
+            "t",
+            spark.createDataFrame(
+                [("1", 100, 0, None, None)],  # NULL op, violating row
+                "key string, ts_ms long, offset long, op string,"
+                " payload string",
+            ),
+        )

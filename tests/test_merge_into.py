@@ -113,3 +113,24 @@ def test_merge_insert_missing_target_col_is_typed_null(spark):
     )
     rows = {r.k: (r.status, r.v) for r in out.collect()}
     assert rows == {1: ("a", 10), 5: (None, None)}
+
+
+def test_merge_survives_marker_named_columns(spark):
+    """r15 review hunt: a table legitimately carrying __t / __s /
+    __act columns must not have them overwritten by the builder's
+    internal markers (the _broadcast_apply '__m' discipline, applied
+    to merge_into)."""
+    t = spark.createDataFrame(
+        [(1, "a", True), (2, "b", False)], "k int, v string, __act boolean"
+    )
+    s = spark.createDataFrame(
+        [(2, "B", True), (3, "C", False)], "k int, v string, __act boolean"
+    )
+    out = (
+        merge_into(t, s, keys=["k"])
+        .when_matched_update({"v": "s.v", "__act": "s.__act"})
+        .when_not_matched_insert()
+        .execute()
+    )
+    got = {r.k: (r.v, r["__act"]) for r in out.collect()}
+    assert got == {1: ("a", True), 2: ("B", True), 3: ("C", False)}
