@@ -196,9 +196,23 @@ def explode_payload(
     timestamp columns from strings with ``cdc_timestamp_format``.
     """
     kept = [c for c in keep if c in changes.columns]
+    # machinery columns win a name collision: a payload FIELD named
+    # e.g. 'key' or 'op' would otherwise duplicate the column name in
+    # the output (Spark allows it at select time) and break every
+    # downstream reference with an ambiguity error.  The key was
+    # extracted FROM the payload at normalize time anyway, so the
+    # payload-side duplicate carries no extra information.
+    kept_set = set(kept)
+    # getField takes the LITERAL name (no dotted-path parsing), so
+    # JSON keys containing dots/backticks keep working like d.* did
+    d_cols = [
+        F.col("d").getField(f.name).alias(f.name)
+        for f in schema.fields
+        if f.name not in kept_set
+    ]
     out = changes.select(
         F.from_json(F.col(payload_col).cast("string"), schema).alias("d"), *kept
-    ).select("d.*", *kept)
+    ).select(*d_cols, *kept)
     return _coerce_ts(out, ts_cols, ts_format)
 
 
@@ -229,12 +243,14 @@ def explode_payload_variant(
     schema and the same audit-timestamp coercion as the string path
     — the two explosions are interchangeable downstream."""
     kept = [c for c in keep if c in changes.columns]
+    kept_set = set(kept)  # machinery wins collisions (see explode_payload)
     out = changes.select(
         *[
             F.variant_get(
                 F.col(variant_col), f"$.{f.name}", f.dataType.simpleString()
             ).alias(f.name)
             for f in schema.fields
+            if f.name not in kept_set
         ],
         *kept,
     )

@@ -51,6 +51,7 @@ class PipelineStats:
     empty_batches: int = 0
     events: int = 0
     tables: int = 0
+    unroutable: int = 0
 
 
 class CdcPipeline:
@@ -75,6 +76,7 @@ class CdcPipeline:
         compact_every: int = 5,
         atomic_batches: bool = False,
         analyze_every: int | None = None,
+        dead_letter_root: str | None = None,
     ):
         """``analyze_every=N`` re-ANALYZEs each table every N batches
         that TOUCH it (sinks without ``analyze`` ignore it; tables the
@@ -121,6 +123,7 @@ class CdcPipeline:
         self.compact_every = compact_every
         self.atomic_batches = atomic_batches
         self.analyze_every = analyze_every
+        self.dead_letter_root = dead_letter_root
         # every periodic schedule divides a counter — a zero would
         # ZeroDivisionError on the first batch, deep inside foreachBatch
         for knob in ("compact_every", "expire_every", "analyze_every"):
@@ -189,7 +192,43 @@ class CdcPipeline:
                 .agg(F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("mx"))
                 .collect()
             )
-            tables = [(r["db"], r["table"]) for r in routing]
+            # UNROUTABLE rows (NULL db/table — a malformed envelope
+            # whose source/ns/metadata struct failed to parse) must
+            # not reach the fan-out: apply_one(None, ...) would die
+            # inside the sink's path join and ONE bad event would
+            # kill the whole stream.  They are dead-lettered (kept,
+            # observable) instead of crashing or silently vanishing.
+            bad = [
+                r
+                for r in routing
+                if r["db"] is None or r["table"] is None
+            ]
+            if bad:
+                n_bad = sum(r["n"] for r in bad)
+                self.stats.unroutable += n_bad
+                if self.dead_letter_root is not None:
+                    changes_f.where(
+                        F.col("db").isNull() | F.col("table").isNull()
+                    ).write.mode("append").parquet(self.dead_letter_root)
+                log.warning(
+                    "batch %d: %d unroutable event(s) with NULL "
+                    "db/table %s",
+                    batch_id,
+                    n_bad,
+                    (
+                        f"dead-lettered to {self.dead_letter_root}"
+                        if self.dead_letter_root is not None
+                        else "DROPPED (set dead_letter_root to keep them)"
+                    ),
+                )
+                changes_f = changes_f.where(
+                    F.col("db").isNotNull() & F.col("table").isNotNull()
+                )
+            tables = [
+                (r["db"], r["table"])
+                for r in routing
+                if r["db"] is not None and r["table"] is not None
+            ]
             self.stats.tables += len(tables)
             self.stats.events += sum(r["n"] for r in routing)
             batch_max = max((r["mx"] for r in routing if r["mx"] is not None), default=None)

@@ -197,3 +197,36 @@ def test_explode_payload_variant_matches_string_explosion(spark):
     assert sorted(map(tuple, v.collect()), key=nsafe) == sorted(
         map(tuple, s.collect()), key=nsafe
     )
+
+
+def test_explode_payload_machinery_name_collision(spark):
+    """r15 review hunt: a payload FIELD named like a machinery column
+    ('key', 'op', ...) used to duplicate the output column name
+    (d.* + kept) and break every downstream reference; machinery wins
+    the collision, payload-only fields still explode."""
+    from cdc_redshift_spark.infer import explode_payload, infer_payload_schema
+
+    cs = spark.createDataFrame(
+        [("7", 100, 0, "insert", '{"key": "payload-key", "v": 5}')],
+        "key string, ts_ms long, offset long, op string, payload string",
+    )
+    schema = infer_payload_schema(cs)
+    out = explode_payload(cs, schema)
+    assert out.columns.count("key") == 1
+    row = out.collect()[0]
+    assert row["key"] == "7" and row["v"] == 5
+
+
+def test_explode_payload_dotted_field_names(spark):
+    """Field access is literal (getField), so JSON keys containing
+    dots keep working exactly as d.* did."""
+    from cdc_redshift_spark.infer import explode_payload, infer_payload_schema
+
+    cs = spark.createDataFrame(
+        [("7", 100, 0, "insert", '{"a.b": 1, "v": 2}')],
+        "key string, ts_ms long, offset long, op string, payload string",
+    )
+    schema = infer_payload_schema(cs)
+    out = explode_payload(cs, schema)
+    row = out.collect()[0]
+    assert row["a.b"] == 1 and row["v"] == 2

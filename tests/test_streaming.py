@@ -967,3 +967,52 @@ def test_stream_token_drift_matches_batch_face_on_adversarial_corpus(
     assert stream == batch
     assert batch["newsrc"][1] == 0          # n_ref = 0: brand-new source
     assert batch["newsrc"][4] is True       # forced drift
+
+
+def test_malformed_envelope_dead_letters_instead_of_crashing(spark, tmp_path):
+    """r15 review hunt: an envelope whose source struct fails to parse
+    normalizes to NULL db/table; the fan-out used to call
+    apply_one(None, ...) and die inside the sink's path join — one bad
+    event killed the stream.  Unroutable rows are now counted, dead-
+    lettered when a root is configured, and the good rows still land."""
+    dlq = str(tmp_path / "dlq")
+    pipe, sink, indir, ckpt = mk_pipeline(
+        spark, tmp_path, dead_letter_root=dlq
+    )
+    bad = json.dumps(
+        {
+            # no source struct at all -> NULL db/table after normalize
+            "value": json.dumps({"op": "c", "after": '{"id": 9}'}),
+            "offset": 7,
+            "partition": 0,
+            "timestamp": "2026-01-01T00:00:00.000Z",
+        }
+    )
+    write_batch_file(
+        indir,
+        "b0.json",
+        [pg_line("c", 1, 100, {"v": "a"}, 0), bad],
+    )
+    drain(pipe, spark, indir, ckpt)
+    assert state(sink, spark) == {"1": {"id": 1, "v": "a"}}
+    assert pipe.stats.unroutable == 1
+    dl = spark.read.parquet(dlq)
+    assert dl.count() == 1 and dl.collect()[0]["db"] is None
+
+
+def test_malformed_envelope_without_dlq_drops_loudly_not_fatally(
+    spark, tmp_path
+):
+    pipe, sink, indir, ckpt = mk_pipeline(spark, tmp_path)
+    bad = json.dumps(
+        {
+            "value": json.dumps({"op": "c", "after": '{"id": 9}'}),
+            "offset": 7,
+            "partition": 0,
+            "timestamp": "2026-01-01T00:00:00.000Z",
+        }
+    )
+    write_batch_file(indir, "b0.json", [bad, pg_line("c", 2, 100, None, 1)])
+    drain(pipe, spark, indir, ckpt)
+    assert pipe.stats.unroutable == 1
+    assert set(state(sink, spark)) == {"2"}
