@@ -1751,6 +1751,131 @@ ORDER BY status
 """
 
 
+def q_sink_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pruned POINT LOOKUP through the committed Bloom index on
+    a dv-mode, status-partitioned sink (`lookup_files` +
+    `read_files`, new r15): orders committed with a per-file Bloom
+    index on the key, then updates (k%10==2) and deletes (k%10==3)
+    applied as deletion vectors — no data file rewritten.  Three probe
+    keys (the smallest with k%10 in 1/2/3: untouched, updated,
+    deleted) resolve through the index to a candidate-file subset and
+    are read with FULL table semantics via ``read_files``.
+
+    In-query proofs:
+    - PRUNING: the candidate set is strictly smaller than the
+      snapshot's data-file population (the index actually skipped
+      files);
+    - MASKING: a raw per-file read of the same candidates still
+      CONTAINS the deleted probe's row (dv economics — the bytes are
+      there), while ``read_files`` masks it;
+    - the partition column survives the file-level read (basePath
+      recovery).
+
+    The oracle reconstructs the probes' final state from the base
+    table, so a green row certifies the index→mask→read fast path
+    end-to-end."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("insert").alias("op"),
+    )
+    mo = F.pmod(F.col("k"), F.lit(10))
+    ch = (
+        base.where(mo == 2)
+        .withColumn("status", F.lit("U"))
+        .withColumn("op", F.lit("update"))
+        .unionByName(base.where(mo == 3).withColumn("op", F.lit("delete")))
+        .withColumn("ts_ms", F.lit(2).cast("long"))
+    )
+    probes = [
+        r["pk"]
+        for r in base.where(mo.isin(1, 2, 3))
+        .groupBy(mo.alias("m"))
+        .agg(F.min("k").alias("pk"))
+        .collect()
+    ]
+    root = tempfile.mkdtemp(prefix="sink_lookup_")
+    try:
+        sink = ParquetSink(
+            spark,
+            root,
+            keys=("k",),
+            merge_mode="dv",
+            partition_cols=("status",),
+            bloom_index_cols=("k",),
+        )
+        # spread the base over several files per partition so index
+        # pruning has files to skip
+        sink.apply_changeset("db", "t", base.repartition(8))
+        sink.apply_changeset("db", "t", ch)
+        files = sorted(
+            {f for pk in probes for f in sink.lookup_files("db", "t", "k", pk)}
+        )
+        if not files:
+            raise RuntimeError("bloom lookup returned no candidate files")
+        v = sink._latest_version("db", "t")
+        total = len(sink._data_files(_os.path.join(root, "db", "t", f"v{v}")))
+        if len(files) >= total:
+            raise RuntimeError(
+                f"no pruning: {len(files)} candidates of {total} files"
+            )
+        deleted = [pk for pk in probes if pk % 10 == 3]
+        got = sink.read_files("db", "t", files).where(F.col("k").isin(probes))
+        raw = (
+            spark.read.option(
+                "basePath", _os.path.join(root, "db", "t", f"v{v}")
+            )
+            .parquet(*files)
+            .where(F.col("k").isin(deleted))
+            .count()
+        )
+        if raw < 1:
+            raise RuntimeError(
+                "mask proof vacuous: deleted probe not in candidate files"
+            )
+        if got.where(F.col("k").isin(deleted)).count() != 0:
+            raise RuntimeError("read_files served a DV-masked row")
+        out = (
+            got.select("k", "status", "cents")
+            .orderBy("k")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_SINK_POINT_LOOKUP = """
+WITH probes AS (
+  SELECT min(o_orderkey) AS pk FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 10 = 2
+  UNION ALL
+  SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 10 = 3
+), state AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 = 2 THEN 'U' ELSE o_orderstatus END
+           AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 10 <> 3
+)
+SELECT s.k, s.status, s.cents
+FROM state s JOIN probes p ON s.k = p.pk
+ORDER BY s.k
+"""
+
+
 def q_sink_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION-SPEC EVOLUTION on the versioned sink
     (`ParquetSink.repartition_table`): orders committed UNPARTITIONED
@@ -2197,6 +2322,7 @@ QUERIES = {
     "sink_table_changes": q_sink_table_changes,
     "sink_repartition_evolution": q_sink_repartition_evolution,
     "sink_dv_merge": q_sink_dv_merge,
+    "sink_point_lookup": q_sink_point_lookup,
     "cdc_rollup_maintenance": q_cdc_rollup_maintenance,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_variant_payload": q_cdc_variant_payload,
@@ -2224,6 +2350,7 @@ ORACLES = {
     "sink_table_changes": ORACLE_SINK_TABLE_CHANGES,
     "sink_repartition_evolution": ORACLE_SINK_REPARTITION,
     "sink_dv_merge": ORACLE_SINK_DV,
+    "sink_point_lookup": ORACLE_SINK_POINT_LOOKUP,
     "cdc_pg_replay": ORACLE_CDC_PG_REPLAY,
     "cdc_rollup_maintenance": ORACLE_CDC_ROLLUP,
     "cdc_lww_dedup": ORACLE_CDC_LWW_DEDUP,
