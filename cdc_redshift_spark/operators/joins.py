@@ -63,11 +63,18 @@ def salted_join(
         disc = F.xxhash64(F.col(discriminator))
     else:
         disc = F.xxhash64(discriminator)
-    f = fact.withColumn("__salt", F.pmod(disc, F.lit(factor)).cast("int"))
+    # underscore-extend the salt column past any real column (the
+    # merge-path marker discipline): withColumn on a clashing name
+    # would overwrite-and-drop a user's "__salt" data column
+    salt = "__salt"
+    taken = set(fact.columns) | set(dim.columns)
+    while salt in taken:
+        salt += "_"
+    f = fact.withColumn(salt, F.pmod(disc, F.lit(factor)).cast("int"))
     d = dim.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        salt, F.explode(F.array(*[F.lit(i) for i in range(factor)]))
     )
-    return f.join(d, [*keys, "__salt"], how).drop("__salt")
+    return f.join(d, [*keys, salt], how).drop(salt)
 
 
 def fuzzy_name_join(

@@ -254,6 +254,15 @@ def bloom_file_index(
     )
     rows = (
         df.select(F.input_file_name().alias("file"), key_col)
+        # NULL keys set no bits (a Bloom filter has no NULL member —
+        # equality probes never match NULL anyway).  Without this
+        # filter a single NULL key yields a (NULL, NULL) word struct
+        # that array_sort places FIRST, prepending a null word and
+        # shifting every real word one slot: every lookup on that
+        # file then reads the wrong word — FALSE NEGATIVES from an
+        # index whose whole contract is "no false negatives"
+        # (adversarially pinned in tests/test_layout.py, r15).
+        .where(F.col(key_col).isNotNull())
         .join(F.broadcast(geom), "file")
         .select(
             "file",

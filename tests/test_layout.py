@@ -335,3 +335,36 @@ def test_equi_depth_bounds_balance_and_errors(spark):
     allnull = spark.createDataFrame([(1, None)], "id long, v double")
     with _pytest.raises(ValueError, match="no non-null"):
         equi_depth_bounds(allnull, "v", 4)
+
+
+def test_bloom_index_null_keys_no_false_negatives(spark, tmp_path):
+    """r15 review hunt: a single NULL key used to yield a (NULL, NULL)
+    word struct that array_sort placed FIRST, prepending a null word
+    and shifting every real word one slot — every lookup on that file
+    then returned a FALSE NEGATIVE (0 candidate files for present
+    keys).  NULL keys now set no bits; an all-NULL file still gets a
+    (correctly empty) filter row."""
+    from cdc_redshift_spark.operators.layout import (
+        bloom_file_index,
+        bloom_lookup_files,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (3, "d")], "k int, v string"
+    ).coalesce(1).write.parquet(p)
+    p2 = str(tmp_path / "allnull.parquet")
+    spark.createDataFrame(
+        [(None, "x"), (None, "y")], "k int, v string"
+    ).coalesce(1).write.parquet(p2)
+    idx = bloom_file_index(spark, [p, p2], "k")
+    rows = idx.collect()
+    assert len(rows) == 2  # the all-NULL file keeps an index row
+    for r in rows:
+        assert len(r["words"]) == r["m_bits"] // 64  # dense, unshifted
+    for key in (1, 2, 3):
+        files = bloom_lookup_files(idx, key)
+        assert any("t.parquet" in f for f in files), (
+            f"false negative for present key {key}"
+        )
+        assert not any("allnull" in f for f in files)
