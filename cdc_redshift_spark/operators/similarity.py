@@ -3,6 +3,15 @@
 Baseline: brute-force cosine top-k — JVM-side dot products,
 TakeOrderedAndProject for the top-k (no global sort).
 
+NULL contract (r15): rows whose vector is NULL are EXCLUDED from
+every operator up front — a NULL embedding has no geometry, and
+letting one reach the Arrow batches aborts the whole job inside
+numpy (inhomogeneous-shape ValueError), while letting one into the
+deterministic centroid/codebook seeds poisons the index for every
+later query.  Filtering at the entry point keeps both failure modes
+impossible and matches equality-probe semantics everywhere else in
+the engine.
+
 Scale paths for 100 TB / billions of vectors:
 - Random-hyperplane LSH (`rh_lsh_topk`, `rh_lsh_near_dup_pairs`):
   sign-bit signatures w.r.t. fixed hyperplanes; vectors compared only
@@ -84,7 +93,13 @@ def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     Array columns carry no length in the schema; callers that know the
     dim should pass it explicitly to keep operators collect-free.
     """
-    return len(df.select(vec_col).first()[0])
+    row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError(
+            f"infer_dim: no non-NULL {vec_col!r} row to probe "
+            "(empty corpus?) — pass dim explicitly"
+        )
+    return len(row[0])
 
 
 def _mat(series: pd.Series) -> np.ndarray:
@@ -122,7 +137,7 @@ def cosine_topk_query(
     bit-for-bit.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    scored = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cosine"),
     )
@@ -179,7 +194,9 @@ def knn_all_pairs(
             return knn_all_pairs_tiled(
                 df, k=k, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
             )
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull()
+    ).collect()
     ids = np.array([r[0] for r in rows])
     B = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
     bn = np.sqrt(np.einsum("ij,ij->i", B, B))
@@ -216,6 +233,7 @@ def knn_all_pairs(
     schema = f"vec_id long, rank int, neighbor_id long, cosine double"
     return (
         df.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())  # query side of the GEMM
         .repartition(num_partitions)
         .mapInPandas(block_topk, schema=schema)
     )
@@ -254,7 +272,9 @@ def knn_all_pairs_tiled(
         n_blocks = max(2, int(math.isqrt(spark.sparkContext.defaultParallelism)))
     B = int(n_blocks)
     all_blocks = F.array(*[F.lit(i) for i in range(B)])
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     own_block = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
     q_side = base.select(
         "id", "v",
@@ -368,7 +388,7 @@ def rh_lsh_bucket(
     """Random-hyperplane signature: n_planes sign bits → bucket id."""
     dim = dim or infer_dim(df, vec_col)
     hp = hyperplanes(dim, n_planes, seed)
-    return df.select(
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.element_at(_buckets_udf([hp])(F.col(vec_col)), 1).alias("bucket"),
     )
@@ -394,7 +414,7 @@ def _tagged(
     strictly more bytes because candidate pairs outnumber vectors).
     """
     planes = [hyperplanes(dim, n_planes, seed=7 + 101 * t) for t in range(n_tables)]
-    return df.select(
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.posexplode(_buckets_udf(planes)(F.col(vec_col))).alias("tbl", "bucket"),
@@ -574,7 +594,13 @@ def pq_codebooks(
     (n_sub, ks, sub_dim) float64.  Tiny driver state — the codebook is
     exactly what a PQ index ships to every worker node.
     """
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(ks).collect()
+    rows = (
+        df.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(ks)
+        .collect()
+    )
     M = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])  # (ks, dim)
     dim = M.shape[1]
     if dim % n_sub:
@@ -619,7 +645,9 @@ def pq_encode(
             )[:, 0]
         return pd.Series(list(out))
 
-    return df.select(F.col(id_col).alias("id"), _codes(F.col(vec_col)).alias("codes"))
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _codes(F.col(vec_col)).alias("codes")
+    )
 
 
 def pq_topk_query(
@@ -687,7 +715,13 @@ def _centroids(df: DataFrame, n_cells: int, id_col: str, vec_col: str) -> np.nda
     kmeans refinement could be layered by re-averaging per cell;
     omitted to keep the operator deterministic and cheap.
     """
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    rows = (
+        df.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
     return np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
 
 
@@ -727,6 +761,7 @@ def kmeans_refine(
     previous centroid.  The assignment scan is distributed; only the
     (n_cells × dim) centroid state ever reaches the driver.
     """
+    df = df.where(F.col(vec_col).isNotNull())
     for _ in range(iters):
         assign = df.select(
             F.col(id_col).alias("id"),
@@ -766,7 +801,7 @@ def ivf_assign(
     vector is indexed), ranks 2..n_probe are the probe cells a query
     searches."""
     cents = _centroids(df, n_cells, id_col, vec_col)
-    return df.select(
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.posexplode(_cells_udf(cents, n_probe)(F.col(vec_col))).alias("rk0", "cell"),
     ).select("id", "cell", (F.col("rk0") + 1).alias("cell_rank"))
@@ -800,7 +835,7 @@ def ivf_topk(
         )
     if refine_iters:
         cents = kmeans_refine(df, cents, id_col, vec_col, iters=refine_iters)
-    tagged = df.select(
+    tagged = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.posexplode(_cells_udf(cents, n_probe)(F.col(vec_col))).alias("rk0", "cell"),
@@ -946,6 +981,7 @@ def pca_top_component(
     (id_col, pc1); v, mu = the (rounded) component and mean as Python
     lists.
     """
+    df = df.where(F.col(vec_col).isNotNull())
     x = F.transform(F.col(vec_col), lambda c: c.cast("double"))
     ex = df.select(
         F.col(id_col), F.posexplode(x).alias("i", "xi"), x.alias("__v")
@@ -1043,7 +1079,7 @@ def semantic_dedup(
         )
     if refine_iters:
         cents = kmeans_refine(df, cents, id_col, vec_col, iters=refine_iters)
-    assign = df.select(
+    assign = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.element_at(_cells_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),

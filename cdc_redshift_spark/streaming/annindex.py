@@ -72,7 +72,9 @@ class IvfIndexMaintainer:
         ``cell IN (...)`` predicate prunes DIRECTORIES, not rows.
         Deterministic overwrite: a replay writes the same rows to the
         same directory — idempotent by construction."""
-        assign = batch.select(
+        # NULL vectors carry no geometry and would abort the Arrow
+        # cell-assignment batch (the similarity.py r15 NULL contract)
+        assign = batch.where(F.col(self.vec_col).isNotNull()).select(
             F.col(self.id_col).alias("id"),
             F.col(self.vec_col).alias("v"),
             F.element_at(

@@ -217,3 +217,38 @@ def test_emb_drift_report_invariants(spark, tmp_path):
     assert out[3]["n_ref"] == 1 and out[3]["n_cur"] == 0
     assert out[4]["mean_cosine"] is None
     assert out[4]["n_ref"] == 2 and out[4]["n_cur"] == 1
+
+
+def test_null_embedding_rows_are_excluded_not_fatal(spark):
+    """r15 review hunt: one NULL embedding used to abort every
+    similarity operator inside numpy (inhomogeneous-shape ValueError
+    in the Arrow batch) — or, worse, poison the deterministic
+    centroid/codebook seeds.  NULL-vector rows are now excluded at
+    every entry point."""
+    from cdc_redshift_spark.operators.similarity import (
+        cosine_topk_query,
+        infer_dim,
+        ivf_topk,
+        knn_all_pairs,
+        pq_codebooks,
+        pq_encode,
+        rh_lsh_topk,
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(i % 7 + 1), float(i % 5), 1.0, 0.5]) for i in range(1, 30)]
+    rows.insert(0, (0, None))  # NULL vector FIRST (seed-poisoning spot)
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    assert infer_dim(df) == 4  # first() used to hit the NULL row
+    got = cosine_topk_query(df, [1.0, 0.0, 1.0, 0.5], k=5).collect()
+    assert len(got) == 5 and all(r.cosine is not None for r in got)
+    ids = {r.vec_id for r in knn_all_pairs(df, k=2).collect()}
+    assert 0 not in ids and len(ids) == 29
+    assert rh_lsh_topk(df, k=2, n_planes=2, n_tables=2).count() > 0
+    assert ivf_topk(df, k=2, n_cells=4, n_probe=2).count() > 0
+    books = pq_codebooks(df, n_sub=2, ks=4)
+    assert books.shape == (2, 4, 2)
+    assert pq_encode(df, books).count() == 29  # NULL row dropped
+    sd = semantic_dedup(df, n_cells=4, tau=0.99)
+    assert sd.count() == 29
