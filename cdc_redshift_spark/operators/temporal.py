@@ -155,7 +155,18 @@ def asof_join(
             raise ValueError(
                 f"salt_bucket_len must be a positive integer, got {salt_bucket_len}"
             )
-        bcol = F.floor(F.col("__t") / F.lit(salt_bucket_len)).cast("long")
+        # a left row with NULL ts has a NULL bucket, and the phase-3
+        # INNER equi-join on __b would silently DROP it — while the
+        # unsalted window keeps it (matching nothing), breaking the
+        # documented salted==unsalted contract.  Right rows are
+        # already NULL-ts-filtered, so a sentinel bucket far below any
+        # real floor(ts/len) affects only those left rows: it sorts
+        # FIRST in the carry ordering, receives no incoming carry, and
+        # matches nothing — exactly the unsalted semantics.
+        bcol = F.coalesce(
+            F.floor(F.col("__t") / F.lit(salt_bucket_len)).cast("long"),
+            F.lit(-(2**62)).cast("long"),
+        )
         u = rside.unionByName(lside).withColumn("__b", bcol)
         # phase 1: the ORIGINAL window, but per (key, bucket) — same
         # shuffle volume, task size bounded by rows-per-bucket

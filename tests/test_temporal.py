@@ -399,3 +399,27 @@ def test_time_weighted_avg_guards_and_zero_weight(spark):
     # rounds to 0 us — row KEPT with twap NULL, never silently dropped
     rows = time_weighted_avg(df).collect()
     assert len(rows) == 1 and rows[0].twap is None and rows[0].n_obs == 1
+
+
+def test_asof_salted_keeps_null_ts_left_rows(spark):
+    """r15 review hunt: the salted plan's phase-3 INNER equi-join on
+    the bucket id silently dropped left rows with NULL ts (NULL bucket
+    never equi-matches), while the unsalted window keeps them with a
+    NULL match — the documented salted==unsalted contract."""
+    from cdc_redshift_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100, "x"), ("a", None, "y"), ("b", 50, "z")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 1.0), ("b", 10, 2.0)], "k string, rts long, v double"
+    )
+    kw = dict(on=["k"], left_ts="ts", right_ts="rts", payload=["v"])
+    plain = asof_join(left, right, **kw)
+    salted = asof_join(left, right, salt_bucket_len=20, **kw)
+    want = {("a", 100, 1.0), ("a", None, None), ("b", 50, 2.0)}
+    got_plain = {(r.k, r.ts, r.v_m) for r in plain.collect()}
+    got_salted = {(r.k, r.ts, r.v_m) for r in salted.collect()}
+    assert got_plain == want
+    assert got_salted == want  # pre-fix: NULL-ts row missing
