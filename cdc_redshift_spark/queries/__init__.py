@@ -53,16 +53,18 @@ from __future__ import annotations
 #   - operators/planner.py suggest_salt_factor clamp (ADVICE r14) →
 #     plan_salted_exec re-gates.
 #
-# Composition: those 21, the NEW r15 entry sink_point_lookup (new
-# queries gate in the round that adds them — it displaces
-# emb_int8_quantize, last r10, to the r16 queue head alongside the
-# list below), the first 23 of the r10 staleness cohort in
+# Composition: those 21, the NEW r15 entries sink_point_lookup and
+# cdc_dead_letter_replay (new queries gate in the round that adds
+# them — they displace emb_int8_quantize and dq_latency_percentiles,
+# both last r10, to the r16 queue head alongside the list below),
+# the first 22 of the r10 staleness cohort in
 # rotate_window order (including the recorded r15 queue heads
 # cdc_windowed_ops_stream, corpus_clean_pipeline and the displaced
 # cdc_variant_payload), and the 5 end-to-end CDC pipelines (re-gated
 # every round).  After this window nothing is staler than r10, with
 # the REMAINING 21 of the r10 cohort displaced to the r16 queue
-# head: emb_int8_quantize, events_asof_attribution, events_burst_windows,
+# head: dq_latency_percentiles, emb_int8_quantize,
+# events_asof_attribution, events_burst_windows,
 # events_hourly_rollup, events_pivot_types, events_props_extract,
 # events_resample_ffill, events_resample_interp, events_stream_join,
 # layout_zonemap_scan, mm_audio_windows, mm_decode_meta,
@@ -93,6 +95,7 @@ _GATE_WINDOW = [
     "sink_time_travel",  # re-gate: orphan-version guard r15
     "sink_txn_batch",  # re-gate: abort metadata staging r15
     "sink_point_lookup",  # NEW r15: lookup_files + read_files path
+    "cdc_dead_letter_replay",  # NEW r15: full CdcPipeline + DLQ path
     # snapshots.py flip/pruning changed (ADVICE r14 + the growth
     # double-flip keep_extra) -> store-backed entries re-gate:
     "cdc_scd2_history",  # re-gate: snapshot flip pruning r15
@@ -126,7 +129,6 @@ _GATE_WINDOW = [
     "dedup_ngram_jaccard",  # last r10
     "dedup_simhash",  # last r10
     "docs_tfidf_keywords",  # last r10
-    "dq_latency_percentiles",  # last r10
     "cdc_pg_replay",  # every round
     "cdc_lww_dedup",  # every round
     "cdc_dms_relational",  # every round

@@ -1936,7 +1936,152 @@ def q_cdc_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CdcPipeline replay (foreachBatch + per-table fan-out +
+    ParquetSink merge) with MALFORMED envelopes in the stream — the
+    first driver-gated end-to-end run of the pipeline class itself,
+    and the certification of the r15 dead-letter path.
+
+    Every order emits one insert envelope; orders with
+    ``o_orderkey % 11 == 0`` emit a BROKEN envelope with NO source
+    struct, which normalizes to NULL db/table.  Pre-r15 the per-table
+    fan-out crashed on those rows (``apply_one(None, ...)`` died in
+    the sink's path join — one bad event killed the stream); now they
+    are counted, appended to ``dead_letter_root``, and the good rows
+    still land.  In-query proofs (raise on mismatch):
+
+    - ``stats.unroutable`` == the malformed-envelope count;
+    - the dead-letter parquet holds exactly those rows (NULL db);
+    - the sink holds exactly the well-formed rows.
+
+    The oracle reconstructs the surviving state per status from
+    ``orders`` directly."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cdc_redshift_spark.sinks.parquet_sink import ParquetSink
+    from cdc_redshift_spark.streaming.pipeline import CdcPipeline
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    okey = F.col("o_orderkey")
+    ts = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    payload = F.to_json(
+        F.struct(
+            okey.alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    src = F.struct(
+        F.lit("tpch").alias("db"),
+        F.lit("orders_cdc").alias("table"),
+        ts.cast("long").alias("ts_ms"),
+    )
+    good_env = F.to_json(
+        F.struct(
+            F.lit(None).cast("string").alias("before"),
+            payload.alias("after"),
+            src.alias("source"),
+            F.lit("c").alias("op"),
+            ts.cast("long").alias("ts_ms"),
+        )
+    )
+    bad_env = F.to_json(  # no source struct -> NULL db/table
+        F.struct(
+            F.lit(None).cast("string").alias("before"),
+            payload.alias("after"),
+            F.lit("c").alias("op"),
+            ts.cast("long").alias("ts_ms"),
+        )
+    )
+    raw = orders.select(
+        F.when(okey % 11 == 0, bad_env).otherwise(good_env).alias("value"),
+        okey.cast("long").alias("offset"),
+    )
+    n_bad = orders.where(okey % 11 == 0).count()
+
+    root = _tempfile.mkdtemp(prefix="cdc_dlq_")
+    indir = _os.path.join(root, "in")
+    ckpt = _os.path.join(root, "ckpt")
+    dlq = _os.path.join(root, "dlq")
+    _os.makedirs(indir, exist_ok=True)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        _raw_shape(raw).coalesce(8).write.mode("append").json(indir)
+        sink = ParquetSink(
+            spark, _os.path.join(root, "sink"), keys=("db", "table", "key")
+        )
+        pipe = CdcPipeline(
+            lambda r: pg_changeset(r, offset_col="offset"),
+            sink,
+            keys=("db", "table", "key"),
+            dead_letter_root=dlq,
+        )
+        q = pipe.start(
+            file_stream(spark, indir, max_files_per_trigger=None),
+            checkpoint=ckpt,
+            available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("dead-letter replay drain exceeded 600 s")
+        if pipe.stats.unroutable != n_bad:
+            raise RuntimeError(
+                f"unroutable count {pipe.stats.unroutable} != "
+                f"malformed envelopes {n_bad}"
+            )
+        dl = spark.read.parquet(dlq)
+        got_bad = dl.count()
+        if got_bad != n_bad or dl.where(F.col("db").isNotNull()).count():
+            raise RuntimeError(
+                f"dead-letter parquet holds {got_bad} rows, expected "
+                f"{n_bad} all-NULL-db"
+            )
+        state = sink.read_table(spark, "tpch", "orders_cdc")
+        out = (
+            state.select(
+                F.get_json_object("payload", "$.status").alias("status"),
+                F.get_json_object("payload", "$.total")
+                .cast("double")
+                .alias("total"),
+                F.col("key").cast("bigint").alias("okey"),
+            )
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("total") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+                F.min("okey").alias("min_okey"),
+                F.max("okey").alias("max_okey"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_DEAD_LETTER_REPLAY = """
+SELECT o_orderstatus AS status,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       min(o_orderkey) AS min_okey,
+       max(o_orderkey) AS max_okey
+FROM orders
+WHERE o_orderkey % 11 <> 0
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES = {
+    "cdc_dead_letter_replay": q_cdc_dead_letter_replay,
     "cdc_stateful_lww_stream": q_cdc_stateful_lww_stream,
     "cdc_rollup_rebucket_stream": q_cdc_rollup_rebucket_stream,
     "cdc_rollup_autogrow_stream": q_cdc_rollup_autogrow_stream,
@@ -2008,6 +2153,7 @@ def _oracle_stream_token() -> str:
 
 
 ORACLES = {
+    "cdc_dead_letter_replay": ORACLE_DEAD_LETTER_REPLAY,
     "cdc_stateful_lww_stream": ORACLE_STATEFUL_LWW,
     "cdc_rollup_rebucket_stream": ORACLE_ROLLUP_REBUCKET,
     "cdc_rollup_autogrow_stream": ORACLE_ROLLUP_AUTOGROW,

@@ -38,8 +38,10 @@ def test_gate_window_pins_the_round15_rotation():
         "cdc_stream_kmv_rollup", "cdc_stream_cm_sketch",
         # planner clamp (ADVICE r14)
         "plan_salted_exec",
-        # NEW r15: the lookup_files + read_files fast path
+        # NEW r15: the lookup_files + read_files fast path, and the
+        # full-pipeline dead-letter certification
         "sink_point_lookup",
+        "cdc_dead_letter_replay",
         # recorded r15 queue heads from the r14 close notes
         "cdc_windowed_ops_stream", "corpus_clean_pipeline",
         "cdc_variant_payload",
