@@ -169,8 +169,11 @@ def delete_insert_postactions(
         "begin; "
         f"delete from {target} using {stage} "
         f"where {target}.{join_key} = {stage}.{join_key}; "
+        # null-safe: a NULL op row is data, not a tombstone — the same
+        # r15 contract as the native merge path (plans/merge.py); a
+        # bare != would silently drop it between DELETE and INSERT
         f"insert into {target} ({collist}) select {collist} from {stage} "
-        f"where {op_col} != '{delete_sentinel}'; "
+        f"where {op_col} != '{delete_sentinel}' or {op_col} is null; "
         f"drop table {stage}; "
         "end;"
     )

@@ -163,8 +163,8 @@ def test_delete_insert_postactions_existing_table():
     assert (
         "insert into public.d_t (pk_id, data, ts_date, cts_ms) "
         "select pk_id, data, ts_date, cts_ms from public.stage_d_t "
-        "where op_type != 'delete'" in sql
-    )
+        "where op_type != 'delete' or op_type is null" in sql
+    )  # null-safe: NULL op is data (r15 contract, matches merge.py)
     assert "drop table public.stage_d_t" in sql
     assert sql.index("begin") < sql.index("delete from") < sql.index("insert into") < sql.index("end")
 
