@@ -1072,6 +1072,14 @@ def incremental_minhash_pairs(
             )
         )
         .select("batch_id", "match_id", "match_side")
+        # explicit candidate shuffle before the dedup (the simjoin /
+        # LSH-fallback discipline): the band join inherits its stored-
+        # side partitioning, which can satisfy the distinct's
+        # clustering and fuse band join + dedup + verify into one
+        # oversized WholeStageCodegen region (JIT-compile lottery,
+        # measured on the Jaccard form) with index-side parallelism;
+        # the shuffle keys the verify on the candidate volume instead
+        .repartition(F.col("batch_id"), F.col("match_id"))
         .distinct()
     )
     sha = batch_frames.select(

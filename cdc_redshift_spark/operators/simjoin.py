@@ -192,6 +192,18 @@ def jaccard_similarity_join(
             >= alpha
         )
         .select("id_a", "id_b", "sa", "sb")
+        # explicit candidate shuffle BEFORE the pair dedup (mirrors the
+        # LSH array fallback in operators/dedup.py): the prefix join
+        # inherits the doc-aggregate's hash(id) partitioning, which
+        # already satisfies the distinct's clustering (id_a is a group
+        # key), so without this exchange Catalyst fuses explode + join
+        # + dedup + verify into ONE WholeStageCodegen region whose
+        # generated method is large enough that JIT compilation becomes
+        # a lottery (same input measured 8.6 s vs 279 s across runs,
+        # round-15-opt) — and whose parallelism is capped by the DOC
+        # aggregate's partition count instead of the candidate volume,
+        # which is the quantity that grows at 100 TB
+        .repartition(F.col("id_a"), F.col("id_b"))
         # a pair sharing several prefix tokens joins several times;
         # verify each pair ONCE
         .distinct()
@@ -359,6 +371,9 @@ def containment_join(
             >= F.col("alpha")
         )
         .select("id_a", "id_b", "sa")
+        # candidate shuffle before the dedup — same rationale (and same
+        # measured JIT-lottery fix) as the Jaccard form above
+        .repartition(F.col("id_a"), F.col("id_b"))
         .distinct()
     )
 
