@@ -568,6 +568,9 @@ def minhash_lsh_pairs(
         .collect()
     )
     bitmap = len(dict_rows) <= bitmap_dict_max
+    #: scored candidate cache of the array-fallback verify (released
+    #: after the eager checkpoint); the bitmap path never sets it
+    scored = None
 
     if bitmap:
         dict_vals = sorted(r.h for r in dict_rows)
@@ -651,21 +654,39 @@ def minhash_lsh_pairs(
             )
         sh_a = shd.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sh_b = shd.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        out = (
+        # single-eval intersection + cache barrier before the
+        # threshold (the simjoin verify discipline, round-15-opt):
+        # the rounded-jaccard filter would otherwise re-evaluate
+        # array_intersect per reference inside the verify join
+        scored = (
             cands.join(sh_a, "id_a")
             .join(sh_b, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+                F.size("sh_a").alias("__za"),
+                F.size("sh_b").alias("__zb"),
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+            )
+        )
+        if eager:
+            scored = scored.persist()
+        union = F.col("__za") + F.col("__zb") - F.col("__i")
+        out = (
+            scored.select(
+                "id_a",
+                "id_b",
+                F.round(F.col("__i").cast("double") / union, 6).alias(
+                    "jaccard"
+                ),
             )
             .where(F.col("jaccard") >= jaccard_threshold)
         )
 
     if eager:
         out = out.localCheckpoint(eager=True)
+        if scored is not None:
+            scored.unpersist()
     shd.unpersist()
     return out
 
@@ -1078,10 +1099,23 @@ def incremental_minhash_pairs(
         # clustering and fuse band join + dedup + verify into one
         # oversized WholeStageCodegen region (JIT-compile lottery,
         # measured on the Jaccard form) with index-side parallelism;
-        # the shuffle keys the verify on the candidate volume instead
-        .repartition(F.col("batch_id"), F.col("match_id"))
+        # the shuffle keys the verify on the candidate volume instead.
+        # Explicit count: AQE coalesces the byte-small pair stream to
+        # a few partitions and would serialize the CPU-bound shingle
+        # verify (measured 15 coalesced tasks crawling at 257 s wall
+        # on a quiet host before the count was pinned)
+        .repartition(
+            existing_frames.sparkSession.sparkContext.defaultParallelism
+            * 2,
+            F.col("batch_id"),
+            F.col("match_id"),
+        )
         .distinct()
     )
+    if eager:
+        # candidate-id cache barrier between dedup and verify — the
+        # simjoin codegen-region split (round-15-opt)
+        cand = cand.persist()
     sha = batch_frames.select(
         F.col("id").alias("batch_id"), F.col("sh").alias("sha")
     )
@@ -1110,12 +1144,30 @@ def incremental_minhash_pairs(
             )
         )
     )
-    inter = F.size(F.array_intersect("sha", "shb"))
-    jac = inter / (F.size("sha") + F.size("shb") - inter)
-    out = (
+    # intersection computed exactly once into small scored rows, then
+    # thresholded above a cache barrier: without it the pushed-down
+    # threshold re-evaluates array_intersect 3-4x per candidate over
+    # ~140-element shingle arrays inside the verify join's codegen
+    # region (measured ~3x the verify wall, and the fused region
+    # re-opens the JIT-compile lottery — round-15-opt, simjoin
+    # discipline).  Lazy callers keep the pure recomputable plan.
+    scored = (
         cand.join(sha, "batch_id")
         .join(shb, ["match_id", "match_side"])
-        .where(jac >= jaccard_threshold)
+        .select(
+            "batch_id",
+            "match_id",
+            "match_side",
+            F.size("sha").alias("__za"),
+            F.size("shb").alias("__zb"),
+            F.size(F.array_intersect("sha", "shb")).alias("__i"),
+        )
+    )
+    if eager:
+        scored = scored.persist()
+    jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
+    out = (
+        scored.where(jac >= jaccard_threshold)
         .select(
             "batch_id",
             "match_id",
@@ -1125,6 +1177,8 @@ def incremental_minhash_pairs(
     )
     if eager:
         out = out.localCheckpoint(eager=True)
+        scored.unpersist()
+        cand.unpersist()
         existing_frames.unpersist()
         batch_frames.unpersist()
     return out

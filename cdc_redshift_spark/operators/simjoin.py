@@ -202,12 +202,26 @@ def jaccard_similarity_join(
         # a lottery (same input measured 8.6 s vs 279 s across runs,
         # round-15-opt) — and whose parallelism is capped by the DOC
         # aggregate's partition count instead of the candidate volume,
-        # which is the quantity that grows at 100 TB
-        .repartition(F.col("id_a"), F.col("id_b"))
+        # which is the quantity that grows at 100 TB.  The count is
+        # EXPLICIT for the LSH-fallback reason: AQE coalesces the
+        # byte-small pair stream to a handful of partitions and would
+        # serialize the per-row-CPU-bound verify
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism * 2,
+            F.col("id_a"),
+            F.col("id_b"),
+        )
         # a pair sharing several prefix tokens joins several times;
         # verify each pair ONCE
         .distinct()
     )
+    if eager:
+        # materialize the deduped candidate ids (small rows) so the
+        # pair-dedup aggregation and the verify joins become SEPARATE
+        # codegen regions: fused, the single generated method is what
+        # the JIT lottery above chokes on (the same input read 5 s
+        # with this barrier vs 27 CPU-minutes fused, round-15-opt)
+        cand = cand.persist()
 
     # verify: token arrays join back once per surviving pair.  Small
     # corpora broadcast the array table so the pair stream never
@@ -217,11 +231,32 @@ def jaccard_similarity_join(
     tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
     if eager and ordered.count() <= broadcast_verify_max_rows:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
-    inter = F.size(F.array_intersect("ta", "tb"))
-    jac = inter / (F.col("sa") + F.col("sb") - inter)
-    out = (
+    # intersection computed EXACTLY ONCE into a small scored row
+    # (ids + sizes + overlap), then thresholded ABOVE a cache barrier:
+    # without the barrier Catalyst substitutes the alias back into the
+    # pushed-down predicate and the filter + projection re-evaluate
+    # array_intersect 3-4x per pair inside the join's codegen region —
+    # measured ~3x the verify wall on dense candidates, and the larger
+    # fused region is what re-opens the JIT-compile lottery this
+    # operator's candidate shuffle exists to close (round-15-opt).
+    # The cached rows are O(candidates) x ~40 bytes — the decide-on-
+    # small-rows discipline; lazy callers keep the pure plan.
+    scored = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("ta", "tb")).alias("__i"),
+        )
+    )
+    if eager:
+        scored = scored.persist()
+    jac = F.col("__i") / (F.col("sa") + F.col("sb") - F.col("__i"))
+    out = (
+        scored
         # threshold on the UNROUNDED value (the oracle does the same);
         # rounding is presentation only
         .where(jac >= tau)
@@ -229,6 +264,8 @@ def jaccard_similarity_join(
     )
     if eager:
         out = out.localCheckpoint(eager=True)
+        scored.unpersist()
+        cand.unpersist()
         ordered.unpersist()
     return out
 
@@ -372,23 +409,47 @@ def containment_join(
         )
         .select("id_a", "id_b", "sa")
         # candidate shuffle before the dedup — same rationale (and same
-        # measured JIT-lottery fix) as the Jaccard form above
-        .repartition(F.col("id_a"), F.col("id_b"))
+        # measured JIT-lottery fix + explicit anti-coalescing count) as
+        # the Jaccard form above
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism * 2,
+            F.col("id_a"),
+            F.col("id_b"),
+        )
         .distinct()
     )
+    if eager:
+        # candidate-id cache barrier between dedup and verify — same
+        # codegen-region split as the Jaccard form above
+        cand = cand.persist()
 
     ta = ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
     if eager and ordered.count() <= broadcast_verify_max_rows:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
-    cont = F.size(F.array_intersect("ta", "tb")) / F.col("sa")
-    out = (
+    # single-eval intersection + cache barrier before the threshold —
+    # same rationale (and same measured re-evaluation cost) as the
+    # Jaccard form above
+    scored = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .where(cont >= tau)
+        .select(
+            "id_a",
+            "id_b",
+            "sa",
+            F.size(F.array_intersect("ta", "tb")).alias("__i"),
+        )
+    )
+    if eager:
+        scored = scored.persist()
+    cont = F.col("__i") / F.col("sa")
+    out = (
+        scored.where(cont >= tau)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
     if eager:
         out = out.localCheckpoint(eager=True)
+        scored.unpersist()
+        cand.unpersist()
         ordered.unpersist()
     return out
