@@ -973,6 +973,7 @@ def main() -> None:
     # repo artifact, round-stamped so each round's file survives:
     # BENCH_FULL_r{N}.json, N = this round = 1 + the newest round
     # artifact the driver has written (env SPARK_GRAFT_ROUND wins).
+    full = None
     try:
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd is None:
@@ -986,15 +987,35 @@ def main() -> None:
                 )
             ]
             rnd = str(max(seen) + 1 if seen else 0)
-        full = os.path.join(
-            os.path.dirname(__file__), f"BENCH_FULL_r{int(rnd):02d}.json"
-        )
-        with open(full, "w") as f:
+        full = f"BENCH_FULL_r{int(rnd):02d}.json"
+        with open(os.path.join(os.path.dirname(__file__), full), "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
             f.write("\n")
     except Exception as exc:  # artifact write must never fail the bench
         print(f"BENCH_FULL write skipped: {exc}", file=sys.stderr)
-    print(json.dumps(result))
+    # The PRINTED line is what the driver parses, and its capture is
+    # tail-truncated — round 14's line scrolled out behind the full
+    # `extra` blob and cost that round its round-over-round comparison
+    # (VERDICT r15 "Next round" #2).  Print a SLIM line: the complete
+    # contract fields (metric/value/unit/queries/sf) plus only the
+    # headline CDC-rate extras; the merge-crossover / maintainer /
+    # variant axes live in the BENCH_FULL artifact referenced by name.
+    slim_extra = {
+        k: result["extra"][k]
+        for k in (
+            "cdc_events",
+            "cdc_rec_per_s",
+            "baseline_rec_per_s",
+            "cdc_vs_baseline_x",
+            "cdc_rec_per_s_4x",
+            "cdc_scaleup_x",
+        )
+    }
+    if full is not None:
+        slim_extra["full_extra_in"] = full
+    slim = dict(result)
+    slim["extra"] = slim_extra
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

@@ -750,12 +750,20 @@ def dsir_logweights(
     standard cheap alternative to a trained quality classifier for
     steering a 100 TB crawl toward a target domain.
 
-    Plan: gram explode -> ONE bucket-keyed count per distribution
-    (map-side combining, <= n_buckets rows each) -> both bucket tables
-    broadcast back onto the gram stream -> ONE per-doc sum.  The
-    corpus-size scalars ride the established 1-row crossJoin
-    broadcast.  Everything JVM-side; the engine-stable 60-bit hash
-    makes bucket ids — and the 6-dp weights — mirror in DuckDB.
+    Plan: gram explode -> ONE bucket-keyed count pass carrying both
+    distributions (map-side combining, <= n_buckets rows) whose result
+    is COLLECTED once at build time (bounded by n_buckets — the
+    Misra-Gries precedent) and re-broadcast as a LOCAL frame onto the
+    gram stream -> ONE per-doc sum.  The corpus-size scalars fold from
+    the same collected rows into literals, so the explode subtree is
+    evaluated exactly twice (count pass + scoring pass) and no
+    BroadcastNestedLoopJoin stats nest remains (round-15-opt).  NOTE:
+    the count pass therefore runs as a real Spark job at DataFrame-
+    CONSTRUCTION time (the model table is frozen when this function is
+    called, and explain-only callers pay one bounded count job); see
+    also :func:`ngram_lm_nll`, which shares the discipline.
+    Everything JVM-side; the engine-stable 60-bit hash makes bucket
+    ids — and the 6-dp weights — mirror in DuckDB.
 
     Output: ``id_col, n_grams, logw`` (6 dp), one row per input doc
     (docs with no grams get ``n_grams = 0, logw = 0``).
@@ -871,10 +879,14 @@ def ngram_lm_nll(
 
     Scale shape (same discipline as DSIR): the model is two
     bucket-count tables each <= ``n_buckets`` rows BY CONSTRUCTION
-    regardless of corpus size — both broadcast; the transition stream
-    is a narrow explode scored in place; the only shuffle is the
-    per-doc average (map-side combined).  The engine-stable 60-bit
-    hash makes bucket ids — and the 6-dp nll — mirror in DuckDB.
+    regardless of corpus size — counted in ONE pass over the train
+    slice, COLLECTED at build time (bounded; a real Spark job runs
+    when this function is CALLED, freezing the model tables — see the
+    dsir_logweights note) and re-broadcast as LOCAL frames; the
+    transition stream is a narrow explode scored in place; the only
+    shuffle is the per-doc average (map-side combined).  The
+    engine-stable 60-bit hash makes bucket ids — and the 6-dp nll —
+    mirror in DuckDB.
 
     Output: ``id_col, n_trans, nll`` (6 dp), one row per input doc
     (docs with < 2 non-empty tokens get ``n_trans = 0, nll = 0``).

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.functions.text import char_ngrams, normalize_text
+from cdc_redshift_spark.operators.simjoin import _capture_plan
 
 # Mersenne prime modulus and fixed LCG-generated coefficients for the
 # k minhash permutations h_i(x) = (a_i*x + b_i) mod P  (public
@@ -684,7 +685,9 @@ def minhash_lsh_pairs(
         )
 
     if eager:
-        out = out.localCheckpoint(eager=True)
+        ck = out.localCheckpoint(eager=True)
+        _capture_plan(f"minhash_lsh_pairs.{unit}", out)
+        out = ck
         if scored is not None:
             scored.unpersist()
     shd.unpersist()
@@ -1176,7 +1179,9 @@ def incremental_minhash_pairs(
         )
     )
     if eager:
-        out = out.localCheckpoint(eager=True)
+        ck = out.localCheckpoint(eager=True)
+        _capture_plan("incremental_minhash_pairs", out)
+        out = ck
         scored.unpersist()
         cand.unpersist()
         existing_frames.unpersist()

@@ -47,6 +47,22 @@ from cdc_redshift_spark.streaming.stateful import (
 
 _DAY = 86_400_000
 
+#: container format for streaming phase files (round-16, VERDICT r15
+#: "Next round" #4): the harness writes each phase's rows and the
+#: stream reads them back — parquet removes the per-row JSON encode at
+#: write AND the schema-directed JSON parse on every stream read
+#: (guide §4/§6).  The envelope `value` STRINGS are the data and ride
+#: both containers byte-identically, so every gated streaming query's
+#: results are unchanged (re-verified against the DuckDB oracle).
+_PHASE_FMT = "parquet"
+
+
+def _write_phase(df: DataFrame, n_files: int, indir: str) -> None:
+    """One phase's rows -> ``n_files`` files (coalesce > 1 keeps the
+    encode parallel) in the harness container format."""
+    w = df.coalesce(n_files).write.mode("append")
+    w.parquet(indir) if _PHASE_FMT == "parquet" else w.json(indir)
+
 
 def _raw_shape(df: DataFrame) -> DataFrame:
     """Project to the RAW_STREAM_SCHEMA shape the file source expects."""
@@ -67,7 +83,7 @@ def _changeset_stream(spark: SparkSession, indir: str) -> DataFrame:
     form re-emits a remembered winner whenever a later losing batch
     touches its key, inflating the emission count.)"""
     return pg_changeset(
-        file_stream(spark, indir, max_files_per_trigger=None),
+        file_stream(spark, indir, max_files_per_trigger=None, fmt=_PHASE_FMT),
         offset_col="offset",
     )
 
@@ -128,7 +144,7 @@ def _drive_phases(
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         for df, n_files in phases:
-            df.coalesce(n_files).write.mode("append").json(indir)
+            _write_phase(df, n_files, indir)
             drain()
         out = spark.read.parquet(land).localCheckpoint(eager=True)
     finally:
@@ -362,13 +378,14 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(sp: SparkSession, indir: str) -> DataFrame:
-        src = (
-            sp.readStream.schema(
-                "event_id long, user_id long, event_type string, ts_us long"
-            )
-            .json(indir)
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        reader = sp.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
         )
+        src = (
+            reader.parquet(indir)
+            if _PHASE_FMT == "parquet"
+            else reader.json(indir)
+        ).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         purchases = src.filter(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("p_id"),
             "user_id",
@@ -554,12 +571,21 @@ def q_cdc_ingest_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         for lo, up in zip(cuts, cuts[1:]):
-            docs.where(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
-            ).coalesce(4).write.mode("append").json(indir)
+            _write_phase(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+                ),
+                4,
+                indir,
+            )
+            reader = spark.readStream.schema("doc_id bigint, text string")
             q = (
-                spark.readStream.schema("doc_id bigint, text string")
-                .json(indir)  # no file cap: the wave = one micro-batch
+                # no file cap: the wave = one micro-batch
+                (
+                    reader.parquet(indir)
+                    if _PHASE_FMT == "parquet"
+                    else reader.json(indir)
+                )
                 .writeStream.foreachBatch(dedup)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -722,9 +748,11 @@ def q_cdc_stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         for phase in (b1, b2):
-            _raw_shape(phase).coalesce(8).write.mode("append").json(indir)
+            _write_phase(_raw_shape(phase), 8, indir)
             q = (
-                file_stream(spark, indir, max_files_per_trigger=None)
+                file_stream(
+                    spark, indir, max_files_per_trigger=None, fmt=_PHASE_FMT
+                )
                 .writeStream.foreachBatch(applier)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -1105,6 +1133,14 @@ def q_cdc_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket=None,
             dims=["__k", "__b", "__half"],
             measures={},
+            # byte-budget bucket sizing (round 16): the histogram state
+            # is KB-scale, so a pinned 64-bucket grid made every
+            # trigger a 64-task write of ~100 rows + 64 dirs of
+            # per-file parquet overhead — a constant tuned for neither
+            # local mode nor the cluster (guide §2).  AUTO sizes the
+            # grid from measured state bytes and grows it
+            # geometrically when the state outgrows it.
+            n_buckets="auto",
         )
         # pmod, not %: Spark's % keeps the dividend's sign, so a
         # negative odd event_id would match neither parity predicate
@@ -1425,6 +1461,8 @@ def q_cdc_stream_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket=None,
             dims=["label", "pos", "__half"],
             measures={"sum_x": "x"},
+            # byte-budget grid, not a pinned 64 (see the PSI face)
+            n_buckets="auto",
         )
         # pmod, not %: a negative vec_id must land in exactly one
         # parity batch (same hazard as the PSI face's event_id split)
@@ -1576,6 +1614,8 @@ def q_cdc_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket=None,
             dims=["source", "cell", "__half"],
             measures={},
+            # byte-budget grid, not a pinned 64 (see the PSI face)
+            n_buckets="auto",
         )
         par = F.pmod(F.col("doc_id"), F.lit(2))
         seq = [
@@ -1679,6 +1719,8 @@ def q_cdc_stream_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket=None,
             dims=grain,
             measures={},
+            # byte-budget grid, not a pinned 64 (see the PSI face)
+            n_buckets="auto",
         )
         seq = [m.update(ins(even), 0), m.update(wrong, 1)]
 
@@ -1785,6 +1827,8 @@ def q_cdc_stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket=None,
             dims=grain,
             measures={},
+            # byte-budget grid, not a pinned 64 (see the PSI face)
+            n_buckets="auto",
         )
         seq = [
             m.update(ins(even).unionByName(phantom), 0),
@@ -1890,6 +1934,8 @@ def q_cdc_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket=None,
             dims=qi,
             measures={},
+            # byte-budget grid, not a pinned 64 (see the PSI face)
+            n_buckets="auto",
         )
         seq = [m.update(ins(even), 0), m.update(wrong, 1)]
 
@@ -2009,7 +2055,7 @@ def q_cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        _raw_shape(raw).coalesce(8).write.mode("append").json(indir)
+        _write_phase(_raw_shape(raw), 8, indir)
         sink = ParquetSink(
             spark, _os.path.join(root, "sink"), keys=("db", "table", "key")
         )
@@ -2020,7 +2066,9 @@ def q_cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             dead_letter_root=dlq,
         )
         q = pipe.start(
-            file_stream(spark, indir, max_files_per_trigger=None),
+            file_stream(
+                spark, indir, max_files_per_trigger=None, fmt=_PHASE_FMT
+            ),
             checkpoint=ckpt,
             available_now=True,
         )

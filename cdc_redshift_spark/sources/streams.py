@@ -75,15 +75,28 @@ def file_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = 1,
+    fmt: str = "json",
 ) -> DataFrame:
-    """Test-harness source: JSON-lines files of RAW_STREAM_SCHEMA rows.
+    """Test-harness source: files of RAW_STREAM_SCHEMA rows.
 
     ``maxFilesPerTrigger=1`` makes each dropped file one micro-batch, so
     tests drive deterministic batch boundaries (SURVEY §5.5).
+
+    ``fmt``: the container format of the phase files — ``"json"``
+    (JSON-lines, the historical default most tests write) or
+    ``"parquet"``.  The rows are identical either way (the envelope
+    ``value`` strings are the data; the container is harness-internal);
+    parquet skips the per-row JSON encode on the writer side and the
+    schema-directed parse on every stream read (guide §4/§6 — the
+    round-16 streaming-harness optimization).
     """
     reader = spark.readStream.schema(RAW_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt != "json":
+        raise ValueError(f"unsupported file_stream fmt: {fmt!r}")
     return reader.json(path)
 
 

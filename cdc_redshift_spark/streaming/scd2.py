@@ -133,7 +133,10 @@ class Scd2Maintainer(VersionedSnapshotStore):
         # one extra evaluation of the batch's key projection (column-
         # pruned; the batch is micro by contract).  Callers with an
         # expensive `changes` lineage should persist it — CdcPipeline
-        # already persists each raw batch before fan-out.
+        # already persists each raw batch before fan-out.  (A trigger-
+        # scoped changes.persist() here was measured in round 16 and
+        # rejected: cache materialization cost more than the saved
+        # recompute on micro-batches — scd2 s/trigger 1.6 -> 2.0/2.7.)
         touched = self.touched_buckets(changes) if pruned else None
         stored = self.current(buckets=touched)
         if stored is None:
