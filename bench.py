@@ -137,7 +137,18 @@ def main() -> None:
         # heaviest JIT in the suite — measured 20 s cold vs 6.5 s
         # after one tiny-SF run of the same plan shape (C2 compiles
         # the generated class once; the shape is SF-independent)
-        for wname in ("dedup_minhash_lsh", "sim_lsh_eval", "dedup_simjoin"):
+        # round 16: containment + incremental-minhash join the warmup
+        # list — the whole candidate-verify family shares the
+        # JIT-warmup-sensitive intersect path (OPTIMIZATION_r16.md §3),
+        # and one tiny-SF run compiles the same generated classes the
+        # sf0.1 measurement then reuses
+        for wname in (
+            "dedup_minhash_lsh",
+            "sim_lsh_eval",
+            "dedup_simjoin",
+            "dedup_containment",
+            "dedup_incremental_minhash",
+        ):
             force(qs[wname](spark, warm_sf))
 
     def settle() -> None:

@@ -36,7 +36,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.functions.text import char_ngrams, normalize_text
-from cdc_redshift_spark.operators.simjoin import _capture_plan
+from cdc_redshift_spark.operators.simjoin import (
+    _capture_plan,
+    stable_verify_codegen,
+)
 
 # Mersenne prime modulus and fixed LCG-generated coefficients for the
 # k minhash permutations h_i(x) = (a_i*x + b_i) mod P  (public
@@ -671,7 +674,10 @@ def minhash_lsh_pairs(
             )
         )
         if eager:
-            scored = scored.persist()
+            # guard: persist() plans the array-verify here (simjoin
+            # discipline; the bitmap path is Arrow-side and untouched)
+            with stable_verify_codegen(scored.sparkSession):
+                scored = scored.persist()
         union = F.col("__za") + F.col("__zb") - F.col("__i")
         out = (
             scored.select(
@@ -1042,6 +1048,7 @@ def incremental_minhash_pairs(
     jaccard_threshold: float = 0.5,
     eager: bool = True,
     broadcast_batch_max_rows: int = 200_000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an already-signed corpus.
 
@@ -1068,9 +1075,19 @@ def incremental_minhash_pairs(
     # ``eager`` materializes the result and releases the caches before
     # returning (the simjoin discipline); eager=False keeps everything
     # lazy/recomputable.
+    if num_partitions is None:
+        # same tuning knob + default as the simjoin family / LSH
+        num_partitions = (
+            existing_frames.sparkSession.sparkContext.defaultParallelism * 2
+        )
     if eager:
-        existing_frames = existing_frames.persist()
-        batch_frames = batch_frames.persist()
+        # persist() plans the cached subtree EAGERLY — every eager-path
+        # persist sits under the stable_verify_codegen guard (see
+        # simjoin.py: wrapping only the actions left the verify
+        # compiled as one huge whole-stage method)
+        with stable_verify_codegen(existing_frames.sparkSession):
+            existing_frames = existing_frames.persist()
+            batch_frames = batch_frames.persist()
     a = _band_key_rows(batch_frames, k, bands, "batch").withColumnRenamed(
         "id", "batch_id"
     )
@@ -1108,17 +1125,15 @@ def incremental_minhash_pairs(
         # verify (measured 15 coalesced tasks crawling at 257 s wall
         # on a quiet host before the count was pinned)
         .repartition(
-            existing_frames.sparkSession.sparkContext.defaultParallelism
-            * 2,
-            F.col("batch_id"),
-            F.col("match_id"),
+            num_partitions, F.col("batch_id"), F.col("match_id")
         )
         .distinct()
     )
     if eager:
         # candidate-id cache barrier between dedup and verify — the
         # simjoin codegen-region split (round-15-opt)
-        cand = cand.persist()
+        with stable_verify_codegen(cand.sparkSession):
+            cand = cand.persist()
     sha = batch_frames.select(
         F.col("id").alias("batch_id"), F.col("sh").alias("sha")
     )
@@ -1128,8 +1143,11 @@ def incremental_minhash_pairs(
     # verify joins (the simjoin 8x-knee lesson).  Counting is cheap
     # only when the frames are persisted (eager), so the fallback
     # shuffle path stays for lazy callers and giant batches.
-    if eager and batch_frames.count() <= broadcast_batch_max_rows:
-        sha = F.broadcast(sha)
+    if eager:
+        with stable_verify_codegen(batch_frames.sparkSession):
+            n_batch = batch_frames.count()
+        if n_batch <= broadcast_batch_max_rows:
+            sha = F.broadcast(sha)
     # the verify join is keyed on (match_id, match_side): an id present
     # in BOTH inputs (re-ingesting a doc already indexed) must verify
     # against the copy its candidate came from, not fan out to both
@@ -1167,7 +1185,9 @@ def incremental_minhash_pairs(
         )
     )
     if eager:
-        scored = scored.persist()
+        # guard: persist() plans the verify here (simjoin discipline)
+        with stable_verify_codegen(scored.sparkSession):
+            scored = scored.persist()
     jac = F.col("__i") / (F.col("__za") + F.col("__zb") - F.col("__i"))
     out = (
         scored.where(jac >= jaccard_threshold)
@@ -1179,7 +1199,14 @@ def incremental_minhash_pairs(
         )
     )
     if eager:
-        ck = out.localCheckpoint(eager=True)
+        # band join + dedup + verify run under expression-codegen: the
+        # fused verify region's generated method is a JIT-compile
+        # lottery on short stages (see simjoin.stable_verify_codegen —
+        # this op measured walls [20, 183, 63] s with whole-stage
+        # codegen on vs [10.6, 7.4, 14.2] s off, interleaved in one
+        # session, round 16)
+        with stable_verify_codegen(out.sparkSession):
+            ck = out.localCheckpoint(eager=True)
         _capture_plan("incremental_minhash_pairs", out)
         out = ck
         scored.unpersist()

@@ -37,11 +37,53 @@ Everything is built-in Column expressions; no Python runs per row.
 from __future__ import annotations
 
 import math
+import os
+from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_redshift_spark.functions.text import normalize_text
+
+
+@contextmanager
+def stable_verify_codegen(spark: SparkSession):
+    """Materialize a candidate-verify pipeline under expression-codegen
+    (whole-stage codegen OFF) for the duration of the block.
+
+    Why (round-16 measurement): the fused verify region (candidate
+    cache scan -> two broadcast hash joins -> array_intersect
+    projection) generates a method large enough that its C2
+    compilation is a TIMING LOTTERY on short stages — the same input
+    measured interleaved in one session read walls of [16.2, 19.7,
+    35.8] s (another session: 7.0 / 227.6 s; per-stage CPU 480 ->
+    5 877 s on identical data) with whole-stage codegen on, versus a
+    stable [7.6, 7.8] s with it off: small per-expression generated
+    classes JIT reliably, the one huge method does not, and
+    ``-XX:-DontCompileHugeMethods`` was measured NOT to close the gap
+    (the compile itself is what loses the race on a short stage).
+    Round 15 attacked the same lottery with the candidate exchange +
+    persist barriers, which shrank but did not close it.
+
+    Scale note: this is a SHORT-STAGE phenomenon.  On a cluster where
+    the verify stage runs minutes, the compile amortizes and
+    whole-stage codegen is the faster mode — set
+    ``SPARK_GRAFT_VERIFY_WSCG=1`` there to keep it on; the local
+    default favors the stable mode the bench can actually measure.
+    Only the session conf is touched, and it is restored on exit; the
+    lazy (``eager=False``) paths never enter this block, so their
+    plans are untouched.
+    """
+    if os.environ.get("SPARK_GRAFT_VERIFY_WSCG") == "1":
+        yield
+        return
+    key = "spark.sql.codegen.wholeStage"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 #: evidence hook (tools/dump_named_plans.py): when set to a list, each
 #: EAGER call appends ("<op>", <formatted plan of the result frame,
@@ -83,6 +125,7 @@ def jaccard_similarity_join(
     text_col: str = "text",
     eager: bool = True,
     broadcast_verify_max_rows: int = 300_000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with token-set Jaccard >= ``tau``.
 
@@ -117,6 +160,12 @@ def jaccard_similarity_join(
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if num_partitions is None:
+        # the candidate-verify tuning knob minhash_lsh_pairs already
+        # exposes (ADVICE r15): default scales with the session's
+        # cores; clusters verifying much larger candidate volumes
+        # per stage pass an explicit count
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     toks = _token_sets(df, id_col, text_col)
 
     # Global token order: rarest first, ties broken lexicographically.
@@ -127,6 +176,34 @@ def jaccard_similarity_join(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+
+    # 64-bit token hashes for the JOIN KEYS and (eager, checked) the
+    # VERIFY (round 16).  Join-key hashing is unconditionally safe: a
+    # hash collision only ADDS spurious candidate rows, which the
+    # positional filter / exact verify reject — a real shared prefix
+    # token always produces its matching row.  VERIFY hashing is exact
+    # iff xxhash64 is injective on this corpus' vocabulary, which the
+    # eager path PROVES with one aggregate over the (persisted,
+    # vocabulary-sized) df table before relying on it — at 10^9-token
+    # vocabularies the 64-bit birthday probability is a few percent,
+    # so the check is not a formality; on collision (or on the lazy
+    # path, which cannot run the check) the verify stays on the exact
+    # string arrays.  Why hash at all: thread dumps of the slow mode
+    # showed ArrayIntersect on array<string> evaluating through its
+    # interpreted, per-element-boxing nullSafeEval path (Spark only
+    # emits primitive-specialized code for primitive element types),
+    # burning 1 700-5 800 JVM-CPU-s per run at sf0.1; long arrays take
+    # the primitive path.  The hash arrays are also ~10x narrower in
+    # the verify broadcast/shuffle (guide §2.3 "narrower types").
+    hash_verify = False
+    if eager:
+        with stable_verify_codegen(df.sparkSession):
+            tok_df = tok_df.persist()
+            chk = tok_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.xxhash64("tok")).alias("nh"),
+            ).first()
+        hash_verify = chk["n"] == chk["nh"]
 
     # Re-assemble each doc with tokens sorted rarest-first and slice
     # the prefix.  ceil/greatest keep p >= 1 so single-token docs
@@ -158,17 +235,28 @@ def jaccard_similarity_join(
                 ).cast("int"),
             ),
         )
+        # token hashes in the SAME rarest-first order (see hash_verify)
+        .withColumn("hs", F.transform("toks", lambda t: F.xxhash64(t)))
     )
     if eager:
-        ordered = ordered.persist()
+        # NOTE: persist() plans the cached subtree EAGERLY at this call
+        # (CacheManager resolves executedPlan when the cache is
+        # registered), so every persist in the eager path must sit
+        # inside the stable_verify_codegen guard — wrapping only the
+        # actions leaves the verify compiled as one huge whole-stage
+        # method (observed: GeneratedIteratorForCodegenStage4 in the
+        # cache-build thread dump of a 114 s run, round 16)
+        with stable_verify_codegen(df.sparkSession):
+            ordered = ordered.persist()
 
-    # candidate generation: ONLY (id, sz, pos, tok) rides the prefix
-    # join — pos (0-based rank in the rarest-first order, from
-    # posexplode) feeds the positional filter below
+    # candidate generation: ONLY (id, sz, pos, tok-hash) rides the
+    # prefix join — pos (0-based rank in the rarest-first order, from
+    # posexplode) feeds the positional filter below; the 8-byte hashed
+    # join key is collision-safe here (see hash_verify note)
     pre = ordered.select(
         "id",
         "sz",
-        F.posexplode(F.slice("toks", 1, F.col("p"))).alias("pos", "tok"),
+        F.posexplode(F.slice("hs", 1, F.col("p"))).alias("pos", "tok"),
     )
     a = pre.select(
         F.col("id").alias("id_a"),
@@ -228,11 +316,7 @@ def jaccard_similarity_join(
         # EXPLICIT for the LSH-fallback reason: AQE coalesces the
         # byte-small pair stream to a handful of partitions and would
         # serialize the per-row-CPU-bound verify
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism * 2,
-            F.col("id_a"),
-            F.col("id_b"),
-        )
+        .repartition(num_partitions, F.col("id_a"), F.col("id_b"))
         # a pair sharing several prefix tokens joins several times;
         # verify each pair ONCE
         .distinct()
@@ -243,16 +327,21 @@ def jaccard_similarity_join(
         # codegen regions: fused, the single generated method is what
         # the JIT lottery above chokes on (the same input read 5 s
         # with this barrier vs 27 CPU-minutes fused, round-15-opt)
-        cand = cand.persist()
+        with stable_verify_codegen(df.sparkSession):
+            cand = cand.persist()
 
-    # verify: token arrays join back once per surviving pair.  Small
-    # corpora broadcast the array table so the pair stream never
+    # verify: token(-hash) arrays join back once per surviving pair.
+    # Small corpora broadcast the array table so the pair stream never
     # shuffles carrying an array (the 8x-replica spill knee); huge
     # corpora fall back to shuffle joins.
-    ta = ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
-    tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
-    if eager and ordered.count() <= broadcast_verify_max_rows:
-        ta, tb = F.broadcast(ta), F.broadcast(tb)
+    vcol = "hs" if hash_verify else "toks"
+    ta = ordered.select(F.col("id").alias("id_a"), F.col(vcol).alias("ta"))
+    tb = ordered.select(F.col("id").alias("id_b"), F.col(vcol).alias("tb"))
+    if eager:
+        with stable_verify_codegen(df.sparkSession):
+            n_docs = ordered.count()
+        if n_docs <= broadcast_verify_max_rows:
+            ta, tb = F.broadcast(ta), F.broadcast(tb)
     # intersection computed EXACTLY ONCE into a small scored row
     # (ids + sizes + overlap), then thresholded ABOVE a cache barrier:
     # without the barrier Catalyst substitutes the alias back into the
@@ -275,7 +364,10 @@ def jaccard_similarity_join(
         )
     )
     if eager:
-        scored = scored.persist()
+        # the VERIFY plan (cand cache -> 2 BHJ -> array_intersect) is
+        # planned HERE by persist() — guard it (see ordered.persist)
+        with stable_verify_codegen(df.sparkSession):
+            scored = scored.persist()
     jac = F.col("__i") / (F.col("sa") + F.col("sb") - F.col("__i"))
     out = (
         scored
@@ -285,12 +377,16 @@ def jaccard_similarity_join(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
     if eager:
-        ck = out.localCheckpoint(eager=True)
+        # the checkpoint action plans + runs the candidate dedup and
+        # verify stages — the JIT-lottery region the conf guards
+        with stable_verify_codegen(df.sparkSession):
+            ck = out.localCheckpoint(eager=True)
         _capture_plan("jaccard_similarity_join", out)
         out = ck
         scored.unpersist()
         cand.unpersist()
         ordered.unpersist()
+        tok_df.unpersist()
     return out
 
 
@@ -348,6 +444,7 @@ def containment_join(
     text_col: str = "text",
     eager: bool = True,
     broadcast_verify_max_rows: int = 300_000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All DIRECTED pairs (id_a != id_b) where the fraction of doc A's
     shingles found in doc B clears ``tau``:
@@ -376,6 +473,9 @@ def containment_join(
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if num_partitions is None:
+        # same knob + default as jaccard_similarity_join
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     toks = _shingle_sets(df, id_col, text_col, n).where(
         F.size("toks") >= 1
     )
@@ -385,6 +485,19 @@ def containment_join(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    # hashed join keys (always safe) + eager-checked hashed verify —
+    # the Jaccard form's discipline, and a bigger win here: shingles
+    # are n-word STRINGS, the type whose ArrayIntersect path is the
+    # interpreted boxing one (see hash_verify note there)
+    hash_verify = False
+    if eager:
+        with stable_verify_codegen(df.sparkSession):
+            tok_df = tok_df.persist()
+            chk = tok_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.xxhash64("tok")).alias("nh"),
+            ).first()
+        hash_verify = chk["n"] == chk["nh"]
     ordered = (
         toks.select("id", F.explode("toks").alias("tok"))
         .join(tok_df, "tok")
@@ -396,9 +509,12 @@ def containment_join(
             ).alias("toks")
         )
         .withColumn("sz", F.size("toks"))
+        .withColumn("hs", F.transform("toks", lambda t: F.xxhash64(t)))
     )
     if eager:
-        ordered = ordered.persist()
+        # persist() plans eagerly — guard it (see the Jaccard form)
+        with stable_verify_codegen(df.sparkSession):
+            ordered = ordered.persist()
 
     # probe side: prefix only; container side: every shingle
     alpha_a = F.ceil(F.lit(tau) * F.col("sz") - 1e-9).cast("int")
@@ -408,7 +524,7 @@ def containment_join(
         alpha_a.alias("alpha"),
         F.posexplode(
             F.slice(
-                "toks",
+                "hs",
                 1,
                 F.greatest(
                     F.lit(1), (F.col("sz") - alpha_a + 1).cast("int")
@@ -419,7 +535,7 @@ def containment_join(
     b = ordered.select(
         F.col("id").alias("id_b"),
         F.col("sz").alias("sb"),
-        F.posexplode("toks").alias("pb", "tok"),
+        F.posexplode("hs").alias("pb", "tok"),
     )
     cand = (
         a.join(b, "tok")
@@ -435,22 +551,23 @@ def containment_join(
         # candidate shuffle before the dedup — same rationale (and same
         # measured JIT-lottery fix + explicit anti-coalescing count) as
         # the Jaccard form above
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism * 2,
-            F.col("id_a"),
-            F.col("id_b"),
-        )
+        .repartition(num_partitions, F.col("id_a"), F.col("id_b"))
         .distinct()
     )
     if eager:
         # candidate-id cache barrier between dedup and verify — same
         # codegen-region split as the Jaccard form above
-        cand = cand.persist()
+        with stable_verify_codegen(df.sparkSession):
+            cand = cand.persist()
 
-    ta = ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
-    tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
-    if eager and ordered.count() <= broadcast_verify_max_rows:
-        ta, tb = F.broadcast(ta), F.broadcast(tb)
+    vcol = "hs" if hash_verify else "toks"
+    ta = ordered.select(F.col("id").alias("id_a"), F.col(vcol).alias("ta"))
+    tb = ordered.select(F.col("id").alias("id_b"), F.col(vcol).alias("tb"))
+    if eager:
+        with stable_verify_codegen(df.sparkSession):
+            n_docs = ordered.count()
+        if n_docs <= broadcast_verify_max_rows:
+            ta, tb = F.broadcast(ta), F.broadcast(tb)
     # single-eval intersection + cache barrier before the threshold —
     # same rationale (and same measured re-evaluation cost) as the
     # Jaccard form above
@@ -465,17 +582,22 @@ def containment_join(
         )
     )
     if eager:
-        scored = scored.persist()
+        # guard: persist() plans the verify here (see the Jaccard form)
+        with stable_verify_codegen(df.sparkSession):
+            scored = scored.persist()
     cont = F.col("__i") / F.col("sa")
     out = (
         scored.where(cont >= tau)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
     if eager:
-        ck = out.localCheckpoint(eager=True)
+        # same JIT-lottery guard as the Jaccard form above
+        with stable_verify_codegen(df.sparkSession):
+            ck = out.localCheckpoint(eager=True)
         _capture_plan("containment_join", out)
         out = ck
         scored.unpersist()
         cand.unpersist()
         ordered.unpersist()
+        tok_df.unpersist()
     return out
