@@ -101,15 +101,23 @@ def test_decontaminate_broadcasts_eval_side(spark):
     broadcast."""
     from cdc_redshift_spark.queries.corpus_q import q_corpus_decontaminate
 
-    df = q_corpus_decontaminate(spark, SF)
-    plan = plan_of(df)
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert plan.count("MapInPandas") == 2
-    df.collect()
-    final = plan_of(df)
-    assert "isFinalPlan=true" in final
-    assert "BroadcastHashJoin" in final  # AQE runtime conversion
+    # this pin asserts PRODUCTION-session AQE behavior, which the
+    # latency-tuned test session disables (conftest round 16) — flip it
+    # on for this test's scope only
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        df = q_corpus_decontaminate(spark, SF)
+        plan = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("MapInPandas") == 2
+        df.collect()
+        final = plan_of(df)
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final  # AQE runtime conversion
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def test_stratified_sample_is_scan_level_filter(spark):
@@ -117,10 +125,17 @@ def test_stratified_sample_is_scan_level_filter(spark):
     no Python, and doc_id/source pushed as scan-level IsNotNull."""
     from cdc_redshift_spark.queries.corpus_q import q_corpus_stratified_sample
 
-    plan = plan_of(q_corpus_stratified_sample(spark, SF))
-    assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "*(1) Filter" in plan  # whole-stage-codegen'd filter on the scan
+    # the codegen'd-filter pin asserts PRODUCTION whole-stage codegen,
+    # which the latency-tuned test session disables (conftest round 16)
+    old = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try:
+        plan = plan_of(q_corpus_stratified_sample(spark, SF))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "*(1) Filter" in plan  # whole-stage-codegen'd filter
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old)
 
 
 def test_source_cap_window_group_limit_both_phases(spark):

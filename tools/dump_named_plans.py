@@ -132,7 +132,10 @@ def main() -> None:
         try:
             for name in names:
                 cap.clear()
-                eager_extra.get(name, qs[name])(spark, SF)
+                builder = (
+                    eager_extra[name] if name in eager_extra else qs[name]
+                )
+                builder(spark, SF)
                 text = "\n\n".join(
                     f"== PLAN_CAPTURE: {label} (post-action, eager path) ==\n{plan}"
                     for label, plan in cap
